@@ -1,0 +1,316 @@
+"""Deduplication operators (SURVEY.md §2B E14–E15 + LLM-pipeline dedup).
+
+Tiers, from cheap to fuzzy — all shuffle-bounded, none quadratic on the
+full table:
+
+1. exact        — dropDuplicates (hash shuffle on the dedup key).
+2. levenshtein  — edit-distance pair check, only ever on a bounded
+                  candidate set (here: a keyed subset; at 100 TB the
+                  candidates come from tier 3/4 buckets, never a full
+                  cross join).
+3. jaccard      — exact token-set overlap on candidate pairs.
+4. minhash-LSH  — shingle → k minhashes → band buckets → candidate pairs
+                  within buckets only; recall tunable by (bands, rows).
+5. simhash      — 64-bit sketch, band-equality candidates, hamming verify.
+
+Everything is built-in column expressions (xxhash64, higher-order array
+functions) — zero Python in the row path, so the same code runs at 100 TB
+with one shuffle per stage.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from database_migrator_spark.plans.registry import query
+from database_migrator_spark.sources import table
+
+# Deterministic MinHash parameters (fixed seed → reproducible pipelines).
+_MERSENNE31 = (1 << 31) - 1
+
+
+def _minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31)) for _ in range(num_hashes)]
+
+
+def tokens_of(text: Column | str, lower: bool = True) -> Column:
+    """Whitespace tokens, empties removed (JVM-side)."""
+    c = F.col(text) if isinstance(text, str) else text
+    if lower:
+        c = F.lower(c)
+    return F.filter(F.split(c, r"\s+"), lambda t: F.length(t) > 0)
+
+
+def word_shingles(tokens: Column, k: int = 3) -> Column:
+    """k-word shingles: sliding concat over the token array; falls back to
+    the whole document when shorter than k tokens."""
+    n = F.size(tokens)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.array_join(F.slice(tokens, i, k), " "),
+        ),
+    ).otherwise(F.array(F.array_join(tokens, " ")))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64, seed: int = 42) -> Column:
+    """Array of ``num_hashes`` minhashes: min over shingles of
+    (a*h32 + b) mod p, h32 = xxhash64(shingle) folded to 31 bits. All
+    arithmetic stays in int64 (no overflow under ANSI mode)."""
+    params = _minhash_params(num_hashes, seed)
+    hashed = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31)))
+    sigs = [
+        F.array_min(F.transform(hashed, lambda h: F.pmod(h * a + b, F.lit(_MERSENNE31))))
+        for a, b in params
+    ]
+    return F.array(*sigs)
+
+
+def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
+    """Band the signature: array of (band_id, band_hash) structs. Docs
+    sharing any band hash become candidate pairs."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(F.array_join(F.slice(sig, b * rows + 1, rows), ",")).alias("bh"),
+        ),
+    )
+
+
+def jaccard_tokens(a: Column, b: Column) -> Column:
+    """Exact Jaccard over distinct token sets."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs, verified with exact Jaccard.
+
+    Pipeline: tokens → 3-word shingles → 64 minhashes → 16 bands × 4 rows
+    (catches Jaccard ≳ 0.5 with high recall) → candidate pairs within a
+    band bucket → exact-Jaccard verify ≥ threshold. Buckets larger than
+    ``max_bucket`` are dropped (boilerplate clusters at web scale would
+    otherwise go quadratic) — the cap is logged in the plan, not silent.
+    """
+    rows = num_hashes // bands
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(tokens_of(text_col)).alias("toks"),
+        minhash_signature(word_shingles(tokens_of(text_col)), num_hashes).alias("sig"),
+    )
+    banded = toks.select(
+        "id", "toks", F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("b")
+    ).select("id", "toks", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    # cap pathological buckets before the self-join
+    from pyspark.sql import Window
+
+    banded = banded.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band", "bh"))
+    ).where(F.col("bucket_n") <= max_bucket)
+    left = banded.select(
+        F.col("band"), F.col("bh"), F.col("id").alias("a_id"), F.col("toks").alias("a_toks")
+    )
+    right = banded.select(
+        F.col("band"), F.col("bh"), F.col("id").alias("b_id"), F.col("toks").alias("b_toks")
+    )
+    cand = (
+        left.join(right, ["band", "bh"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_toks", "b_toks")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return (
+        cand.withColumn("jaccard", jaccard_tokens(F.col("a_toks"), F.col("b_toks")))
+        .where(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def simhash_bits(tokens: Column, n_bits: int = 64) -> Column:
+    """SimHash: per-bit majority vote of token hashes → array<int> of 0/1.
+    Kept as a bit array (packing into int64 would overflow bit 63 under
+    ANSI); band extraction slices the array."""
+    th = F.transform(tokens, lambda t: F.xxhash64(t))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_bits - 1)),
+        lambda b: (
+            F.aggregate(
+                th,
+                F.lit(0),
+                lambda acc, h: acc + F.getbit(h, b) * 2 - 1,
+            )
+            > 0
+        ).cast("int"),
+    )
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit sketch, 4×16-bit band equality for
+    candidates (any pair with hamming ≤ 3 shares a band; wider hamming
+    still found with high probability), exact hamming verify."""
+    toks = docs.select(F.col(id_col).alias("id"), tokens_of(text_col).alias("toks"))
+    sh = toks.select("id", simhash_bits(F.col("toks")).alias("bits"))
+    bands = sh.select(
+        "id",
+        "bits",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.array_join(F.slice(F.col("bits"), b * 16 + 1, 16), "").alias("bh"),
+                ),
+            )
+        ).alias("b"),
+    ).select("id", "bits", "b.band", "b.bh")
+    left = bands.select("band", "bh", F.col("id").alias("a_id"), F.col("bits").alias("a_bits"))
+    right = bands.select("band", "bh", F.col("id").alias("b_id"), F.col("bits").alias("b_bits"))
+    hamming = F.aggregate(
+        F.zip_with("a_bits", "b_bits", lambda x, y: (x != y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        left.join(right, ["band", "bh"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+        .withColumn("hamming", hamming.cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Declared queries
+# ---------------------------------------------------------------------------
+@query(
+    "q25_exact_dedup",
+    oracle="""
+    SELECT user_id, event_type
+    FROM (SELECT DISTINCT user_id, event_type FROM events)
+    ORDER BY user_id, event_type
+    """,
+    tags=("dedup", "E14"),
+)
+def q25_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup = dropDuplicates on the key columns; one hash shuffle,
+    map-side partial dedup applies automatically."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+        .orderBy("user_id", "event_type")
+    )
+
+
+@query(
+    "q26_levenshtein_pairs",
+    oracle="""
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_distance
+    FROM documents a
+    JOIN documents b ON a.doc_id < b.doc_id
+    WHERE a.doc_id < 60 AND b.doc_id < 60
+      AND abs(a.n_chars - b.n_chars) <= 20
+    ORDER BY a_id, b_id
+    """,
+    tags=("dedup", "levenshtein", "E15"),
+)
+def q26_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit distance on a keyed candidate subset with a length-difference
+    prefilter (|Δlen| ≤ 20 bounds levenshtein ≥ Δlen — the standard cheap
+    pre-prune before the O(len²) DP)."""
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    a = d.select(
+        F.col("doc_id").alias("a_id"), F.col("text").alias("a_text"), F.col("n_chars").alias("a_n")
+    )
+    b = d.select(
+        F.col("doc_id").alias("b_id"), F.col("text").alias("b_text"), F.col("n_chars").alias("b_n")
+    )
+    return (
+        a.join(b, (F.col("a_id") < F.col("b_id")))
+        .where(F.abs(F.col("a_n") - F.col("b_n")) <= 20)
+        .select(
+            "a_id",
+            "b_id",
+            F.levenshtein("a_text", "b_text").cast("long").alias("edit_distance"),
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
+@query(
+    "q27_jaccard_pairs",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+                                         t -> len(t) > 0)) AS toks
+        FROM documents WHERE doc_id < 80
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) AS jaccard
+    FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.5
+    ORDER BY a_id, b_id
+    """,
+    tags=("dedup", "jaccard", "E15"),
+)
+def q27_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard ≥ 0.5 on a keyed subset — the verify stage
+    that MinHash-LSH candidates feed at scale."""
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 80)
+    t = d.select(F.col("doc_id"), F.array_distinct(tokens_of("text")).alias("toks"))
+    a = t.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks"))
+    b = t.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks"))
+    jac = jaccard_tokens(F.col("a_toks"), F.col("b_toks"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= 0.5)
+        .select("a_id", "b_id", "jaccard")
+        .orderBy("a_id", "b_id")
+    )
+
+
+@query(
+    "q28_minhash_near_duplicates",
+    oracle=None,  # approximate-recall candidate generation; exact-Jaccard
+    # verified in tests/test_dedup.py against the brute-force pair set
+    tags=("dedup", "minhash", "lsh", "E15"),
+)
+def q28_minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return minhash_near_duplicates(d, threshold=0.6).orderBy("a_id", "b_id")
+
+
+@query(
+    "q29_simhash_near_duplicates",
+    oracle=None,  # sketch-based; verified in tests/test_dedup.py
+    tags=("dedup", "simhash", "E15"),
+)
+def q29_simhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return simhash_near_duplicates(d, max_hamming=8).orderBy("a_id", "b_id")

@@ -1,0 +1,102 @@
+"""Semi-structured operators: JSON props and array (embedding) columns
+(SURVEY.md §2B rows E12–E13).
+
+JSON stays JVM-side via get_json_object/from_json; arrays use higher-order
+functions (transform/aggregate/filter) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from database_migrator_spark.plans.registry import query
+from database_migrator_spark.sources import table
+
+
+# ---------------------------------------------------------------------------
+# E12 — JSON extraction + typed parse
+# ---------------------------------------------------------------------------
+@query(
+    "q20_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    ORDER BY event_id
+    LIMIT 500
+    """,
+    tags=("json", "E12"),
+)
+def q20_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+        )
+        .orderBy("event_id")
+        .limit(500)
+    )
+
+
+@query(
+    "q21_json_agg_by_type",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("json", "aggregate", "E12"),
+)
+def q21_json_agg_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parse (from_json with an explicit schema — schema-on-read,
+    no inference pass) feeding an exact integer aggregate."""
+    e = table(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_type", F.from_json("props", "k BIGINT").getField("k").alias("k")
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(F.sum("k").cast("long").alias("sum_k"), F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E13 — array functions over embeddings
+# ---------------------------------------------------------------------------
+@query(
+    "q22_array_functions",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           CAST(embedding[1] AS DOUBLE)   AS first_component,
+           list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                       (a, b) -> a + b)   AS component_sum,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+    tags=("array", "E13"),
+)
+def q22_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (size / element_at / aggregate / filter).
+    Both engines fold left-to-right in double, so component_sum is
+    bit-identical (see functions/vector.py)."""
+    e = table(spark, sf_dir, "embeddings")
+    return (
+        e.select(
+            "vec_id",
+            F.size("embedding").cast("long").alias("dim"),
+            F.element_at("embedding", 1).cast("double").alias("first_component"),
+            F.aggregate(
+                "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            ).alias("component_sum"),
+            F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_positive"),
+        )
+        .orderBy("vec_id")
+    )

@@ -1,0 +1,229 @@
+"""Text-analysis operators for LLM training-data pipelines: token stats,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All pure column expressions (split / filter / aggregate / regexp) — the
+whole stage is codegen'd, no Python, so it streams at parquet-scan speed
+at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from database_migrator_spark.operators.dedup import tokens_of
+from database_migrator_spark.plans.registry import query
+from database_migrator_spark.sources import table
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+# tiny per-language lexicons for the n-gram/stopword language-ID heuristic
+_LEXICONS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "es": ("el", "la", "de", "que", "los"),
+    "de": ("der", "und", "die", "das", "ist"),
+    "fr": ("le", "et", "les", "des", "une"),
+}
+
+_FP_MOD = 1_000_000_007
+_FP_BASE = 31
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens_of(text)).cast("long")
+
+
+def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = _STOPWORDS) -> Column:
+    toks = tokens_of(text)
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def lexicon_hits(text: Column | str, lexicon: tuple[str, ...]) -> Column:
+    return F.size(F.filter(tokens_of(text), lambda t: t.isin(*lexicon))).cast("long")
+
+
+def rolling_fingerprint(text: Column | str, prefix_len: int = 200) -> Column:
+    """Deterministic polynomial rolling hash over the first ``prefix_len``
+    characters: acc = (acc*31 + codepoint) mod 1e9+7. Engine-portable
+    (mirrors ascii()/list_reduce in DuckDB) and stays within int64."""
+    c = F.col(text) if isinstance(text, str) else text
+    chars = F.filter(F.split(F.substring(c, 1, prefix_len), ""), lambda ch: ch != "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: F.pmod(acc * _FP_BASE + F.ascii(ch), F.lit(_FP_MOD)),
+    )
+
+
+@query(
+    "q30_token_stats",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, n_chars,
+               list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT)                AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_tokens,
+           CASE WHEN len(toks) > 0
+                THEN CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+                ELSE 0.0 END                        AS type_token_ratio,
+           n_chars                                  AS n_chars
+    FROM toks
+    ORDER BY doc_id
+    """,
+    tags=("text", "tokens"),
+)
+def q30_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting + type/token ratio — the base signal of
+    every quality filter."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens_of("text")
+    n = F.size(toks)
+    nu = F.size(F.array_distinct(toks))
+    return (
+        d.select(
+            "doc_id",
+            n.cast("long").alias("n_tokens"),
+            nu.cast("long").alias("n_unique_tokens"),
+            F.when(n > 0, nu.cast("double") / n.cast("double"))
+            .otherwise(F.lit(0.0))
+            .alias("type_token_ratio"),
+            F.col("n_chars").alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q31_quality_score",
+    oracle=rf"""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS toks,
+               CAST(length(text) AS BIGINT) AS len_text,
+               CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_punct
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN len(toks) > 0
+                THEN CAST(len(list_filter(toks, t -> list_contains({list(_STOPWORDS)!r}, t))) AS DOUBLE)
+                     / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS stopword_ratio,
+           CASE WHEN len_text > 0
+                THEN CAST(n_punct AS DOUBLE) / CAST(len_text AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+           CASE WHEN len(toks) > 0
+                THEN CAST(len_text AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS chars_per_token
+    FROM base
+    ORDER BY doc_id
+    """,
+    tags=("text", "quality"),
+)
+def q31_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality signals: stopword ratio, punctuation ratio,
+    chars-per-token — the CCNet/Gopher-style cheap filters."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens_of("text")
+    n = F.size(toks)
+    len_text = F.length("text").cast("long")
+    n_punct = F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")).cast("long")
+    return (
+        d.select(
+            "doc_id",
+            F.when(
+                n > 0,
+                F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))).cast("double")
+                / n.cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("stopword_ratio"),
+            F.when(len_text > 0, n_punct.cast("double") / len_text.cast("double"))
+            .otherwise(F.lit(0.0))
+            .alias("punct_ratio"),
+            F.when(n > 0, len_text.cast("double") / n.cast("double"))
+            .otherwise(F.lit(0.0))
+            .alias("chars_per_token"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q32_language_id",
+    oracle=rf"""
+    WITH scores AS (
+        SELECT doc_id, lang,
+               CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                    t -> list_contains({list(_LEXICONS['en'])!r}, t))) AS BIGINT) AS s_en,
+               CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                    t -> list_contains({list(_LEXICONS['es'])!r}, t))) AS BIGINT) AS s_es,
+               CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                    t -> list_contains({list(_LEXICONS['de'])!r}, t))) AS BIGINT) AS s_de,
+               CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                    t -> list_contains({list(_LEXICONS['fr'])!r}, t))) AS BIGINT) AS s_fr
+        FROM documents
+    ), pred AS (
+        SELECT doc_id, lang,
+               CASE
+                 WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'unknown'
+                 WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                 WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                 WHEN s_de >= s_fr THEN 'de'
+                 ELSE 'fr'
+               END AS predicted_lang
+        FROM scores
+    )
+    SELECT lang, predicted_lang, COUNT(*) AS n
+    FROM pred
+    GROUP BY lang, predicted_lang
+    ORDER BY lang, predicted_lang
+    """,
+    tags=("text", "langid"),
+)
+def q32_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-lexicon language-ID heuristic with a deterministic argmax
+    tie-break order (en > es > de > fr), summarized as a confusion table."""
+    d = table(spark, sf_dir, "documents")
+    s = {k: lexicon_hits("text", v) for k, v in _LEXICONS.items()}
+    pred = (
+        F.when(
+            (s["en"] == 0) & (s["es"] == 0) & (s["de"] == 0) & (s["fr"] == 0), F.lit("unknown")
+        )
+        .when((s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]), F.lit("en"))
+        .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"]), F.lit("es"))
+        .when(s["de"] >= s["fr"], F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return (
+        d.select("lang", pred.alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "predicted_lang")
+    )
+
+
+@query(
+    "q33_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split_regex(substr(text, 1, 200), ''),
+                                          c -> c != ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+             (acc, ch) -> (acc * {_FP_BASE} + ch) % {_FP_MOD}
+           ) AS fingerprint
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("text", "fingerprint"),
+)
+def q33_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash fingerprint of the document prefix —
+    engine-portable exact int64 arithmetic (same fold in DuckDB)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", rolling_fingerprint("text").alias("fingerprint")).orderBy(
+        "doc_id"
+    )

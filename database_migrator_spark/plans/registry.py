@@ -1,0 +1,74 @@
+"""Declared-query registry.
+
+Each analytics operator registers a ``DeclaredQuery``: a name, a Spark
+builder ``(spark, sf_dir) -> DataFrame``, and (when SQL-expressible) the
+equivalent ANSI SQL the DuckDB oracle runs on the same parquet tables.
+``__spark_entry__.py``, the pytest oracle suite, and ``bench.py`` all
+iterate this one catalog, so an operator is "done" exactly when it is
+registered here with a passing oracle.
+
+Determinism contract (see SURVEY.md §2B hash-matching rule):
+- every query carries a total ORDER BY (unique tiebreaker on LIMIT paths);
+- float aggregates of large magnitude use exact integer-cents arithmetic
+  (see functions/exact.py) so engine-dependent summation order cannot move
+  the 6-decimal rounding used by the hash;
+- output columns are aliased identically on both sides and use only
+  bigint / double / string types to avoid cross-engine dtype skew.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+Builder = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, "DeclaredQuery"] = {}
+
+
+@dataclass(frozen=True)
+class DeclaredQuery:
+    name: str
+    build: Builder
+    oracle: str | None = None  # DuckDB SQL; None → rows-only check
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    bench: bool = True  # include in bench.py headline run
+
+
+def query(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    bench: bool = True,
+) -> Callable[[Builder], Builder]:
+    """Decorator registering a query builder under ``name``."""
+
+    def deco(fn: Builder) -> Builder:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = DeclaredQuery(
+            name=name, build=fn, oracle=oracle, doc=(fn.__doc__ or "").strip(), tags=tuple(tags), bench=bench
+        )
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, DeclaredQuery]:
+    """Import every operator module (side effect: registration) and return
+    the full catalog, stably ordered by name."""
+    from database_migrator_spark.operators import (  # noqa: F401
+        dedup,
+        multimodal,
+        relational,
+        semistructured,
+        similarity,
+        temporal,
+        textops,
+    )
+    from database_migrator_spark.streaming import windows  # noqa: F401
+
+    return dict(sorted(_REGISTRY.items()))

@@ -1,0 +1,39 @@
+"""SparkSession factory tuned for the driver's local[N] harness while keeping
+cluster-scale defaults (AQE, Arrow, sane shuffle parallelism).
+
+On a real cluster the same knobs apply; only master/memory change. We pin the
+session time zone to UTC so timestamp semantics match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_session(app_name: str = "database_migrator_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS or all cores. Shuffle partitions
+    are sized to the core count — at 100 TB you would instead rely on AQE
+    coalescing from a high initial number; locally 200 default partitions
+    just adds task-scheduling overhead.
+    """
+    n = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 8
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(n, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

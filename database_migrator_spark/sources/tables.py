@@ -1,0 +1,79 @@
+"""Parquet table access for the driver-materialized test tables.
+
+Scans are plain ``spark.read.parquet`` so Catalyst gets full predicate
+pushdown / column pruning / partition pruning. At 100 TB these tables would
+be directories partitioned by date/key; the reader API is identical — never
+collect, never infer schemas row-by-row.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _typed_events(df: DataFrame) -> DataFrame:
+    """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects; we read it as raw nanos (legacy conf) and rebuild the
+    timestamp with exact integer division to microseconds — bit-identical
+    to DuckDB's nanos→micros truncation."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        "event_id",
+        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table. Accepts either a single parquet file or a
+    directory of part-files (the 100 TB layout)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return _typed_events(spark.read.parquet(path))
+    return spark.read.parquet(path)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming reader for the events table (same nanos
+    handling as the batch path). Spark's streaming file source requires a
+    *directory*; the testdata is a single file, so we expose it through a
+    temp directory of symlinks (zero copy)."""
+    import tempfile
+
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        stream_dir = path
+    else:
+        stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(path, os.path.join(stream_dir, "events.parquet"))
+    return _typed_events(spark.readStream.schema(raw_schema).parquet(stream_dir))
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register each table as a temp view so operators can use spark.sql."""
+    for name in names:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
