@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Benchmark: run every declared query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q01_...": sec, ...}, "sf": 0.1}
+
+Each query is materialized through the noop sink (full execution, no
+driver-side result transfer skewing the numbers). One warm-up action runs
+first so JVM/codegen startup isn't charged to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from database_migrator_spark.plans.registry import all_queries  # noqa: E402
+from database_migrator_spark.session import get_session  # noqa: E402
+from database_migrator_spark.sources import table  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_session("database_migrator_spark-bench")
+
+    # warm-up: JVM, parquet footer caches, codegen
+    table(spark, sf_dir, "lineitem").count()
+
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for name, dq in all_queries().items():
+        if not dq.bench:
+            continue
+        t0 = time.perf_counter()
+        try:
+            df = dq.build(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as e:  # keep benching; report the failure
+            failures[name] = f"{type(e).__name__}: {e}"[:200]
+            timings[name] = -1.0
+    total = round(sum(t for t in timings.values() if t >= 0), 4)
+    out = {
+        "metric": "total_wall_sec_declared_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+    }
+    if failures:
+        out["failures"] = failures
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,115 @@
+"""DDL execution: statement splitting + a loud dialect shim.
+
+The reference hands `.sql` files opaquely to the DBMS CLI (README.md:38-39,
+Core.pm:176-179). Spark SQL is our DBMS, so the shim translates the common
+RDBMS-isms Spark lacks — degrading LOUDLY (warnings, never silent drops):
+
+- PRIMARY KEY / UNIQUE column+table constraints → stripped (informational)
+- AUTO_INCREMENT / SERIAL → stripped with a warning (use identity columns
+  or monotonically_increasing_id in pipelines)
+- CREATE INDEX → warning no-op (Spark has no secondary indexes; data
+  skipping comes from parquet/Z-ordering)
+- TEXT type → STRING
+
+JDBC targets should bypass the shim entirely (pass-through, mirroring the
+reference's delegation).
+"""
+
+from __future__ import annotations
+
+import logging
+import re
+
+from pyspark.sql import SparkSession
+
+logger = logging.getLogger("database_migrator_spark.ddl")
+
+
+def split_statements(script: str) -> list[str]:
+    """Split a DDL script on top-level semicolons, respecting single/double
+    quotes and `--` line comments."""
+    stmts: list[str] = []
+    buf: list[str] = []
+    in_s = in_d = in_comment = False
+    i = 0
+    while i < len(script):
+        ch = script[i]
+        nxt = script[i + 1] if i + 1 < len(script) else ""
+        if in_comment:
+            if ch == "\n":
+                in_comment = False
+            buf.append(ch)
+        elif in_s:
+            buf.append(ch)
+            if ch == "'":
+                in_s = False
+        elif in_d:
+            buf.append(ch)
+            if ch == '"':
+                in_d = False
+        elif ch == "-" and nxt == "-":
+            in_comment = True
+            buf.append(ch)
+        elif ch == "'":
+            in_s = True
+            buf.append(ch)
+        elif ch == '"':
+            in_d = True
+            buf.append(ch)
+        elif ch == ";":
+            s = "".join(buf).strip()
+            if s:
+                stmts.append(s)
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    tail = "".join(buf).strip()
+    if tail:
+        stmts.append(tail)
+    return stmts
+
+
+_CREATE_INDEX = re.compile(r"^\s*CREATE\s+(UNIQUE\s+)?INDEX\b", re.IGNORECASE)
+_PK_TABLE = re.compile(r",?\s*PRIMARY\s+KEY\s*\([^)]*\)", re.IGNORECASE)
+_PK_COL = re.compile(r"\bPRIMARY\s+KEY\b", re.IGNORECASE)
+_UNIQUE = re.compile(r"\bUNIQUE\b", re.IGNORECASE)
+_AUTOINC = re.compile(r"\bAUTO_INCREMENT\b|\bSERIAL\b", re.IGNORECASE)
+_TEXT_TYPE = re.compile(r"\bTEXT\b", re.IGNORECASE)
+
+
+def translate_statement(stmt: str) -> str | None:
+    """Translate one statement to Spark SQL; return None for loud no-ops."""
+    if _CREATE_INDEX.match(stmt):
+        logger.warning("CREATE INDEX is a no-op on Spark catalog targets: %.80s", stmt)
+        return None
+    out = stmt
+    if _AUTOINC.search(out):
+        logger.warning("stripping AUTO_INCREMENT/SERIAL (no Spark equivalent): %.80s", stmt)
+        out = _AUTOINC.sub("", out)
+    if _PK_TABLE.search(out) or _PK_COL.search(out):
+        logger.warning("stripping PRIMARY KEY constraint (informational on Spark): %.80s", stmt)
+        out = _PK_TABLE.sub("", out)
+        out = _PK_COL.sub("", out)
+    if _UNIQUE.search(out):
+        logger.warning("stripping UNIQUE constraint (informational on Spark): %.80s", stmt)
+        out = _UNIQUE.sub("", out)
+    out = _TEXT_TYPE.sub("STRING", out)
+    return out
+
+
+def run_ddl_script(spark: SparkSession, script: str, dry_run: bool = False) -> list[str]:
+    """Split → translate → execute each statement via spark.sql. Returns
+    the executed (translated) statements. Unlike the reference — which
+    delegates dry-run handling of SQL to the DBMS subclass (Core.pm:176-179
+    wart) — dry_run gates SQL here too."""
+    executed: list[str] = []
+    for stmt in split_statements(script):
+        translated = translate_statement(stmt)
+        if translated is None:
+            continue
+        logger.debug("DDL: %s", translated)
+        if not dry_run:
+            spark.sql(translated)
+        executed.append(translated)
+    return executed

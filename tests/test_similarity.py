@@ -1,0 +1,39 @@
+"""ANN quality: the SRP-LSH approximate top-k must (a) only return
+true-similarity values (it computes exact cosine on candidates) and
+(b) achieve reasonable recall vs the brute-force baseline."""
+
+from __future__ import annotations
+
+import pytest
+
+from database_migrator_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from database_migrator_spark.sources import table
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return table(spark, SF_SMOKE, "embeddings").cache()
+
+
+def test_brute_force_topk_is_sorted_and_exact(spark, embeddings):
+    rows = cosine_topk(embeddings, query_vec_id=1, k=10).collect()
+    assert len(rows) == 10
+    sims = [r.sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    assert all(-1.0 <= s <= 1.0 for s in sims)
+
+
+def test_ann_lsh_recall(spark, embeddings):
+    exact = [r.vec_id for r in cosine_topk(embeddings, query_vec_id=1, k=10).collect()]
+    approx_rows = ann_lsh_topk(embeddings, query_vec_id=1, k=10).collect()
+    approx = [r.vec_id for r in approx_rows]
+    # sims on returned candidates are exact → any returned id must rank
+    # consistently; recall@10 against brute force should be non-trivial
+    recall = len(set(exact) & set(approx)) / 10
+    # deterministic under the fixed seed/data; modest by nature on
+    # unclustered random vectors (see similarity.py note)
+    assert recall >= 0.3, f"recall@10 = {recall}"
+    sims = [r.sim for r in approx_rows]
+    assert sims == sorted(sims, reverse=True)
