@@ -150,6 +150,106 @@ def q34_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(e, query_vec_id=1, k=10)
 
 
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = _N_PLANES,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the vector tier of the dedup
+    family. SRP-bucket the vectors, generate candidate pairs only within a
+    bucket (plus hamming-1 neighbor buckets via multi-probe explode), then
+    verify exact cosine ≥ threshold. Near-identical vectors agree on every
+    hyperplane sign with overwhelming probability, so recall at high
+    thresholds is excellent while the candidate set stays ~N·bucket_size,
+    never N²."""
+    planes = _hyperplanes(n_planes)
+    b = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        srp_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    # multi-probe: each vector also registers in its hamming-1 buckets so
+    # borderline pairs split by one hyperplane still collide somewhere
+    probes = b.select(
+        "id",
+        "vec",
+        F.explode(
+            F.array(
+                F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+            )
+        ).alias("bucket"),
+    )
+    left = b.select(
+        F.col("bucket"), F.col("id").alias("a_id"), F.col("vec").alias("a_vec")
+    )
+    right = probes.select(
+        F.col("bucket"), F.col("id").alias("b_id"), F.col("vec").alias("b_vec")
+    )
+    return (
+        left.join(right, "bucket")
+        .where(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+        .withColumn("cosine", cosine_similarity(F.col("a_vec"), F.col("b_vec")))
+        .where(F.col("cosine") >= threshold)
+        .select("a_id", "b_id", "cosine")
+    )
+
+
+@query(
+    "q45_embedding_near_duplicates",
+    oracle=None,  # SRP candidate generation is approximate; recall vs the
+    # brute-force pair set is asserted in tests/test_similarity.py
+    tags=("dedup", "similarity", "embedding", "E15", "E16"),
+)
+def q45_embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # threshold 0.4 sits between the corpus p99.9 (~0.38) and max (~0.51)
+    # pairwise cosine, so the demo yields a small non-empty pair set; real
+    # dedup corpora would use 0.9+
+    e = table(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(e, threshold=0.4).orderBy("a_id", "b_id")
+
+
+@query(
+    "q46_embedding_pairs_exact_subset",
+    oracle="""
+    WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 60)
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           list_reduce(list_transform(range(1, len(a.embedding) + 1),
+                         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+                       (x, y) -> x + y)
+           / sqrt(
+               list_reduce(list_transform(range(1, len(a.embedding) + 1),
+                             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)),
+                           (x, y) -> x + y)
+               * list_reduce(list_transform(range(1, len(b.embedding) + 1),
+                             i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+                           (x, y) -> x + y)
+             ) AS cosine
+    FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+    ORDER BY a_id, b_id
+    """,
+    tags=("similarity", "embedding", "E16"),
+)
+def q46_embedding_pairs_exact_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine on a keyed subset — the verify stage the SRP
+    candidates feed at scale, hash-matched against DuckDB (bit-identical
+    fold, see functions/vector.py)."""
+    e = table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 60)
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec"))
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            cosine_similarity(F.col("a_vec"), F.col("b_vec")).alias("cosine"),
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
 @query(
     "q35_ann_lsh_topk",
     oracle=None,  # approximate by construction; recall vs brute force is

@@ -68,6 +68,7 @@ def all_queries() -> dict[str, DeclaredQuery]:
         similarity,
         temporal,
         textops,
+        udfs,
     )
     from database_migrator_spark.streaming import windows  # noqa: F401
 

@@ -1,0 +1,76 @@
+"""Write-side operators: partitioned/bucketed parquet sinks and the JDBC
+source/sink plane (SURVEY.md §2B E20 — the reference's actual I/O plane).
+
+Layout rules for 100 TB:
+- partition by low-cardinality pruning keys (date, category) so readers
+  skip files via partition pruning — never by high-cardinality keys
+  (millions of tiny files);
+- bucket by the hot join/agg key so downstream joins co-locate without a
+  shuffle;
+- target ~128 MB files via repartition before the write.
+
+JDBC here uses the Derby embedded driver that ships with Spark (the same
+pattern works for Postgres/MySQL with their driver jars); reads should
+always pass ``partitionColumn/lowerBound/upperBound/numPartitions`` at
+scale so the scan parallelizes instead of funneling through one connection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned_parquet(
+    df: DataFrame, path: str, partition_by: list[str], mode: str = "overwrite"
+) -> None:
+    df.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame, table: str, bucket_col: str, n_buckets: int = 16, mode: str = "overwrite"
+) -> None:
+    """Bucketed catalog table: joins/aggs on ``bucket_col`` skip the
+    shuffle (Spark reads co-located buckets)."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def derby_url(db_path: str) -> str:
+    return f"jdbc:derby:{db_path};create=true"
+
+
+_DERBY_PROPS = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "overwrite",
+               properties: dict[str, str] | None = None) -> None:
+    df.write.jdbc(url, table, mode=mode, properties=properties or dict(_DERBY_PROPS))
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    partition_column: str | None = None,
+    lower: int | None = None,
+    upper: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    props = properties or dict(_DERBY_PROPS)
+    if partition_column is not None:
+        return spark.read.jdbc(
+            url,
+            table,
+            column=partition_column,
+            lowerBound=lower,
+            upperBound=upper,
+            numPartitions=num_partitions or 8,
+            properties=props,
+        )
+    return spark.read.jdbc(url, table, properties=props)

@@ -6,7 +6,14 @@ from __future__ import annotations
 
 import pytest
 
-from database_migrator_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from pyspark.sql import functions as F
+
+from database_migrator_spark.functions.vector import cosine_similarity
+from database_migrator_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_topk,
+    embedding_near_duplicates,
+)
 from database_migrator_spark.sources import table
 
 from .conftest import SF_SMOKE
@@ -37,3 +44,26 @@ def test_ann_lsh_recall(spark, embeddings):
     assert recall >= 0.3, f"recall@10 = {recall}"
     sims = [r.sim for r in approx_rows]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_embedding_near_duplicates_subset_of_truth(spark, embeddings):
+    threshold = 0.4
+    a = embeddings.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec"))
+    b = embeddings.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec"))
+    truth = {
+        (r.a_id, r.b_id)
+        for r in a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("c", cosine_similarity(F.col("a_vec"), F.col("b_vec")))
+        .where(F.col("c") >= threshold)
+        .collect()
+    }
+    found = {
+        (r.a_id, r.b_id)
+        for r in embedding_near_duplicates(embeddings, threshold=threshold).collect()
+    }
+    # exact-cosine verify ⇒ no false positives; multi-probe SRP must catch
+    # a solid majority of the true high-cosine pairs
+    assert found <= truth
+    assert truth, "corpus has no pairs at this threshold — test is vacuous"
+    recall = len(found) / len(truth)
+    assert recall >= 0.5, f"recall {recall:.2f} over {len(truth)} true pairs"
