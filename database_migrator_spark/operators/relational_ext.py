@@ -1,0 +1,210 @@
+"""Extended relational coverage: GROUPING SETS, unpivot, ordered string
+aggregation, arg-min/max, correlated subqueries (Catalyst decorrelation),
+and a bucketized range join — the pattern Spark needs where engines with
+native range-join support use an inequality join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from database_migrator_spark.functions.exact import sql_cents_sum
+from database_migrator_spark.plans.registry import query
+from database_migrator_spark.sources import table
+
+
+@query(
+    "q47_grouping_sets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*)                        AS n_orders,
+           {sql_cents_sum('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    tags=("grouping-sets", "E9"),
+)
+def q47_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL API (same Catalyst Expand
+    operator as rollup/cube)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("__rext_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
+        FROM __rext_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )
+
+
+@query(
+    "q48_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, val
+    FROM (
+        SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+        FROM lineitem WHERE l_orderkey < 100
+    )
+    UNPIVOT (val FOR metric IN (l_quantity, l_discount, l_tax))
+    ORDER BY l_orderkey, l_linenumber, metric
+    """,
+    tags=("unpivot",),
+)
+def q48_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt): a pure Expand, no shuffle until the sort."""
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 100)
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+        .unpivot(
+            ids=["l_orderkey", "l_linenumber"],
+            values=["l_quantity", "l_discount", "l_tax"],
+            variableColumnName="metric",
+            valueColumnName="val",
+        )
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    )
+
+
+@query(
+    "q49_listagg_sorted",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+    tags=("listagg", "aggregate"),
+)
+def q49_listagg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect_list is unordered by contract,
+    so sort_array before joining — the deterministic LISTAGG pattern."""
+    n = table(spark, sf_dir, "nation")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"))
+        .orderBy("n_regionkey")
+    )
+
+
+@query(
+    "q50_argmax_per_group",
+    oracle="""
+    SELECT o_orderstatus, o_orderkey AS top_orderkey, o_totalprice AS top_price
+    FROM orders
+    QUALIFY row_number() OVER (PARTITION BY o_orderstatus
+                               ORDER BY o_totalprice DESC, o_orderkey DESC) = 1
+    ORDER BY o_orderstatus
+    """,
+    tags=("argmax", "aggregate"),
+)
+def q50_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-max via max_by with a struct ordering key (price, then key —
+    deterministic under ties); a single hash aggregate, cheaper than the
+    window-function form at scale."""
+    o = table(spark, sf_dir, "orders")
+    ord_key = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.max_by("o_orderkey", ord_key).alias("top_orderkey"),
+            F.max("o_totalprice").alias("top_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "q51_correlated_subquery",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > 3 * (SELECT AVG(o2.o_totalprice)
+                              FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+    ORDER BY o_orderkey
+    """,
+    tags=("subquery", "decorrelation"),
+)
+def q51_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — Catalyst decorrelates it into an
+    aggregate + join; no per-row subquery execution ever happens.
+
+    Determinism note: both engines compute the same per-customer AVG from
+    the same doubles in some order; a 3× threshold comparison against a
+    ~30%-spread distribution cannot flip on the ~1e-12 summation-order
+    difference."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("__rext_orders2")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM __rext_orders2 o
+        WHERE o_totalprice > 3 * (SELECT AVG(o2.o_totalprice)
+                                  FROM __rext_orders2 o2
+                                  WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey
+        """
+    )
+
+
+def bucketized_range_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    probe_ts: str,
+    build_ts: str,
+    range_seconds: int,
+    bucket_seconds: int | None = None,
+) -> DataFrame:
+    """Count build-side rows within [probe_ts, probe_ts + range) per probe
+    row, sharing ``key``. Spark lacks a native range join; the scalable
+    pattern buckets time into range-sized cells, explodes the probe side
+    into the (at most 2) candidate cells, equi-joins on (key, cell) — a
+    plain shuffled hash join — then applies the exact range filter. Work is
+    O(N · rows-per-cell) instead of a quadratic theta-join."""
+    bucket = bucket_seconds or range_seconds
+    p_cell = F.expr(f"unix_micros({probe_ts}) DIV {bucket * 1_000_000}")  # exact floor-div
+    p = probe.withColumn("__cell", F.explode(F.array(p_cell, p_cell + 1)))
+    b = build.withColumn("__cell", F.expr(f"unix_micros({build_ts}) DIV {bucket * 1_000_000}"))
+    lo = F.unix_micros(F.col(probe_ts))
+    hi = lo + range_seconds * 1_000_000
+    bts = F.unix_micros(F.col(build_ts))
+    return p.join(b, [key, "__cell"]).where((bts > lo) & (bts <= hi))
+
+
+@query(
+    "q52_range_join_followup_events",
+    oracle="""
+    SELECT e.event_id, COUNT(f.event_id) AS n_followups
+    FROM events e
+    JOIN events f
+      ON f.user_id = e.user_id
+     AND epoch_us(f.ts) > epoch_us(e.ts)
+     AND epoch_us(f.ts) <= epoch_us(e.ts) + CAST(3600 AS BIGINT) * 1000000
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id
+    ORDER BY e.event_id
+    """,
+    tags=("range-join", "custom-operator"),
+)
+def q52_range_join_followup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every error event: how many same-user events follow within an
+    hour — a bucketized range join (see bucketized_range_join)."""
+    e = table(spark, sf_dir, "events")
+    probe = e.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts")
+    )
+    build = e.select("user_id", F.col("ts").alias("b_ts"), F.col("event_id").alias("f_id"))
+    joined = bucketized_range_join(
+        probe, build, key="user_id", probe_ts="p_ts", build_ts="b_ts", range_seconds=3600
+    )
+    return (
+        joined.groupBy("event_id")
+        .agg(F.count("f_id").alias("n_followups"))
+        .orderBy("event_id")
+    )

@@ -64,6 +64,7 @@ def all_queries() -> dict[str, DeclaredQuery]:
         dedup,
         multimodal,
         relational,
+        relational_ext,
         semistructured,
         similarity,
         temporal,
