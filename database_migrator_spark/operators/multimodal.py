@@ -41,7 +41,10 @@ IMAGE_FEATURE_SCHEMA = "doc_id bigint, mean_byte double, n_bytes bigint"
 
 def attach_fake_image(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Synthesize a deterministic binary 'image' column from the text (the
-    real pipeline would read parquet binary directly). Pure JVM expressions."""
+    real pipeline would read parquet binary directly). Pure JVM expressions.
+    Repartitions first: blob processing is CPU-bound per row and the
+    single-file test table would otherwise run on one core."""
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     width = (F.abs(F.xxhash64(id_col)) % 1920 + 1).cast("long")
     height = (F.abs(F.xxhash64(F.col(id_col) + 1)) % 1080 + 1).cast("long")
     header = F.concat_ws(

@@ -197,6 +197,71 @@ def embedding_near_duplicates(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: KMeans-partition the vectors, search only
+    the ``n_probe`` clusters whose centroids are nearest the query — the
+    other standard ANN scale path next to SRP-LSH. The index (cluster
+    assignment) is a one-off fit persisted alongside the table at 100 TB;
+    here it's fit inline with a fixed seed for determinism."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias("__v"),
+    )
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="__v", predictionCol="__cluster").fit(
+        vecs
+    )
+    assigned = model.transform(vecs)
+    centers = model.clusterCenters()
+
+    qrow = assigned.where(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("__query_vec")
+    )
+    qvec = [float(x) for x in qrow.first()["__query_vec"]]
+    import numpy as np
+
+    qv = np.array(qvec)
+    dists = [float(np.linalg.norm(qv - np.asarray(c))) for c in centers]
+    probe_clusters = [int(i) for i in np.argsort(dists)[:n_probe]]
+
+    return (
+        assigned.where(
+            F.col("__cluster").isin(probe_clusters) & (F.col(id_col) != query_vec_id)
+        )
+        .crossJoin(F.broadcast(qrow))
+        .select(
+            F.col(id_col),
+            cosine_similarity(F.col(vec_col), F.col("__query_vec")).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+@query(
+    "q53_ivf_topk",
+    oracle=None,  # approximate; recall vs brute force asserted in
+    # tests/test_similarity.py
+    tags=("similarity", "ann", "ivf", "E16"),
+    bench=False,  # KMeans fit inline is an indexing step, not a query
+)
+def q53_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return ivf_topk(e, query_vec_id=1, k=10)
+
+
 @query(
     "q45_embedding_near_duplicates",
     oracle=None,  # SRP candidate generation is approximate; recall vs the

@@ -46,6 +46,19 @@ def test_ann_lsh_recall(spark, embeddings):
     assert sims == sorted(sims, reverse=True)
 
 
+def test_ivf_topk_recall(spark, embeddings):
+    from database_migrator_spark.operators.similarity import ivf_topk
+
+    exact = [r.vec_id for r in cosine_topk(embeddings, query_vec_id=1, k=10).collect()]
+    approx_rows = ivf_topk(embeddings, query_vec_id=1, k=10, n_clusters=16, n_probe=4).collect()
+    approx = [r.vec_id for r in approx_rows]
+    recall = len(set(exact) & set(approx)) / 10
+    # probing 4/16 clusters scans ~25% of vectors; deterministic seed
+    assert recall >= 0.3, f"IVF recall@10 = {recall}"
+    sims = [r.sim for r in approx_rows]
+    assert sims == sorted(sims, reverse=True)
+
+
 def test_embedding_near_duplicates_subset_of_truth(spark, embeddings):
     threshold = 0.4
     a = embeddings.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec"))
