@@ -98,6 +98,30 @@ def translate_statement(stmt: str) -> str | None:
     return out
 
 
+def run_ddl_script_jdbc(
+    spark: SparkSession, script: str, url: str, dry_run: bool = False
+) -> list[str]:
+    """JDBC pass-through DDL: statements go to the target DBMS verbatim —
+    no dialect shim — mirroring the reference's delegation of `.sql` files
+    to the database's own utility (README.md:38-39, Core.pm:176-179).
+    Uses java.sql.DriverManager through the session JVM (Spark's DataFrame
+    JDBC API cannot execute arbitrary DDL)."""
+    stmts = split_statements(script)
+    if dry_run:
+        return stmts
+    jvm = spark._jvm  # noqa: SLF001
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        for stmt in stmts:
+            logger.debug("JDBC DDL: %s", stmt)
+            st.execute(stmt)
+        st.close()
+    finally:
+        conn.close()
+    return stmts
+
+
 def run_ddl_script(spark: SparkSession, script: str, dry_run: bool = False) -> list[str]:
     """Split → translate → execute each statement via spark.sql. Returns
     the executed (translated) statements. Unlike the reference — which

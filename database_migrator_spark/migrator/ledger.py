@@ -76,8 +76,12 @@ class JdbcLedger(Ledger):
             return False
 
     def applied_df(self) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        # case-normalize: some DBMSes (Derby, Oracle) uppercase unquoted
+        # identifiers; resolution is case-insensitive but output isn't
         return self.spark.read.jdbc(self.url, self.table, properties=self.properties).select(
-            "migration"
+            F.col("migration").alias("migration")
         )
 
     def record(self, name: str) -> None:

@@ -34,7 +34,10 @@ def q47_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderstatus, o_orderpriority,
                COUNT(*) AS n_orders,
-               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
+               -- 100.0 would parse as DECIMAL(4,1) in Spark SQL (unlike
+               -- F.lit(100.0)); force double so both engines divide in ieee754
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / CAST(100.0 AS DOUBLE)
+                   AS total_price
         FROM __rext_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST

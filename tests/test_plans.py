@@ -1,0 +1,78 @@
+"""Physical-plan regression tests: the scale properties we designed for
+must actually appear in the executed plan — filter pushdown, column
+pruning, broadcast star joins, top-k without a global sort, bounded
+shuffle counts. A refactor that silently degrades a plan (e.g. a broadcast
+flipping to sort-merge at test scale, a filter failing to push) fails here
+even though results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+
+from database_migrator_spark.plans.registry import all_queries
+
+from .conftest import SF_SMOKE
+
+_QS = all_queries()
+
+
+def plan_of(spark, name: str) -> str:
+    return _QS[name].build(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_pushdown_and_pruning(spark):
+    p = plan_of(spark, "q01_scan_filter_project")
+    assert "PushedFilters" in p
+    scan = p[p.index("FileScan") :]
+    assert "GreaterThanOrEqual(l_shipdate" in scan
+    # column pruning: only the 5 referenced columns reach the reader
+    read_schema = scan[scan.index("ReadSchema") :][:400]
+    assert "l_extendedprice" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_star_join_all_broadcast(spark):
+    p = plan_of(spark, "q04_star_join_revenue")
+    assert p.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in p
+
+
+def test_pricing_summary_partial_aggregation(spark):
+    p = plan_of(spark, "q02_pricing_summary")
+    # partial (map-side) + final aggregate
+    assert p.count("HashAggregate") == 2
+
+
+def test_topk_never_global_sorts(spark):
+    p = plan_of(spark, "q08_topk_orders")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_asof_join_single_shuffle_plus_sort(spark):
+    p = plan_of(spark, "q23_asof_join_last_order")
+    # one hash-partition exchange for the window + the final orderBy range
+    # exchange — any more means the union trick regressed
+    assert p.count("Exchange") <= 2
+    assert p.count("Window") == 1
+
+
+def test_anti_join_is_hash_not_cartesian(spark):
+    p = plan_of(spark, "q05_anti_join_customers_without_orders")
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_brute_force_cosine_broadcasts_query_row(spark):
+    p = plan_of(spark, "q34_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_no_rdd_scans_anywhere(spark):
+    """Every declared query must read through the parquet FileScan path
+    (vectorized reader, pushdown-capable) — never an RDD scan. Streaming
+    and UDTF queries are exempt (different source nodes)."""
+    for name, dq in _QS.items():
+        if any(t in dq.tags for t in ("streaming", "udtf")):
+            continue
+        p = _QS[name].build(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        assert "ExistingRDD" not in p, f"{name} scans an RDD"
