@@ -21,7 +21,12 @@ def build_parser() -> argparse.ArgumentParser:
         description="Create or update a Spark database from a migration tree.",
     )
     p.add_argument("verb", choices=["migrate", "plan", "status"], help="action to run")
-    p.add_argument("--database", required=True)
+    p.add_argument("--database", help="Spark catalog database target")
+    p.add_argument(
+        "--jdbc-url",
+        help="JDBC target (e.g. jdbc:derby:/path;create=true) — DDL passes "
+        "through verbatim, ledger lives in the target database",
+    )
     p.add_argument("--migrations-dir", required=True)
     p.add_argument("--schema-file")
     p.add_argument("--migration-table", default="applied_migration")
@@ -43,10 +48,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.quiet and args.verbose:
         print("error: --quiet and --verbose are mutually exclusive", file=sys.stderr)
         return 2
-    spark = get_session("spark-migrate", persistent_catalog=True)
-    m = Migrator(
-        spark,
-        database=args.database,
+    if bool(args.database) == bool(args.jdbc_url):
+        print("error: exactly one of --database / --jdbc-url is required", file=sys.stderr)
+        return 2
+    common = dict(
         migrations_dir=args.migrations_dir,
         schema_file=args.schema_file,
         migration_table=args.migration_table,
@@ -55,6 +60,14 @@ def main(argv: list[str] | None = None) -> int:
         verbose=args.verbose,
         legacy_sql_match=args.legacy_sql_match,
     )
+    if args.jdbc_url:
+        from .jdbc import JdbcMigrator
+
+        spark = get_session("spark-migrate")
+        m = JdbcMigrator(spark, jdbc_url=args.jdbc_url, **common)
+    else:
+        spark = get_session("spark-migrate", persistent_catalog=True)
+        m = Migrator(spark, database=args.database, **common)
     if args.verb in ("plan", "status"):
         pending = m.pending_migrations()
         for mig in pending:

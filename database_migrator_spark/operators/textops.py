@@ -204,6 +204,93 @@ def q32_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def char_ngrams(text: Column | str, n: int = 5) -> Column:
+    """Character n-gram set (distinct) of the lowercased text — the
+    fuzzy-dedup unit used by the classic web-dedup pipelines."""
+    c = F.lower(F.col(text) if isinstance(text, str) else text)
+    length = F.length(c)
+    return F.array_distinct(
+        F.when(
+            length >= n,
+            F.transform(F.sequence(F.lit(1), length - n + 1), lambda i: F.substring(c, i, n)),
+        ).otherwise(F.array(c))
+    )
+
+
+@query(
+    "q54_char_ngram_jaccard",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id,
+               list_distinct(
+                 CASE WHEN length(text) >= 5
+                      THEN list_transform(range(1, length(text) - 5 + 2),
+                                          i -> lower(text[i:i+4]))
+                      ELSE [lower(text)] END
+               ) AS g
+        FROM documents
+        WHERE doc_id < 50
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS jaccard
+    FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+    ORDER BY a_id, b_id
+    """,
+    tags=("text", "ngram", "jaccard", "E15"),
+)
+def q54_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-5-gram Jaccard on a keyed subset. NB: DuckDB's
+    ``text[i:i+4]`` slice is inclusive (5 chars) — mirrored by
+    substring(c, i, 5) on the Spark side."""
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    g = d.select("doc_id", char_ngrams("text", 5).alias("g"))
+    a = g.select(F.col("doc_id").alias("a_id"), F.col("g").alias("a_g"))
+    b = g.select(F.col("doc_id").alias("b_id"), F.col("g").alias("b_g"))
+    inter = F.size(F.array_intersect("a_g", "b_g")).cast("double")
+    union = F.size(F.array_union("a_g", "b_g")).cast("double")
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", (inter / union).alias("jaccard"))
+        .orderBy("a_id", "b_id")
+    )
+
+
+@query(
+    "q55_regex_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)   AS n_word_tokens,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+                                                                           AS n_bpe_ish_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("text", "tokens", "regex"),
+)
+def q55_regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: alphanumeric runs + isolated punctuation
+    (the standard pre-tokenizer shape), counted with regexp_extract_all —
+    ASCII classes only so Java and RE2-style engines agree."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z0-9]+"), 0))
+            .cast("long")
+            .alias("n_word_tokens"),
+            F.size(F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), 0))
+            .cast("long")
+            .alias("n_punct_tokens"),
+            F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0))
+            .cast("long")
+            .alias("n_bpe_ish_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "q33_fingerprint",
     oracle=f"""
