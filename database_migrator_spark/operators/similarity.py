@@ -17,9 +17,11 @@ Hyperplanes are generated from a fixed seed and inlined as literal arrays
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from database_migrator_spark.functions.vector import cosine_similarity, dot
 from database_migrator_spark.plans.registry import query
@@ -150,12 +152,27 @@ def q34_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(e, query_vec_id=1, k=10)
 
 
+@F.pandas_udf(T.DoubleType())
+def _cosine_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-vectorized cosine for the near-dup verify stage: numpy over
+    whole batches, far faster than the interpreted higher-order-function
+    fold. Used only on rows-only (non-hash-matched) paths — numpy's
+    pairwise summation differs from the sequential fold in the last bits."""
+    A = np.stack(a.to_numpy()).astype(np.float64)
+    B = np.stack(b.to_numpy()).astype(np.float64)
+    num = (A * B).sum(axis=1)
+    den = np.sqrt((A * A).sum(axis=1) * (B * B).sum(axis=1))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = np.where(den > 0, num / den, np.nan)
+    return pd.Series(out)
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = _N_PLANES,
+    n_planes: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the vector tier of the dedup
     family. SRP-bucket the vectors, generate candidate pairs only within a
@@ -164,6 +181,13 @@ def embedding_near_duplicates(
     hyperplane sign with overwhelming probability, so recall at high
     thresholds is excellent while the candidate set stays ~N·bucket_size,
     never N²."""
+    if n_planes is None:
+        # size buckets to ~32 vectors: more planes on bigger corpora keeps
+        # the candidate set ~N*bucket instead of quadratic-in-bucket blowup
+        import math
+
+        n = embeddings.count()
+        n_planes = min(16, max(4, round(math.log2(max(n, 64) / 32))))
     planes = _hyperplanes(n_planes)
     b = embeddings.select(
         F.col(id_col).alias("id"),
@@ -191,7 +215,7 @@ def embedding_near_duplicates(
         left.join(right, "bucket")
         .where(F.col("a_id") < F.col("b_id"))
         .dropDuplicates(["a_id", "b_id"])
-        .withColumn("cosine", cosine_similarity(F.col("a_vec"), F.col("b_vec")))
+        .withColumn("cosine", _cosine_batch(F.col("a_vec"), F.col("b_vec")))
         .where(F.col("cosine") >= threshold)
         .select("a_id", "b_id", "cosine")
     )

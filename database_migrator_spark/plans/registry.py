@@ -71,6 +71,6 @@ def all_queries() -> dict[str, DeclaredQuery]:
         textops,
         udfs,
     )
-    from database_migrator_spark.streaming import windows  # noqa: F401
+    from database_migrator_spark.streaming import joins, windows  # noqa: F401
 
     return dict(sorted(_REGISTRY.items()))

@@ -1,0 +1,64 @@
+"""Stream-stream join (E17): watermarked, time-interval-bounded self-join
+of the events stream — for every error event, the same user's events in the
+following hour, executed as a real micro-batch streaming query.
+
+Both sides carry watermarks and the join condition bounds event time on
+both sides, so Spark can expire state: each side keeps only ~1 hour of
+rows per key. Unbounded stream-stream joins (no time bound) would grow
+state forever and are rejected by Spark in append mode — the time bound is
+what makes this a 100 TB-viable operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from database_migrator_spark.plans.registry import query
+from database_migrator_spark.sources import events_stream
+from database_migrator_spark.streaming.windows import run_stream_to_table
+
+
+@query(
+    "q56_stream_stream_join",
+    oracle="""
+    SELECT e.event_id AS error_id, f.event_id AS followup_id, f.event_type AS followup_type
+    FROM events e
+    JOIN events f
+      ON f.user_id = e.user_id
+     AND epoch_us(f.ts) > epoch_us(e.ts)
+     AND epoch_us(f.ts) <= epoch_us(e.ts) + CAST(3600 AS BIGINT) * 1000000
+    WHERE e.event_type = 'error' AND f.event_type = 'purchase'
+    ORDER BY error_id, followup_id
+    """,
+    tags=("streaming", "stream-stream-join", "E17"),
+)
+def q56_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases within an hour after an error, per user — watermarked
+    stream-stream inner join, hash-matched against the batch interval-join
+    oracle (single finite source ⇒ no rows are lost to watermark expiry,
+    so streaming output equals the batch answer)."""
+    errors = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"),
+                F.col("event_id").alias("error_id"))
+        .withWatermark("e_ts", "2 hours")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("f_user"), F.col("ts").alias("f_ts"),
+                F.col("event_id").alias("followup_id"),
+                F.col("event_type").alias("followup_type"))
+        .withWatermark("f_ts", "2 hours")
+    )
+    joined = errors.join(
+        purchases,
+        (F.col("e_user") == F.col("f_user"))
+        & (F.col("f_ts") > F.col("e_ts"))
+        & (F.col("f_ts") <= F.col("e_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("error_id", "followup_id", "followup_type")
+    out = run_stream_to_table(joined, mode="append")
+    return out.orderBy("error_id", "followup_id")

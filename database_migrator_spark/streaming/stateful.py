@@ -49,3 +49,67 @@ def running_user_totals(events_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_SCHEMA = "user_id bigint, session_start string, n_events bigint"
+_SESSION_STATE = "start_us bigint, last_us bigint, n bigint"
+
+
+def sessionize_with_state(events_stream: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Custom gap-sessionizer on raw state — the applyInPandasWithState
+    twin of session_window, for when session logic outgrows the built-in
+    (per-session payloads, custom merge rules). Emits each CLOSED session;
+    open sessions flush on event-time timeout.
+
+    State per key: (session start, last event time, count) — three int64s,
+    independent of session length.
+    """
+    import datetime as dt
+
+    gap_us = gap_seconds * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        rows = []
+        start_us, last_us, n = state.get if state.exists else (None, None, 0)
+        events = []
+        for pdf in pdfs:
+            events.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
+        events.sort()
+        for t in events:
+            if start_us is None:
+                start_us, last_us, n = t, t, 1
+            elif t - last_us > gap_us:
+                rows.append((key[0], start_us, n))  # close previous session
+                start_us, last_us, n = t, t, 1
+            else:
+                last_us, n = t, n + 1
+        if state.hasTimedOut:
+            if start_us is not None:
+                rows.append((key[0], start_us, n))
+            state.remove()
+        else:
+            state.update((start_us, last_us, n))
+            # timeout must be beyond the current watermark or Spark rejects it
+            timeout_ms = max(
+                last_us // 1000 + gap_seconds * 1000, state.getCurrentWatermarkMs() + 1
+            )
+            state.setTimeoutTimestamp(timeout_ms)
+        out = pd.DataFrame(rows, columns=["user_id", "start_us", "n_events"])
+        out["session_start"] = [
+            dt.datetime.utcfromtimestamp(u / 1_000_000).strftime("%Y-%m-%d %H:%M:%S.%f")
+            for u in out["start_us"]
+        ]
+        yield out[["user_id", "session_start", "n_events"]]
+
+    return (
+        events_stream.select("user_id", "ts")
+        .withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
