@@ -101,6 +101,32 @@ def extract_image_features(images: DataFrame) -> DataFrame:
     return images.mapInPandas(feats, schema=IMAGE_FEATURE_SCHEMA)
 
 
+VIDEO_FRAME_SCHEMA = "doc_id bigint, frame_idx bigint, frame_bytes binary"
+
+
+def sample_frames(videos: DataFrame, every_n: int = 10, id_col: str = "doc_id",
+                  blob_col: str = "image") -> DataFrame:
+    """Frame sampling over opaque 'video' blobs via mapInPandas: emit every
+    ``every_n``-th fixed-size chunk as a 'frame'. A real decoder (ffmpeg /
+    pyav) is absent in this container, so frames are deterministic byte
+    slices — the Spark plumbing (1→N row fan-out inside an Arrow batch,
+    binary columns both directions, partition-preserving) is exactly what
+    a real sampler uses."""
+    frame_size = 64
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                b = bytes(blob)
+                n_frames = max(1, len(b) // frame_size)
+                for i in range(0, n_frames, every_n):
+                    out.append((doc_id, i, b[i * frame_size : (i + 1) * frame_size]))
+            yield pd.DataFrame(out, columns=["doc_id", "frame_idx", "frame_bytes"])
+
+    return videos.mapInPandas(sample, schema=VIDEO_FRAME_SCHEMA)
+
+
 @query(
     "q36_binary_columns",
     oracle="""

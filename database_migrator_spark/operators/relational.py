@@ -588,3 +588,35 @@ def q19_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type")
         .orderBy("event_id")
     )
+
+
+@query(
+    "q57_stratified_sample",
+    oracle="""
+    SELECT event_id, event_type
+    FROM events
+    WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) <
+          CASE event_type WHEN 'error' THEN 'ff' WHEN 'purchase' THEN '80' ELSE '10' END
+    ORDER BY event_id
+    """,
+    tags=("sample", "stratified"),
+)
+def q57_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with per-stratum rates (keep ~all errors, ~50%
+    purchases, ~6% of the rest) — the deterministic, engine-portable
+    `sampleBy`: rates rebalance class distributions for training data and
+    reproduce exactly on retry or backfill."""
+    e = table(spark, sf_dir, "events")
+    digest2 = F.substring(
+        F.md5(F.encode(F.col("event_id").cast("string"), "UTF-8")), 1, 2
+    )
+    cutoff = (
+        F.when(F.col("event_type") == "error", F.lit("ff"))
+        .when(F.col("event_type") == "purchase", F.lit("80"))
+        .otherwise(F.lit("10"))
+    )
+    return (
+        e.where(digest2 < cutoff)
+        .select("event_id", "event_type")
+        .orderBy("event_id")
+    )

@@ -47,6 +47,21 @@ def test_feature_extraction_batch_shape(spark, docs):
     assert all(0.0 <= r.mean_byte <= 255.0 for r in rows)
 
 
+def test_frame_sampling_fanout(spark, docs):
+    from database_migrator_spark.operators.multimodal import sample_frames
+
+    frames = sample_frames(attach_fake_image(docs), every_n=2)
+    rows = frames.collect()
+    assert len(rows) > docs.count()  # 1→N fan-out
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, fs in by_doc.items():
+        idxs = sorted(f.frame_idx for f in fs)
+        assert idxs == list(range(0, 2 * len(idxs), 2))  # every 2nd frame
+        assert all(len(bytes(f.frame_bytes)) <= 64 for f in fs)
+
+
 def test_decode_pixels_is_explicit_stub(spark, docs):
     with pytest.raises(NotImplementedError, match="Pillow"):
         decode_image_pixels(attach_fake_image(docs))
