@@ -43,11 +43,19 @@ def _typed_events(df: DataFrame) -> DataFrame:
     )
 
 
+def _pin_session_confs(spark: SparkSession) -> None:
+    """Defensive runtime confs for sessions we didn't build (the driver
+    constructs its own SparkSession): timestamp semantics must be UTC to
+    match the DuckDB oracle's naive timestamps, regardless of host TZ."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table. Accepts either a single parquet file or a
     directory of part-files (the 100 TB layout)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    _pin_session_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -63,6 +71,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     path = os.path.join(sf_dir, "events.parquet")
+    _pin_session_confs(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(path).schema
     if os.path.isdir(path):
