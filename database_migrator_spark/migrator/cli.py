@@ -68,14 +68,26 @@ def main(argv: list[str] | None = None) -> int:
     else:
         spark = get_session("spark-migrate", persistent_catalog=True)
         m = Migrator(spark, database=args.database, **common)
-    if args.verb in ("plan", "status"):
-        pending = m.pending_migrations()
-        for mig in pending:
-            print(mig.name)
-        print(f"{len(pending)} pending migration(s)", file=sys.stderr)
+    import os
+
+    if not os.path.isdir(args.migrations_dir):
+        print(f"error: migrations dir not found: {args.migrations_dir}", file=sys.stderr)
+        return 1
+    if args.schema_file and not os.path.isfile(args.schema_file):
+        print(f"error: schema file not found: {args.schema_file}", file=sys.stderr)
+        return 1
+    try:
+        if args.verb in ("plan", "status"):
+            pending = m.pending_migrations()
+            for mig in pending:
+                print(mig.name)
+            print(f"{len(pending)} pending migration(s)", file=sys.stderr)
+            return 0
+        m.create_or_update_database()
         return 0
-    m.create_or_update_database()
-    return 0
+    except Exception as e:  # surface a one-line error, not a JVM traceback
+        print(f"error: {e}", file=sys.stderr)
+        return 1
 
 
 if __name__ == "__main__":

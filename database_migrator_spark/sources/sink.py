@@ -17,6 +17,8 @@ scale so the scan parallelizes instead of funneling through one connection.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -38,6 +40,25 @@ def write_bucketed_table(
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, out_path: str, target_file_mb: int = 128
+) -> int:
+    """Compact a small-files parquet dataset into ~target_file_mb files —
+    the standing maintenance job of any streaming/incremental pipeline
+    (thousands of per-batch files destroy scan throughput and driver
+    planning time at 100 TB). Returns the number of output files."""
+    df = spark.read.parquet(path)
+    total_bytes = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    df.repartition(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files
 
 
 def derby_url(db_path: str) -> str:

@@ -1,0 +1,46 @@
+"""foreachBatch exactly-once sink + parquet compaction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from database_migrator_spark.sources import events_stream, table
+from database_migrator_spark.sources.sink import compact_parquet
+from database_migrator_spark.streaming.sinks import foreach_batch_parquet
+
+from .conftest import SF_SMOKE
+
+
+def test_foreach_batch_parquet_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    rows = events_stream(spark, SF_SMOKE).where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "value"
+    )
+    q = foreach_batch_parquet(rows, out, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    batch = (
+        table(spark, SF_SMOKE, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value")
+    )
+    got = {(r.event_id, r.user_id, r.value) for r in back.select("event_id", "user_id", "value").collect()}
+    want = {(r.event_id, r.user_id, r.value) for r in batch.collect()}
+    assert got == want  # every row exactly once across batch dirs
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    src = str(tmp_path / "fragmented")
+    # fragment: 64 tiny files
+    table(spark, SF_SMOKE, "lineitem").repartition(64).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(f"{src}/*.parquet")) >= 64
+    out = str(tmp_path / "compacted")
+    n = compact_parquet(spark, src, out, target_file_mb=128)
+    assert n == 1  # sf0.001 lineitem ≪ 128 MB
+    assert len(glob.glob(f"{out}/*.parquet")) == 1
+    assert spark.read.parquet(out).count() == table(spark, SF_SMOKE, "lineitem").count()
