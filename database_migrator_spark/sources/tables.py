@@ -27,12 +27,17 @@ TABLES = (
 
 
 def _typed_events(df: DataFrame) -> DataFrame:
-    """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects; we read it as raw nanos (legacy conf) and rebuild the
-    timestamp with exact integer division to microseconds — bit-identical
-    to DuckDB's nanos→micros truncation."""
+    """The driver's events.parquet stores ts as TIMESTAMP(NANOS), which
+    Spark's parquet reader rejects; we read it as raw nanos (legacy conf)
+    and rebuild the timestamp with exact integer division to microseconds
+    — bit-identical to DuckDB's nanos→micros truncation. Events tables
+    re-written by Spark itself already carry a micros timestamp and pass
+    through untouched."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
+    if not isinstance(df.schema["ts"].dataType, T.LongType):
+        return df
     return df.select(
         "event_id",
         F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
