@@ -6,6 +6,8 @@ native range-join support use an inequality join.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -29,16 +31,18 @@ from database_migrator_spark.sources import table
 def q47_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS through the SQL API (same Catalyst Expand
     operator as rollup/cube)."""
-    table(spark, sf_dir, "orders").createOrReplaceTempView("__rext_orders")
+    # unique per-call view name: safe if the driver runs queries concurrently
+    view = f"__rext_orders_{uuid.uuid4().hex[:8]}"
+    table(spark, sf_dir, "orders").createOrReplaceTempView(view)
     return spark.sql(
-        """
+        f"""
         SELECT o_orderstatus, o_orderpriority,
                COUNT(*) AS n_orders,
                -- 100.0 would parse as DECIMAL(4,1) in Spark SQL (unlike
                -- F.lit(100.0)); force double so both engines divide in ieee754
                SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / CAST(100.0 AS DOUBLE)
                    AS total_price
-        FROM __rext_orders
+        FROM {view}
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
         """
@@ -142,13 +146,14 @@ def q51_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same doubles in some order; a 3× threshold comparison against a
     ~30%-spread distribution cannot flip on the ~1e-12 summation-order
     difference."""
-    table(spark, sf_dir, "orders").createOrReplaceTempView("__rext_orders2")
+    view = f"__rext_orders_{uuid.uuid4().hex[:8]}"
+    table(spark, sf_dir, "orders").createOrReplaceTempView(view)
     return spark.sql(
-        """
+        f"""
         SELECT o_orderkey, o_custkey, o_totalprice
-        FROM __rext_orders2 o
+        FROM {view} o
         WHERE o_totalprice > 3 * (SELECT AVG(o2.o_totalprice)
-                                  FROM __rext_orders2 o2
+                                  FROM {view} o2
                                   WHERE o2.o_custkey = o.o_custkey)
         ORDER BY o_orderkey
         """

@@ -102,12 +102,16 @@ def q44_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if tok:
                     yield doc_id, tok
 
-    spark.udtf.register("tokenize_udtf", Tokenize)
-    table(spark, sf_dir, "documents").createOrReplaceTempView("__udtf_docs")
+    import uuid
+
+    suffix = uuid.uuid4().hex[:8]
+    spark.udtf.register(f"tokenize_udtf_{suffix}", Tokenize)
+    view = f"__udtf_docs_{suffix}"
+    table(spark, sf_dir, "documents").createOrReplaceTempView(view)
     return spark.sql(
-        """
+        f"""
         SELECT t.out_doc_id AS doc_id, t.token
-        FROM __udtf_docs d, LATERAL tokenize_udtf(d.doc_id, d.text) t
+        FROM {view} d, LATERAL tokenize_udtf_{suffix}(d.doc_id, d.text) t
         WHERE d.doc_id < 20
         ORDER BY doc_id, token
         """
