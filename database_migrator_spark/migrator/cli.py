@@ -64,7 +64,12 @@ def main(argv: list[str] | None = None) -> int:
         from .jdbc import JdbcMigrator
 
         spark = get_session("spark-migrate")
-        m = JdbcMigrator(spark, jdbc_url=args.jdbc_url, **common)
+        props = {}
+        if args.username:
+            props["user"] = args.username
+        if args.password:
+            props["password"] = args.password
+        m = JdbcMigrator(spark, jdbc_url=args.jdbc_url, jdbc_properties=props, **common)
     else:
         spark = get_session("spark-migrate", persistent_catalog=True)
         m = Migrator(spark, database=args.database, **common)

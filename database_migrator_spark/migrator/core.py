@@ -143,6 +143,9 @@ class Migrator:
             self.logger.info("creating database %s", self.database)
             if not self.dry_run:
                 self.spark.sql(f"CREATE DATABASE `{self.database}`")
+                # keep the memoized probe truthful for subsequent calls on
+                # this instance (retry loops, library use)
+                self.__dict__["_database_exists"] = True
             if self.schema_file:
                 self.logger.info("running schema DDL from %s", self.schema_file)
                 with self._in_database():
@@ -207,10 +210,14 @@ class Migrator:
         with open(mf.path, encoding="utf-8") as f:
             source = f.read()
         code = compile(source, mf.path, "exec")
+        if self.dry_run:
+            # compile-only: module-level code may have side effects, so a
+            # dry run must not exec it (Core.pm:198-200 compiles the Perl
+            # sub without calling it)
+            return
         namespace: dict = {}
         exec(code, namespace)  # noqa: S102
         fn = namespace.get("migrate")
         if not callable(fn):
             raise MigrationError(f"code migration {mf.path} does not define migrate(migrator)")
-        if not self.dry_run:
-            fn(self)
+        fn(self)

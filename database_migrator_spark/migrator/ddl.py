@@ -41,7 +41,10 @@ def split_statements(script: str) -> list[str]:
             buf.append(ch)
         elif in_s:
             buf.append(ch)
-            if ch == "'":
+            if ch == "\\" and nxt:  # backslash escape inside a literal
+                buf.append(nxt)
+                i += 1
+            elif ch == "'":
                 in_s = False
         elif in_d:
             buf.append(ch)
@@ -74,32 +77,57 @@ _CREATE_INDEX = re.compile(r"^\s*CREATE\s+(UNIQUE\s+)?INDEX\b", re.IGNORECASE)
 _PK_TABLE = re.compile(r",?\s*PRIMARY\s+KEY\s*\([^)]*\)", re.IGNORECASE)
 _PK_COL = re.compile(r"\bPRIMARY\s+KEY\b", re.IGNORECASE)
 _UNIQUE = re.compile(r"\bUNIQUE\b", re.IGNORECASE)
-_AUTOINC = re.compile(r"\bAUTO_INCREMENT\b|\bSERIAL\b", re.IGNORECASE)
+_AUTOINC = re.compile(r"\bAUTO_INCREMENT\b", re.IGNORECASE)
+_SERIAL = re.compile(r"\bSERIAL\b", re.IGNORECASE)  # a TYPE — map, don't strip
 _TEXT_TYPE = re.compile(r"\bTEXT\b", re.IGNORECASE)
+
+_QUOTED_SPAN = re.compile(r"'(?:\\.|[^'])*'|\"(?:\\.|[^\"])*\"", re.DOTALL)
+
+
+def _sub_outside_literals(pattern: re.Pattern, repl: str, stmt: str) -> str:
+    """Apply a regex substitution only OUTSIDE quoted string literals /
+    quoted identifiers, so data like 'this unique text' is never touched."""
+    out = []
+    pos = 0
+    for m in _QUOTED_SPAN.finditer(stmt):
+        out.append(pattern.sub(repl, stmt[pos : m.start()]))
+        out.append(m.group(0))
+        pos = m.end()
+    out.append(pattern.sub(repl, stmt[pos:]))
+    return "".join(out)
 
 
 def translate_statement(stmt: str) -> str | None:
-    """Translate one statement to Spark SQL; return None for loud no-ops."""
+    """Translate one statement to Spark SQL; return None for loud no-ops.
+    All substitutions are literal-safe (quoted spans pass through)."""
     if _CREATE_INDEX.match(stmt):
         logger.warning("CREATE INDEX is a no-op on Spark catalog targets: %.80s", stmt)
         return None
     out = stmt
-    if _AUTOINC.search(out):
-        logger.warning("stripping AUTO_INCREMENT/SERIAL (no Spark equivalent): %.80s", stmt)
-        out = _AUTOINC.sub("", out)
-    if _PK_TABLE.search(out) or _PK_COL.search(out):
+    unquoted = _QUOTED_SPAN.sub("", out)
+    if _AUTOINC.search(unquoted):
+        logger.warning("stripping AUTO_INCREMENT (no Spark equivalent): %.80s", stmt)
+        out = _sub_outside_literals(_AUTOINC, "", out)
+    if _SERIAL.search(unquoted):
+        logger.warning("mapping SERIAL type to BIGINT: %.80s", stmt)
+        out = _sub_outside_literals(_SERIAL, "BIGINT", out)
+    if _PK_TABLE.search(unquoted) or _PK_COL.search(unquoted):
         logger.warning("stripping PRIMARY KEY constraint (informational on Spark): %.80s", stmt)
-        out = _PK_TABLE.sub("", out)
-        out = _PK_COL.sub("", out)
-    if _UNIQUE.search(out):
+        out = _sub_outside_literals(_PK_TABLE, "", out)
+        out = _sub_outside_literals(_PK_COL, "", out)
+    if _UNIQUE.search(unquoted):
         logger.warning("stripping UNIQUE constraint (informational on Spark): %.80s", stmt)
-        out = _UNIQUE.sub("", out)
-    out = _TEXT_TYPE.sub("STRING", out)
+        out = _sub_outside_literals(_UNIQUE, "", out)
+    out = _sub_outside_literals(_TEXT_TYPE, "STRING", out)
     return out
 
 
 def run_ddl_script_jdbc(
-    spark: SparkSession, script: str, url: str, dry_run: bool = False
+    spark: SparkSession,
+    script: str,
+    url: str,
+    dry_run: bool = False,
+    properties: dict[str, str] | None = None,
 ) -> list[str]:
     """JDBC pass-through DDL: statements go to the target DBMS verbatim —
     no dialect shim — mirroring the reference's delegation of `.sql` files
@@ -110,7 +138,10 @@ def run_ddl_script_jdbc(
     if dry_run:
         return stmts
     jvm = spark._jvm  # noqa: SLF001
-    conn = jvm.java.sql.DriverManager.getConnection(url)
+    props = jvm.java.util.Properties()
+    for k, v in (properties or {}).items():
+        props.setProperty(k, v)
+    conn = jvm.java.sql.DriverManager.getConnection(url, props)
     try:
         st = conn.createStatement()
         for stmt in stmts:

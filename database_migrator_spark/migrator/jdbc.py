@@ -46,13 +46,20 @@ class JdbcMigrator(Migrator):
         )
 
     # -- existence probe: lazy try-connect (Core.pm:65-71, 252-257) ----------
+    def _jprops(self):
+        jvm = self.spark._jvm  # noqa: SLF001
+        props = jvm.java.util.Properties()
+        for k, v in self.jdbc_properties.items():
+            props.setProperty(k, v)
+        return props
+
     @property
     def _database_exists(self) -> bool:  # type: ignore[override]
         jvm = self.spark._jvm  # noqa: SLF001
         try:
             # strip create flags so probing doesn't create the database
             probe_url = self.jdbc_url.replace(";create=true", "")
-            jvm.java.sql.DriverManager.getConnection(probe_url).close()
+            jvm.java.sql.DriverManager.getConnection(probe_url, self._jprops()).close()
             return True
         except Exception:
             return False
@@ -60,7 +67,7 @@ class JdbcMigrator(Migrator):
     # -- create: connect with the (create-capable) URL ------------------------
     def create_database(self) -> None:
         jvm = self.spark._jvm  # noqa: SLF001
-        jvm.java.sql.DriverManager.getConnection(self.jdbc_url).close()
+        jvm.java.sql.DriverManager.getConnection(self.jdbc_url, self._jprops()).close()
 
     def create_or_update_database(self) -> None:  # Core.pm:141-156
         if not self._database_exists:
@@ -78,7 +85,10 @@ class JdbcMigrator(Migrator):
     def _run_ddl_file(self, path: str) -> None:
         with open(path, encoding="utf-8") as f:
             script = f.read()
-        run_ddl_script_jdbc(self.spark, script, self.jdbc_url, dry_run=self.dry_run)
+        run_ddl_script_jdbc(
+            self.spark, script, self.jdbc_url, dry_run=self.dry_run,
+            properties=self.jdbc_properties,
+        )
 
     # catalog current-database juggling is meaningless for JDBC targets
     @contextmanager

@@ -69,11 +69,25 @@ class JdbcLedger(Ledger):
         self.properties = properties or {}
 
     def exists(self) -> bool:
+        """True iff the ledger table exists. A missing table means
+        'applied = ∅' (the documented bootstrap rule); anything else —
+        connection refused, bad credentials, missing driver — must RAISE,
+        not return False, or a transient failure would silently re-apply
+        every migration."""
+        # probe the connection separately so connectivity errors propagate
+        jvm = self.spark._jvm  # noqa: SLF001
+        props = jvm.java.util.Properties()
+        for k, v in self.properties.items():
+            props.setProperty(k, v)
+        jvm.java.sql.DriverManager.getConnection(self.url, props).close()
         try:
             self.applied_df().limit(1).collect()
             return True
-        except Exception:
-            return False
+        except Exception as e:
+            msg = str(e)
+            if "TABLE_OR_VIEW_NOT_FOUND" in msg or "does not exist" in msg or "not found" in msg:
+                return False
+            raise
 
     def applied_df(self) -> DataFrame:
         from pyspark.sql import functions as F

@@ -31,22 +31,26 @@ from database_migrator_spark.sources import table
 def q47_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS through the SQL API (same Catalyst Expand
     operator as rollup/cube)."""
-    # unique per-call view name: safe if the driver runs queries concurrently
+    # unique per-call view name: safe if the driver runs queries concurrently;
+    # dropped right after analysis (the returned plan is already resolved)
     view = f"__rext_orders_{uuid.uuid4().hex[:8]}"
     table(spark, sf_dir, "orders").createOrReplaceTempView(view)
-    return spark.sql(
-        f"""
-        SELECT o_orderstatus, o_orderpriority,
-               COUNT(*) AS n_orders,
-               -- 100.0 would parse as DECIMAL(4,1) in Spark SQL (unlike
-               -- F.lit(100.0)); force double so both engines divide in ieee754
-               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / CAST(100.0 AS DOUBLE)
-                   AS total_price
-        FROM {view}
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
-        """
-    )
+    try:
+        return spark.sql(
+            f"""
+            SELECT o_orderstatus, o_orderpriority,
+                   COUNT(*) AS n_orders,
+                   -- 100.0 would parse as DECIMAL(4,1) in Spark SQL (unlike
+                   -- F.lit(100.0)); force double so both engines divide in ieee754
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / CAST(100.0 AS DOUBLE)
+                       AS total_price
+            FROM {view}
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+            ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+            """
+        )
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 @query(
@@ -148,16 +152,19 @@ def q51_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference."""
     view = f"__rext_orders_{uuid.uuid4().hex[:8]}"
     table(spark, sf_dir, "orders").createOrReplaceTempView(view)
-    return spark.sql(
-        f"""
-        SELECT o_orderkey, o_custkey, o_totalprice
-        FROM {view} o
-        WHERE o_totalprice > 3 * (SELECT AVG(o2.o_totalprice)
-                                  FROM {view} o2
-                                  WHERE o2.o_custkey = o.o_custkey)
-        ORDER BY o_orderkey
-        """
-    )
+    try:
+        return spark.sql(
+            f"""
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM {view} o
+            WHERE o_totalprice > 3 * (SELECT AVG(o2.o_totalprice)
+                                      FROM {view} o2
+                                      WHERE o2.o_custkey = o.o_custkey)
+            ORDER BY o_orderkey
+            """
+        )
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 def bucketized_range_join(
@@ -176,8 +183,11 @@ def bucketized_range_join(
     plain shuffled hash join — then applies the exact range filter. Work is
     O(N · rows-per-cell) instead of a quadratic theta-join."""
     bucket = bucket_seconds or range_seconds
+    # a probe row's range (lo, lo+range] spans ceil(range/bucket)+1 cells;
+    # a fixed 2-cell explode would silently drop matches when bucket < range
+    n_cells = -(-range_seconds // bucket) + 1
     p_cell = F.expr(f"unix_micros({probe_ts}) DIV {bucket * 1_000_000}")  # exact floor-div
-    p = probe.withColumn("__cell", F.explode(F.array(p_cell, p_cell + 1)))
+    p = probe.withColumn("__cell", F.explode(F.array(*[p_cell + i for i in range(n_cells)])))
     b = build.withColumn("__cell", F.expr(f"unix_micros({build_ts}) DIV {bucket * 1_000_000}"))
     lo = F.unix_micros(F.col(probe_ts))
     hi = lo + range_seconds * 1_000_000

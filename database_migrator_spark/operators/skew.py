@@ -31,7 +31,13 @@ def salted_join(
     ``salt_by`` names a column whose hash spreads the hot key's rows
     (defaults to all of big's columns via xxhash64) — deterministic, so
     task retries produce identical partitioning.
+
+    Only inner/left joins are salting-correct: under right/full outer,
+    each of the n_salts small-side replicas that finds no match survives
+    as its own null-extended row.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(f"salted_join supports inner/left joins, not {how!r}")
     salt_src = F.col(salt_by) if salt_by else F.struct(*[F.col(c) for c in big.columns])
     salted_big = big.withColumn("__salt", F.pmod(F.xxhash64(salt_src), F.lit(n_salts)))
     exploded_small = small.withColumn(

@@ -104,15 +104,19 @@ def q44_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import uuid
 
-    suffix = uuid.uuid4().hex[:8]
-    spark.udtf.register(f"tokenize_udtf_{suffix}", Tokenize)
-    view = f"__udtf_docs_{suffix}"
+    # fixed UDTF name (re-registration overwrites — no leak); unique view
+    # name for concurrency, dropped once the plan is analyzed
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    view = f"__udtf_docs_{uuid.uuid4().hex[:8]}"
     table(spark, sf_dir, "documents").createOrReplaceTempView(view)
-    return spark.sql(
-        f"""
-        SELECT t.out_doc_id AS doc_id, t.token
-        FROM {view} d, LATERAL tokenize_udtf_{suffix}(d.doc_id, d.text) t
-        WHERE d.doc_id < 20
-        ORDER BY doc_id, token
-        """
-    )
+    try:
+        return spark.sql(
+            f"""
+            SELECT t.out_doc_id AS doc_id, t.token
+            FROM {view} d, LATERAL tokenize_udtf(d.doc_id, d.text) t
+            WHERE d.doc_id < 20
+            ORDER BY doc_id, token
+            """
+        )
+    finally:
+        spark.catalog.dropTempView(view)

@@ -201,3 +201,47 @@ def test_translate_strips_constraints_and_indexes():
     up = out.upper()
     assert "PRIMARY KEY" not in up and "AUTO_INCREMENT" not in up and "UNIQUE" not in up
     assert "STRING" in up
+
+
+def test_translate_never_touches_string_literals():
+    out = translate_statement(
+        "INSERT INTO notes VALUES ('this is unique text with PRIMARY KEY words')"
+    )
+    assert "'this is unique text with PRIMARY KEY words'" in out
+
+
+def test_translate_maps_serial_to_type():
+    out = translate_statement("CREATE TABLE t (id SERIAL, name VARCHAR(10))")
+    assert "BIGINT" in out.upper()
+    # no dangling empty type
+    assert "(id ," not in out.replace("  ", " ")
+
+
+def test_split_statements_backslash_escaped_quote():
+    stmts = split_statements(r"INSERT INTO t VALUES ('it\'s; done'); SELECT 1")
+    assert len(stmts) == 2
+    assert r"it\'s; done" in stmts[0]
+
+
+def test_dry_run_skips_module_level_side_effects(spark, tmp_path, tree):
+    import uuid as _uuid
+
+    marker = tmp_path / "side_effect.txt"
+    third = tree / "migrations" / "03-code"
+    third.mkdir()
+    (third / "migrate.py").write_text(
+        f"open({str(marker)!r}, 'w').write('ran')\n"
+        "def migrate(migrator):\n    pass\n"
+    )
+    db = f"migtest_{_uuid.uuid4().hex[:8]}"
+    m = _migrator(spark, tree, database=db, dry_run=True)
+    m.create_or_update_database()
+    assert not marker.exists(), "dry_run executed module-level code"
+
+
+def test_jdbc_ledger_raises_on_connection_failure(spark):
+    from database_migrator_spark.migrator.ledger import JdbcLedger
+
+    bad = JdbcLedger(spark, "jdbc:derby:/nonexistent_dir_perm/xx", "applied_migration")
+    with pytest.raises(Exception):
+        bad.exists()  # connectivity failure must propagate, not read as ∅

@@ -22,6 +22,41 @@ def test_salted_join_equals_plain_join(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+def test_salted_join_rejects_outer_joins(spark):
+    import pytest
+
+    li = table(spark, SF_SMOKE, "lineitem")
+    sup = table(spark, SF_SMOKE, "supplier").withColumnRenamed("s_suppkey", "l_suppkey")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(li, sup, "l_suppkey", how="right")
+
+
+def test_range_join_small_buckets_equal_naive(spark):
+    """bucket_seconds < range_seconds must not drop matches."""
+    from pyspark.sql import functions as F
+
+    from database_migrator_spark.operators.relational_ext import bucketized_range_join
+
+    e = table(spark, SF_SMOKE, "events")
+    probe = e.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts")
+    )
+    build = e.select("user_id", F.col("ts").alias("b_ts"), F.col("event_id").alias("f_id"))
+    bucketed = bucketized_range_join(
+        probe, build, "user_id", "p_ts", "b_ts", range_seconds=3600, bucket_seconds=600
+    ).count()
+    lo = F.unix_micros(F.col("p_ts"))
+    naive = (
+        probe.join(build, "user_id")
+        .where(
+            (F.unix_micros(F.col("b_ts")) > lo)
+            & (F.unix_micros(F.col("b_ts")) <= lo + 3600 * 1_000_000)
+        )
+        .count()
+    )
+    assert bucketed == naive
+
+
 def test_salt_is_deterministic_and_spread(spark):
     li = table(spark, SF_SMOKE, "lineitem")
     salted = li.withColumn(
