@@ -1,0 +1,105 @@
+"""Property-based tests (hypothesis) for the engine's small pure cores:
+the dual (Python ↔ Spark expression) sort key, the DDL statement splitter,
+and exact-cents arithmetic. The reference ships no property tests at all
+(SURVEY.md §5); these pin the semantics its harness only spot-checks."""
+
+from __future__ import annotations
+
+import re
+from decimal import ROUND_HALF_UP, Decimal
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from database_migrator_spark.migrator.ddl import split_statements
+from database_migrator_spark.migrator.model import numeric_or_alpha_key
+
+_name = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd"), whitelist_characters="-_."),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(st.lists(_name, min_size=1, max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_sort_key_total_order_and_numeric_semantics(names):
+    ordered = sorted(names, key=numeric_or_alpha_key)
+    # totality + stability: sorting twice is idempotent
+    assert sorted(ordered, key=numeric_or_alpha_key) == ordered
+    # numeric prefixes dominate: leading digits compare as integers
+    for a, b in zip(ordered, ordered[1:]):
+        ka, kb = numeric_or_alpha_key(a), numeric_or_alpha_key(b)
+        assert ka <= kb
+
+
+@given(_name)
+@settings(max_examples=200, deadline=None)
+def test_sort_key_matches_reference_regex(name):
+    m = re.match(r"^(\d+)(.*)$", name, re.DOTALL)
+    expected = (int(m.group(1)), m.group(2)) if m else (0, name)
+    assert numeric_or_alpha_key(name) == expected
+
+
+_sql_fragment = st.text(
+    alphabet=st.characters(blacklist_characters="\\", blacklist_categories=("Cs",)),
+    max_size=30,
+)
+
+
+@given(st.lists(_sql_fragment, min_size=1, max_size=5))
+@settings(max_examples=200, deadline=None)
+def test_split_statements_preserves_literal_content(fragments):
+    """Semicolons inside single-quoted literals never split; every
+    non-empty statement's literal payload survives verbatim."""
+    literals = [frag.replace("'", "''") for frag in fragments]
+    script = "; ".join(f"INSERT INTO t VALUES ('{lit}')" for lit in literals)
+    stmts = split_statements(script)
+    assert len(stmts) == len(literals)
+    for lit, stmt in zip(literals, stmts):
+        assert f"('{lit}')" in stmt
+
+
+def test_spark_expression_key_matches_python_key(spark):
+    """The DataFrame orderBy expression (numeric_or_alpha_cols) and the
+    Python key must induce the same order — one batched comparison over an
+    adversarial name corpus (ties, no-prefix, big numbers, dots/unicode)."""
+    import random
+
+    from database_migrator_spark.migrator.model import numeric_or_alpha_cols
+
+    rng = random.Random(7)
+    corpus = [
+        "01-first", "01-bar", "01-foo", "1-one", "2-two", "10-ten", "0",
+        "alpha", "Alpha", "-dash", "001-padded", "99999999999-big", "3.14-pi",
+        "_u", "01", "010", "10a", "10A", "a10", "",
+    ] + [
+        "".join(rng.choices("abcXYZ0123456789-._", k=rng.randint(1, 12))) for _ in range(150)
+    ]
+    corpus = [c for c in set(corpus) if c]
+    df = spark.createDataFrame([(n,) for n in corpus], "name string")
+    spark_order = [r["name"] for r in df.orderBy(*numeric_or_alpha_cols("name")).collect()]
+    py_keys = [numeric_or_alpha_key(n) for n in spark_order]
+    # Spark's order must be non-decreasing under the Python key
+    assert all(a <= b for a, b in zip(py_keys, py_keys[1:]))
+
+
+@given(
+    st.lists(
+        st.decimals(
+            min_value=Decimal("-1e7"), max_value=Decimal("1e7"), places=2, allow_nan=False
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_cents_arithmetic_is_exact_for_two_decimal_money(values):
+    """round(x*100) summed as ints then /100 equals the exact Decimal sum
+    for any 2-decimal money values — order-independent by construction."""
+    cents = [int((v * 100).to_integral_value(rounding=ROUND_HALF_UP)) for v in values]
+    total = sum(cents) / 100.0
+    exact = float(sum(values))
+    assert abs(total - exact) < 1e-9
+    # permutation invariance (the property double sums lack)
+    assert sum(sorted(cents)) == sum(cents)
