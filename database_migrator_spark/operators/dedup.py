@@ -264,6 +264,31 @@ def q25_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q58_exact_text_dedup",
+    oracle="""
+    SELECT md5(text) AS digest, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    HAVING COUNT(*) >= 1
+    ORDER BY digest
+    """,
+    tags=("dedup", "hash", "E14"),
+)
+def q58_exact_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup by content hash (the first tier of every
+    web-corpus pipeline): group on md5(text) — at 100 TB the digest is
+    precomputed at ingest and this is a count-distinct-style shuffle on
+    16-byte keys instead of full documents."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(F.encode("text", "UTF-8")).alias("digest"))
+        .groupBy("digest")
+        .agg(F.count("*").alias("n_copies"))
+        .orderBy("digest")
+    )
+
+
+@query(
     "q26_levenshtein_pairs",
     oracle="""
     SELECT a.doc_id AS a_id, b.doc_id AS b_id,

@@ -171,6 +171,27 @@ def q40_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q59_stream_dedup_within_watermark",
+    oracle=None,  # horizon-scoped semantics (state is evicted past the
+    # watermark by design) — behavior asserted in
+    # tests/test_streaming_latedata.py::test_drop_duplicates_within_watermark
+    tags=("streaming", "dedup", "watermark", "E18"),
+)
+def q59_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark: dedup state bounded by the watermark
+    horizon — the 100 TB streaming dedup (unbounded-key dropDuplicates
+    state grows forever; this evicts keys older than the delay)."""
+    dedup = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type", "event_id")
+    )
+    out = run_stream_to_table(dedup, mode="append")
+    return out.orderBy("user_id", "event_type", "event_id")
+
+
+@query(
     "q41_stream_dedup_count",
     oracle="""
     SELECT COUNT(*) AS n_distinct_pairs

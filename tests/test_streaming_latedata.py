@@ -75,3 +75,38 @@ def test_append_mode_drops_data_later_than_watermark(spark, tmp_path):
     # window [60,120): b had ts(61), ts(120) lands in [120,180); the late
     # ts(95) from batch 2 was accepted (window end 120 ≥ watermark 110)
     assert got.get(("b", 60)) == 2
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """Duplicates inside the watermark horizon are dropped; a key recurring
+    AFTER its state was evicted (watermark passed) is emitted again."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    schema = "key string, ts timestamp"
+    src = (
+        spark.readStream.schema(schema).parquet(str(stream_dir))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["key"])
+    )
+    name = f"ddww_{uuid.uuid4().hex[:8]}"
+    q = src.writeStream.outputMode("append").format("memory").queryName(name).start()
+
+    # batch 1: 'a' twice within minutes → one survivor; watermark → 50
+    _write_parquet(stream_dir / "a.parquet", [("a", ts(0)), ("a", ts(5)), ("b", ts(60))])
+    q.processAllAvailable()
+    # batch 2: 'a' again at t=120 — far past its evicted state → re-emitted
+    _write_parquet(stream_dir / "b.parquet", [("a", ts(120)), ("b", ts(61))])
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+
+    rows = [(r.key, r.ts) for r in spark.table(name).collect()]
+    a_rows = sorted(t for k, t in rows if k == "a")
+    b_rows = sorted(t for k, t in rows if k == "b")
+    assert a_rows == [ts(0), ts(120)]  # dup at ts(5) dropped; ts(120) re-emitted
+    assert b_rows == [ts(60)]  # ts(61) dup within horizon dropped
