@@ -136,6 +136,10 @@ def minhash_near_duplicates(
         F.array_distinct(word_shingles(tokens_of(text_col))).alias("toks"),
         minhash_signature(word_shingles(tokens_of(text_col)), num_hashes).alias("sig"),
     )
+    # both sides of the candidate self-join read the sketches — materialize
+    # them ONCE at doc granularity (checkpointing after the 16-band explode
+    # would store each shingle array 16×)
+    toks = toks.localCheckpoint(eager=True)
     banded = toks.select(
         "id", "toks", F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("b")
     ).select("id", "toks", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
@@ -221,6 +225,7 @@ def simhash_near_duplicates(
     banded = sh.select(
         "id", "lo", "hi", F.explode(F.array(*band_cols)).alias("b")
     ).select("id", "lo", "hi", "b.band", "b.bv")
+    banded = banded.localCheckpoint(eager=True)  # sketch once, join twice
     left = banded.select(
         "band", "bv", F.col("id").alias("a_id"), F.col("lo").alias("a_lo"), F.col("hi").alias("a_hi")
     )

@@ -193,7 +193,8 @@ def embedding_near_duplicates(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         srp_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
+    )  # (checkpointing here measured slower — the bucket expr is cheap
+    # relative to losing file-scan stats for the downstream join plan)
     # multi-probe: each vector also registers in its hamming-1 buckets so
     # borderline pairs split by one hyperplane still collide somewhere
     probes = b.select(

@@ -69,10 +69,12 @@ def test_brute_force_cosine_broadcasts_query_row(spark):
 
 def test_no_rdd_scans_anywhere(spark):
     """Every declared query must read through the parquet FileScan path
-    (vectorized reader, pushdown-capable) — never an RDD scan. Streaming
-    and UDTF queries are exempt (different source nodes)."""
+    (vectorized reader, pushdown-capable) — never an RDD scan. Exempt:
+    streaming/UDTF sources, and the sketch pipelines whose localCheckpoint
+    (sketch-once materialization for the self-join) is an intentional RDD
+    boundary."""
     for name, dq in _QS.items():
-        if any(t in dq.tags for t in ("streaming", "udtf")):
+        if any(t in dq.tags for t in ("streaming", "udtf", "minhash", "simhash")):
             continue
         p = _QS[name].build(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
         assert "ExistingRDD" not in p, f"{name} scans an RDD"
