@@ -1,0 +1,167 @@
+"""ETL maintenance operators: SCD2 merge emulation and data-quality
+validation — the operators a migration/pipeline engine runs between
+queries.
+
+SCD2 without Delta/Iceberg MERGE (jars absent here): the classic
+anti-join + union emulation — close changed rows, append new versions,
+pass unchanged rows through. One shuffle on the business key; on a real
+lakehouse the same logic is a single MERGE INTO.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from database_migrator_spark.plans.registry import query
+from database_migrator_spark.sources import table
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: str,
+    compare_cols: list[str],
+    effective_date: str,
+) -> DataFrame:
+    """Apply updates to a type-2 dimension ``dim(key, ..., valid_from,
+    valid_to)`` (open rows have valid_to NULL). Rows whose compare_cols
+    changed are closed at ``effective_date`` and a new open version is
+    appended; unchanged and unmatched rows pass through."""
+    # prefix update columns so dim/updates sharing lineage (self-derived
+    # updates are common) never produce ambiguous references
+    upd = updates.select(
+        F.col(key), *[F.col(c).alias(f"__u_{c}") for c in updates.columns if c != key]
+    )
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | (F.col(c) != F.col(f"__u_{c}"))
+    attr_cols = [c for c in dim.columns if c not in (key, "valid_from", "valid_to")]
+    upd_cols = {c for c in updates.columns if c != key}
+    joined = dim.join(upd, key, "left")
+    changed_rows = joined.where(changed)
+    closed = changed_rows.select(
+        *[F.col(c) for c in dim.columns if c != "valid_to"],
+        F.lit(effective_date).cast("string").alias("valid_to"),
+    )
+    # new open version: updated value where the update provides one,
+    # otherwise carry the dimension's current attribute forward
+    new_versions = changed_rows.select(
+        F.col(key),
+        *[
+            (F.col(f"__u_{c}") if c in upd_cols else F.col(c)).alias(c)
+            for c in attr_cols
+        ],
+        F.lit(effective_date).cast("string").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    unchanged = joined.where(~F.coalesce(changed, F.lit(False))).select(
+        *[F.col(c) for c in dim.columns]
+    )
+    return unchanged.unionByName(closed).unionByName(new_versions)
+
+
+@query(
+    "q60_scd2_merge",
+    oracle="""
+    WITH dim AS (
+        SELECT c_custkey, c_name, c_acctbal,
+               '1990-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+        FROM customer
+    ), upd AS (
+        SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal
+        FROM customer WHERE c_custkey % 7 = 0
+    ), changed AS (
+        SELECT d.* FROM dim d JOIN upd u USING (c_custkey)
+        WHERE d.c_acctbal != u.c_acctbal
+    )
+    SELECT c_custkey, c_name, c_acctbal, valid_from, valid_to FROM (
+        -- unchanged rows
+        SELECT d.c_custkey, d.c_name, d.c_acctbal, d.valid_from, d.valid_to
+        FROM dim d LEFT JOIN upd u USING (c_custkey)
+        WHERE u.c_custkey IS NULL OR d.c_acctbal = u.c_acctbal
+        UNION ALL
+        -- closed old versions
+        SELECT c_custkey, c_name, c_acctbal, valid_from, '2024-06-01' FROM changed
+        UNION ALL
+        -- new open versions
+        SELECT u.c_custkey, u.c_name, u.c_acctbal, '2024-06-01', NULL
+        FROM upd u JOIN changed c USING (c_custkey)
+    )
+    ORDER BY c_custkey, valid_from, c_acctbal
+    """,
+    tags=("scd2", "merge", "etl"),
+)
+def q60_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 upsert emulation over the customer dim: +100.0 balance updates
+    for every 7th key close the old row at 2024-06-01 and append an open
+    version; hash-matched against the equivalent set algebra in SQL."""
+    c = table(spark, sf_dir, "customer")
+    dim = c.select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        F.lit("1990-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    updates = c.where(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", "c_name", (F.col("c_acctbal") + 100.0).alias("c_acctbal")
+    )
+    out = scd2_apply(dim, updates, "c_custkey", ["c_acctbal"], "2024-06-01")
+    return out.select(
+        "c_custkey", "c_name", "c_acctbal", "valid_from", "valid_to"
+    ).orderBy("c_custkey", "valid_from", "c_acctbal")
+
+
+@query(
+    "q61_data_quality",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM orders)                                   AS n_rows,
+      (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)      AS pk_duplicates,
+      (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL)          AS pk_nulls,
+      (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))           AS fk_orphans,
+      (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)           AS nonpositive_prices,
+      (SELECT COUNT(*) FROM orders
+        WHERE o_orderdate < TIMESTAMP '1990-01-01'
+           OR o_orderdate > TIMESTAMP '2030-01-01')                   AS out_of_range_dates
+    """,
+    tags=("quality", "validation", "etl"),
+)
+def q61_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit in ONE pass + one anti-join: PK uniqueness and
+    nulls, FK orphan count (left-anti against the dim), and range checks —
+    the validation block that gates every pipeline promotion. All checks
+    are conditional aggregates, so the fact table is scanned once."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    orphans = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti").agg(
+            F.count("*").alias("fk_orphans")
+        )
+    )
+    audit = o.agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("pk_duplicates"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("pk_nulls"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("nonpositive_prices"),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+                | (F.col("o_orderdate") > F.lit("2030-01-01").cast("timestamp")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("out_of_range_dates"),
+    )
+    return audit.crossJoin(orphans).select(
+        "n_rows", "pk_duplicates", "pk_nulls", "fk_orphans",
+        "nonpositive_prices", "out_of_range_dates",
+    )

@@ -62,6 +62,7 @@ def all_queries() -> dict[str, DeclaredQuery]:
     the full catalog, stably ordered by name."""
     from database_migrator_spark.operators import (  # noqa: F401
         dedup,
+        etl,
         multimodal,
         relational,
         relational_ext,
