@@ -58,7 +58,21 @@ def scd2_apply(
     unchanged = joined.where(~F.coalesce(changed, F.lit(False))).select(
         *[F.col(c) for c in dim.columns]
     )
-    return unchanged.unionByName(closed).unionByName(new_versions)
+    # brand-new keys (in updates, not in dim) insert as open rows; columns
+    # the update doesn't provide are NULL of the dim's type
+    inserts = upd.join(dim.select(key), key, "left_anti").select(
+        F.col(key),
+        *[
+            (
+                F.col(f"__u_{c}") if c in upd_cols
+                else F.lit(None).cast(dim.schema[c].dataType)
+            ).alias(c)
+            for c in attr_cols
+        ],
+        F.lit(effective_date).cast("string").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    return unchanged.unionByName(closed).unionByName(new_versions).unionByName(inserts)
 
 
 @query(
