@@ -179,6 +179,16 @@ class Migrator:
         if not self.dry_run:
             self.ledger.record(migration.name)
 
+    # -- backend-portable SQL for code migrations ------------------------------
+    def run_sql(self, stmt: str):
+        """Execute one SQL statement against THIS migrator's target (the
+        portable surface code migrations should use — the analogue of the
+        reference passing the migrator with its dbh to eval'd code,
+        Core.pm:196-202). Catalog targets run through spark.sql in the
+        target database; JDBC targets override with pass-through."""
+        with self._in_database():
+            return self.spark.sql(stmt)
+
     # -- executors ------------------------------------------------------------
     def _run_ddl_file(self, path: str) -> None:
         with open(path, encoding="utf-8") as f:

@@ -81,6 +81,17 @@ class JdbcMigrator(Migrator):
             self.logger.debug("database already exists")
         self._run_migrations()
 
+    def run_sql(self, stmt: str):  # type: ignore[override]
+        """Pass-through execution on the target DBMS (no Spark dialect)."""
+        jvm = self.spark._jvm  # noqa: SLF001
+        conn = jvm.java.sql.DriverManager.getConnection(self.jdbc_url, self._jprops())
+        try:
+            st = conn.createStatement()
+            st.execute(stmt)
+            st.close()
+        finally:
+            conn.close()
+
     # -- pass-through DDL ------------------------------------------------------
     def _run_ddl_file(self, path: str) -> None:
         with open(path, encoding="utf-8") as f:
