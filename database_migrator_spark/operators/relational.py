@@ -415,6 +415,59 @@ def q14_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # E11 — scalar string / date / math functions (all codegen'd built-ins)
 # ---------------------------------------------------------------------------
 @query(
+    "q62_approx_quantiles",
+    oracle=None,  # t-digest sketch is approximate by design (E10 family);
+    # rows-only check — exact twin is q18_quantiles
+    tags=("quantile", "approx", "E10"),
+)
+def q62_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile — the sketch-based quantile path for 100 TB
+    (fixed-size state per partition, no global sort); accuracy knob is the
+    third argument (max relative error 1/acc)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias("approx_pcts"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "o_orderstatus",
+            F.element_at("approx_pcts", 1).alias("p50"),
+            F.element_at("approx_pcts", 2).alias("p90"),
+            F.element_at("approx_pcts", 3).alias("p99"),
+            "n",
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "q63_posexplode_components",
+    oracle="""
+    SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos, CAST(embedding[i] AS DOUBLE) AS component
+    FROM embeddings, generate_series(1, 8) s(i)
+    WHERE vec_id < 20
+    ORDER BY vec_id, pos
+    """,
+    tags=("array", "explode", "E13"),
+)
+def q63_posexplode_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (lateral array flatten with ordinal) — the wide→long
+    array primitive; oracle is the generate_series lateral join."""
+    e = table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 20)
+    return (
+        e.select("vec_id", F.posexplode(F.slice("embedding", 1, 8)).alias("pos", "comp"))
+        .select(
+            "vec_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.col("comp").cast("double").alias("component"),
+        )
+        .orderBy("vec_id", "pos")
+    )
+
+
+@query(
     "q15_scalar_functions",
     oracle="""
     SELECT o_orderkey,
