@@ -321,6 +321,67 @@ def q10_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # E9 — rollup / cube
 # ---------------------------------------------------------------------------
 @query(
+    "q64_exceptall_bag_semantics",
+    oracle="""
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+    ORDER BY nationkey
+    """,
+    tags=("setop", "bag", "E8"),
+)
+def q64_exceptall_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag difference — multiplicities subtract) vs q10's set
+    EXCEPT; both engines implement the SQL:2003 bag semantics."""
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nationkey")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("long").alias("nationkey")
+    )
+    return c.exceptAll(s).orderBy("nationkey")
+
+
+@query(
+    "q65_window_navigation",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice)  OVER w AS latest_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price,
+           CAST(ntile(4) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("window", "navigation", "E6"),
+)
+def q65_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window navigation: first/last/nth value over an explicit running
+    frame plus ntile bucketing — one shuffle serves all four."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.first("o_totalprice").over(w).alias("first_price"),
+            F.last("o_totalprice").over(w).alias("latest_price"),
+            F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+            F.ntile(4).over(wo).cast("long").alias("quartile"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
     "q11_rollup_orders",
     oracle=f"""
     SELECT o_orderstatus, o_orderpriority,
