@@ -27,18 +27,33 @@ def scd2_apply(
     """Apply updates to a type-2 dimension ``dim(key, ..., valid_from,
     valid_to)`` (open rows have valid_to NULL). Rows whose compare_cols
     changed are closed at ``effective_date`` and a new open version is
-    appended; unchanged and unmatched rows pass through."""
+    appended; unchanged and unmatched rows pass through.
+
+    Only OPEN rows participate in change detection and closing — closed
+    historical versions pass through untouched, so applying the output of
+    one apply as the next apply's input is safe (idempotent on history).
+    Change detection is null-safe: NULL→value and value→NULL both count
+    as a change instead of silently routing to 'unchanged'.
+    """
     # prefix update columns so dim/updates sharing lineage (self-derived
     # updates are common) never produce ambiguous references
     upd = updates.select(
-        F.col(key), *[F.col(c).alias(f"__u_{c}") for c in updates.columns if c != key]
+        F.col(key),
+        *[F.col(c).alias(f"__u_{c}") for c in updates.columns if c != key],
+        F.lit(True).alias("__u_matched"),
     )
-    changed = F.lit(False)
+    # null-safe attr comparison, gated on an actual update existing —
+    # eqNullSafe alone would flag every unmatched dim row as changed
+    # (its __u_ columns are NULL from the left join)
+    differs = F.lit(False)
     for c in compare_cols:
-        changed = changed | (F.col(c) != F.col(f"__u_{c}"))
+        differs = differs | ~F.col(c).eqNullSafe(F.col(f"__u_{c}"))
+    changed = F.coalesce(F.col("__u_matched"), F.lit(False)) & differs
     attr_cols = [c for c in dim.columns if c not in (key, "valid_from", "valid_to")]
     upd_cols = {c for c in updates.columns if c != key}
-    joined = dim.join(upd, key, "left")
+    open_rows = dim.where(F.col("valid_to").isNull())
+    closed_history = dim.where(F.col("valid_to").isNotNull())
+    joined = open_rows.join(upd, key, "left")
     changed_rows = joined.where(changed)
     closed = changed_rows.select(
         *[F.col(c) for c in dim.columns if c != "valid_to"],
@@ -58,9 +73,10 @@ def scd2_apply(
     unchanged = joined.where(~F.coalesce(changed, F.lit(False))).select(
         *[F.col(c) for c in dim.columns]
     )
-    # brand-new keys (in updates, not in dim) insert as open rows; columns
-    # the update doesn't provide are NULL of the dim's type
-    inserts = upd.join(dim.select(key), key, "left_anti").select(
+    # keys with no current open version (brand-new, or previously deleted)
+    # insert as open rows; columns the update doesn't provide are NULL of
+    # the dim's type
+    inserts = upd.join(open_rows.select(key), key, "left_anti").select(
         F.col(key),
         *[
             (
@@ -72,7 +88,12 @@ def scd2_apply(
         F.lit(effective_date).cast("string").alias("valid_from"),
         F.lit(None).cast("string").alias("valid_to"),
     )
-    return unchanged.unionByName(closed).unionByName(new_versions).unionByName(inserts)
+    return (
+        closed_history.unionByName(unchanged)
+        .unionByName(closed)
+        .unionByName(new_versions)
+        .unionByName(inserts)
+    )
 
 
 @query(
