@@ -79,7 +79,10 @@ _PK_COL = re.compile(r"\bPRIMARY\s+KEY\b", re.IGNORECASE)
 _UNIQUE = re.compile(r"\bUNIQUE\b", re.IGNORECASE)
 _AUTOINC = re.compile(r"\bAUTO_INCREMENT\b", re.IGNORECASE)
 _SERIAL = re.compile(r"\bSERIAL\b", re.IGNORECASE)  # a TYPE — map, don't strip
-_TEXT_TYPE = re.compile(r"\bTEXT\b", re.IGNORECASE)
+# TEXT only in TYPE position — preceded by another identifier (a column
+# name, or AS in a cast) — so a column literally named `text` survives:
+# 'CREATE TABLE d (text TEXT)' → '(text STRING)', not '(STRING STRING)'
+_TEXT_TYPE = re.compile(r"(?P<pre>\b[A-Za-z_][\w$]*\s+)TEXT\b", re.IGNORECASE)
 
 _QUOTED_SPAN = re.compile(r"'(?:\\.|[^'])*'|\"(?:\\.|[^\"])*\"", re.DOTALL)
 
@@ -118,7 +121,9 @@ def translate_statement(stmt: str) -> str | None:
     if _UNIQUE.search(unquoted):
         logger.warning("stripping UNIQUE constraint (informational on Spark): %.80s", stmt)
         out = _sub_outside_literals(_UNIQUE, "", out)
-    out = _sub_outside_literals(_TEXT_TYPE, "STRING", out)
+    if _TEXT_TYPE.search(unquoted):
+        logger.warning("mapping TEXT type to STRING: %.80s", stmt)
+        out = _sub_outside_literals(_TEXT_TYPE, r"\g<pre>STRING", out)
     return out
 
 

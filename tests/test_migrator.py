@@ -217,6 +217,17 @@ def test_translate_maps_serial_to_type():
     assert "(id ," not in out.replace("  ", " ")
 
 
+def test_translate_text_only_in_type_position():
+    # a column literally named `text` must survive the TEXT→STRING rewrite
+    out = translate_statement("CREATE TABLE documents (text TEXT, n INT)")
+    assert "(text STRING" in out
+    # cast position is a type position too
+    out = translate_statement("CREATE TABLE t AS SELECT CAST(x AS TEXT) FROM s")
+    assert "AS STRING)" in out
+    # bare TEXT with no preceding identifier is left alone (not valid type DDL)
+    assert translate_statement("SELECT 1") == "SELECT 1"
+
+
 def test_split_statements_backslash_escaped_quote():
     stmts = split_statements(r"INSERT INTO t VALUES ('it\'s; done'); SELECT 1")
     assert len(stmts) == 2
