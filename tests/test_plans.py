@@ -67,6 +67,40 @@ def test_brute_force_cosine_broadcasts_query_row(spark):
     assert "TakeOrderedAndProject" in p
 
 
+def test_embedding_neardup_planning_is_action_free(spark):
+    """Regression: auto-sizing n_planes must come from Catalyst plan
+    statistics, not a count() action — at 100 TB a count during planning
+    is an extra full-table scan per call."""
+    from database_migrator_spark.operators.similarity import embedding_near_duplicates
+    from database_migrator_spark.sources import table
+
+    e = table(spark, SF_SMOKE, "embeddings")
+    tracker = spark.sparkContext._jsc.sc().statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    embedding_near_duplicates(e)  # plan construction only — no action
+    assert len(tracker.getJobIdsForGroup(None)) == before
+
+
+def test_ivf_indexed_query_broadcasts_probe_and_query(spark, tmp_path):
+    """The persisted-index IVF query must broadcast the tiny probe-cluster
+    and query-row sides (no shuffle of the vector table beyond the probe
+    join) and keep top-k a TakeOrderedAndProject."""
+    from database_migrator_spark.operators.similarity import ivf_fit, ivf_topk_indexed
+    from database_migrator_spark.sources import table
+
+    e = table(spark, SF_SMOKE, "embeddings")
+    idx = ivf_fit(e, str(tmp_path / "ivf"))
+    p = (
+        ivf_topk_indexed(spark, idx, query_vec_id=1, k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p
+
+
 def test_no_rdd_scans_anywhere(spark):
     """Every declared query must read through the parquet FileScan path
     (vectorized reader, pushdown-capable) — never an RDD scan. Exempt:
