@@ -2,20 +2,21 @@
 typed metadata, processed by Arrow-batched pandas functions over
 ``mapInPandas``.
 
-The container has no image/audio codecs, so the *decode* step is stubbed
-(`NotImplementedError` behind an import-try, plus a deterministic fake for
-tests) — but the Spark-side plumbing is real: schemas, binary columns,
-Arrow batch shapes, partition-preserving mapInPandas, and a hash-matched
-binary-column query (q36). At 100 TB the blobs live in parquet binary
-columns (or object-store pointers) and the decode UDF is the only part
-that changes.
+Two image paths:
+- REAL decode: 24-bit uncompressed BMP, parsed by a pure-Python decoder
+  (no codec library needed) — headers, stride padding, bottom-up row
+  order. Compressed formats (PNG/JPEG) route through Pillow when present.
+- Fake self-describing blobs (``b"IMG|<w>|<h>|<fmt>|" + payload``) for
+  the metadata/feature plumbing demos.
 
-Fake blob format (deterministic, self-describing):
-    b"IMG|<width>|<height>|<fmt>|" + payload bytes
+At 100 TB the blobs live in parquet binary columns (or object-store
+pointers) and the decode UDF is the only part that changes; everything
+here is partition-preserving mapInPandas over Arrow batches.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -73,15 +74,94 @@ def decode_image_metadata(images: DataFrame) -> DataFrame:
     return images.mapInPandas(parse, schema=IMAGE_META_SCHEMA)
 
 
-def decode_image_pixels(images: DataFrame) -> DataFrame:  # pragma: no cover
-    """Real pixel decode — requires an image codec, absent here by design."""
-    if not _HAS_PIL:
-        raise NotImplementedError(
-            "image decoding requires Pillow, which is not available in this "
-            "environment; the Arrow plumbing is exercised via "
-            "decode_image_metadata/extract_image_features instead"
-        )
-    raise NotImplementedError("PIL decode path not implemented in this round")
+# --- real BMP encode/decode (pure Python — BMP is uncompressed, so no
+# codec library is required; this is the REAL pixel path) -----------------
+
+_BMP_HEADER_BYTES = 14 + 40  # BITMAPFILEHEADER + BITMAPINFOHEADER
+
+
+def encode_bmp(width: int, height: int, row_bytes: list[bytes]) -> bytes:
+    """Serialize top-first BGR rows (``len == width*3`` each) into a valid
+    bottom-up 24-bit uncompressed BMP with 4-byte row stride padding."""
+    stride = (width * 3 + 3) // 4 * 4
+    pad = b"\x00" * (stride - width * 3)
+    pixels = b"".join(row_bytes[y] + pad for y in reversed(range(height)))
+    file_size = _BMP_HEADER_BYTES + len(pixels)
+    file_header = b"BM" + struct.pack("<IHHI", file_size, 0, 0, _BMP_HEADER_BYTES)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    return file_header + info_header + pixels
+
+
+def decode_bmp(blob: bytes) -> tuple[int, int, list[bytes]]:
+    """Parse a 24-bit uncompressed BMP; returns (width, height, rows) with
+    rows top-first and stride padding removed. Handles both bottom-up
+    (positive height — the common case) and top-down (negative) storage."""
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP (missing BM magic)")
+    (pix_off,) = struct.unpack_from("<I", blob, 10)
+    width, raw_height = struct.unpack_from("<ii", blob, 18)
+    _planes, bpp = struct.unpack_from("<HH", blob, 26)
+    (compression,) = struct.unpack_from("<I", blob, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24-bit uncompressed BMP supported, got bpp={bpp} comp={compression}")
+    top_down = raw_height < 0
+    height = abs(raw_height)
+    stride = (width * 3 + 3) // 4 * 4
+    rows = []
+    for r in range(height):
+        src = r if top_down else height - 1 - r
+        off = pix_off + src * stride
+        rows.append(blob[off : off + width * 3])
+    return width, height, rows
+
+
+BMP_DECODE_SCHEMA = (
+    "doc_id bigint, width bigint, height bigint, mean_pixel double, topleft_byte bigint"
+)
+
+
+def attach_bmp_image(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL (valid, decodable) 24-bit BMP per document:
+    width = doc_id%48+4, height = (doc_id*7)%32+4, every channel byte in
+    row y is (doc_id+y)%256 — closed forms an SQL oracle can recompute."""
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                w, h = d % 48 + 4, (d * 7) % 32 + 4
+                rows = [bytes([(d + y) % 256] * (w * 3)) for y in range(h)]
+                out.append((d, encode_bmp(w, h, rows)))
+            yield pd.DataFrame(out, columns=["doc_id", "image"])
+
+    return docs.select(id_col).mapInPandas(gen, schema="doc_id bigint, image binary")
+
+
+def decode_image_pixels(images: DataFrame, id_col: str = "doc_id",
+                        blob_col: str = "image") -> DataFrame:
+    """REAL pixel decode over mapInPandas: parse each BMP and reduce the
+    de-padded pixel array to (width, height, mean channel byte, top-left
+    byte — which lives at the END of a bottom-up pixel array, so a decoder
+    that forgets to flip rows fails the hash). Compressed formats would
+    route through Pillow; BMP needs nothing beyond struct."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                w, h, rows = decode_bmp(bytes(blob))
+                total = sum(sum(r) for r in rows)
+                mean = total / (w * h * 3)
+                out.append((int(doc_id), w, h, mean, rows[0][0]))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "width", "height", "mean_pixel", "topleft_byte"]
+            )
+
+    return images.mapInPandas(decode, schema=BMP_DECODE_SCHEMA)
 
 
 def extract_image_features(images: DataFrame) -> DataFrame:
@@ -159,3 +239,30 @@ def q36_binary_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q37_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return decode_image_metadata(attach_fake_image(d)).orderBy("doc_id")
+
+
+@query(
+    "q67_bmp_decode",
+    oracle="""
+    SELECT doc_id,
+           doc_id % 48 + 4                                   AS width,
+           (doc_id * 7) % 32 + 4                             AS height,
+           list_avg(list_transform(range(0, (doc_id * 7) % 32 + 4),
+                                   y -> CAST((doc_id + y) % 256 AS DOUBLE)))
+                                                             AS mean_pixel,
+           doc_id % 256                                      AS topleft_byte
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "bmp", "decode", "mapInPandas"),
+)
+def q67_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, hash-matched: synthesize a valid 24-bit BMP per
+    document (pixel bytes follow closed forms of doc_id), decode it with
+    the pure-Python parser — headers, stride padding, bottom-up row flip —
+    and hash-match width/height/mean-pixel/top-left byte against the
+    oracle recomputing the closed forms arithmetically. The top-left byte
+    sits at the END of a bottom-up BMP pixel array, so a decoder that
+    skips the row flip (or mis-strides the padding) fails the hash."""
+    d = table(spark, sf_dir, "documents")
+    return decode_image_pixels(attach_bmp_image(d)).orderBy("doc_id")

@@ -1,5 +1,5 @@
 """Multimodal plumbing: binary column synthesis, mapInPandas metadata
-decode, Arrow-batched feature extraction, and the explicit decode stub."""
+decode, Arrow-batched feature extraction, and the real BMP codec."""
 
 from __future__ import annotations
 
@@ -62,6 +62,52 @@ def test_frame_sampling_fanout(spark, docs):
         assert all(len(bytes(f.frame_bytes)) <= 64 for f in fs)
 
 
-def test_decode_pixels_is_explicit_stub(spark, docs):
-    with pytest.raises(NotImplementedError, match="Pillow"):
-        decode_image_pixels(attach_fake_image(docs))
+def test_bmp_roundtrip_pure_python():
+    from database_migrator_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    # width 5 → row bytes 15 → stride pads to 16: exercises padding
+    rows = [bytes(range(y, y + 15)) for y in range(4)]
+    blob = encode_bmp(5, 4, rows)
+    assert blob[:2] == b"BM"
+    w, h, out = decode_bmp(blob)
+    assert (w, h) == (5, 4)
+    assert out == rows  # top-first order restored from bottom-up storage
+
+
+def test_bmp_decoder_handles_top_down():
+    import struct
+
+    from database_migrator_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    rows = [bytes([y] * 9) for y in range(3)]
+    blob = bytearray(encode_bmp(3, 3, rows))
+    # rewrite as top-down: negate height, reorder rows accordingly
+    blob[22:26] = struct.pack("<i", -3)
+    stride = 12
+    pix = bytearray()
+    for y in range(3):
+        pix += rows[y] + b"\x00" * (stride - 9)
+    blob[54:] = pix
+    w, h, out = decode_bmp(bytes(blob))
+    assert (w, h) == (3, 3) and out == rows
+
+
+def test_bmp_decoder_rejects_non_bmp():
+    from database_migrator_spark.operators.multimodal import decode_bmp
+
+    with pytest.raises(ValueError, match="BM magic"):
+        decode_bmp(b"IMG|1|1|RGB8|xx")
+
+
+def test_decode_pixels_real_bmp_path(spark, docs):
+    from database_migrator_spark.operators.multimodal import attach_bmp_image
+
+    out = decode_image_pixels(attach_bmp_image(docs)).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        d = r.doc_id
+        assert r.width == d % 48 + 4
+        assert r.height == (d * 7) % 32 + 4
+        assert r.topleft_byte == d % 256  # row flip verified
+        expected_mean = sum((d + y) % 256 for y in range(r.height)) / r.height
+        assert abs(r.mean_pixel - expected_mean) < 1e-12
