@@ -63,6 +63,7 @@ def all_queries() -> dict[str, DeclaredQuery]:
     from database_migrator_spark.operators import (  # noqa: F401
         dedup,
         etl,
+        jdbcops,
         multimodal,
         relational,
         relational_ext,
