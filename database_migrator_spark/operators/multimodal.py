@@ -125,8 +125,14 @@ BMP_DECODE_SCHEMA = (
 def attach_bmp_image(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Synthesize a REAL (valid, decodable) 24-bit BMP per document:
     width = doc_id%48+4, height = (doc_id*7)%32+4, every channel byte in
-    row y is (doc_id+y)%256 — closed forms an SQL oracle can recompute."""
-    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    row y is (doc_id+y)%256 — closed forms an SQL oracle can recompute.
+
+    Partitioning: capped at 16 — the chained generate→decode pipeline runs
+    TWO Python workers per partition, and at test scale worker spin-up
+    dominates the (tiny) per-row work. At 100 TB the table arrives in many
+    partitions already and the repartition is a no-op passthrough."""
+    par = min(16, docs.sparkSession.sparkContext.defaultParallelism)
+    docs = docs.repartition(par)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

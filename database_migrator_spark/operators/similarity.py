@@ -209,8 +209,10 @@ def embedding_near_duplicates(
         # callers wanting one must pass n_planes themselves.
         import math
 
+        # ~16 vectors/bucket: measured faster than 32 (verify cost scales
+        # with bucket², so smaller buckets beat fewer probes)
         n = _estimated_rows(embeddings, assumed_row_bytes=_DIM * 4)
-        n_planes = min(16, max(4, round(math.log2(max(n, 64) / 32))))
+        n_planes = min(16, max(4, round(math.log2(max(n, 32) / 16))))
     planes = _hyperplanes(n_planes)
     b = embeddings.select(
         F.col(id_col).alias("id"),

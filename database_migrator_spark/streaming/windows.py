@@ -32,7 +32,7 @@ from database_migrator_spark.sources import table
 
 
 def run_stream_to_table(
-    df: DataFrame, mode: str = "complete", state_partitions: int = 8
+    df: DataFrame, mode: str = "complete", state_partitions: int = 4
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion into a memory sink and
     return the materialized batch result.
@@ -41,9 +41,10 @@ def run_stream_to_table(
     stream: every micro-batch commits one state store per shuffle
     partition, so 32 partitions on a small local stream spend more time in
     store commits than in data (measured 16.2s → 3.5s on the sf0.1
-    stream-stream join going 32 → 8). A real cluster sizes this to key
-    cardinality/throughput instead. The session's shuffle setting is
-    restored afterwards — a stream latches its partitioning at start."""
+    stream-stream join going 32 → 8, → 2.3s warm at 4; 2 is no better).
+    A real cluster sizes this to key cardinality/throughput instead. The
+    session's shuffle setting is restored afterwards — a stream latches
+    its partitioning at start."""
     spark = df.sparkSession
     name = f"stream_out_{uuid.uuid4().hex[:12]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
