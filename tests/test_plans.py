@@ -67,6 +67,35 @@ def test_brute_force_cosine_broadcasts_query_row(spark):
     assert "TakeOrderedAndProject" in p
 
 
+def test_range_join_is_equi_hash_not_theta(spark):
+    """The bucketized range join must plan as an equi hash join on
+    (key, cell) — never a quadratic theta join (cartesian / broadcast
+    nested loop), which is what a naive inequality join degrades to."""
+    p = plan_of(spark, "q52_range_join_followup_events")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "HashJoin" in p or "SortMergeJoin" in p
+    # partial + final aggregation for the follow-up count
+    assert p.count("HashAggregate") == 2
+
+
+def test_scd2_merge_hash_joins_and_union(spark):
+    """SCD2 emulation: one union of the open/closed/new/insert branches,
+    all joins hash-based on the business key — no nested-loop fallback."""
+    p = plan_of(spark, "q60_scd2_merge")
+    assert "Union" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "HashJoin" in p
+
+
+def test_exceptall_uses_replicate_rows_not_join(spark):
+    """EXCEPT ALL plans as the replicate-rows Generate + aggregate
+    rewrite (linear, one shuffle) — not as any join."""
+    p = plan_of(spark, "q64_exceptall_bag_semantics")
+    assert "Generate" in p
+    assert "Join" not in p
+    assert p.count("HashAggregate") == 2
+
+
 def test_embedding_neardup_planning_is_action_free(spark):
     """Regression: auto-sizing n_planes must come from Catalyst plan
     statistics, not a count() action — at 100 TB a count during planning

@@ -84,6 +84,61 @@ def test_spark_expression_key_matches_python_key(spark):
     assert all(a <= b for a, b in zip(py_keys, py_keys[1:]))
 
 
+@given(_name, _name)
+@settings(max_examples=200, deadline=None)
+def test_sort_ties_break_alphabetically_on_suffix(prefix_digits, _unused):
+    """Reference tie history (Changes:41-43): equal numeric prefixes must
+    order by the alphabetic remainder, not file-system order."""
+    digits = "".join(c for c in prefix_digits if c.isdigit()) or "7"
+    names = [f"{digits}-b", f"{digits}-a", f"{digits}-c"]
+    ordered = sorted(names, key=numeric_or_alpha_key)
+    assert ordered == [f"{digits}-a", f"{digits}-b", f"{digits}-c"]
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10**12), min_size=2, max_size=20))
+@settings(max_examples=200, deadline=None)
+def test_all_digit_names_sort_numerically(nums):
+    """Documented divergence: all-digit names ('2' vs '10') sort by value
+    here, where the reference's ^(\\d+)(.+) degrades them to unordered
+    (0, '') ties — our order is a deterministic refinement."""
+    names = [str(n) for n in nums]
+    ordered = sorted(names, key=numeric_or_alpha_key)
+    assert [int(n) for n in ordered] == sorted(nums)
+
+
+_fname = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd"), whitelist_characters="-_."),
+    min_size=1,
+    max_size=15,
+).filter(lambda s: "/" not in s and s not in (".", ".."))
+
+
+@given(_fname, st.sampled_from(["", ".sql", ".sql.bak", ".sqlx", ".py", ".SQL"]))
+@settings(max_examples=200, deadline=None)
+def test_dispatch_anchored_vs_legacy_quirk(tmp_path_factory, stem, suffix):
+    """Dispatch (Core.pm:176-203): default mode runs ONLY *.sql as SQL;
+    the legacy flag reproduces the reference's unanchored /\\.sql/ match,
+    under which any name merely CONTAINING '.sql' (foo.sql.bak) runs as
+    SQL. Both modes must agree with their respective string rules for
+    arbitrary generated names."""
+    import os
+
+    from database_migrator_spark.migrator.model import FileKind, classify_file
+
+    d = tmp_path_factory.mktemp("disp")
+    base = stem + suffix
+    p = d / base
+    p.write_text("-- x")
+    os.chmod(p, 0o644)  # not executable → SQL or CODE only
+    anchored = classify_file(str(p), legacy_sql_match=False)
+    legacy = classify_file(str(p), legacy_sql_match=True)
+    assert (anchored is FileKind.SQL) == base.endswith(".sql")
+    assert (legacy is FileKind.SQL) == (".sql" in base)
+    # the quirk only ever widens the SQL set, never shrinks it
+    if anchored is FileKind.SQL:
+        assert legacy is FileKind.SQL
+
+
 @given(
     st.lists(
         st.decimals(
