@@ -13,11 +13,23 @@ Usage (see tests/test_migrator_harness.py for both built-in backends)::
 
 from __future__ import annotations
 
+import os
 import stat
+import sys
 from collections.abc import Callable
 from pathlib import Path
 
 from .core import MigrationError, Migrator
+
+
+def wait_before_cleanup() -> None:
+    """Debug hook mirroring the reference's DATABASE_MIGRATOR_TEST_WAIT
+    (Test/Database/Migrator.pm:340-353): when the env var is set, pause on
+    stdin before the harness tears the test database down so a human can
+    inspect it. No-op otherwise (and when stdin isn't a tty — CI safe)."""
+    if os.environ.get("DATABASE_MIGRATOR_TEST_WAIT") and sys.stdin.isatty():
+        print("\n  Waiting to clean up the test database\n")
+        sys.stdin.readline()
 
 SCHEMA_SQL = """
 CREATE TABLE applied_migration (
@@ -117,3 +129,7 @@ class MigratorHarness:
         except MigrationError as e:
             assert "Use of uninitialized" in str(e)
         assert applied_names(m4) == ["01-first", "02-second", "03-third"]
+
+        # inspect-pause before any caller-side teardown
+        # (Test/Database/Migrator.pm:340-353)
+        wait_before_cleanup()

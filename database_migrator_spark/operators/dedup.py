@@ -135,14 +135,16 @@ def minhash_near_duplicates(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(tokens_of(text_col))).alias("toks"),
         minhash_signature(word_shingles(tokens_of(text_col)), num_hashes).alias("sig"),
-    )
+    ).withColumn("n_sh", F.size("toks"))
     # both sides of the candidate self-join read the sketches — materialize
     # them ONCE at doc granularity (checkpointing after the 16-band explode
     # would store each shingle array 16×)
     toks = toks.localCheckpoint(eager=True)
     banded = toks.select(
-        "id", "toks", F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("b")
-    ).select("id", "toks", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+        "id", "toks", "n_sh", F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("b")
+    ).select(
+        "id", "toks", "n_sh", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
     # cap pathological buckets before the self-join
     from pyspark.sql import Window
 
@@ -150,14 +152,24 @@ def minhash_near_duplicates(
         "bucket_n", F.count("*").over(Window.partitionBy("band", "bh"))
     ).where(F.col("bucket_n") <= max_bucket)
     left = banded.select(
-        F.col("band"), F.col("bh"), F.col("id").alias("a_id"), F.col("toks").alias("a_toks")
+        F.col("band"), F.col("bh"), F.col("id").alias("a_id"),
+        F.col("toks").alias("a_toks"), F.col("n_sh").alias("a_n"),
     )
     right = banded.select(
-        F.col("band"), F.col("bh"), F.col("id").alias("b_id"), F.col("toks").alias("b_toks")
+        F.col("band"), F.col("bh"), F.col("id").alias("b_id"),
+        F.col("toks").alias("b_toks"), F.col("n_sh").alias("b_n"),
     )
     cand = (
         left.join(right, ["band", "bh"])
         .where(F.col("a_id") < F.col("b_id"))
+        # sound size-ratio prune BEFORE the expensive intersect: Jaccard is
+        # ≤ min(|A|,|B|)/max(|A|,|B|) always (|∩| ≤ min, |∪| ≥ max), so a
+        # pair failing the bound cannot pass the threshold — a codegen'd
+        # integer compare kills most accidental band collisions for free
+        .where(
+            F.least("a_n", "b_n").cast("double")
+            >= F.lit(threshold) * F.greatest("a_n", "b_n").cast("double")
+        )
         .select("a_id", "b_id", "a_toks", "b_toks")
         .dropDuplicates(["a_id", "b_id"])
     )

@@ -122,6 +122,96 @@ BMP_DECODE_SCHEMA = (
 )
 
 
+# --- real WAV/PCM encode/decode (pure Python — PCM is uncompressed; the
+# audio analogue of the BMP path) -----------------------------------------
+
+
+def encode_wav(sample_rate: int, samples: list[int]) -> bytes:
+    """Serialize mono 16-bit PCM samples into a valid RIFF/WAVE file."""
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def decode_wav(blob: bytes) -> tuple[int, list[int]]:
+    """Parse a mono 16-bit PCM RIFF/WAVE file by walking its chunks;
+    returns (sample_rate, samples). Chunks other than fmt/data (e.g. LIST
+    metadata) are skipped, as the spec requires."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    sample_rate = None
+    samples: list[int] | None = None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", blob, pos + 4)
+        body = blob[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, sample_rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError(
+                    f"only mono 16-bit PCM supported, got fmt={audio_fmt} ch={channels} bits={bits}"
+                )
+        elif cid == b"data":
+            samples = [s[0] for s in struct.iter_unpack("<h", body)]
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if sample_rate is None or samples is None:
+        raise ValueError("missing fmt or data chunk")
+    return sample_rate, samples
+
+
+WAV_DECODE_SCHEMA = (
+    "doc_id bigint, sample_rate bigint, n_samples bigint, "
+    "mean_abs double, first_sample bigint"
+)
+
+
+def attach_wav_audio(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL (valid, decodable) mono 16-bit PCM WAV per doc:
+    rate = 8000 + (doc_id%8)*1000, n = doc_id%256+16 samples, sample i =
+    ((doc_id*31 + i*7) % 4096) - 2048 — closed forms an oracle recomputes."""
+    par = min(16, docs.sparkSession.sparkContext.defaultParallelism)
+    docs = docs.repartition(par)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                n = d % 256 + 16
+                samples = [((d * 31 + i * 7) % 4096) - 2048 for i in range(n)]
+                out.append((d, encode_wav(8000 + (d % 8) * 1000, samples)))
+            yield pd.DataFrame(out, columns=["doc_id", "audio"])
+
+    return docs.select(id_col).mapInPandas(gen, schema="doc_id bigint, audio binary")
+
+
+def decode_audio_features(audios: DataFrame, id_col: str = "doc_id",
+                          blob_col: str = "audio") -> DataFrame:
+    """REAL audio decode over mapInPandas: walk the RIFF chunks, parse the
+    fmt header and PCM samples, reduce to (rate, count, mean |amplitude|,
+    first sample) — the feature-extraction shape a real audio encoder UDF
+    uses, minus the model."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                rate, samples = decode_wav(bytes(blob))
+                mean_abs = sum(abs(s) for s in samples) / len(samples)
+                out.append((int(doc_id), rate, len(samples), mean_abs, samples[0]))
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "sample_rate", "n_samples", "mean_abs", "first_sample"],
+            )
+
+    return audios.mapInPandas(decode, schema=WAV_DECODE_SCHEMA)
+
+
 def attach_bmp_image(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Synthesize a REAL (valid, decodable) 24-bit BMP per document:
     width = doc_id%48+4, height = (doc_id*7)%32+4, every channel byte in
@@ -272,3 +362,28 @@ def q67_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     skips the row flip (or mis-strides the padding) fails the hash."""
     d = table(spark, sf_dir, "documents")
     return decode_image_pixels(attach_bmp_image(d)).orderBy("doc_id")
+
+
+@query(
+    "q69_wav_decode",
+    oracle="""
+    SELECT doc_id,
+           8000 + (doc_id % 8) * 1000                        AS sample_rate,
+           doc_id % 256 + 16                                 AS n_samples,
+           list_avg(list_transform(range(0, doc_id % 256 + 16),
+                    i -> CAST(abs((doc_id * 31 + i * 7) % 4096 - 2048) AS DOUBLE)))
+                                                             AS mean_abs,
+           (doc_id * 31) % 4096 - 2048                       AS first_sample
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "wav", "audio", "decode", "mapInPandas"),
+)
+def q69_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, hash-matched: synthesize a valid mono 16-bit PCM
+    WAV per document (samples follow closed forms of doc_id), decode it by
+    walking the RIFF chunks — fmt header, word-aligned chunk sizes,
+    little-endian int16 data — and hash-match rate/count/mean-|amplitude|/
+    first-sample against the oracle recomputing the closed forms."""
+    d = table(spark, sf_dir, "documents")
+    return decode_audio_features(attach_wav_audio(d)).orderBy("doc_id")

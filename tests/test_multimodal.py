@@ -99,6 +99,55 @@ def test_bmp_decoder_rejects_non_bmp():
         decode_bmp(b"IMG|1|1|RGB8|xx")
 
 
+def test_wav_roundtrip_pure_python():
+    from database_migrator_spark.operators.multimodal import decode_wav, encode_wav
+
+    samples = [0, 100, -100, 2047, -2048, 7]
+    blob = encode_wav(16000, samples)
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+    rate, out = decode_wav(blob)
+    assert rate == 16000 and out == samples
+
+
+def test_wav_decoder_skips_unknown_chunks():
+    import struct
+
+    from database_migrator_spark.operators.multimodal import decode_wav, encode_wav
+
+    blob = bytearray(encode_wav(8000, [1, -2, 3]))
+    # splice a LIST metadata chunk (odd size → word-aligned padding) in
+    # front of the fmt chunk; a spec-correct decoder walks past it
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = bytes(blob[:12]) + extra + bytes(blob[12:])
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    rate, out = decode_wav(spliced)
+    assert rate == 8000 and out == [1, -2, 3]
+
+
+def test_wav_decoder_rejects_non_wav():
+    from database_migrator_spark.operators.multimodal import decode_wav
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"BM" + b"\x00" * 60)
+
+
+def test_decode_audio_features_real_wav_path(spark, docs):
+    from database_migrator_spark.operators.multimodal import (
+        attach_wav_audio,
+        decode_audio_features,
+    )
+
+    out = decode_audio_features(attach_wav_audio(docs)).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        d = r.doc_id
+        assert r.sample_rate == 8000 + (d % 8) * 1000
+        assert r.n_samples == d % 256 + 16
+        assert r.first_sample == (d * 31) % 4096 - 2048
+        expected = sum(abs((d * 31 + i * 7) % 4096 - 2048) for i in range(r.n_samples)) / r.n_samples
+        assert abs(r.mean_abs - expected) < 1e-12
+
+
 def test_decode_pixels_real_bmp_path(spark, docs):
     from database_migrator_spark.operators.multimodal import attach_bmp_image
 
