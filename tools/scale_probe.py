@@ -41,6 +41,13 @@ PROBE_QUERIES = [
     "q29_simhash_near_duplicates",
     "q34_cosine_topk",
     "q52_range_join_followup_events",
+    # full dedup/similarity family (round 2): text tiers + embedding tier
+    "q45_embedding_near_duplicates",
+    "q53_ivf_topk",
+    "q54_char_ngram_jaccard",
+    "q58_exact_text_dedup",
+    "q66_minhash_verified_pairs",
+    "q67_bmp_decode",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
@@ -73,6 +80,11 @@ def synthesize(spark, out_dir: str) -> None:
 
 
 def run(spark, sf_dir: str) -> dict[str, float]:
+    # index fits are ingest-time work — warm them so q53 times the QUERY,
+    # mirroring bench.py
+    from database_migrator_spark.operators.similarity import _ivf_index_cached
+
+    _ivf_index_cached(spark, sf_dir)
     qs = all_queries()
     out = {}
     for name in PROBE_QUERIES:
@@ -80,6 +92,38 @@ def run(spark, sf_dir: str) -> dict[str, float]:
         qs[name].build(spark, sf_dir).write.format("noop").mode("overwrite").save()
         out[name] = round(time.perf_counter() - t0, 2)
     return out
+
+
+def bucket_cap_stats(spark, sf_dir: str, max_bucket: int = 1000) -> dict:
+    """How hard does the MinHash bucket cap work at this scale? Reports
+    total band-buckets, buckets over the cap (dropped), and the largest
+    bucket — the observability the 100 TB run needs to tune (bands, cap)."""
+    from database_migrator_spark.operators.dedup import (
+        lsh_bands,
+        minhash_signature,
+        tokens_of,
+        word_shingles,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    banded = (
+        d.repartition(spark.sparkContext.defaultParallelism)
+        .select(minhash_signature(word_shingles(tokens_of("text")), 64).alias("sig"))
+        .select(F.explode(lsh_bands(F.col("sig"), 16, 4)).alias("b"))
+        .groupBy("b.band", "b.bh")
+        .agg(F.count("*").alias("n"))
+    )
+    row = banded.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum((F.col("n") > max_bucket).cast("long")).alias("n_capped"),
+        F.max("n").alias("max_bucket_size"),
+    ).first()
+    return {
+        "n_buckets": row["n_buckets"],
+        "n_capped_dropped": row["n_capped"],
+        "max_bucket_size": row["max_bucket_size"],
+        "cap": max_bucket,
+    }
 
 
 def main() -> None:
@@ -96,6 +140,10 @@ def main() -> None:
             q: {"sf0.1": base[q], "sf1": big[q],
                 "ratio": round(big[q] / base[q], 1) if base[q] > 0 else None}
             for q in PROBE_QUERIES
+        }
+        report["minhash_bucket_cap"] = {
+            "sf0.1": bucket_cap_stats(spark, SRC_SF),
+            "sf1": bucket_cap_stats(spark, tmp),
         }
         print(json.dumps(report, indent=2))
     finally:
