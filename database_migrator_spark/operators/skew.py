@@ -14,8 +14,11 @@ q19's deterministic sampling.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from database_migrator_spark.plans.registry import query
+from database_migrator_spark.sources import table
 
 
 def salted_join(
@@ -44,3 +47,40 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i).cast("long") for i in range(n_salts)]))
     )
     return salted_big.join(exploded_small, [key, "__salt"], how).drop("__salt")
+
+
+@query(
+    "q70_salted_skew_join",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*)                                        AS n_events,
+           SUM(CAST(ROUND(e.value * 100) AS BIGINT)) / 100.0 AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY segment
+    """,
+    tags=("skew", "salted-join", "join"),
+)
+def q70_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact→dim join hash-matched against the plain join: events
+    concentrate 10k rows on 150 user keys (hot keys by construction), so
+    the hot side is salted 16 ways and the dim replicated per salt —
+    spreading each hot key over 16 tasks. Salting is exact (same rows,
+    same aggregates), which is why the oracle is simply the unsalted
+    join + GROUP BY."""
+    e = table(spark, sf_dir, "events").select("user_id", "value", "event_id")
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    j = salted_join(e, c, key="user_id", n_salts=16, salt_by="event_id")
+    return (
+        j.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0).alias(
+                "total_value"
+            ),
+        )
+        .orderBy("segment")
+    )

@@ -69,10 +69,11 @@ def all_queries() -> dict[str, DeclaredQuery]:
         relational_ext,
         semistructured,
         similarity,
+        skew,
         temporal,
         textops,
         udfs,
     )
-    from database_migrator_spark.streaming import joins, windows  # noqa: F401
+    from database_migrator_spark.streaming import joins, stateful, windows  # noqa: F401
 
     return dict(sorted(_REGISTRY.items()))

@@ -16,8 +16,11 @@ from typing import Any
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from database_migrator_spark.plans.registry import query
 
 RUNNING_COUNT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
 _STATE_SCHEMA = "n bigint, total_cents bigint"
@@ -48,6 +51,40 @@ def running_user_totals(events_stream: DataFrame) -> DataFrame:
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@query(
+    "q71_stateful_running_totals",
+    oracle="""
+    SELECT user_id,
+           COUNT(*)                                        AS n_events,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("streaming", "stateful", "applyInPandasWithState", "E18"),
+)
+def q71_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState hash-matched: run the custom per-key state
+    machine as a real streaming query, then reduce the update-mode output
+    to each key's FINAL state (counts are strictly monotone per key, so
+    max_by(n_events) is batch-split-invariant) — which must equal the
+    batch GROUP BY. Exact-cents totals keep the sum engine-independent."""
+    from database_migrator_spark.sources import events_stream
+    from database_migrator_spark.streaming.windows import run_stream_to_table
+
+    out = run_stream_to_table(
+        running_user_totals(events_stream(spark, sf_dir)), mode="update"
+    )
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+        )
+        .orderBy("user_id")
     )
 
 
