@@ -130,6 +130,43 @@ def test_ivf_indexed_query_broadcasts_probe_and_query(spark, tmp_path):
     assert "SortMergeJoin" not in p
 
 
+def test_bucketed_join_skips_shuffle(spark):
+    """Two tables bucketed on the join key with equal bucket counts must
+    join with NO hash-partitioning exchange — the co-location contract
+    that makes repeated 100 TB fact-fact joins affordable."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from database_migrator_spark.sources import table
+    from database_migrator_spark.sources.sink import write_bucketed_table
+
+    sfx = uuid.uuid4().hex[:8]
+    ta, tb = f"b_orders_{sfx}", f"b_lineitem_{sfx}"
+    write_bucketed_table(
+        table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey"),
+        ta, "o_orderkey", 8,
+    )
+    write_bucketed_table(
+        table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity"),
+        tb, "l_orderkey", 8,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table(ta).join(
+            spark.table(tb), F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in p, "bucket co-location lost"
+        assert "SortMergeJoin" in p
+        assert "SelectedBucketsCount" in p or "Bucketed: true" in p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
 def test_no_rdd_scans_anywhere(spark):
     """Every declared query must read through the parquet FileScan path
     (vectorized reader, pushdown-capable) — never an RDD scan. Exempt:
