@@ -257,6 +257,47 @@ def simhash_near_duplicates(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    rounds: int = 6,
+) -> DataFrame:
+    """Connected components over an undirected edge set by min-label
+    propagation — the CLUSTERING step every dedup pipeline runs after
+    pair generation (pairs → groups → keep one canonical doc per group).
+
+    Each round every node takes the min label among itself and its
+    neighbors, so labels converge in ``diameter`` rounds; near-dup
+    clusters are near-cliques (diameter ≤ 2-3), and ``rounds=6`` covers
+    diameter-6 chains. The whole computation is a LAZY plan — ``rounds``
+    joins + aggregations, no driver-side iteration actions; each round is
+    one shuffle on node id. At 100 TB you'd checkpoint every few rounds
+    and add large-star/small-star alternation for log-diameter
+    convergence; the per-round plan is identical.
+
+    Returns (id, component) where component = min node id reachable.
+    """
+    sym = edges.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionByName(
+        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    sym = sym.localCheckpoint(eager=False)  # reused every round
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    )
+    for _ in range(rounds):
+        nbr = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .select(F.col("src").alias("id"), F.col("label"))
+        )
+        labels = (
+            labels.unionByName(nbr).groupBy("id").agg(F.min("label").alias("label"))
+        )
+    return labels.select("id", F.col("label").alias("component"))
+
+
 # ---------------------------------------------------------------------------
 # Declared queries
 # ---------------------------------------------------------------------------
@@ -430,6 +471,56 @@ def q66_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_duplicates(
         d, num_hashes=64, bands=32, threshold=0.6
     ).orderBy("a_id", "b_id")
+
+
+@query(
+    "q72_neardup_components",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           t -> len(t) > 0) AS t
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                    THEN list_distinct(list_transform(
+                             generate_series(1, len(t) - 2),
+                             i -> array_to_string(t[i:i+2], ' ')))
+                    ELSE [array_to_string(t, ' ')]
+               END AS s
+        FROM toks
+    ), pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.6
+    ), edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION ALL
+        SELECT b_id AS src, a_id AS dst FROM pairs
+    ), reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS id, LEAST(src, MIN(dst)) AS component
+    FROM reach
+    GROUP BY src
+    ORDER BY id
+    """,
+    tags=("dedup", "clustering", "components", "E15"),
+)
+def q72_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup CLUSTERING, hash-matched end-to-end: verified near-dup pairs
+    (the q66 high-recall LSH pipeline) grouped into connected components
+    by lazy min-label propagation — the step that turns pair lists into
+    'keep one canonical doc per group'. The oracle recomputes components
+    as a recursive-CTE transitive closure over the brute-force pair set,
+    so both the pair generation AND the clustering are hash-verified."""
+    d = table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(d, num_hashes=64, bands=32, threshold=0.6)
+    return connected_components(pairs).orderBy("id")
 
 
 @query(

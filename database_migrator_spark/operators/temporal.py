@@ -156,3 +156,151 @@ def q24_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+def resample_ffill(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: Column,
+    step: str = "1 hour",
+) -> DataFrame:
+    """Resample per-key event data onto a regular time grid with forward
+    fill — the gap-filling operator time-series engines ship natively.
+
+    Grid generation is sequence()+explode bounded per key by its own
+    [min, max] bucket (never a global cross join); the fill is one
+    last(ignorenulls) window over the grid — one shuffle on key for the
+    aggregate, one for the window. Grid size is (span/step) rows per key,
+    independent of event count, so sparse-but-long keys dominate cost —
+    cap spans upstream at 100 TB.
+
+    Returns (key, bucket_ts, value) with NULLs forward-filled.
+    """
+    bucket = F.date_trunc("hour", F.col(ts_col))  # step grid is epoch-aligned
+    hourly = (
+        df.groupBy(F.col(key), bucket.alias("__h"))
+        .agg(value_col.alias("__v"))
+    )
+    span = hourly.groupBy(key).agg(F.min("__h").alias("__h0"), F.max("__h").alias("__h1"))
+    grid = span.select(
+        key,
+        F.explode(F.sequence("__h0", "__h1", F.expr(f"INTERVAL {step}"))).alias("__h"),
+    )
+    joined = grid.join(hourly, [key, "__h"], "left")
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        F.col(key),
+        F.col("__h").alias("bucket_ts"),
+        F.last("__v", ignorenulls=True).over(w).alias("value"),
+    )
+
+
+@query(
+    "q73_resample_ffill",
+    oracle="""
+    WITH hourly AS (
+        SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS h,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS v
+        FROM events GROUP BY 1, 2
+    ), span AS (
+        SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY user_id
+    ), grid AS (
+        SELECT s.user_id, unnest(generate_series(s.h0, s.h1, INTERVAL '1 hour')) AS h
+        FROM span s
+    )
+    SELECT g.user_id,
+           strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour,
+           last_value(hr.v IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+    FROM grid g LEFT JOIN hourly hr ON hr.user_id = g.user_id AND hr.h = g.h
+    ORDER BY g.user_id, hour
+    """,
+    tags=("temporal", "resample", "gap-fill"),
+)
+def q73_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample of each user's event value (exact-cents sums) onto
+    a gap-free per-key grid with forward fill, hash-matched against the
+    generate_series + IGNORE NULLS window oracle."""
+    from database_migrator_spark.functions.exact import to_cents
+
+    e = table(spark, sf_dir, "events")
+    out = resample_ffill(
+        e, key="user_id", ts_col="ts",
+        value_col=(F.sum(to_cents("value")) / 100.0),
+    )
+    return out.select(
+        "user_id",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "value",
+    ).orderBy("user_id", "hour")
+
+
+@query(
+    "q74_funnel_stages",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        FROM events GROUP BY user_id
+    ), c AS (
+        SELECT p.user_id, p.t_view,
+               MIN(CASE WHEN e.event_type = 'click' AND e.ts > p.t_view
+                        THEN e.ts END) AS t_click
+        FROM per_user p JOIN events e USING (user_id)
+        GROUP BY p.user_id, p.t_view
+    ), pu AS (
+        SELECT c.user_id, c.t_view, c.t_click,
+               MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > c.t_click
+                        THEN e.ts END) AS t_purchase
+        FROM c JOIN events e USING (user_id)
+        GROUP BY c.user_id, c.t_view, c.t_click
+    )
+    SELECT COUNT(t_view)     AS n_view,
+           COUNT(t_click)    AS n_view_then_click,
+           COUNT(t_purchase) AS n_full_funnel
+    FROM pu
+    """,
+    tags=("temporal", "funnel", "sequence"),
+)
+def q74_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (view → click → purchase): how many users
+    reach each stage IN ORDER. One shuffle total: three chained window
+    mins over the same user partition (Spark reuses the partitioning —
+    no orderBy needed, so no sorts), then a global conditional count.
+    The oracle computes the same stage times via per-stage re-aggregation
+    joins. Event timestamps are exact, so stage times hash-match."""
+    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    e = e.withColumn(
+        "t_view", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    e = e.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    e = e.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = e.select("user_id", "t_view", "t_click", "t_purchase").distinct()
+    return per_user.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_view_then_click"),
+        F.count("t_purchase").alias("n_full_funnel"),
+    )

@@ -314,3 +314,61 @@ def q33_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", rolling_fingerprint("text").alias("fingerprint")).orderBy(
         "doc_id"
     )
+
+
+@query(
+    "q75_tfidf_top_terms",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  t -> len(t) > 0)) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ), df AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ), n AS (
+        SELECT COUNT(*) AS n_docs FROM documents
+    )
+    SELECT doc_id, term, tf, tfidf FROM (
+        SELECT t.doc_id, t.term, t.tf,
+               t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df) AS tfidf
+        FROM tf t JOIN df d USING (term), n
+    )
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) <= 3
+    ORDER BY doc_id, tfidf DESC, term
+    """,
+    tags=("text", "tfidf", "ranking"),
+)
+def q75_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms — the scoring step of keyword
+    extraction / quality filtering. Shape at scale: one shuffle for the
+    (doc, term) term frequencies; the document-frequency table and the
+    single-row corpus count are derived aggregates joined back by
+    BROADCAST (term vocabulary ≪ corpus), so the big side never shuffles
+    again; top-3 is a bounded row_number window per doc. tf/df/N are
+    exact ints in both engines, making tf·ln(N/df) hash-stable."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens_of("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 3)
+        .select("doc_id", "term", "tf", "tfidf")
+        .orderBy("doc_id", F.col("tfidf").desc(), "term")
+    )

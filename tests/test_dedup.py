@@ -80,3 +80,23 @@ def test_simhash_crafted_near_duplicates(spark):
     assert (1, 2) in by_pair
     if (1, 3) in by_pair:
         assert by_pair[(1, 3)] > by_pair[(1, 2)]
+
+
+def test_connected_components_chain_star_and_islands(spark):
+    from database_migrator_spark.operators.dedup import connected_components
+
+    edges = [
+        # chain 1-2-3-4-5-6-7: diameter 6, the rounds=6 design limit
+        (1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7),
+        # star centered at 20
+        (20, 21), (20, 22), (20, 23),
+        # isolated pair
+        (30, 31),
+    ]
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    got = {r.id: r.component for r in connected_components(df).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 7: 1,
+        20: 20, 21: 20, 22: 20, 23: 20,
+        30: 30, 31: 30,
+    }
