@@ -509,7 +509,7 @@ def q66_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY src
     ORDER BY id
     """,
-    tags=("dedup", "clustering", "components", "E15"),
+    tags=("dedup", "clustering", "components", "minhash", "E15"),
 )
 def q72_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup CLUSTERING, hash-matched end-to-end: verified near-dup pairs

@@ -304,3 +304,55 @@ def q74_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t_click").alias("n_view_then_click"),
         F.count("t_purchase").alias("n_full_funnel"),
     )
+
+
+@query(
+    "q76_moving_average_range_frame",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderpriority AS priority,
+               CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+                   AS day_num,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS day_cents
+        FROM orders
+        GROUP BY 1, 2
+    )
+    SELECT priority, day_num,
+           SUM(day_cents) OVER w / (100.0 * COUNT(*) OVER w) AS avg_7d
+    FROM daily
+    WINDOW w AS (PARTITION BY priority ORDER BY day_num
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY priority, day_num
+    """,
+    tags=("temporal", "window", "range-frame", "E6"),
+)
+def q76_moving_average_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day moving average of daily order totals per priority,
+    using a RANGE frame over day numbers — on sparse daily series a ROWS
+    frame silently averages the wrong days; RANGE bounds by VALUE. The
+    average is exact-cents total / count (integer sums in the frame), so
+    summation order cannot move the hash. Scale shape: one shuffle for
+    the daily aggregate, one per-priority sort for the window."""
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date"))
+            .cast("long")
+            .alias("day_num"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("day_cents"))
+    )
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("day_num")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return (
+        daily.select(
+            "priority",
+            "day_num",
+            (F.sum("day_cents").over(w) / (100.0 * F.count("*").over(w))).alias("avg_7d"),
+        )
+        .orderBy("priority", "day_num")
+    )

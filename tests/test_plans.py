@@ -130,6 +130,33 @@ def test_ivf_indexed_query_broadcasts_probe_and_query(spark, tmp_path):
     assert "SortMergeJoin" not in p
 
 
+def test_tfidf_broadcasts_derived_dims(spark):
+    """df table and corpus count must join back by broadcast — the big
+    (doc, term) side shuffles once for the tf aggregate and never again."""
+    p = plan_of(spark, "q75_tfidf_top_terms")
+    assert p.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_resample_grid_is_per_key_not_cross_join(spark):
+    """The time grid is generated per key from its own span (explode of
+    sequence) — never a cartesian of keys × global calendar."""
+    p = plan_of(spark, "q73_resample_ffill")
+    assert "CartesianProduct" not in p
+    assert "Generate explode" in p or "Generate" in p
+    assert "Window" in p  # the forward-fill
+
+
+def test_funnel_single_user_partition_no_sorts_per_stage(spark):
+    """Three chained window mins share one user_id hash partitioning: at
+    most one exchange for the windows (plus the final single-row agg)."""
+    p = plan_of(spark, "q74_funnel_stages")
+    assert "CartesianProduct" not in p and "Join" not in p
+    assert p.count("Exchange hashpartitioning") <= 1
+
+
 def test_bucketed_join_skips_shuffle(spark):
     """Two tables bucketed on the join key with equal bucket counts must
     join with NO hash-partitioning exchange — the co-location contract
