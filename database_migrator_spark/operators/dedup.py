@@ -270,11 +270,14 @@ def connected_components(
     Each round every node takes the min label among itself and its
     neighbors, so labels converge in ``diameter`` rounds; near-dup
     clusters are near-cliques (diameter ≤ 2-3), and ``rounds=6`` covers
-    diameter-6 chains. The whole computation is a LAZY plan — ``rounds``
-    joins + aggregations, no driver-side iteration actions; each round is
-    one shuffle on node id. At 100 TB you'd checkpoint every few rounds
-    and add large-star/small-star alternation for log-diameter
-    convergence; the per-round plan is identical.
+    diameter-6 chains. Like every iterative Spark algorithm (GraphX
+    PageRank, ALS), each round MATERIALIZES via localCheckpoint: labels
+    feed both the neighbor join and the union, so a lazy loop doubles
+    the plan per round (2^rounds operators — an optimizer-time bomb at
+    scale), while materialization keeps each round's plan constant: one
+    join + one aggregation, one shuffle on node id. At 100 TB add
+    large-star/small-star alternation for log-diameter convergence; the
+    per-round plan is identical.
 
     Returns (id, component) where component = min node id reachable.
     """
@@ -283,7 +286,7 @@ def connected_components(
     ).unionByName(
         edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     )
-    sym = sym.localCheckpoint(eager=False)  # reused every round
+    sym = sym.localCheckpoint(eager=True)  # reused every round
     labels = (
         sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     )
@@ -293,7 +296,10 @@ def connected_components(
             .select(F.col("src").alias("id"), F.col("label"))
         )
         labels = (
-            labels.unionByName(nbr).groupBy("id").agg(F.min("label").alias("label"))
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
         )
     return labels.select("id", F.col("label").alias("component"))
 
