@@ -22,6 +22,9 @@ from __future__ import annotations
 
 import random
 
+import pandas as pd  # module-global: postponed annotations in pandas_udf
+# type hints resolve against module globals, not function locals
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -537,3 +540,80 @@ def q72_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q29_simhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return simhash_near_duplicates(d, max_hamming=8).orderBy("a_id", "b_id")
+
+
+def _jaro_winkler_py(s1: str, s2: str, p: float = 0.1) -> float:
+    """Standard Jaro-Winkler (match window ⌊max/2⌋-1, half-transpositions,
+    ≤4-char prefix bonus) — the textbook formulation DuckDB's
+    jaro_winkler_similarity implements, used as the cross-engine oracle."""
+    if s1 == s2:
+        return 1.0
+    l1, l2 = len(s1), len(s2)
+    if not l1 or not l2:
+        return 0.0
+    window = max(l1, l2) // 2 - 1
+    m1 = [False] * l1
+    m2 = [False] * l2
+    m = 0
+    for i, c in enumerate(s1):
+        for j in range(max(0, i - window), min(l2, i + window + 1)):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    jaro = (m / l1 + m / l2 + (m - t) / m) / 3
+    prefix = 0
+    for a, b in zip(s1[:4], s2[:4]):
+        if a != b:
+            break
+        prefix += 1
+    return jaro + prefix * p * (1 - jaro)
+
+
+@query(
+    "q78_jaro_winkler_pairs",
+    oracle="""
+    SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+           jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+    FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+    WHERE a.p_partkey < 60 AND b.p_partkey < 60
+      AND jaro_winkler_similarity(a.p_name, b.p_name) >= 0.82
+    ORDER BY a_key, b_key
+    """,
+    tags=("dedup", "jaro-winkler", "E15"),
+)
+def q78_jaro_winkler_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaro-Winkler similarity ≥ 0.82 on a keyed part-name subset — the
+    prefix-weighted member of the edit-distance verify family (Spark has
+    no built-in; this is an Arrow-batched pandas UDF implementing the
+    textbook formulation, hash-matched against DuckDB's native
+    jaro_winkler_similarity). Like q26, a verify-tier demo: at scale the
+    pairs come from LSH buckets, never a full cross join."""
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.DoubleType())
+    def jw_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series([_jaro_winkler_py(x, y) for x, y in zip(a, b)])
+
+    d = table(spark, sf_dir, "part").where(F.col("p_partkey") < 60)
+    a = d.select(F.col("p_partkey").alias("a_key"), F.col("p_name").alias("a_name"))
+    b = d.select(F.col("p_partkey").alias("b_key"), F.col("p_name").alias("b_name"))
+    return (
+        a.join(b, F.col("a_key") < F.col("b_key"))
+        .withColumn("jw", jw_udf(F.col("a_name"), F.col("b_name")))
+        .where(F.col("jw") >= 0.82)
+        .select("a_key", "b_key", "jw")
+        .orderBy("a_key", "b_key")
+    )

@@ -226,3 +226,56 @@ def q52_range_join_followup_events(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count("f_id").alias("n_followups"))
         .orderBy("event_id")
     )
+
+
+@query(
+    "q77_exact_moment_stats",
+    oracle="""
+    WITH m AS (
+        SELECT event_type,
+               COUNT(*)                                       AS n,
+               -- DuckDB SUM(BIGINT) yields HUGEINT; cast back so the
+               -- dtype matches Spark's bigint
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                                                              AS sum_cents,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
+                        * CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                                                              AS sumsq_cents
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n, sum_cents, sumsq_cents,
+           CAST(sum_cents AS DOUBLE) / (100.0 * n)            AS mean_value,
+           sqrt((CAST(n AS DOUBLE) * CAST(sumsq_cents AS DOUBLE)
+                 - CAST(sum_cents AS DOUBLE) * CAST(sum_cents AS DOUBLE))
+                / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) / 100.0
+                                                              AS stddev_value
+    FROM m
+    ORDER BY event_type
+    """,
+    tags=("statistics", "moments", "aggregate"),
+)
+def q77_exact_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine-exact statistics via integer moments: built-in
+    STDDEV differs across engines (Welford vs naive, summation order),
+    so the hash-stable pattern aggregates EXACT integer moments
+    (n, Σcents, Σcents²) and derives mean/stddev in double with an
+    identical expression shape on both sides — every double op consumes
+    the same exactly-representable ints, so results are bit-identical.
+    One partial+final aggregate, same cost as a plain GROUP BY."""
+    e = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    m = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(cents).alias("sum_cents"),
+        F.sum(cents * cents).alias("sumsq_cents"),
+    )
+    n_d = F.col("n").cast("double")
+    sum_d = F.col("sum_cents").cast("double")
+    sq_d = F.col("sumsq_cents").cast("double")
+    return m.select(
+        "event_type", "n", "sum_cents", "sumsq_cents",
+        (sum_d / (100.0 * F.col("n"))).alias("mean_value"),
+        (F.sqrt((n_d * sq_d - sum_d * sum_d) / (n_d * (n_d - 1.0))) / 100.0).alias(
+            "stddev_value"
+        ),
+    ).orderBy("event_type")
