@@ -200,3 +200,123 @@ def q61_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows", "pk_duplicates", "pk_nulls", "fk_orphans",
         "nonpositive_prices", "out_of_range_dates",
     )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
+    """Classify the difference between two snapshots of a table into
+    added / removed / changed keys — the reconciliation step of every
+    CDC / backfill pipeline. Full-row EXCEPT ALL both ways (linear,
+    replicate-rows rewrite — see q64's plan) localizes the differing
+    rows first, so the key classification joins run on the DIFF, not the
+    100 TB table. Returns (change_type, key)."""
+    old_only = old.exceptAll(new)
+    new_only = new.exceptAll(old)
+    changed_keys = old_only.select(key).intersect(new_only.select(key))
+    removed = old_only.join(changed_keys, key, "left_anti").select(
+        F.lit("removed").alias("change_type"), F.col(key)
+    )
+    added = new_only.join(changed_keys, key, "left_anti").select(
+        F.lit("added").alias("change_type"), F.col(key)
+    )
+    changed = changed_keys.select(F.lit("changed").alias("change_type"), F.col(key))
+    return removed.unionByName(added).unionByName(changed)
+
+
+@query(
+    "q79_table_checksum",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(('0x' || substring(md5(
+                concat_ws('|', CAST(o_orderkey AS VARCHAR),
+                               CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+                               o_orderstatus)), 1, 8)) AS BIGINT)) AS BIGINT)
+               AS checksum
+    FROM orders
+    """,
+    tags=("etl", "checksum", "reconciliation"),
+)
+def q79_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table checksum for source↔target reconciliation
+    at 100 TB: per-row md5 over a canonical string (exact-cents money),
+    folded to 32 bits, SUMMED — integer addition commutes, so partition
+    order, retries, and engine never move the result; comparing two
+    checksums replaces a full sort-and-diff. md5 is the cross-engine
+    anchor (xxhash64 exists only in Spark, hash() only in DuckDB)."""
+    o = table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+        F.col("o_orderstatus"),
+    )
+    row_hash = F.conv(F.substring(F.md5(F.encode(canon, "UTF-8")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    return o.agg(
+        F.count("*").alias("n_rows"), F.sum(row_hash).alias("checksum")
+    )
+
+
+@query(
+    "q80_snapshot_diff",
+    oracle="""
+    WITH oldv AS (
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+    ), newv AS (
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey % 31 = 0
+                    THEN c_acctbal + CAST(50.0 AS DOUBLE)
+                    ELSE c_acctbal END AS c_acctbal
+        FROM customer WHERE c_custkey % 97 != 0
+        UNION ALL
+        SELECT c_custkey + 1000000, c_name, c_acctbal
+        FROM customer WHERE c_custkey < 25
+    ), old_only AS (
+        SELECT * FROM oldv EXCEPT ALL SELECT * FROM newv
+    ), new_only AS (
+        SELECT * FROM newv EXCEPT ALL SELECT * FROM oldv
+    ), chk AS (
+        SELECT c_custkey FROM old_only
+        INTERSECT
+        SELECT c_custkey FROM new_only
+    )
+    SELECT change_type, c_custkey FROM (
+        SELECT 'removed' AS change_type, c_custkey FROM old_only
+        WHERE c_custkey NOT IN (SELECT c_custkey FROM chk)
+        UNION ALL
+        SELECT 'added', c_custkey FROM new_only
+        WHERE c_custkey NOT IN (SELECT c_custkey FROM chk)
+        UNION ALL
+        SELECT 'changed', c_custkey FROM chk
+    )
+    ORDER BY change_type, c_custkey
+    """,
+    tags=("etl", "cdc", "diff", "reconciliation"),
+)
+def q80_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff over a simulated table evolution (every 97th key
+    deleted, every 31st rebalanced, 25 keys cloned into a new range):
+    added/removed/changed classification hash-matched against the same
+    set algebra in SQL."""
+    c = table(spark, sf_dir, "customer")
+    old = c.select("c_custkey", "c_name", "c_acctbal")
+    new = (
+        c.where(F.col("c_custkey") % 97 != 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.when(
+                F.col("c_custkey") % 31 == 0, F.col("c_acctbal") + F.lit(50.0)
+            )
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+        )
+        .unionByName(
+            c.where(F.col("c_custkey") < 25).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                "c_name",
+                "c_acctbal",
+            )
+        )
+    )
+    return snapshot_diff(old, new, "c_custkey").orderBy("change_type", "c_custkey")
