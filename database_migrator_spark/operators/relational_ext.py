@@ -279,3 +279,87 @@ def q77_exact_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stddev_value"
         ),
     ).orderBy("event_type")
+
+
+@query(
+    "q81_rank_family",
+    oracle="""
+    SELECT o_orderstatus, o_orderkey,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cume,
+           ntile(4)       OVER w AS quartile
+    FROM orders
+    WHERE o_orderkey < 2000
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderstatus, o_orderkey
+    """,
+    tags=("window", "ranking", "E6"),
+)
+def q81_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining rank-family windows: percent_rank, cume_dist, ntile.
+    All three produce exact rationals of row positions ((r-1)/(n-1), k/n,
+    bucket index), so they hash-match across engines; the window key
+    carries o_orderkey as a unique tiebreaker to pin tie order."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderstatus",
+            "o_orderkey",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("o_orderstatus", "o_orderkey")
+    )
+
+
+@query(
+    "q82_map_functions",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, event_type, COUNT(*) AS n
+        FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           COUNT(*)                                          AS map_size,
+           string_agg(event_type, ',' ORDER BY event_type)   AS keys_sorted,
+           string_agg(CAST(n AS VARCHAR), ',' ORDER BY event_type)
+                                                             AS values_by_key,
+           CAST(SUM(n) AS BIGINT)                            AS total_events
+    FROM per_user
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("map", "semistructured", "E13"),
+)
+def q82_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-typed columns end-to-end: per-user event_type→count maps built
+    with map_from_entries, then consumed via map_keys/map_values (sorted
+    through the entry structs for determinism) and aggregate-folded
+    values. The oracle derives the same projections relationally — what
+    the hash checks is that the map round-trip loses nothing."""
+    e = table(spark, sf_dir, "events")
+    per = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    m = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("counts")
+    )
+    return (
+        m.select(
+            "user_id",
+            F.size("counts").alias("map_size"),
+            F.array_join(F.map_keys("counts"), ",").alias("keys_sorted"),
+            F.array_join(
+                F.transform(F.map_values("counts"), lambda v: v.cast("string")), ","
+            ).alias("values_by_key"),
+            F.aggregate(
+                F.map_values("counts"), F.lit(0).cast("bigint"), lambda a, b: a + b
+            ).alias("total_events"),
+        )
+        .orderBy("user_id")
+    )
