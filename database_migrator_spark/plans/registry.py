@@ -74,6 +74,7 @@ def all_queries() -> dict[str, DeclaredQuery]:
         textops,
         udfs,
     )
+    from database_migrator_spark.sources import formats  # noqa: F401
     from database_migrator_spark.streaming import joins, stateful, windows  # noqa: F401
 
     return dict(sorted(_REGISTRY.items()))

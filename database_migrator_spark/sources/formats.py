@@ -1,0 +1,83 @@
+"""Source/sink format coverage beyond parquet: CSV, JSON-lines, ORC.
+
+Each declared query writes a projection of a test table through the
+format and reads it back, hash-matching against the oracle computed from
+the original parquet — so the check proves the FORMAT path (writer +
+reader + schema) loses nothing, not just that Spark can call the API.
+
+Format rules at 100 TB:
+- CSV/JSONL are interchange formats: header/schema must be pinned
+  explicitly (inferSchema is a second full scan and type-unstable);
+  floats are kept OUT of the round-trip columns here because decimal
+  text round-trips are writer-dependent — money crosses text formats as
+  integer cents only.
+- ORC is the columnar alternative when the lake standardizes on it;
+  same pushdown/pruning properties as parquet through the DSv2 reader.
+- Files land in a per-invocation temp dir; a real pipeline would target
+  the lake layout rules in sources/sink.py (partitioning, ~128 MB files).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from database_migrator_spark.plans.registry import query
+from database_migrator_spark.sources import table
+
+_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+FROM orders
+WHERE o_orderkey < 5000
+ORDER BY o_orderkey
+"""
+
+
+def _projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 5000)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+    )
+
+
+def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str, **reader_opts) -> DataFrame:
+    out = tempfile.mkdtemp(prefix=f"spark_graft_{fmt}_")
+    path = os.path.join(out, "data")
+    df = _projection(spark, sf_dir)
+    writer = df.write.mode("overwrite").format(fmt)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    writer.save(path)
+    # schema pinned explicitly — inferSchema would be a second full scan
+    # and is type-unstable on empty partitions
+    back = spark.read.format(fmt).options(**reader_opts).schema(df.schema).load(path)
+    return back.orderBy("o_orderkey")
+
+
+@query("q83_csv_roundtrip", oracle=_ORACLE, tags=("source", "sink", "csv"))
+def q83_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV write→read round-trip of an exact-typed projection (ints +
+    strings + integer cents; no raw floats — decimal text round-trips are
+    writer-dependent), hash-matched against the parquet-derived oracle."""
+    return _roundtrip(spark, sf_dir, "csv", header="true")
+
+
+@query("q84_jsonl_roundtrip", oracle=_ORACLE, tags=("source", "sink", "json"))
+def q84_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines write→read round-trip with a pinned schema — the
+    interchange format of every web-corpus pipeline stage."""
+    return _roundtrip(spark, sf_dir, "json")
+
+
+@query("q85_orc_roundtrip", oracle=_ORACLE, tags=("source", "sink", "orc"))
+def q85_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write→read round-trip — the columnar alternative to parquet,
+    same vectorized/pushdown-capable DSv2 path."""
+    return _roundtrip(spark, sf_dir, "orc")
