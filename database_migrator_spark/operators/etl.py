@@ -205,12 +205,22 @@ def q61_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def snapshot_diff(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
     """Classify the difference between two snapshots of a table into
     added / removed / changed keys — the reconciliation step of every
-    CDC / backfill pipeline. Full-row EXCEPT ALL both ways (linear,
-    replicate-rows rewrite — see q64's plan) localizes the differing
-    rows first, so the key classification joins run on the DIFF, not the
-    100 TB table. Returns (change_type, key)."""
-    old_only = old.exceptAll(new)
-    new_only = new.exceptAll(old)
+    CDC / backfill pipeline. The EXCEPT ALLs (linear, replicate-rows
+    rewrite — see q64's plan) run over (key, xxhash64(row)) projections,
+    so the unavoidable full-table shuffles move 16 bytes/row instead of
+    whole rows, and the key classification joins run on the DIFF only.
+    A 64-bit row-hash collision would need ~2^32 DIFFERING rows sharing
+    a hash — reconciliation diffs are tiny fractions of the table, so
+    this is the standard engineering trade. Returns (change_type, key)."""
+    def hashed(df: DataFrame) -> DataFrame:
+        cols = [c for c in df.columns if c != key]
+        return df.select(
+            F.col(key), F.xxhash64(*[F.col(c) for c in sorted(cols)]).alias("__rh")
+        )
+
+    old_h, new_h = hashed(old), hashed(new)
+    old_only = old_h.exceptAll(new_h)
+    new_only = new_h.exceptAll(old_h)
     changed_keys = old_only.select(key).intersect(new_only.select(key))
     removed = old_only.join(changed_keys, key, "left_anti").select(
         F.lit("removed").alias("change_type"), F.col(key)
