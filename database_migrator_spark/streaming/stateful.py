@@ -150,3 +150,26 @@ def sessionize_with_state(events_stream: DataFrame, gap_seconds: int = 1800) -> 
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+@query(
+    "q86_stateful_sessionize",
+    oracle=None,  # open sessions at the final watermark are correctly
+    # WITHHELD (more data could arrive), so the streaming result is a
+    # deterministic subset of the batch sessionization — equality modulo
+    # trailing-open sessions is asserted in tests/test_streaming_stateful.py
+    tags=("streaming", "stateful", "session", "applyInPandasWithState", "E18"),
+)
+def q86_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom gap-sessionizer on raw per-key state (event-time timeouts)
+    run as a real streaming query. Emits every session whose gap timeout
+    expired below the final watermark; the last session of a user can
+    stay open — the honest streaming contract, and why this is rows-only
+    while q40 (the built-in session_window twin) hash-matches."""
+    from database_migrator_spark.sources import events_stream
+    from database_migrator_spark.streaming.windows import run_stream_to_table
+
+    out = run_stream_to_table(
+        sessionize_with_state(events_stream(spark, sf_dir)), mode="append"
+    )
+    return out.orderBy("user_id", "session_start")
