@@ -48,6 +48,13 @@ PROBE_QUERIES = [
     "q58_exact_text_dedup",
     "q66_minhash_verified_pairs",
     "q67_bmp_decode",
+    # round-2 additions: clustering, reconciliation, temporal, skew
+    "q70_salted_skew_join",
+    "q72_neardup_components",
+    "q73_resample_ffill",
+    "q75_tfidf_top_terms",
+    "q79_table_checksum",
+    "q80_snapshot_diff",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
