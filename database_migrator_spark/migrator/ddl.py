@@ -81,8 +81,13 @@ _AUTOINC = re.compile(r"\bAUTO_INCREMENT\b", re.IGNORECASE)
 _SERIAL = re.compile(r"\bSERIAL\b", re.IGNORECASE)  # a TYPE — map, don't strip
 # TEXT only in TYPE position — preceded by another identifier (a column
 # name, or AS in a cast) — so a column literally named `text` survives:
-# 'CREATE TABLE d (text TEXT)' → '(text STRING)', not '(STRING STRING)'
-_TEXT_TYPE = re.compile(r"(?P<pre>\b[A-Za-z_][\w$]*\s+)TEXT\b", re.IGNORECASE)
+# 'CREATE TABLE d (text TEXT)' → '(text STRING)', not '(STRING STRING)'.
+# The \A alternative covers QUOTED column names: _sub_outside_literals
+# substitutes per unquoted SEGMENT, and the segment after '"note"' starts
+# with whitespace + TEXT.
+_TEXT_TYPE = re.compile(
+    r"(?P<pre>\b[A-Za-z_][\w$]*\s+|\A\s*)TEXT\b", re.IGNORECASE
+)
 
 _QUOTED_SPAN = re.compile(r"'(?:\\.|[^'])*'|\"(?:\\.|[^\"])*\"", re.DOTALL)
 
@@ -98,6 +103,29 @@ def _sub_outside_literals(pattern: re.Pattern, repl: str, stmt: str) -> str:
         pos = m.end()
     out.append(pattern.sub(repl, stmt[pos:]))
     return "".join(out)
+
+
+def _dquoted_identifiers_to_backticks(stmt: str) -> tuple[str, bool]:
+    """ANSI double-quoted identifiers → Spark backticks. In ANSI SQL (the
+    reference's Postgres-family world) double quotes ALWAYS quote
+    identifiers — string literals use single quotes — while Spark parses
+    them as string literals, so '("note" TEXT)' would be a syntax error
+    without this. Embedded backticks are escaped by doubling."""
+    out = []
+    pos = 0
+    changed = False
+    for m in _QUOTED_SPAN.finditer(stmt):
+        out.append(stmt[pos : m.start()])
+        span = m.group(0)
+        if span.startswith('"'):
+            inner = span[1:-1].replace("`", "``")
+            out.append(f"`{inner}`")
+            changed = True
+        else:
+            out.append(span)
+        pos = m.end()
+    out.append(stmt[pos:])
+    return "".join(out), changed
 
 
 def translate_statement(stmt: str) -> str | None:
@@ -121,9 +149,17 @@ def translate_statement(stmt: str) -> str | None:
     if _UNIQUE.search(unquoted):
         logger.warning("stripping UNIQUE constraint (informational on Spark): %.80s", stmt)
         out = _sub_outside_literals(_UNIQUE, "", out)
-    if _TEXT_TYPE.search(unquoted):
+    # detection must be segment-aware (a TEXT after a QUOTED column name is
+    # invisible in `unquoted`), so detect by substituting and comparing
+    rewritten = _sub_outside_literals(_TEXT_TYPE, r"\g<pre>STRING", out)
+    if rewritten != out:
         logger.warning("mapping TEXT type to STRING: %.80s", stmt)
-        out = _sub_outside_literals(_TEXT_TYPE, r"\g<pre>STRING", out)
+        out = rewritten
+    out, converted = _dquoted_identifiers_to_backticks(out)
+    if converted:
+        logger.warning(
+            "converting ANSI double-quoted identifiers to backticks: %.80s", stmt
+        )
     return out
 
 

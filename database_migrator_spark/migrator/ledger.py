@@ -86,14 +86,18 @@ class JdbcLedger(Ledger):
         try:
             meta = conn.getMetaData()
             # unquoted identifiers are stored case-folded per DBMS (Derby/
-            # Oracle upper, Postgres lower) — probe the plausible foldings
+            # Oracle upper, Postgres lower) — probe the plausible foldings.
+            # '_' is a JDBC pattern wildcard, so getTables('applied_migration')
+            # also matches e.g. APPLIED1MIGRATION: re-check the returned
+            # names for EXACT equality instead of trusting the pattern.
             for candidate in dict.fromkeys(
                 (self.table, self.table.upper(), self.table.lower())
             ):
                 rs = meta.getTables(None, None, candidate, None)
                 try:
-                    if rs.next():
-                        return True
+                    while rs.next():
+                        if rs.getString("TABLE_NAME") == candidate:
+                            return True
                 finally:
                     rs.close()
             return False

@@ -544,13 +544,14 @@ def q29_simhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _jaro_winkler_py(s1: str, s2: str, p: float = 0.1) -> float:
     """Standard Jaro-Winkler (match window ⌊max/2⌋-1, half-transpositions,
-    ≤4-char prefix bonus) — the textbook formulation DuckDB's
-    jaro_winkler_similarity implements, used as the cross-engine oracle."""
-    if s1 == s2:
-        return 1.0
+    ≤4-char prefix bonus applied only above the 0.7 boost threshold —
+    Winkler's original gate, which DuckDB's jaro_winkler_similarity also
+    applies), used as the cross-engine oracle."""
     l1, l2 = len(s1), len(s2)
     if not l1 or not l2:
-        return 0.0
+        return 0.0  # DuckDB convention: empty strings similar to nothing
+    if s1 == s2:
+        return 1.0
     window = max(l1, l2) // 2 - 1
     m1 = [False] * l1
     m2 = [False] * l2
@@ -574,6 +575,8 @@ def _jaro_winkler_py(s1: str, s2: str, p: float = 0.1) -> float:
             k += 1
     t //= 2
     jaro = (m / l1 + m / l2 + (m - t) / m) / 3
+    if jaro <= 0.7:  # Winkler boost threshold: no prefix bonus below it
+        return jaro
     prefix = 0
     for a, b in zip(s1[:4], s2[:4]):
         if a != b:

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from database_migrator_spark.functions.exact import to_cents
 from database_migrator_spark.plans.registry import query
 from database_migrator_spark.sources import table
 
@@ -256,7 +257,7 @@ def q79_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = F.concat_ws(
         "|",
         F.col("o_orderkey").cast("string"),
-        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+        to_cents("o_totalprice").cast("string"),
         F.col("o_orderstatus"),
     )
     row_hash = F.conv(F.substring(F.md5(F.encode(canon, "UTF-8")), 1, 8), 16, 10).cast(

@@ -11,7 +11,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from database_migrator_spark.functions.exact import sql_cents_sum
+from database_migrator_spark.functions.exact import sql_cents_sum, to_cents
 from database_migrator_spark.plans.registry import query
 from database_migrator_spark.sources import table
 
@@ -263,7 +263,7 @@ def q77_exact_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same exactly-representable ints, so results are bit-identical.
     One partial+final aggregate, same cost as a plain GROUP BY."""
     e = table(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100).cast("bigint")
+    cents = to_cents("value")
     m = e.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum(cents).alias("sum_cents"),

@@ -374,20 +374,29 @@ def ivf_topk(
 
 def _ivf_index_cached(spark: SparkSession, sf_dir: str, n_clusters: int = 16, seed: int = 42) -> str:
     """Fit-once index cache for the declared query: the index lives under
-    the system temp dir keyed by (table, params) and is reused across
-    invocations — the bench therefore measures the QUERY, with the fit
-    amortized exactly as a persisted production index would be."""
+    the system temp dir keyed by (table, params, source fingerprint) and
+    is reused across invocations — the bench therefore measures the
+    QUERY, with the fit amortized exactly as a persisted production index
+    would be. The fingerprint (source file mtime+size) makes a
+    regenerated table invalidate the cache instead of silently serving a
+    stale index; the marker is written via atomic rename so a crash
+    mid-fit can never leave a valid-looking partial index."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    fingerprint = f"{st.st_mtime_ns}-{st.st_size}"
     base = os.path.join(
         tempfile.gettempdir(),
         "spark_graft_ivf",
-        f"{os.path.basename(os.path.normpath(sf_dir))}-k{n_clusters}-s{seed}",
+        f"{os.path.basename(os.path.normpath(sf_dir))}-k{n_clusters}-s{seed}-{fingerprint}",
     )
     marker = os.path.join(base, "_INDEX_READY")
     if not os.path.exists(marker):
         e = table(spark, sf_dir, "embeddings")
         ivf_fit(e, base, n_clusters=n_clusters, seed=seed)
-        with open(marker, "w") as fh:
+        tmp_marker = marker + ".tmp"
+        with open(tmp_marker, "w") as fh:
             fh.write("ok")
+        os.replace(tmp_marker, marker)
     return base
 
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from database_migrator_spark.functions.exact import to_cents
 from database_migrator_spark.plans.registry import query
 from database_migrator_spark.sources import table
 
@@ -78,7 +79,7 @@ def q70_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
             F.count("*").alias("n_events"),
-            (F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0).alias(
+            (F.sum(to_cents("value")) / 100.0).alias(
                 "total_value"
             ),
         )

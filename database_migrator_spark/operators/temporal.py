@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from database_migrator_spark.functions.exact import to_cents
 from database_migrator_spark.plans.registry import query
 from database_migrator_spark.sources import table
 
@@ -158,6 +159,20 @@ def q24_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INTERVAL_UNITS = {
+    "second": 1, "seconds": 1,
+    "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600,
+    "day": 86400, "days": 86400,
+}
+
+
+def _interval_seconds(step: str) -> int:
+    """Parse '15 minutes' / '1 hour' / '2 days' into seconds."""
+    n, unit = step.strip().split()
+    return int(n) * _INTERVAL_UNITS[unit.lower()]
+
+
 def resample_ffill(
     df: DataFrame,
     key: str,
@@ -177,7 +192,14 @@ def resample_ffill(
 
     Returns (key, bucket_ts, value) with NULLs forward-filled.
     """
-    bucket = F.date_trunc("hour", F.col(ts_col))  # step grid is epoch-aligned
+    # bucket by the SAME step the grid uses — epoch-aligned floor division
+    # works for any second-granularity step (a hard-coded date_trunc would
+    # silently mis-bucket every non-default step)
+    step_us = _interval_seconds(step) * 1_000_000
+    us = F.unix_micros(F.col(ts_col))
+    # exact integer floor (x - x mod step): double division would round at
+    # bucket boundaries for micros-scale magnitudes
+    bucket = F.timestamp_micros(us - F.pmod(us, F.lit(step_us)))
     hourly = (
         df.groupBy(F.col(key), bucket.alias("__h"))
         .agg(value_col.alias("__v"))
@@ -227,8 +249,6 @@ def q73_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly resample of each user's event value (exact-cents sums) onto
     a gap-free per-key grid with forward fill, hash-matched against the
     generate_series + IGNORE NULLS window oracle."""
-    from database_migrator_spark.functions.exact import to_cents
-
     e = table(spark, sf_dir, "events")
     out = resample_ffill(
         e, key="user_id", ts_col="ts",
@@ -341,7 +361,7 @@ def q76_moving_average_range_frame(spark: SparkSession, sf_dir: str) -> DataFram
             .cast("long")
             .alias("day_num"),
         )
-        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("day_cents"))
+        .agg(F.sum(to_cents("o_totalprice")).alias("day_cents"))
     )
     w = (
         Window.partitionBy("priority")

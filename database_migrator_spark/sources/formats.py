@@ -25,6 +25,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from database_migrator_spark.functions.exact import to_cents
 from database_migrator_spark.plans.registry import query
 from database_migrator_spark.sources import table
 
@@ -43,13 +44,18 @@ def _projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_custkey",
         "o_orderstatus",
-        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+        to_cents("o_totalprice").alias("price_cents"),
     )
 
 
 def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str, **reader_opts) -> DataFrame:
-    out = tempfile.mkdtemp(prefix=f"spark_graft_{fmt}_")
-    path = os.path.join(out, "data")
+    # stable overwrite path per (sf, fmt): repeated gate/bench/audit runs
+    # rewrite in place instead of leaking a new temp dir each build
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_formats",
+        f"{os.path.basename(os.path.normpath(sf_dir))}-{fmt}",
+    )
     df = _projection(spark, sf_dir)
     writer = df.write.mode("overwrite").format(fmt)
     if fmt == "csv":

@@ -54,6 +54,28 @@ def test_resample_ffill_fills_interior_gaps(spark):
     }
 
 
+def test_resample_respects_non_default_step(spark):
+    """Regression: bucketing must follow the step parameter — a
+    hard-coded hourly trunc mis-bucketed every non-default step."""
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:05:00", 10.0),
+            (1, "2024-01-01 00:20:00", 20.0),  # different 15-min bucket
+            (1, "2024-01-01 01:05:00", 99.0),
+        ],
+        "k long, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = resample_ffill(df, key="k", ts_col="ts", value_col=F.max("v"), step="15 minutes")
+    rows = {(str(r.bucket_ts), r.value) for r in out.collect()}
+    assert rows == {
+        ("2024-01-01 00:00:00", 10.0),
+        ("2024-01-01 00:15:00", 20.0),
+        ("2024-01-01 00:30:00", 20.0),  # filled
+        ("2024-01-01 00:45:00", 20.0),  # filled
+        ("2024-01-01 01:00:00", 99.0),
+    }
+
+
 def test_checksum_is_partition_order_independent(spark):
     from database_migrator_spark.plans.registry import all_queries
 

@@ -226,6 +226,14 @@ def test_translate_text_only_in_type_position():
     assert "AS STRING)" in out
     # bare TEXT with no preceding identifier is left alone (not valid type DDL)
     assert translate_statement("SELECT 1") == "SELECT 1"
+    # QUOTED column names still get their type rewritten (regression:
+    # the type-position guard must not depend on an unquoted identifier),
+    # and ANSI double-quoted identifiers become Spark backticks
+    out = translate_statement('CREATE TABLE t ("note" TEXT, n INT)')
+    assert "`note` STRING" in out
+    # ...while TEXT inside a string literal still survives untouched
+    out = translate_statement("INSERT INTO t VALUES ('some TEXT here')")
+    assert "'some TEXT here'" in out
 
 
 def test_split_statements_backslash_escaped_quote():

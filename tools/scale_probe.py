@@ -104,7 +104,10 @@ def run(spark, sf_dir: str) -> dict[str, float]:
 def bucket_cap_stats(spark, sf_dir: str, max_bucket: int = 1000) -> dict:
     """How hard does the MinHash bucket cap work at this scale? Reports
     total band-buckets, buckets over the cap (dropped), and the largest
-    bucket — the observability the 100 TB run needs to tune (bands, cap)."""
+    bucket for BOTH shipped banding configs — q28's 16×4 and the
+    verified pipeline's (q66/q72) 32×2, whose 2-row band hashes collide
+    far more — the observability the 100 TB run needs to tune
+    (bands, cap)."""
     from database_migrator_spark.operators.dedup import (
         lsh_bands,
         minhash_signature,
@@ -113,24 +116,30 @@ def bucket_cap_stats(spark, sf_dir: str, max_bucket: int = 1000) -> dict:
     )
 
     d = table(spark, sf_dir, "documents")
-    banded = (
+    sigs = (
         d.repartition(spark.sparkContext.defaultParallelism)
         .select(minhash_signature(word_shingles(tokens_of("text")), 64).alias("sig"))
-        .select(F.explode(lsh_bands(F.col("sig"), 16, 4)).alias("b"))
-        .groupBy("b.band", "b.bh")
-        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)  # sketch once, band twice
     )
-    row = banded.agg(
-        F.count("*").alias("n_buckets"),
-        F.sum((F.col("n") > max_bucket).cast("long")).alias("n_capped"),
-        F.max("n").alias("max_bucket_size"),
-    ).first()
-    return {
-        "n_buckets": row["n_buckets"],
-        "n_capped_dropped": row["n_capped"],
-        "max_bucket_size": row["max_bucket_size"],
-        "cap": max_bucket,
-    }
+    out = {}
+    for bands, rows in ((16, 4), (32, 2)):
+        banded = (
+            sigs.select(F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("b"))
+            .groupBy("b.band", "b.bh")
+            .agg(F.count("*").alias("n"))
+        )
+        row = banded.agg(
+            F.count("*").alias("n_buckets"),
+            F.sum((F.col("n") > max_bucket).cast("long")).alias("n_capped"),
+            F.max("n").alias("max_bucket_size"),
+        ).first()
+        out[f"{bands}x{rows}"] = {
+            "n_buckets": row["n_buckets"],
+            "n_capped_dropped": row["n_capped"],
+            "max_bucket_size": row["max_bucket_size"],
+            "cap": max_bucket,
+        }
+    return out
 
 
 def main() -> None:
