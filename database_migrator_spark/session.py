@@ -41,7 +41,11 @@ def get_session(
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[32] means 32 concurrent tasks sharing one heap: 8g gave
+        # ~250MB/task and OOM'd the 30× dedup probe's bucket join; 20g
+        # (~600MB/task) matches what a real executor would get and is
+        # still a fraction of the 128 GiB box
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g"))
         .config("spark.ui.enabled", "false")
     )
     if persistent_catalog:
