@@ -27,25 +27,29 @@ TABLES = (
 
 
 def _typed_events(df: DataFrame) -> DataFrame:
-    """The driver's events.parquet stores ts as TIMESTAMP(NANOS), which
-    Spark's parquet reader rejects; we read it as raw nanos (legacy conf)
-    and rebuild the timestamp with exact integer division to microseconds
-    — bit-identical to DuckDB's nanos→micros truncation. Events tables
-    re-written by Spark itself already carry a micros timestamp and pass
-    through untouched."""
+    """Normalize the driver's events.parquet ``ts`` to session-UTC
+    TIMESTAMP regardless of how the driver materialized it:
+
+    - TIMESTAMP(NANOS): Spark's reader rejects it; we read raw nanos
+      (legacy conf) and rebuild with exact integer division to micros —
+      bit-identical to DuckDB's nanos→micros truncation.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark ≥3.4 infers
+      TIMESTAMP_NTZ; cast to TIMESTAMP interprets the naive value in the
+      session zone (pinned UTC) — the same instant DuckDB's naive
+      timestamp denotes.
+    - Already TIMESTAMP: pass through untouched (Spark-rewritten tables).
+    """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    if not isinstance(df.schema["ts"].dataType, T.LongType):
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        ts = F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts")
+    elif isinstance(ts_type, T.TimestampNTZType):
+        ts = F.col("ts").cast(T.TimestampType()).alias("ts")
+    else:
         return df
-    return df.select(
-        "event_id",
-        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
-        "user_id",
-        "event_type",
-        "value",
-        "props",
-    )
+    return df.select("event_id", ts, "user_id", "event_type", "value", "props")
 
 
 def _pin_session_confs(spark: SparkSession) -> None:
