@@ -61,17 +61,36 @@ def main() -> None:
             failures[name] = f"{type(e).__name__}: {e}"[:200]
             timings[name] = -1.0
     total = round(sum(t for t in timings.values() if t >= 0), 4)
+    # The driver records only the LAST 2000 CHARS of stdout (measured:
+    # BENCH_r01/r02 "tail" is exactly 2000 chars and "parsed" came back
+    # null because the full-name queries dict pushed the line to ~2600
+    # chars, truncating its head). Emit the one JSON line with SHORT
+    # query keys (the unique "qNN" prefix) + compact separators +
+    # 2-decimal times so the whole line fits the tail buffer; the
+    # full-name timing map goes to bench_full.json for local diffing.
+    short = {name.split("_", 1)[0]: round(t, 2) for name, t in timings.items()}
     out = {
         "metric": "total_wall_sec_declared_queries",
-        "value": total,
+        "value": round(total, 2),
         "unit": "sec",
-        "queries": timings,
+        "queries": short,
         "sf": sf,
         "n_queries": len(timings),
     }
     if failures:
-        out["failures"] = failures
-    print(json.dumps(out))
+        out["failures"] = {name.split("_", 1)[0]: msg[:80] for name, msg in failures.items()}
+    line = json.dumps(out, separators=(",", ":"))
+    with open(Path(__file__).resolve().parent / "bench_full.json", "w") as f:
+        json.dump(
+            {"metric": out["metric"], "value": total, "unit": "sec", "queries": timings, "sf": sf, "failures": failures or None},
+            f,
+            indent=1,
+        )
+    if len(line) > 1900:  # keep headroom below the 2000-char tail window
+        out["queries"] = {k: v for k, v in sorted(short.items(), key=lambda kv: -kv[1])[:60]}
+        out["queries_truncated_to_slowest"] = 60
+        line = json.dumps(out, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

