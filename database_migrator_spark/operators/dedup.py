@@ -584,6 +584,85 @@ def q72_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q90_canonical_docs",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           t -> len(t) > 0) AS t
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                    THEN list_distinct(list_transform(
+                             generate_series(1, len(t) - 2),
+                             i -> array_to_string(t[i:i+2], ' ')))
+                    ELSE [array_to_string(t, ' ')]
+               END AS s
+        FROM toks
+    ), pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.6
+    ), edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION ALL
+        SELECT b_id AS src, a_id AS dst FROM pairs
+    ), reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ), comp AS (
+        SELECT src AS id, LEAST(src, MIN(dst)) AS component
+        FROM reach GROUP BY src
+    )
+    SELECT component, kept_doc_id, n_members FROM (
+        SELECT c.component,
+               d.doc_id AS kept_doc_id,
+               COUNT(*) OVER (PARTITION BY c.component) AS n_members,
+               row_number() OVER (PARTITION BY c.component
+                                  ORDER BY d.n_chars DESC, d.doc_id) AS rn
+        FROM comp c JOIN documents d ON c.id = d.doc_id
+    ) WHERE rn = 1
+    ORDER BY component
+    """,
+    tags=("dedup", "clustering", "canonical", "minhash", "E15"),
+)
+def q90_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The final step of the dedup story, hash-matched end-to-end:
+    near-dup pairs (q66's LSH pipeline) → connected components (q72) →
+    ONE canonical survivor per cluster (longest doc, ties to the lowest
+    id). This is the 'which rows do I actually keep' answer a corpus
+    pipeline materializes; docs in no cluster are untouched (kept by
+    definition), so the output lists only the clusters. The survivor
+    pick is a row_number window over the tiny per-cluster membership —
+    at 100 TB the window input is |clustered docs|, not the corpus."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        d, num_hashes=64, bands=32, threshold=0.6,
+        cache_key=_documents_cache_key(sf_dir),
+    )
+    comp = connected_components(pairs)
+    members = comp.join(
+        d.select(F.col("doc_id"), F.col("n_chars")), comp["id"] == F.col("doc_id")
+    ).select("component", "doc_id", "n_chars")
+    w = Window.partitionBy("component")
+    wr = w.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        members.withColumn("n_members", F.count("*").over(w))
+        .withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select(
+            "component", F.col("doc_id").alias("kept_doc_id"), "n_members"
+        )
+        .orderBy("component")
+    )
+
+
+@query(
     "q29_simhash_near_duplicates",
     oracle=None,  # sketch-based; verified in tests/test_dedup.py
     tags=("dedup", "simhash", "E15"),

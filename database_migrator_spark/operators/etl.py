@@ -150,6 +150,49 @@ def q60_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q89_pii_redaction",
+    oracle=r"""
+    SELECT c_custkey,
+           concat(regexp_replace(substr(c_name, 1, length(c_name) - 4),
+                                 '[0-9]', '*', 'g'),
+                  substr(c_name, length(c_name) - 3, 4)) AS masked_name,
+           CAST(length(substr(c_name, 1, length(c_name) - 4))
+                - length(regexp_replace(substr(c_name, 1, length(c_name) - 4),
+                                        '[0-9]', '', 'g')) AS BIGINT) AS n_redacted,
+           md5('pepper:' || c_name) AS pseudonym
+    FROM customer
+    ORDER BY c_custkey
+    """,
+    tags=("text", "pii", "redaction", "etl", "llm-pipeline"),
+)
+def q89_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass — the step every training-data pipeline runs
+    before tokenization: mask identifier digits except the last four,
+    count redactions, and emit a salted-hash pseudonym for joinability
+    after the raw identifier is dropped (here on customer names, the
+    only PII-shaped field in the testdata). Pure codegen'd string
+    expressions (substr/regexp_replace/md5), zero shuffle before the
+    presentation sort; the same expressions drop into any text column.
+    ASCII character classes only, so Java and RE2 regex engines agree;
+    DuckDB needs the explicit 'g' flag to match Spark's replace-all
+    default."""
+    c = table(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    nlen = F.length(name)
+    prefix = name.substr(F.lit(1), nlen - 4)
+    return c.select(
+        "c_custkey",
+        F.concat(
+            F.regexp_replace(prefix, "[0-9]", "*"), name.substr(nlen - 3, F.lit(4))
+        ).alias("masked_name"),
+        (F.length(prefix) - F.length(F.regexp_replace(prefix, "[0-9]", "")))
+        .cast("long")
+        .alias("n_redacted"),
+        F.md5(F.encode(F.concat(F.lit("pepper:"), name), "UTF-8")).alias("pseudonym"),
+    ).orderBy("c_custkey")
+
+
+@query(
     "q61_data_quality",
     oracle="""
     SELECT

@@ -363,3 +363,30 @@ def q82_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q95_hll_sketch_union",
+    oracle=None,  # HLL estimates are approximate and implementation-
+    # specific (Spark uses the Apache DataSketches HLL); accuracy vs the
+    # exact distinct count is asserted in tests/test_sketches.py instead
+    tags=("sketch", "hll", "approx", "E10"),
+)
+def q95_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches — the property that makes
+    sketches work on a cluster: per-event_type HLL sketches of user_id
+    aggregate in one shuffle (each a few KB regardless of input size),
+    then re-aggregate WITHOUT rescanning the data: hll_union_agg merges
+    the per-type sketches into the overall estimate, exactly how rollups
+    over date/region partitions amortize at 100 TB. Output is the
+    per-type estimates plus the merged '__all__' row."""
+    e = table(spark, sf_dir, "events")
+    per = e.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    by_type = per.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+    )
+    merged = per.agg(F.hll_union_agg("sk").alias("u")).select(
+        F.lit("__all__").alias("event_type"),
+        F.hll_sketch_estimate("u").alias("approx_users"),
+    )
+    return by_type.unionByName(merged).orderBy("event_type")

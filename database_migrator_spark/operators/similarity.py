@@ -468,6 +468,58 @@ def q46_embedding_pairs_exact_subset(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @query(
+    "q92_embedding_centroids",
+    oracle="""
+    WITH ex AS (
+        SELECT label, embedding AS emb,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings
+    )
+    SELECT label,
+           CAST(i - 1 AS BIGINT) AS pos,
+           (CAST(CAST(SUM(CAST(round(CAST(emb[i] AS DOUBLE) * 1000000) AS BIGINT))
+                      AS BIGINT) AS DOUBLE)
+              / COUNT(*)) / CAST(1000000 AS DOUBLE) AS mean,
+           COUNT(*) AS n_vecs
+    FROM ex
+    GROUP BY label, i
+    ORDER BY label, pos
+    """,
+    tags=("similarity", "embedding", "centroid", "llm-pipeline"),
+)
+def q92_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid (exact mean-pooling) — the building
+    block of class prototypes, IVF coarse quantizers, and cluster-based
+    data pruning. Dimensions posexplode into (label, pos) groups — ONE
+    hash shuffle with map-side partial sums — and the per-dimension mean
+    uses the integer-fixed-point pattern (round(x·1e6) summed as BIGINT)
+    so the result is summation-order-independent and hash-matches DuckDB
+    exactly; double sums would drift in the last bits across engines.
+    Flat (label, pos, mean) output rather than re-assembled arrays keeps
+    the driver compare dtype-stable."""
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding"))
+    return (
+        ex.groupBy("label", "pos")
+        .agg(
+            F.sum(
+                F.round(F.col("col").cast("double") * F.lit(1000000.0)).cast("long")
+            ).alias("s"),
+            F.count("*").alias("n_vecs"),
+        )
+        .select(
+            "label",
+            F.col("pos").cast("long").alias("pos"),
+            (
+                (F.col("s").cast("double") / F.col("n_vecs")) / F.lit(1000000.0)
+            ).alias("mean"),
+            "n_vecs",
+        )
+        .orderBy("label", "pos")
+    )
+
+
+@query(
     "q35_ann_lsh_topk",
     oracle=None,  # approximate by construction; recall vs brute force is
     # asserted in tests/test_similarity.py

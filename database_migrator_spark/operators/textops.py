@@ -317,6 +317,337 @@ def q33_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q87_token_window_chunks",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           t -> len(t) > 0) AS t
+        FROM documents
+    ), ids AS (
+        SELECT doc_id, t,
+               unnest(generate_series(0, (len(t) - 1) // 32)) AS chunk_id
+        FROM toks WHERE len(t) > 0
+    ), c AS (
+        SELECT doc_id, chunk_id,
+               t[chunk_id * 32 + 1 : chunk_id * 32 + 32] AS ct
+        FROM ids
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT)   AS chunk_id,
+           CAST(len(ct) AS BIGINT)    AS n_chunk_tokens,
+           md5(array_to_string(ct, ' ')) AS digest
+    FROM c
+    ORDER BY doc_id, chunk_id
+    """,
+    tags=("text", "chunking", "llm-pipeline"),
+)
+def q87_token_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token-window chunking — the step that turns documents
+    into training sequences. Each doc explodes into ⌈n/32⌉ chunks of ≤32
+    tokens; the chunk content is carried as an md5 digest so the output
+    stays hash-matchable without shipping full text. Pure column
+    expressions + one explode: streams at scan speed, no shuffle until
+    the final presentation sort (which production pipelines omit)."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select("doc_id", tokens_of("text").alias("t")).where(F.size("t") > 0)
+    ids = base.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(0), F.floor((F.size("t") - 1) / F.lit(32)).cast("int"))
+        ).alias("chunk_id"),
+    )
+    ct = F.slice(F.col("t"), F.col("chunk_id") * 32 + 1, F.lit(32))
+    return ids.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(ct).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.encode(F.array_join(ct, " "), "UTF-8")).alias("digest"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+@query(
+    "q88_repetition_score",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           t -> len(t) > 0) AS t
+        FROM documents
+    ), f AS (
+        SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 3
+    ), sh AS (
+        SELECT doc_id, n,
+               list_transform(generate_series(1, len(t) - 2),
+                              i -> array_to_string(t[i:i+2], ' ')) AS s
+        FROM f
+    ), tok_rows AS (
+        SELECT doc_id, unnest(t) AS tok FROM f
+    ), counts AS (
+        SELECT doc_id, tok, COUNT(*) AS c FROM tok_rows GROUP BY doc_id, tok
+    ), mx AS (
+        SELECT doc_id, MAX(c) AS maxc FROM counts GROUP BY doc_id
+    )
+    SELECT sh.doc_id,
+           CAST(sh.n AS BIGINT) AS n_toks,
+           CAST(1 AS DOUBLE)
+             - CAST(len(list_distinct(sh.s)) AS DOUBLE) / CAST(len(sh.s) AS DOUBLE)
+             AS dup_trigram_frac,
+           CAST(mx.maxc AS DOUBLE) / CAST(sh.n AS DOUBLE) AS top_token_frac
+    FROM sh JOIN mx ON sh.doc_id = mx.doc_id
+    ORDER BY sh.doc_id
+    """,
+    tags=("text", "quality", "repetition", "llm-pipeline"),
+)
+def q88_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition signals: fraction of
+    duplicate word-trigrams and the most-frequent-token share — the
+    filters that catch boilerplate / keyword-stuffed pages. Trigram
+    fraction is pure column expressions; the token mode needs a
+    (doc, token) count, i.e. one explode + shuffle on the composite key,
+    then a broadcast-size per-doc max joined back on doc_id."""
+    from database_migrator_spark.operators.dedup import word_shingles
+
+    d = table(spark, sf_dir, "documents")
+    base = d.select("doc_id", tokens_of("text").alias("t")).where(F.size("t") >= 3)
+    sh = word_shingles(F.col("t"), 3)
+    trig = base.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_toks"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(sh)).cast("double") / F.size(sh).cast("double")
+        ).alias("dup_trigram_frac"),
+    )
+    counts = (
+        base.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    mx = counts.groupBy("doc_id").agg(F.max("c").alias("maxc"))
+    return (
+        trig.join(mx, "doc_id")
+        .select(
+            "doc_id",
+            "n_toks",
+            "dup_trigram_frac",
+            (F.col("maxc").cast("double") / F.col("n_toks").cast("double")).alias(
+                "top_token_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q91_top_terms_per_lang",
+    oracle=r"""
+    WITH toks AS (
+        SELECT lang,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  t -> len(t) > 0)) AS term
+        FROM documents
+    ), c AS (
+        SELECT lang, term, COUNT(*) AS n FROM toks GROUP BY lang, term
+    )
+    SELECT lang, rank, term, n FROM (
+        SELECT lang, term, n,
+               CAST(row_number() OVER (PARTITION BY lang
+                                       ORDER BY n DESC, term) AS BIGINT) AS rank
+        FROM c
+    ) WHERE rank <= 5
+    ORDER BY lang, rank
+    """,
+    tags=("text", "topk", "vocabulary"),
+)
+def q91_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-5 vocabulary terms (deterministic tie-break on the
+    term) — the corpus-summary op behind vocabulary audits. One shuffle
+    for the (lang, term) counts with map-side partial aggregation; the
+    rank window partitions by lang only, but its input is already the
+    aggregated vocabulary (≪ corpus), never raw tokens."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    counts = (
+        d.select("lang", F.explode(tokens_of("text")).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("lang", "rank", "term", "n")
+        .orderBy("lang", "rank")
+    )
+
+
+@query(
+    "q93_train_val_test_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("text", "split", "sample", "llm-pipeline"),
+)
+def q93_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (~80/10/10) keyed on
+    md5(doc_id) — the split step of every training pipeline. Unlike
+    rand()-based splits this reproduces across engines, retries, AQE
+    re-plans, and incremental backfills (a new doc never moves an old
+    doc's split), and needs zero shuffle: it is a projection the scan
+    streams through. Same hex-threshold idiom as the q19/q57 samplers."""
+    d = table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), 1, 2)
+    return d.select(
+        "doc_id",
+        F.when(bucket < "cd", F.lit("train"))
+        .when(bucket < "e6", F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q94_sequence_packing",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id, lang, source,
+               CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                    t -> len(t) > 0)) AS BIGINT) AS n_toks
+        FROM documents
+    )
+    SELECT doc_id, lang, source, n_toks,
+           start_offset,
+           start_offset // 512                 AS first_seq,
+           (start_offset + n_toks - 1) // 512  AS last_seq
+    FROM (
+        SELECT doc_id, lang, source, n_toks,
+               CAST(COALESCE(SUM(n_toks) OVER (
+                   PARTITION BY lang, source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS start_offset
+        FROM base
+    )
+    ORDER BY doc_id
+    """,
+    tags=("text", "packing", "chunking", "llm-pipeline"),
+)
+def q94_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: documents stream into
+    512-token training sequences per (lang, source) shard; each doc gets
+    its token offset and the first/last sequence ids it lands in. The
+    running offset is one window cumsum per shard — packing is shard-
+    local at 100 TB by design (a global stream would serialize), so the
+    partitionBy IS the scale story, not a toy shortcut."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "lang", "source", F.size(tokens_of("text")).cast("long").alias("n_toks")
+    )
+    w = (
+        Window.partitionBy("lang", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum("n_toks").over(w), F.lit(0).cast("long"))
+    return (
+        base.withColumn("start_offset", off)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_toks",
+            "start_offset",
+            F.floor(F.col("start_offset") / F.lit(512)).alias("first_seq"),
+            F.floor((F.col("start_offset") + F.col("n_toks") - 1) / F.lit(512)).alias(
+                "last_seq"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q96_cooccurrence_pmi",
+    oracle=r"""
+    WITH dt AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+                                                t -> len(t) > 0))) AS tok
+        FROM documents
+    ), cnt AS (
+        SELECT tok, COUNT(*) AS c FROM dt GROUP BY tok
+    ), pairs AS (
+        SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS c_ab
+        FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY a.tok, b.tok
+    ), n AS (
+        SELECT COUNT(*) AS n_docs FROM documents
+    )
+    SELECT tok_a, tok_b, c_ab,
+           ln(CAST(c_ab AS DOUBLE) * n.n_docs / (ca.c * cb.c)) AS pmi
+    FROM pairs
+    JOIN cnt ca ON pairs.tok_a = ca.tok
+    JOIN cnt cb ON pairs.tok_b = cb.tok
+    CROSS JOIN n
+    ORDER BY c_ab DESC, tok_a, tok_b
+    LIMIT 20
+    """,
+    tags=("text", "cooccurrence", "pmi"),
+)
+def q96_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 document-level token co-occurrence pairs with pointwise
+    mutual information — the word2vec/GloVe-style corpus statistic. The
+    pair space is bounded per doc by the DISTINCT-token set (vocabulary
+    pruning caps it at scale; test corpora have ~60 distinct tokens/doc),
+    so the self-join stays ~N·V², never corpus-quadratic; counts join
+    back by broadcast (vocabulary ≪ corpus) and top-20 is a
+    TakeOrderedAndProject. PMI inputs are exact integers, making the
+    single ln() call hash-stable at the 6-decimal compare."""
+    d = table(spark, sf_dir, "documents")
+    dt = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens_of("text"))).alias("tok")
+    )
+    cnt = dt.groupBy("tok").agg(F.count("*").alias("c"))
+    a = dt.select("doc_id", F.col("tok").alias("tok_a"))
+    b = dt.select("doc_id", F.col("tok").alias("tok_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("c_ab"))
+    )
+    n = d.agg(F.count("*").alias("n_docs"))
+    ca = cnt.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))
+    cb = cnt.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b"))
+    return (
+        pairs.join(F.broadcast(ca), "tok_a")
+        .join(F.broadcast(cb), "tok_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "tok_a",
+            "tok_b",
+            "c_ab",
+            F.log(
+                F.col("c_ab").cast("double")
+                * F.col("n_docs")
+                / (F.col("c_a") * F.col("c_b"))
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("c_ab").desc(), "tok_a", "tok_b")
+        .limit(20)
+    )
+
+
+@query(
     "q75_tfidf_top_terms",
     oracle=r"""
     WITH toks AS (

@@ -194,6 +194,84 @@ def test_bucketed_join_skips_shuffle(spark):
         spark.sql(f"DROP TABLE IF EXISTS {tb}")
 
 
+def test_chunking_streams_without_shuffle(spark):
+    """Token-window chunking is scan → explode → project: the only
+    exchange allowed is the final presentation sort (range partitioning),
+    which production pipelines omit — no hash shuffle anywhere."""
+    p = plan_of(spark, "q87_token_window_chunks")
+    assert "Generate" in p  # the chunk-id explode
+    assert "Exchange hashpartitioning" not in p
+    assert "Join" not in p
+
+
+def test_repetition_score_joins_hash_never_nested_loop(spark):
+    """Trigram fraction is expression-only; the token-mode side shuffles
+    once on (doc_id, tok) and once on doc_id, then joins back on doc_id —
+    hash join, never a nested-loop fallback."""
+    p = plan_of(spark, "q88_repetition_score")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "HashJoin" in p or "SortMergeJoin" in p
+
+
+def test_pii_redaction_is_pure_projection(spark):
+    """Redaction is codegen'd string expressions over the scan — zero
+    joins, zero aggregates, zero hash shuffles; and column pruning must
+    keep unreferenced customer columns out of the reader."""
+    p = plan_of(spark, "q89_pii_redaction")
+    assert "Exchange hashpartitioning" not in p
+    assert "Join" not in p and "HashAggregate" not in p
+    scan = p[p.index("FileScan") :]
+    read_schema = scan[scan.index("ReadSchema") :][:200]
+    assert "c_acctbal" not in read_schema and "c_mktsegment" not in read_schema
+
+
+def test_top_terms_partial_aggregation_bounded_shuffles(spark):
+    """Vocabulary counts aggregate partial+final (map-side combine before
+    the (lang, term) shuffle); the rank window re-shuffles only the tiny
+    aggregated vocabulary by lang — two hash exchanges total."""
+    p = plan_of(spark, "q91_top_terms_per_lang")
+    assert p.count("HashAggregate") >= 2
+    assert p.count("Exchange hashpartitioning") <= 2
+    assert "Window" in p
+
+
+def test_embedding_centroids_one_shuffle_partial_sums(spark):
+    """Per-dimension fixed-point sums combine map-side: posexplode feeds
+    partial aggregates, ONE (label, pos) hash shuffle, final aggregate —
+    the shape that holds at any corpus size."""
+    p = plan_of(spark, "q92_embedding_centroids")
+    assert "Generate" in p  # posexplode
+    assert p.count("HashAggregate") == 2
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_split_assignment_is_pure_projection(spark):
+    """Hash-based train/val/test assignment must be a zero-shuffle
+    projection the scan streams through — no join, no aggregate."""
+    p = plan_of(spark, "q93_train_val_test_split")
+    assert "Exchange hashpartitioning" not in p
+    assert "Join" not in p and "HashAggregate" not in p
+
+
+def test_sequence_packing_one_shuffle_per_shard_window(spark):
+    """Packing is one cumsum window per (lang, source) shard: exactly one
+    hash exchange (the window), no joins."""
+    p = plan_of(spark, "q94_sequence_packing")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p
+    assert "Window" in p
+
+
+def test_cooccurrence_broadcasts_counts_topk_no_global_sort(spark):
+    """Pair counts join the (tiny) vocabulary counts and the single-row
+    corpus count by broadcast; top-20 is TakeOrderedAndProject, and the
+    only non-broadcast join is the per-doc self-join on doc_id."""
+    p = plan_of(spark, "q96_cooccurrence_pmi")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
 def test_no_rdd_scans_anywhere(spark):
     """Every declared query must read through the parquet FileScan path
     (vectorized reader, pushdown-capable) — never an RDD scan. Exempt:
