@@ -663,6 +663,39 @@ def q90_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q97_incremental_ingest_dedup",
+    oracle="""
+    WITH hist AS (
+        SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id % 10 < 8
+    ), batch AS (
+        SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id % 10 >= 8
+    )
+    SELECT b.doc_id, b.digest
+    FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.digest = b.digest)
+    ORDER BY b.doc_id
+    """,
+    tags=("dedup", "incremental", "ingest", "E14", "llm-pipeline"),
+)
+def q97_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup — the shape every recrawl runs: dedup the
+    NEW batch (here the doc_id%10>=8 slice) against the historical corpus
+    (the other 80%) by content digest, keeping only genuinely new
+    documents. A left-anti join on 16-byte digests: the historical side
+    is digest-only (16 bytes/doc regardless of document size), which at
+    100 TB is the difference between shuffling a digest index and
+    shuffling the corpus; production keeps that digest index as a
+    bucketed table so the anti-join is co-located and shuffle-free."""
+    d = table(spark, sf_dir, "documents")
+    digest = F.md5(F.encode("text", "UTF-8")).alias("digest")
+    hist = d.where(F.col("doc_id") % 10 < 8).select(digest).distinct()
+    batch = d.where(F.col("doc_id") % 10 >= 8).select("doc_id", digest)
+    return batch.join(hist, "digest", "left_anti").select("doc_id", "digest").orderBy(
+        "doc_id"
+    )
+
+
+@query(
     "q29_simhash_near_duplicates",
     oracle=None,  # sketch-based; verified in tests/test_dedup.py
     tags=("dedup", "simhash", "E15"),

@@ -409,7 +409,9 @@ def q88_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a broadcast-size per-doc max joined back on doc_id."""
     from database_migrator_spark.operators.dedup import word_shingles
 
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     base = d.select("doc_id", tokens_of("text").alias("t")).where(F.size("t") >= 3)
     sh = word_shingles(F.col("t"), 3)
     trig = base.select(
@@ -645,6 +647,142 @@ def q96_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("c_ab").desc(), "tok_a", "tok_b")
         .limit(20)
     )
+
+
+@query(
+    "q98_benchmark_decontamination",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           t -> len(t) > 0) AS t
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(t) >= 8
+                    THEN list_transform(generate_series(1, len(t) - 7),
+                                        i -> array_to_string(t[i:i+7], ' '))
+                    ELSE [array_to_string(t, ' ')] END) AS s
+        FROM toks
+    ), bench AS (
+        SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0
+    ), train AS (
+        SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0
+    )
+    SELECT t.doc_id, COUNT(DISTINCT t.g) AS n_shared_8grams
+    FROM train t JOIN bench b ON t.g = b.g
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+    tags=("text", "decontamination", "ngram", "llm-pipeline"),
+)
+def q98_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination — the n-gram collision scan every serious
+    training pipeline runs before training: flag training documents
+    sharing any 8-token shingle with the held-out benchmark set (here the
+    deterministic doc_id%97 slice), reporting how many distinct 8-grams
+    collide. The benchmark shingle set is tiny relative to the corpus and
+    joins by BROADCAST, so the training side streams through one
+    explode + broadcast-probe + (doc_id) aggregation — no corpus-side
+    pairwise work, which is what makes the scan affordable at 100 TB."""
+    from database_migrator_spark.operators.dedup import word_shingles
+
+    # single-file table = 1 partition; shingle construction is CPU-bound
+    # per row, so spread it across cores first (interpreted HOF lambdas)
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sh = d.select(
+        "doc_id", F.array_distinct(word_shingles(tokens_of("text"), 8)).alias("s")
+    )
+    bench = (
+        sh.where(F.col("doc_id") % 97 == 0)
+        .select(F.explode("s").alias("g"))
+        .distinct()
+    )
+    train = sh.where(F.col("doc_id") % 97 != 0).select(
+        "doc_id", F.explode("s").alias("g")
+    )
+    return (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_shared_8grams"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q99_quality_filter_yield",
+    oracle=r"""
+    WITH sig AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           t -> len(t) > 0) AS t
+        FROM documents
+    ), m AS (
+        SELECT doc_id,
+               len(t) AS n_toks,
+               CASE WHEN len(t) >= 3 THEN
+                 CAST(1 AS DOUBLE)
+                   - CAST(len(list_distinct(list_transform(
+                         generate_series(1, len(t) - 2),
+                         i -> array_to_string(t[i:i+2], ' ')))) AS DOUBLE)
+                     / CAST(len(t) - 2 AS DOUBLE)
+               ELSE CAST(1 AS DOUBLE) END AS dup3
+        FROM sig
+    )
+    SELECT stage, n_docs FROM (
+        SELECT '0_total' AS stage, COUNT(*) AS n_docs FROM m
+        UNION ALL
+        SELECT '1_min_length', COUNT(*) FROM m WHERE n_toks >= 60
+        UNION ALL
+        SELECT '2_max_length', COUNT(*) FROM m WHERE n_toks >= 60 AND n_toks <= 500
+        UNION ALL
+        SELECT '3_repetition', COUNT(*) FROM m
+         WHERE n_toks >= 60 AND n_toks <= 500 AND dup3 <= 0.6
+    )
+    ORDER BY stage
+    """,
+    tags=("text", "quality", "yield", "llm-pipeline"),
+)
+def q99_quality_filter_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline yield report: how many documents survive each quality
+    filter stage (min length → max length → trigram-repetition cap),
+    applied cumulatively — the funnel number a data team watches when
+    tuning thresholds. Conditional aggregates over ONE scan (no
+    re-reads per stage); the signals are the q30/q88 expressions."""
+    from database_migrator_spark.operators.dedup import word_shingles
+
+    # spread the single-file scan before the CPU-bound shingle lambdas
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = tokens_of("text")
+    n = F.size(toks)
+    sh = word_shingles(toks, 3)
+    dup3 = F.when(
+        n >= 3,
+        F.lit(1.0) - F.size(F.array_distinct(sh)).cast("double") / (n - 2).cast("double"),
+    ).otherwise(F.lit(1.0))
+    m = d.select(n.alias("n_toks"), dup3.alias("dup3"))
+    p1 = F.col("n_toks") >= 60
+    p2 = p1 & (F.col("n_toks") <= 500)
+    p3 = p2 & (F.col("dup3") <= 0.6)
+    agg = m.agg(
+        F.count("*").alias("0_total"),
+        F.sum(p1.cast("long")).alias("1_min_length"),
+        F.sum(p2.cast("long")).alias("2_max_length"),
+        F.sum(p3.cast("long")).alias("3_repetition"),
+    )
+    stage = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(s).alias("stage"), F.col(f"`{s}`").alias("n_docs"))
+                for s in ("0_total", "1_min_length", "2_max_length", "3_repetition")
+            ]
+        )
+    ).alias("kv")
+    return agg.select(stage).select("kv.stage", "kv.n_docs").orderBy("stage")
 
 
 @query(

@@ -272,6 +272,31 @@ def test_cooccurrence_broadcasts_counts_topk_no_global_sort(spark):
     assert "CartesianProduct" not in p
 
 
+def test_incremental_dedup_anti_join_on_digests(spark):
+    """Batch-vs-history dedup must be a hash LEFT ANTI join on the
+    16-byte digest column — never a nested-loop or cartesian fallback."""
+    p = plan_of(spark, "q97_incremental_ingest_dedup")
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_decontamination_broadcasts_benchmark_shingles(spark):
+    """The benchmark 8-gram set joins by broadcast: the training side
+    streams through explode + probe + aggregate, no corpus-side
+    sort-merge shuffle for the join."""
+    p = plan_of(spark, "q98_benchmark_decontamination")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_quality_yield_single_scan_no_join(spark):
+    """All funnel stages are conditional aggregates over ONE scan —
+    no join, no per-stage re-read (exactly one FileScan)."""
+    p = plan_of(spark, "q99_quality_filter_yield")
+    assert "Join" not in p
+    assert p.count("FileScan") == 1
+
+
 def test_no_rdd_scans_anywhere(spark):
     """Every declared query must read through the parquet FileScan path
     (vectorized reader, pushdown-capable) — never an RDD scan. Exempt:

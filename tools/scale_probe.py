@@ -55,6 +55,17 @@ PROBE_QUERIES = [
     "q75_tfidf_top_terms",
     "q79_table_checksum",
     "q80_snapshot_diff",
+    # round-3 additions: training-pipeline surface (chunking, repetition,
+    # canonical pick, centroids, packing, PMI self-join, incremental
+    # dedup, decontamination)
+    "q87_token_window_chunks",
+    "q88_repetition_score",
+    "q90_canonical_docs",
+    "q92_embedding_centroids",
+    "q94_sequence_packing",
+    "q96_cooccurrence_pmi",
+    "q97_incremental_ingest_dedup",
+    "q98_benchmark_decontamination",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
