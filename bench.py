@@ -89,7 +89,16 @@ def main() -> None:
     if len(line) > 1900:  # keep headroom below the 2000-char tail window
         out["queries"] = {k: v for k, v in sorted(short.items(), key=lambda kv: -kv[1])[:60]}
         out["queries_truncated_to_slowest"] = 60
+        if failures:  # failures can alone blow the window — truncate them too
+            out["n_failures"] = len(failures)
+            out["failures"] = {
+                name.split("_", 1)[0]: msg[:40] for name, msg in list(failures.items())[:8]
+            }
         line = json.dumps(out, separators=(",", ":"))
+        if len(line) > 1900:  # last resort: totals + failure count only
+            out["queries"] = {}
+            out.pop("failures", None)
+            line = json.dumps(out, separators=(",", ":"))
     print(line)
 
 

@@ -154,10 +154,12 @@ def minhash_near_duplicates(
     rows = num_hashes // bands
     ck = None
     if cache_key is not None:
-        ck = (
-            docs.sparkSession.sparkContext.applicationId,
-            cache_key, id_col, text_col, num_hashes,
-        )
+        app = docs.sparkSession.sparkContext.applicationId
+        # entries from previous (stopped) sessions hold dead checkpoint
+        # references — evict them instead of accumulating forever
+        for stale in [k for k in _SKETCH_CACHE if k[0] != app]:
+            del _SKETCH_CACHE[stale]
+        ck = (app, cache_key, id_col, text_col, num_hashes)
     toks = _SKETCH_CACHE.get(ck) if ck is not None else None
     if toks is None:
         # sketching is CPU-bound per row: spread a possibly single-file scan
@@ -688,7 +690,9 @@ def q97_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed table so the anti-join is co-located and shuffle-free."""
     d = table(spark, sf_dir, "documents")
     digest = F.md5(F.encode("text", "UTF-8")).alias("digest")
-    hist = d.where(F.col("doc_id") % 10 < 8).select(digest).distinct()
+    # no distinct() on the build side: left-anti ignores duplicate keys,
+    # so deduping first would only add a shuffle
+    hist = d.where(F.col("doc_id") % 10 < 8).select(digest)
     batch = d.where(F.col("doc_id") % 10 >= 8).select("doc_id", digest)
     return batch.join(hist, "digest", "left_anti").select("doc_id", "digest").orderBy(
         "doc_id"

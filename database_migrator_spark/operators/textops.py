@@ -527,8 +527,9 @@ def q93_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, lang, source, n_toks,
            start_offset,
-           start_offset // 512                 AS first_seq,
-           (start_offset + n_toks - 1) // 512  AS last_seq
+           start_offset // 512 AS first_seq,
+           greatest(start_offset // 512,
+                    (start_offset + n_toks - 1) // 512) AS last_seq
     FROM (
         SELECT doc_id, lang, source, n_toks,
                CAST(COALESCE(SUM(n_toks) OVER (
@@ -569,9 +570,13 @@ def q94_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_toks",
             "start_offset",
             F.floor(F.col("start_offset") / F.lit(512)).alias("first_seq"),
-            F.floor((F.col("start_offset") + F.col("n_toks") - 1) / F.lit(512)).alias(
-                "last_seq"
-            ),
+            # clamp to first_seq so a zero-token doc collapses to its own
+            # sequence instead of diverging between floor (Spark) and the
+            # toward-zero // (DuckDB) on the off-1 boundary
+            F.greatest(
+                F.floor(F.col("start_offset") / F.lit(512)),
+                F.floor((F.col("start_offset") + F.col("n_toks") - 1) / F.lit(512)),
+            ).alias("last_seq"),
         )
         .orderBy("doc_id")
     )

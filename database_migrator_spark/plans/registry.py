@@ -63,15 +63,17 @@ def query(
 # 65/86 registered queries but both snapshots contain precisely the first
 # 50 names in iteration order).  ``all_queries()`` therefore front-loads
 # the catalog with every not-yet-driver-verified query so the 50-row gate
-# spends its budget on new coverage, then re-checks a diverse sample of
-# the already-twice-green set, then the rest.  Order changes NOTHING for
-# the pytest oracle suite or bench.py — they run the whole catalog.
+# spends its budget on new coverage, then re-checks of the already-
+# twice-green set AS BUDGET ALLOWS, then the rest.  With 49 unverified
+# queries (q51-q99) only the first re-check (q01) fits the round-3 gate;
+# the rest queue for later rounds.  Order changes NOTHING for the pytest
+# oracle suite or bench.py — they run the whole catalog.
 _DRIVER_VERIFIED = {f"q{i:02d}" for i in range(1, 51)}
 
-# Re-checks: one per operator family, all hash-matched in r01 AND r02
-# (scan, agg, star join, anti join, window, rollup, json, as-of join,
-# exact dedup, jaccard, text quality, cosine top-k, streaming window,
-# applyInPandas).
+# Re-check preference order: one per operator family, all hash-matched in
+# r01 AND r02 (scan, agg, star join, anti join, window, rollup, json,
+# as-of join, exact dedup, jaccard, text quality, cosine top-k, streaming
+# window, applyInPandas).
 _RECHECKS = (
     "q01_scan_filter_project",
     "q02_pricing_summary",
