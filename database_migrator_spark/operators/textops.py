@@ -791,6 +791,44 @@ def q99_quality_filter_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q100_heavy_hitters",
+    oracle=r"""
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  t -> len(t) > 0)) AS term
+        FROM documents
+    )
+    SELECT term, n FROM (
+        SELECT term, COUNT(*) AS n FROM toks GROUP BY term
+    )
+    ORDER BY n DESC, term
+    LIMIT 10
+    """,
+    tags=("sketch", "topk", "heavy-hitters"),
+)
+def q100_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 corpus terms via the approx_top_k mergeable sketch — the
+    heavy-hitters pattern: per-partition sketches combine in one
+    single-row aggregate (each a bounded few KB regardless of input),
+    so the token stream never shuffles. Run in the sketch's LOSSLESS
+    regime (maxItemsTracked=10000 ≫ corpus vocabulary), where every
+    tracked count is exact — which is why this sketch query can be
+    hash-matched against the exact GROUP BY oracle; web-scale vocabs
+    overflow the tracker and degrade gracefully to approximate counts.
+    The final deterministic (count desc, term) sort happens outside the
+    sketch, since approx_top_k's internal tie order is unspecified."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens_of("text")).alias("term"))
+    sk = toks.agg(F.expr("approx_top_k(term, 1000, 10000)").alias("tk"))
+    return (
+        sk.select(F.explode("tk").alias("kv"))
+        .select(F.col("kv.item").alias("term"), F.col("kv.count").alias("n"))
+        .orderBy(F.col("n").desc(), "term")
+        .limit(10)
+    )
+
+
+@query(
     "q75_tfidf_top_terms",
     oracle=r"""
     WITH toks AS (

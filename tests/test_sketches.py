@@ -31,6 +31,27 @@ def test_hll_union_estimates_close_to_exact(spark):
     assert abs(out["__all__"] - exact_all) <= max(2, 0.05 * exact_all)
 
 
+def test_heavy_hitters_lossless_regime_holds(spark):
+    """q100's hash-match against the exact oracle is only valid while the
+    corpus vocabulary fits the sketch tracker — assert that precondition
+    and that the sketch output equals the exact top-10."""
+    d = table(spark, SF_SMOKE, "documents")
+    from database_migrator_spark.operators.dedup import tokens_of
+
+    toks = d.select(F.explode(tokens_of("text")).alias("term"))
+    vocab = toks.distinct().count()
+    assert vocab < 10000, "vocabulary outgrew maxItemsTracked - q100 no longer lossless"
+    exact = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "term")
+        .limit(10)
+        .collect()
+    )
+    sketch = all_queries()["q100_heavy_hitters"].build(spark, SF_SMOKE).collect()
+    assert [tuple(r) for r in sketch] == [tuple(r) for r in exact]
+
+
 def test_hll_merged_equals_direct_global_sketch(spark):
     """Union-of-partial-sketches must estimate the same as one sketch
     over the raw column — the lossless-merge contract."""
