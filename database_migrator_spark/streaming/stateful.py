@@ -110,7 +110,11 @@ def sessionize_with_state(events_stream: DataFrame, gap_seconds: int = 1800) -> 
         start_us, last_us, n = state.get if state.exists else (None, None, 0)
         events = []
         for pdf in pdfs:
-            events.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
+            # event time arrives as int64 micros ("us", computed JVM-side)
+            # so the 10k per-key update calls skip pandas timestamp parsing;
+            # the remaining cost is the per-key Python invocation itself,
+            # inherent to the applyInPandasWithState contract
+            events.extend(int(u) for u in pdf["us"])
         events.sort()
         for t in events:
             if start_us is None:
@@ -139,7 +143,7 @@ def sessionize_with_state(events_stream: DataFrame, gap_seconds: int = 1800) -> 
         yield out[["user_id", "session_start", "n_events"]]
 
     return (
-        events_stream.select("user_id", "ts")
+        events_stream.select("user_id", "ts", F.unix_micros("ts").alias("us"))
         .withWatermark("ts", "10 minutes")
         .groupBy("user_id")
         .applyInPandasWithState(
