@@ -817,7 +817,9 @@ def q100_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     overflow the tracker and degrade gracefully to approximate counts.
     The final deterministic (count desc, term) sort happens outside the
     sketch, since approx_top_k's internal tie order is unspecified."""
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = d.select(F.explode(tokens_of("text")).alias("term"))
     sk = toks.agg(F.expr("approx_top_k(term, 1000, 10000)").alias("tk"))
     return (

@@ -1,0 +1,60 @@
+"""Driver-visibility invariants for bench.py and the registry ordering.
+
+The round driver records only the LAST 2000 chars of bench stdout and
+only the FIRST 50 entries of ``queries()`` (measured: BENCH_r01/r02
+carry a 2000-char ``tail`` with ``parsed: null``; CORRECTNESS_r01/r02
+each contain exactly the first 50 names). These tests fail BEFORE a
+registry change silently re-breaks either contract.
+"""
+
+from __future__ import annotations
+
+import json
+
+from database_migrator_spark.plans.registry import all_queries
+
+
+def test_short_query_keys_are_unique():
+    """bench.py reports each query under its ``qNN`` prefix — a duplicate
+    prefix would silently merge two timings."""
+    names = list(all_queries())
+    shorts = [n.split("_", 1)[0] for n in names]
+    assert len(set(shorts)) == len(shorts)
+
+
+def test_bench_json_line_fits_tail_window():
+    """Worst-case bench line (every benched query at a 6-char timing plus
+    a truncated failures dict) must stay under the 1900-char budget that
+    keeps it inside the driver's 2000-char stdout tail."""
+    qs = all_queries()
+    short = {n.split("_", 1)[0]: 999.99 for n, dq in qs.items() if dq.bench}
+    out = {
+        "metric": "total_wall_sec_declared_queries",
+        "value": 99999.99,
+        "unit": "sec",
+        "queries": short,
+        "sf": 0.1,
+        "n_queries": len(short),
+        # the overflow fallback truncates failures to 8 entries x 40 chars
+        "n_failures": 99,
+        "failures": {f"q{i:02d}": "X" * 40 for i in range(8)},
+    }
+    line = json.dumps(out, separators=(",", ":"))
+    assert len(line) < 1900, (
+        f"bench line would be {len(line)} chars; the registry has grown past "
+        "what the driver's 2000-char tail window can carry — shrink keys or "
+        "rely on the slowest-60 fallback"
+    )
+
+
+def test_gate_order_front_loads_unverified_queries():
+    """The first 50 registry entries must all be queries without a driver
+    CORRECTNESS row (q51+); a sorted-by-name regression would silently
+    re-spend the 50-row gate on already-verified q01-q50."""
+    names = list(all_queries())
+    verified = {f"q{i:02d}" for i in range(1, 51)}
+    gate = names[:50]
+    unverified_total = sum(1 for n in names if n.split("_", 1)[0] not in verified)
+    expect_new_in_gate = min(50, unverified_total)
+    new_in_gate = sum(1 for n in gate if n.split("_", 1)[0] not in verified)
+    assert new_in_gate == expect_new_in_gate
