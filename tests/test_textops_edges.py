@@ -1,0 +1,109 @@
+"""Edge-case invariants for the chunking/packing/split operators on a
+synthetic corpus the driver testdata never exercises: empty and
+whitespace-only documents, single-token docs, and exact chunk-boundary
+lengths. q94's empty-doc clamp (Spark floor vs DuckDB toward-zero
+division on offset-1) is regression-locked cross-engine here."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from database_migrator_spark.plans.registry import all_queries
+
+
+_DOCS = [
+    # (doc_id, text, lang, source)
+    (0, "", "en", "web"),                      # empty
+    (1, "   ", "en", "web"),                   # whitespace-only -> 0 tokens
+    (2, "one", "en", "web"),                   # single token
+    (3, " ".join(f"w{i}" for i in range(32)), "en", "web"),   # exactly one chunk
+    (4, " ".join(f"w{i}" for i in range(33)), "en", "web"),   # boundary + 1
+    (5, " ".join(f"w{i}" for i in range(512)), "en", "books"),  # exactly one sequence
+    (6, " ".join(f"w{i}" for i in range(700)), "en", "books"),  # straddles sequences
+    (7, "alpha beta", "de", "web"),
+    (8, " ".join(["dup"] * 40), "de", "web"),  # maximal repetition
+]
+
+
+@pytest.fixture(scope="module")
+def edge_dir(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("edge_docs")
+    pdf = pd.DataFrame(
+        [(i, t, lang, src, len(t)) for i, t, lang, src in _DOCS],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        str(base / "documents.parquet")
+    )
+    return str(base)
+
+
+def _duck_on(edge_dir: str):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{edge_dir}/documents.parquet/*.parquet')"
+    )
+    return con
+
+
+def test_chunking_partitions_tokens_exactly(spark, edge_dir):
+    rows = all_queries()["q87_token_window_chunks"].build(spark, edge_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 0 not in by_doc and 1 not in by_doc  # token-less docs drop out
+    n_toks = {2: 1, 3: 32, 4: 33, 5: 512, 6: 700, 7: 2, 8: 40}
+    for doc, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+        assert all(1 <= c["n_chunk_tokens"] <= 32 for c in chunks)
+        assert sum(c["n_chunk_tokens"] for c in chunks) == n_toks[doc]
+
+
+def test_packing_matches_oracle_on_empty_docs(spark, edge_dir):
+    """The exact scenario the q94 clamp fixed: zero-token docs at shard
+    offsets — Spark and DuckDB must agree row-for-row."""
+    dq = all_queries()["q94_sequence_packing"]
+    got = [tuple(r) for r in dq.build(spark, edge_dir).collect()]
+    want = [tuple(r) for r in _duck_on(edge_dir).execute(dq.oracle).fetchall()]
+    assert got == want
+    by_id = {r[0]: r for r in got}
+    for doc_id in (0, 1):  # zero-token docs collapse to their own sequence
+        assert by_id[doc_id][6] == by_id[doc_id][5]  # last_seq == first_seq
+
+
+def test_packing_offsets_are_shard_cumulative(spark, edge_dir):
+    rows = all_queries()["q94_sequence_packing"].build(spark, edge_dir).collect()
+    shards: dict[tuple, list] = {}
+    for r in rows:
+        shards.setdefault((r["lang"], r["source"]), []).append(r)
+    for members in shards.values():
+        members.sort(key=lambda r: r["doc_id"])
+        offset = 0
+        for r in members:
+            assert r["start_offset"] == offset
+            assert r["last_seq"] >= r["first_seq"]
+            offset += r["n_toks"]
+
+
+def test_split_deterministic_and_total(spark, edge_dir):
+    dq = all_queries()["q93_train_val_test_split"]
+    a = [tuple(r) for r in dq.build(spark, edge_dir).collect()]
+    b = [tuple(r) for r in dq.build(spark, edge_dir).collect()]
+    assert a == b  # reproducible across plans/runs
+    assert len(a) == len(_DOCS)  # empty docs still get a split
+    assert {s for _, s in a} <= {"train", "val", "test"}
+
+
+def test_repetition_score_maximal_dup_doc(spark, edge_dir):
+    rows = {
+        r["doc_id"]: r
+        for r in all_queries()["q88_repetition_score"].build(spark, edge_dir).collect()
+    }
+    assert 0 not in rows and 2 not in rows  # <3-token docs excluded
+    assert rows[8]["dup_trigram_frac"] > 0.9  # 40x repeated token
+    assert rows[8]["top_token_frac"] == 1.0
+    assert rows[5]["dup_trigram_frac"] == 0.0  # all-distinct tokens
