@@ -350,21 +350,37 @@ def q87_token_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions + one explode: streams at scan speed, no shuffle until
     the final presentation sort (which production pipelines omit)."""
     d = table(spark, sf_dir, "documents")
-    base = d.select("doc_id", tokens_of("text").alias("t")).where(F.size("t") > 0)
+    return token_window_chunks(d, chunk_size=32).orderBy("doc_id", "chunk_id")
+
+
+def token_window_chunks(
+    docs: DataFrame,
+    chunk_size: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into ⌈n/chunk_size⌉ token windows; returns
+    (id, chunk_id, n_chunk_tokens, digest). Pure column expressions +
+    one explode — streams at scan speed with zero shuffle."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_of(text_col).alias("t")
+    ).where(F.size("t") > 0)
     ids = base.select(
         "doc_id",
         "t",
         F.explode(
-            F.sequence(F.lit(0), F.floor((F.size("t") - 1) / F.lit(32)).cast("int"))
+            F.sequence(
+                F.lit(0), F.floor((F.size("t") - 1) / F.lit(chunk_size)).cast("int")
+            )
         ).alias("chunk_id"),
     )
-    ct = F.slice(F.col("t"), F.col("chunk_id") * 32 + 1, F.lit(32))
+    ct = F.slice(F.col("t"), F.col("chunk_id") * chunk_size + 1, F.lit(chunk_size))
     return ids.select(
         "doc_id",
         F.col("chunk_id").cast("long").alias("chunk_id"),
         F.size(ct).cast("long").alias("n_chunk_tokens"),
         F.md5(F.encode(F.array_join(ct, " "), "UTF-8")).alias("digest"),
-    ).orderBy("doc_id", "chunk_id")
+    )
 
 
 @query(
@@ -506,14 +522,28 @@ def q93_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc's split), and needs zero shuffle: it is a projection the scan
     streams through. Same hex-threshold idiom as the q19/q57 samplers."""
     d = table(spark, sf_dir, "documents")
-    bucket = F.substring(F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), 1, 2)
-    return d.select(
-        "doc_id",
-        F.when(bucket < "cd", F.lit("train"))
-        .when(bucket < "e6", F.lit("val"))
-        .otherwise(F.lit("test"))
-        .alias("split"),
-    ).orderBy("doc_id")
+    return train_val_test_split(d).select("doc_id", "split").orderBy("doc_id")
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    val_threshold: str = "cd",
+    test_threshold: str = "e6",
+) -> DataFrame:
+    """Append a deterministic 'split' column keyed on md5(key): hex
+    prefix < val_threshold → train, < test_threshold → val, else test
+    (defaults ≈ 80/10/10). Reproducible across engines, retries, and
+    backfills; zero shuffle."""
+    bucket = F.substring(
+        F.md5(F.encode(F.col(key_col).cast("string"), "UTF-8")), 1, 2
+    )
+    return df.withColumn(
+        "split",
+        F.when(bucket < val_threshold, F.lit("train"))
+        .when(bucket < test_threshold, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
 
 
 @query(
@@ -549,36 +579,46 @@ def q94_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     running offset is one window cumsum per shard — packing is shard-
     local at 100 TB by design (a global stream would serialize), so the
     partitionBy IS the scale story, not a toy shortcut."""
+    d = table(spark, sf_dir, "documents")
+    return sequence_packing(d, seq_len=512).orderBy("doc_id")
+
+
+def sequence_packing(
+    docs: DataFrame,
+    seq_len: int = 512,
+    shard_cols: tuple[str, ...] = ("lang", "source"),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk packing: per-shard running token offsets plus the
+    first/last ``seq_len``-token sequence each doc lands in. One window
+    cumsum per shard — packing is shard-local by design at scale."""
     from pyspark.sql import Window
 
-    d = table(spark, sf_dir, "documents")
-    base = d.select(
-        "doc_id", "lang", "source", F.size(tokens_of("text")).cast("long").alias("n_toks")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        *shard_cols,
+        F.size(tokens_of(text_col)).cast("long").alias("n_toks"),
     )
     w = (
-        Window.partitionBy("lang", "source")
+        Window.partitionBy(*shard_cols)
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     off = F.coalesce(F.sum("n_toks").over(w), F.lit(0).cast("long"))
-    return (
-        base.withColumn("start_offset", off)
-        .select(
-            "doc_id",
-            "lang",
-            "source",
-            "n_toks",
-            "start_offset",
-            F.floor(F.col("start_offset") / F.lit(512)).alias("first_seq"),
-            # clamp to first_seq so a zero-token doc collapses to its own
-            # sequence instead of diverging between floor (Spark) and the
-            # toward-zero // (DuckDB) on the off-1 boundary
-            F.greatest(
-                F.floor(F.col("start_offset") / F.lit(512)),
-                F.floor((F.col("start_offset") + F.col("n_toks") - 1) / F.lit(512)),
-            ).alias("last_seq"),
-        )
-        .orderBy("doc_id")
+    return base.withColumn("start_offset", off).select(
+        "doc_id",
+        *shard_cols,
+        "n_toks",
+        "start_offset",
+        F.floor(F.col("start_offset") / F.lit(seq_len)).alias("first_seq"),
+        # clamp to first_seq so a zero-token doc collapses to its own
+        # sequence instead of diverging between floor (Spark) and the
+        # toward-zero // (DuckDB) on the off-1 boundary
+        F.greatest(
+            F.floor(F.col("start_offset") / F.lit(seq_len)),
+            F.floor((F.col("start_offset") + F.col("n_toks") - 1) / F.lit(seq_len)),
+        ).alias("last_seq"),
     )
 
 
@@ -654,6 +694,34 @@ def q96_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def benchmark_decontamination(
+    train_docs: DataFrame,
+    bench_docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flag training documents sharing any k-token shingle with the
+    benchmark set; returns (doc_id, n_shared_{k}grams). The benchmark
+    shingle set broadcasts; the training side streams through one
+    explode + probe + aggregation — no corpus-side pairwise work."""
+    from database_migrator_spark.operators.dedup import word_shingles
+
+    def shingled(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.array_distinct(word_shingles(tokens_of(text_col), k)).alias("s"),
+        )
+
+    bench = shingled(bench_docs).select(F.explode("s").alias("g")).distinct()
+    train = shingled(train_docs).select("doc_id", F.explode("s").alias("g"))
+    return (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias(f"n_shared_{k}grams"))
+    )
+
+
 @query(
     "q98_benchmark_decontamination",
     oracle=r"""
@@ -690,30 +758,14 @@ def q98_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
     joins by BROADCAST, so the training side streams through one
     explode + broadcast-probe + (doc_id) aggregation — no corpus-side
     pairwise work, which is what makes the scan affordable at 100 TB."""
-    from database_migrator_spark.operators.dedup import word_shingles
-
     # single-file table = 1 partition; shingle construction is CPU-bound
     # per row, so spread it across cores first (interpreted HOF lambdas)
     d = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    sh = d.select(
-        "doc_id", F.array_distinct(word_shingles(tokens_of("text"), 8)).alias("s")
-    )
-    bench = (
-        sh.where(F.col("doc_id") % 97 == 0)
-        .select(F.explode("s").alias("g"))
-        .distinct()
-    )
-    train = sh.where(F.col("doc_id") % 97 != 0).select(
-        "doc_id", F.explode("s").alias("g")
-    )
-    return (
-        train.join(F.broadcast(bench), "g")
-        .groupBy("doc_id")
-        .agg(F.countDistinct("g").alias("n_shared_8grams"))
-        .orderBy("doc_id")
-    )
+    return benchmark_decontamination(
+        d.where(F.col("doc_id") % 97 != 0), d.where(F.col("doc_id") % 97 == 0), k=8
+    ).orderBy("doc_id")
 
 
 @query(
@@ -821,12 +873,22 @@ def q100_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     toks = d.select(F.explode(tokens_of("text")).alias("term"))
-    sk = toks.agg(F.expr("approx_top_k(term, 1000, 10000)").alias("tk"))
+    return heavy_hitters(toks, "term", k=10)
+
+
+def heavy_hitters(
+    df: DataFrame, col: str, k: int = 10, max_tracked: int = 10000
+) -> DataFrame:
+    """Top-k values of ``col`` via the approx_top_k mergeable sketch,
+    deterministically re-sorted (count desc, value) outside the sketch.
+    Counts are exact while the column's cardinality stays below
+    ``max_tracked``; beyond that they degrade gracefully to estimates."""
+    sk = df.agg(F.expr(f"approx_top_k({col}, {max(k, 1000)}, {max_tracked})").alias("tk"))
     return (
         sk.select(F.explode("tk").alias("kv"))
-        .select(F.col("kv.item").alias("term"), F.col("kv.count").alias("n"))
-        .orderBy(F.col("n").desc(), "term")
-        .limit(10)
+        .select(F.col("kv.item").alias(col), F.col("kv.count").alias("n"))
+        .orderBy(F.col("n").desc(), col)
+        .limit(k)
     )
 
 

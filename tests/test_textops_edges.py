@@ -98,6 +98,52 @@ def test_split_deterministic_and_total(spark, edge_dir):
     assert {s for _, s in a} <= {"train", "val", "test"}
 
 
+def test_library_functions_accept_custom_params(spark, edge_dir):
+    """The operators are reusable beyond their declared-query defaults:
+    custom chunk size, sequence length, shingle width, and top-k."""
+    from pyspark.sql import functions as F
+
+    from database_migrator_spark.operators.textops import (
+        benchmark_decontamination,
+        heavy_hitters,
+        sequence_packing,
+        token_window_chunks,
+        train_val_test_split,
+    )
+    from database_migrator_spark.sources import table
+
+    docs = spark.read.parquet(f"{edge_dir}/documents.parquet")
+    # chunk_size=16: the 33-token doc needs ceil(33/16)=3 chunks
+    chunks = token_window_chunks(docs, chunk_size=16).collect()
+    c4 = sorted(
+        (r for r in chunks if r["doc_id"] == 4), key=lambda r: r["chunk_id"]
+    )
+    assert [r["n_chunk_tokens"] for r in c4] == [16, 16, 1]
+    # seq_len=128: the 700-token doc at shard offset 544 spans seqs 4..9
+    packed = {r["doc_id"]: r for r in sequence_packing(docs, seq_len=128).collect()}
+    assert packed[6]["first_seq"] == packed[6]["start_offset"] // 128
+    assert packed[6]["last_seq"] == (packed[6]["start_offset"] + 700 - 1) // 128
+    # k=2 shingles against an explicit one-doc benchmark frame
+    hits = benchmark_decontamination(
+        docs.where(F.col("doc_id") != 7), docs.where(F.col("doc_id") == 7), k=2
+    ).collect()
+    assert all(r["n_shared_2grams"] >= 1 for r in hits)
+    # heavy hitters on a different table/column entirely
+    ev = table(spark, SF_SMOKE := "/root/testdata/sf0.001", "events")
+    top = heavy_hitters(ev.select("event_type"), "event_type", k=3).collect()
+    exact = (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "event_type")
+        .limit(3)
+        .collect()
+    )
+    assert [tuple(r) for r in top] == [tuple(r) for r in exact]
+    # split thresholds shift the assignment but stay total + deterministic
+    s = train_val_test_split(docs, val_threshold="80", test_threshold="c0").collect()
+    assert len(s) == docs.count() and all(r["split"] in {"train", "val", "test"} for r in s)
+
+
 def test_repetition_score_maximal_dup_doc(spark, edge_dir):
     rows = {
         r["doc_id"]: r
