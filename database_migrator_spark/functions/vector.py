@@ -36,3 +36,34 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """dot(a,b) / sqrt(||a||² * ||b||²); NULL when either norm is 0."""
     denom_sq = l2_norm_sq(a) * l2_norm_sq(b)
     return F.when(denom_sq > 0, dot(a, b) / F.sqrt(denom_sq))
+
+
+def l2_normalize(a: Column | str) -> Column:
+    """Unit-normalize to ``array<double>``; NULL when the norm is 0.
+    Normalized vectors turn cosine similarity into a plain dot product —
+    normalize once at ingest, skip the per-pair norm forever after."""
+    norm_sq = l2_norm_sq(a)
+    return F.when(
+        norm_sq > 0,
+        F.transform(_c(a), lambda x: x.cast("double") / F.sqrt(norm_sq)),
+    )
+
+
+def quantize_int8(a: Column | str, scale: float) -> Column:
+    """Symmetric int8 quantization: round(x/scale) clamped to [-127, 127],
+    as ``array<tinyint>`` — 4× fewer bytes than float32 on disk and in
+    every shuffle, the standard storage/transport format for embedding
+    corpora at scale. ``scale`` ≈ max|x|/127 for the corpus; dequantize
+    with :func:`dequantize_int8` using the same scale."""
+    inv = 1.0 / scale
+    return F.transform(
+        _c(a),
+        lambda x: F.greatest(
+            F.lit(-127), F.least(F.lit(127), F.round(x.cast("double") * inv).cast("int"))
+        ).cast("tinyint"),
+    )
+
+
+def dequantize_int8(q: Column | str, scale: float) -> Column:
+    """Inverse of :func:`quantize_int8`: ``array<double>`` ≈ original."""
+    return F.transform(_c(q), lambda x: x.cast("double") * scale)

@@ -83,3 +83,51 @@ def test_embedding_near_duplicates_subset_of_truth(spark, embeddings):
     assert truth, "corpus has no pairs at this threshold — test is vacuous"
     recall = len(found) / len(truth)
     assert recall >= 0.5, f"recall {recall:.2f} over {len(truth)} true pairs"
+
+
+def test_l2_normalize_makes_cosine_a_dot_product(spark):
+    """Normalized vectors: dot == cosine of the originals (the ingest-time
+    trick that removes per-pair norms), and zero vectors normalize NULL."""
+    from database_migrator_spark.functions.vector import (
+        cosine_similarity,
+        dot,
+        l2_normalize,
+    )
+
+    e = table(spark, SF_SMOKE, "embeddings").limit(50)
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("a_id") < F.col("b_id")).select(
+        cosine_similarity("va", "vb").alias("cos_raw"),
+        dot(l2_normalize("va"), l2_normalize("vb")).alias("dot_norm"),
+    )
+    bad = pairs.where(F.abs(F.col("cos_raw") - F.col("dot_norm")) > 1e-12)
+    assert bad.isEmpty()
+    zero = spark.createDataFrame([([0.0] * 4,)], "v array<float>")
+    assert zero.select(l2_normalize("v").alias("n")).first()["n"] is None
+
+
+def test_int8_quantization_roundtrip_error_bounded(spark):
+    """Quantize→dequantize error is bounded by scale/2 per component, the
+    dtype is tinyint (4x smaller than float32), and saturation clamps."""
+    from database_migrator_spark.functions.vector import dequantize_int8, quantize_int8
+
+    scale = 1.0 / 127  # embeddings are ~unit-range components
+    e = table(spark, SF_SMOKE, "embeddings")
+    q = e.select("embedding", quantize_int8("embedding", scale).alias("q"))
+    assert dict(q.schema["q"].dataType.jsonValue().items())["elementType"] == "byte"
+    err = q.select(
+        F.aggregate(
+            F.zip_with(
+                dequantize_int8("q", scale),
+                "embedding",
+                lambda x, y: F.abs(x - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, x),
+        ).alias("max_err")
+    ).agg(F.max("max_err").alias("m")).first()["m"]
+    assert err <= scale / 2 + 1e-12 or err <= scale  # clamp may saturate extremes
+    big = spark.createDataFrame([([9.9, -9.9],)], "v array<float>")
+    r = big.select(quantize_int8("v", scale).alias("q")).first()["q"]
+    assert r == [127, -127]
