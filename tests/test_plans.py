@@ -297,6 +297,18 @@ def test_quality_yield_single_scan_no_join(spark):
     assert p.count("FileScan") == 1
 
 
+def test_hll_sketches_aggregate_two_phase(spark):
+    """Sketch aggregation must run as two-phase ObjectHashAggregate
+    (partial per-partition sketches merged after the shuffle — the
+    mergeability the operator exists to demonstrate), never the
+    SortAggregate fallback, with one hash exchange per aggregation
+    branch."""
+    p = plan_of(spark, "q95_hll_sketch_union")
+    assert p.count("ObjectHashAggregate") >= 4  # partial+final in both branches
+    assert "SortAggregate" not in p
+    assert p.count("Exchange hashpartitioning") <= 2
+
+
 def test_no_rdd_scans_anywhere(spark):
     """Every declared query must read through the parquet FileScan path
     (vectorized reader, pushdown-capable) — never an RDD scan. Exempt:
