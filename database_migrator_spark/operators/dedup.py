@@ -159,7 +159,10 @@ def minhash_near_duplicates(
         # references — evict them instead of accumulating forever
         for stale in [k for k in _SKETCH_CACHE if k[0] != app]:
             del _SKETCH_CACHE[stale]
-        ck = (app, cache_key, id_col, text_col, num_hashes)
+        # semanticHash fingerprints the *plan* feeding the sketch, so two
+        # callers sharing a cache_key but passing different frames (e.g.
+        # one filtered) can never silently read each other's sketches
+        ck = (app, cache_key, id_col, text_col, num_hashes, docs.semanticHash())
     toks = _SKETCH_CACHE.get(ck) if ck is not None else None
     if toks is None:
         # sketching is CPU-bound per row: spread a possibly single-file scan

@@ -172,18 +172,23 @@ def q89_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     after the raw identifier is dropped (here on customer names, the
     only PII-shaped field in the testdata). Pure codegen'd string
     expressions (substr/regexp_replace/md5), zero shuffle before the
-    presentation sort; the same expressions drop into any text column.
+    presentation sort; the same expressions drop into any text column —
+    identifiers shorter than five characters sit entirely inside the
+    keep-last-4 window, and the greatest()-clamped lengths leave them
+    unmasked instead of producing engine-dependent negative-length
+    substrings (Spark returns '' where DuckDB errors).
     ASCII character classes only, so Java and RE2 regex engines agree;
     DuckDB needs the explicit 'g' flag to match Spark's replace-all
     default."""
     c = table(spark, sf_dir, "customer")
     name = F.col("c_name")
     nlen = F.length(name)
-    prefix = name.substr(F.lit(1), nlen - 4)
+    prefix = name.substr(F.lit(1), F.greatest(nlen - 4, F.lit(0)))
     return c.select(
         "c_custkey",
         F.concat(
-            F.regexp_replace(prefix, "[0-9]", "*"), name.substr(nlen - 3, F.lit(4))
+            F.regexp_replace(prefix, "[0-9]", "*"),
+            name.substr(F.greatest(nlen - 3, F.lit(1)), F.lit(4)),
         ).alias("masked_name"),
         (F.length(prefix) - F.length(F.regexp_replace(prefix, "[0-9]", "")))
         .cast("long")

@@ -589,24 +589,60 @@ def sequence_packing(
     shard_cols: tuple[str, ...] = ("lang", "source"),
     id_col: str = "doc_id",
     text_col: str = "text",
+    bucket_width: int = 256,
 ) -> DataFrame:
     """Concat-and-chunk packing: per-shard running token offsets plus the
-    first/last ``seq_len``-token sequence each doc lands in. One window
-    cumsum per shard — packing is shard-local by design at scale."""
+    first/last ``seq_len``-token sequence each doc lands in.
+
+    The prefix sum is TWO-LEVEL so no single task ever sorts a whole
+    (lang, source) shard: docs bucket by ``floor(doc_id / bucket_width)``
+    (monotone in the doc_id packing order, so bucket b's docs all precede
+    bucket b+1's), the cumsum window partitions by (shard, bucket) and
+    runs one task PER BUCKET in parallel, and the tiny per-bucket token
+    totals — #shards × #buckets rows — get their own per-shard exclusive
+    prefix sum and broadcast-join back as bucket base offsets.
+    start_offset = bucket_base + within-bucket cumsum: identical to the
+    single-window answer, but a terabyte shard now spreads over
+    shard_bytes / (bucket_width · avg_doc_bytes) tasks instead of one.
+    Requires a numeric ``id_col`` (bucketing must preserve the order)."""
     from pyspark.sql import Window
 
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         *shard_cols,
         F.size(tokens_of(text_col)).cast("long").alias("n_toks"),
-    )
-    w = (
-        Window.partitionBy(*shard_cols)
+    ).withColumn("_bucket", F.floor(F.col("doc_id") / F.lit(bucket_width)))
+    # Level 1: cumsum WITHIN each (shard, bucket) — parallel across buckets.
+    w_local = (
+        Window.partitionBy(*shard_cols, "_bucket")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    off = F.coalesce(F.sum("n_toks").over(w), F.lit(0).cast("long"))
-    return base.withColumn("start_offset", off).select(
+    local_off = F.coalesce(F.sum("n_toks").over(w_local), F.lit(0).cast("long"))
+    # Level 2: per-bucket totals → per-shard exclusive prefix over bucket
+    # ids. This side is #shards × #buckets rows (bytes per terabyte of
+    # input), so the single-task-per-shard window HERE is free, and the
+    # result broadcasts.
+    w_buckets = (
+        Window.partitionBy(*shard_cols)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bucket_base = (
+        base.groupBy(*shard_cols, "_bucket")
+        .agg(F.sum("n_toks").alias("_bucket_toks"))
+        .withColumn(
+            "_bucket_base",
+            F.coalesce(F.sum("_bucket_toks").over(w_buckets), F.lit(0).cast("long")),
+        )
+        .select(*shard_cols, "_bucket", "_bucket_base")
+    )
+    joined = base.withColumn("_local_off", local_off).join(
+        F.broadcast(bucket_base), [*shard_cols, "_bucket"]
+    )
+    return joined.withColumn(
+        "start_offset", F.col("_bucket_base") + F.col("_local_off")
+    ).select(
         "doc_id",
         *shard_cols,
         "n_toks",
@@ -632,9 +668,13 @@ def sequence_packing(
         FROM documents
     ), cnt AS (
         SELECT tok, COUNT(*) AS c FROM dt GROUP BY tok
+    ), vocab AS (
+        SELECT tok, c FROM cnt WHERE c >= 2
+    ), dtp AS (
+        SELECT dt.doc_id, dt.tok FROM dt JOIN vocab USING (tok)
     ), pairs AS (
         SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS c_ab
-        FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        FROM dtp a JOIN dtp b ON a.doc_id = b.doc_id AND a.tok < b.tok
         GROUP BY a.tok, b.tok
     ), n AS (
         SELECT COUNT(*) AS n_docs FROM documents
@@ -642,8 +682,8 @@ def sequence_packing(
     SELECT tok_a, tok_b, c_ab,
            ln(CAST(c_ab AS DOUBLE) * n.n_docs / (ca.c * cb.c)) AS pmi
     FROM pairs
-    JOIN cnt ca ON pairs.tok_a = ca.tok
-    JOIN cnt cb ON pairs.tok_b = cb.tok
+    JOIN vocab ca ON pairs.tok_a = ca.tok
+    JOIN vocab cb ON pairs.tok_b = cb.tok
     CROSS JOIN n
     ORDER BY c_ab DESC, tok_a, tok_b
     LIMIT 20
@@ -652,29 +692,56 @@ def sequence_packing(
 )
 def q96_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 document-level token co-occurrence pairs with pointwise
-    mutual information — the word2vec/GloVe-style corpus statistic. The
-    pair space is bounded per doc by the DISTINCT-token set (vocabulary
-    pruning caps it at scale; test corpora have ~60 distinct tokens/doc),
-    so the self-join stays ~N·V², never corpus-quadratic; counts join
-    back by broadcast (vocabulary ≪ corpus) and top-20 is a
-    TakeOrderedAndProject. PMI inputs are exact integers, making the
-    single ln() call hash-stable at the 6-decimal compare."""
-    d = table(spark, sf_dir, "documents")
+    mutual information — the word2vec/GloVe-style corpus statistic.
+    Vocabulary pruning is REAL, not advisory: both sides of the per-doc
+    self-join are first semi-joined (broadcast) against the min-count
+    vocabulary, so candidate pairs are bounded by Σ V'_doc² where V' is
+    the PRUNED per-doc vocab — a pair with c_ab ≥ min_count needs both
+    tokens at doc-freq ≥ min_count, so no pair that could reach the
+    top-20 (given ≥20 pairs above the cutoff) is lost, and web-scale
+    10³-10⁴-distinct-token documents stop being quadratic in their long
+    tail of hapaxes. The same cutoff is mirrored in the DuckDB oracle.
+    Doc-frequency counts join back by broadcast (vocabulary ≪ corpus)
+    and top-20 is a TakeOrderedAndProject. PMI inputs are exact
+    integers, making the single ln() call hash-stable at the 6-decimal
+    compare."""
+    return cooccurrence_pmi(table(spark, sf_dir, "documents"), top_k=20, min_count=2)
+
+
+def cooccurrence_pmi(
+    docs: DataFrame,
+    top_k: int = 20,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Document-level co-occurrence PMI over the min-count-pruned
+    vocabulary. ``min_count`` is the scale knob: tokens in fewer than
+    ``min_count`` documents are dropped from BOTH sides of the pair
+    self-join (their pairs can never reach c_ab ≥ min_count), which caps
+    the per-doc pair fan-out at the pruned vocabulary size squared."""
+    d = docs
     dt = d.select(
-        "doc_id", F.explode(F.array_distinct(tokens_of("text"))).alias("tok")
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens_of(text_col))).alias("tok"),
     )
     cnt = dt.groupBy("tok").agg(F.count("*").alias("c"))
-    a = dt.select("doc_id", F.col("tok").alias("tok_a"))
-    b = dt.select("doc_id", F.col("tok").alias("tok_b"))
+    vocab = cnt.where(F.col("c") >= F.lit(min_count))
+    # Broadcast vocabulary pruning BEFORE the self-join: the pair space
+    # is quadratic per doc, so every hapax dropped here is a row that
+    # never fans out.
+    dtp = dt.join(F.broadcast(vocab.select("tok")), "tok").select("doc_id", "tok")
+    a = dtp.select("doc_id", F.col("tok").alias("tok_a"))
+    b = dtp.select("doc_id", F.col("tok").alias("tok_b"))
     pairs = (
         a.join(b, "doc_id")
         .where(F.col("tok_a") < F.col("tok_b"))
         .groupBy("tok_a", "tok_b")
         .agg(F.count("*").alias("c_ab"))
     )
-    n = d.agg(F.count("*").alias("n_docs"))
-    ca = cnt.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))
-    cb = cnt.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    ca = vocab.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))
+    cb = vocab.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b"))
     return (
         pairs.join(F.broadcast(ca), "tok_a")
         .join(F.broadcast(cb), "tok_b")
@@ -690,7 +757,7 @@ def q96_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
         .orderBy(F.col("c_ab").desc(), "tok_a", "tok_b")
-        .limit(20)
+        .limit(top_k)
     )
 
 

@@ -47,14 +47,12 @@ def test_bench_json_line_fits_tail_window():
     )
 
 
-def test_gate_order_front_loads_unverified_queries():
-    """The first 50 registry entries must all be queries without a driver
-    CORRECTNESS row (q51+); a sorted-by-name regression would silently
-    re-spend the 50-row gate on already-verified q01-q50."""
+def test_gate_order_front_loads_stale_signal_set():
+    """Round 4: the first 50 registry entries must be exactly q01-q50 —
+    their last driver rows (r01/r02) predate the round-3 library
+    refactor, so they are the stale hard signal the r04 gate must
+    re-verify; q51-q100 are freshly green in CORRECTNESS_r03."""
     names = list(all_queries())
-    verified = {f"q{i:02d}" for i in range(1, 51)}
-    gate = names[:50]
-    unverified_total = sum(1 for n in names if n.split("_", 1)[0] not in verified)
-    expect_new_in_gate = min(50, unverified_total)
-    new_in_gate = sum(1 for n in gate if n.split("_", 1)[0] not in verified)
-    assert new_in_gate == expect_new_in_gate
+    stale = {f"q{i:02d}" for i in range(1, 51)}
+    gate = {n.split("_", 1)[0] for n in names[:50]}
+    assert gate == stale

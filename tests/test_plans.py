@@ -253,23 +253,37 @@ def test_split_assignment_is_pure_projection(spark):
     assert "Join" not in p and "HashAggregate" not in p
 
 
-def test_sequence_packing_one_shuffle_per_shard_window(spark):
-    """Packing is one cumsum window per (lang, source) shard: exactly one
-    hash exchange (the window), no joins."""
+def test_sequence_packing_two_level_prefix_sum(spark):
+    """Packing must NOT sort a whole (lang, source) shard in one task:
+    the cumsum window partitions by (shard, _bucket) — many tasks per
+    shard — and the per-bucket base offsets come back via broadcast join.
+    Only the tiny per-bucket-totals side may window on the bare shard."""
     p = plan_of(spark, "q94_sequence_packing")
-    assert p.count("Exchange hashpartitioning") == 1
-    assert "Join" not in p
-    assert "Window" in p
+    # the doc-level cumsum window is bucketed
+    assert "_bucket" in p
+    assert "windowspecdefinition(lang" in p.replace("#", "").lower() or "Window" in p
+    # bucketed exchange exists: hashpartitioning on (..., _bucket, ...)
+    import re
+
+    bucketed_exchanges = re.findall(r"hashpartitioning\([^)]*_bucket[^)]*\)", p)
+    assert bucketed_exchanges, "doc-level window must partition by (shard, _bucket)"
+    # bucket base offsets join back by broadcast, never shuffle the docs side
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
 
 
-def test_cooccurrence_broadcasts_counts_topk_no_global_sort(spark):
-    """Pair counts join the (tiny) vocabulary counts and the single-row
-    corpus count by broadcast; top-20 is TakeOrderedAndProject, and the
-    only non-broadcast join is the per-doc self-join on doc_id."""
+def test_cooccurrence_prunes_vocab_before_pair_join(spark):
+    """The min-count vocabulary filter must precede the quadratic per-doc
+    self-join as a broadcast semi/inner join on tok, and the doc-frequency
+    counts join back by broadcast; top-20 is TakeOrderedAndProject."""
     p = plan_of(spark, "q96_cooccurrence_pmi")
-    assert p.count("BroadcastHashJoin") >= 2
+    # 2 vocab-pruning joins (a and b sides) + 2 count joins, all broadcast
+    assert p.count("BroadcastHashJoin") >= 4
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
+    # the min-count filter itself is in the plan (c >= 2 on the agg output)
+    assert ">= 2" in p
 
 
 def test_incremental_dedup_anti_join_on_digests(spark):

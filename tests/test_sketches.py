@@ -5,6 +5,9 @@ property that makes sketch rollups valid at scale."""
 
 from __future__ import annotations
 
+import os
+
+import pytest
 from pyspark.sql import functions as F
 
 from database_migrator_spark.plans.registry import all_queries
@@ -31,11 +34,21 @@ def test_hll_union_estimates_close_to_exact(spark):
     assert abs(out["__all__"] - exact_all) <= max(2, 0.05 * exact_all)
 
 
-def test_heavy_hitters_lossless_regime_holds(spark):
+@pytest.mark.parametrize(
+    "sf_dir",
+    sorted(
+        {SF_SMOKE, os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")}
+    ),
+)
+def test_heavy_hitters_lossless_regime_holds(spark, sf_dir):
     """q100's hash-match against the exact oracle is only valid while the
     corpus vocabulary fits the sketch tracker — assert that precondition
-    and that the sketch output equals the exact top-10."""
-    d = table(spark, SF_SMOKE, "documents")
+    AT THE DRIVER GATE SCALE (SPARK_GRAFT_TEST_SF, default sf0.01) as
+    well as the smoke dir, so regenerated testdata with a larger
+    vocabulary fails loudly instead of silently flipping q100 to
+    approximate counts; and that the sketch output equals the exact
+    top-10."""
+    d = table(spark, sf_dir, "documents")
     from database_migrator_spark.operators.dedup import tokens_of
 
     toks = d.select(F.explode(tokens_of("text")).alias("term"))
@@ -48,7 +61,7 @@ def test_heavy_hitters_lossless_regime_holds(spark):
         .limit(10)
         .collect()
     )
-    sketch = all_queries()["q100_heavy_hitters"].build(spark, SF_SMOKE).collect()
+    sketch = all_queries()["q100_heavy_hitters"].build(spark, sf_dir).collect()
     assert [tuple(r) for r in sketch] == [tuple(r) for r in exact]
 
 

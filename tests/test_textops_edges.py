@@ -89,6 +89,31 @@ def test_packing_offsets_are_shard_cumulative(spark, edge_dir):
             offset += r["n_toks"]
 
 
+def test_packing_two_level_matches_single_window(spark, edge_dir):
+    """bucket_width=2 forces every shard across multiple buckets; the
+    two-level prefix sum (within-bucket cumsum + broadcast bucket bases)
+    must reproduce the single-window shard-cumulative offsets exactly."""
+    from database_migrator_spark.operators.textops import sequence_packing
+
+    docs = spark.read.parquet(f"{edge_dir}/documents.parquet")
+    rows = sequence_packing(docs, seq_len=128, bucket_width=2).collect()
+    shards: dict[tuple, list] = {}
+    for r in rows:
+        shards.setdefault((r["lang"], r["source"]), []).append(r)
+    for members in shards.values():
+        members.sort(key=lambda r: r["doc_id"])
+        offset = 0
+        for r in members:
+            assert r["start_offset"] == offset
+            offset += r["n_toks"]
+    # and identical to the wide-bucket (single bucket) configuration
+    wide = {
+        r["doc_id"]: tuple(r)
+        for r in sequence_packing(docs, seq_len=128, bucket_width=1 << 40).collect()
+    }
+    assert {r["doc_id"]: tuple(r) for r in rows} == wide
+
+
 def test_split_deterministic_and_total(spark, edge_dir):
     dq = all_queries()["q93_train_val_test_split"]
     a = [tuple(r) for r in dq.build(spark, edge_dir).collect()]
@@ -129,7 +154,9 @@ def test_library_functions_accept_custom_params(spark, edge_dir):
     ).collect()
     assert all(r["n_shared_2grams"] >= 1 for r in hits)
     # heavy hitters on a different table/column entirely
-    ev = table(spark, SF_SMOKE := "/root/testdata/sf0.001", "events")
+    from .conftest import SF_SMOKE
+
+    ev = table(spark, SF_SMOKE, "events")
     top = heavy_hitters(ev.select("event_type"), "event_type", k=3).collect()
     exact = (
         ev.groupBy("event_type")
