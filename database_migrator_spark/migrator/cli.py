@@ -30,6 +30,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--migrations-dir", required=True)
     p.add_argument("--schema-file")
     p.add_argument("--migration-table", default="applied_migration")
+    p.add_argument(
+        "--ledger-dir",
+        help="directory for the atomic FileLedger backend (write-ahead + "
+        "rename-commit) instead of the catalog/JDBC ledger table",
+    )
     p.add_argument("--username")
     p.add_argument("--user", dest="username", help="alias for --username")
     p.add_argument("--password")
@@ -69,9 +74,17 @@ def main(argv: list[str] | None = None) -> int:
             props["user"] = args.username
         if args.password:
             props["password"] = args.password
+        if args.ledger_dir:
+            from .ledger import FileLedger
+
+            common["ledger"] = FileLedger(spark, args.ledger_dir)
         m = JdbcMigrator(spark, jdbc_url=args.jdbc_url, jdbc_properties=props, **common)
     else:
         spark = get_session("spark-migrate", persistent_catalog=True)
+        if args.ledger_dir:
+            from .ledger import FileLedger
+
+            common["ledger"] = FileLedger(spark, args.ledger_dir)
         m = Migrator(spark, database=args.database, **common)
     import os
 

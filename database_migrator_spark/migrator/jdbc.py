@@ -35,13 +35,18 @@ class JdbcMigrator(Migrator):
     ):
         self.jdbc_url = jdbc_url
         self.jdbc_properties = jdbc_properties or {}
+        # an explicitly injected ledger (e.g. the atomic FileLedger) wins
+        # over the default JDBC-table ledger
+        kw.setdefault(
+            "ledger",
+            JdbcLedger(spark, jdbc_url, migration_table, self.jdbc_properties),
+        )
         super().__init__(
             spark,
             database=jdbc_url,
             migrations_dir=migrations_dir,
             schema_file=schema_file,
             migration_table=migration_table,
-            ledger=JdbcLedger(spark, jdbc_url, migration_table, self.jdbc_properties),
             **kw,
         )
 

@@ -12,11 +12,21 @@ Backends behind one interface:
 - JdbcLedger — reads/writes the ledger over JDBC (the reference's actual
   I/O plane); requires a JDBC driver jar on the classpath, so it is
   import-safe but raises a clear error when used without one.
+- FileLedger — an ATOMIC append via write-ahead temp file + rename
+  commit: each applied migration is one dot-invisible staging file
+  promoted to a committed entry by a single os.rename (atomic on POSIX;
+  on object stores swap the rename for a conditional put). A crash at
+  any point before the rename leaves only a dot-file that every reader
+  ignores — no partial ledger row can ever be observed, closing the
+  torn-append window the reference documents (Migrator.pm:183-189).
 """
 
 from __future__ import annotations
 
 import abc
+import hashlib
+import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -53,6 +63,72 @@ class CatalogLedger(Ledger):
             f"INSERT INTO {self.table} (migration) VALUES (:name)",  # noqa: S608
             args={"name": name},
         )
+
+
+class FileLedger(Ledger):
+    """Atomic applied-migration ledger on a filesystem directory.
+
+    Commit protocol (SURVEY.md §2A row 16, atomic upgrade):
+      1. write the migration name to ``.tmp-<uuid>`` inside the ledger
+         directory and flush+fsync it (write-ahead);
+      2. ``os.rename`` it to ``<sha256(name)[:32]>.rec`` — the COMMIT
+         POINT. rename(2) is atomic on POSIX filesystems, and dot-files
+         are invisible to both ``applied_df``'s reader and Spark's file
+         sources, so a crash between 1 and 2 leaves no observable row.
+
+    The committed filename is a pure function of the migration name, so
+    a retry after a crash-after-commit simply overwrites the same entry
+    — record() is idempotent, upgrading the reference's at-least-once
+    ledger to exactly-once per migration name.
+    """
+
+    _SUFFIX = ".rec"
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def exists(self) -> bool:
+        # missing directory ⇒ applied = ∅ (the documented bootstrap rule,
+        # Migrator.pm:155-162); bootstrap is create() / first record()
+        return os.path.isdir(self.path)
+
+    def create(self) -> None:
+        os.makedirs(self.path, exist_ok=True)
+
+    def _entries(self) -> list[str]:
+        names = []
+        for fn in sorted(os.listdir(self.path)):
+            if fn.startswith(".") or not fn.endswith(self._SUFFIX):
+                continue  # staging leftovers and foreign files are invisible
+            with open(os.path.join(self.path, fn), encoding="utf-8") as f:
+                names.append(f.read())
+        return names
+
+    def applied_df(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [(n,) for n in self._entries()], "migration string"
+        )
+
+    def record(self, name: str) -> None:
+        self.create()
+        staged = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}")
+        digest = hashlib.sha256(name.encode("utf-8")).hexdigest()[:32]
+        committed = os.path.join(self.path, digest + self._SUFFIX)
+        fd = os.open(staged, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+        try:
+            with os.fdopen(fd, "w", encoding="utf-8") as f:
+                f.write(name)
+                f.flush()
+                os.fsync(f.fileno())
+        except BaseException:
+            # crashed write-ahead: remove best-effort; even if this
+            # cleanup itself dies, the dot-file is invisible to readers
+            try:
+                os.unlink(staged)
+            finally:
+                raise
+        os.rename(staged, committed)  # COMMIT POINT (atomic)
 
 
 class JdbcLedger(Ledger):

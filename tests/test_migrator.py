@@ -264,3 +264,109 @@ def test_jdbc_ledger_raises_on_connection_failure(spark):
     bad = JdbcLedger(spark, "jdbc:derby:/nonexistent_dir_perm/xx", "applied_migration")
     with pytest.raises(Exception):
         bad.exists()  # connectivity failure must propagate, not read as ∅
+
+
+def test_file_ledger_atomic_commit_protocol(spark, tmp_path, monkeypatch):
+    """SURVEY.md §2A row 16 atomic upgrade: a record() that crashes at ANY
+    point before the rename commit leaves NO observable ledger row — only
+    a dot-invisible staging file — and a retry then commits exactly one
+    entry."""
+    import os as _os
+
+    from database_migrator_spark.migrator.ledger import FileLedger
+
+    led = FileLedger(spark, str(tmp_path / "ledger"))
+    assert not led.exists()  # missing dir = bootstrap ∅
+    led.record("01-first")
+    assert led.exists()
+    assert [r["migration"] for r in led.applied_df().collect()] == ["01-first"]
+
+    # crash exactly AT the commit point: write-ahead succeeds, rename dies
+    real_rename = _os.rename
+
+    def crashing_rename(src, dst):
+        raise OSError("simulated crash at commit point")
+
+    monkeypatch.setattr(_os, "rename", crashing_rename)
+    with pytest.raises(OSError, match="simulated crash"):
+        led.record("02-second")
+    monkeypatch.setattr(_os, "rename", real_rename)
+    # the crashed record is NOT visible; the write-ahead leftover is a
+    # dot-file readers ignore
+    assert [r["migration"] for r in led.applied_df().collect()] == ["01-first"]
+    leftovers = [f for f in _os.listdir(led.path) if f.startswith(".tmp-")]
+    assert leftovers, "write-ahead file should survive the simulated crash"
+
+    # crash DURING the write-ahead itself: fsync dies, staging is cleaned
+    def crashing_fsync(fd):
+        raise OSError("simulated crash mid write-ahead")
+
+    monkeypatch.setattr(_os, "fsync", crashing_fsync)
+    with pytest.raises(OSError, match="mid write-ahead"):
+        led.record("03-third")
+    monkeypatch.undo()
+    assert [r["migration"] for r in led.applied_df().collect()] == ["01-first"]
+
+    # retry after crash commits exactly once; re-record is idempotent
+    led.record("02-second")
+    led.record("02-second")
+    assert [r["migration"] for r in sorted(led.applied_df().collect())] == [
+        "01-first",
+        "02-second",
+    ]
+
+
+def test_migrator_with_file_ledger_failure_not_recorded(spark, tree, tmp_path):
+    """Full migrator run on the atomic FileLedger backend: applies both
+    migrations, is idempotent on re-run, and a failing migration leaves
+    the ledger untouched."""
+    import stat as _stat
+
+    from database_migrator_spark.migrator.ledger import FileLedger
+
+    db = f"migtest_{uuid.uuid4().hex[:8]}"
+    led = FileLedger(spark, str(tmp_path / "ledger"))
+    m = Migrator(
+        spark,
+        database=db,
+        migrations_dir=str(tree / "migrations"),
+        schema_file=str(tree / "schema.sql"),
+        quiet=True,
+        ledger=led,
+    )
+    try:
+        m.create_or_update_database()
+        applied = sorted(r["migration"] for r in led.applied_df().collect())
+        assert applied == ["01-first", "02-second"]
+
+        # idempotent re-run through a fresh Migrator sharing the ledger
+        m2 = Migrator(
+            spark,
+            database=db,
+            migrations_dir=str(tree / "migrations"),
+            schema_file=str(tree / "schema.sql"),
+            quiet=True,
+            ledger=FileLedger(spark, str(tmp_path / "ledger")),
+        )
+        assert m2.pending_migrations() == []
+
+        # failing executable must not reach the ledger
+        bad = tree / "migrations" / "03-bad"
+        bad.mkdir()
+        prog = bad / "migrate.sh"
+        prog.write_text(FAILING_PROGRAM)
+        prog.chmod(prog.stat().st_mode | _stat.S_IXUSR)
+        m3 = Migrator(
+            spark,
+            database=db,
+            migrations_dir=str(tree / "migrations"),
+            schema_file=str(tree / "schema.sql"),
+            quiet=True,
+            ledger=FileLedger(spark, str(tmp_path / "ledger")),
+        )
+        with pytest.raises(MigrationError, match="Use of uninitialized"):
+            m3.create_or_update_database()
+        applied = sorted(r["migration"] for r in led.applied_df().collect())
+        assert applied == ["01-first", "02-second"]
+    finally:
+        m.drop_database()
