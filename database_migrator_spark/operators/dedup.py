@@ -302,23 +302,32 @@ def connected_components(
     edges: DataFrame,
     a_col: str = "a_id",
     b_col: str = "b_id",
-    rounds: int = 6,
+    rounds: int = 15,
 ) -> DataFrame:
     """Connected components over an undirected edge set by min-label
-    propagation — the CLUSTERING step every dedup pipeline runs after
-    pair generation (pairs → groups → keep one canonical doc per group).
+    propagation WITH pointer-jumping — the CLUSTERING step every dedup
+    pipeline runs after pair generation (pairs → groups → keep one
+    canonical doc per group).
 
-    Each round every node takes the min label among itself and its
-    neighbors, so labels converge in ``diameter`` rounds; near-dup
-    clusters are near-cliques (diameter ≤ 2-3), and ``rounds=6`` covers
-    diameter-6 chains. Like every iterative Spark algorithm (GraphX
-    PageRank, ALS), each round MATERIALIZES via localCheckpoint: labels
-    feed both the neighbor join and the union, so a lazy loop doubles
-    the plan per round (2^rounds operators — an optimizer-time bomb at
-    scale), while materialization keeps each round's plan constant: one
-    join + one aggregation, one shuffle on node id. At 100 TB add
-    large-star/small-star alternation for log-diameter convergence; the
-    per-round plan is identical.
+    Each round does two label-halving steps (the alternating scheme of
+    Shiloach-Vishkin / the MapReduce two-phase algorithms):
+
+    1. propagate: every node takes the min label among itself and its
+       neighbors (one edge-label join + one min-aggregate);
+    2. shortcut (pointer jump): label(u) ← label(label(u)) (one
+       label-label self-join), so the distance a min label still has to
+       travel shrinks geometrically instead of by one hop.
+
+    Convergence is O(log diameter) rounds — a 1000-node PATH graph
+    (the adversarial chain shape for plain propagation) converges in ~7
+    rounds, while near-dup clusters (near-cliques, diameter ≤ 2-3) still
+    exit after round 1-2 via the fixed-point probe. Like every iterative
+    Spark algorithm (GraphX PageRank, ALS), each round MATERIALIZES via
+    localCheckpoint: labels feed the neighbor join, the union AND the
+    jump self-join, so a lazy loop would triple the plan per round (an
+    optimizer-time bomb at scale), while materialization keeps each
+    round's plan constant: two joins + one aggregation, shuffles keyed
+    on node id / label.
 
     Returns (id, component) where component = min node id reachable.
     """
@@ -336,16 +345,35 @@ def connected_components(
             sym.join(labels, sym["dst"] == labels["id"])
             .select(F.col("src").alias("id"), F.col("label"))
         )
-        new_labels = (
+        # materialize BEFORE the jump self-join: both join sides read this
+        # frame, and a lineage-shared self-join over the union trips a
+        # Catalyst constraint-rewrite bug (NoSuchElementException in
+        # UnionBase.rewriteConstraints on Spark 4.1) besides re-running
+        # the propagate stage twice
+        propagated = (
             labels.unionByName(nbr)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
+        # pointer jump: dereference each label through the label table —
+        # every label IS a node id, so the inner join always hits, and
+        # propagated is keyed by id (one row per node), so it is 1:1 and
+        # cannot fan out; roots (label(x) = x) map to themselves.
+        jumped = (
+            propagated.join(
+                propagated.select(
+                    F.col("id").alias("label"), F.col("label").alias("label2")
+                ),
+                "label",
+            )
+            .select(F.col("id"), F.col("label2").alias("label"))
+        )
+        new_labels = jumped.localCheckpoint(eager=True)
         # converged ⇒ fixed point ⇒ every further round is a no-op; the
         # emptiness probe is one cheap aggregated action over the (small,
-        # already-materialized) label table and typically saves rounds-2
-        # full join+shuffle rounds (near-dup clusters have diameter ≤ 2-3)
+        # already-materialized) label table and typically saves most of
+        # the round budget (near-dup clusters have diameter ≤ 2-3)
         converged = (
             new_labels.join(labels.withColumnRenamed("label", "prev"), "id")
             .where(F.col("label") != F.col("prev"))

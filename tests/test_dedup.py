@@ -100,3 +100,17 @@ def test_connected_components_chain_star_and_islands(spark):
         20: 20, 21: 20, 22: 20, 23: 20,
         30: 30, 31: 30,
     }
+
+
+def test_connected_components_path_graph_log_convergence(spark):
+    """Adversarial chain shape: a 1000-node PATH graph has diameter 999,
+    so plain min-propagation needs ~999 rounds — the pointer-jumping
+    rounds must converge it within the default 15-round budget (actual:
+    O(log diameter) ≈ 7)."""
+    from database_migrator_spark.operators.dedup import connected_components
+
+    n = 1000
+    edges = [(i, i + 1) for i in range(n - 1)]
+    df = spark.createDataFrame(edges, "a_id long, b_id long").repartition(8)
+    got = {r.id: r.component for r in connected_components(df).collect()}
+    assert got == {i: 0 for i in range(n)}
