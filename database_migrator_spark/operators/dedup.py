@@ -356,11 +356,26 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
+        # probe BEFORE the jump: propagation-stable means l(u) = l(v)
+        # across every edge (min over symmetric neighbors), i.e. labels
+        # are already constant per component — the jump would be a no-op,
+        # so the final round skips its join + checkpoint entirely. The
+        # emptiness probe is one cheap aggregated action over the small,
+        # already-materialized label table; near-dup clusters (diameter
+        # ≤ 2-3) exit here after one or two rounds.
+        converged = (
+            propagated.join(labels.withColumnRenamed("label", "prev"), "id")
+            .where(F.col("label") != F.col("prev"))
+            .isEmpty()
+        )
+        if converged:
+            labels = propagated
+            break
         # pointer jump: dereference each label through the label table —
         # every label IS a node id, so the inner join always hits, and
         # propagated is keyed by id (one row per node), so it is 1:1 and
         # cannot fan out; roots (label(x) = x) map to themselves.
-        jumped = (
+        labels = (
             propagated.join(
                 propagated.select(
                     F.col("id").alias("label"), F.col("label").alias("label2")
@@ -368,20 +383,8 @@ def connected_components(
                 "label",
             )
             .select(F.col("id"), F.col("label2").alias("label"))
+            .localCheckpoint(eager=True)
         )
-        new_labels = jumped.localCheckpoint(eager=True)
-        # converged ⇒ fixed point ⇒ every further round is a no-op; the
-        # emptiness probe is one cheap aggregated action over the (small,
-        # already-materialized) label table and typically saves most of
-        # the round budget (near-dup clusters have diameter ≤ 2-3)
-        converged = (
-            new_labels.join(labels.withColumnRenamed("label", "prev"), "id")
-            .where(F.col("label") != F.col("prev"))
-            .isEmpty()
-        )
-        labels = new_labels
-        if converged:
-            break
     return labels.select("id", F.col("label").alias("component"))
 
 

@@ -83,6 +83,7 @@ def all_queries() -> dict[str, DeclaredQuery]:
         etl,
         jdbcops,
         multimodal,
+        pipeline,
         relational,
         relational_ext,
         semistructured,
