@@ -122,6 +122,135 @@ BMP_DECODE_SCHEMA = (
 )
 
 
+# --- real PNG encode/decode (pure Python + stdlib zlib — PNG's DEFLATE
+# stream and the five scanline filters, so the COMPRESSED image path is
+# exercised with no codec library in the container; JPEG still routes
+# through Pillow when present) --------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, row_bytes: list[bytes], filter_type: int = 0) -> bytes:
+    """Serialize top-first RGB rows (``len == width*3`` each) into a valid
+    8-bit truecolor PNG. ``filter_type`` selects the per-scanline filter
+    (0 none, 1 sub, 2 up, 3 average, 4 paeth) so tests can exercise every
+    decoder defilter path with real spec-conformant files."""
+    import zlib
+
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"invalid PNG filter type {filter_type}")
+    bpp = 3
+    raw = bytearray()
+    prev = bytes(width * bpp)
+    for row in row_bytes:
+        raw.append(filter_type)
+        if filter_type == 0:
+            raw += row
+        else:
+            for i, x in enumerate(row):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                if filter_type == 1:
+                    raw.append((x - a) & 0xFF)
+                elif filter_type == 2:
+                    raw.append((x - b) & 0xFF)
+                elif filter_type == 3:
+                    raw.append((x - (a + b) // 2) & 0xFF)
+                else:  # paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    raw.append((x - pred) & 0xFF)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(blob: bytes) -> tuple[int, int, list[bytes]]:
+    """Parse an 8-bit truecolor (RGB, color type 2) non-interlaced PNG;
+    returns (width, height, rows) top-first. Walks chunks, inflates the
+    concatenated IDAT DEFLATE stream, and reverses all five scanline
+    filters (none/sub/up/average/paeth)."""
+    import zlib
+
+    if blob[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = len(_PNG_SIG)
+    width = height = None
+    idat = bytearray()
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack_from(">I", blob, pos)
+        ctype = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color != 2 or comp != 0 or filt != 0 or interlace != 0:
+                raise ValueError(
+                    "only 8-bit truecolor non-interlaced PNG supported, got "
+                    f"depth={depth} color={color} interlace={interlace}"
+                )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if width is None or not idat:
+        raise ValueError("missing IHDR or IDAT chunk")
+    raw = zlib.decompress(bytes(idat))
+    bpp = 3
+    stride = width * bpp
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("IDAT payload does not match dimensions")
+    rows: list[bytes] = []
+    prev = bytearray(stride)
+    for r in range(height):
+        ft = raw[r * (stride + 1)]
+        line = bytearray(raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
+        if ft == 1:  # sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ft == 2:  # up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif ft == 4:  # paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        rows.append(bytes(line))
+        prev = line
+    return width, height, rows
+
+
 # --- real WAV/PCM encode/decode (pure Python — PCM is uncompressed; the
 # audio analogue of the BMP path) -----------------------------------------
 
@@ -237,19 +366,41 @@ def attach_bmp_image(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return docs.select(id_col).mapInPandas(gen, schema="doc_id bigint, image binary")
 
 
+def decode_pixels(blob: bytes) -> tuple[int, int, list[bytes]]:
+    """Magic-dispatched pixel decode: BMP and PNG decode with the pure-
+    Python codecs above; anything else (JPEG, WebP, ...) routes through
+    Pillow when present, with a clear error when it is not."""
+    if blob[:2] == b"BM":
+        return decode_bmp(blob)
+    if blob[: len(_PNG_SIG)] == _PNG_SIG:
+        return decode_png(blob)
+    if not _HAS_PIL:
+        raise ValueError(
+            "unsupported image format (not BMP/PNG) and Pillow is not "
+            "installed for compressed-codec fallback"
+        )
+    import io
+
+    img = Image.open(io.BytesIO(blob)).convert("RGB")
+    px = img.tobytes()
+    stride = img.width * 3
+    rows = [px[y * stride : (y + 1) * stride] for y in range(img.height)]
+    return img.width, img.height, rows
+
+
 def decode_image_pixels(images: DataFrame, id_col: str = "doc_id",
                         blob_col: str = "image") -> DataFrame:
-    """REAL pixel decode over mapInPandas: parse each BMP and reduce the
+    """REAL pixel decode over mapInPandas: parse each blob (BMP or PNG via
+    the pure-Python codecs, other formats via Pillow) and reduce the
     de-padded pixel array to (width, height, mean channel byte, top-left
-    byte — which lives at the END of a bottom-up pixel array, so a decoder
-    that forgets to flip rows fails the hash). Compressed formats would
-    route through Pillow; BMP needs nothing beyond struct."""
+    byte — which lives at the END of a bottom-up BMP pixel array, so a
+    decoder that forgets to flip rows fails the hash)."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
-                w, h, rows = decode_bmp(bytes(blob))
+                w, h, rows = decode_pixels(bytes(blob))
                 total = sum(sum(r) for r in rows)
                 mean = total / (w * h * 3)
                 out.append((int(doc_id), w, h, mean, rows[0][0]))
@@ -362,6 +513,61 @@ def q67_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     skips the row flip (or mis-strides the padding) fails the hash."""
     d = table(spark, sf_dir, "documents")
     return decode_image_pixels(attach_bmp_image(d)).orderBy("doc_id")
+
+
+def attach_png_image(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL (valid, decodable) 8-bit truecolor PNG per
+    document: width = doc_id%40+4, height = (doc_id*3)%24+4, channel byte
+    i of row y is (doc_id + y*3 + i) % 256 — closed forms an SQL oracle
+    recomputes — and scanline filter type = doc_id % 5, so the corpus
+    collectively exercises every PNG defilter path (none/sub/up/average/
+    paeth) under the hash gate."""
+    par = min(16, docs.sparkSession.sparkContext.defaultParallelism)
+    docs = docs.repartition(par)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                w, h = d % 40 + 4, (d * 3) % 24 + 4
+                rows = [
+                    bytes((d + y * 3 + i) % 256 for i in range(w * 3))
+                    for y in range(h)
+                ]
+                out.append((d, encode_png(w, h, rows, filter_type=d % 5)))
+            yield pd.DataFrame(out, columns=["doc_id", "image"])
+
+    return docs.select(id_col).mapInPandas(gen, schema="doc_id bigint, image binary")
+
+
+@query(
+    "q102_png_decode",
+    oracle="""
+    SELECT doc_id,
+           doc_id % 40 + 4                                   AS width,
+           (doc_id * 3) % 24 + 4                             AS height,
+           list_avg(flatten(list_transform(
+               range(0, (doc_id * 3) % 24 + 4),
+               y -> list_transform(range(0, (doc_id % 40 + 4) * 3),
+                                   i -> CAST((doc_id + y * 3 + i) % 256 AS DOUBLE)))))
+                                                             AS mean_pixel,
+           doc_id % 256                                      AS topleft_byte
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "png", "decode", "mapInPandas"),
+)
+def q102_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode, hash-matched: synthesize a valid PNG
+    per document (DEFLATE-compressed IDAT, scanline filter cycling
+    through all five types by doc_id%5), decode it with the pure-Python
+    codec — chunk walk, zlib inflate, defilter — and hash-match
+    width/height/mean-pixel/top-left byte against the oracle recomputing
+    the pixel closed forms arithmetically. A decoder that mis-reverses
+    any of sub/up/average/paeth shifts the mean and fails the hash."""
+    d = table(spark, sf_dir, "documents")
+    return decode_image_pixels(attach_png_image(d)).orderBy("doc_id")
 
 
 @query(

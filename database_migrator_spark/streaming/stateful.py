@@ -101,8 +101,6 @@ def sessionize_with_state(events_stream: DataFrame, gap_seconds: int = 1800) -> 
     State per key: (session start, last event time, count) — three int64s,
     independent of session length.
     """
-    import datetime as dt
-
     gap_us = gap_seconds * 1_000_000
 
     def update(key, pdfs, state: GroupState):
@@ -135,12 +133,16 @@ def sessionize_with_state(events_stream: DataFrame, gap_seconds: int = 1800) -> 
                 last_us // 1000 + gap_seconds * 1000, state.getCurrentWatermarkMs() + 1
             )
             state.setTimeoutTimestamp(timeout_ms)
-        out = pd.DataFrame(rows, columns=["user_id", "start_us", "n_events"])
-        out["session_start"] = [
-            dt.datetime.utcfromtimestamp(u / 1_000_000).strftime("%Y-%m-%d %H:%M:%S.%f")
-            for u in out["start_us"]
-        ]
-        yield out[["user_id", "session_start", "n_events"]]
+        # most keys close no session in a given batch (sessions stay open
+        # until the gap or the timeout) — skip the pandas DataFrame
+        # construction entirely for them instead of yielding ~10k empty
+        # frames per micro-batch
+        if rows:
+            out = pd.DataFrame(rows, columns=["user_id", "start_us", "n_events"])
+            out["session_start"] = pd.to_datetime(
+                out["start_us"], unit="us"
+            ).dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+            yield out[["user_id", "session_start", "n_events"]]
 
     return (
         events_stream.select("user_id", "ts", F.unix_micros("ts").alias("us"))

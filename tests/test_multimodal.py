@@ -160,3 +160,62 @@ def test_decode_pixels_real_bmp_path(spark, docs):
         assert r.topleft_byte == d % 256  # row flip verified
         expected_mean = sum((d + y) % 256 for y in range(r.height)) / r.height
         assert abs(r.mean_pixel - expected_mean) < 1e-12
+
+
+def test_png_roundtrip_all_filter_types():
+    """Every scanline filter (none/sub/up/average/paeth) must round-trip
+    pixel-exactly through the pure-Python DEFLATE+defilter codec."""
+    import random
+
+    from database_migrator_spark.operators.multimodal import decode_png, encode_png
+
+    rng = random.Random(7)
+    for ft in range(5):
+        w, h = 13, 9
+        rows = [bytes(rng.randrange(256) for _ in range(w * 3)) for _ in range(h)]
+        blob = encode_png(w, h, rows, filter_type=ft)
+        assert decode_png(blob) == (w, h, rows), f"filter {ft}"
+
+
+def test_png_decoder_rejects_bad_inputs():
+    import struct
+    import zlib
+
+    import pytest
+
+    from database_migrator_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+        encode_png,
+    )
+
+    with pytest.raises(ValueError, match="bad signature"):
+        decode_png(b"BM not a png")
+    # grayscale (color type 0) must be rejected, not mis-decoded
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    gray = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(5 * 4)))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="truecolor"):
+        decode_png(gray)
+    with pytest.raises(ValueError, match="invalid PNG filter"):
+        encode_png(1, 1, [b"\x00\x00\x00"], filter_type=9)
+
+
+def test_decode_pixels_magic_dispatch():
+    """decode_pixels routes BMP and PNG by magic bytes to the pure-Python
+    codecs and raises clearly for unknown formats without Pillow."""
+    import pytest
+
+    from database_migrator_spark.operators import multimodal as M
+
+    rows = [bytes([10, 20, 30] * 4) for _ in range(3)]
+    assert M.decode_pixels(M.encode_bmp(4, 3, rows)) == (4, 3, rows)
+    assert M.decode_pixels(M.encode_png(4, 3, rows)) == (4, 3, rows)
+    if not M._HAS_PIL:
+        with pytest.raises(ValueError, match="Pillow"):
+            M.decode_pixels(b"\xff\xd8\xff\xe0 fake jpeg")
