@@ -66,6 +66,11 @@ PROBE_QUERIES = [
     "q96_cooccurrence_pmi",
     "q97_incremental_ingest_dedup",
     "q98_benchmark_decontamination",
+    # round-4 additions: sketch top-k, pipeline composition, PNG decode
+    "q99_quality_filter_yield",
+    "q100_heavy_hitters",
+    "q101_corpus_pipeline_report",
+    "q102_png_decode",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
