@@ -326,11 +326,14 @@ def test_hll_sketches_aggregate_two_phase(spark):
 def test_no_rdd_scans_anywhere(spark):
     """Every declared query must read through the parquet FileScan path
     (vectorized reader, pushdown-capable) — never an RDD scan. Exempt:
-    streaming/UDTF sources, and the sketch pipelines whose localCheckpoint
+    streaming/UDTF sources, the sketch pipelines whose localCheckpoint
     (sketch-once materialization for the self-join) is an intentional RDD
-    boundary."""
+    boundary, and the composed corpus pipeline whose stage-boundary
+    checkpoints are the same pattern."""
     for name, dq in _QS.items():
-        if any(t in dq.tags for t in ("streaming", "udtf", "minhash", "simhash")):
+        if any(
+            t in dq.tags for t in ("streaming", "udtf", "minhash", "simhash", "pipeline")
+        ):
             continue
         p = _QS[name].build(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
         assert "ExistingRDD" not in p, f"{name} scans an RDD"
