@@ -528,3 +528,94 @@ def q92_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q35_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     return ann_lsh_topk(e, query_vec_id=1, k=10)
+
+
+@query(
+    "q105_kmeans_inertia",
+    oracle="""
+    WITH ex AS (
+        SELECT label, embedding AS emb,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings
+    ), cent AS (
+        SELECT label, i,
+               (CAST(SUM(CAST(round(CAST(emb[i] AS DOUBLE) * 1000000) AS BIGINT))
+                     AS DOUBLE) / COUNT(*)) / CAST(1000000 AS DOUBLE) AS mean
+        FROM ex GROUP BY label, i
+    ), carr AS (
+        SELECT label, list(mean ORDER BY i) AS c FROM cent GROUP BY label
+    ), sq AS (
+        SELECT e.label,
+               list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                   i -> (CAST(e.embedding[i] AS DOUBLE) - c.c[i])
+                        * (CAST(e.embedding[i] AS DOUBLE) - c.c[i])),
+                 (a, b) -> a + b) AS sqd
+        FROM embeddings e JOIN carr c USING (label)
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(CAST(round(sqd * 1000000000) AS BIGINT)) AS DOUBLE)
+             / CAST(1000000000 AS DOUBLE) AS inertia
+    FROM sq
+    GROUP BY label
+    ORDER BY label
+    """,
+    tags=("similarity", "embedding", "clustering", "llm-pipeline"),
+)
+def q105_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label clustering inertia (within-cluster sum of squared
+    distance to the exact per-label centroid) — the quality metric that
+    tells an embedding-dedup/IVF pipeline whether its partitions are
+    tight enough before trusting cluster-pruned search. Shape at scale:
+    the q92 centroid aggregate (one (label, pos) shuffle, fixed-point
+    exact), assembled into per-label arrays and joined back by BROADCAST
+    (one row per label); each vector then computes its squared distance
+    in a single left-to-right fold — bit-identical across engines
+    because the centroid means are fixed-point-exact and both engines
+    fold in index order — and the per-label sum uses round(sqd·1e9)
+    BIGINTs, so the total is summation-order-independent and
+    hash-matches."""
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding"))
+    cent = ex.groupBy("label", "pos").agg(
+        (
+            (
+                F.sum(
+                    F.round(F.col("col").cast("double") * F.lit(1000000.0)).cast(
+                        "long"
+                    )
+                ).cast("double")
+                / F.count("*")
+            )
+            / F.lit(1000000.0)
+        ).alias("mean")
+    )
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mean"))), lambda s: s["mean"]
+        ).alias("c")
+    )
+    sqd = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("c"),
+            lambda x, m: (x.cast("double") - m) * (x.cast("double") - m),
+        ),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    return (
+        e.join(F.broadcast(carr), "label")
+        .withColumn("sqd", sqd)
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            (
+                F.sum(F.round(F.col("sqd") * F.lit(1000000000.0)).cast("long")).cast(
+                    "double"
+                )
+                / F.lit(1000000000.0)
+            ).alias("inertia"),
+        )
+        .orderBy("label")
+    )

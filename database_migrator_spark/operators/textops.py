@@ -1015,3 +1015,144 @@ def q75_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tf", "tfidf")
         .orderBy("doc_id", F.col("tfidf").desc(), "term")
     )
+
+
+@query(
+    "q103_source_divergence",
+    oracle=r"""
+    WITH dt AS (
+        SELECT source,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  t -> len(t) > 0)) AS tok
+        FROM documents
+    ), cnt_s AS (
+        SELECT source, tok, COUNT(*) AS c_s FROM dt GROUP BY source, tok
+    ), ns AS (
+        SELECT source, COUNT(*) AS n_s FROM dt GROUP BY source
+    ), cnt_g AS (
+        SELECT tok, COUNT(*) AS c_g FROM dt GROUP BY tok
+    ), ng AS (
+        SELECT COUNT(*) AS n_g FROM dt
+    ), terms AS (
+        SELECT cnt_s.source,
+               (CAST(c_s AS DOUBLE) / n_s)
+                 * ln(CAST(c_s * n_g AS DOUBLE) / CAST(n_s * c_g AS DOUBLE)) AS term,
+               n_s
+        FROM cnt_s
+        JOIN ns USING (source)
+        JOIN cnt_g USING (tok)
+        CROSS JOIN ng
+    )
+    SELECT source,
+           MIN(n_s) AS n_tokens,
+           CAST(SUM(CAST(round(term * 1000000000000) AS BIGINT)) AS DOUBLE)
+             / CAST(1000000000000 AS DOUBLE) AS kl_divergence
+    FROM terms
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("text", "mixing", "divergence", "llm-pipeline"),
+)
+def q103_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence of the token distribution from the
+    corpus-wide distribution — the data-mixing diagnostic that tells a
+    curation team which sources are outliers before setting sampling
+    weights. Shape at scale: one (source, tok) shuffle for the source
+    counts; the vocabulary-sized global counts, per-source totals, and
+    single-row corpus total all join back by BROADCAST, so the token
+    stream shuffles once. Hash-stable across engines because every ln()
+    input is a ratio of exact BIGINT products (c_s·N_g)/(N_s·c_g) and
+    the per-source sum uses the integer-fixed-point pattern
+    (round(term·1e12) summed as BIGINT — summation-order-independent).
+    At 100 TB the BIGINT products need c·N < 2^53; beyond that, bucket
+    the counts or shift to log-sum form (documented trade)."""
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    dt = d.select("source", F.explode(tokens_of("text")).alias("tok"))
+    cnt_s = dt.groupBy("source", "tok").agg(F.count("*").alias("c_s"))
+    ns = dt.groupBy("source").agg(F.count("*").alias("n_s"))
+    cnt_g = dt.groupBy("tok").agg(F.count("*").alias("c_g"))
+    ng = dt.agg(F.count("*").alias("n_g"))
+    term = (F.col("c_s").cast("double") / F.col("n_s")) * F.log(
+        (F.col("c_s") * F.col("n_g")).cast("double")
+        / (F.col("n_s") * F.col("c_g")).cast("double")
+    )
+    return (
+        cnt_s.join(F.broadcast(ns), "source")
+        .join(F.broadcast(cnt_g), "tok")
+        .crossJoin(F.broadcast(ng))
+        .withColumn("term", term)
+        .groupBy("source")
+        .agg(
+            F.min("n_s").alias("n_tokens"),
+            (
+                F.sum(
+                    F.round(F.col("term") * F.lit(1000000000000.0)).cast("long")
+                ).cast("double")
+                / F.lit(1000000000000.0)
+            ).alias("kl_divergence"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q104_sampling_weights",
+    oracle=r"""
+    WITH g AS (
+        SELECT lang, source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                             t -> len(t) > 0)) AS BIGINT))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+        GROUP BY lang, source
+    ), w AS (
+        SELECT *, CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+                    AS wq
+        FROM g
+    ), t AS (
+        SELECT CAST(SUM(wq) AS BIGINT) AS total_wq FROM w
+    )
+    SELECT lang, source, n_docs, n_tokens,
+           CAST(wq AS DOUBLE) / total_wq AS weight
+    FROM w CROSS JOIN t
+    ORDER BY lang, source
+    """,
+    tags=("text", "mixing", "sampling", "llm-pipeline"),
+)
+def q104_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus mixing weights per (lang, source) shard:
+    weight_i = sqrt(tokens_i) / Σ sqrt(tokens_j) — the alpha = 0.5
+    resampling every multilingual / multi-source training run sets
+    (upweights small shards, tempers dominant ones). One aggregation for
+    the shard token totals; the normalizer is a broadcast single row.
+    sqrt is IEEE-correctly-rounded (identical across engines — the
+    reason alpha is 0.5 and not a libm pow), and the normalizer sums
+    fixed-point BIGINTs, so the weights hash-match exactly."""
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    g = d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens_of("text")).cast("long")).alias("n_tokens"),
+    )
+    w = g.withColumn(
+        "wq",
+        F.round(F.sqrt(F.col("n_tokens").cast("double")) * F.lit(1000000.0)).cast(
+            "long"
+        ),
+    )
+    t = w.agg(F.sum("wq").alias("total_wq"))
+    return (
+        w.crossJoin(F.broadcast(t))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "n_tokens",
+            (F.col("wq").cast("double") / F.col("total_wq")).alias("weight"),
+        )
+        .orderBy("lang", "source")
+    )

@@ -337,3 +337,32 @@ def test_no_rdd_scans_anywhere(spark):
             continue
         p = _QS[name].build(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
         assert "ExistingRDD" not in p, f"{name} scans an RDD"
+
+
+def test_source_divergence_single_token_shuffle_broadcast_stats(spark):
+    """q103: the token stream shuffles for (source, tok) counts; the
+    per-source totals, vocabulary counts, and corpus total all come back
+    by broadcast — never a corpus-side sort-merge join."""
+    p = plan_of(spark, "q103_source_divergence")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_sampling_weights_broadcast_normalizer(spark):
+    """q104: one aggregation for shard totals; the Σ√tokens normalizer is
+    a broadcast single row, not a shuffle or cartesian product."""
+    p = plan_of(spark, "q104_sampling_weights")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    assert "HashAggregate" in p
+
+
+def test_kmeans_inertia_broadcast_centroids(spark):
+    """q105: the per-label centroid arrays (one row per label) join the
+    vector table by broadcast; the squared-distance fold happens in the
+    scan stage, not after a vector-side shuffle."""
+    p = plan_of(spark, "q105_kmeans_inertia")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
