@@ -1,0 +1,157 @@
+"""Byte-pair-encoding tokenizer training on the word histogram — the
+canonical "custom operator Spark lacks" of a training-data pipeline
+(SURVEY.md §2B extension surface; the reference has no tokenizer either,
+this is pipeline-mandated capability).
+
+Spark-first shape: BPE never needs the raw corpus after the first pass —
+every real trainer (GPT-2's, SentencePiece) operates on the WORD
+HISTOGRAM (distinct word → count), which is vocabulary-sized, not
+corpus-sized. So:
+
+1. one corpus pass builds (word, n) — the only 100 TB-scale stage, a
+   single explode + groupBy shuffle;
+2. each merge round runs entirely on the histogram: adjacent symbol
+   pairs explode out weighted by word count, the argmax pair is a
+   deterministic (count DESC, pair ASC) top-1, and the merge applies to
+   the symbol arrays via an array-accumulator fold (per CLAUDE.md: one
+   fold, never N sibling transforms);
+3. the histogram localCheckpoints per round — the same
+   constant-plan-per-round discipline as connected components.
+
+The per-round driver collect is ONE row (the winning pair) — the same
+order of driver traffic as an iterative convergence probe, and how every
+distributed BPE implementation sequences merges (the merge choice is a
+global argmax, inherently a driver decision).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from database_migrator_spark.operators.dedup import tokens_of
+from database_migrator_spark.plans.registry import query
+from database_migrator_spark.sources import table
+
+# end-of-word sentinel (GPT-2 style "</w>") so merges can span to word
+# boundaries and the learned units distinguish "er" mid-word from "er"
+# word-finally. Kept single-codepoint so symbol arrays stay compact.
+EOW = "·"
+
+
+def word_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n) counts — the only corpus-scale pass. Repartitions before
+    the tokenize lambda (single-file tables arrive as one partition)."""
+    d = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    return (
+        d.select(F.explode(tokens_of(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _initial_symbols(words: DataFrame) -> DataFrame:
+    """Split each word into single-character symbols + the EOW sentinel."""
+    chars = F.filter(F.split(F.col("word"), ""), lambda c: c != "")
+    return words.select(
+        "word", "n", F.concat(chars, F.array(F.lit(EOW))).alias("syms")
+    )
+
+
+def _adjacent_pair_counts(syms: DataFrame) -> DataFrame:
+    """Corpus-weighted counts of adjacent symbol pairs. zip_with on the
+    array and its tail forms pairs positionally — one interpreted lambda
+    per row, not one per pair."""
+    pairs = F.zip_with(
+        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    return (
+        syms.where(F.size("syms") >= 2)
+        .select("n", F.explode(pairs).alias("p"))
+        .groupBy("p.a", "p.b")
+        .agg(F.sum("n").alias("cnt"))
+    )
+
+
+def _apply_merge(syms_col, a: str, b: str):
+    """Fold the symbol array left-to-right, joining each adjacent (a, b)
+    into 'ab'. The accumulator IS the output array — one pass, and a
+    just-merged symbol is never half of another merge in the same pass
+    (matching the reference BPE semantics of non-overlapping greedy
+    left-to-right application)."""
+    ab = a + b
+
+    def step(acc, s):
+        # try_element_at is NULL-safe on the empty accumulator (ANSI mode
+        # would error on element_at(-1)); NULL == a is NULL → falls to
+        # append. A just-produced 'ab' can never be mistaken for a
+        # trailing 'a' (b is non-empty, so ab != a), so greedy
+        # left-to-right non-overlap needs no extra state.
+        merged = F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(ab)))
+        return F.when(
+            (F.try_element_at(acc, F.lit(-1)) == a) & (s == b), merged
+        ).otherwise(F.concat(acc, F.array(s)))
+
+    return F.aggregate(syms_col, F.array().cast("array<string>"), step)
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int = 20, text_col: str = "text"
+) -> list[tuple[int, str, str, int]]:
+    """Learn ``n_merges`` BPE merges; returns [(rank, a, b, count), ...]
+    in merge order. Deterministic: ties break on (a ASC, b ASC). Stops
+    early when no adjacent pair remains (fully merged vocabulary)."""
+    words = word_histogram(docs, text_col)
+    syms = _initial_symbols(words).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        top = (
+            _adjacent_pair_counts(syms)
+            .orderBy(F.col("cnt").desc(), F.col("a"), F.col("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merges.append((rank, a, b, cnt))
+        syms = syms.select(
+            "word", "n", _apply_merge(F.col("syms"), a, b).alias("syms")
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_segment(syms_df: DataFrame) -> DataFrame:
+    """Token counts of the final segmentation: explode the merged symbol
+    arrays weighted by word count."""
+    return (
+        syms_df.select("n", F.explode("syms").alias("token"))
+        .groupBy("token")
+        .agg(F.sum("n").alias("cnt"))
+    )
+
+
+@query(
+    "q106_bpe_merges",
+    oracle=None,  # merge selection is an iterative argmax — not
+    # SQL-expressible in one statement; exact-matched against a pure-
+    # Python reference BPE trainer in tests/test_bpe.py instead
+    tags=("text", "bpe", "tokenizer", "iterative", "llm-pipeline"),
+)
+def q106_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 10 BPE merges learned from the documents corpus — tokenizer
+    training as a declared operator. The corpus is touched once (word
+    histogram); every merge round runs on the vocabulary-sized histogram
+    with a one-row driver argmax, exactly how production BPE trainers
+    scale (wall-clock per round is Spark job fixed overhead, not data —
+    tokenizer training is ingest-time work like ivf_fit). Deterministic
+    by (count DESC, pair ASC) tie-break, so the driver's rows-only gate
+    sees a stable table."""
+    d = table(spark, sf_dir, "documents")
+    merges = bpe_train(d, n_merges=10)
+    return spark.createDataFrame(
+        [(int(r), a, b, int(c)) for r, a, b, c in merges],
+        "rank bigint, sym_a string, sym_b string, pair_count bigint",
+    ).orderBy("rank")

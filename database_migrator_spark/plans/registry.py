@@ -79,6 +79,7 @@ def all_queries() -> dict[str, DeclaredQuery]:
     the stale-signal set (q01-q50, last gated pre-refactor) first, then
     the freshly r03-verified rest — each group sorted by name."""
     from database_migrator_spark.operators import (  # noqa: F401
+        bpe,
         dedup,
         etl,
         jdbcops,

@@ -1,0 +1,78 @@
+"""BPE trainer: the Spark word-histogram implementation must reproduce a
+pure-Python reference BPE (classic Sennrich-style merge loop) exactly —
+merge order, pair identities, and corpus-weighted counts."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from database_migrator_spark.operators.bpe import EOW, bpe_train
+from database_migrator_spark.plans.registry import all_queries
+from database_migrator_spark.sources import table
+
+from .conftest import SF_SMOKE
+
+
+def _reference_bpe(texts: list[str], n_merges: int) -> list[tuple[int, str, str, int]]:
+    words: Counter[str] = Counter()
+    for t in texts:
+        words.update(w for w in t.lower().split() if w)
+    vocab = {w: list(w) + [EOW] for w in words}
+    merges = []
+    for rank in range(n_merges):
+        pairs: Counter[tuple[str, str]] = Counter()
+        for w, syms in vocab.items():
+            n = words[w]
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += n
+        if not pairs:
+            break
+        # max count, ties broken (a ASC, b ASC) — mirror the Spark orderBy
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, cnt))
+        ab = a + b
+        for w, syms in vocab.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = ab
+                else:
+                    out.append(s)
+            vocab[w] = out
+    return merges
+
+
+def test_bpe_matches_reference_on_corpus(spark):
+    d = table(spark, SF_SMOKE, "documents")
+    texts = [r["text"] for r in d.select("text").collect()]
+    want = _reference_bpe(texts, 12)
+    got = bpe_train(d, n_merges=12)
+    assert got == want
+
+
+def test_bpe_merge_semantics_edge_cases(spark):
+    """Overlapping runs ('aaa' under merge (a,a)) must merge greedily
+    left-to-right without chaining into the just-produced token, and
+    training stops early once the vocabulary is fully merged."""
+    rows = [(0, "aaa aaa bb"), (1, "aaa bb bb")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    texts = [t for _, t in rows]
+    # run far past exhaustion: both implementations must stop at the
+    # same merge list (every word eventually collapses to one symbol)
+    want = _reference_bpe(texts, 50)
+    got = bpe_train(docs, n_merges=50)
+    assert got == want
+    assert len(got) < 50  # early-exit actually happened
+
+
+def test_bpe_declared_query_shape(spark):
+    out = all_queries()["q106_bpe_merges"].build(spark, SF_SMOKE)
+    rows = out.collect()
+    assert [r["rank"] for r in rows] == list(range(len(rows)))
+    assert all(r["pair_count"] >= 1 for r in rows)
+    assert dict(out.dtypes) == {
+        "rank": "bigint",
+        "sym_a": "string",
+        "sym_b": "string",
+        "pair_count": "bigint",
+    }
