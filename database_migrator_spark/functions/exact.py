@@ -40,3 +40,23 @@ def cents_sum(col: Column | str, alias: str | None = None) -> Column:
 def sql_cents_sum(expr: str) -> str:
     """The DuckDB oracle mirror for cents_sum over SQL expression ``expr``."""
     return f"SUM(CAST(ROUND(({expr}) * 100) AS BIGINT)) / 100.0"
+
+
+#: largest integer a DOUBLE represents exactly — BIGINT values past this
+#: silently round when cast to double, so fixed-point ratios lose ulps.
+EXACT_DOUBLE_BOUND = float(2**53)
+
+
+def exactness_guard(condition: Column, msg: str) -> Column:
+    """A row-level guard that fails the JOB (loudly, with ``msg``) the
+    moment ``condition`` is false, instead of letting a fixed-point
+    computation silently lose precision past the 2^53 double-exactness
+    bound.
+
+    Usage: ``df.where(exactness_guard(cond, "..."))``.  Spark's
+    ``assert_true`` returns NULL when the condition holds, so
+    ``.isNull()`` makes the filter keep every row while still forcing
+    per-row evaluation inside codegen (a plain unused column would be
+    pruned away).  Compare operands as DOUBLE so the check itself cannot
+    wrap in int64 before it runs."""
+    return F.assert_true(condition, F.lit(msg)).isNull()

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from database_migrator_spark.functions.exact import EXACT_DOUBLE_BOUND, exactness_guard
 from database_migrator_spark.operators.dedup import tokens_of
 from database_migrator_spark.plans.registry import query
 from database_migrator_spark.sources import table
@@ -1058,14 +1059,24 @@ def q103_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-wide distribution — the data-mixing diagnostic that tells a
     curation team which sources are outliers before setting sampling
     weights. Shape at scale: one (source, tok) shuffle for the source
-    counts; the vocabulary-sized global counts, per-source totals, and
-    single-row corpus total all join back by BROADCAST, so the token
-    stream shuffles once. Hash-stable across engines because every ln()
-    input is a ratio of exact BIGINT products (c_s·N_g)/(N_s·c_g) and
-    the per-source sum uses the integer-fixed-point pattern
-    (round(term·1e12) summed as BIGINT — summation-order-independent).
-    At 100 TB the BIGINT products need c·N < 2^53; beyond that, bucket
-    the counts or shift to log-sum form (documented trade)."""
+    counts; the per-source totals and single-row corpus total join back
+    by BROADCAST, but the global vocabulary counts (``cnt_g``) join by
+    SHUFFLE_MERGE (pinned by hint) — on web-scale text the
+    distinct-token table is hapax-heavy and grows into the billions of
+    rows, so a broadcast of it OOMs the executors (Catalyst's static
+    stats under-estimate the aggregate and would still pick broadcast
+    at small scale, hence the explicit hint).  KL needs every token (a
+    min-count prune would change the answer), so the join cannot be
+    shrunk — only shuffled, on the same ``tok`` key the vocabulary
+    aggregation already hash-partitioned, making the extra exchange
+    one-sided.  Hash-stable
+    across engines because every ln() input is a ratio of exact BIGINT
+    products (c_s·N_g)/(N_s·c_g) and the per-source sum uses the
+    integer-fixed-point pattern (round(term·1e12) summed as BIGINT —
+    summation-order-independent).  The c·N < 2^53 exactness bound is
+    GUARDED: a JVM-side assert_true fails the job loudly past the
+    bound instead of silently losing ulps (the escape hatch there is
+    the log-sum restatement ln(c_s)+ln(N_g)-ln(N_s)-ln(c_g))."""
     d = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
@@ -1078,10 +1089,21 @@ def q103_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_s") * F.col("n_g")).cast("double")
         / (F.col("n_s") * F.col("c_g")).cast("double")
     )
+    exact_bound = F.lit(EXACT_DOUBLE_BOUND)
+    in_bound = (
+        F.col("c_s").cast("double") * F.col("n_g").cast("double") < exact_bound
+    ) & (F.col("n_s").cast("double") * F.col("c_g").cast("double") < exact_bound)
     return (
         cnt_s.join(F.broadcast(ns), "source")
-        .join(F.broadcast(cnt_g), "tok")
+        .join(cnt_g.hint("shuffle_merge"), "tok")
         .crossJoin(F.broadcast(ng))
+        .where(
+            exactness_guard(
+                in_bound,
+                "q103: BIGINT ratio product >= 2^53 — fixed-point KL would "
+                "silently lose precision; restate with the log-sum form",
+            )
+        )
         .withColumn("term", term)
         .groupBy("source")
         .agg(
@@ -1130,7 +1152,11 @@ def q104_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shard token totals; the normalizer is a broadcast single row.
     sqrt is IEEE-correctly-rounded (identical across engines — the
     reason alpha is 0.5 and not a libm pow), and the normalizer sums
-    fixed-point BIGINTs, so the weights hash-match exactly."""
+    fixed-point BIGINTs, so the weights hash-match exactly.  The
+    normalizer's BIGINT→DOUBLE division is exact only while
+    total_wq < 2^53; a JVM-side assert_true fails loudly past that
+    bound (reaching it needs Σ√tokens > 9e9, i.e. ~10^19 corpus
+    tokens at one shard — far past 100 TB, but guarded, not assumed)."""
     d = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
@@ -1147,6 +1173,13 @@ def q104_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = w.agg(F.sum("wq").alias("total_wq"))
     return (
         w.crossJoin(F.broadcast(t))
+        .where(
+            exactness_guard(
+                F.col("total_wq").cast("double") < F.lit(EXACT_DOUBLE_BOUND),
+                "q104: Σ√tokens normalizer >= 2^53 — BIGINT→DOUBLE division "
+                "would silently round; rescale the 1e6 fixed-point factor",
+            )
+        )
         .select(
             "lang",
             "source",

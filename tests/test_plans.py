@@ -342,12 +342,18 @@ def test_no_rdd_scans_anywhere(spark):
 
 def test_source_divergence_single_token_shuffle_broadcast_stats(spark):
     """q103: the token stream shuffles for (source, tok) counts; the
-    per-source totals, vocabulary counts, and corpus total all come back
-    by broadcast — never a corpus-side sort-merge join."""
+    per-source totals and corpus total come back by broadcast, but the
+    UNPRUNED vocabulary counts must NOT be broadcast — on web-scale text
+    the distinct-token table is billions of rows and a forced broadcast
+    of it OOMs the executors.  The tok join is pinned shuffle-merge."""
     p = plan_of(spark, "q103_source_divergence")
-    assert p.count("BroadcastHashJoin") >= 2
-    assert "SortMergeJoin" not in p
+    # exactly one small broadcast hash join (the per-source totals) —
+    # a second one would mean the vocabulary flipped back to broadcast
+    assert p.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" in p  # the vocab join shuffles on tok
     assert "CartesianProduct" not in p
+    # the 2^53 fixed-point exactness guard survives into the plan
+    assert "raise_error" in p and "2^53" in p
 
 
 def test_sampling_weights_broadcast_normalizer(spark):

@@ -180,3 +180,27 @@ def test_repetition_score_maximal_dup_doc(spark, edge_dir):
     assert rows[8]["dup_trigram_frac"] > 0.9  # 40x repeated token
     assert rows[8]["top_token_frac"] == 1.0
     assert rows[5]["dup_trigram_frac"] == 0.0  # all-distinct tokens
+
+
+def test_exactness_guard_fails_loudly_past_2pow53(spark):
+    """q103/q104's fixed-point bound is guarded, not assumed: synthetic
+    counts whose BIGINT product exceeds 2^53 must abort the job with the
+    documented message instead of silently losing ulps; in-bound counts
+    pass every row through unchanged."""
+    from pyspark.sql import functions as F
+
+    from database_migrator_spark.functions.exact import (
+        EXACT_DOUBLE_BOUND,
+        exactness_guard,
+    )
+
+    df = spark.createDataFrame(
+        [(2**30, 2**30), (10, 20)], "c_s long, n_g long"
+    )
+    cond = F.col("c_s").cast("double") * F.col("n_g").cast("double") < F.lit(
+        EXACT_DOUBLE_BOUND
+    )
+    with pytest.raises(Exception, match="2\\^53"):
+        df.where(exactness_guard(cond, "test: product >= 2^53")).count()
+    ok = spark.createDataFrame([(10, 20), (3, 4)], "c_s long, n_g long")
+    assert ok.where(exactness_guard(cond, "test: product >= 2^53")).count() == 2
