@@ -34,14 +34,23 @@ def main() -> None:
 
     # warm-up: JVM, parquet footer caches, codegen
     table(spark, sf_dir, "lineitem").count()
-    # IVF index build is ingest-time work — amortize it out of query timings
+    # Ingest-time artifact builds (IVF index, BPE merge training) are
+    # warmed here so the per-query numbers measure QUERY cost — but their
+    # wall clock is real work a fresh deployment pays once, so it is
+    # reported under dedicated keys ("ingest") rather than silently
+    # excluded: without this, q35/q53/q106/q107's timings would read as
+    # end-to-end cost when they are actually index/tokenizer lookups.
+    ingest: dict[str, float] = {}
     from database_migrator_spark.operators.similarity import _ivf_index_cached
 
+    t0 = time.perf_counter()
     _ivf_index_cached(spark, sf_dir)
-    # BPE merge training is the same class of ingest-time artifact
+    ingest["ivf_fit"] = round(time.perf_counter() - t0, 2)
     from database_migrator_spark.operators.bpe import bpe_train_cached
 
+    t0 = time.perf_counter()
     bpe_train_cached(spark, sf_dir, 10)
+    ingest["bpe_fit"] = round(time.perf_counter() - t0, 2)
     # spin up the Arrow/pandas worker pool once so the first pandas-UDF
     # query isn't charged Python worker startup
     def _warm(batches):
@@ -80,13 +89,14 @@ def main() -> None:
         "queries": short,
         "sf": sf,
         "n_queries": len(timings),
+        "ingest": ingest,
     }
     if failures:
         out["failures"] = {name.split("_", 1)[0]: msg[:80] for name, msg in failures.items()}
     line = json.dumps(out, separators=(",", ":"))
     with open(Path(__file__).resolve().parent / "bench_full.json", "w") as f:
         json.dump(
-            {"metric": out["metric"], "value": total, "unit": "sec", "queries": timings, "sf": sf, "failures": failures or None},
+            {"metric": out["metric"], "value": total, "unit": "sec", "queries": timings, "sf": sf, "ingest": ingest, "failures": failures or None},
             f,
             indent=1,
         )

@@ -74,7 +74,10 @@ class FileLedger(Ledger):
       2. ``os.rename`` it to ``<sha256(name)[:32]>.rec`` — the COMMIT
          POINT. rename(2) is atomic on POSIX filesystems, and dot-files
          are invisible to both ``applied_df``'s reader and Spark's file
-         sources, so a crash between 1 and 2 leaves no observable row.
+         sources, so a crash between 1 and 2 leaves no observable row;
+      3. fsync the ledger DIRECTORY so the committed entry survives a
+         power failure after record() returns (rename is atomic but not
+         durable until its directory entry reaches disk).
 
     The committed filename is a pure function of the migration name, so
     a retry after a crash-after-commit simply overwrites the same entry
@@ -129,6 +132,22 @@ class FileLedger(Ledger):
             finally:
                 raise
         os.rename(staged, committed)  # COMMIT POINT (atomic)
+        # The rename is atomic but not durable until the DIRECTORY entry
+        # is on disk — without this fsync a power failure after record()
+        # returns can roll back the commit (POSIX makes no ordering
+        # promise for metadata). Best-effort on filesystems that reject
+        # directory fsync (some network mounts): the atomicity guarantee
+        # stands either way, only crash-durability degrades.
+        try:
+            dfd = os.open(self.path, os.O_RDONLY)
+        except OSError:
+            return
+        try:
+            os.fsync(dfd)
+        except OSError:
+            pass
+        finally:
+            os.close(dfd)
 
 
 class JdbcLedger(Ledger):

@@ -35,8 +35,16 @@ from database_migrator_spark.sources import table
 
 # end-of-word sentinel (GPT-2 style "</w>") so merges can span to word
 # boundaries and the learned units distinguish "er" mid-word from "er"
-# word-finally. Kept single-codepoint so symbol arrays stay compact.
-EOW = "·"
+# word-finally. Single-codepoint so symbol arrays stay compact; NUL so
+# no printable corpus character collides with it — and _initial_symbols
+# additionally FILTERS the codepoint out of input words, so by
+# construction a symbol containing EOW is always word-final (a corpus
+# word that literally contains U+0000 would otherwise conflate with the
+# boundary marker; the old U+00B7 sentinel had exactly that hole).
+# Query outputs render it as the conventional "</w>" (EOW_DISPLAY) so
+# driver-visible tables and SQL oracles stay printable.
+EOW = "\u0000"
+EOW_DISPLAY = "</w>"
 
 
 def word_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -51,8 +59,10 @@ def word_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _initial_symbols(words: DataFrame) -> DataFrame:
-    """Split each word into single-character symbols + the EOW sentinel."""
-    chars = F.filter(F.split(F.col("word"), ""), lambda c: c != "")
+    """Split each word into single-character symbols + the EOW sentinel.
+    Input characters equal to the sentinel are dropped (collision guard:
+    EOW can then never appear mid-word, whatever the corpus contains)."""
+    chars = F.filter(F.split(F.col("word"), ""), lambda c: (c != "") & (c != EOW))
     return words.select(
         "word", "n", F.concat(chars, F.array(F.lit(EOW))).alias("syms")
     )
@@ -166,10 +176,13 @@ def q106_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale (wall-clock per round is Spark job fixed overhead, not data —
     tokenizer training is ingest-time work like ivf_fit). Deterministic
     by (count DESC, pair ASC) tie-break, so the driver's rows-only gate
-    sees a stable table."""
+    sees a stable table. Symbols render the NUL sentinel as '</w>'."""
     merges = bpe_train_cached(spark, sf_dir, n_merges=10)
     return spark.createDataFrame(
-        [(int(r), a, b, int(c)) for r, a, b, c in merges],
+        [
+            (int(r), a.replace(EOW, EOW_DISPLAY), b.replace(EOW, EOW_DISPLAY), int(c))
+            for r, a, b, c in merges
+        ],
         "rank bigint, sym_a string, sym_b string, pair_count bigint",
     ).orderBy("rank")
 
@@ -196,7 +209,10 @@ def q107_bpe_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     return (
         bpe_segment(syms)
+        .select(
+            F.replace(F.col("token"), F.lit(EOW), F.lit(EOW_DISPLAY)).alias("token"),
+            F.col("cnt").cast("long").alias("cnt"),
+        )
         .orderBy(F.col("cnt").desc(), "token")
         .limit(20)
-        .select("token", F.col("cnt").cast("long").alias("cnt"))
     )

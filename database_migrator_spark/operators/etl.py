@@ -153,11 +153,11 @@ def q60_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q89_pii_redaction",
     oracle=r"""
     SELECT c_custkey,
-           concat(regexp_replace(substr(c_name, 1, length(c_name) - 4),
+           concat(regexp_replace(substr(c_name, 1, greatest(length(c_name) - 4, 0)),
                                  '[0-9]', '*', 'g'),
-                  substr(c_name, length(c_name) - 3, 4)) AS masked_name,
-           CAST(length(substr(c_name, 1, length(c_name) - 4))
-                - length(regexp_replace(substr(c_name, 1, length(c_name) - 4),
+                  substr(c_name, greatest(length(c_name) - 3, 1), 4)) AS masked_name,
+           CAST(length(substr(c_name, 1, greatest(length(c_name) - 4, 0)))
+                - length(regexp_replace(substr(c_name, 1, greatest(length(c_name) - 4, 0)),
                                         '[0-9]', '', 'g')) AS BIGINT) AS n_redacted,
            md5('pepper:' || c_name) AS pseudonym
     FROM customer

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from collections import Counter
 
-from database_migrator_spark.operators.bpe import EOW, bpe_train
+from database_migrator_spark.operators.bpe import EOW, EOW_DISPLAY, bpe_train
 from database_migrator_spark.plans.registry import all_queries
 from database_migrator_spark.sources import table
 
@@ -17,7 +17,8 @@ def _reference_bpe(texts: list[str], n_merges: int) -> list[tuple[int, str, str,
     words: Counter[str] = Counter()
     for t in texts:
         words.update(w for w in t.lower().split() if w)
-    vocab = {w: list(w) + [EOW] for w in words}
+    # mirror the collision guard: input chars equal to the sentinel drop
+    vocab = {w: [c for c in w if c != EOW] + [EOW] for w in words}
     merges = []
     for rank in range(n_merges):
         pairs: Counter[tuple[str, str]] = Counter()
@@ -87,7 +88,7 @@ def test_bpe_vocabulary_matches_reference(spark):
     words: Counter[str] = Counter()
     for t in texts:
         words.update(w for w in t.lower().split() if w)
-    vocab = {w: list(w) + [EOW] for w in words}
+    vocab = {w: [c for c in w if c != EOW] + [EOW] for w in words}
     for _, a, b, _cnt in _reference_bpe(texts, 10):
         ab = a + b
         for w, syms in vocab.items():
@@ -101,10 +102,28 @@ def test_bpe_vocabulary_matches_reference(spark):
     counts: Counter[str] = Counter()
     for w, syms in vocab.items():
         for s in syms:
-            counts[s] += words[w]
+            counts[s.replace(EOW, EOW_DISPLAY)] += words[w]
     want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     got = [
         (r["token"], r["cnt"])
         for r in all_queries()["q107_bpe_vocabulary"].build(spark, SF_SMOKE).collect()
     ]
     assert got == want
+
+
+def test_bpe_sentinel_cannot_collide_with_corpus_chars(spark):
+    """A corpus word that literally contains the sentinel codepoint must
+    not be conflated with a word boundary: the guard drops the codepoint
+    before splitting, so every learned symbol containing EOW is strictly
+    word-final (exactly one occurrence, at the end) — whatever bytes the
+    corpus carries."""
+    poisoned = "a" + EOW + "b"  # would conflate with the boundary marker unguarded
+    rows = [(0, f"{poisoned} ab ab cd"), (1, "ab a b cd cd")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = bpe_train(docs, n_merges=50)
+    want = _reference_bpe([t for _, t in rows], 50)
+    assert got == want
+    for _, a, b, _cnt in got:
+        for sym in (a, b, a + b):
+            if EOW in sym:
+                assert sym.count(EOW) == 1 and sym.endswith(EOW)

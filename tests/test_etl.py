@@ -96,3 +96,35 @@ def test_scd2_null_safe_change_detection(spark):
         (2, 20.0, "2020-01-01", "2024-06-01"),
         (2, None, "2024-06-01", None),
     }
+
+
+def test_q89_short_identifier_clamps_match_duckdb(spark, tmp_path):
+    """The greatest() clamps must be mirrored in BOTH engines: for
+    identifiers of length <= 4, an unclamped oracle substr(c_name,
+    length-3, 4) gets a negative start that DuckDB treats as
+    suffix-anchored while Spark returns the whole name — a silent
+    divergence the TPC-H fixed-width names never exercise.  Lock the
+    agreement on 1..6-char synthetic names."""
+    import duckdb
+    import pandas as pd
+
+    from database_migrator_spark.plans.registry import all_queries
+
+    names = ["a", "ab", "ab1", "a1b2", "a1b2c", "a1b2c3", "12345678"]
+    pdf = pd.DataFrame(
+        {"c_custkey": range(1, len(names) + 1), "c_name": names}
+    )
+    pdf.to_parquet(tmp_path / "customer.parquet")
+    dq = all_queries()["q89_pii_redaction"]
+    got = [tuple(r) for r in dq.build(spark, str(tmp_path)).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM read_parquet('{tmp_path}/customer.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(dq.oracle).fetchall()]
+    assert got == want
+    # length<=4 names pass through unmasked with zero redactions
+    by_key = {r[0]: r for r in got}
+    for k, nm in zip(range(1, len(names) + 1), names):
+        if len(nm) <= 4:
+            assert by_key[k][1] == nm and by_key[k][2] == 0
