@@ -26,6 +26,37 @@ from database_migrator_spark.session import get_session  # noqa: E402
 from database_migrator_spark.sources import table  # noqa: E402
 
 
+def _warm_streaming(spark) -> None:
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from database_migrator_spark.streaming.windows import run_stream_to_table
+
+    d = tempfile.mkdtemp(prefix="bench_stream_warm_")
+    spark.range(64).select(
+        F.col("id").cast("long").alias("k"),
+        F.timestamp_micros(F.col("id") * 60_000_000).alias("ts"),
+    ).write.mode("overwrite").parquet(d)
+    src = spark.readStream.schema("k long, ts timestamp").parquet(d)
+    agg = src.withWatermark("ts", "1 minute").groupBy(F.window("ts", "10 minutes")).count()
+    run_stream_to_table(agg, mode="complete")
+
+    def upd(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n = state.get[0] if state.exists else 0
+        n += sum(len(p) for p in pdfs)
+        state.update((n,))
+        yield pd.DataFrame({"k": [key[0]], "n": [n]})
+
+    st = src.groupBy("k").applyInPandasWithState(
+        upd, "k long, n long", "n long", "update", GroupStateTimeout.NoTimeout
+    )
+    run_stream_to_table(st, mode="update")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -59,6 +90,11 @@ def main() -> None:
     spark.range(64).repartition(32).mapInPandas(_warm, schema="id long").write.format(
         "noop"
     ).mode("overwrite").save()
+    # warm the Structured Streaming machinery the same way (micro-batch
+    # engine, state-store provider, memory sink, pandas-with-state worker
+    # path) on a 64-row synthetic stream, so the FIRST streaming query
+    # isn't charged one-time engine init (~3 s) that no later query pays
+    _warm_streaming(spark)
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}

@@ -76,7 +76,11 @@ def q71_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_migrator_spark.streaming.windows import run_stream_to_table
 
     out = run_stream_to_table(
-        running_user_totals(events_stream(spark, sf_dir)), mode="update"
+        running_user_totals(events_stream(spark, sf_dir)),
+        mode="update",
+        state_partitions=8,  # per-key Python calls parallelize across
+        # partitions; 8 measured best for this 1.5k-key state (sweep in
+        # docs/ROUND5_NOTES.md) — commit overhead wins again past 16
     )
     return (
         out.groupBy("user_id")
@@ -176,6 +180,11 @@ def q86_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_migrator_spark.streaming.windows import run_stream_to_table
 
     out = run_stream_to_table(
-        sessionize_with_state(events_stream(spark, sf_dir)), mode="append"
+        sessionize_with_state(events_stream(spark, sf_dir)),
+        mode="append",
+        state_partitions=16,  # the 10k-key sessionizer is bound by per-key
+        # Python invocations, which parallelize with partitions: measured
+        # 5.8 s @4 → 4.5 s @16, but 10.8 s @32 (state-store commit cost
+        # overtakes). A real cluster sizes this to key cardinality.
     )
     return out.orderBy("user_id", "session_start")
