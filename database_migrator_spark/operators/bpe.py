@@ -161,11 +161,93 @@ def bpe_segment(syms_df: DataFrame) -> DataFrame:
     )
 
 
+# The DuckDB twin of the WHOLE trainer, as one statement: a recursive CTE
+# whose working table is the (word, n, symbol-string) histogram, where each
+# recursion step (a) re-derives the corpus-weighted adjacent-pair counts by
+# GROUP BY over the working table, (b) picks the argmax pair with the same
+# (count DESC, a ASC, b ASC) tie-break in RAW symbol space (chr(0) = the
+# Spark side's EOW sentinel, binary collation on both engines), and (c)
+# applies the merge to every word via two sequential separator-delimited
+# string replaces — two passes provably equal the Spark side's greedy
+# left-to-right fold (pass 1 merges every other pair of an adjacent run
+# because replace() consumes the shared delimiter; no two unmerged pairs
+# stay adjacent, so pass 2 catches the rest, and merging can never create
+# a NEW (a,b) adjacency since ab==a or ab==b is impossible for non-empty
+# symbols). chr(31) is the symbol separator — it cannot appear inside a
+# symbol built from whitespace-split word characters unless the corpus
+# itself contains chr(31); the testdata is printable ASCII.
+_BPE_RECURSIVE_CTE = r"""
+WITH RECURSIVE words AS (
+    SELECT replace(tok, chr(0), '') AS word, COUNT(*) AS n FROM (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  t -> len(t) > 0)) AS tok
+        FROM documents
+    ) GROUP BY 1
+), init AS (
+    SELECT word, n,
+           chr(31) || coalesce(list_aggregate(string_split(word, ''),
+                                              'string_agg', chr(31)), '')
+                   || chr(31) || chr(0) || chr(31) AS s
+    FROM words
+), bpe AS (
+    SELECT word, n, s, 0 AS r,
+           CAST(NULL AS VARCHAR) AS ma, CAST(NULL AS VARCHAR) AS mb,
+           CAST(NULL AS BIGINT) AS mcnt
+    FROM init
+    UNION ALL
+    SELECT b.word, b.n,
+           replace(replace(b.s, m.pat, m.rep), m.pat, m.rep) AS s,
+           b.r + 1 AS r, m.a AS ma, m.bb AS mb, m.cnt AS mcnt
+    FROM bpe b CROSS JOIN (
+        SELECT chr(31) || a || chr(31) || bb || chr(31) AS pat,
+               chr(31) || a || bb || chr(31) AS rep, a, bb, cnt
+        FROM (
+            SELECT p.pair[1] AS a, p.pair[2] AS bb,
+                   CAST(SUM(p.n) AS BIGINT) AS cnt
+            FROM (
+                SELECT n,
+                       unnest(list_transform(range(1, len(syms)),
+                                             i -> [syms[i], syms[i+1]])) AS pair
+                FROM (SELECT n, list_filter(string_split(s, chr(31)),
+                                            x -> len(x) > 0) AS syms
+                      FROM bpe)
+            ) p
+            GROUP BY 1, 2
+            ORDER BY cnt DESC, a, bb
+            LIMIT 1
+        )
+    ) m
+    WHERE b.r < 10
+)
+"""
+
+_Q106_ORACLE = _BPE_RECURSIVE_CTE + r"""
+SELECT CAST(r - 1 AS BIGINT) AS rank,
+       replace(ma, chr(0), '</w>') AS sym_a,
+       replace(mb, chr(0), '</w>') AS sym_b,
+       mcnt AS pair_count
+FROM (SELECT DISTINCT r, ma, mb, mcnt FROM bpe WHERE r >= 1)
+ORDER BY rank
+"""
+
+_Q107_ORACLE = _BPE_RECURSIVE_CTE + r"""
+SELECT replace(token, chr(0), '</w>') AS token, CAST(SUM(n) AS BIGINT) AS cnt
+FROM (
+    SELECT n, unnest(list_filter(string_split(s, chr(31)),
+                                 x -> len(x) > 0)) AS token
+    FROM bpe WHERE r = (SELECT MAX(r) FROM bpe)
+)
+GROUP BY 1
+ORDER BY cnt DESC, token
+LIMIT 20
+"""
+
+
 @query(
     "q106_bpe_merges",
-    oracle=None,  # merge selection is an iterative argmax — not
-    # SQL-expressible in one statement; exact-matched against a pure-
-    # Python reference BPE trainer in tests/test_bpe.py instead
+    oracle=_Q106_ORACLE,  # the full iterative trainer as one recursive-CTE
+    # statement (see _BPE_RECURSIVE_CTE); ALSO exact-matched against a
+    # pure-Python reference BPE trainer in tests/test_bpe.py
     tags=("text", "bpe", "tokenizer", "iterative", "llm-pipeline"),
 )
 def q106_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -189,8 +271,8 @@ def q106_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q107_bpe_vocabulary",
-    oracle=None,  # downstream of the iterative trainer (q106) — exact-
-    # matched against the same pure-Python reference in tests/test_bpe.py
+    oracle=_Q107_ORACLE,  # same recursive-CTE trainer, final-round
+    # segmentation exploded to the top-20 vocabulary
     tags=("text", "bpe", "tokenizer", "llm-pipeline"),
 )
 def q107_bpe_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
