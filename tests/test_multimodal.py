@@ -219,3 +219,30 @@ def test_decode_pixels_magic_dispatch():
     if not M._HAS_PIL:
         with pytest.raises(ValueError, match="Pillow"):
             M.decode_pixels(b"\xff\xd8\xff\xe0 fake jpeg")
+
+
+def test_decode_pixels_pillow_fallback_path():
+    """The Pillow fallback branch, exercised wherever Pillow exists (this
+    container ships without it — the test self-skips here but runs in any
+    dev env that has Pillow, so the branch is not permanently untested):
+    a JPEG produced by Pillow must round-trip through decode_pixels with
+    the right dimensions and near-exact flat color (a solid block is
+    DC-only, so baseline JPEG reproduces it almost exactly)."""
+    import pytest
+
+    from database_migrator_spark.operators import multimodal as M
+
+    if not M._HAS_PIL:
+        pytest.skip("Pillow not installed in this container")
+    import io
+
+    from PIL import Image
+
+    img = Image.new("RGB", (16, 8), (200, 100, 50))
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG", quality=95)
+    w, h, rows = M.decode_pixels(buf.getvalue())
+    assert (w, h) == (16, 8)
+    assert len(rows) == 8 and all(len(r) == 16 * 3 for r in rows)
+    px = rows[0]
+    assert abs(px[0] - 200) <= 8 and abs(px[1] - 100) <= 8 and abs(px[2] - 50) <= 8
