@@ -1,0 +1,137 @@
+"""Graph analytics over the relational tables: integer-exact PageRank.
+
+The customer–supplier interaction graph (who bought from whom, via
+orders ⋈ lineitem) is the TPC-H-shaped stand-in for the link graphs a
+training-data pipeline ranks (domain graphs for crawl prioritization,
+citation graphs for source weighting).
+
+Why integer fixed-point: PageRank is a per-node SUM of float
+contributions, and Spark's tree aggregation and DuckDB's sequential
+aggregation sum in different orders — the classic cross-engine hash
+killer. Holding ranks as BIGINT trillionths and dividing with integer
+DIV makes every iteration bit-exact on both engines (the same trick as
+functions/exact.py), so even the 5th iteration hash-matches.
+
+Scale shape: one shuffle per iteration (contributions grouped by
+destination), the same join-partitioning reused every round, and a
+localCheckpoint per iteration so the lazy plan stays constant-size (the
+connected-components discipline from dedup.py). The iteration count is
+fixed (5) — the driver never inspects convergence, so there is NO
+per-round driver traffic at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from database_migrator_spark.plans.registry import query
+from database_migrator_spark.sources import table
+
+_SCALE = 1_000_000_000_000  # ranks in trillionths
+_DAMP_NUM, _DAMP_DEN = 85, 100  # d = 0.85 as an exact ratio
+_ITERATIONS = 5
+
+
+def pagerank_fixed_point(
+    edges: DataFrame, iterations: int = _ITERATIONS
+) -> DataFrame:
+    """Undirected PageRank in BIGINT trillionths over distinct (u, v)
+    edges (both directions present). Returns (u, r) after ``iterations``
+    rounds of r'(v) = (15·⌊SCALE/N⌋ + 85·Σ_{u~v} ⌊r(u)/deg(u)⌋) DIV 100.
+
+    Every node in an undirected edge list has deg ≥ 1 and receives mass
+    each round, so there is no dangling-mass term to redistribute."""
+    und = edges.localCheckpoint(eager=True)
+    deg = und.groupBy("u").agg(F.count("*").alias("d")).localCheckpoint(eager=True)
+    n = deg.count()  # one scalar action at setup, none per iteration
+    base = _SCALE // n
+    r = deg.select("u", F.lit(base).cast("long").alias("r"))
+    for _ in range(iterations):
+        contrib = (
+            r.join(deg, "u")
+            .join(und, "u")
+            .select(F.col("v").alias("u"), F.expr("r DIV d").alias("c"))
+        )
+        r = (
+            contrib.groupBy("u")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                "u",
+                # teleport term precomputed in Python; L-suffixed literals
+                # keep Spark SQL in BIGINT (bare ints are 32-bit and
+                # 15*base overflows INT under ANSI)
+                F.expr(
+                    f"CAST(({(_DAMP_DEN - _DAMP_NUM) * base}L "
+                    f"+ {_DAMP_NUM}L * s) DIV {_DAMP_DEN}L AS BIGINT)"
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)  # constant plan per round
+        )
+    return r
+
+
+@query(
+    "q110_pagerank",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+        SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), und AS (
+        SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+    ), deg AS (
+        SELECT u, COUNT(*) AS d FROM und GROUP BY u
+    ), nn AS (
+        SELECT COUNT(*) AS n FROM deg
+    ), pr AS (
+        SELECT u, CAST({_SCALE} // n AS BIGINT) AS r, 0 AS it FROM deg, nn
+        UNION ALL
+        SELECT und.v AS u,
+               CAST((15 * ({_SCALE} // (SELECT n FROM nn))
+                     + 85 * SUM(pr.r // deg.d)) // 100 AS BIGINT) AS r,
+               pr.it + 1 AS it
+        FROM pr
+        JOIN deg ON deg.u = pr.u
+        JOIN und ON und.u = pr.u
+        WHERE pr.it < {_ITERATIONS}
+        GROUP BY und.v, pr.it
+    )
+    SELECT CASE WHEN u % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+           CAST(u // 2 AS BIGINT) AS key,
+           CAST(r AS DOUBLE) / CAST({_SCALE} AS DOUBLE) AS rank
+    FROM pr WHERE it = {_ITERATIONS}
+    ORDER BY rank DESC, kind, key
+    LIMIT 20
+    """,
+    tags=("graph", "pagerank", "iterative", "llm-pipeline"),
+)
+def q110_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PageRank over the undirected customer–supplier purchase
+    graph after 5 fixed iterations, in exact BIGINT trillionths — the
+    oracle replays the identical integer recurrence as ONE recursive CTE
+    (aggregation over the working table, same ⌊·⌋ divisions), so ranks
+    hash-match bit-for-bit. Customers get even node ids, suppliers odd,
+    which also proves the two partitions never collide."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    und = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    r = pagerank_fixed_point(und)
+    return (
+        r.select(
+            F.when(F.col("u") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("kind"),
+            F.expr("u DIV 2").cast("long").alias("key"),
+            (F.col("r").cast("double") / F.lit(float(_SCALE))).alias("rank"),
+        )
+        .orderBy(F.col("rank").desc(), "kind", "key")
+        .limit(20)
+    )

@@ -619,3 +619,85 @@ def q105_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def semantic_dedup_kept(
+    embeddings: DataFrame,
+    threshold: float,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: within each cluster, a
+    vector is dropped iff a LOWER-id vector in the same cluster has
+    cosine similarity ≥ ``threshold`` with it (keep-lowest-id is the
+    deterministic stand-in for keep-farthest-from-centroid). Returns
+    the kept (cluster, id) rows.
+
+    Scale shape: candidate pairs are generated ONLY within a cluster —
+    the self-join shuffles both sides on the cluster key and the pair
+    fan-out is Σ m_c², bounded by the clustering granularity (the same
+    knob as the LSH bucket cap: more clusters ⇒ smaller m_c). Never an
+    all-pairs N²."""
+    a = embeddings.select(
+        F.col(cluster_col).alias("__c"),
+        F.col(id_col).alias("__u"),
+        F.col(vec_col).alias("__ea"),
+    )
+    b = embeddings.select(
+        F.col(cluster_col).alias("__c"),
+        F.col(id_col).alias("__v"),
+        F.col(vec_col).alias("__eb"),
+    )
+    dup_ids = (
+        a.join(b.hint("shuffle_merge"), "__c")
+        .where(F.col("__u") < F.col("__v"))
+        .where(cosine_similarity(F.col("__ea"), F.col("__eb")) >= F.lit(threshold))
+        .select(F.col("__v"))
+        .distinct()
+    )
+    return embeddings.join(
+        dup_ids, embeddings[id_col] == dup_ids["__v"], "left_anti"
+    ).select(cluster_col, id_col)
+
+
+@query(
+    "q109_semantic_dedup",
+    oracle="""
+    WITH dup AS (
+        SELECT DISTINCT b.vec_id AS v
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_reduce(list_transform(range(1, len(a.embedding) + 1),
+                i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+                (x, y) -> x + y)
+              / sqrt(
+                  list_reduce(list_transform(range(1, len(a.embedding) + 1),
+                    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)),
+                    (x, y) -> x + y)
+                * list_reduce(list_transform(range(1, len(b.embedding) + 1),
+                    i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+                    (x, y) -> x + y)
+              ) >= 0.35
+    )
+    SELECT label, vec_id
+    FROM embeddings
+    WHERE vec_id NOT IN (SELECT v FROM dup)
+    ORDER BY label, vec_id
+    """,
+    tags=("similarity", "dedup", "semdedup", "llm-pipeline"),
+)
+def q109_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) deduplication, SemDeDup-style: drop a
+    vector when a lower-id vector in the SAME cluster is more similar
+    than the threshold; report the kept set. Clusters here are the
+    ``label`` column (in production: k-means/IVF assignments — q92/q105
+    compute exactly those); within-cluster pairing keeps the candidate
+    set Σ m_c², never N². The 0.35 threshold sits in the tail of this
+    RANDOM test corpus's similarity distribution (max ≈ 0.47) so the
+    drop path is exercised; true embedding corpora use ≈ 0.95+, and the
+    semantics are locked by synthetic-duplicate tests either way.
+    Hash-exact because the cosine uses the same left-to-right fold on
+    both engines (q34's pattern)."""
+    e = table(spark, sf_dir, "embeddings")
+    return semantic_dedup_kept(e, threshold=0.35).orderBy("label", "vec_id")

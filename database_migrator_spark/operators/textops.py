@@ -1189,3 +1189,177 @@ def q104_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+def doc_bigrams(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, w1, w2) bigram instances via one positional zip of the
+    token array with its own tail — a single interpreted lambda per row
+    (never per pair), then a JVM-side explode."""
+    toks = tokens_of(text_col)
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return (
+        docs.where(F.size(tokens_of(text_col)) >= 2)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", "p.w1", "p.w2")
+    )
+
+
+@query(
+    "q108_bigram_lm_score",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           t -> len(t) > 0) AS ts
+        FROM documents
+    ), bg AS (
+        SELECT doc_id, pair[1] AS w1, pair[2] AS w2
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(ts)),
+                                         i -> [ts[i], ts[i+1]])) AS pair
+            FROM toks WHERE len(ts) >= 2
+        )
+    ), c2 AS (
+        SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2
+    ), c1 AS (
+        SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1
+    ), probs AS (
+        SELECT w1, w2, ln(CAST(c1 AS DOUBLE) / CAST(c2 AS DOUBLE)) AS nll
+        FROM c2 JOIN c1 USING (w1)
+    )
+    SELECT bg.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(CAST(round(nll * 1000000000000) AS BIGINT)) AS DOUBLE)
+             / CAST(1000000000000 AS DOUBLE) / COUNT(*) AS avg_nll
+    FROM bg JOIN probs USING (w1, w2)
+    GROUP BY bg.doc_id
+    ORDER BY bg.doc_id
+    """,
+    tags=("text", "lm", "quality", "llm-pipeline"),
+)
+def q108_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram language-model surprisal (average negative
+    log-likelihood in nats under the corpus-trained MLE bigram model) —
+    the model-based quality signal curation pipelines rank documents
+    with (high self-surprisal ⇒ unusual/noisy text; near-zero ⇒
+    boilerplate the model memorizes). Scoring the training corpus with
+    itself means every bigram is in-vocabulary, so no smoothing is
+    needed and c1 ≥ c2 ≥ 1 keeps every nll term ≥ 0 and finite.
+
+    Shape at scale: one (doc, w1, w2) explode; bigram counts and their
+    w1 marginals are (bigram-)vocabulary-sized aggregates that join each
+    other on w1 and rejoin the instance stream on (w1, w2) — BOTH joins
+    pinned shuffle (the bigram vocabulary is far larger than the
+    unigram one that already OOMs a forced broadcast, q103's lesson).
+    Hash-stable: nll = ln(c1/c2) of exact BIGINTs below the guarded
+    2^53 bound, summed per doc in 1e-12 fixed point (order-free), and
+    the final avg divides bit-identical doubles on both engines."""
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    bg = doc_bigrams(d)
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    probs = (
+        c2.join(c1.hint("shuffle_merge"), "w1")
+        .where(
+            exactness_guard(
+                F.col("c1").cast("double") < F.lit(EXACT_DOUBLE_BOUND),
+                "q108: unigram marginal >= 2^53 — ln(c1/c2) would silently "
+                "round; rescale counts or restate with log-sum",
+            )
+        )
+        .select(
+            "w1",
+            "w2",
+            F.log(F.col("c1").cast("double") / F.col("c2").cast("double")).alias(
+                "nll"
+            ),
+        )
+    )
+    return (
+        bg.join(probs.hint("shuffle_merge"), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (
+                F.sum(
+                    F.round(F.col("nll") * F.lit(1000000000000.0)).cast("long")
+                ).cast("double")
+                / F.lit(1000000000000.0)
+                / F.count("*")
+            ).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q111_seq_length_histogram",
+    oracle=r"""
+    WITH n AS (
+        SELECT CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                    t -> len(t) > 0)) AS BIGINT) AS nt
+        FROM documents
+    ), b AS (
+        SELECT CASE
+                 WHEN nt < 32 THEN 0 WHEN nt < 64 THEN 32
+                 WHEN nt < 128 THEN 64 WHEN nt < 256 THEN 128
+                 WHEN nt < 512 THEN 256 WHEN nt < 1024 THEN 512
+                 ELSE 1024 END AS bucket_lo,
+               nt
+        FROM n
+    ), t AS (SELECT COUNT(*) AS total FROM n)
+    SELECT bucket_lo,
+           COUNT(*) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) AS DOUBLE) / (SELECT total FROM t) AS frac_docs
+    FROM b
+    GROUP BY bucket_lo
+    ORDER BY bucket_lo
+    """,
+    tags=("text", "packing", "diagnostics", "llm-pipeline"),
+)
+def q111_seq_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length distribution of the corpus in power-of-two buckets —
+    the diagnostic that sizes sequence-packing (q94) and chunking (q87):
+    how much of the corpus fits a 512-token context, how much must be
+    chunked, how much padding a naive batcher would waste. One scan, one
+    tiny aggregation; the doc-count normalizer broadcasts as a single
+    row. Fractions divide exact BIGINTs, so they are bit-identical
+    across engines."""
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    nt = token_count("text")
+    bucket = (
+        F.when(nt < 32, 0)
+        .when(nt < 64, 32)
+        .when(nt < 128, 64)
+        .when(nt < 256, 128)
+        .when(nt < 512, 256)
+        .when(nt < 1024, 512)
+        .otherwise(1024)
+        .cast("long")
+    )
+    b = d.select(bucket.alias("bucket_lo"), nt.alias("nt"))
+    t = b.agg(F.count("*").alias("total"))
+    return (
+        b.groupBy("bucket_lo")
+        .agg(F.count("*").alias("n_docs"), F.sum("nt").alias("total_tokens"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "bucket_lo",
+            "n_docs",
+            "total_tokens",
+            (F.col("n_docs").cast("double") / F.col("total").cast("double")).alias(
+                "frac_docs"
+            ),
+        )
+        .orderBy("bucket_lo")
+    )

@@ -333,7 +333,8 @@ def test_no_rdd_scans_anywhere(spark):
     table is a driver-local list (vocabulary argmax results)."""
     for name, dq in _QS.items():
         if any(
-            t in dq.tags for t in ("streaming", "udtf", "minhash", "simhash", "pipeline", "bpe")
+            t in dq.tags
+            for t in ("streaming", "udtf", "minhash", "simhash", "pipeline", "bpe", "iterative")
         ):
             continue
         p = _QS[name].build(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
@@ -373,3 +374,42 @@ def test_kmeans_inertia_broadcast_centroids(spark):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_bigram_lm_never_broadcasts_bigram_vocab(spark):
+    """q108: the bigram-count table is even larger than the unigram
+    vocabulary that q103 refuses to broadcast — both prob joins must
+    shuffle (pinned shuffle-merge), and the 2^53 guard must survive."""
+    p = plan_of(spark, "q108_bigram_lm_score")
+    assert "SortMergeJoin" in p
+    assert "BroadcastHashJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "raise_error" in p and "2^53" in p
+
+
+def test_semantic_dedup_pairs_only_within_cluster(spark):
+    """q109: candidate pairs come from a cluster-keyed equi-join (never a
+    cartesian product), and the kept set is a left-anti join."""
+    p = plan_of(spark, "q109_semantic_dedup")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    assert "LeftAnti" in p
+
+
+def test_pagerank_iterations_constant_plan(spark):
+    """q110: each iteration starts from a localCheckpoint, so the final
+    plan contains the LAST round's joins only (constant size per round,
+    not 2^rounds), and no cartesian product anywhere."""
+    p = plan_of(spark, "q110_pagerank")
+    assert "CartesianProduct" not in p
+    # the checkpointed frame scans as an RDD — the one sanctioned use
+    assert "ExistingRDD" in p
+
+
+def test_seq_length_histogram_single_scan_broadcast_normalizer(spark):
+    """q111: one aggregation over the scan; the doc-count normalizer is a
+    broadcast single row, never a shuffle-side join."""
+    p = plan_of(spark, "q111_seq_length_histogram")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    assert "HashAggregate" in p

@@ -131,3 +131,28 @@ def test_int8_quantization_roundtrip_error_bounded(spark):
     big = spark.createDataFrame([([9.9, -9.9],)], "v array<float>")
     r = big.select(quantize_int8("v", scale).alias("q")).first()["q"]
     assert r == [127, -127]
+
+
+def test_semantic_dedup_drops_true_duplicates_keeps_lowest_id(spark):
+    """Synthetic clusters with REAL near-duplicates (the test corpus is
+    random, so the declared query only exercises the tail): identical
+    and epsilon-perturbed vectors must drop in favor of the lowest id;
+    cross-cluster duplicates must NOT pair; dissimilar vectors survive."""
+    from database_migrator_spark.operators.similarity import semantic_dedup_kept
+
+    base = [1.0] + [0.0] * 7
+    near = [0.999] + [0.001] * 7
+    orth = [0.0] * 7 + [1.0]
+    rows = [
+        (0, 10, base),   # cluster 0: kept (lowest id of the dup group)
+        (0, 11, base),   # identical -> dropped
+        (0, 12, near),   # near-identical -> dropped
+        (0, 13, orth),   # orthogonal -> kept
+        (1, 20, base),   # same vector, DIFFERENT cluster -> kept
+    ]
+    e = spark.createDataFrame(rows, "label long, vec_id long, embedding array<double>")
+    kept = {
+        r["vec_id"]
+        for r in semantic_dedup_kept(e, threshold=0.95).collect()
+    }
+    assert kept == {10, 13, 20}

@@ -204,3 +204,66 @@ def test_exactness_guard_fails_loudly_past_2pow53(spark):
         df.where(exactness_guard(cond, "test: product >= 2^53")).count()
     ok = spark.createDataFrame([(10, 20), (3, 4)], "c_s long, n_g long")
     assert ok.where(exactness_guard(cond, "test: product >= 2^53")).count() == 2
+
+
+def test_bigram_lm_score_hand_computed(spark, tmp_path):
+    """q108 on a 3-doc corpus small enough to verify by hand: docs with
+    <2 tokens are excluded, and the repeated bigram is cheaper (lower
+    NLL) than the one with a branching history."""
+    import math
+
+    import pandas as pd
+
+    from database_migrator_spark.plans.registry import all_queries
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["a b", "a b", "a c", "solo"],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [3, 3, 3, 4],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    rows = {
+        r["doc_id"]: r
+        for r in all_queries()["q108_bigram_lm_score"].build(spark, str(tmp_path)).collect()
+    }
+    assert 3 not in rows  # single-token doc has no bigrams
+    # c(a,b)=2, c(a,c)=1, c(a·)=3 -> nll(a,b)=ln(3/2), nll(a,c)=ln(3)
+    fp = lambda x: round(x * 1e12) / 1e12  # the fixed-point the query applies
+    assert abs(rows[0]["avg_nll"] - fp(math.log(1.5))) < 1e-12
+    assert abs(rows[2]["avg_nll"] - fp(math.log(3.0))) < 1e-12
+    assert rows[0]["avg_nll"] < rows[2]["avg_nll"]
+    assert rows[0]["n_bigrams"] == 1
+
+
+def test_seq_length_histogram_bucket_boundaries(spark, tmp_path):
+    """q111 buckets are [lo, 2*lo): exact boundary token counts land in
+    the upper bucket, and fractions sum to 1."""
+    import pandas as pd
+
+    from database_migrator_spark.plans.registry import all_queries
+
+    texts = [" ".join(["w"] * n) for n in (31, 32, 63, 64, 512, 2000)]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    rows = {
+        r["bucket_lo"]: r
+        for r in all_queries()["q111_seq_length_histogram"].build(spark, str(tmp_path)).collect()
+    }
+    assert rows[0]["n_docs"] == 1       # 31
+    assert rows[32]["n_docs"] == 2      # 32, 63
+    assert rows[64]["n_docs"] == 1      # 64
+    assert rows[512]["n_docs"] == 1     # 512
+    assert rows[1024]["n_docs"] == 1    # 2000
+    assert abs(sum(r["frac_docs"] for r in rows.values()) - 1.0) < 1e-12

@@ -71,6 +71,12 @@ PROBE_QUERIES = [
     "q100_heavy_hitters",
     "q101_corpus_pipeline_report",
     "q102_png_decode",
+    # round-5 additions: data-mixing diagnostics, k-means inertia, BPE
+    "q103_source_divergence",
+    "q104_sampling_weights",
+    "q105_kmeans_inertia",
+    "q106_bpe_merges",
+    "q107_bpe_vocabulary",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
@@ -102,19 +108,56 @@ def synthesize(spark, out_dir: str) -> None:
         out.repartition(16).write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
 
 
-def run(spark, sf_dir: str) -> dict[str, float]:
-    # index fits are ingest-time work — warm them so q53 times the QUERY,
-    # mirroring bench.py
+def run(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
+    # index/tokenizer fits are ingest-time work — warm them so q53/q106/
+    # q107 time the QUERY, mirroring bench.py; their build cost is real
+    # once-per-deployment work, so it is TIMED and reported separately
+    from database_migrator_spark.operators.bpe import bpe_train_cached
     from database_migrator_spark.operators.similarity import _ivf_index_cached
 
+    ingest: dict[str, float] = {}
+    t0 = time.perf_counter()
     _ivf_index_cached(spark, sf_dir)
+    ingest["ivf_fit"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    bpe_train_cached(spark, sf_dir, 10)
+    ingest["bpe_fit"] = round(time.perf_counter() - t0, 2)
     qs = all_queries()
     out = {}
     for name in PROBE_QUERIES:
         t0 = time.perf_counter()
         qs[name].build(spark, sf_dir).write.format("noop").mode("overwrite").save()
         out[name] = round(time.perf_counter() - t0, 2)
-    return out
+    return out, ingest
+
+
+def synthesize_vocab_inflated_docs(spark, out_dir: str) -> None:
+    """10× documents where every copy carries a DISJOINT vocabulary
+    (each token suffixed with the copy index): distinct-token count grows
+    10×, the hapax-heavy regime that killed q103's old full-vocabulary
+    broadcast. Plain replication (synthesize()) multiplies token COUNTS
+    but keeps the vocabulary constant, so it cannot exercise that axis."""
+    from database_migrator_spark.operators.dedup import tokens_of
+
+    src = table(spark, SRC_SF, "documents")
+    n = src.count()
+    parts = []
+    for i in range(COPIES):
+        parts.append(
+            src.withColumn("doc_id", F.col("doc_id") + F.lit(i * n * 10)).withColumn(
+                "text",
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        tokens_of("text"), lambda t, i=i: F.concat(t, F.lit(f"v{i}"))
+                    ),
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(16).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
 
 
 def bucket_cap_stats(spark, sf_dir: str, max_bucket: int = 1000) -> dict:
@@ -158,25 +201,69 @@ def bucket_cap_stats(spark, sf_dir: str, max_bucket: int = 1000) -> dict:
     return out
 
 
+def vocab_growth_probe(spark) -> dict:
+    """q103 under 10× VOCABULARY growth (not just 10× volume): the
+    vocab-count join must stay a shuffle join and scale with the token
+    stream, never OOM-broadcast the distinct-token table."""
+    qs = all_queries()
+    t0 = time.perf_counter()
+    qs["q103_source_divergence"].build(spark, SRC_SF).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    base_t = round(time.perf_counter() - t0, 2)
+    tmp = tempfile.mkdtemp(prefix="vocab10x_probe_")
+    try:
+        synthesize_vocab_inflated_docs(spark, tmp)
+        from database_migrator_spark.operators.dedup import tokens_of
+
+        def vocab(sf_dir):
+            return (
+                table(spark, sf_dir, "documents")
+                .select(F.explode(tokens_of("text")).alias("t"))
+                .agg(F.countDistinct("t"))
+                .first()[0]
+            )
+
+        v0, v1 = vocab(SRC_SF), vocab(tmp)
+        t0 = time.perf_counter()
+        qs["q103_source_divergence"].build(spark, tmp).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        big_t = round(time.perf_counter() - t0, 2)
+        return {
+            "distinct_tokens": {"sf0.1": v0, "vocab10x": v1},
+            "q103_sec": {"sf0.1": base_t, "vocab10x": big_t},
+            "ratio": round(big_t / base_t, 1) if base_t > 0 else None,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     keep = "--keep" in sys.argv
     spark = get_session("scale-probe")
-    base = run(spark, SRC_SF)
+    base, base_ingest = run(spark, SRC_SF)
     tmp = tempfile.mkdtemp(prefix="sf1_probe_")
     try:
         t0 = time.perf_counter()
         synthesize(spark, tmp)
         print(f"# synthesized ~sf1 in {time.perf_counter()-t0:.1f}s at {tmp}", file=sys.stderr)
-        big = run(spark, tmp)
+        big, big_ingest = run(spark, tmp)
         report = {
             q: {"sf0.1": base[q], "sf1": big[q],
                 "ratio": round(big[q] / base[q], 1) if base[q] > 0 else None}
             for q in PROBE_QUERIES
         }
+        report["ingest_fits"] = {
+            k: {"sf0.1": base_ingest[k], "sf1": big_ingest[k],
+                "ratio": round(big_ingest[k] / base_ingest[k], 1) if base_ingest[k] > 0 else None}
+            for k in base_ingest
+        }
         report["minhash_bucket_cap"] = {
             "sf0.1": bucket_cap_stats(spark, SRC_SF),
             "sf1": bucket_cap_stats(spark, tmp),
         }
+        report["q103_vocab_growth"] = vocab_growth_probe(spark)
         print(json.dumps(report, indent=2))
     finally:
         if not keep:
