@@ -3,9 +3,11 @@ typed metadata, processed by Arrow-batched pandas functions over
 ``mapInPandas``.
 
 Two image paths:
-- REAL decode: 24-bit uncompressed BMP, parsed by a pure-Python decoder
-  (no codec library needed) — headers, stride padding, bottom-up row
-  order. Compressed formats (PNG/JPEG) route through Pillow when present.
+- REAL decode: 24-bit uncompressed BMP, 8-bit truecolor PNG, and
+  baseline JPEG, each parsed by a pure-Python codec (no codec library
+  needed; see operators/jpeg.py for the JFIF one). Non-baseline JPEG
+  features and other compressed formats route through Pillow when
+  present, with a clear error when not.
 - Fake self-describing blobs (``b"IMG|<w>|<h>|<fmt>|" + payload``) for
   the metadata/feature plumbing demos.
 
@@ -367,17 +369,26 @@ def attach_bmp_image(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def decode_pixels(blob: bytes) -> tuple[int, int, list[bytes]]:
-    """Magic-dispatched pixel decode: BMP and PNG decode with the pure-
-    Python codecs above; anything else (JPEG, WebP, ...) routes through
-    Pillow when present, with a clear error when it is not."""
+    """Magic-dispatched pixel decode: BMP, PNG, and baseline JPEG decode
+    with the pure-Python codecs; non-baseline JPEG features and other
+    formats (WebP, ...) route through Pillow when present, with a clear
+    error when it is not."""
     if blob[:2] == b"BM":
         return decode_bmp(blob)
     if blob[: len(_PNG_SIG)] == _PNG_SIG:
         return decode_png(blob)
+    if blob[:2] == b"\xff\xd8":
+        from database_migrator_spark.operators.jpeg import JpegUnsupported, decode_jpeg
+
+        try:
+            return decode_jpeg(blob)
+        except JpegUnsupported:
+            if not _HAS_PIL:
+                raise
     if not _HAS_PIL:
         raise ValueError(
-            "unsupported image format (not BMP/PNG) and Pillow is not "
-            "installed for compressed-codec fallback"
+            "unsupported image format (not BMP/PNG/baseline-JPEG) and Pillow "
+            "is not installed for compressed-codec fallback"
         )
     import io
 
@@ -568,6 +579,79 @@ def q102_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     any of sub/up/average/paeth shifts the mean and fails the hash."""
     d = table(spark, sf_dir, "documents")
     return decode_image_pixels(attach_png_image(d)).orderBy("doc_id")
+
+
+def attach_jpeg_image(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL baseline JFIF per document: dimensions
+    (doc_id%4+1)*8 + doc_id%7 × (doc_id%3+1)*8 + doc_id%5 (ragged, so
+    partial MCUs are exercised), 4:2:0 for even doc_ids / 4:4:4 for odd,
+    and every 8×8 block a FLAT GRAY g(bx,by) = (doc_id*7 + bx*13 +
+    by*29) % 256. Flat blocks are DC-only (identity quantization keeps
+    them exact through the DCT) and gray survives the YCbCr round-trip
+    bit-for-bit, so the decoded pixels follow a closed form an SQL
+    oracle recomputes — the same trick as the PNG corpus, but through a
+    LOSSY codec's exact subset."""
+    from database_migrator_spark.operators.jpeg import encode_jpeg
+
+    par = min(16, docs.sparkSession.sparkContext.defaultParallelism)
+    docs = docs.repartition(par)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                w = (d % 4 + 1) * 8 + d % 7
+                h = (d % 3 + 1) * 8 + d % 5
+                rows = [
+                    bytes(
+                        b
+                        for x in range(w)
+                        for b in 3 * ((d * 7 + (x // 8) * 13 + (y // 8) * 29) % 256,)
+                    )
+                    for y in range(h)
+                ]
+                out.append((d, encode_jpeg(w, h, rows, subsample=(d % 2 == 0))))
+            yield pd.DataFrame(out, columns=["doc_id", "image"])
+
+    return docs.select(id_col).mapInPandas(gen, schema="doc_id bigint, image binary")
+
+
+@query(
+    "q112_jpeg_decode",
+    oracle="""
+    SELECT doc_id,
+           (doc_id % 4 + 1) * 8 + doc_id % 7 AS width,
+           (doc_id % 3 + 1) * 8 + doc_id % 5 AS height,
+           CAST(3 * CAST(list_sum(flatten(list_transform(
+                 range(0, ((doc_id % 3 + 1) * 8 + doc_id % 5 + 7) // 8),
+                 by -> list_transform(
+                   range(0, ((doc_id % 4 + 1) * 8 + doc_id % 7 + 7) // 8),
+                   bx -> ((doc_id * 7 + bx * 13 + by * 29) % 256)
+                         * least(8, (doc_id % 4 + 1) * 8 + doc_id % 7 - bx * 8)
+                         * least(8, (doc_id % 3 + 1) * 8 + doc_id % 5 - by * 8)))))
+               AS BIGINT) AS DOUBLE)
+             / CAST(((doc_id % 4 + 1) * 8 + doc_id % 7)
+                    * ((doc_id % 3 + 1) * 8 + doc_id % 5) * 3 AS DOUBLE)
+                                             AS mean_pixel,
+           (doc_id * 7) % 256                AS topleft_byte
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "jpeg", "decode", "mapInPandas"),
+)
+def q112_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy-codec decode, hash-matched: synthesize a valid baseline
+    JPEG per document (huffman entropy coding, byte stuffing, 4:2:0 on
+    even doc_ids, ragged dimensions with edge-padded partial MCUs),
+    decode it with the pure-Python codec — marker walk, canonical
+    huffman, dequant, IDCT, chroma upsample, YCbCr→RGB — and hash-match
+    width/height/mean-pixel/top-left against the oracle's closed forms.
+    The corpus is built from the codec's EXACT subset (flat gray 8×8
+    blocks; see attach_jpeg_image), so a decoder bug anywhere in that
+    chain shifts the mean and fails the hash."""
+    d = table(spark, sf_dir, "documents")
+    return decode_image_pixels(attach_jpeg_image(d)).orderBy("doc_id")
 
 
 @query(

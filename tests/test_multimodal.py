@@ -216,9 +216,12 @@ def test_decode_pixels_magic_dispatch():
     rows = [bytes([10, 20, 30] * 4) for _ in range(3)]
     assert M.decode_pixels(M.encode_bmp(4, 3, rows)) == (4, 3, rows)
     assert M.decode_pixels(M.encode_png(4, 3, rows)) == (4, 3, rows)
+    # JPEG magic now routes to the pure codec: corrupt data fails clean
+    with pytest.raises(ValueError, match="corrupt JPEG"):
+        M.decode_pixels(b"\xff\xd8\xff\xe0 fake jpeg")
     if not M._HAS_PIL:
         with pytest.raises(ValueError, match="Pillow"):
-            M.decode_pixels(b"\xff\xd8\xff\xe0 fake jpeg")
+            M.decode_pixels(b"RIFF not an image format we know")
 
 
 def test_decode_pixels_pillow_fallback_path():
@@ -246,3 +249,96 @@ def test_decode_pixels_pillow_fallback_path():
     assert len(rows) == 8 and all(len(r) == 16 * 3 for r in rows)
     px = rows[0]
     assert abs(px[0] - 200) <= 8 and abs(px[1] - 100) <= 8 and abs(px[2] - 50) <= 8
+
+
+def test_jpeg_flat_gray_roundtrip_exact():
+    """Flat gray blocks are the codec's exact subset: DC-only DCT under
+    identity quantization + gray as a YCbCr fixed point. Every sampling
+    mode and ragged dimension must round-trip bit-for-bit."""
+    from database_migrator_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    def make(w, h, g):
+        return [
+            bytes(b for x in range(w) for b in 3 * (g(x // 8, y // 8),))
+            for y in range(h)
+        ]
+
+    for subsample in (False, True):
+        for (w, h) in ((16, 8), (19, 13), (40, 28)):
+            rows = make(w, h, lambda bx, by: (49 + bx * 13 + by * 29) % 256)
+            ww, hh, out = decode_jpeg(encode_jpeg(w, h, rows, subsample=subsample))
+            assert (ww, hh) == (w, h)
+            assert out == rows, f"mismatch sub={subsample} {w}x{h}"
+
+
+def test_jpeg_gradient_roundtrip_close():
+    """General content through identity quantization: lossy only through
+    coefficient rounding and chroma subsampling — max per-byte error
+    stays tiny (bounds the IDCT/huffman/color chain end to end)."""
+    import numpy as np
+
+    from database_migrator_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    w, h = 32, 24
+    rows = [
+        bytes(((x * 3 + y * 5 + c) % 256) for x in range(w) for c in range(3))
+        for y in range(h)
+    ]
+    ww, hh, out = decode_jpeg(encode_jpeg(w, h, rows))
+    a = np.frombuffer(b"".join(rows), dtype=np.uint8).astype(int)
+    b = np.frombuffer(b"".join(out), dtype=np.uint8).astype(int)
+    assert (ww, hh) == (w, h)
+    assert np.abs(a - b).max() <= 2  # 4:4:4: rounding only
+
+
+def test_jpeg_byte_stuffing_and_magic_dispatch():
+    """0xFF entropy bytes must be stuffed by the writer and unstuffed by
+    the reader; decode_pixels must route JPEG magic to the pure codec
+    (no Pillow needed)."""
+    from database_migrator_spark.operators import multimodal as M
+    from database_migrator_spark.operators.jpeg import (
+        _BitReader,
+        _BitWriter,
+        encode_jpeg,
+    )
+
+    wr = _BitWriter()
+    for v in (0xFF, 0xFF, 0x12, 0xFF):
+        wr.write(v, 8)
+    data = wr.flush()
+    assert data == b"\xff\x00\xff\x00\x12\xff\x00"  # every FF stuffed
+    rd = _BitReader(data, 0)
+    assert [rd.bits(8) for _ in range(4)] == [0xFF, 0xFF, 0x12, 0xFF]
+
+    w, h = 64, 64
+    rows = [
+        bytes(b for x in range(w) for b in 3 * ((x // 8 * 37 + y // 8 * 101) % 256,))
+        for y in range(h)
+    ]
+    assert M.decode_pixels(encode_jpeg(w, h, rows)) == (w, h, rows)
+
+
+def test_jpeg_rejects_non_baseline():
+    """Progressive frames and restart intervals must raise the typed
+    JpegUnsupported (the dispatch's Pillow-fallback trigger), never
+    return wrong pixels."""
+    import struct
+
+    import pytest
+
+    from database_migrator_spark.operators.jpeg import (
+        JpegUnsupported,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    blob = bytearray(encode_jpeg(8, 8, [bytes([5, 5, 5] * 8)] * 8))
+    i = blob.find(b"\xff\xc0")
+    prog = blob[:i] + b"\xff\xc2" + blob[i + 2 :]
+    with pytest.raises(JpegUnsupported, match="SOF2"):
+        decode_jpeg(bytes(prog))
+    dri = blob[:i] + b"\xff\xdd" + struct.pack(">HH", 4, 1) + blob[i:]
+    with pytest.raises(JpegUnsupported, match="restart"):
+        decode_jpeg(bytes(dri))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x89PNG not a jpeg")
