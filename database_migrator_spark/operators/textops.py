@@ -1363,3 +1363,117 @@ def q111_seq_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_lo")
     )
+
+
+@query(
+    "q113_repeated_ngram_spans",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           t -> len(t) > 0) AS t
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, list_aggregate(t[i:i+7], 'string_agg', ' ') AS g
+        FROM toks, unnest(range(1, len(t) - 6)) AS u(i)
+        WHERE len(t) >= 8
+    ), rep AS (
+        SELECT g, COUNT(*) AS c FROM grams GROUP BY g HAVING COUNT(*) > 1
+    )
+    SELECT grams.doc_id,
+           COUNT(*) AS n_grams,
+           COUNT(rep.g) AS n_repeated,
+           CAST(COUNT(rep.g) AS DOUBLE) / COUNT(*) AS repeated_frac
+    FROM grams LEFT JOIN rep ON grams.g = rep.g
+    GROUP BY grams.doc_id
+    ORDER BY grams.doc_id
+    """,
+    tags=("text", "dedup", "exact-substring", "llm-pipeline"),
+)
+def q113_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication tier (the ExactSubstr counterpart of
+    the MinHash near-dup family): for every document with ≥ 8 tokens,
+    the fraction of its 8-token windows that occur ANYWHERE else in the
+    corpus (other documents or elsewhere in the same one) — the signal
+    used to cut verbatim-boilerplate spans before training, at a finer
+    grain than whole-document dedup.
+
+    Shape at scale: one posexplode to (doc, pos, gram), one gram-keyed
+    aggregate, and a gram-keyed join BACK to the instance stream —
+    pinned shuffle-merge, because on web corpora the repeated-gram set
+    (boilerplate) is far too large to broadcast (q103's lesson again).
+    Production would hash the gram string to 128 bits before the
+    shuffle; the string key keeps this oracle-exact cross-engine.
+    Fractions divide exact BIGINTs, so they hash bit-identically."""
+    from database_migrator_spark.operators.dedup import word_shingles
+
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = tokens_of("text")
+    g = d.where(F.size(toks) >= 8).select(
+        "doc_id", F.posexplode(word_shingles(toks, 8)).alias("pos", "g")
+    )
+    rep = (
+        g.groupBy("g")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") > 1)
+        .select("g", F.lit(1).alias("__rep"))
+    )
+    return (
+        g.join(rep.hint("shuffle_merge"), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("__rep").alias("n_repeated"),
+            (F.count("__rep").cast("double") / F.count("*")).alias("repeated_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q114_per_source_caps",
+    oracle=r"""
+    WITH scored AS (
+        SELECT source, doc_id,
+               CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                    t -> len(t) > 0)) AS BIGINT) AS n_tokens,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY len(list_filter(
+                                        string_split_regex(lower(text), '\s+'),
+                                        t -> len(t) > 0)) DESC, doc_id) AS rn
+        FROM documents
+    )
+    SELECT source, doc_id, n_tokens
+    FROM scored
+    WHERE rn <= 10
+    ORDER BY source, n_tokens DESC, doc_id
+    """,
+    tags=("text", "curation", "caps", "llm-pipeline"),
+)
+def q114_per_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document caps — the anti-domination step of corpus
+    curation (no single domain/source may contribute more than K
+    documents; here K=10, keeping the token-richest with doc_id as the
+    deterministic tiebreak). One shuffle on source + a per-key window
+    row_number ≤ K.
+
+    Scale note: a window sorts each source's full partition; a source
+    skewed to billions of rows would instead use the two-phase top-K
+    (per-partition partial top-K, then merge — q07's pattern) or the
+    salted variants in operators/skew.py. The declared query keeps the
+    canonical windowed form, whose plan Catalyst rewrites into a
+    rank-limited sort at the partition level."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    nt = token_count("text")
+    w = Window.partitionBy("source").orderBy(F.col("n_tokens").desc(), "doc_id")
+    return (
+        d.select("source", "doc_id", nt.alias("n_tokens"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("source", "doc_id", "n_tokens")
+        .orderBy("source", F.col("n_tokens").desc(), "doc_id")
+    )

@@ -413,3 +413,21 @@ def test_seq_length_histogram_single_scan_broadcast_normalizer(spark):
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
     assert "HashAggregate" in p
+
+
+def test_repeated_ngrams_never_broadcast_gram_table(spark):
+    """q113: the repeated-gram (boilerplate) table is corpus-scale — the
+    join back to the instance stream must shuffle, never broadcast."""
+    p = plan_of(spark, "q113_repeated_ngram_spans")
+    assert "SortMergeJoin" in p
+    assert "BroadcastHashJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_per_source_caps_windowed_rank_limit(spark):
+    """q114: one source-keyed window with the rank filter pushed into the
+    window operator (Catalyst's rank-limit rewrite) — no join at all."""
+    p = plan_of(spark, "q114_per_source_caps")
+    assert "Window" in p
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
