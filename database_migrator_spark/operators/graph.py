@@ -43,15 +43,16 @@ def pagerank_fixed_point(
     Every node in an undirected edge list has deg ≥ 1 and receives mass
     each round, so there is no dangling-mass term to redistribute."""
     und = edges.localCheckpoint(eager=True)
-    deg = und.groupBy("u").agg(F.count("*").alias("d")).localCheckpoint(eager=True)
+    deg = und.groupBy("u").agg(F.count("*").alias("d"))
+    # degree is static — join it into the edge list ONCE (not once per
+    # iteration): each round then needs a single rank⋈edges join
+    und_deg = und.join(deg, "u").localCheckpoint(eager=True)
     n = deg.count()  # one scalar action at setup, none per iteration
     base = _SCALE // n
     r = deg.select("u", F.lit(base).cast("long").alias("r"))
     for _ in range(iterations):
-        contrib = (
-            r.join(deg, "u")
-            .join(und, "u")
-            .select(F.col("v").alias("u"), F.expr("r DIV d").alias("c"))
+        contrib = r.join(und_deg, "u").select(
+            F.col("v").alias("u"), F.expr("r DIV d").alias("c")
         )
         r = (
             contrib.groupBy("u")
