@@ -821,3 +821,89 @@ def q78_jaro_winkler_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_key", "b_key", "jw")
         .orderBy("a_key", "b_key")
     )
+
+
+@query(
+    "q115_leakage_safe_split",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           t -> len(t) > 0) AS t
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                    THEN list_distinct(list_transform(
+                             generate_series(1, len(t) - 2),
+                             i -> array_to_string(t[i:i+2], ' ')))
+                    ELSE [array_to_string(t, ' ')]
+               END AS s
+        FROM toks
+    ), pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.6
+    ), edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION ALL
+        SELECT b_id AS src, a_id AS dst FROM pairs
+    ), reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ), comp AS (
+        SELECT src AS id, LEAST(src, MIN(dst)) AS component
+        FROM reach GROUP BY src
+    )
+    SELECT d.doc_id,
+           COALESCE(comp.component, d.doc_id) AS rep_id,
+           CASE WHEN substr(md5(CAST(COALESCE(comp.component, d.doc_id)
+                                     AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                WHEN substr(md5(CAST(COALESCE(comp.component, d.doc_id)
+                                     AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents d LEFT JOIN comp ON d.doc_id = comp.id
+    ORDER BY d.doc_id
+    """,
+    tags=("dedup", "split", "leakage", "minhash", "llm-pipeline"),
+)
+def q115_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: a plain per-document hash
+    split (q93) puts two near-duplicate documents in DIFFERENT splits
+    with probability ~1-Σp² — silent train→test contamination that
+    inflates eval scores. This query splits on the near-dup COMPONENT
+    representative instead (q72's verified-pair clustering; singleton
+    docs represent themselves), so every near-dup group lands in one
+    split by construction.
+
+    Composition of already-verified operators: LSH pair generation →
+    pointer-jumping components → left join back (docs without a pair
+    pass through) → the q93 md5-threshold split keyed on rep_id. The
+    oracle replays the whole chain, O(N²) pair brute force included —
+    sf0.01-only like q72/q90; the leakage PROPERTY (every verified pair
+    co-splits) is additionally asserted Spark-side in tests at sf0.1."""
+    d = table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        d, num_hashes=64, bands=32, threshold=0.6,
+        cache_key=_documents_cache_key(sf_dir),
+    )
+    comp = connected_components(pairs)
+    rep = (
+        d.select("doc_id")
+        .join(comp, d["doc_id"] == comp["id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("rep_id"),
+        )
+    )
+    bucket = F.substring(F.md5(F.encode(F.col("rep_id").cast("string"), "UTF-8")), 1, 2)
+    return rep.select(
+        "doc_id",
+        "rep_id",
+        F.when(bucket < "cd", F.lit("train"))
+        .when(bucket < "e6", F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    ).orderBy("doc_id")

@@ -114,3 +114,39 @@ def test_connected_components_path_graph_log_convergence(spark):
     df = spark.createDataFrame(edges, "a_id long, b_id long").repartition(8)
     got = {r.id: r.component for r in connected_components(df).collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_leakage_safe_split_property(spark):
+    """q115's contract, asserted directly at a scale the O(N²) oracle
+    can't reach: (a) every verified near-dup pair lands in ONE split —
+    zero train→test leakage; (b) the assignment is total; (c) a plain
+    per-doc split (q93) would NOT have this property on the same pairs
+    (the test is vacuous if the corpus has no cross-split-prone pair)."""
+    from database_migrator_spark.operators.dedup import (
+        _documents_cache_key,
+        minhash_near_duplicates,
+    )
+    from database_migrator_spark.plans.registry import all_queries
+    from database_migrator_spark.sources import table
+
+    sf = "/root/testdata/sf0.01"
+    out = all_queries()["q115_leakage_safe_split"].build(spark, sf)
+    d = table(spark, sf, "documents")
+    assert out.count() == d.count()  # total assignment
+    pairs = minhash_near_duplicates(
+        d, num_hashes=64, bands=32, threshold=0.6,
+        cache_key=_documents_cache_key(sf),
+    )
+    a = out.select(F.col("doc_id").alias("a_id"), F.col("split").alias("sa"))
+    b = out.select(F.col("doc_id").alias("b_id"), F.col("split").alias("sb"))
+    joined = pairs.join(a, "a_id").join(b, "b_id")
+    assert joined.where(F.col("sa") != F.col("sb")).count() == 0  # no leakage
+    # the naive per-doc split must split at least one near-dup pair,
+    # otherwise this test proves nothing
+    from database_migrator_spark.operators.textops import train_val_test_split
+
+    naive = train_val_test_split(d).select("doc_id", "split")
+    na = naive.select(F.col("doc_id").alias("a_id"), F.col("split").alias("sa"))
+    nb = naive.select(F.col("doc_id").alias("b_id"), F.col("split").alias("sb"))
+    leaked = pairs.join(na, "a_id").join(nb, "b_id").where(F.col("sa") != F.col("sb"))
+    assert leaked.count() > 0
