@@ -298,3 +298,76 @@ def q107_bpe_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "token")
         .limit(20)
     )
+
+
+_Q116_ORACLE = _BPE_RECURSIVE_CTE + r"""
+, pieces AS (
+    SELECT word,
+           CAST(len(list_filter(string_split(s, chr(31)),
+                                x -> len(x) > 0)) AS BIGINT) AS np
+    FROM bpe WHERE r = (SELECT MAX(r) FROM bpe)
+), src AS (
+    SELECT source, replace(tok, chr(0), '') AS word, COUNT(*) AS n FROM (
+        SELECT source,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  t -> len(t) > 0)) AS tok
+        FROM documents
+    ) GROUP BY 1, 2
+)
+SELECT source,
+       CAST(SUM(n) AS BIGINT) AS n_words,
+       CAST(CAST(SUM(n * np) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE) AS fertility
+FROM src JOIN pieces USING (word)
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query(
+    "q116_tokenizer_fertility",
+    oracle=_Q116_ORACLE,
+    tags=("text", "bpe", "tokenizer", "diagnostics", "llm-pipeline"),
+)
+def q116_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per source — corpus-weighted subword pieces
+    per word under the q106-learned merges. THE acceptance metric for a
+    trained tokenizer on a corpus mix (a source whose fertility is far
+    above the rest is being shredded into characters, inflating its
+    effective token cost and skewing the q104 sampling weights).
+
+    Shape at scale: merges apply to the DISTINCT-word table (vocabulary-
+    sized folds, the q107 path), which then joins the per-(source, word)
+    counts on word — a vocabulary-keyed shuffle join (never broadcast:
+    web-scale vocabularies are the q103 lesson). Fertility divides two
+    exact BIGINTs, so it hashes bit-identically; the oracle re-learns
+    the merges inside the same recursive CTE as q106/q107."""
+    d = table(spark, sf_dir, "documents")
+    words = word_histogram(d)
+    syms = _initial_symbols(words).localCheckpoint(eager=True)
+    for _, a, b, _cnt in bpe_train_cached(spark, sf_dir, n_merges=10):
+        syms = syms.select(
+            "word", "n", _apply_merge(F.col("syms"), a, b).alias("syms")
+        ).localCheckpoint(eager=True)
+    pieces = syms.select("word", F.size("syms").cast("long").alias("np"))
+    src = (
+        d.repartition(spark.sparkContext.defaultParallelism)
+        .select("source", F.explode(tokens_of("text")).alias("tok"))
+        .select(
+            "source", F.replace(F.col("tok"), F.lit(EOW), F.lit("")).alias("word")
+        )
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        src.join(pieces.hint("shuffle_merge"), "word")
+        .groupBy("source")
+        .agg(
+            F.sum("n").alias("n_words"),
+            (
+                F.sum(F.col("n") * F.col("np")).cast("double")
+                / F.sum("n").cast("double")
+            ).alias("fertility"),
+        )
+        .orderBy("source")
+    )
