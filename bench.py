@@ -82,6 +82,11 @@ def main() -> None:
     t0 = time.perf_counter()
     bpe_train_cached(spark, sf_dir, 10)
     ingest["bpe_fit"] = round(time.perf_counter() - t0, 2)
+    from database_migrator_spark.operators.similarity import pq_fit_cached
+
+    t0 = time.perf_counter()
+    pq_fit_cached(spark, sf_dir)
+    ingest["pq_fit"] = round(time.perf_counter() - t0, 2)
     # spin up the Arrow/pandas worker pool once so the first pandas-UDF
     # query isn't charged Python worker startup
     def _warm(batches):

@@ -701,3 +701,196 @@ def q109_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines (q34's pattern)."""
     e = table(spark, sf_dir, "embeddings")
     return semantic_dedup_kept(e, threshold=0.35).orderBy("label", "vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compress each vector to M subspace codebook ids
+# (here 8 codes × 4 bits = 4 bytes per 64-dim float vector, a 64× memory
+# cut) — the standard layout for billion-scale ANN memories; search runs on
+# codes via asymmetric distance (ADC) lookup tables.
+
+_PQ_CACHE: dict[tuple, list[list[list[float]]]] = {}
+
+
+def pq_fit_cached(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = 8,
+    k: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Per-subspace KMeans codebooks (``m`` subspaces × ``k`` centroids),
+    cached per session like the IVF index and the BPE merges — PQ
+    training is ingest-time work a deployment runs once per corpus."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    app = spark.sparkContext.applicationId
+    for stale in [key for key in _PQ_CACHE if key[0] != app]:
+        del _PQ_CACHE[stale]
+    key = (app, sf_dir, m, k, seed)
+    if key not in _PQ_CACHE:
+        e = table(spark, sf_dir, "embeddings")
+        dim = len(e.select(vec_col).first()[0])
+        dsub = dim // m
+        books: list[list[list[float]]] = []
+        for s in range(m):
+            sub = e.select(
+                array_to_vector(
+                    F.transform(
+                        F.slice(F.col(vec_col), s * dsub + 1, dsub),
+                        lambda x: x.cast("double"),
+                    )
+                ).alias("__v")
+            )
+            model = KMeans(k=k, seed=seed + s, featuresCol="__v").fit(sub)
+            books.append([[float(x) for x in c] for c in model.clusterCenters()])
+        _PQ_CACHE[key] = books
+    return _PQ_CACHE[key]
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — nearest codebook centroid per subspace,
+    ties to the lowest id. Arrow-batched numpy (the sanctioned Python
+    seam for vector math): one argmin over a (batch × k) distance matrix
+    per subspace, never a per-row Python call."""
+    import numpy as np
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    C = [np.asarray(b, dtype=np.float64) for b in codebooks]  # (k, dsub) each
+
+    def enc(batches):
+        for pdf in batches:
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for s in range(m):
+                xs = X[:, s * dsub : (s + 1) * dsub]
+                # ||x - c||^2 = ||x||^2 - 2 x·c + ||c||^2; argmin over c
+                d2 = (
+                    -2.0 * xs @ C[s].T
+                    + (C[s] ** 2).sum(axis=1)[None, :]
+                )
+                codes[:, s] = np.argmin(d2, axis=1)  # first index wins ties
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "codes": [list(map(int, r)) for r in codes]}
+            )
+
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    return embeddings.repartition(par).select(id_col, vec_col).mapInPandas(
+        enc, schema=f"{id_col} bigint, codes array<int>"
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec_id: int,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k: the query stays a full vector, the
+    corpus is only codes; distance ≈ Σ_s table_s[code_s] where table_s
+    holds the query-to-centroid sub-distances (m × k floats — THE reason
+    PQ search is memory-bound, not FLOP-bound, at billion scale). The
+    lookup tables ship as literal arrays (bytes, not a join)."""
+    codes = pq_encode(embeddings, codebooks, id_col, vec_col)
+    q = embeddings.where(F.col(id_col) == query_vec_id).first()[vec_col]
+    import numpy as np
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    qv = np.asarray(list(q), dtype=np.float64)
+    tables = []
+    for s in range(m):
+        C = np.asarray(codebooks[s], dtype=np.float64)
+        d2 = ((qv[s * dsub : (s + 1) * dsub][None, :] - C) ** 2).sum(axis=1)
+        tables.append([float(x) for x in d2])
+    tab = F.array(*[F.array(*[F.lit(x) for x in t]) for t in tables])
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, s: F.struct(c.alias("c"), s.alias("s")),
+        ),
+        F.lit(0.0),
+        lambda acc, cs: acc + F.element_at(F.element_at(tab, cs["s"] + 1), cs["c"] + 1),
+    )
+    return (
+        codes.where(F.col(id_col) != query_vec_id)
+        .select(id_col, adc.alias("adc_d2"))
+        .orderBy(F.col("adc_d2").asc(), F.col(id_col))
+        .limit(topk)
+    )
+
+
+@query(
+    "q117_pq_compression",
+    oracle=None,  # per-subspace KMeans is iterative (seeded MLlib) — not
+    # SQL-expressible; quantization quality + determinism + ADC ranking
+    # fidelity are asserted in tests/test_similarity.py instead
+    bench=True,
+    tags=("similarity", "ann", "pq", "compression", "llm-pipeline"),
+)
+def q117_pq_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization report: per subspace, the corpus mean squared
+    reconstruction error vs the subspace's total variance (the
+    variance-explained view of how much signal 4 bits keep), plus the
+    achieved compression ratio. Codebooks are the cached ingest
+    artifact; encoding is one Arrow-batched pass; the report aggregates
+    (vec, subspace) residuals — fixed-point sums so reruns are
+    order-independent."""
+    import numpy as np
+
+    books = pq_fit_cached(spark, sf_dir)
+    e = table(spark, sf_dir, "embeddings")
+    m = len(books)
+    dsub = len(books[0][0])
+    C = [np.asarray(b, dtype=np.float64) for b in books]
+
+    def residuals(batches):
+        for pdf in batches:
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            out = []
+            for s in range(m):
+                xs = X[:, s * dsub : (s + 1) * dsub]
+                d2 = -2.0 * xs @ C[s].T + (C[s] ** 2).sum(axis=1)[None, :]
+                code = np.argmin(d2, axis=1)
+                err = ((xs - C[s][code]) ** 2).sum(axis=1)
+                for v in err:
+                    out.append((s, float(v)))
+                for v in (xs**2).sum(axis=1):
+                    out.append((s, -1.0 - float(v)))  # tagged ssq rows
+            yield pd.DataFrame(out, columns=["subspace", "val"])
+
+    par = spark.sparkContext.defaultParallelism
+    raw = e.repartition(par).select("embedding").mapInPandas(
+        residuals, schema="subspace int, val double"
+    )
+    err = raw.where(F.col("val") >= 0)
+    ssq = raw.where(F.col("val") < 0).withColumn("val", -(F.col("val") + 1.0))
+    fp = lambda c: (F.sum(F.round(c * F.lit(1e9)).cast("long")).cast("double") / F.lit(1e9))
+    stats = (
+        err.groupBy("subspace")
+        .agg(F.count("*").alias("n_vecs"), fp(F.col("val")).alias("sum_err"))
+        .join(
+            ssq.groupBy("subspace").agg(fp(F.col("val")).alias("sum_ssq")),
+            "subspace",
+        )
+    )
+    bits = int(np.ceil(np.log2(len(books[0]))))
+    ratio = float(dsub * m * 32) / (m * bits)  # float32 dims vs code bits
+    return stats.select(
+        F.col("subspace").cast("long").alias("subspace"),
+        "n_vecs",
+        (F.col("sum_err") / F.col("n_vecs")).alias("mse"),
+        (1.0 - F.col("sum_err") / F.col("sum_ssq")).alias("variance_explained"),
+        F.lit(ratio).alias("compression_ratio"),
+    ).orderBy("subspace")

@@ -156,3 +156,71 @@ def test_semantic_dedup_drops_true_duplicates_keeps_lowest_id(spark):
         for r in semantic_dedup_kept(e, threshold=0.95).collect()
     }
     assert kept == {10, 13, 20}
+
+
+def test_pq_codes_valid_and_deterministic(spark):
+    """PQ encoding: every code indexes a real centroid, and two encodes
+    from the cached codebooks are byte-identical (ties break to the
+    first index, never nondeterministically)."""
+    from database_migrator_spark.operators.similarity import pq_encode, pq_fit_cached
+    from database_migrator_spark.sources import table
+
+    sf = "/root/testdata/sf0.001"
+    books = pq_fit_cached(spark, sf)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    e = table(spark, sf, "embeddings")
+    c1 = {r["vec_id"]: r["codes"] for r in pq_encode(e, books).collect()}
+    c2 = {r["vec_id"]: r["codes"] for r in pq_encode(e, books).collect()}
+    assert c1 == c2
+    assert all(len(v) == 8 and all(0 <= c < 16 for c in v) for v in c1.values())
+
+
+def test_pq_report_quality_bounds(spark):
+    """q117: the 4-bit codebooks must explain a nontrivial share of each
+    subspace's variance (quantizing to the mean alone explains 0), and
+    the compression ratio is the exact float32-bits / code-bits figure."""
+    from database_migrator_spark.plans.registry import all_queries
+
+    rows = all_queries()["q117_pq_compression"].build(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert [r["subspace"] for r in rows] == list(range(8))
+    for r in rows:
+        assert 0.2 < r["variance_explained"] < 1.0
+        assert r["mse"] > 0
+        assert r["compression_ratio"] == 64.0
+
+
+def test_pq_adc_ranking_tracks_true_distance(spark):
+    """Asymmetric-distance search must rank by a usable proxy of true
+    L2: ADC and exact distances correlate strongly even on this fully
+    random corpus (real embedding corpora cluster, where PQ fares far
+    better), and the exact nearest neighbor lands well inside the ADC
+    candidate front (the re-rank window a production pipeline scans)."""
+    import numpy as np
+
+    from database_migrator_spark.operators.similarity import pq_adc_topk, pq_fit_cached
+    from database_migrator_spark.sources import table
+
+    sf = "/root/testdata/sf0.001"
+    books = pq_fit_cached(spark, sf)
+    e = table(spark, sf, "embeddings")
+    adc = {r["vec_id"]: r["adc_d2"] for r in pq_adc_topk(e, books, 1, topk=500).collect()}
+    rows = e.collect()
+    q = np.asarray(
+        list(next(r["embedding"] for r in rows if r["vec_id"] == 1)), dtype=np.float64
+    )
+    true = {
+        r["vec_id"]: float(
+            ((np.asarray(list(r["embedding"]), dtype=np.float64) - q) ** 2).sum()
+        )
+        for r in rows
+        if r["vec_id"] != 1
+    }
+    ids = sorted(set(adc) & set(true))
+    a = np.array([adc[i] for i in ids])
+    t = np.array([true[i] for i in ids])
+    assert np.corrcoef(a, t)[0, 1] > 0.4
+    top1 = min(true, key=true.get)
+    rank = sorted(adc, key=adc.get).index(top1)
+    assert rank < len(ids) // 4  # inside the 25% re-rank window
