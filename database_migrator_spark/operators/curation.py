@@ -1,0 +1,509 @@
+"""Corpus-curation operators beyond per-document scoring: novelty against
+corpus order, cross-source contamination, content-defined chunk dedup,
+approximate-membership (Bloom) ingest pre-filters, and data-constrained
+mixing budgets.
+
+These extend the LLM-data-pipeline surface (SURVEY.md §2B E14/E15 family)
+with the *between-document* and *between-source* signals a 100 TB curation
+run needs. Reference parity note: the reference (Database::Migrator,
+`/root/reference/lib/Database/Migrator/Core.pm`) has no analytics surface;
+these operators belong to the driver-mandated extension inventory, not the
+§2A port.
+
+Every query here follows the repo determinism contract (plans/registry.py):
+total ORDER BY, identical aliases on both engines, BIGINT/DOUBLE/STRING
+output columns only, and exact integer numerators under every DOUBLE
+division so hashes match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from database_migrator_spark.operators.dedup import tokens_of, word_shingles
+from database_migrator_spark.plans.registry import query
+from database_migrator_spark.sources import table
+
+
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Re-spread a (possibly single-file, hence single-partition) scan
+    before CPU-heavy per-row HOF work — see CLAUDE.md invariants."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
+# ---------------------------------------------------------------------------
+# q118 — n-gram novelty against corpus order
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q118_ngram_novelty",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           t -> len(t) > 0) AS t
+        FROM documents
+    ), grams AS (
+        SELECT DISTINCT doc_id, list_aggregate(t[i:i+7], 'string_agg', ' ') AS g
+        FROM toks, unnest(range(1, len(t) - 6)) AS u(i)
+        WHERE len(t) >= 8
+    ), firsts AS (
+        SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g
+    )
+    SELECT grams.doc_id,
+           COUNT(*) AS n_distinct_grams,
+           CAST(SUM(CASE WHEN firsts.first_doc = grams.doc_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN firsts.first_doc = grams.doc_id
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS novelty_frac
+    FROM grams JOIN firsts USING (g)
+    GROUP BY grams.doc_id
+    ORDER BY grams.doc_id
+    """,
+    tags=("text", "dedup", "novelty", "curation", "llm-pipeline"),
+)
+def q118_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence novelty score: for each document with ≥ 8 tokens,
+    the fraction of its DISTINCT 8-token windows whose first appearance in
+    corpus order (min doc_id) is this document. The diversity-ordered
+    curation signal: a recrawl or boilerplate-heavy shard scores near 0,
+    genuinely new text near 1 — the per-document complement of q113's
+    corpus-wide repeated-span fraction.
+
+    Shape at scale: one explode to (doc, gram) with an in-row
+    array_distinct (so a gram repeated within one document costs one
+    shuffle row, not many), one gram-keyed min aggregate, and a gram-keyed
+    join back — pinned shuffle-merge because the distinct-gram table is
+    corpus-sized and must never be broadcast (q103's lesson). Production
+    would fold grams to 128-bit digests before the shuffle; the string key
+    keeps this oracle exact cross-engine."""
+    d = _spread(spark, table(spark, sf_dir, "documents"))
+    toks = tokens_of("text")
+    g = d.where(F.size(toks) >= 8).select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(toks, 8))).alias("g"),
+    )
+    firsts = g.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
+    return (
+        g.join(firsts.hint("shuffle_merge"), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_distinct_grams"),
+            F.sum(novel).alias("n_novel"),
+            (F.sum(novel).cast("double") / F.count("*")).alias("novelty_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q119 — cross-source n-gram contamination matrix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q119_cross_source_overlap",
+    oracle=r"""
+    WITH toks AS (
+        SELECT source,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           t -> len(t) > 0) AS t
+        FROM documents
+    ), grams AS (
+        SELECT DISTINCT source, list_aggregate(t[i:i+7], 'string_agg', ' ') AS g
+        FROM toks, unnest(range(1, len(t) - 6)) AS u(i)
+        WHERE len(t) >= 8
+    ), sizes AS (
+        SELECT source, COUNT(*) AS n FROM grams GROUP BY source
+    ), shared AS (
+        SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+        FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_shared,
+           CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+    ORDER BY source_a, source_b
+    """,
+    tags=("text", "contamination", "curation", "llm-pipeline"),
+)
+def q119_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-level 8-gram Jaccard overlap — the cross-source
+    contamination matrix (mirror syndication, scraped-twice domains)
+    curation reads before setting mixing weights; only pairs that share at
+    least one gram appear.
+
+    Shape at scale: the (source, gram) set is built with one distinct
+    shuffle; the pair expansion self-joins on the gram key, so each gram
+    contributes C(s,2) rows where s = how many sources contain it — bounded
+    by the source count, NOT the corpus size. This is a source-level
+    (dozens-to-hundreds of shards) diagnostic: at domain granularity one
+    first buckets domains, and a gram shared by all S sources is
+    boilerplate to cap or drop before the join (same cap instrumentation as
+    the MinHash band buckets). The per-source size table is a few hundred
+    rows — the one legitimately broadcast side."""
+    d = _spread(spark, table(spark, sf_dir, "documents"))
+    toks = tokens_of("text")
+    g = (
+        d.where(F.size(toks) >= 8)
+        .select("source", F.explode(word_shingles(toks, 8)).alias("g"))
+        .distinct()
+    )
+    sizes = g.groupBy("source").agg(F.count("*").alias("n"))
+    # the distinct (source, gram) table is corpus-sized: the self-join must
+    # stay a shuffle join (Catalyst's static stats would happily broadcast
+    # it at test scale — the q103 lesson, locked in test_plans.py)
+    a, b = g.alias("a"), g.hint("shuffle_merge").alias("b")
+    shared = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = F.broadcast(sizes).withColumnRenamed("source", "source_a").withColumnRenamed("n", "na")
+    sb = F.broadcast(sizes).withColumnRenamed("source", "source_b").withColumnRenamed("n", "nb")
+    return (
+        shared.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q120 — content-defined chunking + chunk-level dedup stats
+# ---------------------------------------------------------------------------
+
+_CDC_WINDOW = 8  # rolling window width (chars)
+_CDC_HEX_PREFIX = "0"  # boundary iff md5(window) starts with this ⇒ P=1/16
+
+
+def cdc_chunks(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Explode documents into content-defined chunks: a boundary closes at
+    character position i (1-indexed, i ≥ 8) iff the md5 of the 8-char
+    window ending at i starts with hex '0' (P = 1/16 ⇒ ~16-char mean
+    chunks at this test scale; production tunes window/prefix for ~1-4 KB
+    chunks). Boundaries depend only on local content, so a span shared by
+    two documents yields identical interior chunks regardless of its
+    offset — the property that makes chunk-level dedup robust to
+    insertions, where fixed-size blocking is not (the FastCDC/LBFS
+    rationale). Returns (doc_id, source, chunk).
+
+    Real CDC imposes min/max chunk bounds with a stateful scan; the
+    windowed-hash form here keeps the operator a pure per-row column
+    expression (JVM-side, no UDF) and, deliberately, keeps it expressible
+    in one SQL statement for the cross-engine oracle.
+
+    ``chunk_idx`` is the 0-based position of the chunk within its
+    document — rows shuffle freely, so any consumer that reassembles
+    documents (or packs chunks in order) must sort on it."""
+    bounds = F.expr(
+        f"""
+        CASE WHEN length({text_col}) >= {_CDC_WINDOW} THEN
+            filter(sequence({_CDC_WINDOW}, length({text_col})),
+                   i -> substring(md5(encode(substring({text_col}, i - {_CDC_WINDOW - 1}, {_CDC_WINDOW}), 'UTF-8')), 1, {len(_CDC_HEX_PREFIX)}) = '{_CDC_HEX_PREFIX}')
+        ELSE CAST(array() AS array<int>) END
+        """
+    )
+    with_b = docs.select("doc_id", "source", F.col(text_col).alias("__t"), bounds.alias("__b"))
+    chunks = F.expr(
+        """
+        filter(
+            zip_with(
+                concat(array(1), transform(__b, b -> b + 1)),
+                concat(__b, array(length(__t))),
+                (s, e) -> substring(__t, s, e - s + 1)),
+            c -> length(c) > 0)
+        """
+    )
+    return with_b.select(
+        "doc_id", "source", F.posexplode(chunks).alias("chunk_idx", "chunk")
+    )
+
+
+@query(
+    "q120_cdc_chunk_dedup",
+    oracle=r"""
+    WITH docs AS (
+        SELECT doc_id, source, text, length(text) AS L FROM documents
+    ), b AS (
+        SELECT doc_id, i
+        FROM docs, unnest(range(8, L + 1)) AS u(i)
+        WHERE substr(md5(substr(text, CAST(i AS INT) - 7, 8)), 1, 1) = '0'
+    ), bl AS (
+        SELECT doc_id, list_sort(list(i)) AS bs FROM b GROUP BY doc_id
+    ), withb AS (
+        SELECT d.doc_id, d.source, d.text, d.L,
+               COALESCE(bl.bs, CAST([] AS BIGINT[])) AS bs
+        FROM docs d LEFT JOIN bl USING (doc_id)
+    ), spans AS (
+        SELECT doc_id, source, text,
+               unnest(list_prepend(CAST(1 AS BIGINT),
+                                   list_transform(bs, x -> x + 1))) AS s,
+               unnest(list_append(bs, L)) AS e
+        FROM withb
+    ), chunks AS (
+        SELECT doc_id, source,
+               substr(text, CAST(s AS INT), CAST(e - s + 1 AS INT)) AS chunk
+        FROM spans
+        WHERE e >= s
+    )
+    SELECT source,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_chunks,
+           COUNT(DISTINCT chunk) AS n_distinct_chunks,
+           1 - CAST(COUNT(DISTINCT chunk) AS DOUBLE) / COUNT(*) AS dup_frac,
+           CAST(SUM(length(chunk)) AS DOUBLE) / COUNT(*) AS avg_chunk_chars
+    FROM chunks
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("text", "dedup", "cdc", "chunking", "curation", "llm-pipeline"),
+)
+def q120_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (rolling-hash boundaries) with per-source
+    chunk-level dedup stats — the storage/dedup tier below document-level
+    (q25/q58) and span-level (q113) dedup: chunk boundaries move with the
+    content, so shared spans dedup even when their byte offsets differ.
+
+    Shape at scale: boundary detection and chunk slicing are per-row array
+    expressions (no shuffle); the only shuffles are the per-source
+    aggregate's two count-distincts. Chunk TEXT is carried here to stay
+    oracle-exact; production shuffles 16-byte chunk digests instead, and
+    tunes window/prefix to KB-scale chunks so the explode factor is
+    ~doc_len/chunk_len. HOF lambdas are interpreted ⇒ the scan is
+    re-spread across cores first (CLAUDE.md)."""
+    d = _spread(spark, table(spark, sf_dir, "documents"))
+    ch = cdc_chunks(d)
+    return (
+        ch.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_chunks"),
+            F.countDistinct("chunk").alias("n_distinct_chunks"),
+            (
+                F.lit(1)
+                - F.countDistinct("chunk").cast("double") / F.count("*")
+            ).alias("dup_frac"),
+            (F.sum(F.length("chunk")).cast("double") / F.count("*")).alias(
+                "avg_chunk_chars"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q121 — Bloom-filter approximate-membership ingest pre-filter
+# ---------------------------------------------------------------------------
+
+_BLOOM_K = 4  # hash functions = 4 disjoint 16-bit slices of md5
+_BLOOM_BITS = 1 << 16  # m = 65,536 bits (one 16-bit slice addresses all)
+
+
+def _bloom_positions(h: Column) -> Column:
+    """Array of k=4 bit positions in [0, 65536): four disjoint 16-bit
+    slices of the md5 hex digest — deterministic and computable by any
+    engine, which is what makes the whole approximate structure
+    hash-checkable cross-engine."""
+    return F.array(
+        *[
+            F.conv(F.substring(h, 1 + 4 * j, 4), 16, 10).cast("long")
+            for j in range(_BLOOM_K)
+        ]
+    )
+
+
+@query(
+    "q121_bloom_ingest_filter",
+    oracle=r"""
+    WITH d AS (
+        SELECT doc_id, md5(lower(text)) AS h FROM documents
+    ), pos AS (
+        SELECT doc_id,
+               ( (strpos('0123456789abcdef', substr(h, 1 + 4*j, 1)) - 1) * 4096
+               + (strpos('0123456789abcdef', substr(h, 2 + 4*j, 1)) - 1) * 256
+               + (strpos('0123456789abcdef', substr(h, 3 + 4*j, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(h, 4 + 4*j, 1)) - 1) ) AS p
+        FROM d, unnest([0, 1, 2, 3]) AS u(j)
+    ), histset AS (
+        SELECT DISTINCT p FROM pos WHERE doc_id % 10 < 8
+    ), histkeys AS (
+        SELECT DISTINCT h FROM d WHERE doc_id % 10 < 8
+    ), probe AS (
+        SELECT doc_id, h FROM d
+        WHERE doc_id % 10 >= 8 OR (doc_id % 10 < 8 AND doc_id % 3 = 0)
+    ), probed AS (
+        SELECT pr.doc_id, CAST(COUNT(hs.p) AS BIGINT) AS n_set
+        FROM probe pr
+        JOIN pos ON pos.doc_id = pr.doc_id
+        LEFT JOIN histset hs ON pos.p = hs.p
+        GROUP BY pr.doc_id
+    )
+    SELECT pr.doc_id,
+           CAST(CASE WHEN probed.n_set = 4 THEN 1 ELSE 0 END AS BIGINT) AS flagged,
+           CAST(CASE WHEN hk.h IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+    FROM probe pr
+    JOIN probed ON probed.doc_id = pr.doc_id
+    LEFT JOIN histkeys hk ON hk.h = pr.h
+    ORDER BY pr.doc_id
+    """,
+    tags=("dedup", "bloom", "incremental", "ingest", "E14", "llm-pipeline"),
+)
+def q121_bloom_ingest_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter approximate-membership pre-filter for incremental
+    ingest: the historical corpus (doc_id%10 < 8, as q97) is folded into a
+    65,536-bit Bloom filter (k=4 hash slices of the content md5); the
+    probe batch — the new slice plus a re-presented recrawl slice
+    (doc_id%3 == 0 of history, the true duplicates) — checks its k bits.
+    Output per probe document: `flagged` (Bloom says maybe-seen) and
+    `is_dup` (exact ground truth), so the driver's hash gate verifies BOTH
+    the no-false-negative invariant (is_dup=1 ⇒ flagged=1) and the exact
+    deterministic false-positive set.
+
+    Why this is the 100 TB shape: the filter is a FIXED-SIZE sketch
+    (8 KiB here; GB-scale for 10^11 keys) built with one map-side
+    aggregate over 16-byte digests and broadcast to every ingest executor
+    — probing is then shuffle-free, and only the ~p fraction of
+    maybe-seen survivors pays q97's exact digest anti-join. Spark's own
+    runtime-filter machinery ships blooms the same way. The bit positions
+    are md5 slices (not xxhash) precisely so the sketch is
+    engine-reproducible and the oracle can check it bit-for-bit.
+
+    Here the bitmap lives as a ≤1024-row (word, bits) table — built
+    distributed, broadcast like any fixed-size dimension; nothing is
+    collected to the driver."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.encode(F.lower(F.col("text")), "UTF-8")).alias("h")
+    )
+    pos = d.select("doc_id", "h", F.explode(_bloom_positions(F.col("h"))).alias("p"))
+    hist_pos = pos.where(F.col("doc_id") % 10 < 8)
+    # the Bloom bitmap: 65,536 bits packed into <=1024 int64 words
+    words = hist_pos.groupBy(F.shiftright("p", 6).alias("word")).agg(
+        F.bit_or(F.expr("shiftleft(1L, CAST(p % 64 AS INT))")).alias("bits")
+    )
+    probe = d.where(
+        (F.col("doc_id") % 10 >= 8)
+        | ((F.col("doc_id") % 10 < 8) & (F.col("doc_id") % 3 == 0))
+    )
+    probe_bits = (
+        probe.select("doc_id", F.explode(_bloom_positions(F.col("h"))).alias("p"))
+        .join(F.broadcast(words), F.shiftright("p", 6) == F.col("word"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.expr("CAST(shiftright(bits, CAST(p % 64 AS INT)) & 1L AS INT)"),
+                F.lit(0),
+            ).alias("hit"),
+        )
+        .groupBy("doc_id")
+        .agg((F.min("hit") == 1).cast("long").alias("flagged"))
+    )
+    # ground truth: q97's exact digest check — the historical key set is
+    # corpus-sized, so both it and the probe-sized result join are pinned
+    # to shuffle joins; ONLY the fixed-size bitmap above may broadcast
+    hist_keys = d.where(F.col("doc_id") % 10 < 8).select("h").distinct()
+    truth = probe.join(
+        hist_keys.withColumn("__seen", F.lit(1)).hint("shuffle_merge"), "h", "left"
+    ).select("doc_id", F.coalesce(F.col("__seen"), F.lit(0)).cast("long").alias("is_dup"))
+    return (
+        probe_bits.join(truth.hint("shuffle_merge"), "doc_id")
+        .select("doc_id", "flagged", "is_dup")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q122 — data-constrained mixing: epochs under a token budget
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q122_mixture_epochs",
+    oracle=r"""
+    WITH g AS (
+        SELECT source,
+               CAST(SUM(CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                             t -> len(t) > 0)) AS BIGINT))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+        GROUP BY source
+    ), w AS (
+        SELECT *, CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS wq
+        FROM g
+    ), t AS (
+        SELECT CAST(SUM(wq) AS BIGINT) AS total_wq,
+               CAST(SUM(n_tokens) AS BIGINT) * 2 AS budget
+        FROM w
+    )
+    SELECT source, n_tokens,
+           CAST(wq AS DOUBLE) / total_wq AS weight,
+           (CAST(budget AS DOUBLE) * wq / total_wq) / n_tokens AS epochs,
+           LEAST((CAST(budget AS DOUBLE) * wq / total_wq) / n_tokens,
+                 CAST(4.0 AS DOUBLE)) AS capped_epochs,
+           CAST(CASE WHEN (CAST(budget AS DOUBLE) * wq / total_wq) / n_tokens
+                          > CAST(4.0 AS DOUBLE)
+                     THEN 1 ELSE 0 END AS BIGINT) AS over_cap
+    FROM w CROSS JOIN t
+    ORDER BY source
+    """,
+    tags=("text", "mixing", "budget", "curation", "llm-pipeline"),
+)
+def q122_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained mixing plan: given temperature weights
+    (alpha = 0.5, q104's scheme) and a total training-token budget of
+    2× the corpus, how many EPOCHS of each source does the sampled mix
+    imply — and which sources blow past the ~4-epoch repetition ceiling
+    the data-constrained scaling literature (Muennighoff et al. 2023)
+    says stops helping. Sources with `over_cap` = 1 are the ones whose
+    weight must be redistributed (or whose data must grow) before launch.
+
+    One aggregate for per-source token totals; the normalizer/budget is a
+    broadcast single row. Arithmetic is the q104 fixed-point pattern: the
+    weight numerator is a BIGINT (exactly representable < 2^53), and all
+    downstream values are IEEE double ops on identical inputs, so both
+    engines produce bit-identical epochs. Spark SQL literals are written
+    CAST(4.0 AS DOUBLE) because bare 4.0 is DECIMAL in SQL text."""
+    d = _spread(spark, table(spark, sf_dir, "documents"))
+    g = d.groupBy("source").agg(
+        F.sum(F.size(tokens_of("text")).cast("long")).alias("n_tokens")
+    )
+    w = g.withColumn(
+        "wq",
+        F.round(F.sqrt(F.col("n_tokens").cast("double")) * F.lit(1000000.0)).cast(
+            "long"
+        ),
+    )
+    t = w.agg(
+        F.sum("wq").alias("total_wq"),
+        (F.sum("n_tokens") * F.lit(2)).alias("budget"),
+    )
+    epochs = (
+        F.col("budget").cast("double") * F.col("wq") / F.col("total_wq")
+    ) / F.col("n_tokens")
+    return (
+        w.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "n_tokens",
+            (F.col("wq").cast("double") / F.col("total_wq")).alias("weight"),
+            epochs.alias("epochs"),
+            F.least(epochs, F.lit(4.0)).alias("capped_epochs"),
+            (epochs > F.lit(4.0)).cast("long").alias("over_cap"),
+        )
+        .orderBy("source")
+    )

@@ -65,3 +65,64 @@ def q56_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("error_id", "followup_id", "followup_type")
     out = run_stream_to_table(joined, mode="append")
     return out.orderBy("error_id", "followup_id")
+
+
+@query(
+    "q123_stream_static_enrichment",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '1 day', e.ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+           n.n_name AS nation,
+           COUNT(*) AS n_events,
+           SUM(CAST(ROUND(e.value * 100) AS BIGINT)) / 100.0 AS total_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("streaming", "stream-static-join", "E17"),
+)
+def q123_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the third E17 join shape (after
+    stream-stream q56 and the windowed aggregations): the events stream is
+    enriched per micro-batch against BROADCAST static dimensions
+    (customer → nation), then aggregated into 1-day event-time windows per
+    nation. Hash-matched against the batch join oracle (finite source +
+    complete mode ⇒ streaming result equals the batch answer).
+
+    This is the canonical 100 TB enrichment topology: the dimension tables
+    are small and immutable for the run, so each micro-batch joins
+    map-side with zero shuffle on the stream; only the windowed aggregate
+    shuffles, keyed by (window, nation) — a few hundred groups of state
+    regardless of stream volume. A mutable dimension would swap the
+    broadcast for a state-store join (q60's SCD2 handles the versioned
+    variant batch-side)."""
+    from database_migrator_spark.functions.exact import to_cents
+    from database_migrator_spark.sources import table
+
+    dims = F.broadcast(
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(table(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "n_name")
+    )
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .join(dims, F.col("user_id") == F.col("c_custkey"), "inner")
+        .groupBy(F.window("ts", "1 day"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(to_cents("value")) / 100.0).alias("total_value"),
+        )
+    )
+    out = run_stream_to_table(agg, mode="complete")
+    return out.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+        "nation",
+        "n_events",
+        "total_value",
+    ).orderBy("w_start", "nation")

@@ -1,0 +1,124 @@
+"""Invariant tests for the curation operators (q118-q123): CDC chunking
+reconstruction + shift-robustness, Bloom filter no-false-negatives,
+novelty conservation, overlap-matrix bounds, and mixing-budget algebra.
+The cross-engine value checks live in test_oracle.py; these lock the
+semantic properties an oracle hash alone would not explain."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from database_migrator_spark.operators.curation import (
+    cdc_chunks,
+    q118_ngram_novelty,
+    q119_cross_source_overlap,
+    q121_bloom_ingest_filter,
+    q122_mixture_epochs,
+)
+from database_migrator_spark.sources import table
+
+from .conftest import SF_SMOKE
+
+
+def test_cdc_chunks_reassemble_to_original_text(spark):
+    """Chunks are a partition of the document: concatenating them in order
+    must reproduce the text exactly (no character lost or duplicated)."""
+    docs = table(spark, SF_SMOKE, "documents")
+    rebuilt = (
+        cdc_chunks(docs)
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_idx", "chunk"))
+                    ),
+                    lambda s: s["chunk"],
+                ),
+            ).alias("rebuilt")
+        )
+        .join(docs.select("doc_id", "text"), "doc_id")
+    )
+    n_docs = docs.count()
+    assert rebuilt.where(F.col("rebuilt") == F.col("text")).count() == n_docs
+
+
+def test_cdc_boundaries_are_content_defined(spark):
+    """The FastCDC property fixed-size blocking lacks: a shared span keeps
+    its interior chunks when its byte OFFSET changes. Two synthetic docs
+    share a long body behind different-length prefixes; their interior
+    chunks must intersect heavily."""
+    body = " ".join(f"w{i}q{i * 7}z{i * 13}" for i in range(120))
+    df = spark.createDataFrame(
+        [(1, "A " + body, "s"), (2, "a much longer unrelated prefix " + body, "s")],
+        ["doc_id", "text", "source"],
+    )
+    ch = cdc_chunks(df).collect()
+    chunks1 = {r.chunk for r in ch if r.doc_id == 1}
+    chunks2 = {r.chunk for r in ch if r.doc_id == 2}
+    shared = chunks1 & chunks2
+    # everything but the first chunk (which contains the differing prefix)
+    # and the boundary-straddling chunk should be shared
+    assert len(shared) >= max(len(chunks1), len(chunks2)) - 2
+    assert len(shared) >= 3  # the span is long enough for several chunks
+
+
+def test_bloom_has_no_false_negatives_and_bounded_fp(spark):
+    rows = q121_bloom_ingest_filter(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    false_neg = [r for r in rows if r.is_dup == 1 and r.flagged == 0]
+    assert false_neg == []  # the Bloom guarantee
+    true_dups = [r for r in rows if r.is_dup == 1]
+    assert true_dups  # the recrawl slice must exercise the dup path
+    clean = [r for r in rows if r.is_dup == 0]
+    fp_rate = sum(r.flagged for r in clean) / max(len(clean), 1)
+    # m=65536, k=4, n a few hundred keys => expected FP rate ~1e-7
+    assert fp_rate < 0.05
+
+
+def test_novelty_conserves_distinct_grams(spark):
+    """Every distinct gram is novel in exactly one document (its first),
+    so Σ n_novel over docs == corpus-wide distinct-gram count, and each
+    document's novelty_frac is n_novel/n_distinct_grams in [0, 1]."""
+    from database_migrator_spark.operators.dedup import tokens_of, word_shingles
+
+    out = q118_ngram_novelty(spark, SF_SMOKE)
+    agg = out.agg(F.sum("n_novel").alias("novel")).first()
+    d = table(spark, SF_SMOKE, "documents")
+    toks = tokens_of("text")
+    total_distinct = (
+        d.where(F.size(toks) >= 8)
+        .select(F.explode(word_shingles(toks, 8)).alias("g"))
+        .distinct()
+        .count()
+    )
+    assert agg["novel"] == total_distinct
+    bad = out.where(
+        (F.col("novelty_frac") < 0)
+        | (F.col("novelty_frac") > 1)
+        | (F.col("n_novel") > F.col("n_distinct_grams"))
+    )
+    assert bad.count() == 0
+
+
+def test_overlap_matrix_bounds_and_orientation(spark):
+    rows = q119_cross_source_overlap(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert r.source_a < r.source_b  # upper triangle only
+        assert r.n_shared >= 1
+        assert 0.0 < r.jaccard <= 1.0
+
+
+def test_mixture_epochs_algebra(spark):
+    rows = q122_mixture_epochs(spark, SF_SMOKE).collect()
+    assert rows
+    assert sum(r.weight for r in rows) == pytest.approx(1.0, abs=1e-9)
+    # budget is 2x corpus: token-weighted mean of epochs must be 2
+    total_tokens = sum(r.n_tokens for r in rows)
+    sampled = sum(r.epochs * r.n_tokens for r in rows)
+    assert sampled / total_tokens == pytest.approx(2.0, rel=1e-9)
+    for r in rows:
+        assert r.capped_epochs <= 4.0 + 1e-12
+        assert (r.over_cap == 1) == (r.epochs > 4.0)

@@ -431,3 +431,41 @@ def test_per_source_caps_windowed_rank_limit(spark):
     assert "Window" in p
     assert "Join" not in p
     assert "CartesianProduct" not in p
+
+
+def test_ngram_novelty_never_broadcasts_gram_table(spark):
+    """q118: the distinct-gram first-occurrence table is corpus-scale —
+    the join back to the (doc, gram) stream must shuffle (q113's rule)."""
+    p = plan_of(spark, "q118_ngram_novelty")
+    assert "SortMergeJoin" in p
+    assert "BroadcastHashJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_cross_source_overlap_shuffles_gram_self_join(spark):
+    """q119: the (source, gram) distinct set is corpus-scale, so the
+    pair-expansion self-join must be a shuffle join; only the per-source
+    SIZE table (bounded by the source count) may broadcast."""
+    p = plan_of(spark, "q119_cross_source_overlap")
+    assert "SortMergeJoin" in p  # the gram self-join
+    assert p.count("BroadcastHashJoin") == 2  # the two size lookups only
+    assert "CartesianProduct" not in p
+
+
+def test_cdc_chunk_dedup_is_scan_plus_one_aggregate(spark):
+    """q120: boundary detection and chunk slicing are per-row expressions;
+    the plan is a scan + explode + per-source aggregate, with no join."""
+    p = plan_of(spark, "q120_cdc_chunk_dedup")
+    assert "Join" not in p
+    assert "Generate" in p  # the chunk explode
+    assert "HashAggregate" in p or "ObjectHashAggregate" in p
+
+
+def test_bloom_filter_broadcasts_only_the_fixed_size_bitmap(spark):
+    """q121: exactly ONE broadcast — the <=1024-row bitmap words (a
+    fixed-size sketch, the designed 100 TB shape).  The historical key
+    set and the probe-result join are corpus-sized and must shuffle."""
+    p = plan_of(spark, "q121_bloom_ingest_filter")
+    assert p.count("BroadcastHashJoin") == 1
+    assert p.count("SortMergeJoin") == 2
+    assert "CartesianProduct" not in p
