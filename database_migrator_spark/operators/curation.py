@@ -507,3 +507,77 @@ def q122_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q125 — curriculum ordering: stage buckets + reproducible shuffle key
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q125_curriculum_order",
+    oracle=r"""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                    t -> len(t) > 0)) AS BIGINT) AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(ntile(5) OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS stage,
+           shuffle_key
+    FROM scored
+    ORDER BY stage, shuffle_key, doc_id
+    """,
+    tags=("text", "curriculum", "ordering", "curation", "llm-pipeline"),
+)
+def q125_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering for training: documents are split into 5 stages
+    by token length (short→long — the sequence-length curriculum), each
+    with a deterministic md5 shuffle key so the within-stage training
+    order is reproducible and backfill-stable (re-running on the same
+    corpus yields byte-identical order; the writer just sorts by
+    (stage, shuffle_key) when materializing shards).
+
+    The interesting part is HOW stage is computed: the oracle uses
+    ``ntile(5) OVER (ORDER BY ...)`` — an inherently single-partition
+    global sort that would never survive 100 TB. The Spark side produces
+    the IDENTICAL assignment with q94's two-level prefix-sum shape
+    instead: a token-length histogram (bounded by max sequence length, a
+    few thousand rows) gets cumulative base offsets on the driver-sized
+    table; each document's global rank is then base(n_tokens) +
+    row_number within its length group (a per-length window, fully
+    distributed); and ntile's bucket arithmetic (first N%k buckets get
+    one extra row) is applied to the rank in closed form. No global sort,
+    no single reducer touches the corpus."""
+    from pyspark.sql import Window
+
+    d = _spread(spark, table(spark, sf_dir, "documents"))
+    scored = d.select(
+        "doc_id",
+        F.size(tokens_of("text")).cast("long").alias("n_tokens"),
+        F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")).alias("shuffle_key"),
+    )
+    hist = scored.groupBy("n_tokens").agg(F.count("*").alias("cnt"))
+    w_cum = Window.orderBy("n_tokens").rowsBetween(Window.unboundedPreceding, -1)
+    base = hist.select(
+        "n_tokens", F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).alias("base")
+    )
+    totals = hist.agg(F.sum("cnt").alias("n_total"))
+    w_rn = Window.partitionBy("n_tokens").orderBy("doc_id")
+    ranked = (
+        scored.withColumn("rn", F.row_number().over(w_rn))
+        .join(F.broadcast(base), "n_tokens")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("rank0", F.col("base") + F.col("rn") - 1)
+        .withColumn("qq", F.expr("n_total DIV 5"))
+        .withColumn("rr", F.expr("n_total % 5"))
+    )
+    stage = F.when(
+        F.col("rank0") < (F.col("qq") + 1) * F.col("rr"),
+        F.expr("rank0 DIV (qq + 1) + 1"),
+    ).otherwise(F.expr("rr + (rank0 - (qq + 1) * rr) DIV qq + 1"))
+    return ranked.select(
+        "doc_id", "n_tokens", stage.alias("stage"), "shuffle_key"
+    ).orderBy("stage", "shuffle_key", "doc_id")

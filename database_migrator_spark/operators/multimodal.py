@@ -677,3 +677,82 @@ def q69_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-sample against the oracle recomputing the closed forms."""
     d = table(spark, sf_dir, "documents")
     return decode_audio_features(attach_wav_audio(d)).orderBy("doc_id")
+
+
+FRAME_STATS_SCHEMA = "doc_id bigint, frame_idx bigint, mean_byte double, first_byte bigint"
+
+
+def attach_raw_video(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a raw-frame 'video' blob per document (the rawvideo
+    layout: fixed-size frames concatenated back-to-back, no container
+    header): ``doc_id % 40 + 5`` frames of 64 bytes, where byte j of frame
+    i is ``(doc_id + 3*i + j) % 256`` — closed forms an SQL oracle can
+    recompute. Same partition-cap rationale as attach_bmp_image."""
+    par = min(16, docs.sparkSession.sparkContext.defaultParallelism)
+    docs = docs.repartition(par)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                n_frames = d % 40 + 5
+                blob = b"".join(
+                    bytes((d + 3 * i + j) % 256 for j in range(64))
+                    for i in range(n_frames)
+                )
+                out.append((d, blob))
+            yield pd.DataFrame(out, columns=["doc_id", "video"])
+
+    return docs.select(id_col).mapInPandas(gen, schema="doc_id bigint, video binary")
+
+
+def frame_stats(frames: DataFrame) -> DataFrame:
+    """Per-sampled-frame feature reduction (mean byte + first byte) —
+    the stand-in for a per-frame embedding/caption model, with the real
+    Arrow batch shape such a model UDF uses."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, idx, fb in zip(
+                pdf["doc_id"], pdf["frame_idx"], pdf["frame_bytes"]
+            ):
+                b = bytes(fb)
+                out.append((int(doc_id), int(idx), sum(b) / len(b), b[0]))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "frame_idx", "mean_byte", "first_byte"]
+            )
+
+    return frames.mapInPandas(stats, schema=FRAME_STATS_SCHEMA)
+
+
+@query(
+    "q124_video_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           i                                                 AS frame_idx,
+           list_avg(list_transform(range(0, 64),
+                    j -> CAST((doc_id + 3*i + j) % 256 AS DOUBLE)))
+                                                             AS mean_byte,
+           (doc_id + 3*i) % 256                              AS first_byte
+    FROM documents, unnest(range(0, doc_id % 40 + 5, 10)) AS u(i)
+    ORDER BY doc_id, frame_idx
+    """,
+    tags=("multimodal", "video", "frame-sample", "mapInPandas"),
+)
+def q124_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling, hash-matched end to end: synthesize a
+    raw-frame video blob per document (frame bytes follow closed forms of
+    doc_id), sample every 10th frame with the generic ``sample_frames``
+    chunker (1→N row fan-out inside an Arrow batch), then reduce each
+    sampled frame to mean/first byte — and hash-match against the oracle
+    recomputing the closed forms arithmetically, so the frame-boundary
+    math (offset i*frame_size, no drift across frames) is verified, not
+    assumed. A real decoder (ffmpeg/pyav) is absent in this container;
+    with one present only ``attach_raw_video``'s generator and
+    ``frame_stats``'s reducer change — the Spark plumbing (binary columns,
+    partition-preserving mapInPandas chain, fan-out batches) is identical."""
+    d = table(spark, sf_dir, "documents")
+    frames = sample_frames(attach_raw_video(d), every_n=10, blob_col="video")
+    return frame_stats(frames).orderBy("doc_id", "frame_idx")

@@ -122,3 +122,21 @@ def test_mixture_epochs_algebra(spark):
     for r in rows:
         assert r.capped_epochs <= 4.0 + 1e-12
         assert (r.over_cap == 1) == (r.epochs > 4.0)
+
+
+def test_curriculum_stages_are_balanced_and_monotone(spark):
+    """q125's distributed bucket math must reproduce ntile semantics:
+    5 stages whose sizes differ by at most 1 (larger first), and stage
+    boundaries monotone in token length."""
+    from database_migrator_spark.operators.curation import q125_curriculum_order
+
+    rows = q125_curriculum_order(spark, SF_SMOKE).collect()
+    by_stage: dict[int, list] = {}
+    for r in rows:
+        by_stage.setdefault(r.stage, []).append(r.n_tokens)
+    assert sorted(by_stage) == [1, 2, 3, 4, 5]
+    sizes = [len(by_stage[s]) for s in sorted(by_stage)]
+    assert max(sizes) - min(sizes) <= 1
+    assert sizes == sorted(sizes, reverse=True)  # remainder rows go early
+    for s in range(1, 5):
+        assert max(by_stage[s]) <= min(by_stage[s + 1])

@@ -469,3 +469,16 @@ def test_bloom_filter_broadcasts_only_the_fixed_size_bitmap(spark):
     assert p.count("BroadcastHashJoin") == 1
     assert p.count("SortMergeJoin") == 2
     assert "CartesianProduct" not in p
+
+
+def test_curriculum_order_has_no_global_ntile_sort(spark):
+    """q125: stage assignment must come from the two-level prefix-sum
+    (histogram cumsum + per-length row_number + closed-form bucket math),
+    never from ntile's corpus-wide single-partition window. The only
+    single-partition window allowed is the one over the token-length
+    HISTOGRAM (bounded by max sequence length)."""
+    p = plan_of(spark, "q125_curriculum_order")
+    assert "ntile" not in p
+    assert p.count("BroadcastHashJoin") == 1  # the base-offset lookup
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p

@@ -77,6 +77,23 @@ PROBE_QUERIES = [
     "q105_kmeans_inertia",
     "q106_bpe_merges",
     "q107_bpe_vocabulary",
+    # round-5 wave 2: LM scoring, semantic dedup, PageRank, histogram,
+    # span/novelty/overlap gram pipelines, caps, leakage split, fertility,
+    # PQ, CDC chunking, Bloom pre-filter, mixing budget
+    "q108_bigram_lm_score",
+    "q109_semantic_dedup",
+    "q110_pagerank",
+    "q111_seq_length_histogram",
+    "q113_repeated_ngram_spans",
+    "q114_per_source_caps",
+    "q115_leakage_safe_split",
+    "q116_tokenizer_fertility",
+    "q117_pq_compression",
+    "q118_ngram_novelty",
+    "q119_cross_source_overlap",
+    "q120_cdc_chunk_dedup",
+    "q121_bloom_ingest_filter",
+    "q122_mixture_epochs",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
@@ -113,7 +130,10 @@ def run(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     # q107 time the QUERY, mirroring bench.py; their build cost is real
     # once-per-deployment work, so it is TIMED and reported separately
     from database_migrator_spark.operators.bpe import bpe_train_cached
-    from database_migrator_spark.operators.similarity import _ivf_index_cached
+    from database_migrator_spark.operators.similarity import (
+        _ivf_index_cached,
+        pq_fit_cached,
+    )
 
     ingest: dict[str, float] = {}
     t0 = time.perf_counter()
@@ -122,6 +142,9 @@ def run(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     t0 = time.perf_counter()
     bpe_train_cached(spark, sf_dir, 10)
     ingest["bpe_fit"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    pq_fit_cached(spark, sf_dir)
+    ingest["pq_fit"] = round(time.perf_counter() - t0, 2)
     qs = all_queries()
     out = {}
     for name in PROBE_QUERIES:
