@@ -224,6 +224,23 @@ def bucket_cap_stats(spark, sf_dir: str, max_bucket: int = 1000) -> dict:
     return out
 
 
+def semdedup_stats(spark, sf_dir: str) -> dict:
+    """q109's candidate-pair observability: the replication probe holds
+    the CLUSTER COUNT fixed while rows grow 10×, so per-cluster sizes grow
+    10× and candidate pairs ~100× — the adversarial regime for any
+    cluster-bounded pairwise operator. Wall clock must track THESE pair
+    counts (the designed cost), not the input row count; production holds
+    m_c flat by re-clustering with larger k as the corpus grows."""
+    from database_migrator_spark.operators.similarity import semantic_cluster_stats
+
+    row = semantic_cluster_stats(table(spark, sf_dir, "embeddings")).first()
+    return {
+        "n_clusters": row["n_clusters"],
+        "max_cluster": row["max_cluster"],
+        "n_cand_pairs": row["n_cand_pairs"],
+    }
+
+
 def vocab_growth_probe(spark) -> dict:
     """q103 under 10× VOCABULARY growth (not just 10× volume): the
     vocab-count join must stay a shuffle join and scale with the token
@@ -287,6 +304,9 @@ def main() -> None:
             "sf1": bucket_cap_stats(spark, tmp),
         }
         report["q103_vocab_growth"] = vocab_growth_probe(spark)
+        report["q109_candidate_pairs"] = {
+            sf: semdedup_stats(spark, d) for sf, d in (("sf0.1", SRC_SF), ("sf1", tmp))
+        }
         print(json.dumps(report, indent=2))
     finally:
         if not keep:
