@@ -581,3 +581,76 @@ def q125_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "doc_id", "n_tokens", stage.alias("stage"), "shuffle_key"
     ).orderBy("stage", "shuffle_key", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q126 — marginal vocabulary contribution per source (Heaps-style curve)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q126_vocab_contribution",
+    oracle=r"""
+    WITH toks AS (
+        SELECT source, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                          t -> len(t) > 0)) AS tok
+        FROM documents
+    ), per_src AS (
+        SELECT source, COUNT(*) AS n_tokens FROM toks GROUP BY source
+    ), firsts AS (
+        SELECT tok, MIN(source) AS first_source FROM toks GROUP BY tok
+    ), marginal AS (
+        SELECT first_source AS source, COUNT(*) AS new_tokens
+        FROM firsts GROUP BY first_source
+    )
+    SELECT p.source,
+           p.n_tokens,
+           COALESCE(m.new_tokens, 0) AS new_tokens,
+           CAST(SUM(COALESCE(m.new_tokens, 0))
+                OVER (ORDER BY p.source) AS BIGINT) AS cum_vocab,
+           CAST(SUM(p.n_tokens) OVER (ORDER BY p.source) AS BIGINT) AS cum_tokens
+    FROM per_src p LEFT JOIN marginal m ON m.source = p.source
+    ORDER BY p.source
+    """,
+    tags=("text", "vocabulary", "heaps", "curation", "llm-pipeline"),
+)
+def q126_vocab_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal vocabulary contribution per source — the Heaps-law curve
+    at shard granularity: adding sources in name order, how many NEVER-
+    SEEN-BEFORE tokens does each contribute (new_tokens), and how do
+    cumulative vocabulary vs cumulative token volume grow. The curation
+    read: a source whose marginal vocabulary is near zero is redundant
+    with earlier shards (candidate for downweighting); a hapax-heavy one
+    is either valuable diversity or noise to inspect.
+
+    Shape at scale: one (token)-keyed min aggregate over the token stream
+    (the only corpus-sized shuffle — same key as q103's vocabulary join),
+    then everything else happens on the SOURCE-sized table: the marginal
+    counts, the left join, and the cumulative window (ordered over a few
+    hundred rows — the one place a single-partition window is correct by
+    construction, exactly like q125's length histogram). MIN(source) is a
+    string min — identical total order in both engines (ASCII sources)."""
+    d = _spread(spark, table(spark, sf_dir, "documents"))
+    toks = d.select("source", F.explode(tokens_of("text")).alias("tok"))
+    per_src = toks.groupBy("source").agg(F.count("*").alias("n_tokens"))
+    marginal = (
+        toks.groupBy("tok")
+        .agg(F.min("source").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").alias("new_tokens"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("source").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_src.join(F.broadcast(marginal), "source", "left")
+        .withColumn("new_tokens", F.coalesce(F.col("new_tokens"), F.lit(0)))
+        .select(
+            "source",
+            "n_tokens",
+            "new_tokens",
+            F.sum("new_tokens").over(w).cast("long").alias("cum_vocab"),
+            F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -482,3 +482,14 @@ def test_curriculum_order_has_no_global_ntile_sort(spark):
     assert p.count("BroadcastHashJoin") == 1  # the base-offset lookup
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_vocab_contribution_one_token_shuffle_then_source_sized_work(spark):
+    """q126: the only corpus-sized shuffle is the token-keyed min; the
+    marginal counts join the per-source totals by broadcast, and the
+    cumulative window runs on the source-sized table."""
+    p = plan_of(spark, "q126_vocab_contribution")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "Window" in p
