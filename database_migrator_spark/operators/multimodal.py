@@ -46,10 +46,15 @@ def attach_fake_image(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     """Synthesize a deterministic binary 'image' column from the text (the
     real pipeline would read parquet binary directly). Pure JVM expressions.
     Repartitions first: blob processing is CPU-bound per row and the
-    single-file test table would otherwise run on one core."""
+    single-file test table would otherwise run on one core.
+
+    Dimensions derive from md5 slices of the id (not xxhash) so ANY engine
+    can recompute them — that's what upgrades q37 from rows-only to a
+    hash-matched oracle (q121's trick)."""
     docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-    width = (F.abs(F.xxhash64(id_col)) % 1920 + 1).cast("long")
-    height = (F.abs(F.xxhash64(F.col(id_col) + 1)) % 1080 + 1).cast("long")
+    h = F.md5(F.encode(F.col(id_col).cast("string"), "UTF-8"))
+    width = (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 1920 + 1).cast("long")
+    height = (F.conv(F.substring(h, 5, 4), 16, 10).cast("long") % 1080 + 1).cast("long")
     header = F.concat_ws(
         "|", F.lit("IMG"), width.cast("string"), height.cast("string"), F.lit("RGB8"), F.lit("")
     )
@@ -490,11 +495,35 @@ def q36_binary_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q37_image_metadata",
-    oracle=None,  # mapInPandas plumbing — rows-only check; full assertions
-    # in tests/test_multimodal.py
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h, text FROM documents
+    )
+    SELECT doc_id,
+           CAST(( (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+           + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) ) % 1920 + 1
+                                                             AS BIGINT) AS width,
+           CAST(( (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096
+           + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1) ) % 1080 + 1
+                                                             AS BIGINT) AS height,
+           'RGB8'                                            AS fmt,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)  AS payload_bytes
+    FROM d
+    ORDER BY doc_id
+    """,
     tags=("multimodal", "mapInPandas"),
 )
 def q37_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata decode of opaque blobs over mapInPandas, now
+    hash-matched: the fake image's header dimensions are md5-slice
+    functions of doc_id (engine-reproducible, q121's trick), so the
+    oracle recomputes the parsed width/height/format/payload size
+    arithmetically and the Arrow round-trip (binary in, typed batch out)
+    sits fully under the driver's hash gate."""
     d = table(spark, sf_dir, "documents")
     return decode_image_metadata(attach_fake_image(d)).orderBy("doc_id")
 
