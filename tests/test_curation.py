@@ -140,3 +140,35 @@ def test_curriculum_stages_are_balanced_and_monotone(spark):
     assert sizes == sorted(sizes, reverse=True)  # remainder rows go early
     for s in range(1, 5):
         assert max(by_stage[s]) <= min(by_stage[s + 1])
+
+
+def test_cdc_reassembly_on_adversarial_strings(spark):
+    """CDC partition invariant on hand-picked adversarial texts: empty
+    (zero chunks — the document vanishes from the chunk stream), shorter
+    than the hash window, exactly the window, repeated characters (every
+    window identical ⇒ either no boundary or a boundary at every
+    position), multi-byte unicode, and whitespace runs. Concatenating
+    chunks in chunk_idx order must reproduce the text byte-for-byte."""
+    texts = [
+        "",
+        "a",
+        "1234567",
+        "12345678",
+        "x" * 400,
+        "ab" * 200,
+        "héllo wörld ünïcode " * 20,
+        "  leading and   trailing   spaces  " * 10,
+        "\t tabs\tand\nnewlines \n" * 15,
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "s") for i, t in enumerate(texts)], ["doc_id", "text", "source"]
+    )
+    from database_migrator_spark.operators.curation import cdc_chunks
+
+    got = {}
+    for r in cdc_chunks(df).collect():
+        got.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk))
+    for i, t in enumerate(texts):
+        rebuilt = "".join(c for _, c in sorted(got.get(i, [])))
+        assert rebuilt == t, f"doc {i}: {rebuilt!r} != {t!r}"
+    assert 0 not in got  # empty text yields no chunks
