@@ -907,3 +907,106 @@ def q115_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
         .alias("split"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q127_incremental_neardup",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           t -> len(t) > 0) AS t
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                    THEN list_distinct(list_transform(
+                             generate_series(1, len(t) - 2),
+                             i -> array_to_string(t[i:i+2], ' ')))
+                    ELSE [array_to_string(t, ' ')]
+               END AS s
+        FROM toks
+    ), hist AS (
+        SELECT * FROM sh WHERE doc_id % 10 < 8
+    ), batch AS (
+        SELECT * FROM sh WHERE doc_id % 10 >= 8
+    )
+    SELECT b.doc_id, CAST(len(b.s) AS BIGINT) AS n_shingles
+    FROM batch b
+    WHERE NOT EXISTS (
+        SELECT 1 FROM hist h
+        WHERE CAST(len(list_intersect(b.s, h.s)) AS DOUBLE)
+                / CAST(len(list_distinct(list_concat(b.s, h.s))) AS DOUBLE) >= 0.6
+    )
+    ORDER BY b.doc_id
+    """,
+    tags=("dedup", "incremental", "minhash", "lsh", "ingest", "E14", "E15", "llm-pipeline"),
+)
+def q127_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup dedup — q97's recrawl shape upgraded from
+    exact digests to fuzzy matching: keep only new-batch documents
+    (doc_id%10 ≥ 8) with no near-duplicate (shingle Jaccard ≥ 0.6) in
+    the historical corpus. Candidates come from a MinHash band join of
+    the batch against the history (32×2 banding — q66's recall argument:
+    a J=0.6 pair escapes all bands with p ≈ 6e-7), verified with exact
+    Jaccard, then a left-anti join keeps the genuinely novel documents.
+    The oracle is the O(batch × hist) brute force, so the hash gate
+    proves the banded path loses nothing.
+
+    Why this is the 100 TB recrawl shape: the history side is a PERSISTED
+    sketch index (16 bands-rows per doc + its shingle set — production
+    stores digests), so each nightly batch pays one band-keyed shuffle
+    join against an index ~linear in corpus size, never a rescan of the
+    corpus text; the bucket cap bounds boilerplate blowup exactly as in
+    q28/q66. Oracle is O(N²)-family: driver-gate scale only (sf0.01),
+    like q66/q72 — the sf0.1 cross-check is the Spark brute force in
+    tests."""
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sk = d.select(
+        "doc_id",
+        F.array_distinct(word_shingles(tokens_of("text"))).alias("toks"),
+        minhash_signature(word_shingles(tokens_of("text")), 64).alias("sig"),
+    ).withColumn("n_sh", F.size("toks"))
+    # one sketch pass serves both sides (shared-lineage join ⇒ checkpoint)
+    sk = sk.localCheckpoint(eager=True)
+
+    def banded(side: DataFrame, prefix: str) -> DataFrame:
+        return side.select(
+            F.col("doc_id").alias(f"{prefix}_id"),
+            F.col("toks").alias(f"{prefix}_toks"),
+            F.col("n_sh").alias(f"{prefix}_n"),
+            F.explode(lsh_bands(F.col("sig"), 32, 2)).alias("b"),
+        ).select(
+            f"{prefix}_id", f"{prefix}_toks", f"{prefix}_n",
+            F.col("b.band").alias("band"), F.col("b.bh").alias("bh"),
+        )
+
+    from pyspark.sql import Window
+
+    hist = banded(sk.where(F.col("doc_id") % 10 < 8), "h")
+    # cap pathological history buckets (boilerplate clusters) — loudly
+    # bounded exactly as the self-join variants; never engages at test SF
+    hist = hist.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band", "bh"))
+    ).where(F.col("bucket_n") <= 1000)
+    batch = banded(sk.where(F.col("doc_id") % 10 >= 8), "b")
+    dup_ids = (
+        batch.join(hist, ["band", "bh"])
+        # size-ratio prune: Jaccard ≤ min/max sizes (same bound as q28/q66)
+        .where(
+            F.least("b_n", "h_n").cast("double")
+            >= F.lit(0.6) * F.greatest("b_n", "h_n").cast("double")
+        )
+        .dropDuplicates(["b_id", "h_id"])
+        .where(jaccard_tokens(F.col("b_toks"), F.col("h_toks")) >= F.lit(0.6))
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        sk.where(F.col("doc_id") % 10 >= 8)
+        .join(dup_ids.hint("shuffle_merge"), "doc_id", "left_anti")
+        .select("doc_id", F.col("n_sh").cast("long").alias("n_shingles"))
+        .orderBy("doc_id")
+    )

@@ -150,3 +150,33 @@ def test_leakage_safe_split_property(spark):
     nb = naive.select(F.col("doc_id").alias("b_id"), F.col("split").alias("sb"))
     leaked = pairs.join(na, "a_id").join(nb, "b_id").where(F.col("sa") != F.col("sb"))
     assert leaked.count() > 0
+
+
+def test_incremental_neardup_equals_brute_force(spark):
+    """q127's banded batch-vs-history path must equal the exact brute
+    force (no batch doc kept that has a near-dup in history, none dropped
+    without one) — the same no-subset-guard bar q66 meets for pairs."""
+    from database_migrator_spark.operators.dedup import q127_incremental_neardup
+
+    docs = table(spark, SF_SMOKE, "documents")
+    sh = docs.select(
+        "doc_id", F.array_distinct(word_shingles(tokens_of("text"))).alias("s")
+    )
+    hist = sh.where(F.col("doc_id") % 10 < 8).select(
+        F.col("doc_id").alias("h_id"), F.col("s").alias("h_s")
+    )
+    batch = sh.where(F.col("doc_id") % 10 >= 8).select(
+        F.col("doc_id").alias("b_id"), F.col("s").alias("b_s")
+    )
+    dup = (
+        batch.crossJoin(hist)
+        .where(jaccard_tokens(F.col("b_s"), F.col("h_s")) >= F.lit(0.6))
+        .select("b_id")
+        .distinct()
+    )
+    want = {
+        r.b_id
+        for r in batch.join(dup, "b_id", "left_anti").select("b_id").collect()
+    }
+    got = {r.doc_id for r in q127_incremental_neardup(spark, SF_SMOKE).collect()}
+    assert got == want

@@ -94,6 +94,7 @@ PROBE_QUERIES = [
     "q120_cdc_chunk_dedup",
     "q121_bloom_ingest_filter",
     "q122_mixture_epochs",
+    "q127_incremental_neardup",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
