@@ -992,8 +992,11 @@ def q127_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket_n", F.count("*").over(Window.partitionBy("band", "bh"))
     ).where(F.col("bucket_n") <= 1000)
     batch = banded(sk.where(F.col("doc_id") % 10 >= 8), "b")
+    # the banded history is the persisted corpus-sized index — it must
+    # meet the batch through a shuffle join, never a broadcast (Catalyst's
+    # static stats would broadcast it at test scale; locked in test_plans)
     dup_ids = (
-        batch.join(hist, ["band", "bh"])
+        batch.join(hist.hint("shuffle_merge"), ["band", "bh"])
         # size-ratio prune: Jaccard ≤ min/max sizes (same bound as q28/q66)
         .where(
             F.least("b_n", "h_n").cast("double")

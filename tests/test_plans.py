@@ -493,3 +493,14 @@ def test_vocab_contribution_one_token_shuffle_then_source_sized_work(spark):
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
     assert "Window" in p
+
+
+def test_incremental_neardup_band_join_and_anti_join(spark):
+    """q127: batch meets history through the band-keyed shuffle join (the
+    persisted-sketch-index shape — never a cartesian or a broadcast of the
+    corpus-sized history), and the keep-set is a left-anti join."""
+    p = plan_of(spark, "q127_incremental_neardup")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" in p
+    assert "LeftAnti" in p
+    assert "BroadcastHashJoin" not in p
