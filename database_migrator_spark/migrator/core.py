@@ -177,7 +177,24 @@ class Migrator:
         # (Core.pm:206-212); not atomic with the migration — documented
         # at-least-once, keep migrations idempotent (Migrator.pm:183-189)
         if not self.dry_run:
-            self.ledger.record(migration.name)
+            try:
+                self.ledger.record(migration.name)
+            except Exception as e:
+                # the reference contract: the USER's schema DDL must create
+                # the ledger table (Migrator.pm:140-153; the reference's own
+                # harness schema does, Test/Database/Migrator.pm:108-110).
+                # Surface that contract instead of a raw missing-table error
+                # — the migration itself HAS been applied (at-least-once).
+                if not self.ledger.exists():
+                    raise MigrationError(
+                        f"migration {migration.name} was applied but could not "
+                        f"be recorded: the ledger table "
+                        f"{getattr(self.ledger, 'table', '')!r} does not exist. "
+                        "Your schema DDL must create it (single required "
+                        "column: migration STRING) — see the reference "
+                        "contract, Migrator.pm:140-153."
+                    ) from e
+                raise
 
     # -- backend-portable SQL for code migrations ------------------------------
     def run_sql(self, stmt: str):

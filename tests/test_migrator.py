@@ -370,3 +370,22 @@ def test_migrator_with_file_ledger_failure_not_recorded(spark, tree, tmp_path):
         assert applied == ["01-first", "02-second"]
     finally:
         m.drop_database()
+
+
+def test_missing_ledger_table_gives_contract_error(spark, tmp_path):
+    """If the user's schema DDL omits the ledger table (the reference
+    contract: Migrator.pm:140-153 — the schema must create it), the
+    migration still applies (at-least-once) but record() must surface the
+    CONTRACT, not a raw missing-table error."""
+    (tmp_path / "schema.sql").write_text("CREATE TABLE only_t (id INT);\n")
+    mig = tmp_path / "migrations" / "01-first"
+    mig.mkdir(parents=True)
+    (mig / "01-add.sql").write_text("CREATE TABLE added_t (id INT);\n")
+    m = _migrator(spark, tmp_path, database="no_ledger_db")
+    try:
+        with pytest.raises(MigrationError, match="schema DDL must create"):
+            m.create_or_update_database()
+        # at-least-once: the migration itself WAS applied before the error
+        assert spark.catalog.tableExists("no_ledger_db.added_t")
+    finally:
+        m.drop_database()
