@@ -654,3 +654,100 @@ def q126_vocab_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q128 — mixture materialization: per-document copy counts under the plan
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q128_mixture_materialize",
+    oracle=r"""
+    WITH g AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                             t -> len(t) > 0)) AS BIGINT))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+        GROUP BY source
+    ), w AS (
+        SELECT *, CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS wq
+        FROM g
+    ), t AS (
+        SELECT CAST(SUM(wq) AS BIGINT) AS total_wq,
+               CAST(SUM(n_tokens) AS BIGINT) * 2 AS budget
+        FROM w
+    ), rates AS (
+        SELECT source,
+               LEAST((CAST(budget AS DOUBLE) * wq / total_wq) / n_tokens,
+                     CAST(4.0 AS DOUBLE)) AS epochs
+        FROM w CROSS JOIN t
+    )
+    SELECT d.doc_id, d.source,
+           CAST(floor(r.epochs) AS BIGINT)
+           + CASE WHEN ( (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+                       + (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+                       + (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+                       + (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 4, 1)) - 1) )
+                      < (r.epochs - floor(r.epochs)) * 65536
+                  THEN 1 ELSE 0 END AS n_copies
+    FROM documents d JOIN rates r ON r.source = d.source
+    ORDER BY d.doc_id
+    """,
+    tags=("text", "mixing", "sampling", "materialize", "curation", "llm-pipeline"),
+)
+def q128_mixture_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the q122 mixing plan: per document, how many COPIES
+    enter the training corpus under the capped epoch rates — integer part
+    deterministic, fractional part decided by a reproducible per-document
+    md5 coin (doc_id-keyed, so re-runs, retries, and engine changes all
+    sample the SAME documents; the md5-slice coin is q121's
+    engine-reproducible trick, which is what lets the hash gate cover a
+    sampling operator exactly instead of 'rows look plausible').
+
+    Shape at scale: per-source rates are a broadcast few-hundred-row
+    table; the copy decision is a per-row expression — one map-side pass
+    over the corpus, no shuffle at all beyond the rate aggregate. The
+    writer downstream would explode n_copies (0..4) into rows; kept as a
+    count here so the declared result stays one row per document."""
+    d = _spread(spark, table(spark, sf_dir, "documents"))
+    g = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens_of("text")).cast("long")).alias("n_tokens"),
+    )
+    w = g.withColumn(
+        "wq",
+        F.round(F.sqrt(F.col("n_tokens").cast("double")) * F.lit(1000000.0)).cast(
+            "long"
+        ),
+    )
+    t = w.agg(
+        F.sum("wq").alias("total_wq"),
+        (F.sum("n_tokens") * F.lit(2)).alias("budget"),
+    )
+    epochs = F.least(
+        (F.col("budget").cast("double") * F.col("wq") / F.col("total_wq"))
+        / F.col("n_tokens"),
+        F.lit(4.0),
+    )
+    rates = (
+        w.crossJoin(F.broadcast(t)).select("source", epochs.alias("epochs"))
+    )
+    coin = (
+        F.conv(
+            F.substring(F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), 1, 4),
+            16,
+            10,
+        ).cast("long")
+    )
+    n_copies = F.floor("epochs").cast("long") + (
+        coin.cast("double") < (F.col("epochs") - F.floor("epochs")) * F.lit(65536.0)
+    ).cast("long")
+    return (
+        d.select("doc_id", "source")
+        .join(F.broadcast(rates), "source")
+        .select("doc_id", "source", n_copies.alias("n_copies"))
+        .orderBy("doc_id")
+    )

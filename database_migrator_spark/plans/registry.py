@@ -81,7 +81,7 @@ def query(
 # NOTHING for the pytest oracle suite or bench.py — they run the whole
 # catalog.  tests/test_bench_contract.py pins the resulting first-50
 # list so a refactor cannot silently reorder the gate.
-_NEVER_GATED_CURRENT = {f"q{i}" for i in range(101, 128)} | {
+_NEVER_GATED_CURRENT = {f"q{i}" for i in range(101, 129)} | {
     "q72",
     "q86",
     "q90",

@@ -172,3 +172,18 @@ def test_cdc_reassembly_on_adversarial_strings(spark):
         rebuilt = "".join(c for _, c in sorted(got.get(i, [])))
         assert rebuilt == t, f"doc {i}: {rebuilt!r} != {t!r}"
     assert 0 not in got  # empty text yields no chunks
+
+
+def test_mixture_materialize_copy_bounds(spark):
+    """n_copies ∈ [floor(rate), 4]: the fractional coin adds at most one
+    copy and the 4-epoch cap bounds everything."""
+    from database_migrator_spark.operators.curation import q128_mixture_materialize
+
+    rows = q128_mixture_materialize(spark, SF_SMOKE).collect()
+    assert rows
+    assert all(0 <= r.n_copies <= 4 for r in rows)
+    # the coin must actually split some source (not all-integer rates)
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, set()).add(r.n_copies)
+    assert any(len(v) > 1 for v in by_src.values())

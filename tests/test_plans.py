@@ -504,3 +504,12 @@ def test_incremental_neardup_band_join_and_anti_join(spark):
     assert "SortMergeJoin" in p
     assert "LeftAnti" in p
     assert "BroadcastHashJoin" not in p
+
+
+def test_mixture_materialize_broadcasts_rates_only(spark):
+    """q128: the per-source rate table joins the corpus by broadcast; the
+    copy decision is a per-row expression — no corpus-side shuffle join."""
+    p = plan_of(spark, "q128_mixture_materialize")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
