@@ -63,20 +63,20 @@ def query(
 # iteration order).  ``all_queries()`` therefore orders the catalog so
 # the 50-row gate spends its budget where the hard signal is stalest.
 #
-# Rotation policy (at 107 queries / 50 gate rows, every query re-gates
-# within ~2 rounds):
+# Rotation policy (at 128 queries / 50 gate rows, every query re-gates
+# within ~3 rounds):
 #   rank 0 — queries whose CURRENT code has never been driver-gated:
 #            brand-new since the last gate, or modified after their most
 #            recent gate row.  These always go first: the gate is the
 #            only hard signal, and local sf0.01 oracle runs are a stand-in
 #            until a driver row exists.
 #   rank 1 — queries whose last gate row is the OLDEST (currently the
-#            r03-verified remainder of q51-q100; 45 entries, the first 38
-#            fill the rest of the 50-row budget this round).
+#            r03-verified remainder of q51-q100; the first 17 fill the
+#            rest of the 50-row budget this round).
 #   rank 2 — queries gated most recently (q01-q50, re-verified r04).
 #
 # Round-5 instance: rank 0 = q101-q107 (new in r04, never gated),
-# q108-q114 (new THIS round), plus q72/q86/q90/q94/q96 (gated r03,
+# q108-q128 (new THIS round), plus q72/q86/q90/q94/q96 (gated r03,
 # modified in r04 — commits f67d11a, 19b97c0, f142e56).  Order changes
 # NOTHING for the pytest oracle suite or bench.py — they run the whole
 # catalog.  tests/test_bench_contract.py pins the resulting first-50
