@@ -94,7 +94,11 @@ PROBE_QUERIES = [
     "q120_cdc_chunk_dedup",
     "q121_bloom_ingest_filter",
     "q122_mixture_epochs",
+    "q124_video_frame_sample",
+    "q125_curriculum_order",
+    "q126_vocab_contribution",
     "q127_incremental_neardup",
+    "q128_mixture_materialize",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
