@@ -87,3 +87,98 @@ def q85_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC write→read round-trip — the columnar alternative to parquet,
     same vectorized/pushdown-capable DSv2 path."""
     return _roundtrip(spark, sf_dir, "orc")
+
+
+@query(
+    "q129_text_roundtrip",
+    oracle="SELECT doc_id, text FROM documents ORDER BY doc_id",
+    tags=("source", "sink", "text"),
+)
+def q129_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-text corpus round-trip — the most common ingest format for web
+    corpora (one record per line): documents are written as
+    ``<doc_id>\\t<text>`` lines through the ``text`` writer and recovered
+    by splitting at the FIRST tab on read, hash-matched against the
+    parquet-derived oracle so the id↔line pairing provably survives.
+    Line-per-record requires the payload to be newline/tab-free (true of
+    this corpus; a real pipeline escapes or length-prefixes first —
+    that's exactly why q84's JSONL is the safer interchange format)."""
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_formats",
+        f"{os.path.basename(os.path.normpath(sf_dir))}-text",
+    )
+    d = table(spark, sf_dir, "documents")
+    d.select(
+        F.concat_ws("\t", F.col("doc_id").cast("string"), F.col("text")).alias("value")
+    ).write.mode("overwrite").format("text").save(path)
+    back = spark.read.text(path)
+    tab = F.instr("value", "\t")
+    return back.select(
+        F.substring("value", F.lit(1), tab - 1).cast("long").alias("doc_id"),
+        F.substring("value", tab + 1, F.length("value") - tab).alias("text"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q130_schema_evolution",
+    oracle="""
+    SELECT doc_id, text, NULL AS lang FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, text, lang FROM documents WHERE doc_id % 2 = 1
+    ORDER BY doc_id
+    """,
+    tags=("source", "schema-evolution", "parquet"),
+)
+def q130_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: an old batch written WITHOUT the ``lang``
+    column and a new batch WITH it land in the same dataset directory;
+    ``mergeSchema=true`` reconciles them (old rows surface NULL lang),
+    hash-matched against the explicit-NULL union oracle. This is the lake
+    reality at 100 TB — columns appear over months of ingest and
+    re-writing history is off the table; mergeSchema is per-read opt-in
+    because footer-merging every scan is a real planning cost (pin the
+    merged schema in a table definition once it stabilizes)."""
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_formats",
+        f"{os.path.basename(os.path.normpath(sf_dir))}-evolve",
+    )
+    d = table(spark, sf_dir, "documents")
+    d.where(F.col("doc_id") % 2 == 0).select("doc_id", "text").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "batch=old"))
+    d.where(F.col("doc_id") % 2 == 1).select("doc_id", "text", "lang").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "batch=new"))
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(path, "batch=old"), os.path.join(path, "batch=new")
+    )
+    return back.select("doc_id", "text", "lang").orderBy("doc_id")
+
+
+@query(
+    "q131_partition_pruned_read",
+    oracle="""
+    SELECT doc_id, n_chars FROM documents WHERE source = 'src3'
+    ORDER BY doc_id
+    """,
+    tags=("source", "partitioning", "pruning", "parquet"),
+)
+def q131_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-layout partitioned write + partition-PRUNED read: documents
+    are written ``PARTITION BY source`` and read back filtered to one
+    source — the filter must become a PartitionFilter (directory-level
+    skip; test_plans asserts it), so the scan touches 1/N of the files
+    regardless of corpus size. This is the physical layout rule that
+    makes per-source curation (q114/q119/q126) cheap at 100 TB: source,
+    date, and language are directory keys, not row predicates."""
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_formats",
+        f"{os.path.basename(os.path.normpath(sf_dir))}-bysource",
+    )
+    d = table(spark, sf_dir, "documents")
+    d.write.mode("overwrite").partitionBy("source").parquet(path)
+    back = spark.read.parquet(path).where(F.col("source") == "src3")
+    return back.select("doc_id", "n_chars").orderBy("doc_id")

@@ -513,3 +513,13 @@ def test_mixture_materialize_broadcasts_rates_only(spark):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_partition_pruned_read_has_partition_filters(spark):
+    """q131: the source filter must prune at the DIRECTORY level — the
+    scan carries a PartitionFilters entry on source, and no source
+    predicate survives as a post-scan row filter."""
+    p = plan_of(spark, "q131_partition_pruned_read")
+    import re
+    m = re.search(r"PartitionFilters: \[[^\]]*source[^\]]*\]", p)
+    assert m, "source filter did not become a PartitionFilter"
