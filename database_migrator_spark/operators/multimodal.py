@@ -785,3 +785,78 @@ def q124_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     frames = sample_frames(attach_raw_video(d), every_n=10, blob_col="video")
     return frame_stats(frames).orderBy("doc_id", "frame_idx")
+
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, out_width bigint, out_height bigint, "
+    "mean_pooled double, topleft_pooled bigint"
+)
+
+
+def resize_images(images: DataFrame, id_col: str = "doc_id",
+                  blob_col: str = "image") -> DataFrame:
+    """2× average-pool downsample over decoded pixels (the resize step of
+    an image-curation pipeline, e.g. normalizing crawl images to a model's
+    input resolution): decode the blob with the magic-dispatched codecs,
+    pool non-overlapping 2×2 blocks per channel with integer floor
+    division, and reduce to (out dims, mean pooled byte, top-left pooled
+    byte). Odd trailing rows/columns are cropped (the standard
+    floor-division convention). A real pipeline swaps the pooling loop
+    for PIL/cv2 resize — the Arrow plumbing and the decode dispatch stay
+    identical."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                w, h, rows = decode_pixels(bytes(blob))
+                ow, oh = w // 2, h // 2
+                total = 0
+                topleft = None
+                for j in range(oh):
+                    r0, r1 = rows[2 * j], rows[2 * j + 1]
+                    for i in range(ow):
+                        for c in range(3):
+                            a = r0[6 * i + c] + r0[6 * i + 3 + c]
+                            b = r1[6 * i + c] + r1[6 * i + 3 + c]
+                            v = (a + b) // 4
+                            total += v
+                            if topleft is None:
+                                topleft = v
+                mean = total / (ow * oh * 3) if ow and oh else 0.0
+                out.append((int(doc_id), ow, oh, mean, topleft if topleft is not None else 0))
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "out_width", "out_height", "mean_pooled", "topleft_pooled"],
+            )
+
+    return images.mapInPandas(resize, schema=RESIZE_SCHEMA)
+
+
+@query(
+    "q132_image_resize",
+    oracle="""
+    SELECT doc_id,
+           CAST((doc_id % 48 + 4) // 2 AS BIGINT)            AS out_width,
+           CAST(((doc_id * 7) % 32 + 4) // 2 AS BIGINT)      AS out_height,
+           list_avg(list_transform(range(0, ((doc_id * 7) % 32 + 4) // 2),
+               j -> CAST((2 * ((doc_id + 2*j) % 256) + 2 * ((doc_id + 2*j + 1) % 256)) // 4
+                    AS DOUBLE)))                             AS mean_pooled,
+           CAST((2 * (doc_id % 256) + 2 * ((doc_id + 1) % 256)) // 4 AS BIGINT)
+                                                             AS topleft_pooled
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "resize", "decode", "mapInPandas"),
+)
+def q132_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE hash-matched end to end (completing the multimodal
+    quartet: decode / feature-extract / resize / frame-sample): the
+    synthetic BMPs' closed-form pixels let the oracle recompute the 2×2
+    average-pool arithmetically — within a source row all bytes equal
+    (d+y)%256, so a pooled pixel is ((2·(d+2j)%256 + 2·(d+2j+1)%256)
+    div 4) and the whole pooled image reduces to a per-row closed form.
+    A decoder that mis-strides, forgets the bottom-up flip, or pools
+    overlapping blocks fails the hash."""
+    d = table(spark, sf_dir, "documents")
+    return resize_images(attach_bmp_image(d)).orderBy("doc_id")

@@ -63,7 +63,7 @@ def query(
 # iteration order).  ``all_queries()`` therefore orders the catalog so
 # the 50-row gate spends its budget where the hard signal is stalest.
 #
-# Rotation policy (at 131 queries / 50 gate rows, every query re-gates
+# Rotation policy (at 132 queries / 50 gate rows, every query re-gates
 # within ~3 rounds):
 #   rank 0 — queries whose CURRENT code has never been driver-gated:
 #            brand-new since the last gate, or modified after their most
@@ -71,17 +71,17 @@ def query(
 #            only hard signal, and local sf0.01 oracle runs are a stand-in
 #            until a driver row exists.
 #   rank 1 — queries whose last gate row is the OLDEST (currently the
-#            r03-verified remainder of q51-q100; the first 14 fill the
+#            r03-verified remainder of q51-q100; the first 13 fill the
 #            rest of the 50-row budget this round).
 #   rank 2 — queries gated most recently (q01-q50, re-verified r04).
 #
 # Round-5 instance: rank 0 = q101-q107 (new in r04, never gated),
-# q108-q131 (new THIS round), plus q72/q86/q90/q94/q96 (gated r03,
+# q108-q132 (new THIS round), plus q72/q86/q90/q94/q96 (gated r03,
 # modified in r04 — commits f67d11a, 19b97c0, f142e56).  Order changes
 # NOTHING for the pytest oracle suite or bench.py — they run the whole
 # catalog.  tests/test_bench_contract.py pins the resulting first-50
 # list so a refactor cannot silently reorder the gate.
-_NEVER_GATED_CURRENT = {f"q{i}" for i in range(101, 132)} | {
+_NEVER_GATED_CURRENT = {f"q{i}" for i in range(101, 133)} | {
     "q72",
     "q86",
     "q90",
