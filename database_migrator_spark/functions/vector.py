@@ -41,7 +41,14 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
 def l2_normalize(a: Column | str) -> Column:
     """Unit-normalize to ``array<double>``; NULL when the norm is 0.
     Normalized vectors turn cosine similarity into a plain dot product —
-    normalize once at ingest, skip the per-pair norm forever after."""
+    normalize once at ingest, skip the per-pair norm forever after.
+
+    PERF CAVEAT: as a single Column expression the norm fold sits INSIDE
+    the transform lambda, and interpreted HOF lambdas cache nothing — the
+    fold re-evaluates per element, O(d²) per vector. Fine for one-shot
+    projections over small d; on a hot path, project ``sqrt(l2_norm_sq)``
+    into its own column first and divide by that scalar in the lambda
+    (see ``semantic_dedup_kept`` for the pattern)."""
     norm_sq = l2_norm_sq(a)
     return F.when(
         norm_sq > 0,

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from database_migrator_spark.functions.exact import EXACT_DOUBLE_BOUND, exactness_guard
 from database_migrator_spark.operators.dedup import tokens_of, word_shingles
 from database_migrator_spark.plans.registry import query
 from database_migrator_spark.sources import table
@@ -428,14 +429,15 @@ def q121_bloom_ingest_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q122 — data-constrained mixing: epochs under a token budget
+# q122 / q128 — data-constrained mixing: the shared rate pipeline
 # ---------------------------------------------------------------------------
 
-
-@query(
-    "q122_mixture_epochs",
-    oracle=r"""
-    WITH g AS (
+# ONE definition of the mixing algebra (alpha=0.5 temperature weights,
+# 2× budget, 1e6 fixed-point scale) serving BOTH the plan (q122) and its
+# materialization (q128) on BOTH engines — a tweak applied to one query
+# but not the other would silently desynchronize the materialized corpus
+# from the plan it claims to implement.
+_RATES_CTES = r"""g AS (
         SELECT source,
                CAST(SUM(CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
                                              t -> len(t) > 0)) AS BIGINT))
@@ -449,7 +451,43 @@ def q121_bloom_ingest_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(SUM(wq) AS BIGINT) AS total_wq,
                CAST(SUM(n_tokens) AS BIGINT) * 2 AS budget
         FROM w
+    )"""
+
+
+def _mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source fixed-point temperature weights + the 2× token budget:
+    columns (source, n_tokens, wq, total_wq, budget) — the Spark twin of
+    ``_RATES_CTES``. Guarded: the BIGINT→DOUBLE weight division is exact
+    only below 2^53 (q104's bound), asserted loudly in-plan."""
+    d = _spread(spark, table(spark, sf_dir, "documents"))
+    g = d.groupBy("source").agg(
+        F.sum(F.size(tokens_of("text")).cast("long")).alias("n_tokens")
     )
+    w = g.withColumn(
+        "wq",
+        F.round(F.sqrt(F.col("n_tokens").cast("double")) * F.lit(1000000.0)).cast(
+            "long"
+        ),
+    )
+    t = w.agg(
+        F.sum("wq").alias("total_wq"),
+        (F.sum("n_tokens") * F.lit(2)).alias("budget"),
+    )
+    return w.crossJoin(F.broadcast(t)).where(
+        exactness_guard(
+            (F.col("total_wq").cast("double") < F.lit(EXACT_DOUBLE_BOUND))
+            & (F.col("budget").cast("double") < F.lit(EXACT_DOUBLE_BOUND)),
+            "mixture rates: Σ√tokens normalizer or budget >= 2^53 — the "
+            "BIGINT→DOUBLE division would silently round; rescale the 1e6 "
+            "fixed-point factor",
+        )
+    )
+
+
+@query(
+    "q122_mixture_epochs",
+    oracle=f"""
+    WITH {_RATES_CTES}
     SELECT source, n_tokens,
            CAST(wq AS DOUBLE) / total_wq AS weight,
            (CAST(budget AS DOUBLE) * wq / total_wq) / n_tokens AS epochs,
@@ -478,25 +516,11 @@ def q122_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream values are IEEE double ops on identical inputs, so both
     engines produce bit-identical epochs. Spark SQL literals are written
     CAST(4.0 AS DOUBLE) because bare 4.0 is DECIMAL in SQL text."""
-    d = _spread(spark, table(spark, sf_dir, "documents"))
-    g = d.groupBy("source").agg(
-        F.sum(F.size(tokens_of("text")).cast("long")).alias("n_tokens")
-    )
-    w = g.withColumn(
-        "wq",
-        F.round(F.sqrt(F.col("n_tokens").cast("double")) * F.lit(1000000.0)).cast(
-            "long"
-        ),
-    )
-    t = w.agg(
-        F.sum("wq").alias("total_wq"),
-        (F.sum("n_tokens") * F.lit(2)).alias("budget"),
-    )
     epochs = (
         F.col("budget").cast("double") * F.col("wq") / F.col("total_wq")
     ) / F.col("n_tokens")
     return (
-        w.crossJoin(F.broadcast(t))
+        _mixture_weights(spark, sf_dir)
         .select(
             "source",
             "n_tokens",
@@ -663,23 +687,8 @@ def q126_vocab_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q128_mixture_materialize",
-    oracle=r"""
-    WITH g AS (
-        SELECT source,
-               COUNT(*) AS n_docs,
-               CAST(SUM(CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
-                                             t -> len(t) > 0)) AS BIGINT))
-                    AS BIGINT) AS n_tokens
-        FROM documents
-        GROUP BY source
-    ), w AS (
-        SELECT *, CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS wq
-        FROM g
-    ), t AS (
-        SELECT CAST(SUM(wq) AS BIGINT) AS total_wq,
-               CAST(SUM(n_tokens) AS BIGINT) * 2 AS budget
-        FROM w
-    ), rates AS (
+    oracle=f"""
+    WITH {_RATES_CTES}, rates AS (
         SELECT source,
                LEAST((CAST(budget AS DOUBLE) * wq / total_wq) / n_tokens,
                      CAST(4.0 AS DOUBLE)) AS epochs
@@ -711,30 +720,17 @@ def q128_mixture_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     table; the copy decision is a per-row expression — one map-side pass
     over the corpus, no shuffle at all beyond the rate aggregate. The
     writer downstream would explode n_copies (0..4) into rows; kept as a
-    count here so the declared result stays one row per document."""
+    count here so the declared result stays one row per document.
+
+    The rate algebra is ``_mixture_weights`` — the SAME code and oracle
+    CTEs as q122, so plan and materialization cannot drift apart."""
     d = _spread(spark, table(spark, sf_dir, "documents"))
-    g = d.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.size(tokens_of("text")).cast("long")).alias("n_tokens"),
-    )
-    w = g.withColumn(
-        "wq",
-        F.round(F.sqrt(F.col("n_tokens").cast("double")) * F.lit(1000000.0)).cast(
-            "long"
-        ),
-    )
-    t = w.agg(
-        F.sum("wq").alias("total_wq"),
-        (F.sum("n_tokens") * F.lit(2)).alias("budget"),
-    )
     epochs = F.least(
         (F.col("budget").cast("double") * F.col("wq") / F.col("total_wq"))
         / F.col("n_tokens"),
         F.lit(4.0),
     )
-    rates = (
-        w.crossJoin(F.broadcast(t)).select("source", epochs.alias("epochs"))
-    )
+    rates = _mixture_weights(spark, sf_dir).select("source", epochs.alias("epochs"))
     coin = (
         F.conv(
             F.substring(F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), 1, 4),

@@ -30,7 +30,6 @@ from database_migrator_spark.functions.vector import (
     cosine_similarity,
     dot,
     l2_norm_sq,
-    l2_normalize,
 )
 from database_migrator_spark.plans.registry import query
 from database_migrator_spark.sources import table
@@ -639,17 +638,36 @@ def semantic_dedup_kept(
     the self-join shuffles both sides on the cluster key and the pair
     fan-out is Σ m_c², bounded by the clustering granularity (the same
     knob as the LSH bucket cap: more clusters ⇒ smaller m_c). Never an
-    all-pairs N². Each side is L2-NORMALIZED before the join (one pass
-    per row), so the per-pair work — the term that Σ m_c² multiplies —
-    is a single zip_with+fold dot product instead of dot + two norms:
-    measured 2.6× faster on the 10× replicated-corpus probe. Zero-norm
-    vectors have no cosine (NULL before, filtered here): they pair with
-    nothing and are always kept, unchanged semantics."""
-    normed = embeddings.select(
+    all-pairs N². Each side is L2-NORMALIZED before the join, so the
+    per-pair work — the term that Σ m_c² multiplies — is a single
+    zip_with+fold dot product instead of dot + two norms. The norm is
+    computed in its OWN projection and the lambda divides by that scalar
+    column: inlining ``l2_normalize`` here would re-evaluate the norm
+    fold per ELEMENT (interpreted HOF lambdas cache nothing — O(d²) per
+    vector, the CLAUDE.md fan-out trap), and the normalized frame is
+    localCheckpointed because BOTH join sides read it (q127's shared-
+    sketch pattern — otherwise the normalization runs twice per row).
+    Division by the precomputed sqrt keeps the floats bit-identical to
+    the oracle's ``x / nn``. Zero-norm vectors have no cosine (NULL
+    before, filtered here): they pair with nothing and are always kept,
+    unchanged semantics."""
+    nrm = embeddings.select(
         F.col(cluster_col).alias("__c"),
         F.col(id_col).alias("__id"),
-        l2_normalize(F.col(vec_col)).alias("__e"),
-    ).where(F.col("__e").isNotNull())
+        F.col(vec_col).alias("__v0"),
+        F.sqrt(l2_norm_sq(F.col(vec_col))).alias("__nn"),
+    )
+    normed = (
+        nrm.where(F.col("__nn") > 0)
+        .select(
+            "__c",
+            "__id",
+            F.transform(
+                F.col("__v0"), lambda x: x.cast("double") / F.col("__nn")
+            ).alias("__e"),
+        )
+        .localCheckpoint(eager=True)
+    )
     a = normed.select("__c", F.col("__id").alias("__u"), F.col("__e").alias("__ea"))
     b = normed.select("__c", F.col("__id").alias("__v"), F.col("__e").alias("__eb"))
     dup_ids = (

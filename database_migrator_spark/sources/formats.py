@@ -100,15 +100,28 @@ def q129_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``<doc_id>\\t<text>`` lines through the ``text`` writer and recovered
     by splitting at the FIRST tab on read, hash-matched against the
     parquet-derived oracle so the id↔line pairing provably survives.
-    Line-per-record requires the payload to be newline/tab-free (true of
-    this corpus; a real pipeline escapes or length-prefixes first —
-    that's exactly why q84's JSONL is the safer interchange format)."""
+    Line-per-record requires the payload to be non-NULL and newline/
+    tab-free (true of this corpus; a real pipeline escapes or
+    length-prefixes first — that's exactly why q84's JSONL is the safer
+    interchange format). The preconditions are ASSERTED in-plan, not
+    assumed: a NULL text would make concat_ws drop the field, the
+    written line would have no tab, and the read side would silently
+    mispair (doc_id=NULL, text=<the id>) — a loud job failure beats
+    that."""
+    from database_migrator_spark.functions.exact import exactness_guard
+
     path = os.path.join(
         tempfile.gettempdir(),
         "spark_graft_formats",
         f"{os.path.basename(os.path.normpath(sf_dir))}-text",
     )
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents").where(
+        exactness_guard(
+            F.col("text").isNotNull() & ~F.col("text").rlike("[\t\n\r]"),
+            "q129: NULL or tab/newline-bearing text cannot round-trip the "
+            "line-per-record layout — escape or use JSONL (q84)",
+        )
+    )
     d.select(
         F.concat_ws("\t", F.col("doc_id").cast("string"), F.col("text")).alias("value")
     ).write.mode("overwrite").format("text").save(path)

@@ -328,13 +328,14 @@ def test_no_rdd_scans_anywhere(spark):
     (vectorized reader, pushdown-capable) — never an RDD scan. Exempt:
     streaming/UDTF sources, the sketch pipelines whose localCheckpoint
     (sketch-once materialization for the self-join) is an intentional RDD
-    boundary, the composed corpus pipeline whose stage-boundary
+    boundary — including q109's normalize-once checkpoint feeding both
+    self-join sides — the composed corpus pipeline whose stage-boundary
     checkpoints are the same pattern, and the BPE queries whose merge
     table is a driver-local list (vocabulary argmax results)."""
     for name, dq in _QS.items():
         if any(
             t in dq.tags
-            for t in ("streaming", "udtf", "minhash", "simhash", "pipeline", "bpe", "iterative")
+            for t in ("streaming", "udtf", "minhash", "simhash", "semdedup", "pipeline", "bpe", "iterative")
         ):
             continue
         p = _QS[name].build(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
