@@ -80,3 +80,44 @@ def test_hll_merged_equals_direct_global_sketch(spark):
         .collect()[0]["n"]
     )
     assert merged == direct
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    """q14's HLL++ estimate must sit within a few relative standard
+    deviations of the exact distinct count (rsd=0.01 requested)."""
+    from database_migrator_spark.sources import table as _t
+
+    o = _t(spark, SF_SMOKE, "orders")
+    exact = o.select("o_custkey").distinct().count()
+    approx = all_queries()["q14_approx_count_distinct"].build(spark, SF_SMOKE).first()[
+        "approx_custs"
+    ]
+    assert abs(approx - exact) / exact <= 0.05  # 5 sigma at rsd=0.01
+
+
+def test_approx_quantiles_bracketed_by_exact_neighbors(spark):
+    """q62's sketch percentiles must land within the exact [p-1%, p+1%]
+    value bracket per group — the rank-error contract of the sketch at
+    accuracy 10000 (max rank error N/10000 << 1% of N here)."""
+    from pyspark.sql import functions as F
+
+    from database_migrator_spark.sources import table as _t
+
+    o = _t(spark, SF_SMOKE, "orders")
+    rows = all_queries()["q62_approx_quantiles"].build(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        for p, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            lo, hi = (
+                o.where(F.col("o_orderstatus") == r.o_orderstatus)
+                .agg(
+                    F.expr(
+                        f"percentile(o_totalprice, {max(p - 0.01, 0.0)})"
+                    ).alias("lo"),
+                    F.expr(
+                        f"percentile(o_totalprice, {min(p + 0.01, 1.0)})"
+                    ).alias("hi"),
+                )
+                .first()
+            )
+            assert lo <= getattr(r, col) <= hi, (r.o_orderstatus, col)
