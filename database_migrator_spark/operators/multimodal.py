@@ -860,3 +860,95 @@ def q132_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlapping blocks fails the hash."""
     d = table(spark, sf_dir, "documents")
     return resize_images(attach_bmp_image(d)).orderBy("doc_id")
+
+
+AUDIO_FRAME_SCHEMA = (
+    "doc_id bigint, n_frames bigint, total_energy bigint, "
+    "peak_frame bigint, peak_energy bigint, active_frames bigint"
+)
+
+#: per-frame energy threshold for q133's activity detector: a frame of 16
+#: samples uniform over [-2048, 2048) has expected energy 16*4096^2/12
+#: ~ 22.4M, so 20M splits the synthetic corpus's frames nontrivially.
+AUDIO_ACTIVE_ENERGY = 20_000_000
+
+
+def audio_frame_features(audios: DataFrame, frame_len: int = 16,
+                         id_col: str = "doc_id",
+                         blob_col: str = "audio") -> DataFrame:
+    """Windowed audio feature extraction (the voice-activity-detection /
+    silence-trimming shape of a speech curation pipeline): decode the WAV,
+    split the PCM stream into fixed ``frame_len``-sample frames (partial
+    tail frame dropped — the standard hop convention), and reduce each
+    document to frame count, total in-frame energy, the argmax-energy
+    frame (first on ties), its energy, and the count of frames above the
+    activity threshold. All-integer arithmetic (samples bounded by 2^11,
+    frame energy by 2^26) keeps the result exact and order-independent on
+    both engines. A real pipeline swaps the energy reduction for an
+    acoustic model / VAD net over the same Arrow batches."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                _rate, samples = decode_wav(bytes(blob))
+                n_frames = len(samples) // frame_len
+                energies = [
+                    sum(s * s for s in samples[f * frame_len:(f + 1) * frame_len])
+                    for f in range(n_frames)
+                ]
+                peak_energy = max(energies)
+                peak_frame = energies.index(peak_energy)
+                out.append((
+                    int(doc_id), n_frames, sum(energies), peak_frame,
+                    peak_energy,
+                    sum(1 for e in energies if e >= AUDIO_ACTIVE_ENERGY),
+                ))
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "n_frames", "total_energy", "peak_frame",
+                         "peak_energy", "active_frames"],
+            )
+
+    return audios.mapInPandas(feats, schema=AUDIO_FRAME_SCHEMA)
+
+
+@query(
+    "q133_audio_frame_energy",
+    oracle=f"""
+    WITH e AS (
+      SELECT doc_id,
+             (doc_id % 256 + 16) // 16 AS n_frames,
+             list_transform(range(0, (doc_id % 256 + 16) // 16),
+               fr -> list_sum(list_transform(range(fr * 16, fr * 16 + 16),
+                     i -> CAST((doc_id * 31 + i * 7) % 4096 - 2048 AS BIGINT)
+                          * CAST((doc_id * 31 + i * 7) % 4096 - 2048 AS BIGINT))))
+                                       AS energies
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_frames AS BIGINT)                          AS n_frames,
+           CAST(list_sum(energies) AS BIGINT)                AS total_energy,
+           CAST(list_position(energies, list_max(energies)) - 1 AS BIGINT)
+                                                             AS peak_frame,
+           CAST(list_max(energies) AS BIGINT)                AS peak_energy,
+           CAST(len(list_filter(energies, x -> x >= {AUDIO_ACTIVE_ENERGY}))
+                AS BIGINT)                                   AS active_frames
+    FROM e
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "wav", "audio", "feature-extract", "mapInPandas"),
+)
+def q133_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio FRAME-level feature extraction, hash-matched end to end (the
+    audio analog of q124's video frame sampling): synthesize the q69 WAVs,
+    decode the RIFF container, window the PCM stream into 16-sample
+    frames, and verify the per-frame energy reduction — frame count,
+    total energy, argmax frame + its energy, active-frame count — against
+    the oracle recomputing the closed-form samples arithmetically. A
+    windowing bug (off-by-one hop, tail-frame leak, ties broken late)
+    shifts peak_frame or total_energy and fails the hash. Python-side
+    sums stay exact: 16 samples * 2048^2 < 2^26 per frame, < 2^31 per
+    document, far inside int64."""
+    d = table(spark, sf_dir, "documents")
+    return audio_frame_features(attach_wav_audio(d)).orderBy("doc_id")

@@ -25,7 +25,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from database_migrator_spark.functions.exact import to_cents
+from database_migrator_spark.functions.exact import cents_sum, to_cents
 from database_migrator_spark.plans.registry import query
 from database_migrator_spark.sources import table
 
@@ -195,3 +195,63 @@ def q131_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     d.write.mode("overwrite").partitionBy("source").parquet(path)
     back = spark.read.parquet(path).where(F.col("source") == "src3")
     return back.select("doc_id", "n_chars").orderBy("doc_id")
+
+
+@query(
+    "q134_bucketed_colocated_join",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*)                                             AS n_items,
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+             / 100.0                                            AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("source", "bucketing", "join", "colocated", "E3"),
+)
+def q134_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located fact-fact join — THE layout lever for the 100 TB
+    join neither side of which broadcasts: ``lineitem`` and ``orders`` are
+    written ONCE as external tables bucketed (and sorted) by their join
+    key into the same bucket count, so every subsequent join on that key
+    reads bucket i of each side into the same task and the sort-merge join
+    runs with ZERO shuffle of either table (plan-locked in
+    tests/test_plans.py: the only Exchange left is the final 5-group
+    aggregate's). At 100 TB this converts the pipeline's dominant
+    recurring cost — re-shuffling ~TBs of fact table per join — into a
+    one-time ingest-layout decision, exactly like the IVF/BPE fit
+    artifacts. The pre-write ``repartition(nb, key)`` co-locates each
+    bucket's rows in one task so each bucket lands in one file per side,
+    which also lets the bucket-sorted property satisfy the SMJ's sort
+    requirement on read. Hash-matched against the oracle running the same
+    join-aggregate on the ORIGINAL parquet, so the bucketed layout
+    provably loses/duplicates nothing."""
+    nb = 8
+    tag = "".join(c if c.isalnum() else "_" for c in os.path.basename(os.path.normpath(sf_dir)))
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_bucketed", tag)
+    li_name, o_name = f"q134_lineitem_{tag}", f"q134_orders_{tag}"
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    (li.repartition(nb, "l_orderkey").write.mode("overwrite")
+       .option("path", os.path.join(base, "lineitem"))
+       .bucketBy(nb, "l_orderkey").sortBy("l_orderkey").saveAsTable(li_name))
+    (o.repartition(nb, "o_orderkey").write.mode("overwrite")
+       .option("path", os.path.join(base, "orders"))
+       .bucketBy(nb, "o_orderkey").sortBy("o_orderkey").saveAsTable(o_name))
+
+    lb, ob = spark.table(li_name), spark.table(o_name)
+    return (
+        lb.hint("merge")
+        .join(ob, lb.l_orderkey == ob.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            cents_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -342,3 +342,27 @@ def test_jpeg_rejects_non_baseline():
         decode_jpeg(bytes(dri))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x89PNG not a jpeg")
+
+
+def test_audio_frame_features_windowing_edges(spark):
+    """q133's windowing contract on a hand-built WAV: 35 samples at
+    frame_len=16 yield exactly 2 frames (3-sample tail DROPPED — its
+    samples must not leak into total_energy), and an energy tie between
+    frames 0 and 1 resolves to the FIRST frame."""
+    from database_migrator_spark.operators.multimodal import (
+        audio_frame_features,
+        encode_wav,
+    )
+
+    # frames 0 and 1 identical (energy tie); loud 3-sample tail would
+    # dominate total_energy if leaked
+    samples = [3, -4] * 8 + [3, -4] * 8 + [2000, 2000, 2000]
+    blob = encode_wav(8000, samples)
+    df = spark.createDataFrame([(7, bytearray(blob))], "doc_id long, audio binary")
+    row = audio_frame_features(df).collect()[0]
+    frame_e = sum(s * s for s in [3, -4] * 8)  # 200
+    assert row.n_frames == 2
+    assert row.total_energy == 2 * frame_e
+    assert row.peak_frame == 0  # tie -> first
+    assert row.peak_energy == frame_e
+    assert row.active_frames == 0

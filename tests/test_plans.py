@@ -524,3 +524,24 @@ def test_partition_pruned_read_has_partition_filters(spark):
     import re
     m = re.search(r"PartitionFilters: \[[^\]]*source[^\]]*\]", p)
     assert m, "source filter did not become a PartitionFilter"
+
+
+def test_bucketed_join_eliminates_join_side_shuffle(spark):
+    """q134: both scans must read the BUCKETED layout and the sort-merge
+    join must consume them with NO Exchange on either input — the whole
+    point of the bucketed write. The only Exchanges allowed in the full
+    query are the final small-group aggregate's and the presentation
+    orderBy's. A regression that drops the bucketed-scan path (bucketing
+    conf off, bucket-count mismatch, a repartition sneaking in) puts a
+    corpus-sized Exchange back and fails here."""
+    p = plan_of(spark, "q134_bucketed_colocated_join")
+    assert "SortMergeJoin" in p
+    assert "Bucketed: true" in p
+    assert "SelectedBucketsCount: 8 out of 8" in p
+    # join side is exchange-free: the tree prints children below their
+    # parent, so everything AFTER the SortMergeJoin line is its two
+    # bucketed-scan inputs — no Exchange may appear there
+    join_input = p[p.index("SortMergeJoin") :]
+    assert "Exchange" not in join_input
+    # whole plan: agg exchange + orderBy range exchange only
+    assert p.count("Exchange") <= 2
