@@ -747,3 +747,97 @@ def q128_mixture_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", n_copies.alias("n_copies"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q136 — Count-Min frequency sketch (mergeable, engine-reproducible)
+# ---------------------------------------------------------------------------
+
+#: Count-Min geometry: 4 independent hash rows of 256 counters (2 md5 hex
+#: chars each). Deliberately NARROW so collisions are real at test scale
+#: (150 keys at sf0.01, ~1500 at sf0.1 over 256 columns) and the
+#: min-over-rows estimate visibly does its job; a production sketch sizes
+#: w = ceil(e/eps) for the wanted +/- eps*N error.
+CMS_D, CMS_W = 4, 256
+
+
+def _cms_positions(h: Column) -> Column:
+    """CMS_D (row, position) pairs from disjoint 2-hex-char md5 slices —
+    md5, not xxhash, so DuckDB can recompute the sketch bit-for-bit
+    (the q121/q37 engine-reproducible-randomness pattern)."""
+    return F.array(*[
+        F.struct(
+            F.lit(j).alias("j"),
+            F.conv(F.substring(h, 1 + 2 * j, 2), 16, 10).cast("int").alias("p"),
+        )
+        for j in range(CMS_D)
+    ])
+
+
+@query(
+    "q136_countmin_frequency",
+    oracle=r"""
+    WITH k AS (
+        SELECT user_id, md5(CAST(user_id AS VARCHAR)) AS h,
+               COUNT(*) AS c
+        FROM events GROUP BY user_id
+    ), pos AS (
+        SELECT user_id, c, j,
+               ( (strpos('0123456789abcdef', substr(h, 1 + 2*j, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(h, 2 + 2*j, 1)) - 1) ) AS p
+        FROM k, unnest([0, 1, 2, 3]) AS u(j)
+    ), counters AS (
+        SELECT j, p, CAST(SUM(c) AS BIGINT) AS cnt FROM pos GROUP BY j, p
+    ), top AS (
+        SELECT user_id, c FROM k ORDER BY c DESC, user_id LIMIT 20
+    )
+    SELECT t.user_id AS user_id,
+           CAST(t.c AS BIGINT)   AS true_cnt,
+           CAST(MIN(co.cnt) AS BIGINT) AS est_cnt
+    FROM top t
+    JOIN pos ON pos.user_id = t.user_id
+    JOIN counters co ON co.j = pos.j AND co.p = pos.p
+    GROUP BY t.user_id, t.c
+    ORDER BY true_cnt DESC, user_id
+    """,
+    tags=("sketch", "countmin", "frequency", "E10", "llm-pipeline"),
+)
+def q136_countmin_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch, hash-matched bit-for-bit: per-user
+    event counts fold into a FIXED-SIZE d=4 x w=256 counter matrix (bit
+    positions are md5 hex slices, so DuckDB rebuilds the identical
+    sketch), then the top-20 true-heavy keys are estimated back out as
+    min over the d counters each key hashes to. The driver's hash gate
+    thus verifies the sketch's exact deterministic content AND the
+    one-sided error contract (est_cnt >= true_cnt always; equality
+    whenever none of a key's 4 cells collide) — accuracy is additionally
+    property-tested in tests/test_curation.py.
+
+    The 100 TB shape: counters are LINEAR, so the sketch builds as one
+    map-side-combinable aggregate over pre-aggregated (key, count) rows
+    and merges across partitions/batches/days by cell-wise addition —
+    the same mergeability contract as q95's HLL and q121's Bloom. The
+    finished <=d*w-row sketch is the only thing broadcast (a few KB);
+    frequency queries against it are then shuffle-free. Spark's own
+    CountMinSketch (df.stat.countMinSketch) uses a JVM random seed —
+    md5 slices trade a little speed for cross-engine reproducibility."""
+    e = table(spark, sf_dir, "events")
+    keyed = e.groupBy("user_id").agg(F.count("*").alias("c"))
+    hk = keyed.select(
+        "user_id", "c",
+        F.md5(F.encode(F.col("user_id").cast("string"), "UTF-8")).alias("h"),
+    )
+    pos = hk.select(
+        "user_id", "c", F.explode(_cms_positions(F.col("h"))).alias("jp")
+    ).select("user_id", "c", F.col("jp.j").alias("j"), F.col("jp.p").alias("p"))
+    counters = pos.groupBy("j", "p").agg(F.sum("c").alias("cnt"))
+    top = keyed.orderBy(F.desc("c"), "user_id").limit(20)
+    return (
+        F.broadcast(top)
+        .join(pos.select("user_id", "j", "p"), "user_id")
+        .join(F.broadcast(counters), ["j", "p"])
+        .groupBy("user_id", "c")
+        .agg(F.min("cnt").alias("est_cnt"))
+        .select("user_id", F.col("c").cast("long").alias("true_cnt"), "est_cnt")
+        .orderBy(F.desc("true_cnt"), "user_id")
+    )

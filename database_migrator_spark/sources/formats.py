@@ -255,3 +255,33 @@ def q134_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q135_compaction_roundtrip",
+    oracle=_ORACLE,
+    tags=("source", "sink", "compaction", "maintenance"),
+)
+def q135_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the standing maintenance job of every
+    incremental/streaming lake at 100 TB (per-batch writers leave
+    thousands of KB-sized files; scan throughput and driver planning both
+    collapse under the file-listing and per-file open cost): the orders
+    projection is deliberately FRAGMENTED into 64 tiny files, then
+    compacted with ``compact_parquet(range_col=...)`` into size-targeted,
+    RANGE-CLUSTERED files (each output file covers a disjoint o_orderkey
+    range, sorted within, so parquet min/max row-group stats prune point
+    scans to one file afterwards — compaction should leave a zone-map
+    layout behind, not just fewer files). The read-back is hash-matched
+    against the oracle on the ORIGINAL parquet, so the fragment→compact→
+    read chain provably loses/duplicates nothing; file-count mechanics
+    and range disjointness are asserted in tests/test_streaming_sinks.py."""
+    from database_migrator_spark.sources.sink import compact_parquet
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_compact", tag)
+    frag, compacted = os.path.join(base, "frag"), os.path.join(base, "compact")
+    df = _projection(spark, sf_dir)
+    df.repartition(64).write.mode("overwrite").parquet(frag)
+    compact_parquet(spark, frag, compacted, range_col="o_orderkey")
+    return spark.read.schema(df.schema).parquet(compacted).orderBy("o_orderkey")

@@ -187,3 +187,55 @@ def test_mixture_materialize_copy_bounds(spark):
     for r in rows:
         by_src.setdefault(r.source, set()).add(r.n_copies)
     assert any(len(v) > 1 for v in by_src.values())
+
+
+def test_countmin_one_sided_error_all_keys(spark):
+    """CMS contract: est >= true for EVERY key (not just the top-20 the
+    query returns) — min over d counters can only over-count."""
+    from database_migrator_spark.operators.curation import _cms_positions
+
+    e = table(spark, SF_SMOKE, "events")
+    keyed = e.groupBy("user_id").agg(F.count("*").alias("c"))
+    hk = keyed.select(
+        "user_id", "c",
+        F.md5(F.encode(F.col("user_id").cast("string"), "UTF-8")).alias("h"),
+    )
+    pos = hk.select(
+        "user_id", "c", F.explode(_cms_positions(F.col("h"))).alias("jp")
+    ).select("user_id", "c", F.col("jp.j").alias("j"), F.col("jp.p").alias("p"))
+    counters = pos.groupBy("j", "p").agg(F.sum("c").alias("cnt"))
+    est = (
+        pos.join(counters, ["j", "p"])
+        .groupBy("user_id", "c")
+        .agg(F.min("cnt").alias("est"))
+    )
+    bad = est.where(F.col("est") < F.col("c")).count()
+    assert bad == 0
+
+
+def test_countmin_sketch_is_mergeable(spark):
+    """CMS linearity: the sketch of two disjoint event halves, merged by
+    cell-wise addition, equals the sketch of the whole — the property
+    that lets 100 TB build per-partition/per-day sketches and fold them."""
+    from database_migrator_spark.operators.curation import _cms_positions
+
+    e = table(spark, SF_SMOKE, "events")
+
+    def sketch(df):
+        keyed = df.groupBy("user_id").agg(F.count("*").alias("c"))
+        hk = keyed.select(
+            "c", F.md5(F.encode(F.col("user_id").cast("string"), "UTF-8")).alias("h")
+        )
+        pos = hk.select("c", F.explode(_cms_positions(F.col("h"))).alias("jp"))
+        return (
+            pos.groupBy(F.col("jp.j").alias("j"), F.col("jp.p").alias("p"))
+            .agg(F.sum("c").alias("cnt"))
+        )
+
+    full = {(r.j, r.p): r.cnt for r in sketch(e).collect()}
+    h1 = sketch(e.where(F.col("event_id") % 2 == 0)).collect()
+    h2 = sketch(e.where(F.col("event_id") % 2 == 1)).collect()
+    merged: dict = {}
+    for r in list(h1) + list(h2):
+        merged[(r.j, r.p)] = merged.get((r.j, r.p), 0) + r.cnt
+    assert merged == full

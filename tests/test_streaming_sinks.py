@@ -44,3 +44,30 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     assert n == 1  # sf0.001 lineitem ≪ 128 MB
     assert len(glob.glob(f"{out}/*.parquet")) == 1
     assert spark.read.parquet(out).count() == table(spark, SF_SMOKE, "lineitem").count()
+
+
+def test_compact_parquet_range_clusters_files(spark, tmp_path):
+    """q135's layout contract: with range_col the compacted files cover
+    DISJOINT key ranges (zone-map layout — parquet min/max stats then
+    prune point scans to one file), and the round-trip loses nothing."""
+    import glob
+
+    src = str(tmp_path / "fragmented")
+    li = table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    li.repartition(64).write.parquet(src)
+    out = str(tmp_path / "compacted")
+    # tiny target forces multiple output files at sf0.001
+    n = compact_parquet(spark, src, out, target_file_mb=0.02, range_col="l_orderkey")
+    files = sorted(glob.glob(f"{out}/*.parquet"))
+    assert n >= 3 and len(files) == n
+    spans = []
+    for f in files:
+        r = spark.read.parquet(f).agg(
+            F.min("l_orderkey").alias("lo"), F.max("l_orderkey").alias("hi")
+        ).collect()[0]
+        if r.lo is not None:
+            spans.append((r.lo, r.hi))
+    spans.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, f"file ranges overlap: ({lo1},{hi1}) vs ({lo2},..)"
+    assert spark.read.parquet(out).count() == li.count()
