@@ -99,6 +99,12 @@ PROBE_QUERIES = [
     "q126_vocab_contribution",
     "q127_incremental_neardup",
     "q128_mixture_materialize",
+    # round-5 wave 4: audio frame features, bucketed join, compaction,
+    # Count-Min sketch
+    "q133_audio_frame_energy",
+    "q134_bucketed_colocated_join",
+    "q135_compaction_roundtrip",
+    "q136_countmin_frequency",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
