@@ -285,3 +285,51 @@ def q135_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     df.repartition(64).write.mode("overwrite").parquet(frag)
     compact_parquet(spark, frag, compacted, range_col="o_orderkey")
     return spark.read.schema(df.schema).parquet(compacted).orderBy("o_orderkey")
+
+
+@query(
+    "q137_delete_propagation",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+    FROM events
+    WHERE user_id % 50 <> 7
+    ORDER BY event_id
+    """,
+    tags=("source", "sink", "deletes", "compliance", "maintenance"),
+)
+def q137_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-deletion propagation (GDPR right-to-be-forgotten) against a
+    range-clustered lake layout: the events projection is written
+    clustered by user_id (q135's zone-map layout), a deterministic
+    deletion-request set (user_id % 50 = 7 — the stand-in for the
+    compliance request table) is joined against per-file min/max key
+    stats, and ONLY the files that can contain a requested key are
+    rewritten with a broadcast anti-join; untouched files stay
+    byte-identical. The final read-back (untouched ∪ rewritten) is
+    hash-matched against the oracle's logical delete on the ORIGINAL
+    parquet — proving the partial rewrite deleted every requested row
+    and nothing else. File-targeting mechanics (affected < total for a
+    localized key set) are asserted in tests/test_streaming_sinks.py.
+    At 100 TB this is the difference between rewriting ~#keys files and
+    rewriting the whole table; the collected affected-file list is
+    planner METADATA (one row per file), the same thing a Delta/Iceberg
+    deletion-vector planner materializes."""
+    from database_migrator_spark.sources.sink import propagate_deletes
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_deletes", tag)
+    v1, v2 = os.path.join(base, "v1"), os.path.join(base, "v2")
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", to_cents("value").alias("value_cents")
+    )
+    (e.repartitionByRange(8, "user_id").sortWithinPartitions("user_id")
+      .write.mode("overwrite").parquet(v1))
+    deletes = (
+        spark.read.parquet(v1)
+        .where(F.col("user_id") % 50 == 7)
+        .select("user_id")
+        .distinct()
+    )
+    final, _n_aff, _n_files = propagate_deletes(spark, v1, v2, deletes, "user_id")
+    return final.select("event_id", "user_id", "value_cents").orderBy("event_id")

@@ -20,6 +20,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_partitioned_parquet(
@@ -107,3 +108,60 @@ def read_jdbc(
             properties=props,
         )
     return spark.read.jdbc(url, table, properties=props)
+
+
+def propagate_deletes(
+    spark: SparkSession,
+    base_dir: str,
+    rewrite_dir: str,
+    deletes: DataFrame,
+    key_col: str,
+):
+    """Key-deletion propagation (GDPR / right-to-be-forgotten) with
+    FILE-TARGETED rewrite: instead of rewriting the whole dataset,
+    per-file min/max statistics of ``key_col`` are joined against the
+    (small, broadcast) delete-key set, and ONLY files whose key range can
+    contain a requested key are rewritten (anti-join) into
+    ``rewrite_dir``; untouched files are left byte-identical in place.
+    Returns ``(final_df, n_affected, n_files)`` where ``final_df`` is the
+    logical post-delete dataset (untouched files ∪ rewritten files).
+
+    This is why q135's range-clustered compaction layout matters: with
+    keys clustered, a delete request touches ~1 file per key instead of
+    every file (a delete set over a randomly-laid-out 100 TB table
+    rewrites ALL of it). The affected-file list is collected — that is
+    METADATA (one row per file, the same planning information a table
+    format's deletion-vector planner reads), never data rows. The same
+    applies to Delta/Iceberg: this helper is the bare-parquet rendition
+    of their delete-file planning."""
+    scan = spark.read.parquet(base_dir)
+    stats = (
+        scan.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min(key_col).alias("lo"), F.max(key_col).alias("hi"))
+    )
+    dk = deletes.select(F.col(key_col).alias("__dk")).distinct()
+    affected_rows = (
+        stats.join(
+            F.broadcast(dk),
+            (F.col("__dk") >= F.col("lo")) & (F.col("__dk") <= F.col("hi")),
+            "left_semi",
+        )
+        .select("f")
+        .collect()
+    )
+    all_files = [r.f for r in stats.select("f").collect()]
+    affected = [r.f for r in affected_rows]
+    untouched = [f for f in all_files if f not in set(affected)]
+    parts = []
+    if affected:
+        (
+            spark.read.parquet(*affected)
+            .join(F.broadcast(dk), F.col(key_col) == F.col("__dk"), "left_anti")
+            .write.mode("overwrite")
+            .parquet(rewrite_dir)
+        )
+        parts.append(spark.read.parquet(rewrite_dir))
+    if untouched:
+        parts.append(spark.read.parquet(*untouched))
+    final = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    return final, len(affected), len(all_files)

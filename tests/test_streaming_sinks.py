@@ -71,3 +71,35 @@ def test_compact_parquet_range_clusters_files(spark, tmp_path):
     for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2, f"file ranges overlap: ({lo1},{hi1}) vs ({lo2},..)"
     assert spark.read.parquet(out).count() == li.count()
+
+
+def test_propagate_deletes_rewrites_only_affected_files(spark, tmp_path):
+    """q137's planning contract: with keys range-clustered, a localized
+    delete set rewrites ONLY the files whose min/max span it; untouched
+    files stay byte-identical on disk, and the final dataset equals the
+    logical anti-join."""
+    import glob
+    import os
+
+    from database_migrator_spark.sources.sink import propagate_deletes
+
+    v1, v2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+    df = spark.range(0, 400).select(
+        F.col("id").alias("row_id"), (F.col("id") % 100).alias("k")
+    )
+    (df.repartitionByRange(4, "k").sortWithinPartitions("k")
+       .write.mode("overwrite").parquet(v1))
+    files_before = {
+        f: os.path.getmtime(f) for f in glob.glob(f"{v1}/*.parquet")
+    }
+    assert len(files_before) == 4
+    deletes = spark.createDataFrame([(5,)], "k long")  # lives in ONE file
+    final, n_aff, n_files = propagate_deletes(spark, v1, v2, deletes, "k")
+    assert n_files == 4 and n_aff == 1
+    # untouched v1 files not rewritten in place
+    assert {
+        f: os.path.getmtime(f) for f in glob.glob(f"{v1}/*.parquet")
+    } == files_before
+    got = {(r.row_id, r.k) for r in final.collect()}
+    want = {(r.row_id, r.k) for r in df.where(F.col("k") != 5).collect()}
+    assert got == want
