@@ -376,3 +376,60 @@ def q76_moving_average_range_frame(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("priority", "day_num")
     )
+
+
+@query(
+    "q138_rollup_cascade",
+    oracle="""
+    SELECT event_type,
+           strftime(date_trunc('week', CAST(ts AS DATE)), '%Y-%m-%d') AS week,
+           CAST(COUNT(*) AS BIGINT)                    AS n_events,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0  AS sum_value
+    FROM events
+    GROUP BY event_type, date_trunc('week', CAST(ts AS DATE))
+    ORDER BY event_type, week
+    """,
+    tags=("temporal", "rollup", "continuous-aggregate", "hypertable"),
+)
+def q138_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity rollup CASCADE (the hypertable continuous-
+    aggregate shape): raw events fold once into HOURLY partials
+    (count + exact-cents sum per (event_type, hour) — the only
+    corpus-sized aggregate), dailies derive from the hourly PARTIALS,
+    weeklies from the dailies — never rescanning raw data. At 100 TB
+    this is the retention/serving pattern: the hourly partial table is
+    ~10^4-10^5x smaller than raw, materialized incrementally per ingest
+    window, and every coarser granularity (plus late-data re-rollup) is
+    an aggregate over partials, exploiting that count/sum are MERGEABLE
+    (the same linearity q136's Count-Min and q95's HLL union exploit —
+    avg/distinct must instead carry (sum,count)/sketch partials).
+    n_days (count of daily partials per week) is carried up the cascade
+    so the hash also pins the intermediate level's cardinality, not
+    just totals. Weeks are ISO Monday-start on both engines."""
+    e = table(spark, sf_dir, "events").select(
+        "event_type", "ts", to_cents("value").alias("c")
+    )
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("cnt"), F.sum("c").alias("sc"))
+    daily = hourly.groupBy("event_type", F.to_date("h").alias("d")).agg(
+        F.sum("cnt").alias("cnt"), F.sum("sc").alias("sc")
+    )
+    weekly = (
+        daily.groupBy("event_type", F.date_trunc("week", "d").alias("w"))
+        .agg(
+            F.sum("cnt").alias("n_events"),
+            F.count("*").alias("n_days"),
+            (F.sum("sc") / F.lit(100.0)).alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.date_format("w", "yyyy-MM-dd").alias("week"),
+            "n_events",
+            "n_days",
+            "sum_value",
+        )
+        .orderBy("event_type", "week")
+    )
+    return weekly

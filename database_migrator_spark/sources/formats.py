@@ -333,3 +333,60 @@ def q137_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     final, _n_aff, _n_files = propagate_deletes(spark, v1, v2, deletes, "user_id")
     return final.select("event_id", "user_id", "value_cents").orderBy("event_id")
+
+
+@query(
+    "q139_corrupt_tolerant_ingest",
+    oracle="""
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE doc_id % 37 <> 0
+    ORDER BY doc_id
+    """,
+    tags=("source", "json", "corrupt-records", "permissive"),
+)
+def q139_corrupt_tolerant_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-tolerant JSONL ingest — the fault-reality of web-scale
+    feeds (truncated uploads, encoder bugs, mid-line splits): a corpus
+    is written with every doc_id % 37 == 0 line deliberately TRUNCATED
+    mid-object, then read back in PERMISSIVE mode with an explicit
+    ``_corrupt_record`` column. Good rows must survive bit-exact (the
+    hash match against the clean subset proves the malformed neighbors
+    neither crashed the scan — FAILFAST's behavior — nor corrupted
+    adjacent parses), and the quarantined-row accounting (every bad line
+    lands in ``_corrupt_record`` with its raw payload preserved for a
+    dead-letter queue, count asserted) lives in
+    tests/test_formats_corrupt.py. At 100 TB PERMISSIVE + corrupt-column
+    is the only viable posture: one bad line among billions must cost
+    one quarantined row, not a failed 1000-executor job; DROPMALFORMED
+    is the silent-loss anti-pattern (no audit trail of what vanished)."""
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_formats",
+        f"{os.path.basename(os.path.normpath(sf_dir))}-corrupt",
+    )
+    d = table(spark, sf_dir, "documents")
+    lines = d.select(
+        F.when(
+            F.col("doc_id") % 37 == 0,
+            F.concat(F.lit('{"doc_id": '), F.col("doc_id"), F.lit(', "n_chars": ')),
+        )
+        .otherwise(F.to_json(F.struct("doc_id", "n_chars")))
+        .alias("value")
+    )
+    lines.write.mode("overwrite").format("text").save(path)
+    back = (
+        spark.read.schema("doc_id long, n_chars long, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    # the doc_id guard is semantic (a good row must have parsed its key)
+    # AND load-bearing: under count()-style column pruning a filter whose
+    # only referenced column is _corrupt_record makes the scan illegal
+    # (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    return (
+        back.where(F.col("_corrupt_record").isNull() & F.col("doc_id").isNotNull())
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
