@@ -100,3 +100,46 @@ def q22_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "q141_variant_shredding",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+                                                            AS sum_k,
+           CAST(COUNT(*) AS BIGINT)                         AS n,
+           CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT)      AS n_missing
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("json", "variant", "semistructured", "E12"),
+)
+def q141_variant_shredding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion through Spark 4's VARIANT type: props
+    parses ONCE into the binary variant encoding (``parse_json``), and
+    typed fields come out with ``variant_get`` — no per-path string
+    re-parse (q20's get_json_object re-tokenizes the JSON text for every
+    path) and no pinned struct schema (q21's from_json breaks the moment
+    a feed adds heterogeneous/nested keys; variant defers the schema to
+    extraction time, per path, which is the right posture for a 100 TB
+    event firehose whose props drift weekly). n_missing counts events
+    whose props lack the path — the drift signal a pipeline monitors.
+    The DuckDB oracle mirrors with its JSON extraction, so the whole
+    variant encode→extract chain is under the hash."""
+    e = table(spark, sf_dir, "events")
+    v = e.select("event_type", F.parse_json("props").alias("v"))
+    k = v.select(
+        "event_type", F.try_variant_get("v", "$.k", "long").alias("k")
+    )
+    return (
+        k.groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).cast("long").alias("n_missing"),
+        )
+        .orderBy("event_type")
+    )

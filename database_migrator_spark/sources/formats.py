@@ -390,3 +390,27 @@ def q139_corrupt_tolerant_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_chars")
         .orderBy("doc_id")
     )
+
+
+@query("q140_xml_roundtrip", oracle=_ORACLE, tags=("source", "sink", "xml"))
+def q140_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML write→read round-trip of the exact-typed projection — Spark 4
+    ships the (formerly spark-xml) reader/writer natively, and XML is
+    still the interchange reality of enterprise/API feeds. Same rules as
+    q83/q84: schema pinned on read (inference is a second scan and
+    type-unstable), no raw floats across a text format, integer cents
+    only. rowTag is explicit — the XML source has no default record
+    element."""
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_formats",
+        f"{os.path.basename(os.path.normpath(sf_dir))}-xml",
+    )
+    df = _projection(spark, sf_dir)
+    (df.write.mode("overwrite").format("xml")
+       .option("rootTag", "orders").option("rowTag", "order").save(path))
+    back = (
+        spark.read.format("xml").option("rowTag", "order")
+        .schema(df.schema).load(path)
+    )
+    return back.orderBy("o_orderkey")

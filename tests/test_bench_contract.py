@@ -57,19 +57,19 @@ def test_bench_json_line_fits_tail_window():
 
 
 def test_gate_order_front_loads_stale_signal_set():
-    """Round 5: the 50-row gate must spend its budget on (a) the 44
+    """Round 5: the 50-row gate must spend its budget on (a) the 46
     queries whose current code has never been driver-gated — q101-q107
-    (new in r04), q108-q139 (new in r05), plus q72/q86/q90/q94/q96
+    (new in r04), q108-q141 (new in r05), plus q72/q86/q90/q94/q96
     (modified after their r03 rows) — then (b) the oldest-gate-row
     remainder of q51-q100 (r03).  q01-q50 re-verified in r04 and queue
     last.  Pinning the exact first-50 list (not just the set) so a
     refactor cannot silently reorder the gate."""
     names = list(all_queries())
-    never_gated = {f"q{i}" for i in range(101, 140)} | {"q72", "q86", "q90", "q94", "q96"}
+    never_gated = {f"q{i}" for i in range(101, 142)} | {"q72", "q86", "q90", "q94", "q96"}
     r03_rest = {f"q{i}" for i in range(51, 101)} - never_gated
     gate = [n.split("_", 1)[0] for n in names[:50]]
-    assert gate[:44] == sorted(never_gated)
-    assert gate[44:] == sorted(r03_rest)[:6]
+    assert gate[:46] == sorted(never_gated)
+    assert gate[46:] == sorted(r03_rest)[:4]
     # the freshest block (q01-q50, re-gated r04) must all sort after the
     # 50-row window
     tail = {n.split("_", 1)[0] for n in names[50:]}
