@@ -105,6 +105,13 @@ PROBE_QUERIES = [
     "q134_bucketed_colocated_join",
     "q135_compaction_roundtrip",
     "q136_countmin_frequency",
+    # round-5 wave 5: delete propagation, rollup cascade, corrupt-tolerant
+    # ingest, XML round-trip, variant shredding
+    "q137_delete_propagation",
+    "q138_rollup_cascade",
+    "q139_corrupt_tolerant_ingest",
+    "q140_xml_roundtrip",
+    "q141_variant_shredding",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
