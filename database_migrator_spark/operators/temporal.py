@@ -433,3 +433,106 @@ def q138_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_type", "week")
     )
     return weekly
+
+
+@query(
+    "q142_event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events
+    ), t AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+    FROM t
+    ORDER BY from_type, to_type
+    """,
+    tags=("temporal", "sequence", "markov", "transitions"),
+)
+def q142_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-transition (Markov) matrix: each user's event
+    stream is ordered by (ts, event_id — the unique tiebreaker, since
+    equal timestamps would otherwise make lead() nondeterministic and
+    break the hash), consecutive pairs count into a from_type x to_type
+    matrix, and row-normalized probabilities come out as a BIGINT/BIGINT
+    double division (both engines divide the same exact integers — no
+    float-sum drift). The 100 TB shape: one (user_id) shuffle for the
+    per-user window, then the matrix aggregate is event_type^2-sized
+    (tiny); the normalizing window runs on the matrix, never the corpus.
+    This is the sequence-model feed (transition priors, anomaly scores)
+    that q74's fixed-stage funnel cannot express."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    t = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count("*").alias("n"))
+    row_tot = Window.partitionBy("from_type")
+    return (
+        t.select(
+            "from_type", "to_type", F.col("n").cast("long").alias("n"),
+            (F.col("n").cast("double") / F.sum("n").over(row_tot).cast("double")).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+@query(
+    "q143_retention_cohorts",
+    oracle="""
+    WITH firstday AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort FROM events
+        GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT e.user_id, f.cohort,
+               datediff('day', f.cohort, CAST(e.ts AS DATE)) AS day_n
+        FROM events e JOIN firstday f ON e.user_id = f.user_id
+    )
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+           CAST(day_n AS BIGINT)        AS day_n,
+           CAST(COUNT(*) AS BIGINT)     AS n_users
+    FROM activity
+    GROUP BY cohort, day_n
+    ORDER BY cohort, day_n
+    """,
+    tags=("temporal", "retention", "cohort"),
+)
+def q143_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-cohort matrix (the activation/retention readout of any
+    event product, and the acceptance readout of a data-collection
+    pipeline): users cohort by FIRST active day, every active (user,
+    day_n-since-cohort) pair counts once, giving cohort x day_n active-
+    user counts. Plan: one (user_id) aggregate for first-day, a
+    broadcast-or-shuffle join back (Catalyst picks; both sides are
+    user-keyed so the join co-locates with the aggregate's partitioning),
+    a distinct on (user, cohort, day_n), then a cohort-sized final
+    aggregate. At 100 TB the distinct is the only corpus-sized shuffle
+    and it is key-local after the join."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    firstday = e.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    activity = (
+        e.join(firstday, "user_id")
+        .select("user_id", "cohort", F.datediff("d", "cohort").alias("day_n"))
+        .distinct()
+    )
+    return (
+        activity.groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+            F.col("day_n").cast("long").alias("day_n"),
+        )
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort", "day_n")
+    )

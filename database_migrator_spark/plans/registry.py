@@ -76,12 +76,12 @@ def query(
 #   rank 2 — queries gated most recently (q01-q50, re-verified r04).
 #
 # Round-5 instance: rank 0 = q101-q107 (new in r04, never gated),
-# q108-q141 (new THIS round), plus q72/q86/q90/q94/q96 (gated r03,
+# q108-q143 (new THIS round), plus q72/q86/q90/q94/q96 (gated r03,
 # modified in r04 — commits f67d11a, 19b97c0, f142e56).  Order changes
 # NOTHING for the pytest oracle suite or bench.py — they run the whole
 # catalog.  tests/test_bench_contract.py pins the resulting first-50
 # list so a refactor cannot silently reorder the gate.
-_NEVER_GATED_CURRENT = {f"q{i}" for i in range(101, 142)} | {
+_NEVER_GATED_CURRENT = {f"q{i}" for i in range(101, 144)} | {
     "q72",
     "q86",
     "q90",
