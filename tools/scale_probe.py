@@ -112,6 +112,9 @@ PROBE_QUERIES = [
     "q139_corrupt_tolerant_ingest",
     "q140_xml_roundtrip",
     "q141_variant_shredding",
+    # round-5 wave 6: sequence analytics
+    "q142_event_transitions",
+    "q143_retention_cohorts",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
