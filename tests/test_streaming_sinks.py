@@ -103,3 +103,20 @@ def test_propagate_deletes_rewrites_only_affected_files(spark, tmp_path):
     got = {(r.row_id, r.k) for r in final.collect()}
     want = {(r.row_id, r.k) for r in df.where(F.col("k") != 5).collect()}
     assert got == want
+
+
+def test_propagate_deletes_noop_when_no_key_matches(spark, tmp_path):
+    """Delete set disjoint from every file's key range: zero files
+    rewritten, dataset passes through identical."""
+    from database_migrator_spark.sources.sink import propagate_deletes
+
+    v1, v2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("row_id"), (F.col("id") % 10).alias("k")
+    )
+    (df.repartitionByRange(2, "k").sortWithinPartitions("k")
+       .write.mode("overwrite").parquet(v1))
+    deletes = spark.createDataFrame([(999,)], "k long")  # outside all ranges
+    final, n_aff, n_files = propagate_deletes(spark, v1, v2, deletes, "k")
+    assert n_aff == 0 and n_files == 2
+    assert final.count() == 100
