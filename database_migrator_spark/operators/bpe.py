@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from database_migrator_spark.operators.dedup import tokens_of
 from database_migrator_spark.plans.registry import query
-from database_migrator_spark.sources import table
+from database_migrator_spark.sources import spread_for_cpu, table
 
 # end-of-word sentinel (GPT-2 style "</w>") so merges can span to word
 # boundaries and the learned units distinguish "er" mid-word from "er"
@@ -48,9 +48,10 @@ EOW_DISPLAY = "</w>"
 
 
 def word_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(word, n) counts — the only corpus-scale pass. Repartitions before
-    the tokenize lambda (single-file tables arrive as one partition)."""
-    d = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    """(word, n) counts — the only corpus-scale pass. Spreads narrow
+    inputs before the tokenize lambda (single-file tables arrive as one
+    partition); no-ops on already-wide 100 TB scans."""
+    d = spread_for_cpu(docs)
     return (
         d.select(F.explode(tokens_of(text_col)).alias("word"))
         .groupBy("word")
@@ -351,7 +352,7 @@ def q116_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     pieces = syms.select("word", F.size("syms").cast("long").alias("np"))
     src = (
-        d.repartition(spark.sparkContext.defaultParallelism)
+        spread_for_cpu(d)
         .select("source", F.explode(tokens_of("text")).alias("tok"))
         .select(
             "source", F.replace(F.col("tok"), F.lit(EOW), F.lit("")).alias("word")

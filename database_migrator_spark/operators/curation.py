@@ -24,13 +24,14 @@ from pyspark.sql import functions as F
 from database_migrator_spark.functions.exact import EXACT_DOUBLE_BOUND, exactness_guard
 from database_migrator_spark.operators.dedup import tokens_of, word_shingles
 from database_migrator_spark.plans.registry import query
-from database_migrator_spark.sources import table
+from database_migrator_spark.sources import spread_for_cpu, table
 
 
 def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Re-spread a (possibly single-file, hence single-partition) scan
-    before CPU-heavy per-row HOF work — see CLAUDE.md invariants."""
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    before CPU-heavy per-row HOF work — see CLAUDE.md invariants.
+    Conditional: no-ops on already-wide inputs (sources.spread_for_cpu)."""
+    return spread_for_cpu(df)
 
 
 # ---------------------------------------------------------------------------
@@ -150,9 +151,12 @@ def q119_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows — the one legitimately broadcast side."""
     d = _spread(spark, table(spark, sf_dir, "documents"))
     toks = tokens_of("text")
+    # in-row array_distinct before the explode (the q118 pattern): a gram
+    # repeated within one document costs one shuffle row, not many, and the
+    # corpus-wide (source, gram) distinct only collapses cross-document dups
     g = (
         d.where(F.size(toks) >= 8)
-        .select("source", F.explode(word_shingles(toks, 8)).alias("g"))
+        .select("source", F.explode(F.array_distinct(word_shingles(toks, 8))).alias("g"))
         .distinct()
     )
     sizes = g.groupBy("source").agg(F.count("*").alias("n"))

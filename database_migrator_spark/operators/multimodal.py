@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from database_migrator_spark.plans.registry import query
-from database_migrator_spark.sources import table
+from database_migrator_spark.sources import spread_for_cpu, table
 
 try:  # pragma: no cover - not present in this container
     from PIL import Image  # type: ignore  # noqa: F401
@@ -51,7 +51,7 @@ def attach_fake_image(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     Dimensions derive from md5 slices of the id (not xxhash) so ANY engine
     can recompute them — that's what upgrades q37 from rows-only to a
     hash-matched oracle (q121's trick)."""
-    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    docs = spread_for_cpu(docs)
     h = F.md5(F.encode(F.col(id_col).cast("string"), "UTF-8"))
     width = (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 1920 + 1).cast("long")
     height = (F.conv(F.substring(h, 5, 4), 16, 10).cast("long") % 1080 + 1).cast("long")
@@ -310,8 +310,7 @@ def attach_wav_audio(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Synthesize a REAL (valid, decodable) mono 16-bit PCM WAV per doc:
     rate = 8000 + (doc_id%8)*1000, n = doc_id%256+16 samples, sample i =
     ((doc_id*31 + i*7) % 4096) - 2048 — closed forms an oracle recomputes."""
-    par = min(16, docs.sparkSession.sparkContext.defaultParallelism)
-    docs = docs.repartition(par)
+    docs = spread_for_cpu(docs, cap=16)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -357,8 +356,7 @@ def attach_bmp_image(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     TWO Python workers per partition, and at test scale worker spin-up
     dominates the (tiny) per-row work. At 100 TB the table arrives in many
     partitions already and the repartition is a no-op passthrough."""
-    par = min(16, docs.sparkSession.sparkContext.defaultParallelism)
-    docs = docs.repartition(par)
+    docs = spread_for_cpu(docs, cap=16)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -562,8 +560,7 @@ def attach_png_image(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     recomputes — and scanline filter type = doc_id % 5, so the corpus
     collectively exercises every PNG defilter path (none/sub/up/average/
     paeth) under the hash gate."""
-    par = min(16, docs.sparkSession.sparkContext.defaultParallelism)
-    docs = docs.repartition(par)
+    docs = spread_for_cpu(docs, cap=16)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -622,8 +619,7 @@ def attach_jpeg_image(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     LOSSY codec's exact subset."""
     from database_migrator_spark.operators.jpeg import encode_jpeg
 
-    par = min(16, docs.sparkSession.sparkContext.defaultParallelism)
-    docs = docs.repartition(par)
+    docs = spread_for_cpu(docs, cap=16)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -717,8 +713,7 @@ def attach_raw_video(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     header): ``doc_id % 40 + 5`` frames of 64 bytes, where byte j of frame
     i is ``(doc_id + 3*i + j) % 256`` — closed forms an SQL oracle can
     recompute. Same partition-cap rationale as attach_bmp_image."""
-    par = min(16, docs.sparkSession.sparkContext.defaultParallelism)
-    docs = docs.repartition(par)
+    docs = spread_for_cpu(docs, cap=16)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from database_migrator_spark.plans.registry import query
-from database_migrator_spark.sources import table
+from database_migrator_spark.sources import spread_for_cpu, table
 
 from database_migrator_spark.operators.dedup import (
     connected_components,
@@ -71,7 +71,7 @@ def prepare_training_corpus(
     # the quality stage is CPU-bound per-row HOF work (tokenize +
     # trigram shingles) and single-file inputs arrive as ONE partition —
     # spread across all cores before any per-row expression runs
-    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    docs = spread_for_cpu(docs)
 
     toks = tokens_of(text_col)
     n = F.size(toks)
@@ -100,9 +100,7 @@ def prepare_training_corpus(
         # Re-spread first: AQE coalesces the tiny-by-bytes digest-window
         # shuffle to ONE partition, which would serialize every
         # downstream CPU-bound shingle lambda onto a single core.
-        exact = exact.repartition(
-            docs.sparkSession.sparkContext.defaultParallelism
-        ).localCheckpoint(eager=True)
+        exact = spread_for_cpu(exact).localCheckpoint(eager=True)
 
     pairs = minhash_near_duplicates(
         exact, id_col=id_col, text_col=text_col, threshold=neardup_threshold, bands=32
@@ -124,9 +122,7 @@ def prepare_training_corpus(
         # consumed by decontamination's shingle explode, a stage count,
         # and (via clean) the split — the most expensive frame to
         # re-derive; keep it spread for the k-gram lambdas downstream
-        neardup = neardup.repartition(
-            docs.sparkSession.sparkContext.defaultParallelism
-        ).localCheckpoint(eager=True)
+        neardup = spread_for_cpu(neardup).localCheckpoint(eager=True)
 
     if bench_docs is not None:
         contaminated = benchmark_decontamination(

@@ -32,7 +32,7 @@ from database_migrator_spark.functions.vector import (
     l2_norm_sq,
 )
 from database_migrator_spark.plans.registry import query
-from database_migrator_spark.sources import table
+from database_migrator_spark.sources import spread_for_cpu, table
 
 _DIM = 64
 # SRP bucket-count tradeoff: 2^n_planes buckets should be ~N/100 so each
@@ -823,8 +823,7 @@ def pq_encode(
                 {id_col: pdf[id_col], "codes": [list(map(int, r)) for r in codes]}
             )
 
-    par = embeddings.sparkSession.sparkContext.defaultParallelism
-    return embeddings.repartition(par).select(id_col, vec_col).mapInPandas(
+    return spread_for_cpu(embeddings).select(id_col, vec_col).mapInPandas(
         enc, schema=f"{id_col} bigint, codes array<int>"
     )
 
@@ -872,6 +871,83 @@ def pq_adc_topk(
     )
 
 
+# Fixed closed-form PQ codebook for q144: m=8 subspaces × k=16 centroids ×
+# dsub=8 dims, every value a small exact decimal ((j*5 + d*3 + s*7) % 17 - 8)
+# / 20 ∈ [-0.4, 0.4] — the embedding value range. GIVEN fixed codebooks the
+# encode step is exact (nearest centroid, ties to the lowest id), so the
+# same literals inline into a DuckDB VALUES table and the whole encode path
+# hash-matches — shrinking the untested-by-hash surface to the genuinely
+# iterative codebook TRAINING (q117), mirroring how q107 inlines q106's
+# merges.
+_FIXED_PQ_M, _FIXED_PQ_K, _FIXED_PQ_DSUB = 8, 16, 8
+FIXED_PQ_BOOKS: list[list[list[float]]] = [
+    [
+        [((j * 5 + d * 3 + s * 7) % 17 - 8) / 20.0 for d in range(_FIXED_PQ_DSUB)]
+        for j in range(_FIXED_PQ_K)
+    ]
+    for s in range(_FIXED_PQ_M)
+]
+
+
+def _fixed_pq_books_sql() -> str:
+    """The identical codebook as a DuckDB VALUES table (s, j, c)."""
+    rows = []
+    for s in range(_FIXED_PQ_M):
+        for j in range(_FIXED_PQ_K):
+            vals = ", ".join(repr(x) for x in FIXED_PQ_BOOKS[s][j])
+            rows.append(f"({s}, {j}, [{vals}]::DOUBLE[])")
+    return ",\n               ".join(rows)
+
+
+@query(
+    "q144_pq_encode_fixed",
+    oracle=f"""
+    WITH books(s, j, c) AS (
+        VALUES {_fixed_pq_books_sql()}
+    ), e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), sub AS (
+        SELECT vec_id, b.s, b.j,
+               list_reduce(list_transform(range(1, {_FIXED_PQ_DSUB} + 1),
+                   i -> (v[b.s * {_FIXED_PQ_DSUB} + i] - b.c[i])
+                        * (v[b.s * {_FIXED_PQ_DSUB} + i] - b.c[i])),
+                   (x, y) -> x + y) AS d2
+        FROM e CROSS JOIN books b
+    ), best AS (
+        SELECT vec_id, s, j FROM (
+            SELECT vec_id, s, j,
+                   row_number() OVER (PARTITION BY vec_id, s
+                                      ORDER BY d2, j) AS rn
+            FROM sub
+        ) WHERE rn = 1
+    )
+    SELECT vec_id,
+           array_to_string(list(j ORDER BY s), '-') AS code_str
+    FROM best
+    GROUP BY vec_id
+    ORDER BY vec_id
+    """,
+    tags=("similarity", "ann", "pq", "encode", "llm-pipeline"),
+)
+def q144_pq_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ENCODE hash-matched under fixed codebooks: run the real
+    production encode path (``pq_encode``'s Arrow-batched numpy argmin)
+    against the closed-form FIXED_PQ_BOOKS and emit each vector's code
+    word. The oracle recomputes nearest-centroid per subspace from the
+    identical literals; both argmins break ties to the lowest centroid
+    id. Training stays rows-only by design (q117); this pins the encode
+    semantics the ADC search path consumes."""
+    e = table(spark, sf_dir, "embeddings")
+    codes = pq_encode(e, FIXED_PQ_BOOKS)
+    return codes.select(
+        "vec_id",
+        F.concat_ws("-", F.transform("codes", lambda c: c.cast("string"))).alias(
+            "code_str"
+        ),
+    ).orderBy("vec_id")
+
+
 @query(
     "q117_pq_compression",
     oracle=None,  # per-subspace KMeans is iterative (seeded MLlib) — not
@@ -911,8 +987,7 @@ def q117_pq_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out.append((s, -1.0 - float(v)))  # tagged ssq rows
             yield pd.DataFrame(out, columns=["subspace", "val"])
 
-    par = spark.sparkContext.defaultParallelism
-    raw = e.repartition(par).select("embedding").mapInPandas(
+    raw = spread_for_cpu(e).select("embedding").mapInPandas(
         residuals, schema="subspace int, val double"
     )
     err = raw.where(F.col("val") >= 0)

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from database_migrator_spark.functions.exact import EXACT_DOUBLE_BOUND, exactness_guard
 from database_migrator_spark.operators.dedup import tokens_of
 from database_migrator_spark.plans.registry import query
-from database_migrator_spark.sources import table
+from database_migrator_spark.sources import spread_for_cpu, table
 
 _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 
@@ -426,9 +426,7 @@ def q88_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a broadcast-size per-doc max joined back on doc_id."""
     from database_migrator_spark.operators.dedup import word_shingles
 
-    d = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = spread_for_cpu(table(spark, sf_dir, "documents"))
     base = d.select("doc_id", tokens_of("text").alias("t")).where(F.size("t") >= 3)
     sh = word_shingles(F.col("t"), 3)
     trig = base.select(
@@ -828,9 +826,7 @@ def q98_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
     pairwise work, which is what makes the scan affordable at 100 TB."""
     # single-file table = 1 partition; shingle construction is CPU-bound
     # per row, so spread it across cores first (interpreted HOF lambdas)
-    d = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = spread_for_cpu(table(spark, sf_dir, "documents"))
     return benchmark_decontamination(
         d.where(F.col("doc_id") % 97 != 0), d.where(F.col("doc_id") % 97 == 0), k=8
     ).orderBy("doc_id")
@@ -879,9 +875,7 @@ def q99_quality_filter_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_migrator_spark.operators.dedup import word_shingles
 
     # spread the single-file scan before the CPU-bound shingle lambdas
-    d = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = spread_for_cpu(table(spark, sf_dir, "documents"))
     toks = tokens_of("text")
     n = F.size(toks)
     sh = word_shingles(toks, 3)
@@ -937,9 +931,7 @@ def q100_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     overflow the tracker and degrade gracefully to approximate counts.
     The final deterministic (count desc, term) sort happens outside the
     sketch, since approx_top_k's internal tie order is unspecified."""
-    d = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = spread_for_cpu(table(spark, sf_dir, "documents"))
     toks = d.select(F.explode(tokens_of("text")).alias("term"))
     return heavy_hitters(toks, "term", k=10)
 
@@ -1077,9 +1069,7 @@ def q103_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     GUARDED: a JVM-side assert_true fails the job loudly past the
     bound instead of silently losing ulps (the escape hatch there is
     the log-sum restatement ln(c_s)+ln(N_g)-ln(N_s)-ln(c_g))."""
-    d = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = spread_for_cpu(table(spark, sf_dir, "documents"))
     dt = d.select("source", F.explode(tokens_of("text")).alias("tok"))
     cnt_s = dt.groupBy("source", "tok").agg(F.count("*").alias("c_s"))
     ns = dt.groupBy("source").agg(F.count("*").alias("n_s"))
@@ -1157,9 +1147,7 @@ def q104_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     total_wq < 2^53; a JVM-side assert_true fails loudly past that
     bound (reaching it needs Σ√tokens > 9e9, i.e. ~10^19 corpus
     tokens at one shard — far past 100 TB, but guarded, not assumed)."""
-    d = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = spread_for_cpu(table(spark, sf_dir, "documents"))
     g = d.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.size(tokens_of("text")).cast("long")).alias("n_tokens"),
@@ -1259,9 +1247,7 @@ def q108_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hash-stable: nll = ln(c1/c2) of exact BIGINTs below the guarded
     2^53 bound, summed per doc in 1e-12 fixed point (order-free), and
     the final avg divides bit-identical doubles on both engines."""
-    d = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = spread_for_cpu(table(spark, sf_dir, "documents"))
     bg = doc_bigrams(d)
     c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
@@ -1333,9 +1319,7 @@ def q111_seq_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny aggregation; the doc-count normalizer broadcasts as a single
     row. Fractions divide exact BIGINTs, so they are bit-identical
     across engines."""
-    d = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = spread_for_cpu(table(spark, sf_dir, "documents"))
     nt = token_count("text")
     bucket = (
         F.when(nt < 32, 0)
@@ -1407,9 +1391,7 @@ def q113_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fractions divide exact BIGINTs, so they hash bit-identically."""
     from database_migrator_spark.operators.dedup import word_shingles
 
-    d = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = spread_for_cpu(table(spark, sf_dir, "documents"))
     toks = tokens_of("text")
     g = d.where(F.size(toks) >= 8).select(
         "doc_id", F.posexplode(word_shingles(toks, 8)).alias("pos", "g")

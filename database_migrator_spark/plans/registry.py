@@ -63,39 +63,39 @@ def query(
 # iteration order).  ``all_queries()`` therefore orders the catalog so
 # the 50-row gate spends its budget where the hard signal is stalest.
 #
-# Rotation policy (at 132 queries / 50 gate rows, every query re-gates
+# Rotation policy (at 144 queries / 50 gate rows, every query re-gates
 # within ~3 rounds):
-#   rank 0 — queries whose CURRENT code has never been driver-gated:
-#            brand-new since the last gate, or modified after their most
-#            recent gate row.  These always go first: the gate is the
-#            only hard signal, and local sf0.01 oracle runs are a stand-in
-#            until a driver row exists.
-#   rank 1 — queries whose last gate row is the OLDEST (currently the
-#            r03-verified remainder of q51-q100; the first 13 fill the
-#            rest of the 50-row budget this round).
-#   rank 2 — queries gated most recently (q01-q50, re-verified r04).
+#   rank 0 — queries with SEMANTIC changes since their last gate row:
+#            brand-new queries, new/changed oracles, or result-affecting
+#            builder edits.  These always go first: the gate is the only
+#            hard signal, and local sf0.01 oracle runs are a stand-in
+#            until a driver row exists.  (Plan-only refactors verified
+#            hash-identical by a local full-catalog sf0.01 oracle run —
+#            e.g. round 6's spread_for_cpu centralization — do NOT reset
+#            gate freshness; they re-gate on the normal rotation.)
+#   rank 1 — queries whose last gate row is the OLDEST.
+#   rank 2+ — progressively fresher gate rows.
 #
-# Round-5 instance: rank 0 = q101-q107 (new in r04, never gated),
-# q108-q143 (new THIS round), plus q72/q86/q90/q94/q96 (gated r03,
-# modified in r04 — commits f67d11a, 19b97c0, f142e56).  Order changes
-# NOTHING for the pytest oracle suite or bench.py — they run the whole
-# catalog.  tests/test_bench_contract.py pins the resulting first-50
-# list so a refactor cannot silently reorder the gate.
-_NEVER_GATED_CURRENT = {f"q{i}" for i in range(101, 144)} | {
-    "q72",
-    "q86",
-    "q90",
-    "q94",
-    "q96",
-}
-_FRESHEST = {f"q{i:02d}" for i in range(1, 51)}
+# Round-6 instance: rank 0 = q144 (new), q86 (gained a hash oracle),
+# q119 (pre-explode array_distinct), q72/q90/q115 (now read the shared
+# neardup_components_cached ingest artifact); rank 1 = the 43-query
+# r03-gated remainder of q52-q99 (unchanged code, but the hard signal is
+# three rounds old — round-5 verdict top item); rank 2 = q01-q50
+# (re-gated r04; the first 1 fills the 50-row budget); rank 3 =
+# everything gated r05.  Order changes NOTHING for the pytest oracle
+# suite or bench.py — they run the whole catalog.
+# tests/test_bench_contract.py pins the resulting first-50 list so a
+# refactor cannot silently reorder the gate.
+_ROUND6_MODIFIED = {"q144", "q86", "q119", "q72", "q90", "q115"}
+_R03_STALE = {f"q{i}" for i in range(52, 100)} - {"q72", "q86", "q90", "q94", "q96"}
+_R04_GATED = {f"q{i:02d}" for i in range(1, 51)}
 
 
 def all_queries() -> dict[str, DeclaredQuery]:
     """Import every operator module (side effect: registration) and return
     the full catalog, ordered for the driver's 50-row correctness gate
-    per the rotation policy above: current-code-ungated queries first,
-    then oldest-gate-row queries, then the most recently re-verified —
+    per the rotation policy above: semantically-changed queries first,
+    then oldest-gate-row queries, then progressively fresher blocks —
     each group sorted by name."""
     from database_migrator_spark.operators import (  # noqa: F401
         bpe,
@@ -120,10 +120,12 @@ def all_queries() -> dict[str, DeclaredQuery]:
 
     def rank(name: str) -> tuple[int, str]:
         qid = name.split("_", 1)[0]
-        if qid in _NEVER_GATED_CURRENT:
+        if qid in _ROUND6_MODIFIED:
             return (0, name)
-        if qid in _FRESHEST:
+        if qid in _R03_STALE:
+            return (1, name)
+        if qid in _R04_GATED:
             return (2, name)
-        return (1, name)
+        return (3, name)
 
     return dict(sorted(_REGISTRY.items(), key=lambda kv: rank(kv[0])))

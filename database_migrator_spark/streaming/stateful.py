@@ -164,18 +164,56 @@ def sessionize_with_state(events_stream: DataFrame, gap_seconds: int = 1800) -> 
 
 @query(
     "q86_stateful_sessionize",
-    oracle=None,  # open sessions at the final watermark are correctly
-    # WITHHELD (more data could arrive), so the streaming result is a
-    # deterministic subset of the batch sessionization — equality modulo
-    # trailing-open sessions is asserted in tests/test_streaming_stateful.py
+    # The streaming result is DETERMINISTIC, not merely a subset: the
+    # single-file source delivers all events in one micro-batch, so the
+    # output is exactly the batch gaps-and-islands sessionization MINUS
+    # each user's final session when its event-time timeout has not fired
+    # below the final watermark. The timeout fires iff
+    #   w_ms > last_us // 1000 + gap_ms
+    # with w_ms = max(event us) // 1000 - 600_000 (10-min watermark delay,
+    # ms precision — Spark's event-time stats are milliseconds) and
+    # gap_ms = 1_800_000. The oracle replays exactly that rule
+    # (empirically verified: predicted withheld set == actual at
+    # sf0.001/sf0.01/sf0.1).
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked
+    ), agg AS (
+        SELECT user_id, sid,
+               MAX(sid) OVER (PARTITION BY user_id) AS max_sid,
+               MIN(epoch_us(ts)) AS start_us,
+               MAX(epoch_us(ts)) AS last_us,
+               COUNT(*) AS n_events
+        FROM numbered GROUP BY user_id, sid
+    ), wm AS (
+        SELECT MAX(epoch_us(ts)) // 1000 - 600000 AS w_ms FROM events
+    )
+    SELECT user_id,
+           strftime(make_timestamp(start_us), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           n_events
+    FROM agg, wm
+    WHERE sid < max_sid OR w_ms > last_us // 1000 + 1800000
+    ORDER BY user_id, session_start
+    """,
     tags=("streaming", "stateful", "session", "applyInPandasWithState", "E18"),
 )
 def q86_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom gap-sessionizer on raw per-key state (event-time timeouts)
-    run as a real streaming query. Emits every session whose gap timeout
-    expired below the final watermark; the last session of a user can
-    stay open — the honest streaming contract, and why this is rows-only
-    while q40 (the built-in session_window twin) hash-matches."""
+    run as a real streaming query, hash-matched end-to-end: every session
+    closed inline by a later event is emitted, and a user's FINAL session
+    is emitted exactly when its gap timeout expired below the final
+    watermark — a deterministic rule the gaps-and-islands oracle replays
+    (see the oracle comment). q40 is the built-in session_window twin."""
     from database_migrator_spark.sources import events_stream
     from database_migrator_spark.streaming.windows import run_stream_to_table
 

@@ -42,7 +42,7 @@ def test_bench_json_line_fits_tail_window():
         "queries": short,
         "sf": 0.1,
         "n_queries": len(short),
-        "ingest": {"ivf_fit": 99.99, "bpe_fit": 99.99, "pq_fit": 99.99},
+        "ingest": {"ivf_fit": 99.99, "bpe_fit": 99.99, "pq_fit": 99.99, "cc_fit": 99.99},
     }
     line = json.dumps(out, separators=(",", ":"))
     assert len(line) < 1900, (
@@ -62,20 +62,23 @@ def test_bench_json_line_fits_tail_window():
 
 
 def test_gate_order_front_loads_stale_signal_set():
-    """Round 5: the 50-row gate must spend its budget on (a) the 48
-    queries whose current code has never been driver-gated — q101-q107
-    (new in r04), q108-q143 (new in r05), plus q72/q86/q90/q94/q96
-    (modified after their r03 rows) — then (b) the oldest-gate-row
-    remainder of q51-q100 (r03).  q01-q50 re-verified in r04 and queue
-    last.  Pinning the exact first-50 list (not just the set) so a
-    refactor cannot silently reorder the gate."""
+    """Round 6: the 50-row gate must spend its budget on (a) the 6
+    semantically-changed queries — q144 (new), q86 (new oracle), q119
+    (pre-explode dedup), q72/q90/q115 (shared component-index artifact) —
+    then (b) the 43-query r03-gated remainder of q52-q99 whose hard
+    signal is three rounds old (round-5 verdict top item), topped up
+    with (c) the first entry of the r04-gated q01-q50 block.  Everything
+    gated r05 queues last.  Pinning the exact first-50 list (not just
+    the set) so a refactor cannot silently reorder the gate."""
     names = list(all_queries())
-    never_gated = {f"q{i}" for i in range(101, 144)} | {"q72", "q86", "q90", "q94", "q96"}
-    r03_rest = {f"q{i}" for i in range(51, 101)} - never_gated
+    modified = {"q144", "q86", "q119", "q72", "q90", "q115"}
+    r03_stale = {f"q{i}" for i in range(52, 100)} - {"q72", "q86", "q90", "q94", "q96"}
     gate = [n.split("_", 1)[0] for n in names[:50]]
-    assert gate[:48] == sorted(never_gated)
-    assert gate[48:] == sorted(r03_rest)[:2]
-    # the freshest block (q01-q50, re-gated r04) must all sort after the
-    # 50-row window
+    assert gate[:6] == sorted(modified)
+    assert gate[6:49] == sorted(r03_stale)
+    assert gate[49:] == ["q01"]
+    # the r05-gated block (q51/q100-q143 current rows, q94/q96) must all
+    # sort after the 50-row window
     tail = {n.split("_", 1)[0] for n in names[50:]}
-    assert {f"q{i:02d}" for i in range(1, 51)} <= tail
+    assert ({f"q{i}" for i in range(101, 144)} - modified) <= tail
+    assert {"q94", "q96", "q51", "q100"} <= tail

@@ -224,6 +224,53 @@ def test_decode_pixels_magic_dispatch():
             M.decode_pixels(b"RIFF not an image format we know")
 
 
+def test_decode_pixels_nonbaseline_jpeg_reraises_without_pillow(monkeypatch):
+    """The JpegUnsupported re-raise arm: a progressive (SOF2) JPEG that the
+    pure codec declines must surface JpegUnsupported when Pillow is absent
+    — not a generic error, so callers can tell 'install Pillow' apart from
+    'corrupt data'."""
+    import pytest
+
+    from database_migrator_spark.operators import multimodal as M
+    from database_migrator_spark.operators.jpeg import JpegUnsupported
+
+    sof2 = b"\xff\xd8\xff\xc2\x00\x02"  # SOI + empty SOF2 segment
+    monkeypatch.setattr(M, "_HAS_PIL", False)
+    with pytest.raises(JpegUnsupported, match="non-baseline"):
+        M.decode_pixels(sof2)
+
+
+def test_decode_pixels_pillow_arm_plumbing(monkeypatch):
+    """Execute the Pillow fallback ARM itself (this container has no
+    Pillow, so the branch would otherwise only ever run in dev envs): a
+    stub Image module proves decode_pixels feeds the blob to
+    Image.open().convert('RGB') and re-rows tobytes() output top-first
+    with width*3 stride."""
+    from database_migrator_spark.operators import multimodal as M
+
+    class _FakeImg:
+        width, height = 4, 2
+
+        def convert(self, mode):
+            assert mode == "RGB"
+            return self
+
+        def tobytes(self):
+            return bytes(range(4 * 2 * 3))
+
+    class _FakeImageModule:
+        @staticmethod
+        def open(buf):
+            assert buf.read(4) == b"RIFF"
+            return _FakeImg()
+
+    monkeypatch.setattr(M, "_HAS_PIL", True)
+    monkeypatch.setattr(M, "Image", _FakeImageModule, raising=False)
+    w, h, rows = M.decode_pixels(b"RIFF....WEBP")
+    assert (w, h) == (4, 2)
+    assert rows == [bytes(range(0, 12)), bytes(range(12, 24))]
+
+
 def test_decode_pixels_pillow_fallback_path():
     """The Pillow fallback branch, exercised wherever Pillow exists (this
     container ships without it — the test self-skips here but runs in any

@@ -545,3 +545,30 @@ def test_bucketed_join_eliminates_join_side_shuffle(spark):
     assert "Exchange" not in join_input
     # whole plan: agg exchange + orderBy range exchange only
     assert p.count("Exchange") <= 2
+
+
+def test_spread_for_cpu_noops_on_wide_input(spark):
+    """sources.spread_for_cpu (round-5 verdict #2): at 100 TB the scan
+    already has >= defaultParallelism partitions and an unconditional
+    repartition would COALESCE it through a full all-data shuffle. The
+    helper must (a) add NO Exchange for a pre-partitioned input — same
+    physical plan object graph, in fact the identical frame — and
+    (b) still spread a narrow (single-partition) input."""
+    from database_migrator_spark.sources import spread_for_cpu
+
+    par = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 10_000, numPartitions=par * 4)
+    out = spread_for_cpu(wide)
+    assert out is wide  # strongest form of "no Exchange added"
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p
+
+    capped = spread_for_cpu(wide, cap=16)
+    assert capped is wide  # cap never coalesces a wide input either
+
+    narrow = spark.range(0, 10_000, numPartitions=1)
+    spread = spread_for_cpu(narrow)
+    assert spread is not narrow
+    assert spread.rdd.getNumPartitions() == par
+    p2 = spread._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange RoundRobinPartitioning" in p2
