@@ -1,8 +1,12 @@
 """CLI surface mirroring the reference's MooseX::Getopt::Dashes options
-(Core.pm:20-24, 121-139; README.md:115-125): dashed long flags, ``--user``
-aliased to ``--username`` (BUILDARGS, Changes:30-32), quiet ⊕ verbose
-(BUILD), plus verbs: ``migrate`` (create-or-update), ``plan``/``status``
-(print the pending set — the engine's one real query).
+(Core.pm:20-24, 121-139; README.md:115-125): the attribute-backed flags
+are AUTO-DERIVED from ``core.CLI_ATTRIBUTES`` (underscore attribute →
+dashed long flag, exactly the MooseX::Getopt::Dashes rule), with
+``--user`` aliased to ``--username`` (BUILDARGS, Changes:30-32) and
+quiet ⊕ verbose (BUILD). Verbs: ``migrate`` (create-or-update),
+``plan``/``status`` (print the pending set — the engine's one real
+query). Only engine extensions beyond the reference's attribute surface
+(--jdbc-url, --ledger-dir, --legacy-sql-match) are declared by hand.
 """
 
 from __future__ import annotations
@@ -12,7 +16,7 @@ import sys
 
 from database_migrator_spark.session import get_session
 
-from .core import Migrator
+from .core import CLI_ATTRIBUTES, REQUIRED, Migrator
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -21,28 +25,26 @@ def build_parser() -> argparse.ArgumentParser:
         description="Create or update a Spark database from a migration tree.",
     )
     p.add_argument("verb", choices=["migrate", "plan", "status"], help="action to run")
-    p.add_argument("--database", help="Spark catalog database target")
+    # attribute-derived flags: one dashed option per public attribute row
+    for attr, kind, default, helptext, aliases in CLI_ATTRIBUTES:
+        names = ["--" + a.replace("_", "-") for a in (attr, *aliases)]
+        if kind == "flag":
+            p.add_argument(*names, dest=attr, action="store_true", help=helptext)
+        elif default is REQUIRED:
+            p.add_argument(*names, dest=attr, required=True, help=helptext)
+        else:
+            p.add_argument(*names, dest=attr, default=default, help=helptext)
+    # engine extensions (not reference attributes)
     p.add_argument(
         "--jdbc-url",
         help="JDBC target (e.g. jdbc:derby:/path;create=true) — DDL passes "
         "through verbatim, ledger lives in the target database",
     )
-    p.add_argument("--migrations-dir", required=True)
-    p.add_argument("--schema-file")
-    p.add_argument("--migration-table", default="applied_migration")
     p.add_argument(
         "--ledger-dir",
         help="directory for the atomic FileLedger backend (write-ahead + "
         "rename-commit) instead of the catalog/JDBC ledger table",
     )
-    p.add_argument("--username")
-    p.add_argument("--user", dest="username", help="alias for --username")
-    p.add_argument("--password")
-    p.add_argument("--host")
-    p.add_argument("--port")
-    p.add_argument("--dry-run", action="store_true")
-    p.add_argument("--quiet", action="store_true")
-    p.add_argument("--verbose", action="store_true")
     p.add_argument("--legacy-sql-match", action="store_true",
                    help="match .sql anywhere in the filename (reference quirk)")
     return p
