@@ -1040,3 +1040,72 @@ def q127_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("n_sh").cast("long").alias("n_shingles"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q146_cluster_size_histogram",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           t -> len(t) > 0) AS t
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                    THEN list_distinct(list_transform(
+                             generate_series(1, len(t) - 2),
+                             i -> array_to_string(t[i:i+2], ' ')))
+                    ELSE [array_to_string(t, ' ')]
+               END AS s
+        FROM toks
+    ), pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.6
+    ), edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION ALL
+        SELECT b_id AS src, a_id AS dst FROM pairs
+    ), reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ), comp AS (
+        SELECT src AS id, LEAST(src, MIN(dst)) AS component
+        FROM reach GROUP BY src
+    ), sizes AS (
+        SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component
+    )
+    SELECT cluster_size,
+           COUNT(*)                        AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+           CAST(SUM(cluster_size - 1) AS BIGINT) AS n_removable
+    FROM sizes
+    GROUP BY cluster_size
+    ORDER BY cluster_size
+    """,
+    tags=("dedup", "clustering", "histogram", "minhash", "llm-pipeline"),
+)
+def q146_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster SIZE DISTRIBUTION — the first diagnostic a dedup
+    owner reads (a heavy tail of giant clusters means boilerplate or
+    crawler loops; mostly pairs means true near-dups), and the input to
+    capacity planning: n_removable = docs the canonical pick (q90) will
+    drop. Reads the shared component-index ingest artifact
+    (neardup_components_cached — built once, used by q72/q90/q115/here),
+    so the query itself is two tiny aggregations over |clustered docs|
+    rows. Oracle replays the O(N^2) pair brute force + recursive-CTE
+    components (sf0.01-only, like q72/q90)."""
+    comp = neardup_components_cached(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum("cluster_size").alias("n_docs"),
+            F.sum(F.col("cluster_size") - 1).alias("n_removable"),
+        )
+        .orderBy("cluster_size")
+    )

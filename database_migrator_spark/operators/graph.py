@@ -136,3 +136,100 @@ def q110_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), "kind", "key")
         .limit(20)
     )
+
+
+_BFS_MAX_HOPS = 6
+
+
+@query(
+    "q147_bfs_reachability",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+        SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), und AS (
+        SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+    ), src AS (
+        SELECT MIN(u) AS s FROM und
+    ), reach(u, d) AS (
+        SELECT s AS u, 0 AS d FROM src
+        UNION
+        SELECT und.v AS u, reach.d + 1 AS d
+        FROM reach JOIN und ON und.u = reach.u
+        WHERE reach.d < {_BFS_MAX_HOPS}
+    ), dist AS (
+        SELECT u, MIN(d) AS hops FROM reach GROUP BY u
+    )
+    SELECT CAST(hops AS BIGINT) AS hops,
+           COUNT(*)             AS n_nodes,
+           CAST(MIN(u) AS BIGINT) AS min_node,
+           CAST(MAX(u) AS BIGINT) AS max_node
+    FROM dist
+    GROUP BY hops
+    ORDER BY hops
+    """,
+    tags=("graph", "bfs", "iterative", "llm-pipeline"),
+)
+def q147_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS over the undirected customer–supplier purchase
+    graph (the crawl-frontier / link-expansion primitive): per hop count
+    (≤ 6 = _BFS_MAX_HOPS), the number of nodes first reached at that depth
+    plus min/max node id — a frontier-expansion loop, the third iterative
+    class next to min-label components (q72) and PageRank (q110).
+
+    Spark shape: each round joins the FRONTIER (not the full distance
+    table) against the static edge list, anti-joins already-visited
+    nodes, and localCheckpoints both frames — constant plan per round,
+    shuffles keyed on node id, zero per-round driver traffic (the
+    convergence probe is an isEmpty on the frontier). The oracle replays
+    the same expansion as a recursive CTE with UNION-dedup (bounded to
+    N·hops rows) and takes MIN(d) per node.
+
+    Cites the reference only for contrast: Database::Migrator has no
+    graph surface; this is pipeline-mandated capability (SURVEY.md §2B).
+    """
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    und = (
+        edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    src = und.agg(F.min("u").alias("u")).select("u", F.lit(0).alias("hops"))
+    dist = src.localCheckpoint(eager=True)
+    frontier = dist.select("u")
+    for d in range(1, _BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(und, "u")
+            .select(F.col("v").alias("u"))
+            .distinct()
+            .join(dist.select("u"), "u", "left_anti")
+            .select("u", F.lit(d).alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("u")
+    return (
+        dist.groupBy("hops")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.min("u").alias("min_node"),
+            F.max("u").alias("max_node"),
+        )
+        .select(
+            F.col("hops").cast("long").alias("hops"),
+            "n_nodes",
+            "min_node",
+            "max_node",
+        )
+        .orderBy("hops")
+    )

@@ -947,3 +947,68 @@ def q133_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     document, far inside int64."""
     d = table(spark, sf_dir, "documents")
     return audio_frame_features(attach_wav_audio(d)).orderBy("doc_id")
+
+
+@query(
+    "q148_image_ahash_dupes",
+    oracle="""
+    WITH img AS (
+        SELECT doc_id, (doc_id * 7) % 32 + 4 AS h FROM documents
+    ), cells AS (
+        SELECT doc_id,
+               list_transform(range(0, 8),
+                              j -> (doc_id + ((j * h) // 8)) % 256) AS v
+        FROM img
+    ), hashed AS (
+        SELECT doc_id,
+               CAST(list_reduce(
+                   list_transform(range(1, 9),
+                       j -> CASE WHEN v[j] * 8 >= list_reduce(v, (x, y) -> x + y)
+                                 THEN CAST(2 ** (j - 1) AS BIGINT)
+                                 ELSE 0 END),
+                   (x, y) -> x + y) AS BIGINT) AS ahash
+        FROM cells
+    )
+    SELECT doc_id, ahash,
+           COUNT(*) OVER (PARTITION BY ahash) AS n_same_hash
+    FROM hashed
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "image", "ahash", "dedup", "llm-pipeline"),
+)
+def q148_image_ahash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash (aHash) near-dup fingerprint over REAL
+    decoded pixels — the image-side twin of text MinHash: every document's
+    synthesized BMP (q67's closed-form generator) is decoded by the pure
+    codec, grid-sampled to 8 rows (nearest neighbor, integer index
+    arithmetic so both engines agree exactly), thresholded against the
+    integer mean (v*8 >= sum comparison — no float division), and packed
+    into a 64-bit-style row-bit hash; docs sharing a hash are duplicate
+    candidates (n_same_hash). The oracle recomputes the hash from the
+    generator's closed form — so the whole decode→sample→threshold→pack
+    chain is hash-verified. The synthesized rows are constant per scan
+    line, so 8 sampled rows capture the full 8x8 aHash (columns are
+    redundant by construction)."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    imgs = attach_bmp_image(d)
+
+    def ahash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["image"]):
+                w, h, rows = decode_pixels(bytes(blob))
+                v = [rows[(j * h) // 8][0] for j in range(8)]
+                s = sum(v)
+                bits = sum((1 << j) for j in range(8) if v[j] * 8 >= s)
+                out.append((int(doc_id), bits))
+            yield pd.DataFrame(out, columns=["doc_id", "ahash"])
+
+    from pyspark.sql import Window
+
+    hashed = imgs.mapInPandas(ahash, schema="doc_id bigint, ahash bigint")
+    return (
+        hashed.withColumn(
+            "n_same_hash", F.count("*").over(Window.partitionBy("ahash"))
+        )
+        .orderBy("doc_id")
+    )

@@ -1459,3 +1459,67 @@ def q114_per_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "n_tokens")
         .orderBy("source", F.col("n_tokens").desc(), "doc_id")
     )
+
+
+@query(
+    "q145_contamination_attribution",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           t -> len(t) > 0) AS t
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(t) >= 8
+                    THEN list_transform(generate_series(1, len(t) - 7),
+                                        i -> array_to_string(t[i:i+7], ' '))
+                    ELSE [array_to_string(t, ' ')] END) AS s
+        FROM toks
+    ), bench AS (
+        SELECT doc_id AS bench_doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 = 0
+    ), train AS (
+        SELECT doc_id AS train_doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0
+    )
+    SELECT b.bench_doc_id,
+           COUNT(DISTINCT t.train_doc_id) AS n_train_docs_hit,
+           COUNT(DISTINCT t.g)            AS n_grams_hit
+    FROM bench b JOIN train t ON b.g = t.g
+    GROUP BY b.bench_doc_id
+    ORDER BY b.bench_doc_id
+    """,
+    tags=("text", "decontamination", "attribution", "ngram", "llm-pipeline"),
+)
+def q145_contamination_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drill-down report a decontamination pass (q98) triggers: for
+    each BENCHMARK document, how many training documents it collides
+    with and through how many distinct 8-grams — the ranking an eval
+    owner reads to decide whether a benchmark is burnt (many training
+    hits) or just grazed by boilerplate (few grams, many docs). Same
+    scale shape as q98 — the bounded benchmark shingle set broadcasts,
+    the corpus side is one explode + probe + aggregation keyed by the
+    benchmark doc — so attribution costs no more than detection."""
+    from database_migrator_spark.operators.dedup import word_shingles
+
+    d = spread_for_cpu(table(spark, sf_dir, "documents"))
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(word_shingles(tokens_of("text"), 8)).alias("s"),
+    )
+    bench = (
+        sh.where(F.col("doc_id") % 97 == 0)
+        .select(F.col("doc_id").alias("bench_doc_id"), F.explode("s").alias("g"))
+    )
+    train = (
+        sh.where(F.col("doc_id") % 97 != 0)
+        .select(F.col("doc_id").alias("train_doc_id"), F.explode("s").alias("g"))
+    )
+    return (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("bench_doc_id")
+        .agg(
+            F.countDistinct("train_doc_id").alias("n_train_docs_hit"),
+            F.countDistinct("g").alias("n_grams_hit"),
+        )
+        .orderBy("bench_doc_id")
+    )

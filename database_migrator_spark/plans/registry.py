@@ -82,8 +82,11 @@ def query(
 # r03-gated remainder of q52-q99 (unchanged code, but the hard signal is
 # three rounds old — round-5 verdict top item); rank 2 = q01-q50
 # (re-gated r04; the first 1 fills the 50-row budget); rank 3 =
-# everything gated r05.  Order changes NOTHING for the pytest oracle
-# suite or bench.py — they run the whole catalog.
+# everything gated r05 PLUS the round-6 wave-2 additions q145-q148,
+# which deliberately queue behind the stale block (the 50-row budget
+# this round is owed to the r03 refresh; they carry local sf0.01/sf0.1
+# oracle passes and gate in round 7).  Order changes NOTHING for the
+# pytest oracle suite or bench.py — they run the whole catalog.
 # tests/test_bench_contract.py pins the resulting first-50 list so a
 # refactor cannot silently reorder the gate.
 _ROUND6_MODIFIED = {"q144", "q86", "q119", "q72", "q90", "q115"}

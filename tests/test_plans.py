@@ -572,3 +572,35 @@ def test_spread_for_cpu_noops_on_wide_input(spark):
     assert spread.rdd.getNumPartitions() == par
     p2 = spread._jdf.queryExecution().executedPlan().toString()
     assert "Exchange RoundRobinPartitioning" in p2
+
+
+def test_contamination_attribution_broadcasts_bench_grams(spark):
+    """q145: like q98, the bounded benchmark shingle side must broadcast;
+    the corpus side streams through one explode + probe — a shuffle on
+    the corpus gram table here would be the 100 TB mistake."""
+    p = plan_of(spark, "q145_contamination_attribution")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_bfs_final_plan_bounded(spark):
+    """q147: the returned frame aggregates the materialized distance
+    table — the per-round joins ran against localCheckpoints during
+    build, so the final plan must be checkpoint-scan + aggregate with no
+    cartesian product and no corpus re-scan."""
+    p = plan_of(spark, "q147_bfs_reachability")
+    assert "CartesianProduct" not in p
+    assert "FileScan" not in p  # reads only the checkpointed distance table
+
+
+def test_image_ahash_single_window_shuffle(spark):
+    """q148: generate→decode→hash is partition-preserving mapInPandas;
+    the only exchanges allowed are the conditional CPU-spread of the
+    narrow test scan (a no-op at scale), the ahash window's hash
+    partitioning, and the presentation orderBy. The scan must read ONLY
+    doc_id (the generator needs nothing else)."""
+    p = plan_of(spark, "q148_image_ahash_dupes")
+    assert p.count("Exchange") <= 3
+    assert "Window" in p and "CartesianProduct" not in p
+    scan = p[p.index("FileScan") :]
+    assert "ReadSchema: struct<doc_id:bigint>" in scan
