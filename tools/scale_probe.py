@@ -115,6 +115,13 @@ PROBE_QUERIES = [
     # round-5 wave 6: sequence analytics
     "q142_event_transitions",
     "q143_retention_cohorts",
+    # round-6: fixed-codebook PQ encode, contamination attribution,
+    # cluster-size histogram (component artifact), BFS, image aHash
+    "q144_pq_encode_fixed",
+    "q145_contamination_attribution",
+    "q146_cluster_size_histogram",
+    "q147_bfs_reachability",
+    "q148_image_ahash_dupes",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
@@ -166,6 +173,11 @@ def run(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     t0 = time.perf_counter()
     pq_fit_cached(spark, sf_dir)
     ingest["pq_fit"] = round(time.perf_counter() - t0, 2)
+    from database_migrator_spark.operators.dedup import neardup_components_cached
+
+    t0 = time.perf_counter()
+    neardup_components_cached(spark, sf_dir)
+    ingest["cc_fit"] = round(time.perf_counter() - t0, 2)
     qs = all_queries()
     out = {}
     for name in PROBE_QUERIES:
