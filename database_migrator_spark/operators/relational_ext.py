@@ -390,3 +390,100 @@ def q95_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("u").alias("approx_users"),
     )
     return by_type.unionByName(merged).orderBy("event_type")
+
+
+_PIVOT_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@query(
+    "q150_pivot_crosstab",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT)        AS n_urgent,
+           CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT)          AS n_high,
+           CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT)        AS n_medium,
+           CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS n_notspec,
+           CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT)           AS n_low,
+           SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END) / 100.0 AS urgent_total
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("relational", "pivot", "crosstab"),
+)
+def q150_pivot_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT / crosstab — the reshaping operator class (long → wide):
+    order counts per status × priority plus the urgent-revenue column,
+    via Spark's native ``groupBy().pivot(values=...)``. Passing the
+    explicit pivot-value list keeps the plan a single pass (no
+    distinct-values pre-query) and the output schema static — the only
+    way pivot is safe on a 100 TB table, where an unbounded value set
+    would both require an extra scan and blow the column count. The
+    oracle is the standard CASE-WHEN rendition, counts exact and money
+    in integer cents."""
+    o = table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PIVOT_PRIORITIES)
+        .agg(
+            F.count(F.lit(1)).alias("n"),  # count(*) is rejected inside pivot
+            F.sum(to_cents("o_totalprice")).alias("cents"),
+        )
+    )
+    col = lambda v, suffix: F.coalesce(  # noqa: E731  absent combos → 0
+        F.col(f"`{v}_{suffix}`"), F.lit(0)
+    )
+    return piv.select(
+        "o_orderstatus",
+        col("1-URGENT", "n").alias("n_urgent"),
+        col("2-HIGH", "n").alias("n_high"),
+        col("3-MEDIUM", "n").alias("n_medium"),
+        col("4-NOT SPECIFIED", "n").alias("n_notspec"),
+        col("5-LOW", "n").alias("n_low"),
+        (col("1-URGENT", "cents") / F.lit(100.0)).alias("urgent_total"),
+    ).orderBy("o_orderstatus")
+
+
+@query(
+    "q151_exact_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT)                       AS n_rows,
+           quantile_cont(l_quantity, 0.25)                AS p25,
+           quantile_cont(l_quantity, 0.5)                 AS median,
+           quantile_cont(l_quantity, 0.75)                AS p75,
+           quantile_cont(l_quantity, 0.99)                AS p99,
+           CAST(quantile_disc(l_quantity, 0.5) AS DOUBLE) AS median_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("relational", "percentile", "statistics"),
+)
+def q151_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles (the ground truth q62's t-digest approximates):
+    continuous (interpolated) quartiles + p99 and the discrete median of
+    l_quantity per return flag. Both engines implement the same
+    definition — sort, pos = (n-1)·p, linear interpolation between the
+    two neighbors (SQL-standard PERCENTILE_CONT) — over integer-valued
+    quantities, so the interpolated values agree to the hash's 6
+    decimals. Exact percentile is a full-sort-per-group operator: fine
+    as an audit/oracle query, while the streaming-mergeable t-digest
+    (q62) is what a 100 TB pipeline runs continuously — declaring both
+    keeps that trade-off explicit and testable."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.percentile("l_quantity", F.lit(0.25)).alias("p25"),
+            F.percentile("l_quantity", F.lit(0.5)).alias("median"),
+            F.percentile("l_quantity", F.lit(0.75)).alias("p75"),
+            F.percentile("l_quantity", F.lit(0.99)).alias("p99"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)")
+            .cast("double")
+            .alias("median_disc"),
+        )
+        .orderBy("l_returnflag")
+    )

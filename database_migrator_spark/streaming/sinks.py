@@ -38,3 +38,53 @@ def foreach_batch_parquet(
         .trigger(availableNow=True)
         .start()
     )
+
+
+from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from database_migrator_spark.plans.registry import query  # noqa: E402
+
+
+@query(
+    "q149_exactly_once_sink",
+    oracle="""
+    SELECT event_type,
+           COUNT(*)                                        AS n_events,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("streaming", "sink", "exactly-once", "foreachBatch", "E17", "E18"),
+)
+def q149_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exactly-once WRITE side as a declared, hash-matched query: run
+    the events stream through ``foreach_batch_parquet`` (idempotent
+    overwrite-by-batch-id directories — a replayed micro-batch after a
+    checkpoint restart overwrites instead of duplicating; replay
+    idempotency itself is unit-tested in tests/test_streaming_sinks.py),
+    then read the landed files back and aggregate. Equality with the
+    batch GROUP BY proves the sink delivered every row exactly once —
+    the end-to-end guarantee a streaming pipeline's consumers actually
+    depend on. Exact-cents sums keep the totals engine-independent."""
+    import tempfile
+
+    from database_migrator_spark.sources import events_stream
+
+    out = tempfile.mkdtemp(prefix="q149_out_")
+    ckpt = tempfile.mkdtemp(prefix="q149_ckpt_")
+    src = events_stream(spark, sf_dir).select("event_type", "value")
+    q = foreach_batch_parquet(src, out, ckpt)
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0)).alias(
+                "total_value"
+            ),
+        )
+        .orderBy("event_type")
+    )
