@@ -102,6 +102,11 @@ def main() -> None:
     t0 = time.perf_counter()
     neardup_components_cached(spark, sf_dir)
     ingest["cc_fit"] = round(time.perf_counter() - t0, 2)
+    from database_migrator_spark.operators.textops import doc_shingles_cached
+
+    t0 = time.perf_counter()
+    doc_shingles_cached(spark, sf_dir)
+    ingest["gram_fit"] = round(time.perf_counter() - t0, 2)
     # spin up the Arrow/pandas worker pool once so the first pandas-UDF
     # query isn't charged Python worker startup
     def _warm(batches):

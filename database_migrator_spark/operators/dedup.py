@@ -1087,6 +1087,10 @@ def q127_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY cluster_size
     """,
     tags=("dedup", "clustering", "histogram", "minhash", "llm-pipeline"),
+    bench=False,  # two tiny aggregations over the cc_fit artifact that
+    # bench.py already times under its ingest key (q72 times the artifact
+    # read itself) — benching it would double-count while crowding the
+    # driver's 2000-char stdout tail (the q101 rationale)
 )
 def q146_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster SIZE DISTRIBUTION — the first diagnostic a dedup

@@ -1010,3 +1010,84 @@ def q117_pq_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
         (1.0 - F.col("sum_err") / F.col("sum_ssq")).alias("variance_explained"),
         F.lit(ratio).alias("compression_ratio"),
     ).orderBy("subspace")
+
+
+_TRUNC_KS = (8, 16, 32)
+
+
+@query(
+    "q152_embedding_truncation_fidelity",
+    oracle="""
+    WITH pairs AS (
+        SELECT list_transform(a.embedding, x -> CAST(x AS DOUBLE)) AS va,
+               list_transform(b.embedding, x -> CAST(x AS DOUBLE)) AS vb
+        FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    ), ks(k) AS (VALUES (8), (16), (32)
+    ), cs AS (
+        SELECT k,
+               list_reduce(list_transform(range(1, k + 1), i -> va[i] * vb[i]),
+                           (x, y) -> x + y)
+                 / sqrt(list_reduce(list_transform(range(1, k + 1), i -> va[i] * va[i]),
+                                    (x, y) -> x + y)
+                        * list_reduce(list_transform(range(1, k + 1), i -> vb[i] * vb[i]),
+                                      (x, y) -> x + y)) AS cos_k,
+               list_reduce(list_transform(range(1, 65), i -> va[i] * vb[i]),
+                           (x, y) -> x + y)
+                 / sqrt(list_reduce(list_transform(range(1, 65), i -> va[i] * va[i]),
+                                    (x, y) -> x + y)
+                        * list_reduce(list_transform(range(1, 65), i -> vb[i] * vb[i]),
+                                      (x, y) -> x + y)) AS cos_full
+        FROM pairs CROSS JOIN ks
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           SUM(CAST(ROUND(abs(cos_k - cos_full) * 1000000000) AS BIGINT)) / 1000000000.0
+               / COUNT(*)                                   AS mean_abs_err,
+           MAX(abs(cos_k - cos_full))                       AS max_abs_err
+    FROM cs
+    GROUP BY k
+    ORDER BY k
+    """,
+    tags=("similarity", "embedding", "truncation", "matryoshka", "llm-pipeline"),
+)
+def q152_embedding_truncation_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-truncation fidelity report (the matryoshka-embedding
+    question): how much does cosine similarity move when vectors are cut
+    to their first k dims? Evaluated over the linear adjacent-id pair
+    set (never N²): per k ∈ {8,16,32}, the mean (fixed-point, order-
+    independent) and max absolute cosine error vs the full 64 dims —
+    the evidence an index owner reads before storing truncated vectors.
+    Both engines fold dot/norm left-to-right in double (q34's pattern),
+    so every per-pair error is bit-identical and the report hash-matches."""
+    from database_migrator_spark.functions.vector import cosine_similarity
+
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("aid"), F.col("embedding").alias("va"))
+    b = e.select((F.col("vec_id") - 1).alias("aid"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, "aid").select("va", "vb")
+    cos_full = cosine_similarity("va", "vb")
+    frames = []
+    for k in _TRUNC_KS:
+        cos_k = cosine_similarity(F.slice("va", 1, k), F.slice("vb", 1, k))
+        frames.append(
+            pairs.select(
+                F.lit(k).cast("long").alias("k"),
+                F.abs(cos_k - cos_full).alias("err"),
+            )
+        )
+    allk = frames[0]
+    for f in frames[1:]:
+        allk = allk.unionByName(f)
+    return (
+        allk.groupBy("k")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            (
+                F.sum(F.round(F.col("err") * 1e9).cast("long")).cast("double")
+                / F.lit(1e9)
+                / F.count("*")
+            ).alias("mean_abs_err"),
+            F.max("err").alias("max_abs_err"),
+        )
+        .orderBy("k")
+    )

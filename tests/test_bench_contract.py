@@ -42,7 +42,13 @@ def test_bench_json_line_fits_tail_window():
         "queries": short,
         "sf": 0.1,
         "n_queries": len(short),
-        "ingest": {"ivf_fit": 99.99, "bpe_fit": 99.99, "pq_fit": 99.99, "cc_fit": 99.99},
+        "ingest": {
+            "ivf_fit": 99.99,
+            "bpe_fit": 99.99,
+            "pq_fit": 99.99,
+            "cc_fit": 99.99,
+            "gram_fit": 99.99,
+        },
     }
     line = json.dumps(out, separators=(",", ":"))
     assert len(line) < 1900, (

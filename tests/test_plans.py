@@ -330,12 +330,14 @@ def test_no_rdd_scans_anywhere(spark):
     (sketch-once materialization for the self-join) is an intentional RDD
     boundary — including q109's normalize-once checkpoint feeding both
     self-join sides — the composed corpus pipeline whose stage-boundary
-    checkpoints are the same pattern, and the BPE queries whose merge
-    table is a driver-local list (vocabulary argmax results)."""
+    checkpoints are the same pattern, the BPE queries whose merge
+    table is a driver-local list (vocabulary argmax results), and the
+    decontamination family (q98/q145) reading the once-per-session
+    checkpointed 8-gram shingle table (doc_shingles_cached)."""
     for name, dq in _QS.items():
         if any(
             t in dq.tags
-            for t in ("streaming", "udtf", "minhash", "simhash", "semdedup", "pipeline", "bpe", "iterative")
+            for t in ("streaming", "udtf", "minhash", "simhash", "semdedup", "pipeline", "bpe", "iterative", "decontamination")
         ):
             continue
         p = _QS[name].build(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
