@@ -144,9 +144,10 @@ def main() -> None:
     # null because the full-name queries dict pushed the line to ~2600
     # chars, truncating its head). Emit the one JSON line with SHORT
     # query keys (the unique "qNN" prefix) + compact separators +
-    # 2-decimal times so the whole line fits the tail buffer; the
-    # full-name timing map goes to bench_full.json for local diffing.
-    short = {name.split("_", 1)[0]: round(t, 2) for name, t in timings.items()}
+    # 1-decimal times (the 150-query catalog outgrew 2-decimal values)
+    # so the whole line fits the tail buffer; the full-name 4-decimal
+    # timing map goes to bench_full.json for local diffing.
+    short = {name.split("_", 1)[0]: round(t, 1) for name, t in timings.items()}
     out = {
         "metric": "total_wall_sec_declared_queries",
         "value": round(total, 2),

@@ -1091,3 +1091,108 @@ def q152_embedding_truncation_fidelity(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("k")
     )
+
+
+_SQ8_SCALE = 0.005  # ≈ max|x|/127 for this corpus (|x| ≤ ~0.53); exact decimal
+_SQ8_INV = 1.0 / _SQ8_SCALE  # 200.0, exactly representable
+
+
+@query(
+    "q153_int8_quantization_report",
+    oracle=f"""
+    WITH v AS (
+        SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), qz AS (
+        SELECT label, e,
+               list_transform(e, x -> GREATEST(-127, LEAST(127,
+                   CAST(round(x * {_SQ8_INV!r}) AS INT)))) AS q
+        FROM v
+    ), st AS (
+        SELECT label,
+               list_reduce(
+                   list_transform(range(1, len(e) + 1),
+                       i -> (e[i] - q[i] * {_SQ8_SCALE!r}) * (e[i] - q[i] * {_SQ8_SCALE!r})),
+                   (x, y) -> x + y) / len(e) AS mse,
+               list_reduce(list_transform(range(1, len(e) + 1),
+                       i -> e[i] * q[i] * {_SQ8_SCALE!r}), (x, y) -> x + y)
+                 / sqrt(list_reduce(list_transform(range(1, len(e) + 1),
+                            i -> e[i] * e[i]), (x, y) -> x + y)
+                        * list_reduce(list_transform(range(1, len(e) + 1),
+                            i -> q[i] * {_SQ8_SCALE!r} * q[i] * {_SQ8_SCALE!r}),
+                            (x, y) -> x + y)) AS cosr
+        FROM qz
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           SUM(CAST(ROUND(mse * 1000000000000) AS BIGINT)) / 1000000000000.0
+               / COUNT(*) AS mean_mse,
+           SUM(CAST(ROUND(cosr * 1000000000) AS BIGINT)) / 1000000000.0
+               / COUNT(*) AS mean_cos,
+           CAST(4.0 AS DOUBLE) AS bytes_ratio
+    FROM st
+    GROUP BY label
+    ORDER BY label
+    """,
+    tags=("similarity", "embedding", "quantization", "int8", "llm-pipeline"),
+)
+def q153_int8_quantization_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (int8) quantization quality report — the cheapest tier of
+    the embedding-compression ladder (4× vs float32; PQ/q117 is the 64×
+    tier): per label, the mean reconstruction MSE and the mean cosine
+    between original and reconstructed vectors under the corpus-wide
+    symmetric scale. Runs the REAL ``functions.vector.quantize_int8 /
+    dequantize_int8`` column expressions; the oracle replays the same
+    clamp/round/rescale closed form, and fixed-point sums make the means
+    order-independent, so the whole quantize→reconstruct→score chain is
+    hash-verified."""
+    from database_migrator_spark.functions.vector import (
+        dequantize_int8,
+        l2_norm_sq,
+        quantize_int8,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    qz = e.select(
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        dequantize_int8(quantize_int8("embedding", _SQ8_SCALE), _SQ8_SCALE).alias("d"),
+    )
+    sq_err = F.aggregate(
+        F.zip_with("e", "d", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dot_ed = F.aggregate(
+        F.zip_with("e", "d", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    st = qz.select(
+        "label",
+        (sq_err / F.size("e")).alias("mse"),
+        (dot_ed / F.sqrt(l2_norm_sq("e") * l2_norm_sq("d"))).alias("cosr"),
+    )
+    return (
+        st.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            (
+                F.sum(F.round(F.col("mse") * 1e12).cast("long")).cast("double")
+                / F.lit(1e12)
+                / F.count("*")
+            ).alias("mean_mse"),
+            (
+                F.sum(F.round(F.col("cosr") * 1e9).cast("long")).cast("double")
+                / F.lit(1e9)
+                / F.count("*")
+            ).alias("mean_cos"),
+            F.lit(4.0).alias("bytes_ratio"),
+        )
+        .select(
+            F.col("label").cast("long").alias("label"),
+            "n_vecs",
+            "mean_mse",
+            "mean_cos",
+            "bytes_ratio",
+        )
+        .orderBy("label")
+    )

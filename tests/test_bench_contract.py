@@ -29,12 +29,12 @@ def test_bench_json_line_fits_tail_window():
     bench total would read ~20 min before this breaks) the FULL
     per-query map fits; (b) past that, bench.py truncates to the
     slowest-60 map, and that fallback line must fit even in the
-    pathological all-999.99s-plus-failures case. (Up to 137 benched
-    queries the full map fit even at all-two-digit seconds; the 143-query
-    catalog traded that headroom for coverage — the degradation path is
-    what the contract now pins.)"""
+    pathological all-999.9s-plus-failures case. (Round 6: the 150-query
+    catalog moved the driver line to 1-DECIMAL per-query values —
+    bench_full.json keeps 4 decimals — restoring the sub-10s-regime
+    headroom; the degradation path stays pinned.)"""
     qs = all_queries()
-    short = {n.split("_", 1)[0]: 9.99 for n, dq in qs.items() if dq.bench}
+    short = {n.split("_", 1)[0]: 9.9 for n, dq in qs.items() if dq.bench}
     out = {
         "metric": "total_wall_sec_declared_queries",
         "value": 9999.99,
@@ -56,10 +56,10 @@ def test_bench_json_line_fits_tail_window():
         "what the driver's 2000-char tail window can carry — shrink keys or "
         "trim the benched set"
     )
-    # pathological case: 999.99s timings + failures → bench.py truncates
+    # pathological case: 999.9s timings + failures → bench.py truncates
     # to the slowest 60; that fallback line must also fit
     fallback = dict(out)
-    fallback["queries"] = dict(list({k: 999.99 for k in short}.items())[:60])
+    fallback["queries"] = dict(list({k: 999.9 for k in short}.items())[:60])
     fallback["queries_truncated_to_slowest"] = 60
     fallback["n_failures"] = 99
     fallback["failures"] = {f"q{i:02d}": "X" * 40 for i in range(8)}
