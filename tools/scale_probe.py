@@ -122,6 +122,13 @@ PROBE_QUERIES = [
     "q146_cluster_size_histogram",
     "q147_bfs_reachability",
     "q148_image_ahash_dupes",
+    # round-6 wave 3: exactly-once sink, pivot, exact percentiles,
+    # truncation fidelity, int8 quantization
+    "q149_exactly_once_sink",
+    "q150_pivot_crosstab",
+    "q151_exact_percentiles",
+    "q152_embedding_truncation_fidelity",
+    "q153_int8_quantization_report",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
