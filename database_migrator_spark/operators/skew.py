@@ -85,3 +85,65 @@ def q70_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "q154_join_key_skew_report",
+    oracle="""
+    WITH per_key AS (
+        SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey
+    ), bounds AS (
+        SELECT quantile_disc(n, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+        FROM per_key
+    ), bucketed AS (
+        SELECT n,
+               len(list_filter(qs, q -> n > q)) AS bucket
+        FROM per_key, bounds
+    )
+    SELECT CAST(bucket AS BIGINT)  AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MIN(n) AS BIGINT)  AS min_rows,
+           CAST(MAX(n) AS BIGINT)  AS max_rows,
+           CAST(SUM(n) AS BIGINT)  AS sum_rows
+    FROM bucketed
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    tags=("skew", "diagnostics", "percentile", "join"),
+)
+def q154_join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key SKEW report — the diagnostic read before choosing a
+    salting factor (q70) or trusting AQE's skew-join split: per-key row
+    counts of the orders⋈customer key, bucketed by the key-count decile
+    boundaries. Deliberately WINDOW-FREE: a corpus-wide ntile would need
+    a single-partition sort (the q125 trap); instead the 9 decile
+    boundaries come from one percentile_disc aggregate (a single row,
+    broadcast back), and each key buckets by counting boundaries
+    strictly below its count — two shuffles total, both key-partitioned,
+    at any scale. Exact because every quantity is an integer
+    (percentile_disc picks actual values, never interpolates)."""
+    o = table(spark, sf_dir, "orders")
+    per_key = o.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    bounds = per_key.agg(
+        F.percentile_approx("n", [i / 10 for i in range(1, 10)], 2147483647).alias("qs")
+    )
+    bucketed = per_key.crossJoin(F.broadcast(bounds)).select(
+        "n", F.size(F.filter("qs", lambda q: F.col("n") > q)).alias("bucket")
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.min("n").alias("min_rows"),
+            F.max("n").alias("max_rows"),
+            F.sum("n").alias("sum_rows"),
+        )
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "n_keys",
+            "min_rows",
+            "max_rows",
+            "sum_rows",
+        )
+        .orderBy("bucket")
+    )

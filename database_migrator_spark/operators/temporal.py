@@ -536,3 +536,63 @@ def q143_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_users"))
         .orderBy("cohort", "day_n")
     )
+
+
+@query(
+    "q155_event_rate_anomalies",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), stats AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS h,
+               CAST(SUM(n) AS BIGINT) AS t,
+               CAST(SUM(n * n) AS BIGINT) AS ss
+        FROM hourly GROUP BY event_type
+    )
+    SELECT hy.event_type, hy.hour, hy.n,
+           CAST(hy.n * st.h - st.t AS DOUBLE)
+             / sqrt(CAST(st.h * st.ss - st.t * st.t AS DOUBLE)) AS z
+    FROM hourly hy JOIN stats st USING (event_type)
+    WHERE st.h * st.ss > st.t * st.t
+    ORDER BY abs(CAST(hy.n * st.h - st.t AS DOUBLE)
+             / sqrt(CAST(st.h * st.ss - st.t * st.t AS DOUBLE))) DESC,
+             hy.event_type, hy.hour
+    LIMIT 20
+    """,
+    tags=("temporal", "anomaly", "zscore", "diagnostics"),
+)
+def q155_event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate anomaly detection: top-20 |z-score| hours per event
+    type against that type's own hourly distribution — the monitoring
+    query every ingest pipeline runs over its event stream. Exact across
+    engines WITHOUT fixed-point tricks: with μ = T/H and population σ,
+    z = (n·H − T) / sqrt(H·Σn² − T²), so both numerator and the sqrt
+    argument are exact BIGINTs; the only float ops are one sqrt and one
+    divide of identical inputs — bit-identical results. Degenerate types
+    (zero variance) are excluded by the integer guard H·Σn² > T²."""
+    e = table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count("*").alias("h"),
+        F.sum("n").alias("t"),
+        F.sum(F.col("n") * F.col("n")).alias("ss"),
+    )
+    z = (F.col("n") * F.col("h") - F.col("t")).cast("double") / F.sqrt(
+        (F.col("h") * F.col("ss") - F.col("t") * F.col("t")).cast("double")
+    )
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .where(F.col("h") * F.col("ss") > F.col("t") * F.col("t"))
+        .select("event_type", "hour", "n", z.alias("z"))
+        .orderBy(F.abs(F.col("z")).desc(), "event_type", "hour")
+        .limit(20)
+    )
