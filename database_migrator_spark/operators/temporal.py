@@ -596,3 +596,46 @@ def q155_event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("z")).desc(), "event_type", "hour")
         .limit(20)
     )
+
+
+@query(
+    "q156_ohlc_bars",
+    oracle="""
+    SELECT event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           first(value ORDER BY ts, event_id) AS open,
+           MAX(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS high,
+           MIN(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS low,
+           last(value ORDER BY ts, event_id) AS close
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY event_type, hour
+    """,
+    tags=("temporal", "ohlc", "bars", "argmax"),
+)
+def q156_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars — the time-series downsampling aggregate (financial
+    candles, metric roll-ups): per (event_type, hour), the first (open)
+    and last (close) value by event time with a unique event_id
+    tiebreak, plus exact-cents high/low. Open/close are single-pass
+    ``min_by``/``max_by`` over a composite (ts, event_id) key — no
+    window, no sort, one map-side-combinable shuffle; high/low are
+    integer-cents so the hash is summation-order-proof. The oracle picks
+    the same rows via ORDER BY-qualified MIN."""
+    e = table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min_by("value", key).alias("open"),
+            (F.max(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0)).alias("high"),
+            (F.min(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0)).alias("low"),
+            F.max_by("value", key).alias("close"),
+        )
+        .orderBy("event_type", "hour")
+    )
