@@ -639,3 +639,73 @@ def q156_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+_SEQ_MOTIFS = [
+    ("view,click,purchase", "conversion path"),
+    ("error,error", "repeated failure"),
+    ("view,view,view", "browse burst"),
+]
+
+
+@query(
+    "q157_sequence_motif_match",
+    oracle=f"""
+    WITH seqs AS (
+        SELECT user_id,
+               string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+        FROM events
+        GROUP BY user_id
+    ), motifs(motif) AS (
+        VALUES {", ".join(f"('{m}')" for m, _ in _SEQ_MOTIFS)}
+    )
+    SELECT m.motif,
+           CAST(SUM(CASE WHEN len(regexp_extract_all(s.seq, m.motif)) > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_users_with,
+           CAST(SUM(len(regexp_extract_all(s.seq, m.motif))) AS BIGINT)
+               AS total_occurrences
+    FROM seqs s CROSS JOIN motifs m
+    GROUP BY m.motif
+    ORDER BY m.motif
+    """,
+    tags=("temporal", "sequence", "motif", "match-recognize"),
+)
+def q157_sequence_motif_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-MOTIF matching — the MATCH_RECOGNIZE stand-in: each
+    user's event types are assembled into one time-ordered string (the
+    sequence representation behind clickstream mining), and fixed motifs
+    of CONSECUTIVE events (view→click→purchase conversion, error,error
+    repeat, view bursts) are counted by non-overlapping left-to-right
+    regex scan — both engines' regex engines scan identically for these
+    literal patterns, so user counts and occurrence totals hash-match.
+    Adjacency is what distinguishes this from the eventually-ordered
+    funnel (q74) and the bigram transition matrix (q142). Per-user
+    sequences are bounded (a user's own events), so the collect_list is
+    per-key bounded — never a corpus-wide collect; one shuffle on
+    user_id, then a tiny motifs-crossJoin of |users| × 3 rows."""
+    e = table(spark, sf_dir, "events")
+    seqs = (
+        e.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ",",
+            ).alias("seq")
+        )
+    )
+    motifs = F.array(*[F.lit(m) for m, _ in _SEQ_MOTIFS])
+    exploded = seqs.select("seq", F.explode(motifs).alias("motif"))
+    n_occ = F.regexp_count(F.col("seq"), F.col("motif"))
+    return (
+        exploded.groupBy("motif")
+        .agg(
+            F.sum((n_occ > 0).cast("long")).alias("n_users_with"),
+            F.sum(n_occ.cast("long")).alias("total_occurrences"),
+        )
+        .orderBy("motif")
+    )

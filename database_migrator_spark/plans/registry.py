@@ -82,7 +82,7 @@ def query(
 # r03-gated remainder of q52-q99 (unchanged code, but the hard signal is
 # three rounds old — round-5 verdict top item); rank 2 = q01-q50
 # (re-gated r04; the first 1 fills the 50-row budget); rank 3 =
-# everything gated r05 PLUS the round-6 wave-2 additions q145-q156,
+# everything gated r05 PLUS the round-6 wave-2 additions q145-q157,
 # which deliberately queue behind the stale block (the 50-row budget
 # this round is owed to the r03 refresh; they carry local sf0.01/sf0.1
 # oracle passes and gate in round 7).  Order changes NOTHING for the
