@@ -30,6 +30,13 @@ from database_migrator_spark.operators.textops import (
 )
 
 
+def _width(df: DataFrame) -> int:
+    """Target fan-out for the materialize sites: defaultParallelism,
+    read from the session (NOT from the frame's RDD — see
+    spread_for_cpu's pending-shuffle caveat)."""
+    return df.sparkSession.sparkContext.defaultParallelism
+
+
 def prepare_training_corpus(
     docs: DataFrame,
     bench_docs: DataFrame | None = None,
@@ -100,7 +107,11 @@ def prepare_training_corpus(
         # Re-spread first: AQE coalesces the tiny-by-bytes digest-window
         # shuffle to ONE partition, which would serialize every
         # downstream CPU-bound shingle lambda onto a single core.
-        exact = spread_for_cpu(exact).localCheckpoint(eager=True)
+        # UNCONDITIONAL repartition, not spread_for_cpu: this frame has a
+        # pending shuffle, and spread_for_cpu's RDD probe would execute
+        # the whole upstream stage as an extra job (see its docstring);
+        # AQE's coalescing means the frame is narrow here by construction.
+        exact = exact.repartition(_width(exact)).localCheckpoint(eager=True)
 
     pairs = minhash_near_duplicates(
         exact, id_col=id_col, text_col=text_col, threshold=neardup_threshold, bands=32
@@ -121,8 +132,9 @@ def prepare_training_corpus(
     if materialize:
         # consumed by decontamination's shingle explode, a stage count,
         # and (via clean) the split — the most expensive frame to
-        # re-derive; keep it spread for the k-gram lambdas downstream
-        neardup = spread_for_cpu(neardup).localCheckpoint(eager=True)
+        # re-derive; keep it spread for the k-gram lambdas downstream.
+        # Same pending-shuffle rule as above: repartition unconditionally.
+        neardup = neardup.repartition(_width(neardup)).localCheckpoint(eager=True)
 
     if bench_docs is not None:
         contaminated = benchmark_decontamination(

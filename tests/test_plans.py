@@ -606,3 +606,40 @@ def test_image_ahash_single_window_shuffle(spark):
     assert "Window" in p and "CartesianProduct" not in p
     scan = p[p.index("FileScan") :]
     assert "ReadSchema: struct<doc_id:bigint>" in scan
+
+
+def test_skew_report_window_free(spark):
+    """q154: the decile boundaries must come from ONE percentile aggregate
+    broadcast back over the per-key counts (a one-row BroadcastNestedLoop
+    side) — never a corpus-wide ntile/window, whose single-partition sort
+    is the q125 trap. Both remaining shuffles are key-partitioned."""
+    p = plan_of(spark, "q154_join_key_skew_report")
+    assert "ntile(" not in p  # "ntile" alone would match percentile_approx
+    assert p.count("BroadcastNestedLoopJoin") == 1  # one-row bounds frame
+    assert "Window" not in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_event_anomalies_two_aggregates_plus_broadcast(spark):
+    """q155: hourly counts and per-type stats are two map-side-combinable
+    aggregates; the stats (one row per event type) rejoin by BROADCAST,
+    and the top-20 comes from TakeOrderedAndProject — no window, no
+    corpus-wide sort, no shuffle join."""
+    p = plan_of(spark, "q155_event_rate_anomalies")
+    assert p.count("BroadcastHashJoin") == 1
+    assert "Window" not in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_sequence_motifs_single_user_shuffle(spark):
+    """q157/q158: the per-user cap window and the sequence groupBy share
+    ONE user_id hash partitioning (the groupBy reuses the window's
+    exchange); the only other exchanges are the tiny motif-keyed
+    aggregate and the presentation sort. The cap bounds every row, so no
+    join strategy beyond the motif explode exists in the plan."""
+    for name in ("q157_sequence_motif_match", "q158_gap_constrained_motif"):
+        p = plan_of(spark, name)
+        assert p.count("hashpartitioning(user_id") == 1, name
+        assert p.count("Exchange") <= 3, name
+        assert "SortMergeJoin" not in p and "CartesianProduct" not in p, name

@@ -1,0 +1,86 @@
+"""Unit tests for the sequence-motif queries (q157/q158): the per-user
+event cap that bounds hot keys, and the gap-constrained regex semantics
+proven against a hand-computed corpus on BOTH regex engines (Java via
+Spark, RE2 via DuckDB)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from database_migrator_spark.operators.temporal import (
+    _SEQ_CAP,
+    _capped_user_sequences,
+    _gap_pattern,
+)
+
+
+def _events_frame(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+
+
+def test_hot_user_sequence_is_capped(spark):
+    """Round-6 verdict #2: a synthetic hot user with 10^5 events (the
+    null-ish default key owning 1% of a 100 TB fact table) must clip to
+    exactly _SEQ_CAP entries — never an unbounded row — and the cap must
+    keep the FIRST events by (ts, event_id)."""
+    base = datetime.datetime(2024, 1, 1)
+    hot = spark.range(100_000).select(
+        F.col("id").alias("event_id"),
+        (F.lit(base) + F.make_interval(secs=F.col("id").cast("double"))).alias("ts"),
+        F.lit(7).alias("user_id"),
+        F.when(F.col("id") % 2 == 0, "view").otherwise("click").alias("event_type"),
+    )
+    cold = _events_frame(
+        spark, [(0, base, 1, "view"), (1, base + datetime.timedelta(seconds=1), 1, "purchase")]
+    )
+    seqs = {
+        r["user_id"]: r["seq"]
+        for r in _capped_user_sequences(hot.unionByName(cold)).collect()
+    }
+    hot_seq = seqs[7].split(",")
+    assert len(hot_seq) == _SEQ_CAP
+    # first _SEQ_CAP events by ts: ids 0.._SEQ_CAP-1, alternating view/click
+    assert hot_seq[0] == "view" and hot_seq[1] == "click"
+    assert hot_seq == ["view" if i % 2 == 0 else "click" for i in range(_SEQ_CAP)]
+    assert seqs[1] == "view,purchase"
+
+
+# (sequence, expected non-overlapping count) for view->purchase gap<=2.
+# Hand-computed under leftmost-first LAZY matching — identical in Java
+# regex and RE2 (both scan left-to-right, prefer the SHORTEST lazy
+# quantifier expansion that admits a match, and continue after match
+# end). Lazy is the semantic choice: each view pairs with its earliest
+# qualifying purchase, so adjacent pairs are never swallowed as gaps.
+_HAND_CASES = [
+    ("view,purchase", 1),
+    ("view,click,purchase", 1),
+    ("view,click,click,purchase", 1),
+    ("view,click,click,click,purchase", 0),  # gap 3 > 2
+    ("view,purchase,view,purchase", 2),  # lazy: two minimal matches
+    ("view,view,purchase", 1),  # inner view consumed as gap
+    ("view,purchase,purchase", 1),  # earliest purchase ends the match
+    ("purchase,view", 0),  # order matters
+    ("signup,error", 0),
+]
+
+
+def test_gap_motif_semantics_hand_corpus(spark, duck):
+    pattern = _gap_pattern("view", "purchase", 2)
+    assert pattern == "view(,[a-z]+){0,2}?,purchase"
+    df = spark.createDataFrame([(s,) for s, _ in _HAND_CASES], "seq string")
+    got = {
+        r["seq"]: r["n"]
+        for r in df.select(
+            "seq", F.regexp_count("seq", F.lit(pattern)).alias("n")
+        ).collect()
+    }
+    for seq, want in _HAND_CASES:
+        assert got[seq] == want, f"spark {seq!r}: {got[seq]} != {want}"
+        (duck_n,) = duck.execute(
+            "SELECT len(regexp_extract_all(?, ?))", [seq, pattern]
+        ).fetchone()
+        assert duck_n == want, f"duckdb {seq!r}: {duck_n} != {want}"
