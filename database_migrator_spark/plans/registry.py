@@ -76,22 +76,22 @@ def query(
 #   rank 1 — queries whose last gate row is the OLDEST.
 #   rank 2+ — progressively fresher gate rows.
 #
-# Round-6 instance: rank 0 = q144 (new), q86 (gained a hash oracle),
-# q119 (pre-explode array_distinct), q72/q90/q115 (now read the shared
-# neardup_components_cached ingest artifact); rank 1 = the 43-query
-# r03-gated remainder of q52-q99 (unchanged code, but the hard signal is
-# three rounds old — round-5 verdict top item); rank 2 = q01-q50
-# (re-gated r04; the first 1 fills the 50-row budget); rank 3 =
-# everything gated r05 PLUS the round-6 wave-2 additions q145-q157,
-# which deliberately queue behind the stale block (the 50-row budget
-# this round is owed to the r03 refresh; they carry local sf0.01/sf0.1
-# oracle passes and gate in round 7).  Order changes NOTHING for the
-# pytest oracle suite or bench.py — they run the whole catalog.
+# Round-7 instance: rank 0 = q145-q158 — the 13 round-6 additions whose
+# only evidence is local sf0.01/sf0.1 oracle runs (deliberately queued
+# behind round 6's r03-stale refresh; the r6 judge's independent sf0.01
+# run passed all 13) plus q158 (new this round); q153 (re-parenthesized
+# oracle) and q157 (per-user cap, semantic) are inside that set anyway.
+# rank 1 = q02-q50, whose rows date to r04 — the oldest hard signal
+# (q01 was re-gated r06 and waits with the fresh blocks); the first 36
+# (q02-q37) top up the 50-row budget.  rank 2 = everything else.
+# Round-8 residue: q38-q50 (still r04) go first, then the oldest of the
+# r05-gated block (q51/q94/q96/q100-q143) — that completes the third
+# full-catalog re-gate cycle.  Order changes NOTHING for the pytest
+# oracle suite or bench.py — they run the whole catalog.
 # tests/test_bench_contract.py pins the resulting first-50 list so a
 # refactor cannot silently reorder the gate.
-_ROUND6_MODIFIED = {"q144", "q86", "q119", "q72", "q90", "q115"}
-_R03_STALE = {f"q{i}" for i in range(52, 100)} - {"q72", "q86", "q90", "q94", "q96"}
-_R04_GATED = {f"q{i:02d}" for i in range(1, 51)}
+_ROUND7_NEW = {f"q{i}" for i in range(145, 159)}
+_R04_STALE = {f"q{i:02d}" for i in range(2, 51)}
 
 
 def all_queries() -> dict[str, DeclaredQuery]:
@@ -123,12 +123,10 @@ def all_queries() -> dict[str, DeclaredQuery]:
 
     def rank(name: str) -> tuple[int, str]:
         qid = name.split("_", 1)[0]
-        if qid in _ROUND6_MODIFIED:
+        if qid in _ROUND7_NEW:
             return (0, name)
-        if qid in _R03_STALE:
+        if qid in _R04_STALE:
             return (1, name)
-        if qid in _R04_GATED:
-            return (2, name)
-        return (3, name)
+        return (2, name)
 
     return dict(sorted(_REGISTRY.items(), key=lambda kv: rank(kv[0])))

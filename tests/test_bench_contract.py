@@ -68,23 +68,21 @@ def test_bench_json_line_fits_tail_window():
 
 
 def test_gate_order_front_loads_stale_signal_set():
-    """Round 6: the 50-row gate must spend its budget on (a) the 6
-    semantically-changed queries — q144 (new), q86 (new oracle), q119
-    (pre-explode dedup), q72/q90/q115 (shared component-index artifact) —
-    then (b) the 43-query r03-gated remainder of q52-q99 whose hard
-    signal is three rounds old (round-5 verdict top item), topped up
-    with (c) the first entry of the r04-gated q01-q50 block.  Everything
-    gated r05 queues last.  Pinning the exact first-50 list (not just
-    the set) so a refactor cannot silently reorder the gate."""
+    """Round 7: the 50-row gate must spend its budget on (a) q145-q158 —
+    the 13 round-6 additions that have never had a driver row, plus the
+    new q158 (q153's re-parenthesized oracle and q157's per-user cap are
+    semantic changes inside that same set) — then (b) the first 36 of
+    q02-q50 (q02-q37), whose rows date to r04, the catalog's oldest hard
+    signal. q38-q50 are the round-8 residue; q01 (re-gated r06) and the
+    r05/r06-gated blocks queue last.  Pinning the exact first-50 list
+    (not just the set) so a refactor cannot silently reorder the gate."""
     names = list(all_queries())
-    modified = {"q144", "q86", "q119", "q72", "q90", "q115"}
-    r03_stale = {f"q{i}" for i in range(52, 100)} - {"q72", "q86", "q90", "q94", "q96"}
+    round7_new = {f"q{i}" for i in range(145, 159)}
     gate = [n.split("_", 1)[0] for n in names[:50]]
-    assert gate[:6] == sorted(modified)
-    assert gate[6:49] == sorted(r03_stale)
-    assert gate[49:] == ["q01"]
-    # the r05-gated block (q51/q100-q143 current rows, q94/q96) must all
-    # sort after the 50-row window
+    assert gate[:14] == sorted(round7_new)
+    assert gate[14:] == [f"q{i:02d}" for i in range(2, 38)]
+    # the r8 residue (q38-q50), q01, and the r05/r06-gated blocks must
+    # all sort after the 50-row window
     tail = {n.split("_", 1)[0] for n in names[50:]}
-    assert ({f"q{i}" for i in range(101, 144)} - modified) <= tail
-    assert {"q94", "q96", "q51", "q100"} <= tail
+    assert {f"q{i}" for i in range(38, 51)} <= tail
+    assert {"q01", "q51", "q94", "q96", "q100", "q143", "q52", "q99"} <= tail
