@@ -129,6 +129,13 @@ PROBE_QUERIES = [
     "q151_exact_percentiles",
     "q152_embedding_truncation_fidelity",
     "q153_int8_quantization_report",
+    # round-6 wave 4 + round-7: skew report, anomalies, OHLC, sequence
+    # motifs (strict + gap-constrained, per-user capped)
+    "q154_join_key_skew_report",
+    "q155_event_rate_anomalies",
+    "q156_ohlc_bars",
+    "q157_sequence_motif_match",
+    "q158_gap_constrained_motif",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
@@ -320,33 +327,57 @@ def vocab_growth_probe(spark) -> dict:
 
 
 def main() -> None:
+    # --only q157,q158 runs just those queries (by qNN prefix), skipping
+    # the ingest warms and the bucket/vocab/semdedup extras — the cheap
+    # way to probe a new query without re-timing the whole catalog.
     keep = "--keep" in sys.argv
+    only: set[str] | None = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+    queries = (
+        PROBE_QUERIES
+        if only is None
+        else [q for q in PROBE_QUERIES if q.split("_", 1)[0] in only]
+    )
     spark = get_session("scale-probe")
-    base, base_ingest = run(spark, SRC_SF)
+
+    def timed_run(sf_dir):
+        if only is not None:
+            qs = all_queries()
+            out = {}
+            for name in queries:
+                t0 = time.perf_counter()
+                qs[name].build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                out[name] = round(time.perf_counter() - t0, 2)
+            return out, {}
+        return run(spark, sf_dir)
+
+    base, base_ingest = timed_run(SRC_SF)
     tmp = tempfile.mkdtemp(prefix="sf1_probe_")
     try:
         t0 = time.perf_counter()
         synthesize(spark, tmp)
         print(f"# synthesized ~sf1 in {time.perf_counter()-t0:.1f}s at {tmp}", file=sys.stderr)
-        big, big_ingest = run(spark, tmp)
+        big, big_ingest = timed_run(tmp)
         report = {
             q: {"sf0.1": base[q], "sf1": big[q],
                 "ratio": round(big[q] / base[q], 1) if base[q] > 0 else None}
-            for q in PROBE_QUERIES
+            for q in queries
         }
-        report["ingest_fits"] = {
-            k: {"sf0.1": base_ingest[k], "sf1": big_ingest[k],
-                "ratio": round(big_ingest[k] / base_ingest[k], 1) if base_ingest[k] > 0 else None}
-            for k in base_ingest
-        }
-        report["minhash_bucket_cap"] = {
-            "sf0.1": bucket_cap_stats(spark, SRC_SF),
-            "sf1": bucket_cap_stats(spark, tmp),
-        }
-        report["q103_vocab_growth"] = vocab_growth_probe(spark)
-        report["q109_candidate_pairs"] = {
-            sf: semdedup_stats(spark, d) for sf, d in (("sf0.1", SRC_SF), ("sf1", tmp))
-        }
+        if only is None:
+            report["ingest_fits"] = {
+                k: {"sf0.1": base_ingest[k], "sf1": big_ingest[k],
+                    "ratio": round(big_ingest[k] / base_ingest[k], 1) if base_ingest[k] > 0 else None}
+                for k in base_ingest
+            }
+            report["minhash_bucket_cap"] = {
+                "sf0.1": bucket_cap_stats(spark, SRC_SF),
+                "sf1": bucket_cap_stats(spark, tmp),
+            }
+            report["q103_vocab_growth"] = vocab_growth_probe(spark)
+            report["q109_candidate_pairs"] = {
+                sf: semdedup_stats(spark, d) for sf, d in (("sf0.1", SRC_SF), ("sf1", tmp))
+            }
         print(json.dumps(report, indent=2))
     finally:
         if not keep:
