@@ -1113,3 +1113,119 @@ def q146_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# q161 — winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS
+# algorithm): a THIRD fingerprinting tier between exact digests (q25/q58)
+# and MinHash sketches (q28). Winnowing selects the minimum hash in every
+# sliding window of w consecutive k-gram hashes, guaranteeing any shared
+# run of >= w+k-1 tokens produces a shared fingerprint — LOCAL overlap
+# detection (plagiarism spans, quoted passages) where MinHash only sees
+# global set similarity.
+# ---------------------------------------------------------------------------
+
+_WIN_K = 3  # tokens per gram
+_WIN_W = 4  # winnowing window (consecutive gram hashes)
+_WIN_BUCKET_CAP = 100  # drop boilerplate fingerprints shared too widely
+
+
+def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, fp) pairs: distinct winnowed fingerprints per document.
+
+    Gram hashes are 48-bit md5 slices (conv base-16), the repo's
+    engine-reproducible randomness pattern (q121) — xxhash64 would be
+    Spark-only. The hash array is materialized as a COLUMN before the
+    window-min transform so the O(n·w) interpreted scan reads it once per
+    row, never recomputing the gram hashes per window position."""
+    h = F.transform(
+        word_shingles(tokens_of(text_col), _WIN_K),
+        lambda g: F.conv(F.substring(F.md5(g), 1, 12), 16, 10).cast("long"),
+    )
+    hashed = docs.select(F.col(id_col).alias("id"), h.alias("h"))
+    hc, n = F.col("h"), F.size("h")
+    wins = F.when(
+        n >= _WIN_W,
+        F.transform(
+            F.sequence(F.lit(1), n - _WIN_W + 1),
+            lambda i: F.array_min(F.slice(hc, i, _WIN_W)),
+        ),
+    ).otherwise(F.array(F.array_min(hc)))
+    return hashed.select("id", F.explode(F.array_distinct(wins)).alias("fp"))
+
+
+@query(
+    "q161_winnowing_fingerprints",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           t -> len(t) > 0) AS t
+        FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                    THEN list_transform(generate_series(1, len(t) - 2),
+                                        i -> array_to_string(t[i:i+2], ' '))
+                    ELSE [array_to_string(t, ' ')] END AS g
+        FROM toks
+    ), hs AS (
+        SELECT doc_id,
+               list_transform(g, x -> CAST('0x' || substr(md5(x), 1, 12)
+                                           AS BIGINT)) AS h
+        FROM grams
+    ), fp AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   CASE WHEN len(h) >= 4
+                        THEN list_transform(generate_series(1, len(h) - 3),
+                                            i -> list_min(h[i:i+3]))
+                        ELSE [list_min(h)] END)) AS fp
+        FROM hs
+    ), kept AS (
+        SELECT doc_id, fp,
+               COUNT(*) OVER (PARTITION BY fp) AS bucket_n
+        FROM fp
+    ), f2 AS (
+        SELECT doc_id, fp FROM kept WHERE bucket_n <= 100
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    ORDER BY n_shared DESC, doc_a, doc_b
+    """,
+    tags=("dedup", "winnowing", "fingerprint", "moss", "E15", "llm-pipeline"),
+)
+def q161_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing near-dup candidates: doc pairs sharing >= 2 winnowed
+    fingerprints (k=3-token grams, window w=4; any shared run of >= 6
+    tokens is guaranteed a shared fingerprint — the algorithm's local
+    containment guarantee, which MinHash's global Jaccard cannot give).
+    Fingerprints shared by > 100 docs are dropped as boilerplate — the
+    same bucket-cap discipline as the LSH band join, applied via a
+    window count (one fp shuffle, no join). The pair join is pinned
+    shuffle_merge: the fingerprint table is corpus-sized and must NEVER
+    broadcast (CLAUDE.md invariant); its fan-out is Σ bucket², bounded
+    by the cap — the banded-LSH cost law."""
+    from pyspark.sql import Window
+
+    d = spread_for_cpu(table(spark, sf_dir, "documents"))
+    fps = winnow_fingerprints(d)
+    w_fp = Window.partitionBy("fp")
+    f2 = (
+        fps.withColumn("bucket_n", F.count("*").over(w_fp))
+        .where(F.col("bucket_n") <= _WIN_BUCKET_CAP)
+        .select("id", "fp")
+    )
+    a = f2.select(F.col("id").alias("doc_a"), "fp")
+    b = f2.select(F.col("id").alias("doc_b"), "fp")
+    return (
+        a.join(b.hint("shuffle_merge"), ["fp"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+        .orderBy(F.col("n_shared").desc(), "doc_a", "doc_b")
+    )

@@ -818,3 +818,142 @@ def q158_gap_constrained_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("motif")
     )
+
+
+@query(
+    "q159_time_window_funnel",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, event_id AS v_id, ts AS v_ts
+        FROM events WHERE event_type = 'view'
+    ), p AS (
+        SELECT user_id, ts AS p_ts
+        FROM events WHERE event_type = 'purchase'
+    ), per_view AS (
+        SELECT v.user_id, v.v_id, v.v_ts,
+               MIN(p.p_ts) AS first_p
+        FROM v LEFT JOIN p
+          ON v.user_id = p.user_id
+         AND p.p_ts > v.v_ts
+         AND p.p_ts <= v.v_ts + INTERVAL 5 MINUTE
+        GROUP BY v.user_id, v.v_id, v.v_ts
+    )
+    SELECT strftime(v_ts, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_views,
+           CAST(COUNT(first_p) AS BIGINT) AS n_converted,
+           CAST(COALESCE(SUM((epoch_us(first_p) - epoch_us(v_ts)) // 1000000),
+                         0) AS BIGINT) AS sum_delay_s,
+           CAST(COUNT(first_p) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS conv_rate
+    FROM per_view
+    GROUP BY 1
+    ORDER BY day
+    """,
+    tags=("temporal", "funnel", "time-window", "conversion"),
+)
+def q159_time_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-window funnel — "view converts iff a purchase follows within
+    5 minutes": the wall-clock-bounded conversion metric, completing the
+    gap ladder (q74 any-gap order, q158 event-count gap, here real-time
+    gap). Per anchor view, the earliest qualifying purchase via a
+    user_id equi-join with a range post-filter (never a time-cross
+    join); daily rollup of views, conversions, total delay seconds
+    (exact integer micros DIV), and the conversion rate (one
+    double division of identical BIGINTs per engine). Per-user pair
+    fan-out is views×purchases within the key — the same bounded-key
+    shape as q52's range join; AQE's skew split handles a hot user."""
+    e = table(spark, sf_dir, "events")
+    v = e.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("v_id"), F.col("ts").alias("v_ts")
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    per_view = (
+        v.join(
+            p,
+            (v["user_id"] == p["user_id"])
+            & (F.col("p_ts") > F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 5 MINUTE")),
+            "left",
+        )
+        .groupBy(v["user_id"], "v_id", "v_ts")
+        .agg(F.min("p_ts").alias("first_p"))
+    )
+    delay_s = F.expr(
+        "(unix_micros(first_p) - unix_micros(v_ts)) DIV 1000000"
+    )
+    return (
+        per_view.groupBy(F.date_format("v_ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").alias("n_views"),
+            F.count("first_p").alias("n_converted"),
+            F.coalesce(F.sum(delay_s), F.lit(0)).cast("long").alias("sum_delay_s"),
+            (
+                F.count("first_p").cast("double") / F.count("*").cast("double")
+            ).alias("conv_rate"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "q160_time_weighted_value",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, ts, value,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS t2
+        FROM events
+    ), closed AS (
+        SELECT user_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               (epoch_us(t2) - epoch_us(ts)) // 1000000 AS dur_s
+        FROM iv WHERE t2 IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(dur_s) AS BIGINT) AS active_seconds,
+           CAST(SUM(cents * dur_s) AS DOUBLE)
+               / CAST(SUM(dur_s) * 100 AS BIGINT) AS twap
+    FROM closed
+    GROUP BY user_id
+    HAVING SUM(dur_s) > 0
+    ORDER BY user_id
+    """,
+    tags=("temporal", "twap", "time-weighted", "exact"),
+)
+def q160_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-WEIGHTED average value (TWAP — the metric for irregularly
+    sampled series, where a plain mean over-weights bursts): each event's
+    value holds until the user's next event (lead interval); the mean
+    weights by exact integer seconds. All accumulation is BIGINT
+    (cents × seconds; bounds: |cents| ≤ 2^17 and a century is < 2^32
+    seconds, so a key needs > 2^14 ≈ 16K century-long intervals to
+    overflow 2^63 — not a real corpus), and the single double division
+    at the end divides identical integers on both engines, so the report
+    hash-matches. One user_id shuffle shared by the lead window and the
+    groupBy."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = e.select("user_id", "ts", "value", "event_id").withColumn(
+        "t2", F.lead("ts").over(w)
+    )
+    closed = iv.where(F.col("t2").isNotNull()).select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.expr("(unix_micros(t2) - unix_micros(ts)) DIV 1000000").alias("dur_s"),
+    )
+    return (
+        closed.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum("dur_s").alias("active_seconds"),
+            (
+                F.sum(F.col("cents") * F.col("dur_s")).cast("double")
+                / (F.sum("dur_s") * F.lit(100)).cast("double")
+            ).alias("twap"),
+        )
+        .where(F.col("active_seconds") > 0)
+        .orderBy("user_id")
+    )

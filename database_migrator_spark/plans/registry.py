@@ -84,9 +84,12 @@ def query(
 # rank 1 = q02-q50, whose rows date to r04 — the oldest hard signal
 # (q01 was re-gated r06 and waits with the fresh blocks); the first 36
 # (q02-q37) top up the 50-row budget.  rank 2 = everything else.
-# Round-8 residue: q38-q50 (still r04) go first, then the oldest of the
-# r05-gated block (q51/q94/q96/q100-q143) — that completes the third
-# full-catalog re-gate cycle.  Order changes NOTHING for the pytest
+# Round-8 residue: the round-7 wave additions (q159+ — local
+# sf0.01/sf0.1 oracle evidence only, queued behind this round's
+# never-gated block per the round-6 precedent) plus q38-q50 (still r04)
+# go first, then the oldest of the r05-gated block
+# (q51/q94/q96/q100-q143) — that completes the third full-catalog
+# re-gate cycle.  Order changes NOTHING for the pytest
 # oracle suite or bench.py — they run the whole catalog.
 # tests/test_bench_contract.py pins the resulting first-50 list so a
 # refactor cannot silently reorder the gate.

@@ -180,3 +180,26 @@ def test_incremental_neardup_equals_brute_force(spark):
     }
     got = {r.doc_id for r in q127_incremental_neardup(spark, SF_SMOKE).collect()}
     assert got == want
+
+
+def test_winnowing_guarantee_shared_run_yields_shared_fingerprint(spark):
+    """The winnowing theorem: two documents sharing a run of >= w+k-1
+    (= 6) tokens must share at least one fingerprint; disjoint-vocabulary
+    documents share none."""
+    from database_migrator_spark.operators.dedup import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6-token shared run
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro one two {shared} tail xx yy"),
+            (2, f"{shared} completely different ending here zz"),
+            (3, "nothing in common with anything at all whatsoever"),
+        ],
+        "doc_id bigint, text string",
+    )
+    fps = winnow_fingerprints(docs).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared 6-token run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])

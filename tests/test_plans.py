@@ -643,3 +643,34 @@ def test_sequence_motifs_single_user_shuffle(spark):
         assert p.count("hashpartitioning(user_id") == 1, name
         assert p.count("Exchange") <= 3, name
         assert "SortMergeJoin" not in p and "CartesianProduct" not in p, name
+
+
+def test_time_window_funnel_keyed_join(spark):
+    """q159: views meet purchases through a user_id-keyed join (broadcast
+    at test scale, shuffle at 100 TB) with the 5-minute bound as a
+    post-filter — never a time-cross join — and both aggregates are
+    combinable; no window anywhere."""
+    p = plan_of(spark, "q159_time_window_funnel")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p)
+    assert "Window" not in p
+
+
+def test_twap_single_user_shuffle(spark):
+    """q160: the lead window and the per-user aggregate share ONE user_id
+    hash partitioning; the only other exchange is the presentation sort."""
+    p = plan_of(spark, "q160_time_weighted_value")
+    assert p.count("hashpartitioning(user_id") == 1
+    assert p.count("Exchange") <= 2
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_winnowing_pair_join_never_broadcasts(spark):
+    """q161: the fingerprint table is corpus-sized (unbounded derived
+    table) — the pair self-join must stay a shuffle sort-merge join
+    (pinned via hint) and the boilerplate cap must come from a window
+    count, not a join."""
+    p = plan_of(spark, "q161_winnowing_fingerprints")
+    assert "SortMergeJoin" in p
+    assert "BroadcastHashJoin" not in p and "CartesianProduct" not in p
+    assert "Window" in p
