@@ -957,3 +957,76 @@ def q160_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("active_seconds") > 0)
         .orderBy("user_id")
     )
+
+
+_ATTR_WINDOW_US = 30 * 60 * 1_000_000  # 30-minute attribution lookback
+
+
+@query(
+    "q163_last_touch_attribution",
+    oracle=f"""
+    WITH t AS (
+        SELECT user_id, ts, event_type, value,
+               last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+                          IGNORE NULLS) OVER w AS t_ts,
+               last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                          IGNORE NULLS) OVER w AS ch
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT CASE WHEN t_ts IS NOT NULL
+                     AND epoch_us(ts) - epoch_us(t_ts) <= {_ATTR_WINDOW_US}
+                THEN ch ELSE 'direct' END AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS credited_value
+    FROM t
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    ORDER BY channel
+    """,
+    tags=("temporal", "attribution", "last-touch", "marketing"),
+)
+def q163_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH attribution — the marketing-analytics standard: each
+    purchase credits its revenue to the user's most recent preceding
+    non-purchase event (the touch channel) if it happened within a
+    30-minute lookback, else to 'direct'. One user_id shuffle: a single
+    last(ignorenulls) window over a (ts, event_type) struct with a
+    1-PRECEDING frame picks the touch (both fields from the SAME row —
+    two separate IGNORE NULLS last_values in the oracle agree because
+    they null out on exactly the same rows), then a tiny channel
+    aggregate with exact-cents revenue."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(
+            F.col("event_type") != "purchase",
+            F.struct(F.col("ts").alias("t_ts"), F.col("event_type").alias("ch")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    marked = e.select("user_id", "ts", "event_id", "event_type", "value").withColumn(
+        "touch", touch
+    )
+    within = F.col("touch").isNotNull() & (
+        F.unix_micros("ts") - F.unix_micros(F.col("touch.t_ts"))
+        <= F.lit(_ATTR_WINDOW_US)
+    )
+    return (
+        marked.where(F.col("event_type") == "purchase")
+        .select(
+            F.when(within, F.col("touch.ch")).otherwise(F.lit("direct")).alias("channel"),
+            to_cents("value").alias("cents"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            (F.sum("cents") / F.lit(100.0)).alias("credited_value"),
+        )
+        .orderBy("channel")
+    )

@@ -203,3 +203,41 @@ def test_winnowing_guarantee_shared_run_yields_shared_fingerprint(spark):
         by_doc.setdefault(r["id"], set()).add(r["fp"])
     assert by_doc[1] & by_doc[2], "shared 6-token run must share a fingerprint"
     assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+
+
+def test_prefix_filter_join_is_exact_vs_brute_force(spark):
+    """q162's prefix filter is EXACT, not probabilistic: on the smoke
+    corpus, brute-force all-pairs shingle Jaccard >= 0.7 (computed in
+    Python from collected shingle sets) must equal the query's pair set
+    exactly — zero missed, zero extra."""
+    from itertools import combinations
+
+    from database_migrator_spark.operators.dedup import tokens_of, word_shingles
+    from database_migrator_spark.plans.registry import all_queries
+    from database_migrator_spark.sources import table
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_SMOKE
+
+    rows = (
+        table(spark, SF_SMOKE, "documents")
+        .select(
+            "doc_id",
+            F.array_distinct(word_shingles(tokens_of("text"))).alias("sh"),
+        )
+        .collect()
+    )
+    sets = {r["doc_id"]: set(r["sh"]) for r in rows}
+    want = set()
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if union and 10 * inter >= 7 * union:
+            want.add((a, b))
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in all_queries()["q162_prefix_filter_jaccard_join"]
+        .build(spark, SF_SMOKE)
+        .collect()
+    }
+    assert got == want

@@ -674,3 +674,26 @@ def test_winnowing_pair_join_never_broadcasts(spark):
     assert "SortMergeJoin" in p
     assert "BroadcastHashJoin" not in p and "CartesianProduct" not in p
     assert "Window" in p
+
+
+def test_prefix_filter_join_all_shuffle_merge(spark):
+    """q162: every derived table (shingle df, sorted docs, prefixes) is
+    corpus-sized — all joins must stay shuffle sort-merge (pinned), and
+    the three-consumer sorted_docs frame must be a materialized
+    checkpoint scan, not three recomputations."""
+    p = plan_of(spark, "q162_prefix_filter_jaccard_join")
+    assert "BroadcastHashJoin" not in p and "CartesianProduct" not in p
+    assert "SortMergeJoin" in p
+    # the checkpoint: payload sides read "Scan ExistingRDD", so the
+    # shingle pipeline's FileScan of documents appears exactly once
+    assert p.count("Scan ExistingRDD") >= 3
+
+
+def test_last_touch_attribution_single_user_shuffle(spark):
+    """q163: one user_id hash partitioning feeds the lookback window; the
+    channel aggregate and presentation sort are the only other
+    exchanges; no joins anywhere."""
+    p = plan_of(spark, "q163_last_touch_attribution")
+    assert p.count("hashpartitioning(user_id") == 1
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
