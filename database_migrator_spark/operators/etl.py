@@ -379,3 +379,57 @@ def q80_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return snapshot_diff(old, new, "c_custkey").orderBy("change_type", "c_custkey")
+
+
+@query(
+    "q165_incremental_agg_refresh",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT)                        AS n_events,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS total_value,
+           MIN(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS min_value,
+           MAX(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS max_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("etl", "incremental", "partial-aggregate", "merge"),
+)
+def q165_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate REFRESH: the production pattern where a
+    stored aggregate is updated by MERGING yesterday's partials with
+    today's delta instead of rescanning history. The engine computes
+    per-type partial aggregates over the history slice (day <= 20) and
+    the delta slice (day > 20) SEPARATELY, then merges them with the
+    algebraic combine rules (count/sum add, min/max least/greatest,
+    full-outer on the group key for types appearing in only one slice).
+    The ORACLE aggregates the whole table directly — so the hash gate
+    proves the merge is exactly equivalent to a full recompute, which is
+    the invariant an incremental pipeline lives on. At 100 TB the
+    history side is the stored partial table (no rescan); here both
+    sides scan with pushed day filters. Exact-cents everywhere."""
+    e = table(spark, sf_dir, "events")
+
+    def partials(df: DataFrame) -> DataFrame:
+        cents = F.round(F.col("value") * 100).cast("long")
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(cents).alias("s"),
+            F.min(cents).alias("mn"),
+            F.max(cents).alias("mx"),
+        )
+    hist = partials(e.where(F.dayofmonth("ts") <= 20))
+    delta = partials(e.where(F.dayofmonth("ts") > 20))
+    h = hist.select("event_type", *[F.col(c).alias(f"{c}_h") for c in ("n", "s", "mn", "mx")])
+    d = delta.select("event_type", *[F.col(c).alias(f"{c}_d") for c in ("n", "s", "mn", "mx")])
+    merged = h.join(d, "event_type", "full_outer")
+    zero = F.lit(0).cast("long")
+    return merged.select(
+        "event_type",
+        (F.coalesce("n_h", zero) + F.coalesce("n_d", zero)).alias("n_events"),
+        (
+            (F.coalesce("s_h", zero) + F.coalesce("s_d", zero)) / F.lit(100.0)
+        ).alias("total_value"),
+        (F.least("mn_h", "mn_d") / F.lit(100.0)).alias("min_value"),
+        (F.greatest("mx_h", "mx_d") / F.lit(100.0)).alias("max_value"),
+    ).orderBy("event_type")

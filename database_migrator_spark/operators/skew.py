@@ -147,3 +147,73 @@ def q154_join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "q164_chi_square_drift",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type,
+               (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7
+                   AS dow,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM events
+        GROUP BY 1, 2
+    ), tot AS (
+        SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells
+    ), rows_t AS (
+        SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1
+    ), cols_t AS (
+        SELECT dow, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1
+    )
+    SELECT cells.event_type, cells.dow, cells.o,
+           CAST((rows_t.r * cols_t.c * 1000000) // tot.n AS BIGINT)
+               AS expected_micro,
+           CAST(ROUND(
+               CAST(cells.o * tot.n - rows_t.r * cols_t.c AS DOUBLE)
+               * CAST(cells.o * tot.n - rows_t.r * cols_t.c AS DOUBLE)
+               / CAST(tot.n * rows_t.r * cols_t.c AS DOUBLE)
+               * 1000000000) AS BIGINT) / 1000000000.0 AS chi2_contrib
+    FROM cells
+    JOIN rows_t USING (event_type)
+    JOIN cols_t USING (dow)
+    CROSS JOIN tot
+    ORDER BY event_type, dow
+    """,
+    tags=("diagnostics", "chi-square", "drift", "statistics"),
+)
+def q164_chi_square_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test on the event_type × weekday
+    contingency table — the drift/anomaly diagnostic a pipeline runs to
+    ask "did the event mix change by day of week?". Per cell: observed
+    count, expected count (micro-units, exact integer r·c·10⁶ DIV n),
+    and the chi² contribution (o·n − r·c)²/(n·r·c) — the deviation is
+    computed EXACTLY in BIGINT (|o·n − r·c| < n² ≈ 2^53 up to ~10⁸ rows;
+    beyond that ANSI mode fails loudly and the test should run on rates),
+    then squared/divided in double with identical operand order on both
+    engines and 1e-9 fixed-point rounding. Weekday is epoch-day
+    arithmetic ((days+4) mod 7), immune to engine locale/week-start
+    conventions. All margin tables are bounded (5 types × 7 days) —
+    broadcast by construction; one corpus shuffle total."""
+    e = table(spark, sf_dir, "events")
+    dow = (
+        (F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")) + 4) % 7
+    ).cast("long")
+    cells = e.groupBy("event_type", dow.alias("dow")).agg(F.count("*").alias("o"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    rows_t = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
+    cols_t = cells.groupBy("dow").agg(F.sum("o").alias("c"))
+    j = (
+        cells.join(F.broadcast(rows_t), "event_type")
+        .join(F.broadcast(cols_t), "dow")
+        .crossJoin(F.broadcast(tot))
+    )
+    dev = (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast("double")
+    chi = dev * dev / (F.col("n") * F.col("r") * F.col("c")).cast("double")
+    return j.select(
+        "event_type",
+        "dow",
+        "o",
+        F.expr("(r * c * 1000000L) DIV n").alias("expected_micro"),
+        (F.round(chi * F.lit(1e9)).cast("long") / F.lit(1e9)).alias("chi2_contrib"),
+    ).orderBy("event_type", "dow")

@@ -136,6 +136,15 @@ PROBE_QUERIES = [
     "q156_ohlc_bars",
     "q157_sequence_motif_match",
     "q158_gap_constrained_motif",
+    # round-7 wave 2: funnel/TWAP/attribution, winnowing, prefix-filter
+    # join, chi-square drift, incremental aggregate merge
+    "q159_time_window_funnel",
+    "q160_time_weighted_value",
+    "q161_winnowing_fingerprints",
+    "q162_prefix_filter_jaccard_join",
+    "q163_last_touch_attribution",
+    "q164_chi_square_drift",
+    "q165_incremental_agg_refresh",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
