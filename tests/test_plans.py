@@ -697,3 +697,21 @@ def test_last_touch_attribution_single_user_shuffle(spark):
     assert p.count("hashpartitioning(user_id") == 1
     assert "Join" not in p
     assert "CartesianProduct" not in p
+
+
+def test_chi_square_margins_broadcast(spark):
+    """q164: the contingency cells shuffle once; row/col/total margins are
+    bounded (5 types x 7 days) and must join back by broadcast."""
+    p = plan_of(spark, "q164_chi_square_drift")
+    assert p.count("BroadcastHashJoin") == 2
+    assert p.count("BroadcastNestedLoopJoin") == 1  # one-row total
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_incremental_refresh_pushes_day_filters(spark):
+    """q165: both partial-aggregate branches must push their day filter
+    into the scan and aggregate map-side; the merge is a 5-row join."""
+    p = plan_of(spark, "q165_incremental_agg_refresh")
+    assert "FullOuter" in p
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 4  # partial+final per branch
