@@ -1030,3 +1030,120 @@ def q163_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "q166_concurrent_sessions",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id
+        FROM marked
+    ), sess AS (
+        SELECT user_id, session_id, MIN(ts) AS s_start, MAX(ts) AS s_end
+        FROM numbered GROUP BY 1, 2
+    ), marks AS (
+        SELECT s_start AS ts, 1 AS d, user_id, session_id FROM sess
+        UNION ALL
+        SELECT s_end, -1, user_id, session_id FROM sess
+    ), run AS (
+        SELECT ts, d,
+               SUM(d) OVER (ORDER BY ts, d DESC, user_id, session_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        FROM marks
+    )
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           CAST(MAX(conc) AS BIGINT) AS max_concurrent,
+           CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sessions_started
+    FROM run
+    GROUP BY 1
+    ORDER BY day
+    """,
+    tags=("temporal", "concurrency", "sweep-line", "prefix-sum", "sessions"),
+)
+def q166_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day MAXIMUM concurrent sessions — the capacity-planning sweep:
+    sessions (q24's 30-min gap rule) become ±1 marks at their first/last
+    event, and concurrency is the running sum over the global
+    (ts, start-before-end, user, session) order. The running sum is the
+    repo's TWO-LEVEL PREFIX SUM (q94/q125): level 1 cumsums within
+    hour buckets (parallel across 720 hour tasks — monotone in the
+    global order since the bucket is a ts truncation), level 2 gives
+    each hour its base offset via a window over the BOUNDED hour-total
+    table (the only single-partition window, on ~720 rows) broadcast
+    back — bit-identical to the single-window answer the oracle
+    computes, with no corpus-wide sort anywhere. Starts sort before
+    ends at the same instant (a single-event session counts as 1;
+    the tiebreak chain makes the order total, so the per-row sum —
+    not just the max — matches the oracle's)."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run_w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    sess = (
+        e.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1)
+            .otherwise(0)
+            .alias("new_session"),
+        )
+        .select(
+            "user_id",
+            "ts",
+            F.sum("new_session").over(run_w).cast("long").alias("session_id"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    marks = sess.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("s_start").alias("ts"), F.lit(1).alias("d")),
+                F.struct(F.col("s_end").alias("ts"), F.lit(-1).alias("d")),
+            )
+        ).alias("m"),
+        "user_id",
+        "session_id",
+    ).select(F.col("m.ts").alias("ts"), F.col("m.d").alias("d"), "user_id", "session_id")
+    bucket = F.date_trunc("hour", "ts").alias("_b")
+    marks = marks.withColumn("_b", bucket)
+    order_cols = [F.col("ts"), F.col("d").desc(), F.col("user_id"), F.col("session_id")]
+    w_local = (
+        Window.partitionBy("_b")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = marks.withColumn("_local", F.sum("d").over(w_local))
+    w_hours = (
+        Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    )  # bounded: one row per hour (~720) — the only single-partition window
+    hour_base = (
+        marks.groupBy("_b")
+        .agg(F.sum("d").alias("_ht"))
+        .withColumn("_base", F.coalesce(F.sum("_ht").over(w_hours), F.lit(0)))
+        .select("_b", "_base")
+    )
+    conc = local.join(F.broadcast(hour_base), "_b").withColumn(
+        "conc", (F.col("_base") + F.col("_local")).cast("long")
+    )
+    return (
+        conc.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.max("conc").alias("max_concurrent"),
+            F.sum((F.col("d") == 1).cast("long")).alias("n_sessions_started"),
+        )
+        .orderBy("day")
+    )

@@ -715,3 +715,14 @@ def test_incremental_refresh_pushes_day_filters(spark):
     assert "FullOuter" in p
     assert "CartesianProduct" not in p
     assert p.count("HashAggregate") >= 4  # partial+final per branch
+
+
+def test_concurrent_sessions_single_partition_window_is_hour_table_only(spark):
+    """q166: the sweep's running sum must be the two-level prefix sum —
+    the ONLY single-partition exchange feeds the bounded hour-total
+    window (~720 rows/month), never the corpus-sized mark table; hour
+    bases rejoin by broadcast."""
+    p = plan_of(spark, "q166_concurrent_sessions")
+    assert p.count("Exchange SinglePartition") == 1
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p

@@ -84,3 +84,37 @@ def test_gap_motif_semantics_hand_corpus(spark, duck):
             "SELECT len(regexp_extract_all(?, ?))", [seq, pattern]
         ).fetchone()
         assert duck_n == want, f"duckdb {seq!r}: {duck_n} != {want}"
+
+
+def test_concurrent_sessions_hand_corpus(spark, duck, tmp_path):
+    """Sweep-line convention check on a hand corpus: user 1 has one
+    session 00:00-00:40 (two events 40 min apart would split — use 20-min
+    gaps), user 2 overlaps it 00:10-00:30, user 3 is a single-event
+    session at 00:20. Expected max concurrency = 3; 3 sessions start."""
+    import datetime as dt
+    import os
+
+    base = dt.datetime(2024, 3, 1)
+
+    def ev(eid, mins, uid):
+        return (eid, base + dt.timedelta(minutes=mins), uid, "view", 1.0, "{}")
+
+    rows = [
+        ev(1, 0, 1), ev(2, 20, 1), ev(3, 40, 1),
+        ev(4, 10, 2), ev(5, 30, 2),
+        ev(6, 20, 3),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+    from database_migrator_spark.plans.registry import all_queries
+
+    out = all_queries()["q166_concurrent_sessions"].build(spark, sf).collect()
+    assert len(out) == 1
+    assert out[0]["day"] == "2024-03-01"
+    assert out[0]["max_concurrent"] == 3
+    assert out[0]["n_sessions_started"] == 3

@@ -145,6 +145,7 @@ PROBE_QUERIES = [
     "q163_last_touch_attribution",
     "q164_chi_square_drift",
     "q165_incremental_agg_refresh",
+    "q166_concurrent_sessions",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
