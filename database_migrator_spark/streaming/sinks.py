@@ -95,3 +95,85 @@ def q149_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q167_stream_jdbc_exactly_once",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT)                        AS n_events,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("streaming", "jdbc", "exactly-once", "sink", "E17", "E20"),
+    bench=False,  # embedded-Derby I/O plane (the q68 rationale): wall time
+    # is owned by the RDBMS, not the engine — correctness-gated only
+)
+def q167_stream_jdbc_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming into a real RDBMS (the E17×E20
+    composition): each micro-batch lands its per-type PARTIAL aggregate
+    into an embedded-Derby table as DELETE-batch-then-INSERT keyed by
+    batch_id — the idempotent-upsert pattern every JDBC consumer of a
+    stream depends on (a replayed batch after checkpoint restart
+    overwrites, never duplicates). The read-back merges the stored
+    partials with q165's algebraic combine rules, and equality with the
+    oracle's direct batch aggregate proves BOTH exactly-once delivery
+    and partial-merge correctness end-to-end. Scratch-keyed like q149:
+    re-invocations reuse the checkpoint (no new batches) and the
+    already-landed rows."""
+    from database_migrator_spark.migrator.ddl import run_ddl_script_jdbc
+    from database_migrator_spark.scratch import scratch_dir
+    from database_migrator_spark.sources import events_stream
+    from database_migrator_spark.sources.sink import _DERBY_PROPS, read_jdbc
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    db_dir = scratch_dir("q167_derby", *key)
+    ckpt = scratch_dir("q167_ckpt", *key)
+    url = f"jdbc:derby:{os.path.join(db_dir, 'db')};create=true"
+    try:
+        run_ddl_script_jdbc(
+            spark,
+            "CREATE TABLE stream_agg ("
+            "batch_id BIGINT, event_type VARCHAR(30), n BIGINT, cents BIGINT)",
+            url,
+            properties=_DERBY_PROPS,
+        )
+    except Exception:  # Derby has no IF NOT EXISTS; table survives re-invocation
+        pass
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        agg = batch_df.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        ).withColumn("batch_id", F.lit(batch_id).cast("long"))
+        # idempotent replay: remove any rows a failed attempt landed
+        run_ddl_script_jdbc(
+            spark,
+            f"DELETE FROM stream_agg WHERE batch_id = {int(batch_id)}",
+            url,
+            properties=_DERBY_PROPS,
+        )
+        agg.select("batch_id", "event_type", "n", "cents").write.jdbc(
+            url, "stream_agg", mode="append", properties=dict(_DERBY_PROPS)
+        )
+
+    src = events_stream(spark, sf_dir).select("event_type", "value")
+    q = (
+        src.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = read_jdbc(spark, url, "stream_agg")
+    cols = {c.upper(): c for c in back.columns}
+    return (
+        back.groupBy(F.col(cols["EVENT_TYPE"]).alias("event_type"))
+        .agg(
+            F.sum(cols["N"]).cast("long").alias("n_events"),
+            (F.sum(cols["CENTS"]) / F.lit(100.0)).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

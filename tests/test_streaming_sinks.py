@@ -138,3 +138,19 @@ def test_untouched_files_is_linear_at_1e4_files():
     elapsed = time.monotonic() - t0
     assert got == all_files[1::2]
     assert elapsed < 1.0, f"untouched_files took {elapsed:.2f}s at 1e4 files"
+
+
+def test_q167_jdbc_sink_reinvocation_is_idempotent(spark):
+    """Re-invoking q167 in the same session reuses the checkpoint (no new
+    batches) and the already-landed Derby rows — the result must be
+    byte-identical, proving the DELETE-then-INSERT upsert never
+    duplicates on replay."""
+    from database_migrator_spark.plans.registry import all_queries
+
+    from .conftest import SF_SMOKE
+
+    dq = all_queries()["q167_stream_jdbc_exactly_once"]
+    first = [tuple(r) for r in dq.build(spark, SF_SMOKE).collect()]
+    second = [tuple(r) for r in dq.build(spark, SF_SMOKE).collect()]
+    assert first == second
+    assert len(first) > 0
