@@ -217,3 +217,171 @@ def q164_chi_square_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(r * c * 1000000L) DIV n").alias("expected_micro"),
         (F.round(chi * F.lit(1e9)).cast("long") / F.lit(1e9)).alias("chi2_contrib"),
     ).orderBy("event_type", "dow")
+
+
+@query(
+    "q168_rfm_segmentation",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               date_diff('day', CAST(MAX(ts) AS DATE), DATE '2024-02-01')
+                   AS recency_d,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS monetary_c
+        FROM events
+        GROUP BY user_id
+    ), bounds AS (
+        SELECT quantile_disc(recency_d,  [0.25, 0.5, 0.75]) AS rq,
+               quantile_disc(frequency,  [0.25, 0.5, 0.75]) AS fq,
+               quantile_disc(monetary_c, [0.25, 0.5, 0.75]) AS mq
+        FROM per_user
+    ), scored AS (
+        SELECT u.user_id,
+               len(list_filter(b.rq, q -> u.recency_d  > q)) AS r_bucket,
+               len(list_filter(b.fq, q -> u.frequency  > q)) AS f_bucket,
+               len(list_filter(b.mq, q -> u.monetary_c > q)) AS m_bucket
+        FROM per_user u CROSS JOIN bounds b
+    )
+    SELECT CAST(r_bucket AS BIGINT) AS r_bucket,
+           CAST(f_bucket AS BIGINT) AS f_bucket,
+           CAST(m_bucket AS BIGINT) AS m_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM scored
+    GROUP BY 1, 2, 3
+    ORDER BY r_bucket, f_bucket, m_bucket
+    """,
+    tags=("analytics", "rfm", "segmentation", "quartiles", "window-free"),
+)
+def q168_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-analytics cube: per user,
+    recency (days from last event to the 2024-02-01 reference date),
+    frequency (event count) and monetary value (exact cents) are each
+    bucketed by their own QUARTILE boundaries, and the 4×4×4 segment
+    grid reports its population. Window-free like q154: the boundaries
+    are one exact percentile_disc aggregate (a single row broadcast
+    back; percentile_disc picks actual values, never interpolates — all
+    integers), and each user buckets by counting boundaries strictly
+    below its value. Two key-partitioned shuffles at any scale."""
+    e = table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.datediff(
+            F.lit("2024-02-01").cast("date"), F.max("ts").cast("date")
+        ).cast("long").alias("recency_d"),
+        F.count("*").alias("frequency"),
+        F.sum(to_cents("value")).alias("monetary_c"),
+    )
+    big = 2147483647  # exact percentile_approx accuracy = percentile_disc
+    bounds = per_user.agg(
+        F.percentile_approx("recency_d", [0.25, 0.5, 0.75], big).alias("rq"),
+        F.percentile_approx("frequency", [0.25, 0.5, 0.75], big).alias("fq"),
+        F.percentile_approx("monetary_c", [0.25, 0.5, 0.75], big).alias("mq"),
+    )
+    scored = per_user.crossJoin(F.broadcast(bounds)).select(
+        F.size(F.filter("rq", lambda q: F.col("recency_d") > q)).cast("long").alias("r_bucket"),
+        F.size(F.filter("fq", lambda q: F.col("frequency") > q)).cast("long").alias("f_bucket"),
+        F.size(F.filter("mq", lambda q: F.col("monetary_c") > q)).cast("long").alias("m_bucket"),
+    )
+    return (
+        scored.groupBy("r_bucket", "f_bucket", "m_bucket")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("r_bucket", "f_bucket", "m_bucket")
+    )
+
+
+@query(
+    "q170_event_type_correlation",
+    oracle="""
+    WITH hours AS (
+        SELECT DISTINCT date_trunc('hour', ts) AS h FROM events
+    ), types AS (
+        SELECT DISTINCT event_type FROM events
+    ), counts AS (
+        SELECT date_trunc('hour', ts) AS h, event_type,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), dense AS (
+        SELECT hours.h, types.event_type, COALESCE(counts.c, 0) AS c
+        FROM hours CROSS JOIN types
+        LEFT JOIN counts ON counts.h = hours.h
+                        AND counts.event_type = types.event_type
+    ), pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT)      AS n_hours,
+               CAST(SUM(a.c) AS BIGINT)      AS sx,
+               CAST(SUM(b.c) AS BIGINT)      AS sy,
+               CAST(SUM(a.c * b.c) AS BIGINT) AS sxy,
+               CAST(SUM(a.c * a.c) AS BIGINT) AS sxx,
+               CAST(SUM(b.c * b.c) AS BIGINT) AS syy
+        FROM dense a JOIN dense b ON a.h = b.h AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_hours,
+           CAST(ROUND(
+               CAST(n_hours * sxy - sx * sy AS DOUBLE)
+               / (sqrt(CAST(n_hours * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n_hours * syy - sy * sy AS DOUBLE)))
+               * 1000000000) AS BIGINT) / 1000000000.0 AS corr
+    FROM pairs
+    WHERE n_hours * sxx > sx * sx AND n_hours * syy > sy * sy
+    ORDER BY type_a, type_b
+    """,
+    tags=("analytics", "correlation", "pearson", "diagnostics"),
+)
+def q170_event_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of hourly event-type volumes — the
+    "do errors spike with traffic?" diagnostic. The hourly count matrix
+    is DENSIFIED first (hours × types grid with explicit zeros — a
+    cross join of two BOUNDED derived tables, ~720 × 5 rows; skipping
+    the zeros would silently bias every correlation), then each type
+    pair folds exact BIGINT sums (Σx, Σy, Σxy, Σx², Σy²) and the
+    correlation is one double expression over those identical integers
+    with 1e-9 fixed-point rounding — engine-exact like q155/q164.
+    Integer bounds: hourly counts up to ~3M keep n·Σx² under 2^63 for a
+    month of hours; beyond that ANSI overflow fails loudly (rate-
+    normalize or day-bucket first). Degenerate (zero-variance) types
+    are excluded by the integer guard."""
+    e = table(spark, sf_dir, "events")
+    counts = e.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count("*").alias("c"))
+    hours = counts.select("h").distinct()
+    types = counts.select("event_type").distinct()
+    dense = (
+        hours.crossJoin(F.broadcast(types))
+        .join(F.broadcast(counts), ["h", "event_type"], "left")
+        .select("h", "event_type", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    a = dense.select(F.col("h"), F.col("event_type").alias("type_a"), F.col("c").alias("ca"))
+    b = dense.select(F.col("h"), F.col("event_type").alias("type_b"), F.col("c").alias("cb"))
+    pairs = (
+        a.join(F.broadcast(b), "h")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count("*").alias("n_hours"),
+            F.sum("ca").alias("sx"),
+            F.sum("cb").alias("sy"),
+            F.sum(F.col("ca") * F.col("cb")).alias("sxy"),
+            F.sum(F.col("ca") * F.col("ca")).alias("sxx"),
+            F.sum(F.col("cb") * F.col("cb")).alias("syy"),
+        )
+    )
+    corr = (F.col("n_hours") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (
+        F.sqrt((F.col("n_hours") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+        * F.sqrt((F.col("n_hours") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    )
+    return (
+        pairs.where(
+            (F.col("n_hours") * F.col("sxx") > F.col("sx") * F.col("sx"))
+            & (F.col("n_hours") * F.col("syy") > F.col("sy") * F.col("sy"))
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_hours",
+            (F.round(corr * F.lit(1e9)).cast("long") / F.lit(1e9)).alias("corr"),
+        )
+        .orderBy("type_a", "type_b")
+    )

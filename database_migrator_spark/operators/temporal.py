@@ -1147,3 +1147,88 @@ def q166_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "q169_top_session_paths",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts, event_id, event_type,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id
+        FROM marked
+    ), capped AS (
+        SELECT user_id, session_id, event_type, ts, event_id
+        FROM numbered
+        QUALIFY row_number() OVER (PARTITION BY user_id, session_id
+                                   ORDER BY ts, event_id) <= 5
+    ), paths AS (
+        SELECT user_id, session_id,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM capped
+        GROUP BY 1, 2
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths
+    GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 15
+    """,
+    tags=("temporal", "sessions", "paths", "clickstream"),
+)
+def q169_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 session PATHS — the clickstream report behind every "how
+    do users move through the product" dashboard: sessions (q24's 30-min
+    gap rule) are represented by their first 5 event types joined with
+    '>' (the cap bounds every row, q157's discipline), then counted.
+    One user_id shuffle chain (gap window → session ids → per-session
+    row_number cap → path groupBy reuse the same hash partitioning),
+    a path-keyed count, and a total ORDER BY with the path itself as
+    the unique tiebreaker on the LIMIT."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run_w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    numbered = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum("new_session").over(run_w).cast("long").alias("session_id"),
+    )
+    w_sess = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    capped = numbered.withColumn("__rn", F.row_number().over(w_sess)).where(
+        F.col("__rn") <= 5
+    )
+    paths = capped.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(15)
+    )

@@ -23,48 +23,60 @@ def test_short_query_keys_are_unique():
 
 
 def test_bench_json_line_fits_tail_window():
-    """The bench line must stay under the 1900-char budget that keeps it
-    inside the driver's 2000-char stdout tail: (a) in the NORMAL regime
-    (every benched query under 10 s — true of every recorded run; the
-    bench total would read ~20 min before this breaks) the FULL
-    per-query map fits; (b) past that, bench.py truncates to the
-    slowest-60 map, and that fallback line must fit even in the
-    pathological all-999.9s-plus-failures case. (Round 6: the 150-query
-    catalog moved the driver line to 1-DECIMAL per-query values —
-    bench_full.json keeps 4 decimals — restoring the sub-10s-regime
-    headroom; the degradation path stays pinned.)"""
+    """The emitted bench line must stay under the 1900-char budget that
+    keeps it inside the driver's 2000-char stdout tail. At 168+ benched
+    queries (round 7) the FULL per-query map no longer fits even at one
+    decimal, so bench.py's own rule — truncate to the slowest-60 map —
+    is now the NORMAL emission path, not just the degradation path;
+    the full-name 4-decimal map lives in committed bench_full.json.
+    This test replays bench.py's decision procedure on (a) the realistic
+    all-9.9s regime and (b) the pathological 999.9s-plus-failures
+    regime and asserts the FINAL line fits in both."""
     qs = all_queries()
-    short = {n.split("_", 1)[0]: 9.9 for n, dq in qs.items() if dq.bench}
-    out = {
-        "metric": "total_wall_sec_declared_queries",
-        "value": 9999.99,
-        "unit": "sec",
-        "queries": short,
-        "sf": 0.1,
-        "n_queries": len(short),
-        "ingest": {
-            "ivf_fit": 99.99,
-            "bpe_fit": 99.99,
-            "pq_fit": 99.99,
-            "cc_fit": 99.99,
-            "gram_fit": 99.99,
-        },
-    }
-    line = json.dumps(out, separators=(",", ":"))
-    assert len(line) < 1900, (
-        f"bench line would be {len(line)} chars; the registry has grown past "
-        "what the driver's 2000-char tail window can carry — shrink keys or "
-        "trim the benched set"
-    )
-    # pathological case: 999.9s timings + failures → bench.py truncates
-    # to the slowest 60; that fallback line must also fit
-    fallback = dict(out)
-    fallback["queries"] = dict(list({k: 999.9 for k in short}.items())[:60])
-    fallback["queries_truncated_to_slowest"] = 60
-    fallback["n_failures"] = 99
-    fallback["failures"] = {f"q{i:02d}": "X" * 40 for i in range(8)}
-    fline = json.dumps(fallback, separators=(",", ":"))
-    assert len(fline) < 1900, f"fallback bench line would be {len(fline)} chars"
+    benched = [n.split("_", 1)[0] for n, dq in qs.items() if dq.bench]
+
+    def emitted_line(per_query: float, with_failures: bool) -> str:
+        short = {k: per_query for k in benched}
+        out = {
+            "metric": "total_wall_sec_declared_queries",
+            "value": 9999.99,
+            "unit": "sec",
+            "queries": short,
+            "sf": 0.1,
+            "n_queries": len(short),
+            "ingest": {
+                "ivf_fit": 99.99,
+                "bpe_fit": 99.99,
+                "pq_fit": 99.99,
+                "cc_fit": 99.99,
+                "gram_fit": 99.99,
+            },
+        }
+        failures = {f"q{i:02d}": "X" * 80 for i in range(99)} if with_failures else {}
+        if failures:
+            out["failures"] = failures
+        line = json.dumps(out, separators=(",", ":"))
+        if len(line) > 1900:  # bench.py's truncation rule, replayed
+            out["queries"] = dict(
+                sorted(short.items(), key=lambda kv: -kv[1])[:60]
+            )
+            out["queries_truncated_to_slowest"] = 60
+            if failures:
+                out["n_failures"] = len(failures)
+                out["failures"] = {k: v[:40] for k, v in list(failures.items())[:8]}
+            line = json.dumps(out, separators=(",", ":"))
+            if len(line) > 1900:
+                out["queries"] = {}
+                out.pop("failures", None)
+                line = json.dumps(out, separators=(",", ":"))
+        return line
+
+    for per_query, with_failures in ((9.9, False), (999.9, True)):
+        line = emitted_line(per_query, with_failures)
+        assert len(line) < 1900, (
+            f"emitted bench line would be {len(line)} chars "
+            f"(per_query={per_query}, failures={with_failures})"
+        )
 
 
 def test_gate_order_front_loads_stale_signal_set():

@@ -726,3 +726,33 @@ def test_concurrent_sessions_single_partition_window_is_hour_table_only(spark):
     assert p.count("Exchange SinglePartition") == 1
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_rfm_window_free_quartiles(spark):
+    """q168: quartile boundaries come from one percentile aggregate (a
+    one-row broadcast side), never a corpus window — the q154 pattern on
+    three axes at once."""
+    p = plan_of(spark, "q168_rfm_segmentation")
+    assert "Window" not in p
+    assert p.count("BroadcastNestedLoopJoin") == 1  # one-row bounds frame
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_session_paths_single_user_shuffle(spark):
+    """q169: gap window, session cumsum, per-session cap and the path
+    groupBy all reuse ONE user_id hash partitioning — two exchanges
+    total including the top-k."""
+    p = plan_of(spark, "q169_top_session_paths")
+    assert p.count("hashpartitioning(user_id") == 1
+    assert p.count("Exchange") <= 2
+    assert "Join" not in p and "CartesianProduct" not in p
+
+
+def test_correlation_joins_bounded_sides_only(spark):
+    """q170: after the single corpus shuffle (hourly counts), every join
+    runs on bounded derived tables (hours x types grid, pair self-join)
+    — broadcast by construction, no sort-merge, no cartesian of
+    unbounded sides."""
+    p = plan_of(spark, "q170_event_type_correlation")
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p

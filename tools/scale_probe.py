@@ -146,6 +146,10 @@ PROBE_QUERIES = [
     "q164_chi_square_drift",
     "q165_incremental_agg_refresh",
     "q166_concurrent_sessions",
+    # round-7 wave 3: RFM cube, session paths, volume correlation
+    "q168_rfm_segmentation",
+    "q169_top_session_paths",
+    "q170_event_type_correlation",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
