@@ -331,13 +331,16 @@ def test_no_rdd_scans_anywhere(spark):
     boundary — including q109's normalize-once checkpoint feeding both
     self-join sides — the composed corpus pipeline whose stage-boundary
     checkpoints are the same pattern, the BPE queries whose merge
-    table is a driver-local list (vocabulary argmax results), and the
+    table is a driver-local list (vocabulary argmax results), the
     decontamination family (q98/q145) reading the once-per-session
-    checkpointed 8-gram shingle table (doc_shingles_cached)."""
+    checkpointed 8-gram shingle table (doc_shingles_cached), and q162
+    (ppjoin), whose sorted-shingle table is checkpointed because three
+    consumers read it (test_prefix_filter_join_all_shuffle_merge pins
+    that shape)."""
     for name, dq in _QS.items():
         if any(
             t in dq.tags
-            for t in ("streaming", "udtf", "minhash", "simhash", "semdedup", "pipeline", "bpe", "iterative", "decontamination")
+            for t in ("streaming", "udtf", "minhash", "simhash", "semdedup", "pipeline", "bpe", "iterative", "decontamination", "ppjoin")
         ):
             continue
         p = _QS[name].build(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
