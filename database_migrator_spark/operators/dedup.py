@@ -1253,11 +1253,13 @@ _PPJ_T_NUM, _PPJ_T_DEN = 7, 10  # Jaccard threshold 0.7 as an exact ratio
                            t -> len(t) > 0) AS t
         FROM documents
     ), tok AS (
-        SELECT doc_id,
-               unnest(list_distinct(CASE WHEN len(t) >= 3
-                   THEN list_transform(generate_series(1, len(t) - 2),
-                                       i -> array_to_string(t[i:i+2], ' '))
-                   ELSE [array_to_string(t, ' ')] END)) AS tk
+        SELECT DISTINCT doc_id,
+               CAST('0x' || substr(md5(unnest(list_distinct(
+                   CASE WHEN len(t) >= 3
+                        THEN list_transform(generate_series(1, len(t) - 2),
+                                            i -> array_to_string(t[i:i+2], ' '))
+                        ELSE [array_to_string(t, ' ')] END))), 1, 12)
+                    AS BIGINT) AS tk
         FROM toks
     ), df AS (
         SELECT tk, COUNT(*) AS df FROM tok GROUP BY tk
@@ -1308,9 +1310,26 @@ def q162_prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFra
     replays the identical algorithm, so it runs at sf0.1 too (not
     O(N²)-bound like q66's brute force)."""
     d = spread_for_cpu(table(spark, sf_dir, "documents"))
+    # Shingles are HASHED to 48-bit ints (the q161 md5-slice pattern —
+    # engine-reproducible, DuckDB parses via CAST('0x…' AS BIGINT))
+    # before any shuffle: every downstream stage (df count, per-doc sort,
+    # prefix join, payload intersects) then moves/compares fixed-width
+    # longs instead of multi-word strings — the dominant cost at
+    # corpus scale. A 48-bit collision would merge two shingles
+    # IDENTICALLY on both engines (the hash gate still matches); at
+    # ~10^5 distinct shingles the birthday odds are ~10^-5.
     tok = d.select(
         "doc_id",
-        F.explode(F.array_distinct(word_shingles(tokens_of("text")))).alias("tk"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.array_distinct(word_shingles(tokens_of("text"))),
+                    lambda g: F.conv(F.substring(F.md5(g), 1, 12), 16, 10).cast(
+                        "long"
+                    ),
+                )
+            )
+        ).alias("tk"),
     )
     df_t = tok.groupBy("tk").agg(F.count("*").alias("df"))
     sorted_docs = (
