@@ -158,3 +158,95 @@ def test_cents_arithmetic_is_exact_for_two_decimal_money(values):
     assert abs(total - exact) < 1e-9
     # permutation invariance (the property double sums lack)
     assert sum(sorted(cents)) == sum(cents)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing + prefix-filter properties (round 7). Pure-Python reference
+# implementations mirror the column expressions; Spark agreement is
+# covered by the oracle gate and tests/test_dedup.py — these pin the
+# ALGORITHMIC guarantees over randomized inputs.
+# ---------------------------------------------------------------------------
+
+import hashlib as _hashlib
+
+
+def _py_winnow(tokens: list[str], k: int = 3, w: int = 4) -> set[int]:
+    """Reference winnowing: mirrors operators/dedup.winnow_fingerprints
+    (k-token grams, 48-bit md5-slice hashes, min per w-window)."""
+    if len(tokens) >= k:
+        grams = [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
+    else:
+        grams = [" ".join(tokens)]
+    hs = [int(_hashlib.md5(g.encode()).hexdigest()[:12], 16) for g in grams]
+    if len(hs) >= w:
+        return {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+    return {min(hs)}
+
+
+_word = st.text(alphabet="abcdefgh", min_size=1, max_size=4)
+
+
+@given(
+    st.lists(_word, min_size=6, max_size=6),  # the shared run (= w+k-1)
+    st.lists(_word, min_size=0, max_size=8),
+    st.lists(_word, min_size=0, max_size=8),
+    st.lists(_word, min_size=0, max_size=8),
+)
+@settings(max_examples=200, deadline=None)
+def test_winnowing_containment_guarantee(shared, pre_a, post_a, pre_b):
+    """The winnowing theorem (Schleimer 2003): ANY two documents sharing
+    a contiguous run of >= w+k-1 tokens share at least one fingerprint,
+    wherever the run sits in either document."""
+    doc_a = pre_a + shared + post_a
+    doc_b = pre_b + shared
+    assert _py_winnow(doc_a) & _py_winnow(doc_b)
+
+
+def _py_prefix_join(docs: dict[int, set[str]], t_num=7, t_den=10):
+    """Reference AllPairs: rare-first prefixes, candidate = shared prefix
+    element, verify with exact integer cross-multiplication."""
+    from collections import Counter
+
+    df = Counter(x for s in docs.values() for x in s)
+    pref = {}
+    for d, s in docs.items():
+        n = len(s)
+        plen = n - -(-t_num * n // t_den) + 1  # n - ceil(t*n) + 1
+        pref[d] = set(sorted(s, key=lambda x: (df[x], x))[:plen])
+    cands = set()
+    ids = sorted(docs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if pref[a] & pref[b]:
+                cands.add((a, b))
+    out = set()
+    for a, b in cands:
+        inter = len(docs[a] & docs[b])
+        union = len(docs[a] | docs[b])
+        if union and t_den * inter >= t_num * union:
+            out.add((a, b))
+    return out
+
+
+@given(
+    st.lists(
+        st.sets(st.text(alphabet="xyz", min_size=1, max_size=3), min_size=1, max_size=12),
+        min_size=2,
+        max_size=8,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_prefix_filter_never_misses_a_qualifying_pair(sets):
+    """Exactness of the prefix filter itself: for random small set
+    corpora, the prefix-filtered join finds EXACTLY the brute-force
+    J >= 0.7 pairs — the theorem q162 rests on, independent of Spark."""
+    docs = dict(enumerate(sets))
+    brute = set()
+    ids = sorted(docs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(docs[a] & docs[b])
+            union = len(docs[a] | docs[b])
+            if union and 10 * inter >= 7 * union:
+                brute.add((a, b))
+    assert _py_prefix_join(docs) == brute
