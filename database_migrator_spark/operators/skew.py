@@ -325,7 +325,7 @@ def q168_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE n_hours * sxx > sx * sx AND n_hours * syy > sy * sy
     ORDER BY type_a, type_b
     """,
-    tags=("analytics", "correlation", "pearson", "diagnostics"),
+    tags=("analytics", "correlation", "pearson", "diagnostics", "dense-hourly"),
 )
 def q170_event_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlation of hourly event-type volumes — the
@@ -340,17 +340,9 @@ def q170_event_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     month of hours; beyond that ANSI overflow fails loudly (rate-
     normalize or day-bucket first). Degenerate (zero-variance) types
     are excluded by the integer guard."""
-    e = table(spark, sf_dir, "events")
-    counts = e.groupBy(
-        F.date_trunc("hour", "ts").alias("h"), "event_type"
-    ).agg(F.count("*").alias("c"))
-    hours = counts.select("h").distinct()
-    types = counts.select("event_type").distinct()
-    dense = (
-        hours.crossJoin(F.broadcast(types))
-        .join(F.broadcast(counts), ["h", "event_type"], "left")
-        .select("h", "event_type", F.coalesce("c", F.lit(0)).alias("c"))
-    )
+    from database_migrator_spark.operators.temporal import dense_hourly_counts
+
+    dense = dense_hourly_counts(spark, sf_dir)
     a = dense.select(F.col("h"), F.col("event_type").alias("type_a"), F.col("c").alias("ca"))
     b = dense.select(F.col("h"), F.col("event_type").alias("type_b"), F.col("c").alias("cb"))
     pairs = (

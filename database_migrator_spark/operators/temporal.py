@@ -1232,3 +1232,205 @@ def q169_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(15)
     )
+
+
+# Densified (hour × event_type) count grid with explicit zeros — the
+# shared substrate of q170 (correlation), q171 (forecast eval) and q172
+# (EWMA). BOUNDED (~720 hours × 5 types per month of data), but naively
+# re-deriving it per branch re-SCANS the corpus per reference (measured:
+# q171's three lag-join branches × {hours, types, counts} = 9 full scans
+# — Catalyst does not reuse the aggregate exchange because each branch
+# projects it differently). So it is materialized ONCE per (session,
+# sf_dir) as a localCheckpoint — the corpus is touched exactly once no
+# matter how many consumers run; the ~3,600-row checkpoint is free.
+_DENSE_CACHE: dict = {}
+
+
+def dense_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    app = spark.sparkContext.applicationId
+    for stale in [k for k in _DENSE_CACHE if k[0] != app]:
+        del _DENSE_CACHE[stale]
+    key = (app, _os.path.abspath(sf_dir))
+    df = _DENSE_CACHE.get(key)
+    if df is None:
+        e = table(spark, sf_dir, "events")
+        counts = (
+            e.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+            .agg(F.count("*").alias("c"))
+            .localCheckpoint(eager=True)  # corpus touched once, here
+        )
+        hours = counts.select("h").distinct()
+        types = counts.select("event_type").distinct()
+        df = (
+            hours.crossJoin(F.broadcast(types))
+            .join(F.broadcast(counts), ["h", "event_type"], "left")
+            .select("h", "event_type", F.coalesce("c", F.lit(0)).alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        _DENSE_CACHE[key] = df
+    return df
+
+
+_DENSE_HOURLY_ORACLE = """
+    hours AS (
+        SELECT DISTINCT date_trunc('hour', ts) AS h FROM events
+    ), types AS (
+        SELECT DISTINCT event_type FROM events
+    ), counts AS (
+        SELECT date_trunc('hour', ts) AS h, event_type,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), dense AS (
+        SELECT hours.h, types.event_type, COALESCE(counts.c, 0) AS c
+        FROM hours CROSS JOIN types
+        LEFT JOIN counts ON counts.h = hours.h
+                        AND counts.event_type = types.event_type
+    )"""
+
+
+@query(
+    "q171_seasonal_naive_forecast",
+    oracle=f"""
+    WITH {_DENSE_HOURLY_ORACLE}
+    SELECT a.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(SUM(abs(a.c - d.c)) AS BIGINT) AS abs_err_daily,
+           CAST(SUM(abs(a.c - p.c)) AS BIGINT) AS abs_err_hourly,
+           CAST(SUM(abs(a.c - d.c)) AS DOUBLE) / COUNT(*) AS mae_daily,
+           CAST(SUM(abs(a.c - p.c)) AS DOUBLE) / COUNT(*) AS mae_hourly
+    FROM dense a
+    JOIN dense d ON d.event_type = a.event_type
+                AND d.h = a.h - INTERVAL 24 HOUR
+    JOIN dense p ON p.event_type = a.event_type
+                AND p.h = a.h - INTERVAL 1 HOUR
+    GROUP BY a.event_type
+    ORDER BY a.event_type
+    """,
+    tags=("temporal", "forecast", "seasonal-naive", "evaluation", "dense-hourly"),
+)
+def q171_seasonal_naive_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-BASELINE evaluation — the report every capacity model is
+    judged against: per event type, the mean absolute error of the
+    seasonal-naive predictor (this hour yesterday) vs the naive
+    predictor (previous hour) over the DENSIFIED hourly grid (explicit
+    zeros, q170's discipline — skipping empty hours would flatter both
+    baselines). Error totals are exact BIGINTs; each MAE is one double
+    division of identical integers. The grid is bounded (~720 h × 5
+    types), so every join is broadcast-sized at any corpus scale — the
+    corpus is touched exactly once for the hourly counts (the shared
+    ``dense_hourly_counts`` checkpoint; re-deriving it per lag branch
+    measured 9 full scans)."""
+    dense = dense_hourly_counts(spark, sf_dir)
+    a = dense.select("event_type", "h", F.col("c").alias("ca"))
+    d24 = dense.select(
+        "event_type", (F.col("h") + F.expr("INTERVAL 24 HOURS")).alias("h"),
+        F.col("c").alias("cd"),
+    )
+    p1 = dense.select(
+        "event_type", (F.col("h") + F.expr("INTERVAL 1 HOURS")).alias("h"),
+        F.col("c").alias("cp"),
+    )
+    j = a.join(F.broadcast(d24), ["event_type", "h"]).join(
+        F.broadcast(p1), ["event_type", "h"]
+    )
+    abs_d = F.abs(F.col("ca") - F.col("cd"))
+    abs_p = F.abs(F.col("ca") - F.col("cp"))
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_eval"),
+            F.sum(abs_d).alias("abs_err_daily"),
+            F.sum(abs_p).alias("abs_err_hourly"),
+            (F.sum(abs_d).cast("double") / F.count("*")).alias("mae_daily"),
+            (F.sum(abs_p).cast("double") / F.count("*")).alias("mae_hourly"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q172_ewma_control_chart",
+    oracle=f"""
+    WITH RECURSIVE {_DENSE_HOURLY_ORACLE}, idx AS (
+        SELECT event_type, h, c,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS i
+        FROM dense
+    ), rec(event_type, i, e) AS (
+        SELECT event_type, i, c FROM idx WHERE i = 1
+        UNION ALL
+        SELECT idx.event_type, idx.i, (7 * rec.e + idx.c) // 8
+        FROM rec JOIN idx ON idx.event_type = rec.event_type
+                         AND idx.i = rec.i + 1
+    )
+    SELECT x.event_type,
+           strftime(x.h, '%Y-%m-%d %H:00') AS hour,
+           x.c AS n,
+           CAST(r.e AS BIGINT) AS ewma_prev
+    FROM idx x
+    JOIN rec r ON r.event_type = x.event_type AND r.i = x.i - 1
+    WHERE 2 * x.c > 3 * r.e OR 2 * x.c < r.e
+    ORDER BY x.event_type, hour
+    """,
+    tags=("temporal", "ewma", "control-chart", "anomaly", "iterative", "dense-hourly"),
+)
+def q172_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart — the smoothed anomaly monitor (q155's z-score
+    is global; EWMA adapts to drift): per event type, hourly counts are
+    folded through the INTEGER recurrence e ← (7·e + x) DIV 8
+    (α = 1/8 as an exact rational, floor division — bit-identical on
+    both engines; 7·e + x stays exact far past any hourly volume), and
+    an hour is flagged when its count breaks the ±band around the
+    PRE-UPDATE smoothed level (x > 1.5·e or x < 0.5·e, both integer
+    cross-multiplications). The fold runs over the per-type DENSIFIED
+    hour array (bounded, ~720 elements — collected per type from the
+    shared ``dense_hourly_counts`` checkpoint; the oracle replays it as
+    a recursive CTE, the q106/q110 integer-iteration pattern)."""
+    dense = dense_hourly_counts(spark, sf_dir)
+    series = dense.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("h", "c"))).alias("xs")
+    )
+    out_t = "array<struct<h:timestamp,c:bigint,ep:bigint>>"
+    init = F.struct(
+        F.lit(-1).cast("long").alias("prev"),
+        F.lit(None).cast(out_t).alias("out"),
+    )
+    folded = F.aggregate(
+        F.col("xs"),
+        init,
+        lambda acc, x: F.struct(
+            F.when(acc["prev"] < 0, x["c"])
+            .otherwise(((F.lit(7) * acc["prev"] + x["c"]) / F.lit(8)).cast("long"))
+            .alias("prev"),
+            F.concat(
+                F.coalesce(acc["out"], F.expr(f"CAST(array() AS {out_t})")),
+                F.array(
+                    F.struct(
+                        x["h"].alias("h"), x["c"].alias("c"), acc["prev"].alias("ep")
+                    )
+                ),
+            ).alias("out"),
+        ),
+        lambda acc: acc["out"],
+    )
+    rows = series.select("event_type", F.explode(folded).alias("r")).select(
+        "event_type",
+        F.col("r.h").alias("h"),
+        F.col("r.c").alias("n"),
+        F.col("r.ep").alias("ewma_prev"),
+    )
+    return (
+        rows.where(F.col("ewma_prev") >= 0)
+        .where(
+            (2 * F.col("n") > 3 * F.col("ewma_prev"))
+            | (2 * F.col("n") < F.col("ewma_prev"))
+        )
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+            "n",
+            "ewma_prev",
+        )
+        .orderBy("event_type", "hour")
+    )
