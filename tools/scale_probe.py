@@ -150,6 +150,8 @@ PROBE_QUERIES = [
     "q168_rfm_segmentation",
     "q169_top_session_paths",
     "q170_event_type_correlation",
+    "q171_seasonal_naive_forecast",
+    "q172_ewma_control_chart",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
