@@ -54,7 +54,12 @@ def scd2_apply(
     upd_cols = {c for c in updates.columns if c != key}
     open_rows = dim.where(F.col("valid_to").isNull())
     closed_history = dim.where(F.col("valid_to").isNotNull())
-    joined = open_rows.join(upd, key, "left")
+    # Three consumers read this join (closed, new_versions, unchanged);
+    # without materialization each re-derives it — measured 8 corpus
+    # scans in q60's plan. One dimension-sized checkpoint caps the scans
+    # at two per input (a real lakehouse does this as one MERGE INTO,
+    # per the module docstring — this is the emulation's equivalent).
+    joined = open_rows.join(upd, key, "left").localCheckpoint(eager=True)
     changed_rows = joined.where(changed)
     closed = changed_rows.select(
         *[F.col(c) for c in dim.columns if c != "valid_to"],
@@ -268,8 +273,16 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
         )
 
     old_h, new_h = hashed(old), hashed(new)
-    old_only = old_h.exceptAll(new_h)
-    new_only = new_h.exceptAll(old_h)
+    # The two one-sided diffs are each consumed TWICE below (changed-key
+    # intersect + their own anti-join); without materialization Catalyst
+    # re-derives every consumer's whole subtree — measured 24 corpus
+    # scans for q80's plan. Checkpointing the DIFF-sized frames (tiny by
+    # the reconciliation assumption) caps it at two scans per snapshot
+    # side (one per exceptAll direction) with no corpus-sized
+    # materialization — the right trade at 100 TB, where persisting the
+    # 16 B/row hash projection itself would cost terabytes of storage.
+    old_only = old_h.exceptAll(new_h).localCheckpoint(eager=True)
+    new_only = new_h.exceptAll(old_h).localCheckpoint(eager=True)
     changed_keys = old_only.select(key).intersect(new_only.select(key))
     removed = old_only.join(changed_keys, key, "left_anti").select(
         F.lit("removed").alias("change_type"), F.col(key)

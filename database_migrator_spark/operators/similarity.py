@@ -1066,18 +1066,30 @@ def q152_embedding_truncation_fidelity(spark: SparkSession, sf_dir: str) -> Data
     b = e.select((F.col("vec_id") - 1).alias("aid"), F.col("embedding").alias("vb"))
     pairs = a.join(b, "aid").select("va", "vb")
     cos_full = cosine_similarity("va", "vb")
-    frames = []
-    for k in _TRUNC_KS:
-        cos_k = cosine_similarity(F.slice("va", 1, k), F.slice("vb", 1, k))
-        frames.append(
-            pairs.select(
-                F.lit(k).cast("long").alias("k"),
-                F.abs(cos_k - cos_full).alias("err"),
+    # all k errors in ONE pass per pair row — a per-k unionByName would
+    # re-derive the pair join per branch (measured 6 corpus scans). The
+    # full-dim cosine is materialized as a COLUMN first so the
+    # interpreted fold runs once per row, not once per k (the HOF
+    # fan-out invariant).
+    withf = pairs.withColumn("cf", cos_full)
+    allk = withf.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("long").alias("k"),
+                        F.abs(
+                            cosine_similarity(
+                                F.slice("va", 1, k), F.slice("vb", 1, k)
+                            )
+                            - F.col("cf")
+                        ).alias("err"),
+                    )
+                    for k in _TRUNC_KS
+                ]
             )
-        )
-    allk = frames[0]
-    for f in frames[1:]:
-        allk = allk.unionByName(f)
+        ).alias("r")
+    ).select(F.col("r.k").alias("k"), F.col("r.err").alias("err"))
     return (
         allk.groupBy("k")
         .agg(

@@ -180,7 +180,7 @@ def q154_join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     CROSS JOIN tot
     ORDER BY event_type, dow
     """,
-    tags=("diagnostics", "chi-square", "drift", "statistics"),
+    tags=("diagnostics", "chi-square", "drift", "statistics", "bounded-artifact"),
 )
 def q164_chi_square_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square independence test on the event_type × weekday
@@ -199,7 +199,14 @@ def q164_chi_square_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     dow = (
         (F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")) + 4) % 7
     ).cast("long")
-    cells = e.groupBy("event_type", dow.alias("dow")).agg(F.count("*").alias("o"))
+    # cells is BOUNDED (5 types x 7 days) but read by four consumers
+    # (itself + three margins) — checkpoint it so the corpus is scanned
+    # once, not four times (the q171 re-derivation lesson)
+    cells = (
+        e.groupBy("event_type", dow.alias("dow"))
+        .agg(F.count("*").alias("o"))
+        .localCheckpoint(eager=True)
+    )
     tot = cells.agg(F.sum("o").alias("n"))
     rows_t = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
     cols_t = cells.groupBy("dow").agg(F.sum("o").alias("c"))

@@ -340,7 +340,7 @@ def test_no_rdd_scans_anywhere(spark):
     for name, dq in _QS.items():
         if any(
             t in dq.tags
-            for t in ("streaming", "udtf", "minhash", "simhash", "semdedup", "pipeline", "bpe", "iterative", "decontamination", "ppjoin", "dense-hourly")
+            for t in ("streaming", "udtf", "minhash", "simhash", "semdedup", "pipeline", "bpe", "iterative", "decontamination", "ppjoin", "dense-hourly", "scd2", "diff", "bounded-artifact")
         ):
             continue
         p = _QS[name].build(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
