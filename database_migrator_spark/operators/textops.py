@@ -724,12 +724,25 @@ def cooccurrence_pmi(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(tokens_of(text_col))).alias("tok"),
     )
-    cnt = dt.groupBy("tok").agg(F.count("*").alias("c"))
+    # vocab-sized; read by the prune AND both PMI margins — checkpoint
+    # so each reference does not re-tokenize the corpus
+    cnt = dt.groupBy("tok").agg(F.count("*").alias("c")).localCheckpoint(eager=True)
     vocab = cnt.where(F.col("c") >= F.lit(min_count))
     # Broadcast vocabulary pruning BEFORE the self-join: the pair space
     # is quadratic per doc, so every hapax dropped here is a row that
     # never fans out.
-    dtp = dt.join(F.broadcast(vocab.select("tok")), "tok").select("doc_id", "tok")
+    # dtp feeds BOTH self-join sides and cnt feeds vocab + both PMI
+    # margins — without materialization each reference re-tokenizes the
+    # corpus (measured 7 scans). The pruned (doc_id, tok) stream is the
+    # smallest corpus-sized representation (ints + short strings, far
+    # smaller than the text it came from) — storing it once beats
+    # re-deriving it twice, the same trade the MinHash sketch cache
+    # makes.
+    dtp = (
+        dt.join(F.broadcast(vocab.select("tok")), "tok")
+        .select("doc_id", "tok")
+        .localCheckpoint(eager=True)
+    )
     a = dtp.select("doc_id", F.col("tok").alias("tok_a"))
     b = dtp.select("doc_id", F.col("tok").alias("tok_b"))
     pairs = (

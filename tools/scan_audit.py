@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Corpus-rescan audit: count FileScan nodes per declared query plan.
+
+A branch that re-derives a shared subtree re-SCANS the corpus per
+reference (Catalyst only reuses exchanges with identical canonical
+forms, which per-branch projections usually break). Round 7 used this
+sweep to find and fix q80 (24 scans -> diff-checkpoints), q60 (8 ->
+MERGE-style join checkpoint), q164 (4 -> bounded cells checkpoint),
+q152 (6 -> single-pass k-explode) and q170-q172 (shared dense-grid
+checkpoint). Remaining known multi-scan plans and why they stand:
+
+- q96 (7): dt/dtp re-tokenization; the clean fix is a corpus-sized
+  tokenized-stream ingest artifact (the doc_shingles_cached pattern) —
+  deferred until a second consumer needs it.
+- q101/q103/q119/q121 (4): sketch/stage pipelines whose substrate is
+  already cached where shareable; residual scans are column-pruned.
+- 3-scan group (q75/q108/q125/q128/q136/q61): two-aggregate + join
+  shapes; one extra pruned scan each, not worth a corpus-sized
+  materialization.
+
+Usage: python tools/scan_audit.py [min_scans] 2>/dev/null
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from database_migrator_spark.plans.registry import all_queries  # noqa: E402
+from database_migrator_spark.session import get_session  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def main() -> None:
+    min_scans = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    spark = get_session("scan-audit")
+    rows = []
+    for name, dq in all_queries().items():
+        if any(t in dq.tags for t in ("streaming", "udtf")):
+            continue
+        try:
+            p = (
+                dq.build(spark, SF)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        except Exception as e:  # pragma: no cover
+            print(f"{name}\tERROR {type(e).__name__}")
+            continue
+        n = p.count("FileScan")
+        if n >= min_scans:
+            rows.append((n, name))
+    for n, name in sorted(rows, reverse=True):
+        print(f"{name}\t{n}")
+
+
+if __name__ == "__main__":
+    main()
