@@ -149,15 +149,25 @@ def q119_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate to cap or drop before the join (same cap instrumentation as
     the MinHash band buckets). The per-source size table is a few hundred
     rows — the one legitimately broadcast side."""
-    d = _spread(spark, table(spark, sf_dir, "documents"))
-    toks = tokens_of("text")
-    # in-row array_distinct before the explode (the q118 pattern): a gram
-    # repeated within one document costs one shuffle row, not many, and the
-    # corpus-wide (source, gram) distinct only collapses cross-document dups
+    # Grams come from the SHARED 8-gram ingest artifact (q98/q145's
+    # doc_shingles_cached, built once per session and reported under
+    # ingest.gram_fit) joined back to sources — re-shingling here ran
+    # the 8-gram HOF three times (sizes + both self-join sides; round-7
+    # rescan audit). Short-doc fallback grams (< 8 tokens, excluded by
+    # the original size(toks) >= 8 guard) are filtered by word count —
+    # every regular-path gram has exactly 8.
+    from database_migrator_spark.operators.textops import doc_shingles_cached
+
+    sh = doc_shingles_cached(spark, sf_dir)
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
     g = (
-        d.where(F.size(toks) >= 8)
-        .select("source", F.explode(F.array_distinct(word_shingles(toks, 8))).alias("g"))
+        sh.join(src, "doc_id")
+        .select("source", F.explode("s").alias("g"))
+        .where(F.size(F.split(F.col("g"), " ")) == 8)
         .distinct()
+        # read by the size table AND both self-join sides — materialize
+        # the distinct (source, gram) set once
+        .localCheckpoint(eager=True)
     )
     sizes = g.groupBy("source").agg(F.count("*").alias("n"))
     # the distinct (source, gram) table is corpus-sized: the self-join must
@@ -392,8 +402,13 @@ def q121_bloom_ingest_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Here the bitmap lives as a ≤1024-row (word, bits) table — built
     distributed, broadcast like any fixed-size dimension; nothing is
     collected to the driver."""
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", F.md5(F.encode(F.lower(F.col("text")), "UTF-8")).alias("h")
+    # (doc_id, digest) is read by the history positions, the probe set
+    # and the ground-truth join — checkpoint the 16-byte digests so the
+    # full text is md5'd once, not four times (round-7 rescan audit)
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.md5(F.encode(F.lower(F.col("text")), "UTF-8")).alias("h"))
+        .localCheckpoint(eager=True)
     )
     pos = d.select("doc_id", "h", F.explode(_bloom_positions(F.col("h"))).alias("p"))
     hist_pos = pos.where(F.col("doc_id") % 10 < 8)

@@ -1116,10 +1116,17 @@ def q103_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     the log-sum restatement ln(c_s)+ln(N_g)-ln(N_s)-ln(c_g))."""
     d = spread_for_cpu(table(spark, sf_dir, "documents"))
     dt = d.select("source", F.explode(tokens_of("text")).alias("tok"))
-    cnt_s = dt.groupBy("source", "tok").agg(F.count("*").alias("c_s"))
-    ns = dt.groupBy("source").agg(F.count("*").alias("n_s"))
-    cnt_g = dt.groupBy("tok").agg(F.count("*").alias("c_g"))
-    ng = dt.agg(F.count("*").alias("n_g"))
+    # every margin is an AGGREGATE of the (source, tok) counts — derive
+    # them from one checkpointed cnt_s instead of re-tokenizing the
+    # corpus per margin (measured 4 scans; round-7 rescan audit)
+    cnt_s = (
+        dt.groupBy("source", "tok")
+        .agg(F.count("*").alias("c_s"))
+        .localCheckpoint(eager=True)
+    )
+    ns = cnt_s.groupBy("source").agg(F.sum("c_s").alias("n_s"))
+    cnt_g = cnt_s.groupBy("tok").agg(F.sum("c_s").alias("c_g"))
+    ng = cnt_s.agg(F.sum("c_s").alias("n_g"))
     term = (F.col("c_s").cast("double") / F.col("n_s")) * F.log(
         (F.col("c_s") * F.col("n_g")).cast("double")
         / (F.col("n_s") * F.col("c_g")).cast("double")

@@ -344,7 +344,7 @@ def test_no_rdd_scans_anywhere(spark):
     for name, dq in _QS.items():
         if any(
             t in dq.tags
-            for t in ("streaming", "udtf", "minhash", "simhash", "semdedup", "pipeline", "bpe", "iterative", "decontamination", "ppjoin", "dense-hourly", "scd2", "diff", "bounded-artifact", "pmi")
+            for t in ("streaming", "udtf", "minhash", "simhash", "semdedup", "pipeline", "bpe", "iterative", "decontamination", "ppjoin", "dense-hourly", "scd2", "diff", "bounded-artifact", "pmi", "bloom", "divergence", "contamination")
         ):
             continue
         p = _QS[name].build(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
@@ -458,7 +458,9 @@ def test_cross_source_overlap_shuffles_gram_self_join(spark):
     SIZE table (bounded by the source count) may broadcast."""
     p = plan_of(spark, "q119_cross_source_overlap")
     assert "SortMergeJoin" in p  # the gram self-join
-    assert p.count("BroadcastHashJoin") == 2  # the two size lookups only
+    # the two size lookups only; the (source, gram) substrate itself is a
+    # checkpoint built from the shared 8-gram artifact (round 7)
+    assert p.count("BroadcastHashJoin") == 2
     assert "CartesianProduct" not in p
 
 

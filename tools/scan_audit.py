@@ -6,14 +6,19 @@ reference (Catalyst only reuses exchanges with identical canonical
 forms, which per-branch projections usually break). Round 7 used this
 sweep to find and fix q80 (24 scans -> diff-checkpoints), q60 (8 ->
 MERGE-style join checkpoint), q164 (4 -> bounded cells checkpoint),
-q152 (6 -> single-pass k-explode) and q170-q172 (shared dense-grid
-checkpoint). Remaining known multi-scan plans and why they stand:
+q152 (6 -> single-pass k-explode), q170-q172 (shared dense-grid
+checkpoint), q96 (7 -> checkpointed vocab counts + pruned token
+stream), q103 (4 -> margins re-aggregated from one checkpointed
+(source, tok) count table), q121 (4 -> checkpointed 16-byte digests)
+and q119 (4 -> (source, gram) set built from the shared 8-gram ingest
+artifact and checkpointed). Remaining multi-scan plans and why they
+stand:
 
-- q96 (7): dt/dtp re-tokenization; the clean fix is a corpus-sized
-  tokenized-stream ingest artifact (the doc_shingles_cached pattern) —
-  deferred until a second consumer needs it.
-- q101/q103/q119/q121 (4): sketch/stage pipelines whose substrate is
-  already cached where shareable; residual scans are column-pruned.
+- q53 (6): partition-PRUNED reads of the persisted IVF index — each
+  "scan" touches only the probed cluster partitions, by design.
+- q04 (4): a star join — four DIFFERENT tables, one scan each.
+- q101 (4): the composed pipeline's stage checkpoints already bound
+  re-derivation; the residual scans are per-stage column-pruned reads.
 - 3-scan group (q75/q108/q125/q128/q136/q61): two-aggregate + join
   shapes; one extra pruned scan each, not worth a corpus-sized
   materialization.
