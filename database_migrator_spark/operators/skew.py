@@ -384,3 +384,210 @@ def q170_event_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@query(
+    "q173_psi_value_drift",
+    oracle="""
+    WITH halves AS (
+        SELECT event_type,
+               CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END AS half,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), bounds AS (
+        SELECT event_type,
+               quantile_disc(cents, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+        FROM halves WHERE half = 0 GROUP BY event_type
+    ), bucketed AS (
+        SELECT h.event_type, h.half,
+               len(list_filter(b.qs, q -> h.cents > q)) AS bucket
+        FROM halves h JOIN bounds b USING (event_type)
+    ), cells AS (
+        SELECT event_type, bucket,
+               CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cb,
+               CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cc
+        FROM bucketed GROUP BY 1, 2
+    ), tots AS (
+        SELECT event_type, CAST(SUM(cb) AS BIGINT) AS nb,
+               CAST(SUM(cc) AS BIGINT) AS nc
+        FROM cells GROUP BY 1
+    ), terms AS (
+        SELECT c.event_type,
+               (CAST(c.cb + 1 AS DOUBLE) / (t.nb + 10)
+                - CAST(c.cc + 1 AS DOUBLE) / (t.nc + 10))
+               * ln(CAST((c.cb + 1) * (t.nc + 10) AS DOUBLE)
+                    / CAST((t.nb + 10) * (c.cc + 1) AS DOUBLE)) AS term,
+               t.nb, t.nc
+        FROM cells c JOIN tots t USING (event_type)
+    )
+    SELECT event_type,
+           MIN(nb) AS n_baseline, MIN(nc) AS n_current,
+           CAST(SUM(CAST(round(term * 1000000000000) AS BIGINT)) AS DOUBLE)
+             / CAST(1000000000000 AS DOUBLE) AS psi
+    FROM terms
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("diagnostics", "psi", "drift", "statistics", "mixing"),
+)
+def q173_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the VALUE distribution between the
+    month's first and second half, per event type — the model-monitoring
+    drift score (the distribution-shaped sibling of q164's count-based
+    chi-square). Buckets are the baseline half's exact integer-cents
+    DECILES (percentile_disc, never interpolated); both halves'
+    populations are Laplace-smoothed (+1 per bucket, +10 per total —
+    identical on both engines, so empty current buckets stay defined)
+    and PSI = Σ (p−q)·ln(p/q) follows q103's exactness recipe: every ln
+    input is a ratio of exact BIGINTs, the subtraction has a fixed
+    operand order, and per-term 1e-12 fixed-point rounding makes the
+    sum order-independent. One corpus shuffle; boundaries broadcast."""
+    e = table(spark, sf_dir, "events")
+    halves = e.select(
+        "event_type",
+        F.when(F.dayofmonth("ts") <= 15, 0).otherwise(1).alias("half"),
+        to_cents("value").alias("cents"),
+    )
+    big = 2147483647
+    bounds = (
+        halves.where(F.col("half") == 0)
+        .groupBy("event_type")
+        .agg(F.percentile_approx("cents", [i / 10 for i in range(1, 10)], big).alias("qs"))
+    )
+    bucketed = halves.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "half",
+        F.size(F.filter("qs", lambda q: F.col("cents") > q)).alias("bucket"),
+    )
+    # bounded (10 buckets x 5 types); read by the totals AND the term
+    # join — checkpoint so the corpus bucketing runs once (rescan audit)
+    cells = (
+        bucketed.groupBy("event_type", "bucket")
+        .agg(
+            F.sum((F.col("half") == 0).cast("long")).alias("cb"),
+            F.sum((F.col("half") == 1).cast("long")).alias("cc"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tots = cells.groupBy("event_type").agg(
+        F.sum("cb").alias("nb"), F.sum("cc").alias("nc")
+    )
+    j = cells.join(F.broadcast(tots), "event_type")
+    p_minus_q = (F.col("cb") + 1).cast("double") / (F.col("nb") + 10) - (
+        F.col("cc") + 1
+    ).cast("double") / (F.col("nc") + 10)
+    lr = F.log(
+        ((F.col("cb") + 1) * (F.col("nc") + 10)).cast("double")
+        / ((F.col("nb") + 10) * (F.col("cc") + 1)).cast("double")
+    )
+    return (
+        j.withColumn("term", p_minus_q * lr)
+        .groupBy("event_type")
+        .agg(
+            F.min("nb").alias("n_baseline"),
+            F.min("nc").alias("n_current"),
+            (
+                F.sum(F.round(F.col("term") * F.lit(1e12)).cast("long")).cast("double")
+                / F.lit(1e12)
+            ).alias("psi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q174_ks_value_drift",
+    oracle="""
+    WITH halves AS (
+        SELECT event_type,
+               CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END AS half,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), hist AS (
+        SELECT event_type, cents,
+               CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+               CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cc
+        FROM halves GROUP BY 1, 2
+    ), cum AS (
+        SELECT event_type, cents,
+               CAST(SUM(ca) OVER w AS BIGINT) AS cuma,
+               CAST(SUM(cc) OVER w AS BIGINT) AS cumc
+        FROM hist
+        WINDOW w AS (PARTITION BY event_type ORDER BY cents
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), tots AS (
+        SELECT event_type, CAST(SUM(ca) AS BIGINT) AS na,
+               CAST(SUM(cc) AS BIGINT) AS nc
+        FROM hist GROUP BY 1
+    )
+    SELECT c.event_type, t.na AS n_baseline, t.nc AS n_current,
+           CAST(MAX(abs(c.cuma * t.nc - c.cumc * t.na)) AS BIGINT) AS ks_num,
+           CAST(MAX(abs(c.cuma * t.nc - c.cumc * t.na)) AS DOUBLE)
+               / CAST(t.na * t.nc AS DOUBLE) AS ks
+    FROM cum c JOIN tots t USING (event_type)
+    GROUP BY c.event_type, t.na, t.nc
+    ORDER BY event_type
+    """,
+    tags=("diagnostics", "ks", "drift", "statistics", "bounded-histogram"),
+)
+def q174_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic on the VALUE distribution
+    (first vs second half of the month) per event type — the
+    distribution-drift test with NO transcendentals: KS = max over the
+    merged support of |F̂a − F̂c|, computed as the exact BIGINT
+    cross-multiplication max |cumA·nC − cumC·nA| and divided once at
+    the end — bit-exact on both engines (q164/q155's integer
+    discipline). The cumulative windows run over the per-type CENTS
+    HISTOGRAM, bounded by the value range (≤ ~56K distinct cents),
+    never the corpus — the length-histogram single-partition-window
+    exemption. One corpus shuffle total."""
+    e = table(spark, sf_dir, "events")
+    halves = e.select(
+        "event_type",
+        F.when(F.dayofmonth("ts") <= 15, 0).otherwise(1).alias("half"),
+        to_cents("value").alias("cents"),
+    )
+    # bounded by the value range (<= ~56K distinct cents per type); read
+    # by the cumulative windows AND the totals — checkpoint so the
+    # corpus histogram aggregate runs once (rescan audit)
+    hist = (
+        halves.groupBy("event_type", "cents")
+        .agg(
+            F.sum((F.col("half") == 0).cast("long")).alias("ca"),
+            F.sum((F.col("half") == 1).cast("long")).alias("cc"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "event_type",
+        "cents",
+        F.sum("ca").over(w).alias("cuma"),
+        F.sum("cc").over(w).alias("cumc"),
+    )
+    tots = hist.groupBy("event_type").agg(
+        F.sum("ca").alias("na"), F.sum("cc").alias("nc")
+    )
+    dev = F.abs(F.col("cuma") * F.col("nc") - F.col("cumc") * F.col("na"))
+    return (
+        cum.join(F.broadcast(tots), "event_type")
+        .groupBy("event_type", "na", "nc")
+        .agg(
+            F.max(dev).alias("ks_num"),
+            (F.max(dev).cast("double") / (F.col("na") * F.col("nc")).cast("double")).alias("ks"),
+        )
+        .select(
+            "event_type",
+            F.col("na").alias("n_baseline"),
+            F.col("nc").alias("n_current"),
+            "ks_num",
+            "ks",
+        )
+        .orderBy("event_type")
+    )

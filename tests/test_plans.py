@@ -344,7 +344,7 @@ def test_no_rdd_scans_anywhere(spark):
     for name, dq in _QS.items():
         if any(
             t in dq.tags
-            for t in ("streaming", "udtf", "minhash", "simhash", "semdedup", "pipeline", "bpe", "iterative", "decontamination", "ppjoin", "dense-hourly", "scd2", "diff", "bounded-artifact", "pmi", "bloom", "divergence", "contamination")
+            for t in ("streaming", "udtf", "minhash", "simhash", "semdedup", "pipeline", "bpe", "iterative", "decontamination", "ppjoin", "dense-hourly", "scd2", "diff", "bounded-artifact", "pmi", "bloom", "divergence", "contamination", "psi", "bounded-histogram")
         ):
             continue
         p = _QS[name].build(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
@@ -787,3 +787,14 @@ def test_ewma_fold_runs_on_bounded_per_type_arrays(spark):
     p = plan_of(spark, "q172_ewma_control_chart")
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
     assert "Window" not in p
+
+
+def test_drift_family_no_corpus_rescans(spark):
+    """q173/q174: the PSI bucket cells and the KS cents histogram are
+    bounded checkpoints — the returned plans contain no corpus FileScan
+    (the build stages scanned it: twice for PSI's baseline bounds +
+    bucketing, once for KS), no shuffle joins, no cartesian."""
+    for name in ("q173_psi_value_drift", "q174_ks_value_drift"):
+        p = plan_of(spark, name)
+        assert "FileScan" not in p, name
+        assert "SortMergeJoin" not in p and "CartesianProduct" not in p, name
