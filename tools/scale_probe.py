@@ -152,6 +152,8 @@ PROBE_QUERIES = [
     "q170_event_type_correlation",
     "q171_seasonal_naive_forecast",
     "q172_ewma_control_chart",
+    "q173_psi_value_drift",
+    "q174_ks_value_drift",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
