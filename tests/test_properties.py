@@ -250,3 +250,78 @@ def test_prefix_filter_never_misses_a_qualifying_pair(sets):
             if union and 10 * inter >= 7 * union:
                 brute.add((a, b))
     assert _py_prefix_join(docs) == brute
+
+
+def _py_ks(xs: list[int], ys: list[int]) -> tuple[int, int, int]:
+    """Reference two-sample KS over integer samples: returns
+    (max |cumX*ny - cumY*nx|, nx, ny) — mirrors q174's pure-integer
+    formulation, checked here against the direct CDF definition."""
+    nx, ny = len(xs), len(ys)
+    support = sorted(set(xs) | set(ys))
+    best = 0
+    for v in support:
+        cx = sum(1 for x in xs if x <= v)
+        cy = sum(1 for y in ys if y <= v)
+        best = max(best, abs(cx * ny - cy * nx))
+    return best, nx, ny
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=40),
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=40),
+)
+@settings(max_examples=200, deadline=None)
+def test_integer_ks_equals_cdf_definition(xs, ys):
+    """q174's histogram/cumsum formulation equals the textbook
+    sup|F̂x − F̂y| definition: the max cross-multiplied deviation over
+    the merged support, computed from per-value counts + running sums,
+    matches the direct per-point CDF comparison exactly."""
+    from collections import Counter
+
+    hx, hy = Counter(xs), Counter(ys)
+    support = sorted(set(hx) | set(hy))
+    cx = cy = 0
+    best_hist = 0
+    for v in support:  # the q174 cumsum-over-histogram shape
+        cx += hx.get(v, 0)
+        cy += hy.get(v, 0)
+        best_hist = max(best_hist, abs(cx * len(ys) - cy * len(xs)))
+    assert best_hist == _py_ks(xs, ys)[0]
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=1000), st.sampled_from([1, -1])),
+        min_size=1,
+        max_size=120,
+    ),
+    st.integers(min_value=1, max_value=17),
+)
+@settings(max_examples=200, deadline=None)
+def test_two_level_prefix_sum_equals_single_cumsum(marks, bucket_width):
+    """q166's two-level prefix sum (per-bucket local cumsum + exclusive
+    bucket-base offsets) is bit-identical to one global running sum for
+    ANY bucketing that respects the global order — the distributed
+    decomposition the sweep-line rests on."""
+    marks = sorted(marks)  # global order: (position, delta)
+    single = []
+    acc = 0
+    for _, d in marks:
+        acc += d
+        single.append(acc)
+    # two-level: bucket by position // width (order-respecting)
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for pos, d in marks:
+        buckets[pos // bucket_width].append(d)
+    base = 0
+    two_level = {}
+    for b in sorted(buckets):
+        local = 0
+        for i, d in enumerate(buckets[b]):
+            local += d
+            two_level.setdefault(b, []).append(base + local)
+        base += local
+    flat = [v for b in sorted(two_level) for v in two_level[b]]
+    assert flat == single
