@@ -76,25 +76,23 @@ def query(
 #   rank 1 — queries whose last gate row is the OLDEST.
 #   rank 2+ — progressively fresher gate rows.
 #
-# Round-7 instance: rank 0 = q145-q158 — the 13 round-6 additions whose
-# only evidence is local sf0.01/sf0.1 oracle runs (deliberately queued
-# behind round 6's r03-stale refresh; the r6 judge's independent sf0.01
-# run passed all 13) plus q158 (new this round); q153 (re-parenthesized
-# oracle) and q157 (per-user cap, semantic) are inside that set anyway.
-# rank 1 = q02-q50, whose rows date to r04 — the oldest hard signal
-# (q01 was re-gated r06 and waits with the fresh blocks); the first 36
-# (q02-q37) top up the 50-row budget.  rank 2 = everything else.
-# Round-8 residue: the round-7 wave additions (q159+ — local
-# sf0.01/sf0.1 oracle evidence only, queued behind this round's
-# never-gated block per the round-6 precedent) plus q38-q50 (still r04)
-# go first, then the oldest of the r05-gated block
-# (q51/q94/q96/q100-q143) — that completes the third full-catalog
-# re-gate cycle.  Order changes NOTHING for the pytest
-# oracle suite or bench.py — they run the whole catalog.
-# tests/test_bench_contract.py pins the resulting first-50 list so a
-# refactor cannot silently reorder the gate.
-_ROUND7_NEW = {f"q{i}" for i in range(145, 159)}
-_R04_STALE = {f"q{i:02d}" for i in range(2, 51)}
+# Round-8 instance: rank 0 = q159-q174 (the 16 round-7 wave additions —
+# never gated, local sf0.01/sf0.1 oracle evidence only) plus any query
+# added this round; rank 1 = q38-q50, whose rows still date to r04 —
+# the catalog's oldest hard signal after the r07 q02-q37 refresh;
+# rank 2 = the r05-gated block that r06 did not re-gate
+# (q100-q143 minus q115/q119, plus q51/q94/q96) — its first 21 by name
+# (q100-q114, q116-q118, q120-q122) top up the 50-row budget.
+# Round-9 residue: the REMAINING r05-stale names (q123-q143 + q51/q94/
+# q96 = 24) go first next round, then the r06-gated block (q01,
+# q52-q99-era, q144) becomes the oldest signal and fills the rest —
+# that completes the third full-catalog re-gate cycle.  Order changes
+# NOTHING for the pytest oracle suite or bench.py — they run the whole
+# catalog.  tests/test_bench_contract.py pins the resulting first-50
+# list so a refactor cannot silently reorder the gate.
+_ROUND8_NEW = {f"q{i}" for i in range(159, 177)}
+_R04_STALE = {f"q{i:02d}" for i in range(38, 51)}
+_R05_STALE = ({f"q{i}" for i in range(100, 144)} - {"q115", "q119"}) | {"q51", "q94", "q96"}
 
 
 def all_queries() -> dict[str, DeclaredQuery]:
@@ -126,10 +124,12 @@ def all_queries() -> dict[str, DeclaredQuery]:
 
     def rank(name: str) -> tuple[int, str]:
         qid = name.split("_", 1)[0]
-        if qid in _ROUND7_NEW:
+        if qid in _ROUND8_NEW:
             return (0, name)
         if qid in _R04_STALE:
             return (1, name)
-        return (2, name)
+        if qid in _R05_STALE:
+            return (2, name)
+        return (3, name)
 
     return dict(sorted(_REGISTRY.items(), key=lambda kv: rank(kv[0])))

@@ -80,21 +80,26 @@ def test_bench_json_line_fits_tail_window():
 
 
 def test_gate_order_front_loads_stale_signal_set():
-    """Round 7: the 50-row gate must spend its budget on (a) q145-q158 —
-    the 13 round-6 additions that have never had a driver row, plus the
-    new q158 (q153's re-parenthesized oracle and q157's per-user cap are
-    semantic changes inside that same set) — then (b) the first 36 of
-    q02-q50 (q02-q37), whose rows date to r04, the catalog's oldest hard
-    signal. q38-q50 are the round-8 residue; q01 (re-gated r06) and the
-    r05/r06-gated blocks queue last.  Pinning the exact first-50 list
+    """Round 8: the 50-row gate must spend its budget on (a) the
+    round-7/round-8 additions (q159+) that have never had a driver row,
+    then (b) q38-q50, whose rows still date to r04 — the oldest hard
+    signal after r07 refreshed q02-q37 — then (c) the oldest of the
+    r05-gated block (q100-q114, q116-q118, q120-q122 by name order;
+    q115/q119 were re-gated r06).  The remaining r05-stale names
+    (q123-q143, q51, q94, q96) are the round-9 residue; q01 and the
+    r06/r07-gated blocks queue last.  Pinning the exact first-50 list
     (not just the set) so a refactor cannot silently reorder the gate."""
     names = list(all_queries())
-    round7_new = {f"q{i}" for i in range(145, 159)}
     gate = [n.split("_", 1)[0] for n in names[:50]]
-    assert gate[:14] == sorted(round7_new)
-    assert gate[14:] == [f"q{i:02d}" for i in range(2, 38)]
-    # the r8 residue (q38-q50), q01, and the r05/r06-gated blocks must
-    # all sort after the 50-row window
+    new_block = sorted(
+        n.split("_", 1)[0] for n in names if n.split("_", 1)[0] in {f"q{i}" for i in range(159, 177)}
+    )
+    n_new = len(new_block)
+    assert gate[:n_new] == new_block
+    assert gate[n_new : n_new + 13] == [f"q{i}" for i in range(38, 51)]
+    r05_fill = [f"q{i}" for i in range(100, 123) if i not in (115, 119)]
+    assert gate[n_new + 13 :] == r05_fill[: 50 - n_new - 13]
+    # the r9 residue and the fresher blocks must all sort after the
+    # 50-row window
     tail = {n.split("_", 1)[0] for n in names[50:]}
-    assert {f"q{i}" for i in range(38, 51)} <= tail
-    assert {"q01", "q51", "q94", "q96", "q100", "q143", "q52", "q99"} <= tail
+    assert {"q01", "q51", "q94", "q96", "q143", "q52", "q99", "q02", "q37", "q145"} <= tail
