@@ -42,6 +42,21 @@ def sql_cents_sum(expr: str) -> str:
     return f"SUM(CAST(ROUND(({expr}) * 100) AS BIGINT)) / 100.0"
 
 
+def int_div(num: Column, den: Column | int) -> Column:
+    """Exact floor division of BIGINT columns — the engine-side mirror of
+    Python/DuckDB ``//`` (and Spark SQL ``DIV``), usable inside
+    higher-order-function lambdas where ``F.expr`` text cannot bind the
+    lambda's variables.
+
+    ``(num - pmod(num, den)) / den`` is bit-exact for ANY divisor (not
+    just powers of two): the numerator is an exact multiple of ``den``,
+    IEEE division of an exact multiple is the exact quotient whenever the
+    quotient is under 2^53, and ``pmod`` gives floor (not truncate)
+    semantics for negative numerators — matching ``//``."""
+    d = F.lit(den) if isinstance(den, int) else den
+    return ((num - F.pmod(num, d)) / d).cast("long")
+
+
 #: largest integer a DOUBLE represents exactly — BIGINT values past this
 #: silently round when cast to double, so fixed-point ratios lose ulps.
 EXACT_DOUBLE_BOUND = float(2**53)

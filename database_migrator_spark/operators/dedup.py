@@ -29,6 +29,8 @@ import pandas as pd  # module-global: postponed annotations in pandas_udf
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from database_migrator_spark.functions.exact import int_div
+
 from database_migrator_spark.plans.registry import query
 from database_migrator_spark.sources import spread_for_cpu, table
 
@@ -1349,9 +1351,9 @@ def q162_prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFra
     sorted_docs = sorted_docs.repartition(
         spark.sparkContext.defaultParallelism
     ).localCheckpoint(eager=True)
-    pre_len = (F.col("n") - ((F.lit(7) * F.col("n") + 9) / 10).cast("long") + 1).cast(
-        "int"
-    )
+    # ceil(7n/10) = (7n + 9) // 10 — true integer division so the engine
+    # matches the oracle's // by construction, not by 2^53 luck.
+    pre_len = (F.col("n") - int_div(F.lit(7) * F.col("n") + 9, 10) + 1).cast("int")
     pref = sorted_docs.select(
         "doc_id", F.explode(F.slice("toks", 1, pre_len)).alias("tk")
     )

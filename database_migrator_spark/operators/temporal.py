@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from database_migrator_spark.functions.exact import to_cents
+from database_migrator_spark.functions.exact import int_div, to_cents
 from database_migrator_spark.plans.registry import query
 from database_migrator_spark.sources import table
 
@@ -1401,7 +1401,7 @@ def q172_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         init,
         lambda acc, x: F.struct(
             F.when(acc["prev"] < 0, x["c"])
-            .otherwise(((F.lit(7) * acc["prev"] + x["c"]) / F.lit(8)).cast("long"))
+            .otherwise(int_div(F.lit(7) * acc["prev"] + x["c"], 8))
             .alias("prev"),
             F.concat(
                 F.coalesce(acc["out"], F.expr(f"CAST(array() AS {out_t})")),

@@ -126,7 +126,14 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         stream_dir = scratch_dir("events_stream", os.path.abspath(path))
         link = os.path.join(stream_dir, "events.parquet")
-        if not os.path.exists(link):
+        # lexists, not exists: exists() follows the link, so a dangling
+        # symlink (prior run's target deleted, scratch dir reused) would
+        # read as absent and os.symlink would raise FileExistsError.
+        if os.path.lexists(link):
+            if not os.path.exists(link):  # dangling — re-point it
+                os.unlink(link)
+                os.symlink(path, link)
+        else:
             os.symlink(path, link)
     return _typed_events(spark.readStream.schema(raw_schema).parquet(stream_dir))
 
