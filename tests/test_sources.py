@@ -63,3 +63,29 @@ def test_jdbc_ledger(spark, tmp_path):
     assert ledger.exists()
     got = sorted(r.migration for r in ledger.applied_df().collect())
     assert got == ["00-bootstrap", "01-first"]
+
+
+def test_scratch_sweeps_dead_pid_roots(tmp_path, monkeypatch):
+    """A SIGKILLed run can't fire atexit; its scratch root must be swept
+    by the NEXT process's first scratch_dir call (keyed by dead pid),
+    while the live process's own root and foreign files survive."""
+    import database_migrator_spark.scratch as scratch
+
+    monkeypatch.setattr(scratch.tempfile, "gettempdir", lambda: str(tmp_path))
+    monkeypatch.setattr(scratch, "_ROOT", None)
+    # a dead process's leftover root: pid 2**22+5 is above linux pid_max
+    # defaults and certainly not alive here
+    dead = tmp_path / f"{scratch._PREFIX}4194309"
+    dead.mkdir()
+    (dead / "q149_out_abc").mkdir()
+    foreign = tmp_path / "unrelated_dir"
+    foreign.mkdir()
+
+    d1 = scratch.scratch_dir("probe", "k1")
+    assert not dead.exists(), "stale dead-pid root must be swept"
+    assert foreign.exists(), "non-scratch dirs must be untouched"
+    # same key -> same path; our own root is pid-keyed and intact
+    assert scratch.scratch_dir("probe", "k1") == d1
+    import os
+
+    assert str(tmp_path / f"{scratch._PREFIX}{os.getpid()}") in d1
