@@ -123,10 +123,13 @@ def main() -> None:
 
     samples: dict[str, list[float]] = {}
     failures: dict[str, str] = {}
+    import gc
+
     for _ in range(repeat):
         for name, dq in all_queries().items():
             if not dq.bench:
                 continue
+            df = None
             t0 = time.perf_counter()
             try:
                 df = dq.build(spark, sf_dir)
@@ -135,6 +138,13 @@ def main() -> None:
             except Exception as e:  # keep benching; report the failure
                 failures[name] = f"{type(e).__name__}: {e}"[:200]
                 samples.setdefault(name, []).append(-1.0)
+            del df
+            # outside the timer: drop py4j proxies promptly so the JVM
+            # ContextCleaner can free earlier queries' localCheckpoint
+            # blocks — at 170 queries the accumulated blocks otherwise
+            # leak memory pressure into later checkpoint-heavy queries
+            # (the r7 broad-drift suspect, docs/ROUND8_NOTES.md).
+            gc.collect()
     timings = {
         name: round(sorted(ts)[(len(ts) - 1) // 2], 4) for name, ts in samples.items()
     }
