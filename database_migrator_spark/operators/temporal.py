@@ -1434,3 +1434,111 @@ def q172_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+@query(
+    "q175_uninterrupted_funnel",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, event_id AS v_id, ts AS v_ts
+        FROM events WHERE event_type = 'view'
+    ), bc AS (
+        SELECT user_id, event_type, ts AS b_ts
+        FROM events WHERE event_type IN ('purchase', 'error')
+    ), per_view AS (
+        SELECT v.user_id, v.v_id, v.v_ts,
+               MIN(b_ts) FILTER (WHERE event_type = 'purchase') AS first_b,
+               MIN(b_ts) FILTER (WHERE event_type = 'error') AS first_c
+        FROM v LEFT JOIN bc
+          ON v.user_id = bc.user_id
+         AND bc.b_ts > v.v_ts
+         AND bc.b_ts <= v.v_ts + INTERVAL 5 MINUTE
+        GROUP BY 1, 2, 3
+    ), flagged AS (
+        SELECT v_ts,
+               first_b IS NOT NULL
+                   AND (first_c IS NULL OR first_c >= first_b) AS matched,
+               first_b IS NOT NULL AND first_c < first_b AS blocked,
+               (epoch_us(first_b) - epoch_us(v_ts)) // 1000000 AS delay_s
+        FROM per_view
+    )
+    SELECT strftime(v_ts, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_views,
+           CAST(COALESCE(SUM(CASE WHEN matched THEN 1 END), 0) AS BIGINT)
+               AS n_matched,
+           CAST(COALESCE(SUM(CASE WHEN blocked THEN 1 END), 0) AS BIGINT)
+               AS n_blocked,
+           CAST(COALESCE(SUM(CASE WHEN matched THEN delay_s END), 0) AS BIGINT)
+               AS sum_delay_s,
+           CAST(COALESCE(SUM(CASE WHEN matched THEN 1 END), 0) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS match_rate
+    FROM flagged
+    GROUP BY 1
+    ORDER BY day
+    """,
+    tags=("temporal", "funnel", "motif", "negative-condition", "match-recognize"),
+)
+def q175_uninterrupted_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-condition time-bounded motif — "view, then purchase
+    within 5 minutes, with NO error strictly between": the
+    MATCH_RECOGNIZE shape the gap ladder (q74 any-gap, q158 event-count
+    gap, q159 wall-clock gap) was still missing. The negative condition
+    cannot be a sequence-string regex here: DuckDB's RE2 has no
+    lookahead, so "intervening token != error" is inexpressible as a
+    cross-engine pattern — instead each anchor meets the purchase AND
+    error streams through ONE user_id-keyed left join (5-minute range
+    post-filter, never a time-cross join) and a combinable conditional-
+    MIN aggregate. A view converts iff its earliest purchase exists and
+    no error precedes that purchase (an error AT the purchase timestamp
+    is not "between" — both engines use the same >= tie rule); views
+    whose purchase was pre-empted by an error are reported as blocked.
+    Per-user fan-out is views x (purchases+errors) within the key —
+    q159's bounded-key join shape; AQE's skew split handles a hot user.
+    Daily rollup: exact BIGINT counts and delay seconds (integer micros
+    DIV), one identical double division for the rate."""
+    return _uninterrupted_funnel(table(spark, sf_dir, "events"))
+
+
+def _uninterrupted_funnel(e: DataFrame) -> DataFrame:
+    """q175 core over any events frame (unit-tested on a hand corpus)."""
+    v = e.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("v_id"), F.col("ts").alias("v_ts")
+    )
+    bc = e.where(F.col("event_type").isin("purchase", "error")).select(
+        "user_id", F.col("event_type").alias("et"), F.col("ts").alias("b_ts")
+    )
+    per_view = (
+        v.join(
+            bc,
+            (v["user_id"] == bc["user_id"])
+            & (F.col("b_ts") > F.col("v_ts"))
+            & (F.col("b_ts") <= F.col("v_ts") + F.expr("INTERVAL 5 MINUTE")),
+            "left",
+        )
+        .groupBy(v["user_id"], "v_id", "v_ts")
+        .agg(
+            F.min(F.when(F.col("et") == "purchase", F.col("b_ts"))).alias("first_b"),
+            F.min(F.when(F.col("et") == "error", F.col("b_ts"))).alias("first_c"),
+        )
+    )
+    matched = F.col("first_b").isNotNull() & (
+        F.col("first_c").isNull() | (F.col("first_c") >= F.col("first_b"))
+    )
+    blocked = F.col("first_b").isNotNull() & (F.col("first_c") < F.col("first_b"))
+    delay_s = F.expr("(unix_micros(first_b) - unix_micros(v_ts)) DIV 1000000")
+    return (
+        per_view.groupBy(F.date_format("v_ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").alias("n_views"),
+            F.coalesce(F.sum(matched.cast("long")), F.lit(0)).cast("long").alias("n_matched"),
+            F.coalesce(F.sum(blocked.cast("long")), F.lit(0)).cast("long").alias("n_blocked"),
+            F.coalesce(F.sum(F.when(matched, delay_s)), F.lit(0))
+            .cast("long")
+            .alias("sum_delay_s"),
+            (
+                F.coalesce(F.sum(matched.cast("long")), F.lit(0)).cast("double")
+                / F.count("*").cast("double")
+            ).alias("match_rate"),
+        )
+        .orderBy("day")
+    )

@@ -798,3 +798,16 @@ def test_drift_family_no_corpus_rescans(spark):
         p = plan_of(spark, name)
         assert "FileScan" not in p, name
         assert "SortMergeJoin" not in p and "CartesianProduct" not in p, name
+
+
+def test_uninterrupted_funnel_keyed_join(spark):
+    """q175: anchors meet the purchase+error stream through ONE
+    user_id-keyed join (broadcast at test scale, shuffle at 100 TB) with
+    the 5-minute bound and the negative condition as post-filter /
+    conditional aggregates — never a time-cross join, no window, no
+    second join for the error stream."""
+    p = plan_of(spark, "q175_uninterrupted_funnel")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    joins = p.count("BroadcastHashJoin") + p.count("SortMergeJoin")
+    assert joins == 1
+    assert "Window" not in p

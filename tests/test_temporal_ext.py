@@ -118,3 +118,52 @@ def test_concurrent_sessions_hand_corpus(spark, duck, tmp_path):
     assert out[0]["day"] == "2024-03-01"
     assert out[0]["max_concurrent"] == 3
     assert out[0]["n_sessions_started"] == 3
+
+
+def test_uninterrupted_funnel_hand_corpus(spark):
+    """q175 semantics on a hand corpus: (a) purchase within 5 min and no
+    error between -> matched; (b) error strictly between view and the
+    first purchase -> blocked, not matched; (c) error AT the purchase
+    timestamp is not 'between' (>= tie rule) -> matched; (d) purchase
+    past the 5-minute bound -> neither; (e) error after the purchase is
+    irrelevant."""
+    import datetime
+
+    from database_migrator_spark.operators.temporal import _uninterrupted_funnel
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def s(sec):
+        return t0 + datetime.timedelta(seconds=sec)
+
+    rows = [
+        # user 1: clean conversion after 60s -> matched
+        (10, s(0), 1, "view"),
+        (11, s(60), 1, "purchase"),
+        # user 2: error at +30s precedes the purchase at +60s -> blocked
+        (20, s(0), 2, "view"),
+        (21, s(30), 2, "error"),
+        (22, s(60), 2, "purchase"),
+        # user 3: error exactly AT the purchase ts -> matched (tie rule)
+        (30, s(0), 3, "view"),
+        (31, s(90), 3, "error"),
+        (32, s(90), 3, "purchase"),
+        # user 4: purchase at +301s > 5 min -> no conversion, not blocked
+        (40, s(0), 4, "view"),
+        (41, s(301), 4, "purchase"),
+        # user 5: error AFTER the first purchase -> matched
+        (50, s(0), 5, "view"),
+        (51, s(10), 5, "purchase"),
+        (52, s(20), 5, "error"),
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    out = _uninterrupted_funnel(e).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_views"] == 5
+    assert r["n_matched"] == 3  # users 1, 3, 5
+    assert r["n_blocked"] == 1  # user 2
+    assert r["sum_delay_s"] == 60 + 90 + 10
+    assert abs(r["match_rate"] - 3 / 5) < 1e-12
