@@ -143,3 +143,71 @@ def q141_variant_shredding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q176_variant_qualify_topk",
+    oracle="""
+    WITH per_user AS (
+        SELECT event_type, user_id,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT event_type, user_id, sum_k, n_events,
+           CAST(rank() OVER (PARTITION BY event_type
+                             ORDER BY sum_k DESC, user_id) AS BIGINT) AS rnk
+    FROM per_user
+    QUALIFY rnk <= 3
+    ORDER BY event_type, rnk, user_id
+    """,
+    tags=("json", "variant", "qualify", "window", "topk", "E12"),
+)
+def q176_variant_qualify_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT analytics + QUALIFY — the semi-structured metadata shape
+    LLM-pipeline tables actually hit: props parses ONCE into the binary
+    variant encoding (q141's posture — no per-path string re-parse, no
+    pinned struct schema), the shredded ``k`` feeds an exact per-
+    (event_type, user) BIGINT rollup, and a windowed QUALIFY keeps each
+    type's top-3 users by sum_k (total order: user_id tiebreak).
+
+    The grouped top-k is the TWO-LEVEL form, not one window: a window
+    partitioned by event_type alone has ~5 partitions — at 100 TB each
+    would sort billions of per-user rows on one task (the q94/q125
+    single-partition-window hazard, merely sharded by 5). Level 1 ranks
+    inside (event_type, user-hash bucket) — bounded per task — and keeps
+    3; level 2 ranks the <= 3x64 survivors per type, a bounded derived
+    table, where rank() is provably identical to the oracle's global
+    QUALIFY rank because the global top-3 survive level 1 by
+    construction and the order is total. One corpus scan feeds it all."""
+    e = table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    v = e.select("event_type", "user_id", F.parse_json("props").alias("v"))
+    per_user = (
+        v.select(
+            "event_type",
+            "user_id",
+            F.try_variant_get("v", "$.k", "long").alias("k"),
+        )
+        .groupBy("event_type", "user_id")
+        .agg(F.sum("k").cast("long").alias("sum_k"), F.count("*").alias("n_events"))
+    )
+    buckets = 64
+    lvl1 = Window.partitionBy(
+        "event_type", F.pmod(F.col("user_id"), F.lit(buckets))
+    ).orderBy(F.col("sum_k").desc(), "user_id")
+    cand = (
+        per_user.withColumn("__r1", F.row_number().over(lvl1))
+        .where(F.col("__r1") <= 3)
+        .drop("__r1")
+    )
+    lvl2 = Window.partitionBy("event_type").orderBy(F.col("sum_k").desc(), "user_id")
+    return (
+        cand.withColumn("rnk", F.rank().over(lvl2).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select("event_type", "user_id", "sum_k", "n_events", "rnk")
+        .orderBy("event_type", "rnk", "user_id")
+    )

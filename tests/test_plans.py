@@ -811,3 +811,23 @@ def test_uninterrupted_funnel_keyed_join(spark):
     joins = p.count("BroadcastHashJoin") + p.count("SortMergeJoin")
     assert joins == 1
     assert "Window" not in p
+
+
+def test_variant_qualify_two_level_topk(spark):
+    """q176: ONE corpus scan feeds the variant shred + rollup; the
+    grouped top-k is two bounded windows (per-bucket, then per-type over
+    the <=3x64 survivors) — never one event_type-only window over the
+    full per-user table, and no join anywhere."""
+    p = plan_of(spark, "q176_variant_qualify_topk")
+    assert p.count("Scan ") + p.count("FileScan") >= 1
+    scans = [l for l in p.splitlines() if "parquet" in l.lower() and "events" in l.lower()]
+    assert len(scans) <= 1, scans
+    assert p.count("Window [") == 2
+    # level 1 must really shard by the user-hash bucket: its window spec
+    # partitions on (event_type, _w0) where _w0 is the projected bucket
+    assert ", _w0#" in p
+    # Spark's rank-limit pushdown keeps only k rows per group BEFORE the
+    # full window sort — the property that makes level 1 cheap at scale
+    assert "WindowGroupLimit" in p
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+    assert "CartesianProduct" not in p
