@@ -248,6 +248,69 @@ def synthesize_vocab_inflated_docs(spark, out_dir: str) -> None:
     out.repartition(16).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
 
 
+def synthesize_pairfixed_docs(spark, out_dir: str, factor: int = 3) -> None:
+    """``factor``× documents where every ADDED doc has a globally unique
+    vocabulary (each token suffixed with copy index + shifted doc_id):
+    added docs share zero shingles with anything, so the TRUE near-dup
+    pair count stays exactly the base corpus's while the substrate
+    (docs, shingles, df table, prefixes) scales ``factor``×. The
+    replication probe (synthesize()) cannot separate those axes — its
+    output pairs grow ~quadratically in the copy count (round-7 verdict
+    #7)."""
+    from database_migrator_spark.operators.dedup import tokens_of
+
+    src = table(spark, SRC_SF, "documents")
+    n = src.count()
+    parts = [src]
+    for i in range(1, factor):
+        parts.append(
+            src.withColumn("doc_id", F.col("doc_id") + F.lit(i * n * 10)).withColumn(
+                "text",
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        tokens_of("text"),
+                        lambda t, i=i: F.concat(
+                            t, F.lit(f"u{i}d"), F.col("doc_id").cast("string")
+                        ),
+                    ),
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(16).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+
+def q162_pairfixed_probe(spark, factor: int = 3) -> dict:
+    """q162 wall-clock at ``factor``× docs with OUTPUT PAIRS HELD
+    CONSTANT — separates substrate cost (shingle df count, per-doc sort,
+    prefix join) from output-pair cost. Near-linear wall-clock here plus
+    the replication probe's sub-linear-in-output-pairs reading together
+    bound both axes."""
+    qs = all_queries()
+    build = qs["q162_prefix_filter_jaccard_join"].build
+    build(spark, SRC_SF).count()  # warm: JVM, codegen, parquet footers
+    t0 = time.perf_counter()
+    base_pairs = build(spark, SRC_SF).count()
+    base_t = round(time.perf_counter() - t0, 2)
+    tmp = tempfile.mkdtemp(prefix="q162_pairfixed_")
+    try:
+        synthesize_pairfixed_docs(spark, tmp, factor)
+        t0 = time.perf_counter()
+        big_pairs = build(spark, tmp).count()
+        big_t = round(time.perf_counter() - t0, 2)
+        return {
+            "factor": factor,
+            "output_pairs": {"sf0.1": base_pairs, f"{factor}x_pairfixed": big_pairs},
+            "q162_sec": {"sf0.1": base_t, f"{factor}x_pairfixed": big_t},
+            "wall_ratio": round(big_t / base_t, 2) if base_t > 0 else None,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def bucket_cap_stats(spark, sf_dir: str, max_bucket: int = 1000) -> dict:
     """How hard does the MinHash bucket cap work at this scale? Reports
     total band-buckets, buckets over the cap (dropped), and the largest
@@ -349,6 +412,10 @@ def main() -> None:
     # the ingest warms and the bucket/vocab/semdedup extras — the cheap
     # way to probe a new query without re-timing the whole catalog.
     keep = "--keep" in sys.argv
+    if "--q162-pairfixed" in sys.argv:
+        spark = get_session("scale-probe")
+        print(json.dumps({"q162_pairfixed": q162_pairfixed_probe(spark)}, indent=2))
+        return
     only: set[str] | None = None
     if "--only" in sys.argv:
         only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
