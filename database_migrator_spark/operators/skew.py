@@ -591,3 +591,248 @@ def q174_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q178_spearman_value_k",
+    oracle="""
+    WITH base AS (
+        SELECT event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+    ), joint AS (
+        SELECT event_type, cents, k, CAST(COUNT(*) AS BIGINT) AS n
+        FROM base GROUP BY 1, 2, 3
+    ), xh AS (
+        SELECT event_type, cents, CAST(SUM(n) AS BIGINT) AS cnt FROM joint GROUP BY 1, 2
+    ), xr AS (
+        SELECT event_type, cents,
+               CAST(2 * COALESCE(SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + cnt + 1 AS BIGINT) AS r2x
+        FROM xh
+    ), yh AS (
+        SELECT event_type, k, CAST(SUM(n) AS BIGINT) AS cnt FROM joint GROUP BY 1, 2
+    ), yr AS (
+        SELECT event_type, k,
+               CAST(2 * COALESCE(SUM(cnt) OVER (PARTITION BY event_type ORDER BY k
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + cnt + 1 AS BIGINT) AS r2y
+        FROM yh
+    ), sums AS (
+        SELECT j.event_type,
+               CAST(SUM(j.n) AS BIGINT)                  AS n,
+               CAST(SUM(j.n * xr.r2x) AS BIGINT)         AS s1,
+               CAST(SUM(j.n * yr.r2y) AS BIGINT)         AS s2,
+               CAST(SUM(j.n * xr.r2x * xr.r2x) AS BIGINT) AS s11,
+               CAST(SUM(j.n * yr.r2y * yr.r2y) AS BIGINT) AS s22,
+               CAST(SUM(j.n * xr.r2x * yr.r2y) AS BIGINT) AS s12
+        FROM joint j
+        JOIN xr ON xr.event_type = j.event_type AND xr.cents = j.cents
+        JOIN yr ON yr.event_type = j.event_type AND yr.k = j.k
+        GROUP BY 1
+    )
+    SELECT event_type, n,
+           CAST(ROUND(
+               CAST(n * s12 - s1 * s2 AS DOUBLE)
+               / (sqrt(CAST(n * s11 - s1 * s1 AS DOUBLE))
+                  * sqrt(CAST(n * s22 - s2 * s2 AS DOUBLE)))
+               * 1000000000) AS BIGINT) / 1000000000.0 AS rho
+    FROM sums
+    WHERE n * s11 > s1 * s1 AND n * s22 > s2 * s2
+    ORDER BY event_type
+    """,
+    tags=("statistics", "spearman", "rank", "association", "drift"),
+)
+def q178_spearman_value_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between event value and the VARIANT-
+    borne metadata k, per event_type — the monotone-association monitor
+    (Pearson q170 sees only linear structure; rank correlation survives
+    the heavy-tailed value distributions pipelines actually emit).
+
+    Exact by construction, WITHOUT a corpus-wide sort: with ties taking
+    average ranks, a row's rank depends only on its VALUE's histogram
+    cell — avg_rank = base + (cnt+1)/2, so DOUBLED ranks 2r = 2*base +
+    cnt + 1 are integers and Pearson on (2rx, 2ry) equals Spearman.
+    One (type, cents, k) count aggregate is the only corpus shuffle;
+    both marginals, the per-type cumulative bases (windows over BOUNDED
+    histograms — ~18k cents cells, 100 k cells), and the moment sums
+    (n, S1, S2, S11, S22, S12) are exact BIGINTs; rho is one double
+    expression over identical integers with q170's 1e-9 fixed-point
+    rounding. Integer bound: n*S11 <= 4n^4 stays under 2^63 for groups
+    up to ~50M rows; past that ANSI overflow fails loudly (shard or
+    rescale first). Zero-variance groups excluded by integer guard."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    base = e.where(F.get_json_object("props", "$.k").isNotNull()).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    joint = base.groupBy("event_type", "cents", "k").agg(F.count("*").alias("n"))
+    joint = joint.localCheckpoint(eager=True)  # 3 consumers, 1 corpus scan
+
+    def doubled_ranks(col: str) -> DataFrame:
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return (
+            joint.groupBy("event_type", col)
+            .agg(F.sum("n").alias("cnt"))
+            .select(
+                "event_type",
+                col,
+                (
+                    2 * F.coalesce(F.sum("cnt").over(w), F.lit(0)) + F.col("cnt") + 1
+                ).alias(f"r2_{col}"),
+            )
+        )
+    xr = doubled_ranks("cents")
+    yr = doubled_ranks("k")
+    sums = (
+        joint.join(F.broadcast(xr), ["event_type", "cents"])
+        .join(F.broadcast(yr), ["event_type", "k"])
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum(F.col("n") * F.col("r2_cents")).alias("s1"),
+            F.sum(F.col("n") * F.col("r2_k")).alias("s2"),
+            F.sum(F.col("n") * F.col("r2_cents") * F.col("r2_cents")).alias("s11"),
+            F.sum(F.col("n") * F.col("r2_k") * F.col("r2_k")).alias("s22"),
+            F.sum(F.col("n") * F.col("r2_cents") * F.col("r2_k")).alias("s12"),
+        )
+    )
+    rho = (F.col("n") * F.col("s12") - F.col("s1") * F.col("s2")).cast("double") / (
+        F.sqrt((F.col("n") * F.col("s11") - F.col("s1") * F.col("s1")).cast("double"))
+        * F.sqrt((F.col("n") * F.col("s22") - F.col("s2") * F.col("s2")).cast("double"))
+    )
+    return (
+        sums.where(
+            (F.col("n") * F.col("s11") > F.col("s1") * F.col("s1"))
+            & (F.col("n") * F.col("s22") > F.col("s2") * F.col("s2"))
+        )
+        .select(
+            "event_type",
+            "n",
+            (F.round(rho * F.lit(1e9)).cast("long") / F.lit(1e9)).alias("rho"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q179_mann_whitney_value",
+    oracle="""
+    WITH hist AS (
+        SELECT event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), cells AS (
+        SELECT t.event_type, t.cents,
+               CAST(SUM(t.ct) AS BIGINT) AS ct,
+               CAST(SUM(t.cv) AS BIGINT) AS cv
+        FROM (
+            SELECT event_type, cents, c AS ct, 0 AS cv
+            FROM hist WHERE event_type <> 'view'
+            UNION ALL
+            SELECT o.event_type, v.cents, 0 AS ct, v.c AS cv
+            FROM (SELECT DISTINCT event_type FROM hist
+                  WHERE event_type <> 'view') o
+            CROSS JOIN (SELECT cents, c FROM hist WHERE event_type = 'view') v
+        ) t
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT event_type, ct, cv,
+               CAST(2 * COALESCE(SUM(ct + cv) OVER (PARTITION BY event_type
+                        ORDER BY cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + (ct + cv) + 1 AS BIGINT) AS r2
+        FROM cells
+    ), sums AS (
+        SELECT event_type,
+               CAST(SUM(ct) AS BIGINT)      AS n_x,
+               CAST(SUM(cv) AS BIGINT)      AS n_view,
+               CAST(SUM(ct * r2) AS BIGINT) AS r1_2
+        FROM ranked GROUP BY 1
+    )
+    SELECT event_type, n_x, n_view,
+           CAST(r1_2 - n_x * (n_x + 1) AS BIGINT) AS u2,
+           CAST(r1_2 - n_x * (n_x + 1) AS DOUBLE)
+               / CAST(n_x * n_view AS DOUBLE) - 1.0 AS rank_biserial
+    FROM sums
+    ORDER BY event_type
+    """,
+    tags=("statistics", "mann-whitney", "rank", "drift"),
+)
+def q179_mann_whitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) of each event type's value distribution
+    against the 'view' baseline — the nonparametric two-sample location
+    test (q174's KS sees max CDF gap; U sees stochastic dominance), plus
+    the rank-biserial effect size. Same exact-rank machinery as q178:
+    ties take average ranks, which depend only on the cents histogram,
+    so DOUBLED rank-sums are exact BIGINTs — 2*R1 folds from the per-pair
+    combined histogram (one bounded union of the type's and the
+    baseline's cents cells; ~18k rows per pair), and 2U = 2*R1 −
+    n1(n1+1). ONE corpus scan builds the (type, cents) histogram; every
+    later table is histogram-sized. rank_biserial = 2U/(n1*n2) − 1 is
+    one double expression over identical integers."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    hist = (
+        e.select(
+            "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count("*").alias("c"))
+    )
+    hist = hist.localCheckpoint(eager=True)  # 3 consumers, 1 corpus scan
+    others = hist.where(F.col("event_type") != "view").select(
+        "event_type", "cents", F.col("c").alias("ct"), F.lit(0).cast("long").alias("cv")
+    )
+    otypes = others.select("event_type").distinct()
+    view_side = otypes.crossJoin(
+        F.broadcast(
+            hist.where(F.col("event_type") == "view").select(
+                "cents", F.col("c").alias("cv")
+            )
+        )
+    ).select("event_type", "cents", F.lit(0).cast("long").alias("ct"), "cv")
+    cells = (
+        others.unionByName(view_side)
+        .groupBy("event_type", "cents")
+        .agg(F.sum("ct").alias("ct"), F.sum("cv").alias("cv"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r2 = 2 * F.coalesce(F.sum(F.col("ct") + F.col("cv")).over(w), F.lit(0)) + (
+        F.col("ct") + F.col("cv")
+    ) + 1
+    sums = (
+        cells.select("event_type", "ct", "cv", r2.alias("r2"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("ct").alias("n_x"),
+            F.sum("cv").alias("n_view"),
+            F.sum(F.col("ct") * F.col("r2")).alias("r1_2"),
+        )
+    )
+    u2 = F.col("r1_2") - F.col("n_x") * (F.col("n_x") + 1)
+    return sums.select(
+        "event_type",
+        "n_x",
+        "n_view",
+        u2.cast("long").alias("u2"),
+        (u2.cast("double") / (F.col("n_x") * F.col("n_view")).cast("double") - F.lit(1.0)).alias(
+            "rank_biserial"
+        ),
+    ).orderBy("event_type")

@@ -1542,3 +1542,88 @@ def _uninterrupted_funnel(e: DataFrame) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "q177_hourly_autocorrelation",
+    oracle=f"""
+    WITH {_DENSE_HOURLY_ORACLE}, totals AS (
+        SELECT h, CAST(SUM(c) AS BIGINT) AS c FROM dense GROUP BY h
+    ), lags AS (
+        SELECT unnest(generate_series(1, 24)) AS lag
+    ), pairs AS (
+        SELECT l.lag,
+               CAST(COUNT(*) AS BIGINT)       AS n_pairs,
+               CAST(SUM(a.c) AS BIGINT)       AS sx,
+               CAST(SUM(b.c) AS BIGINT)       AS sy,
+               CAST(SUM(a.c * b.c) AS BIGINT) AS sxy,
+               CAST(SUM(a.c * a.c) AS BIGINT) AS sxx,
+               CAST(SUM(b.c * b.c) AS BIGINT) AS syy
+        FROM lags l
+        CROSS JOIN totals a
+        JOIN totals b ON b.h = a.h + INTERVAL 1 HOUR * l.lag
+        GROUP BY l.lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+           CAST(ROUND(
+               CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+               / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)))
+               * 1000000000) AS BIGINT) / 1000000000.0 AS acf
+    FROM pairs
+    WHERE n_pairs * sxx > sx * sx AND n_pairs * syy > sy * sy
+    ORDER BY lag
+    """,
+    tags=("temporal", "autocorrelation", "seasonality", "dense-hourly"),
+)
+def q177_hourly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of total hourly event volume at lags
+    1–24 h — the seasonality detector behind q171's seasonal-naive
+    choice (a 24 h peak says daily cycle; fast decay says noise). Built
+    entirely on BOUNDED derived tables: the shared dense hourly grid
+    (one corpus scan, amortized with q170–q172) collapses to ~720 hour
+    totals, a 24-row lag dimension cross-joins, and each lag's pairs
+    come from an equi-join on the precomputed shifted hour — exact
+    BIGINT sums (q170's recipe: n·Σxy − ΣxΣy over identical integers,
+    1e-9 fixed-point rounding of the one double expression). Missing
+    hours drop the pair identically on both engines. Integer bounds
+    match q170: ~3M events/hour for a month stays under 2^63."""
+    dense = dense_hourly_counts(spark, sf_dir)
+    totals = dense.groupBy("h").agg(F.sum("c").alias("c"))
+    lags = spark.range(1, 25).select(F.col("id").cast("int").alias("lag"))
+    a = (
+        totals.crossJoin(F.broadcast(lags))
+        .withColumn("h2", F.col("h") + F.make_interval(hours=F.col("lag")))
+        .select("lag", "h2", F.col("c").alias("ca"))
+    )
+    b = totals.select(F.col("h").alias("h2"), F.col("c").alias("cb"))
+    pairs = (
+        a.join(F.broadcast(b), "h2")
+        .groupBy("lag")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("ca").alias("sx"),
+            F.sum("cb").alias("sy"),
+            F.sum(F.col("ca") * F.col("cb")).alias("sxy"),
+            F.sum(F.col("ca") * F.col("ca")).alias("sxx"),
+            F.sum(F.col("cb") * F.col("cb")).alias("syy"),
+        )
+    )
+    acf = (F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (
+        F.sqrt((F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+        * F.sqrt((F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    )
+    return (
+        pairs.where(
+            (F.col("n_pairs") * F.col("sxx") > F.col("sx") * F.col("sx"))
+            & (F.col("n_pairs") * F.col("syy") > F.col("sy") * F.col("sy"))
+        )
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            "n_pairs",
+            (F.round(acf * F.lit(1e9)).cast("long") / F.lit(1e9)).alias("acf"),
+        )
+        .orderBy("lag")
+    )

@@ -90,7 +90,7 @@ def query(
 # NOTHING for the pytest oracle suite or bench.py — they run the whole
 # catalog.  tests/test_bench_contract.py pins the resulting first-50
 # list so a refactor cannot silently reorder the gate.
-_ROUND8_NEW = {f"q{i}" for i in range(159, 177)}
+_ROUND8_NEW = {f"q{i}" for i in range(159, 200)}
 _R04_STALE = {f"q{i:02d}" for i in range(38, 51)}
 _R05_STALE = ({f"q{i}" for i in range(100, 144)} - {"q115", "q119"}) | {"q51", "q94", "q96"}
 

@@ -92,7 +92,7 @@ def test_gate_order_front_loads_stale_signal_set():
     names = list(all_queries())
     gate = [n.split("_", 1)[0] for n in names[:50]]
     new_block = sorted(
-        n.split("_", 1)[0] for n in names if n.split("_", 1)[0] in {f"q{i}" for i in range(159, 177)}
+        n.split("_", 1)[0] for n in names if n.split("_", 1)[0] in {f"q{i}" for i in range(159, 200)}
     )
     n_new = len(new_block)
     assert gate[:n_new] == new_block

@@ -831,3 +831,25 @@ def test_variant_qualify_two_level_topk(spark):
     assert "WindowGroupLimit" in p
     assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_acf_runs_on_bounded_grid(spark):
+    """q177: the returned plan reads only the dense-hourly checkpoint
+    (no corpus FileScan); the 24-lag expansion and the shifted-hour
+    equi-join are broadcast over bounded tables — no shuffle join, no
+    cartesian, no corpus-wide window."""
+    p = plan_of(spark, "q177_hourly_autocorrelation")
+    assert "FileScan" not in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "Window" not in p
+
+
+def test_rank_stats_single_corpus_scan(spark):
+    """q178/q179: the only corpus-sized work is the histogram aggregate,
+    checkpointed (no FileScan in the returned plan); rank bases come
+    from windows over BOUNDED histograms and join back broadcast —
+    never a corpus-wide sort, never a shuffle join."""
+    for name in ("q178_spearman_value_k", "q179_mann_whitney_value"):
+        p = plan_of(spark, name)
+        assert "FileScan" not in p, name
+        assert "SortMergeJoin" not in p and "CartesianProduct" not in p, name
