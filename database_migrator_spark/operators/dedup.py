@@ -1246,6 +1246,45 @@ def q161_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PPJ_T_NUM, _PPJ_T_DEN = 7, 10  # Jaccard threshold 0.7 as an exact ratio
 
 
+def rare_first_shingle_docs(spark: SparkSession, d: DataFrame) -> DataFrame:
+    """Per-doc distinct 3-word shingles, hashed to 48-bit ints (the q161
+    md5-slice pattern — engine-reproducible; DuckDB parses the same 12
+    hex chars) and ordered RARE-FIRST by global document frequency —
+    the substrate both prefix-filter joins (q162 symmetric Jaccard, q181
+    asymmetric containment) read. Checkpointed: consumed by the prefix
+    explode AND both payload sides; the unconditional repartition
+    (post-shuffle frame — the RDD-probe rule) re-spreads AQE's coalesced
+    output first. A 48-bit collision merges two shingles IDENTICALLY on
+    both engines; at ~10^5 distinct shingles the birthday odds ~1e-5."""
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.array_distinct(word_shingles(tokens_of("text"))),
+                    lambda g: F.conv(F.substring(F.md5(g), 1, 12), 16, 10).cast(
+                        "long"
+                    ),
+                )
+            )
+        ).alias("tk"),
+    )
+    df_t = tok.groupBy("tk").agg(F.count("*").alias("df"))
+    sorted_docs = (
+        tok.join(df_t.hint("shuffle_merge"), "tk")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "tk"))), lambda s: s["tk"]
+            ).alias("toks"),
+            F.count("*").alias("n"),
+        )
+    )
+    return sorted_docs.repartition(
+        spark.sparkContext.defaultParallelism
+    ).localCheckpoint(eager=True)
+
+
 @query(
     "q162_prefix_filter_jaccard_join",
     oracle=r"""
@@ -1320,37 +1359,7 @@ def q162_prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFra
     # corpus scale. A 48-bit collision would merge two shingles
     # IDENTICALLY on both engines (the hash gate still matches); at
     # ~10^5 distinct shingles the birthday odds are ~10^-5.
-    tok = d.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.array_distinct(word_shingles(tokens_of("text"))),
-                    lambda g: F.conv(F.substring(F.md5(g), 1, 12), 16, 10).cast(
-                        "long"
-                    ),
-                )
-            )
-        ).alias("tk"),
-    )
-    df_t = tok.groupBy("tk").agg(F.count("*").alias("df"))
-    sorted_docs = (
-        tok.join(df_t.hint("shuffle_merge"), "tk")
-        .groupBy("doc_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("df", "tk"))), lambda s: s["tk"]
-            ).alias("toks"),
-            F.count("*").alias("n"),
-        )
-    )
-    # consumed THREE times (prefix explode + both payload sides) — without
-    # materialization the shingle/df/sort pipeline runs three times.
-    # Unconditional repartition (post-shuffle frame: the RDD-probe rule)
-    # re-spreads AQE's coalesced output before the checkpoint.
-    sorted_docs = sorted_docs.repartition(
-        spark.sparkContext.defaultParallelism
-    ).localCheckpoint(eager=True)
+    sorted_docs = rare_first_shingle_docs(spark, d)
     # ceil(7n/10) = (7n + 9) // 10 — true integer division so the engine
     # matches the oracle's // by construction, not by 2^53 luck.
     pre_len = (F.col("n") - int_div(F.lit(7) * F.col("n") + 9, 10) + 1).cast("int")
@@ -1386,4 +1395,109 @@ def q162_prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .where(F.lit(10) * F.col("n_inter") >= F.lit(7) * F.col("n_union"))
         .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "q181_shingle_containment_join",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                   t -> len(t) > 0) AS t
+        FROM documents
+    ), tok AS (
+        SELECT DISTINCT doc_id,
+               CAST('0x' || substr(md5(unnest(list_distinct(
+                   CASE WHEN len(t) >= 3
+                        THEN list_transform(generate_series(1, len(t) - 2),
+                                            i -> array_to_string(t[i:i+2], ' '))
+                        ELSE [array_to_string(t, ' ')] END))), 1, 12)
+                    AS BIGINT) AS tk
+        FROM toks
+    ), df AS (
+        SELECT tk, COUNT(*) AS df FROM tok GROUP BY tk
+    ), sorted_docs AS (
+        SELECT doc_id,
+               list(tk ORDER BY df.df, tk) AS toks,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM tok JOIN df USING (tk)
+        GROUP BY doc_id
+    ), pref AS (
+        SELECT doc_id, unnest(toks[1 : CAST(n - ((9 * n + 9) // 10) + 1 AS INT)]) AS tk
+        FROM sorted_docs
+    ), full_idx AS (
+        SELECT doc_id, unnest(toks) AS tk FROM sorted_docs
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS inner_doc, b.doc_id AS outer_doc
+        FROM pref a JOIN full_idx b ON a.tk = b.tk AND a.doc_id <> b.doc_id
+    )
+    SELECT c.inner_doc, c.outer_doc,
+           CAST(len(list_intersect(sa.toks, sb.toks)) AS BIGINT) AS n_inter,
+           sa.n AS n_inner, sb.n AS n_outer,
+           CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE)
+               / CAST(sa.n AS DOUBLE) AS containment
+    FROM cand c
+    JOIN sorted_docs sa ON sa.doc_id = c.inner_doc
+    JOIN sorted_docs sb ON sb.doc_id = c.outer_doc
+    WHERE 10 * len(list_intersect(sa.toks, sb.toks)) >= 9 * sa.n
+    ORDER BY inner_doc, outer_doc
+    """,
+    tags=("dedup", "containment", "prefix-filter", "E15", "llm-pipeline"),
+)
+def q181_shingle_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup: all (inner, outer) pairs where >= 90% of the
+    inner doc's 3-word shingles appear in the outer doc — the
+    quotation / page-within-page / excerpt detector that symmetric
+    Jaccard (q162) structurally misses (a snippet inside a long page has
+    tiny Jaccard but containment ~1). Same exact-but-never-O(N²) prefix
+    filter, adapted to the one-sided threshold: the inner doc can miss
+    at most n - ceil(0.9 n) shingles, so its RARE-FIRST prefix of length
+    n - ceil(0.9 n) + 1 must intersect the outer doc's FULL shingle set
+    — the outer side indexes all its shingles (containment gives the
+    container no prefix bound; the rare-first ordering keeps the probe
+    side selective). Shares q162's checkpointed rare-first substrate
+    builder; verification is the integer cross-multiplication
+    10·|∩| >= 9·n_inner. Both directions of a mutual pair are reported —
+    containment is a directed relation."""
+    d = spread_for_cpu(table(spark, sf_dir, "documents"))
+    sorted_docs = rare_first_shingle_docs(spark, d)
+    # inner side may miss at most n - ceil(0.9n); prefix = that + 1
+    pre_len = (F.col("n") - int_div(F.lit(9) * F.col("n") + 9, 10) + 1).cast("int")
+    pref = sorted_docs.select(
+        "doc_id", F.explode(F.slice("toks", 1, pre_len)).alias("tk")
+    )
+    full_idx = sorted_docs.select("doc_id", F.explode("toks").alias("tk"))
+    cand = (
+        pref.alias("a")
+        .join(full_idx.alias("b").hint("shuffle_merge"), "tk")
+        .where(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("inner_doc"), F.col("b.doc_id").alias("outer_doc")
+        )
+        .distinct()
+    )
+    sa = sorted_docs.select(
+        F.col("doc_id").alias("inner_doc"),
+        F.col("toks").alias("toks_a"),
+        F.col("n").alias("n_inner"),
+    )
+    sb = sorted_docs.select(
+        F.col("doc_id").alias("outer_doc"),
+        F.col("toks").alias("toks_b"),
+        F.col("n").alias("n_outer"),
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("long")
+    return (
+        cand.join(sa.hint("shuffle_merge"), "inner_doc")
+        .join(sb.hint("shuffle_merge"), "outer_doc")
+        .select(
+            "inner_doc",
+            "outer_doc",
+            inter.alias("n_inter"),
+            "n_inner",
+            "n_outer",
+            (inter.cast("double") / F.col("n_inner").cast("double")).alias("containment"),
+        )
+        .where(F.lit(10) * F.col("n_inter") >= F.lit(9) * F.col("n_inner"))
+        .orderBy("inner_doc", "outer_doc")
     )

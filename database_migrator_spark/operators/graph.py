@@ -233,3 +233,97 @@ def q147_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hops")
     )
+
+
+@query(
+    "q180_degree_assortativity",
+    oracle="""
+    WITH e AS (
+        SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), und AS (
+        SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+    ), deg AS (
+        SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY u
+    ), sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT)            AS m2,
+               CAST(SUM(da.d) AS BIGINT)           AS sx,
+               CAST(SUM(db.d) AS BIGINT)           AS sy,
+               CAST(SUM(da.d * db.d) AS BIGINT)    AS sxy,
+               CAST(SUM(da.d * da.d) AS BIGINT)    AS sxx,
+               CAST(SUM(db.d * db.d) AS BIGINT)    AS syy
+        FROM und
+        JOIN deg da ON da.u = und.u
+        JOIN deg db ON db.u = und.v
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           CAST(m2 / 2 AS BIGINT) AS n_edges,
+           CAST(ROUND(
+               CAST(m2 * sxy - sx * sy AS DOUBLE)
+               / (sqrt(CAST(m2 * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(m2 * syy - sy * sy AS DOUBLE)))
+               * 1000000000) AS BIGINT) / 1000000000.0 AS assortativity
+    FROM sums
+    WHERE m2 * sxx > sx * sx AND m2 * syy > sy * sy
+    """,
+    tags=("graph", "assortativity", "degree", "statistics", "llm-pipeline"),
+)
+def q180_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman's r) of the undirected customer–
+    supplier purchase graph — do high-degree nodes attach to high-degree
+    nodes? The one-number mixing diagnostic a crawl/link pipeline reads
+    before trusting PageRank-style propagation (q110): strongly
+    disassortative graphs concentrate rank in hubs. Pearson correlation
+    of endpoint degrees over the 2m directed edge slots, folded as exact
+    BIGINT sums (q170's recipe) after two node-keyed joins of the edge
+    list against the degree table — both corpus-sized, both pinned
+    shuffle_merge (never broadcast an unbounded derived table), keyed on
+    the SAME node id the degree aggregate shuffles on. One double
+    expression + 1e-9 fixed-point rounding at the end; degenerate
+    (regular) graphs excluded by the integer guard. Integer bound:
+    2m·Σd² < 2^63 holds through ~10^9 edges of max degree ~10^4."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    und = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)  # consumed by deg AND both sum joins
+    deg = und.groupBy("u").agg(F.count("*").alias("d"))
+    da = deg.select(F.col("u").alias("ua"), F.col("d").alias("da"))
+    db = deg.select(F.col("u").alias("ub"), F.col("d").alias("db"))
+    sums = (
+        und.join(da.hint("shuffle_merge"), und["u"] == da["ua"])
+        .join(db.hint("shuffle_merge"), und["v"] == db["ub"])
+        .agg(
+            F.count("*").alias("m2"),
+            F.sum("da").alias("sx"),
+            F.sum("db").alias("sy"),
+            F.sum(F.col("da") * F.col("db")).alias("sxy"),
+            F.sum(F.col("da") * F.col("da")).alias("sxx"),
+            F.sum(F.col("db") * F.col("db")).alias("syy"),
+        )
+    )
+    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
+    r = (F.col("m2") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / (
+        F.sqrt((F.col("m2") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+        * F.sqrt((F.col("m2") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    )
+    return (
+        sums.crossJoin(F.broadcast(n_nodes))
+        .where(
+            (F.col("m2") * F.col("sxx") > F.col("sx") * F.col("sx"))
+            & (F.col("m2") * F.col("syy") > F.col("sy") * F.col("sy"))
+        )
+        .select(
+            "n_nodes",
+            F.expr("m2 DIV 2").cast("long").alias("n_edges"),
+            (F.round(r * F.lit(1e9)).cast("long") / F.lit(1e9)).alias("assortativity"),
+        )
+    )

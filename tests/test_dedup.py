@@ -241,3 +241,39 @@ def test_prefix_filter_join_is_exact_vs_brute_force(spark):
         .collect()
     }
     assert got == want
+
+
+def test_containment_join_is_exact_vs_brute_force(spark):
+    """q181's one-sided prefix filter is EXACT: brute-force all ordered
+    pairs with |A∩B| >= 0.9|A| (from collected shingle sets) must equal
+    the query's (inner, outer) set exactly — zero missed, zero extra,
+    both directions of mutual pairs present."""
+    from itertools import permutations
+
+    from database_migrator_spark.operators.dedup import tokens_of, word_shingles
+    from database_migrator_spark.plans.registry import all_queries
+    from database_migrator_spark.sources import table
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_SMOKE
+
+    rows = (
+        table(spark, SF_SMOKE, "documents")
+        .select(
+            "doc_id",
+            F.array_distinct(word_shingles(tokens_of("text"))).alias("sh"),
+        )
+        .collect()
+    )
+    sets = {r["doc_id"]: set(r["sh"]) for r in rows}
+    want = set()
+    for a, b in permutations(sorted(sets), 2):
+        if sets[a] and 10 * len(sets[a] & sets[b]) >= 9 * len(sets[a]):
+            want.add((a, b))
+    got = {
+        (r["inner_doc"], r["outer_doc"])
+        for r in all_queries()["q181_shingle_containment_join"]
+        .build(spark, SF_SMOKE)
+        .collect()
+    }
+    assert got == want

@@ -853,3 +853,23 @@ def test_rank_stats_single_corpus_scan(spark):
         p = plan_of(spark, name)
         assert "FileScan" not in p, name
         assert "SortMergeJoin" not in p and "CartesianProduct" not in p, name
+
+
+def test_containment_join_all_shuffle_merge(spark):
+    """q181: prefix side and full-index side are both corpus-sized —
+    every join stays shuffle sort-merge (pinned), the shared rare-first
+    substrate is a checkpoint scan (no documents re-scan per consumer)."""
+    p = plan_of(spark, "q181_shingle_containment_join")
+    assert "BroadcastHashJoin" not in p and "CartesianProduct" not in p
+    assert "SortMergeJoin" in p
+    assert p.count("Scan ExistingRDD") >= 3
+
+
+def test_assortativity_pins_node_joins(spark):
+    """q180: the degree table is node-sized (unbounded) — both endpoint
+    joins must stay shuffle sort-merge; the union'd edge list is a
+    checkpoint scan consumed by deg and the sums, not re-derived."""
+    p = plan_of(spark, "q180_degree_assortativity")
+    assert "SortMergeJoin" in p
+    assert "CartesianProduct" not in p
+    assert p.count("Scan ExistingRDD") >= 2
