@@ -1501,3 +1501,125 @@ def q181_shingle_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame
         .where(F.lit(10) * F.col("n_inter") >= F.lit(9) * F.col("n_inner"))
         .orderBy("inner_doc", "outer_doc")
     )
+
+
+@query(
+    "q182_neardup_triangles",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           t -> len(t) > 0) AS t
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                    THEN list_distinct(list_transform(
+                             generate_series(1, len(t) - 2),
+                             i -> array_to_string(t[i:i+2], ' ')))
+                    ELSE [array_to_string(t, ' ')]
+               END AS s
+        FROM toks
+    ), pairs AS (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.6
+    ), und AS (
+        SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs
+    ), deg AS (
+        SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY u
+    ), tri AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS t
+        FROM pairs p1
+        JOIN pairs p2 ON p2.a = p1.a AND p2.b > p1.b
+        JOIN pairs p3 ON p3.a = p1.b AND p3.b = p2.b
+    ), agg AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg)          AS n_nodes,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs)        AS n_edges,
+               (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+               (SELECT t FROM tri)                                 AS n_triangles
+    )
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           CASE WHEN n_wedges > 0
+                THEN CAST(ROUND(CAST(3 * n_triangles AS DOUBLE)
+                                / CAST(n_wedges AS DOUBLE)
+                                * 1000000000) AS BIGINT) / 1000000000.0
+                ELSE 0.0 END AS global_clustering
+    FROM agg
+    """,
+    tags=("graph", "dedup", "triangles", "clustering-coefficient", "llm-pipeline"),
+)
+def q182_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the VERIFIED
+    near-duplicate graph (q66's MinHash-LSH pairs, Jaccard >= 0.6) — the
+    cluster-cohesion diagnostic for dedup: a high coefficient says
+    near-dup groups are cliquey boilerplate (safe to collapse to one
+    canonical doc, q90's move); a low one says chained drift (A~B~C but
+    A!~C), where transitive collapse loses real variants.
+
+    Triangles use the DEGREE-ORDERED oriented wedge join — THE scalable
+    formulation: each edge orients from its (degree, id)-smaller
+    endpoint, so every triangle is counted exactly once from its
+    smallest vertex, and per-vertex wedge fan-out is bounded by
+    out-degree <= O(sqrt(m)) instead of raw degree (a hub of degree d
+    contributes C(d,2) wedges unoriented, but only its out-wedges here).
+    All node-keyed joins pinned shuffle_merge; the shared union-lineage
+    frames are checkpointed (the Spark 4.1 UnionBase constraint-rewrite
+    trap). The oracle replays the O(N²) brute-force pair base (q66's
+    family: driver-gate scale only) with id-ordered triangle closure —
+    the count is orientation-invariant, so the two formulations must
+    agree exactly."""
+    d = table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        d, num_hashes=64, bands=32, threshold=0.6,
+        cache_key=_documents_cache_key(sf_dir),
+    ).select(F.col("a_id").alias("a"), F.col("b_id").alias("b"))
+    pairs = pairs.localCheckpoint(eager=True)  # union self-join lineage
+    und = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count("*").alias("d")).localCheckpoint(eager=True)
+    da = deg.select(F.col("u").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("u").alias("b"), F.col("d").alias("db"))
+    lt = F.struct(F.col("da"), F.col("a")) < F.struct(F.col("db"), F.col("b"))
+    o = (
+        pairs.join(da.hint("shuffle_merge"), "a")
+        .join(db.hint("shuffle_merge"), "b")
+        .select(
+            F.when(lt, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(lt, F.col("b")).otherwise(F.col("a")).alias("dst"),
+            F.when(lt, F.col("db")).otherwise(F.col("da")).alias("dd"),
+        )
+        .localCheckpoint(eager=True)  # consumed by the wedge pair AND closure
+    )
+    w1 = o.select(F.col("src"), F.col("dst").alias("x"), F.col("dd").alias("dx"))
+    w2 = o.select(F.col("src"), F.col("dst").alias("y"), F.col("dd").alias("dy"))
+    wedges = (
+        w1.join(w2.hint("shuffle_merge"), "src")
+        .where(F.struct(F.col("dx"), F.col("x")) < F.struct(F.col("dy"), F.col("y")))
+        .select("x", "y")
+    )
+    closing = o.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    tri = wedges.join(closing.hint("shuffle_merge"), ["x", "y"]).agg(
+        F.count("*").alias("n_triangles")
+    )
+    counts = pairs.agg(F.count("*").alias("n_edges"))
+    nodes = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) DIV 2")).alias("n_wedges"),
+    )
+    cc = F.when(
+        F.col("n_wedges") > 0,
+        F.round(
+            (F.lit(3) * F.col("n_triangles")).cast("double")
+            / F.col("n_wedges").cast("double")
+            * F.lit(1e9)
+        ).cast("long")
+        / F.lit(1e9),
+    ).otherwise(F.lit(0.0))
+    return (
+        nodes.crossJoin(F.broadcast(counts))
+        .crossJoin(F.broadcast(tri))
+        .select("n_nodes", "n_edges", "n_wedges", "n_triangles", cc.alias("global_clustering"))
+    )

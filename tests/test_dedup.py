@@ -277,3 +277,47 @@ def test_containment_join_is_exact_vs_brute_force(spark):
         .collect()
     }
     assert got == want
+
+
+def test_neardup_triangles_match_python_closure(spark):
+    """q182's degree-ordered oriented wedge join must count exactly the
+    triangles a direct Python closure over the (already brute-force-
+    verified, q66) pair list finds — orientation must not drop or
+    double-count any triangle; wedge count is Σ C(d,2)."""
+    from itertools import combinations
+
+    from database_migrator_spark.operators.dedup import (
+        _documents_cache_key,
+        minhash_near_duplicates,
+    )
+    from database_migrator_spark.plans.registry import all_queries
+    from database_migrator_spark.sources import table
+
+    from .conftest import SF_SMOKE
+
+    pairs = {
+        (r["a_id"], r["b_id"])
+        for r in minhash_near_duplicates(
+            table(spark, SF_SMOKE, "documents"),
+            num_hashes=64, bands=32, threshold=0.6,
+            cache_key=_documents_cache_key(SF_SMOKE),
+        ).collect()
+    }
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want_tri = sum(
+        1
+        for u in adj
+        for v, w in combinations(sorted(adj[u]), 2)
+        if u < v and w in adj[v]
+    )
+    want_wedges = sum(len(ns) * (len(ns) - 1) // 2 for ns in adj.values())
+    row = (
+        all_queries()["q182_neardup_triangles"].build(spark, SF_SMOKE).collect()[0]
+    )
+    assert row["n_triangles"] == want_tri
+    assert row["n_wedges"] == want_wedges
+    assert row["n_edges"] == len(pairs)
+    assert row["n_nodes"] == len(adj)

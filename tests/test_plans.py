@@ -873,3 +873,14 @@ def test_assortativity_pins_node_joins(spark):
     assert "SortMergeJoin" in p
     assert "CartesianProduct" not in p
     assert p.count("Scan ExistingRDD") >= 2
+
+
+def test_triangle_joins_pinned_and_checkpointed(spark):
+    """q182: the orientation joins, wedge self-join, and closure join are
+    all node-keyed shuffle merges over unbounded derived tables; the
+    union-lineage frames (pairs, deg, oriented edges) are checkpoint
+    scans — never re-derived per consumer, never broadcast."""
+    p = plan_of(spark, "q182_neardup_triangles")
+    assert "SortMergeJoin" in p
+    assert "CartesianProduct" not in p
+    assert p.count("Scan ExistingRDD") >= 4
