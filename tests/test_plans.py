@@ -340,11 +340,15 @@ def test_no_rdd_scans_anywhere(spark):
     checkpointed 8-gram shingle table (doc_shingles_cached), and q162
     (ppjoin), whose sorted-shingle table is checkpointed because three
     consumers read it (test_prefix_filter_join_all_shuffle_merge pins
-    that shape)."""
+    that shape). Round 8 adds the same pattern in the rank statistics
+    (q178/q179 checkpoint their one-corpus-scan histogram for 3
+    consumers), the graph statistics (q180 edge list / q182 oriented
+    edges feed multiple joins), and q181 (shares q162's checkpointed
+    rare-first shingle substrate)."""
     for name, dq in _QS.items():
         if any(
             t in dq.tags
-            for t in ("streaming", "udtf", "minhash", "simhash", "semdedup", "pipeline", "bpe", "iterative", "decontamination", "ppjoin", "dense-hourly", "scd2", "diff", "bounded-artifact", "pmi", "bloom", "divergence", "contamination", "psi", "bounded-histogram")
+            for t in ("streaming", "udtf", "minhash", "simhash", "semdedup", "pipeline", "bpe", "iterative", "decontamination", "ppjoin", "dense-hourly", "scd2", "diff", "bounded-artifact", "pmi", "bloom", "divergence", "contamination", "psi", "bounded-histogram", "rank", "assortativity", "containment", "triangles")
         ):
             continue
         p = _QS[name].build(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
