@@ -661,9 +661,11 @@ def q178_spearman_value_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     histograms — ~18k cents cells, 100 k cells), and the moment sums
     (n, S1, S2, S11, S22, S12) are exact BIGINTs; rho is one double
     expression over identical integers with q170's 1e-9 fixed-point
-    rounding. Integer bound: n*S11 <= 4n^4 stays under 2^63 for groups
-    up to ~50M rows; past that ANSI overflow fails loudly (shard or
-    rescale first). Zero-variance groups excluded by integer guard."""
+    rounding. The moment sums and their n·S11-style combination run in
+    DECIMAL(38,0) (exact to 1e38 — int64 dies at ~1.5e6-row groups,
+    caught by the 10× probe), valid through ~1.3e9-row groups; past
+    that ANSI decimal overflow fails loudly (shard or rescale first).
+    Zero-variance groups excluded by integer guard."""
     from pyspark.sql import Window
 
     e = table(spark, sf_dir, "events")
@@ -694,18 +696,31 @@ def q178_spearman_value_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     xr = doubled_ranks("cents")
     yr = doubled_ranks("k")
+    # Moment sums and their combination exceed int64 fast (S11 ~ 4n³,
+    # n·S11 ~ 4n⁴ — past 2^63 at ~1.5e6-row groups, which the 10× probe
+    # hit): accumulate in DECIMAL(38,0), exact to 1e38, bounding valid
+    # group size at ~1.3e9 rows; past that ANSI decimal overflow fails
+    # loudly. DuckDB mirrors via its native HUGEINT sums.
+    d38 = "decimal(38,0)"
     sums = (
         joint.join(F.broadcast(xr), ["event_type", "cents"])
         .join(F.broadcast(yr), ["event_type", "k"])
+        .select(
+            "event_type",
+            F.col("n").cast(d38).alias("n"),
+            F.col("r2_cents").cast(d38).alias("rx"),
+            F.col("r2_k").cast(d38).alias("ry"),
+        )
         .groupBy("event_type")
         .agg(
             F.sum("n").alias("n"),
-            F.sum(F.col("n") * F.col("r2_cents")).alias("s1"),
-            F.sum(F.col("n") * F.col("r2_k")).alias("s2"),
-            F.sum(F.col("n") * F.col("r2_cents") * F.col("r2_cents")).alias("s11"),
-            F.sum(F.col("n") * F.col("r2_k") * F.col("r2_k")).alias("s22"),
-            F.sum(F.col("n") * F.col("r2_cents") * F.col("r2_k")).alias("s12"),
+            F.sum(F.col("n") * F.col("rx")).alias("s1"),
+            F.sum(F.col("n") * F.col("ry")).alias("s2"),
+            F.sum(F.col("n") * F.col("rx") * F.col("rx")).alias("s11"),
+            F.sum(F.col("n") * F.col("ry") * F.col("ry")).alias("s22"),
+            F.sum(F.col("n") * F.col("rx") * F.col("ry")).alias("s12"),
         )
+        .select(*[F.col(c).cast(d38).alias(c) for c in ("n", "s1", "s2", "s11", "s22", "s12", )], "event_type")
     )
     rho = (F.col("n") * F.col("s12") - F.col("s1") * F.col("s2")).cast("double") / (
         F.sqrt((F.col("n") * F.col("s11") - F.col("s1") * F.col("s1")).cast("double"))
@@ -718,7 +733,7 @@ def q178_spearman_value_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "event_type",
-            "n",
+            F.col("n").cast("long").alias("n"),
             (F.round(rho * F.lit(1e9)).cast("long") / F.lit(1e9)).alias("rho"),
         )
         .orderBy("event_type")

@@ -154,6 +154,16 @@ PROBE_QUERIES = [
     "q172_ewma_control_chart",
     "q173_psi_value_drift",
     "q174_ks_value_drift",
+    # round-8: negative-condition motif, variant QUALIFY, rank statistics,
+    # graph statistics, containment join, near-dup triangles
+    "q175_uninterrupted_funnel",
+    "q176_variant_qualify_topk",
+    "q177_hourly_autocorrelation",
+    "q178_spearman_value_k",
+    "q179_mann_whitney_value",
+    "q180_degree_assortativity",
+    "q181_shingle_containment_join",
+    "q182_neardup_triangles",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
