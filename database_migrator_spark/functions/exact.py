@@ -43,16 +43,22 @@ def sql_cents_sum(expr: str) -> str:
 
 
 def int_div(num: Column, den: Column | int) -> Column:
-    """Exact floor division of BIGINT columns — the engine-side mirror of
-    Python/DuckDB ``//`` (and Spark SQL ``DIV``), usable inside
-    higher-order-function lambdas where ``F.expr`` text cannot bind the
-    lambda's variables.
+    """Exact FLOOR division of BIGINT columns, usable inside higher-order-
+    function lambdas where ``F.expr`` text cannot bind the lambda's
+    variables.
 
     ``(num - pmod(num, den)) / den`` is bit-exact for ANY divisor (not
-    just powers of two): the numerator is an exact multiple of ``den``,
-    IEEE division of an exact multiple is the exact quotient whenever the
-    quotient is under 2^53, and ``pmod`` gives floor (not truncate)
-    semantics for negative numerators — matching ``//``."""
+    just powers of two): the numerator is an exact multiple of ``den``
+    and IEEE division of an exact multiple is the exact quotient
+    whenever the quotient is under 2^53.
+
+    Semantics caveat (measured, not assumed): for NEGATIVE numerators
+    this is floor division, while BOTH Spark SQL ``DIV`` and DuckDB
+    ``//`` truncate toward zero (``-7 // 2 = -3`` in DuckDB 1.0). The
+    three agree on non-negative operands — every current call site
+    (q162 prefix length, q172 EWMA) is non-negative by construction;
+    signed fixed-point slopes (q183) use ``DIV``/``//`` on both engines
+    instead."""
     d = F.lit(den) if isinstance(den, int) else den
     return ((num - F.pmod(num, d)) / d).cast("long")
 

@@ -851,3 +851,87 @@ def q179_mann_whitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank_biserial"
         ),
     ).orderBy("event_type")
+
+
+# Benford first-digit probabilities log10(1 + 1/d), rounded to 1e-12 in
+# Python once and embedded as IDENTICAL literals in both engines — no
+# engine evaluates a transcendental.
+_BENFORD_P = {
+    1: 0.301029995664, 2: 0.176091259056, 3: 0.124938736608,
+    4: 0.096910013008, 5: 0.079181246048, 6: 0.066946789631,
+    7: 0.057991946978, 8: 0.051152522447, 9: 0.045757490561,
+}
+
+
+@query(
+    "q184_benford_drift",
+    oracle=f"""
+    WITH cents AS (
+        SELECT CAST(ROUND(value * 100) AS BIGINT) AS c
+        FROM events
+        WHERE CAST(ROUND(value * 100) AS BIGINT) >= 1
+    ), digits AS (
+        SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+               CAST(COUNT(*) AS BIGINT) AS n_obs
+        FROM cents GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM digits
+    ), bp(digit, p) AS (
+        VALUES {", ".join(f"({d}, {p})" for d, p in sorted(_BENFORD_P.items()))}
+    )
+    SELECT bp.digit,
+           COALESCE(d.n_obs, 0) AS n_obs,
+           CAST(ROUND(CAST(tot.n AS DOUBLE) * bp.p * 1000000000) AS BIGINT)
+               / 1000000000.0 AS expected,
+           CAST(ROUND(
+               (CAST(COALESCE(d.n_obs, 0) AS DOUBLE) - CAST(tot.n AS DOUBLE) * bp.p)
+               * (CAST(COALESCE(d.n_obs, 0) AS DOUBLE) - CAST(tot.n AS DOUBLE) * bp.p)
+               / (CAST(tot.n AS DOUBLE) * bp.p) * 1000000000) AS BIGINT)
+               / 1000000000.0 AS chi2_term
+    FROM bp LEFT JOIN digits d ON d.digit = bp.digit
+    CROSS JOIN tot
+    ORDER BY bp.digit
+    """,
+    tags=("statistics", "benford", "drift", "bounded-histogram"),
+)
+def q184_benford_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit drift of the value distribution — the fraud /
+    synthetic-data smell test: organically-generated magnitudes follow
+    log10(1+1/d); generated or clipped feeds do not. First digits come
+    from the exact integer cents (string head — identical on both
+    engines; zero-cent rows excluded identically), fold to a 9-row
+    histogram (one corpus scan, map-side combinable), and the expected
+    counts + chi-square terms use PRE-ROUNDED Benford literals (1e-12,
+    computed once in Python) so neither engine evaluates a
+    transcendental — every double op runs on identical inputs, then
+    1e-9 fixed-point rounding (q170's recipe). The 9-digit dimension is
+    a VALUES literal so digits absent from the data still report."""
+    e = table(spark, sf_dir, "events")
+    cents = e.select(F.round(F.col("value") * 100).cast("long").alias("c")).where(
+        F.col("c") >= 1
+    )
+    digits = (
+        cents.select(
+            F.substring(F.col("c").cast("string"), 1, 1).cast("long").alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").alias("n_obs"))
+    )
+    bp = spark.createDataFrame(
+        sorted(_BENFORD_P.items()), "digit long, p double"
+    )
+    tot = digits.agg(F.sum("n_obs").cast("long").alias("n"))
+    exp = F.col("n").cast("double") * F.col("p")
+    obs = F.coalesce(F.col("n_obs"), F.lit(0)).cast("double")
+    chi2 = (obs - exp) * (obs - exp) / exp
+    return (
+        bp.join(F.broadcast(digits), "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),
+            (F.round(exp * F.lit(1e9)).cast("long") / F.lit(1e9)).alias("expected"),
+            (F.round(chi2 * F.lit(1e9)).cast("long") / F.lit(1e9)).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )

@@ -1627,3 +1627,87 @@ def q177_hourly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+@query(
+    "q183_theil_sen_trend",
+    oracle=f"""
+    WITH {_DENSE_HOURLY_ORACLE}, series AS (
+        SELECT event_type,
+               epoch_us(h) // 3600000000 AS t,
+               c
+        FROM dense
+    ), pairs AS (
+        SELECT a.event_type,
+               (1000000000 * (b.c - a.c)) // (b.t - a.t) AS s9,
+               b.c - a.c AS dy,
+               b.t - a.t AS dx
+        FROM series a
+        JOIN series b ON b.event_type = a.event_type AND b.t > a.t
+    ), ranked AS (
+        SELECT event_type, s9,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY s9, dy, dx) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS np
+        FROM pairs
+    )
+    SELECT event_type,
+           (SELECT CAST(COUNT(DISTINCT h) AS BIGINT) FROM dense) AS n_hours,
+           CAST(np AS BIGINT) AS n_pairs,
+           CAST(s9 AS BIGINT) / 1000000000.0 AS slope_per_hour
+    FROM ranked
+    WHERE rn = (np + 1) // 2
+    ORDER BY event_type
+    """,
+    tags=("temporal", "theil-sen", "robust", "trend", "dense-hourly"),
+)
+def q183_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of each event type's hourly volume — the
+    median of all pairwise slopes, the outlier-immune alternative to a
+    least-squares rate fit (one traffic spike cannot move it). Runs
+    entirely on BOUNDED tables: the shared dense hourly grid gives each
+    type a ~720-point series, the pairwise self-join is an event_type
+    equi-join with ~260k pairs per type (time-span-bound, INDEPENDENT
+    of corpus size — the one regime where a quadratic pair table is the
+    honest design), and the median is the (K+1) DIV 2-th row under a
+    TOTAL cross-engine order: slopes compare as exact 1e-9 fixed-point
+    integers (signed — both Spark DIV and DuckDB // truncate toward
+    zero, measured) with (dy, dx) tiebreak. Hour indices are exact epoch
+    hours; counts are exact BIGINTs; the only double is the final
+    fixed-point display division."""
+    from pyspark.sql import Window
+
+    dense = dense_hourly_counts(spark, sf_dir)
+    series = dense.select(
+        "event_type",
+        F.expr("unix_micros(h) DIV 3600000000").alias("t"),
+        "c",
+    )
+    a = series.select("event_type", F.col("t").alias("ta"), F.col("c").alias("ca"))
+    b = series.select("event_type", F.col("t").alias("tb"), F.col("c").alias("cb"))
+    pairs = (
+        a.join(b, "event_type")
+        .where(F.col("tb") > F.col("ta"))
+        .select(
+            "event_type",
+            F.expr("(1000000000 * (cb - ca)) DIV (tb - ta)").alias("s9"),
+            (F.col("cb") - F.col("ca")).alias("dy"),
+            (F.col("tb") - F.col("ta")).alias("dx"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("s9", "dy", "dx")
+    wc = Window.partitionBy("event_type")
+    n_hours = dense.agg(F.countDistinct("h").alias("n_hours"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .withColumn("np", F.count("*").over(wc))
+        .where(F.col("rn") == F.expr("(np + 1) DIV 2"))
+        .crossJoin(F.broadcast(n_hours))
+        .select(
+            "event_type",
+            "n_hours",
+            F.col("np").cast("long").alias("n_pairs"),
+            (F.col("s9").cast("long") / F.lit(1e9)).alias("slope_per_hour"),
+        )
+        .orderBy("event_type")
+    )
