@@ -126,3 +126,73 @@ def q123_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_events",
         "total_value",
     ).orderBy("w_start", "nation")
+
+
+@query(
+    "q185_stream_stream_left_outer",
+    oracle="""
+    WITH err AS (
+        SELECT user_id, ts AS e_ts, event_id AS error_id
+        FROM events WHERE event_type = 'error'
+    ), pur AS (
+        SELECT user_id, ts AS f_ts, event_id AS followup_id
+        FROM events WHERE event_type = 'purchase'
+    ), mx AS (
+        SELECT MAX(ts) AS m FROM events
+        WHERE event_type IN ('error', 'purchase')
+    )
+    SELECT e.error_id, f.followup_id
+    FROM err e
+    LEFT JOIN pur f
+      ON f.user_id = e.user_id
+     AND epoch_us(f.f_ts) > epoch_us(e.e_ts)
+     AND epoch_us(f.f_ts) <= epoch_us(e.e_ts) + CAST(3600 AS BIGINT) * 1000000
+    CROSS JOIN mx
+    WHERE f.followup_id IS NOT NULL
+       OR epoch_us(e.e_ts) + CAST(10800 AS BIGINT) * 1000000 < epoch_us(mx.m)
+    ORDER BY error_id, followup_id NULLS FIRST
+    """,
+    tags=("streaming", "stream-stream-join", "outer-join", "watermark", "E17"),
+)
+def q185_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join — q56's shape plus the
+    semantics inner joins never exercise: an error with NO purchase in
+    the following hour is null-extended, and that row can only be
+    emitted once the watermark PROVES no matching purchase can still
+    arrive. State stays bounded exactly as in q56 (time-bounded
+    condition on both sides); the null-extended rows flush in the
+    no-data finalization batch availableNow triggers after the last
+    data batch.
+
+    The oracle encodes the emission rule precisely (fitted empirically
+    at BOTH driver SFs, exact set equality): an unmatched error emits
+    iff e_ts + 1h (its join-window end) has passed the final watermark
+    = max event time − 2h, where the max is over the ERROR∪PURCHASE
+    stream — the EventTimeWatermark node sits above the type filters,
+    so events of other types never advance it (verified with a
+    synthetic corpus whose global max event is a 'view': no nulls
+    emit). Errors younger than that stay pending forever on a finite
+    source — the honest cost of outer-join streaming semantics, and
+    exactly what a production pipeline must reason about when it
+    chooses the watermark delay. ORDER BY pins NULLS FIRST on both
+    engines (DuckDB defaults NULLS LAST)."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+        F.col("event_id").alias("error_id"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("f_user"),
+        F.col("ts").alias("f_ts"),
+        F.col("event_id").alias("followup_id"),
+    )
+    joined = errors.join(
+        purchases,
+        (F.col("e_user") == F.col("f_user"))
+        & (F.col("f_ts") > F.col("e_ts"))
+        & (F.col("f_ts") <= F.col("e_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select("error_id", "followup_id")
+    out = run_stream_to_table(joined, mode="append")
+    return out.orderBy("error_id", F.col("followup_id").asc_nulls_first())

@@ -110,3 +110,62 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     b_rows = sorted(t for k, t in rows if k == "b")
     assert a_rows == [ts(0), ts(120)]  # dup at ts(5) dropped; ts(120) re-emitted
     assert b_rows == [ts(60)]  # ts(61) dup within horizon dropped
+
+
+def test_left_outer_join_nulls_gated_by_filtered_watermark(spark, tmp_path):
+    """q185's emission rule, on a hand corpus: (a) an unmatched error
+    whose join window has passed the watermark null-extends; (b) one
+    still inside the watermark stays pending forever (finite source);
+    (c) the watermark advances on the ERROR∪PURCHASE stream only — a
+    later event of another type does NOT advance it (the
+    EventTimeWatermark node sits above the type filters)."""
+    import tempfile
+
+    from database_migrator_spark.streaming.windows import run_stream_to_table
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, hours, user, etype):
+        return (eid, t0 + dt.timedelta(hours=hours), user, etype)
+
+    rows = [
+        ev(1, 0.0, 5, "error"),      # window end 1.0h << wm 4h -> null row
+        ev(2, 5.0, 5, "error"),      # window end 6h > wm 4h -> pending
+        ev(3, 5.5, 5, "purchase"),   # matches error 2; max e/p ts = 6h
+        ev(4, 6.0, 7, "purchase"),   # advances e∪p watermark to 4h
+        ev(5, 20.0, 9, "view"),      # other type: must NOT advance wm
+        ev(6, 3.0, 8, "error"),      # window end 4h == wm 4h -> pending
+    ]
+    d = tempfile.mkdtemp(prefix="lo_wm_", dir=str(tmp_path))
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    ).write.mode("overwrite").parquet(d)
+    src = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string"
+    ).parquet(d)
+    evs = src.withWatermark("ts", "2 hours")
+    errors = evs.where(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+        F.col("event_id").alias("error_id"),
+    )
+    purchases = evs.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("f_user"),
+        F.col("ts").alias("f_ts"),
+        F.col("event_id").alias("followup_id"),
+    )
+    j = errors.join(
+        purchases,
+        (F.col("e_user") == F.col("f_user"))
+        & (F.col("f_ts") > F.col("e_ts"))
+        & (F.col("f_ts") <= F.col("e_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select("error_id", "followup_id")
+    got = {
+        (r["error_id"], r["followup_id"])
+        for r in run_stream_to_table(j, mode="append").collect()
+    }
+    # matched pair emits; error 1 null-extends; errors 2 and 6 pend; if
+    # the 'view' at 20h advanced the watermark, 2 and 6 would null-extend
+    # and this set would differ
+    assert got == {(2, 3), (1, None)}
