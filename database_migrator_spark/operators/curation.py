@@ -860,3 +860,58 @@ def q136_countmin_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("c").cast("long").alias("true_cnt"), "est_cnt")
         .orderBy(F.desc("true_cnt"), "user_id")
     )
+
+
+@query(
+    "q186_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+        SELECT source, doc_id, n_chars,
+               ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                        AS BIGINT) + 1) / 281474976710656.0)
+               / CAST(n_chars AS DOUBLE) AS k
+        FROM documents
+    )
+    SELECT source, doc_id, n_chars,
+           CAST(rank() OVER (PARTITION BY source
+                             ORDER BY k DESC, doc_id) AS BIGINT) AS rnk
+    FROM keyed
+    QUALIFY rnk <= 5
+    ORDER BY source, rnk, doc_id
+    """,
+    tags=("sampling", "weighted", "reservoir", "curation", "llm-pipeline"),
+)
+def q186_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT an RNG — the A-ES (Efraimidis–
+    Spirakis) exponential-key scheme with engine-reproducible
+    pseudo-randomness: each doc draws u ∈ (0,1] from an md5 slice of
+    its id (the q121/q37 pattern — identical 48-bit integer on both
+    engines, +1 to dodge ln(0)) and keys by ln(u)/weight with weight =
+    n_chars; the top-5 keys per source ARE a weighted-without-
+    replacement sample (a doc's inclusion probability is proportional
+    to its weight). This is how a 100 TB curation pipeline samples
+    reproducibly: retries, speculative tasks, and re-runs all agree
+    because the "randomness" is a pure function of the row. Every float
+    op (one double division to u, ln, divide by weight) runs on
+    IDENTICAL inputs on both engines, so the selected sets match under
+    the hash. The rank()<=5 window compiles to WindowGroupLimit — only
+    <=5 rows per input partition survive BEFORE the per-source sort, so
+    a source never sorts its full corpus on one task (plan-locked)."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    m48 = F.conv(
+        F.substring(F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), 1, 12),
+        16,
+        10,
+    ).cast("long")
+    u = (m48 + 1) / F.lit(281474976710656.0)
+    k = F.log(u) / F.col("n_chars").cast("double")
+    w = Window.partitionBy("source").orderBy(F.col("k").desc(), "doc_id")
+    return (
+        d.select("source", "doc_id", "n_chars", k.alias("k"))
+        .withColumn("rnk", F.rank().over(w).cast("long"))
+        .where(F.col("rnk") <= 5)
+        .select("source", "doc_id", "n_chars", "rnk")
+        .orderBy("source", "rnk", "doc_id")
+    )

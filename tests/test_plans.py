@@ -888,3 +888,12 @@ def test_triangle_joins_pinned_and_checkpointed(spark):
     assert "SortMergeJoin" in p
     assert "CartesianProduct" not in p
     assert p.count("Scan ExistingRDD") >= 4
+
+
+def test_weighted_sample_group_limit_pushdown(spark):
+    """q186: the rank()<=5 per-source window must compile to
+    WindowGroupLimit (per-partition pre-filter before the sort) — a
+    source never sorts its full corpus on one task."""
+    p = plan_of(spark, "q186_weighted_sample")
+    assert "WindowGroupLimit" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
