@@ -1571,3 +1571,91 @@ def q145_contamination_attribution(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("bench_doc_id")
     )
+
+
+@query(
+    "q187_source_entropy",
+    oracle=r"""
+    WITH dt AS (
+        SELECT source,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  t -> len(t) > 0)) AS tok
+        FROM documents
+    ), cnt_s AS (
+        SELECT source, tok, COUNT(*) AS c_s FROM dt GROUP BY source, tok
+    ), ns AS (
+        SELECT source, CAST(SUM(c_s) AS BIGINT) AS n_s,
+               CAST(COUNT(*) AS BIGINT) AS vocab
+        FROM cnt_s GROUP BY source
+    ), terms AS (
+        SELECT cnt_s.source,
+               (CAST(c_s AS DOUBLE) / n_s)
+                 * ln(CAST(n_s AS DOUBLE) / CAST(c_s AS DOUBLE)) AS term
+        FROM cnt_s JOIN ns USING (source)
+    ), ent AS (
+        SELECT source,
+               CAST(SUM(CAST(round(term * 1000000000000) AS BIGINT)) AS DOUBLE)
+                 / 1000000000000.0 AS entropy_nats
+        FROM terms GROUP BY source
+    )
+    SELECT ns.source, ns.n_s AS n_tokens, ns.vocab,
+           ent.entropy_nats,
+           CAST(ROUND(exp(ent.entropy_nats) * 1000000000) AS BIGINT)
+               / 1000000000.0 AS perplexity
+    FROM ns JOIN ent USING (source)
+    ORDER BY ns.source
+    """,
+    tags=("text", "entropy", "perplexity", "divergence", "llm-pipeline"),
+)
+def q187_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram Shannon entropy and perplexity — the
+    diversity/quality read next to q103's KL outlier score: a source
+    whose unigram perplexity collapses is templated boilerplate; one
+    whose entropy rivals the corpus ceiling ln(vocab) is diverse (or
+    noise — q31's quality score disambiguates). H = Σ (c/n)·ln(n/c)
+    with every ln input an exact integer ratio under the 2^53 guard and
+    the per-source sum in 1e-12 fixed point (q103's recipe — summation-
+    order-independent, so the hash survives AQE re-grouping);
+    perplexity = exp(H) of an identical double, 1e-9-rounded. One
+    (source, tok) shuffle; the per-source margins broadcast back."""
+    d = spread_for_cpu(table(spark, sf_dir, "documents"))
+    dt = d.select("source", F.explode(tokens_of("text")).alias("tok"))
+    cnt_s = dt.groupBy("source", "tok").agg(F.count("*").alias("c_s"))
+    cnt_s = cnt_s.localCheckpoint(eager=True)  # margins derive from it
+    ns = cnt_s.groupBy("source").agg(
+        F.sum("c_s").alias("n_s"), F.count("*").alias("vocab")
+    )
+    term = (F.col("c_s").cast("double") / F.col("n_s")) * F.log(
+        F.col("n_s").cast("double") / F.col("c_s").cast("double")
+    )
+    in_bound = F.col("n_s").cast("double") < F.lit(EXACT_DOUBLE_BOUND)
+    ent = (
+        cnt_s.join(F.broadcast(ns), "source")
+        .where(
+            exactness_guard(
+                in_bound,
+                "q187: n_s >= 2^53 — fixed-point entropy would lose precision",
+            )
+        )
+        .withColumn("term", term)
+        .groupBy("source")
+        .agg(
+            (
+                F.sum(F.round(F.col("term") * F.lit(1e12)).cast("long")).cast("double")
+                / F.lit(1e12)
+            ).alias("entropy_nats")
+        )
+    )
+    return (
+        ns.join(F.broadcast(ent), "source")
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            "vocab",
+            "entropy_nats",
+            (F.round(F.exp("entropy_nats") * F.lit(1e9)).cast("long") / F.lit(1e9)).alias(
+                "perplexity"
+            ),
+        )
+        .orderBy("source")
+    )
