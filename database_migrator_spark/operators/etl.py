@@ -446,3 +446,92 @@ def q165_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.least("mn_h", "mn_d") / F.lit(100.0)).alias("min_value"),
         (F.greatest("mx_h", "mx_d") / F.lit(100.0)).alias("max_value"),
     ).orderBy("event_type")
+
+
+def _zspread(e: str, shift_fn) -> str:
+    """Bit-spread expression text: 16-bit int -> 32-bit with zeros
+    interleaved (Morton encoding step). ``shift_fn(expr, n)`` renders a
+    left shift in the target dialect; masks are plain decimal so the
+    SAME arithmetic runs on both engines."""
+    for sh, mask in ((8, 16711935), (4, 252645135), (2, 858993459), (1, 1431655765)):
+        e = f"((({e}) | {shift_fn(e, sh)}) & {mask})"
+    return e
+
+
+def _zorder_sql(dialect: str) -> tuple[str, str]:
+    """(z_expr for cents/k, bucket shift) in the given dialect."""
+    if dialect == "spark":
+        sh = lambda e, n: f"shiftleft(({e}), {n})"
+        x = _zspread("cents", sh)
+        y = _zspread("k", sh)
+        return f"({x} | shiftleft({y}, 1))", "shiftright(z, 26)"
+    sh = lambda e, n: f"(({e}) << {n})"
+    x = _zspread("cents", sh)
+    y = _zspread("k", sh)
+    return f"({x} | ({y} << 1))", "(z >> 26)"
+
+
+_Z_DUCK, _ZB_DUCK = _zorder_sql("duck")
+_Z_SPARK, _ZB_SPARK = _zorder_sql("spark")
+
+
+@query(
+    "q188_zorder_layout",
+    oracle=f"""
+    WITH base AS (
+        SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+        WHERE CAST(ROUND(value * 100) AS BIGINT) BETWEEN 0 AND 65535
+          AND CAST(json_extract_string(props, '$.k') AS BIGINT)
+              BETWEEN 0 AND 65535
+    ), zed AS (
+        SELECT cents, k, {_Z_DUCK} AS z FROM base
+    )
+    SELECT CAST({_ZB_DUCK} AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(cents) AS BIGINT) AS min_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_cents,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k
+    FROM zed
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+    tags=("etl", "zorder", "layout", "data-skipping", "llm-pipeline"),
+)
+def q188_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER (Morton) layout clustering — the multi-dimensional
+    data-skipping primitive behind OPTIMIZE ZORDER: interleaving the
+    bits of (cents, k) gives a single sort key under which ANY
+    contiguous bucket bounds BOTH columns' ranges, so parquet min/max
+    zone maps prune files for predicates on either column (a plain sort
+    clusters only its leading column). The report groups rows by their
+    top-6 Morton bits (64 buckets — the "files" a writer would emit)
+    and shows each bucket's per-dimension span; the measurable claim is
+    span(bucket) ≪ span(global) on BOTH dims simultaneously. The
+    encoding is the classic 4-step mask-spread, identical decimal
+    arithmetic on both engines (16-bit inputs guarded by an explicit
+    range filter); everything is exact BIGINT. At 100 TB the z key
+    feeds a repartitionByRange + sortWithinPartitions write — the
+    bucketing here is the verifiable core of that layout."""
+    e = table(spark, sf_dir, "events")
+    base = (
+        e.select(
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .where(F.col("cents").between(0, 65535) & F.col("k").between(0, 65535))
+    )
+    zed = base.withColumn("z", F.expr(_Z_SPARK))
+    return (
+        zed.groupBy(F.expr(_ZB_SPARK).cast("long").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("bucket")
+    )
