@@ -164,6 +164,12 @@ PROBE_QUERIES = [
     "q180_degree_assortativity",
     "q181_shingle_containment_join",
     "q182_neardup_triangles",
+    "q183_theil_sen_trend",
+    "q184_benford_drift",
+    "q185_stream_stream_left_outer",
+    "q186_weighted_sample",
+    "q187_source_entropy",
+    "q188_zorder_layout",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
