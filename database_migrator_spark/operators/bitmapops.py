@@ -1,0 +1,201 @@
+"""Exact mergeable distinct-count structures: 64-bit-word user bitmaps.
+
+The scale problem these solve: COUNT(DISTINCT user) per hour AND per day
+AND per week normally means one full shuffle of the raw corpus per
+granularity (or ``count_distinct`` re-aggregation that cannot reuse finer
+levels).  A roaring-style bitmap — here the minimal dense variant: one
+BIGINT word per 63-user block, bit i set when user (word*63 + i) was seen
+— is an EXACT distinct sketch with an associative, commutative merge
+(bitwise OR).  The corpus is shuffled once to the finest granularity;
+every coarser rollup merges the bounded word table, never rescans raw
+events.  HLL (q14/q95) gives the same mergeability with ~2% error; the
+bitmap is the exact-tier answer when user-id space is dense enough
+(100 TB-scale: 1e9 users ≈ 16M words/day ≈ 127 MB/day — a small shuffle).
+
+Bits 0..62 only (block size 63, not 64): the BIGINT sign bit is never
+set, so cross-engine ``bit_count`` / ``&`` / ``|`` semantics on signed
+64-bit values never meet a negative number.
+
+Reference scope note: the reference (Database::Migrator, Perl) has no
+analytics surface; these operators belong to the SURVEY §2B mandated
+extension tier (E10 distinct-count family: exact + approx + mergeable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from database_migrator_spark.plans.registry import query
+from database_migrator_spark.sources import table
+
+
+def user_bitmap_words(events: DataFrame, *keys) -> DataFrame:
+    """Fold ``events`` into one row per (*keys, word): bm = OR of the
+    per-user bits.  The ONE corpus-sized shuffle of the bitmap family;
+    every coarser granularity merges this output with ``merge_words``."""
+    return (
+        events.select(
+            *keys,
+            F.expr("user_id DIV 63").alias("w"),
+            F.expr("shiftleft(1L, CAST(user_id % 63 AS INT))").alias("bit"),
+        )
+        .groupBy(*keys, "w")
+        .agg(F.bit_or("bit").alias("bm"))
+    )
+
+
+def merge_words(words: DataFrame, *keys) -> DataFrame:
+    """Merge a finer word table to coarser ``keys`` (bitwise-OR union) —
+    bounded input, no raw-event rescan."""
+    return words.groupBy(*keys, "w").agg(F.bit_or("bm").alias("bm"))
+
+
+def popcount(words: DataFrame, *keys) -> DataFrame:
+    """Exact distinct count per ``keys``: sum of per-word popcounts."""
+    return words.groupBy(*keys).agg(F.sum(F.bit_count("bm")).alias("n_distinct"))
+
+
+@query(
+    "q189_bitmap_distinct_rollup",
+    oracle="""
+    WITH hd AS (
+        SELECT date_trunc('day', ts) AS d, date_trunc('hour', ts) AS h,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), dd AS (
+        SELECT date_trunc('day', ts) AS d,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    )
+    SELECT strftime(hd.d, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(SUM(hd.c) AS BIGINT) AS hourly_distinct_sum,
+           MAX(dd.c) AS daily_distinct,
+           CAST(ROUND(CAST(SUM(hd.c) AS DOUBLE) / MAX(dd.c) * 1000000000)
+                AS BIGINT) / 1000000000.0 AS avg_hours_per_user
+    FROM hd JOIN dd USING (d)
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("distinct", "bitmap", "rollup", "E10", "mergeable"),
+)
+def q189_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact hourly AND daily distinct users from ONE corpus shuffle —
+    the daily tier merges the hourly word bitmaps (bitwise OR, the
+    module-docstring structure), it never re-reads events.  The oracle
+    states the semantics (two independent COUNT(DISTINCT) passes); the
+    Spark plan is the mergeable formulation a 100 TB pipeline needs:
+    raw events are shuffled once to (day, hour, word) granularity, the
+    day/week/… rollups are word-table merges whose input is bounded by
+    user-space/63 words per day.  ``avg_hours_per_user`` =
+    Σ hourly-distinct / daily-distinct — the engagement-intensity read
+    (1.0 = every user appears in exactly one hour).  Exact integers
+    except the final single division of two exact BIGINTs (1e-9
+    fixed-point round on both engines)."""
+    e = table(spark, sf_dir, "events")
+    hourly_words = user_bitmap_words(
+        e.select(
+            F.date_trunc("day", "ts").alias("d"),
+            F.date_trunc("hour", "ts").alias("h"),
+            "user_id",
+        ),
+        "d",
+        "h",
+    ).localCheckpoint(eager=True)  # corpus shuffled once; both tiers read this
+    hourly = popcount(hourly_words, "d", "h")
+    daily = popcount(merge_words(hourly_words, "d"), "d").withColumnRenamed(
+        "n_distinct", "daily_distinct"
+    )
+    per_day = hourly.groupBy("d").agg(
+        F.count("*").alias("n_hours"),
+        F.sum("n_distinct").alias("hourly_distinct_sum"),
+    )
+    ratio = F.col("hourly_distinct_sum").cast("double") / F.col(
+        "daily_distinct"
+    ).cast("double")
+    return (
+        per_day.join(daily, "d")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "n_hours",
+            "hourly_distinct_sum",
+            "daily_distinct",
+            (F.round(ratio * F.lit(1e9)).cast("long") / F.lit(1e9)).alias(
+                "avg_hours_per_user"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "q190_bitmap_retention",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+    ), dau AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY d
+    ), ret AS (
+        SELECT a.d, CAST(COUNT(*) AS BIGINT) AS returning
+        FROM du a JOIN du b
+          ON b.user_id = a.user_id AND b.d = a.d + INTERVAL 1 DAY
+        GROUP BY a.d
+    )
+    SELECT strftime(a.d, '%Y-%m-%d') AS day, a.dau,
+           b.dau AS next_dau,
+           COALESCE(r.returning, 0) AS returning,
+           CAST(ROUND(CAST(COALESCE(r.returning, 0) AS DOUBLE) / a.dau
+                      * 1000000000) AS BIGINT) / 1000000000.0 AS retention
+    FROM dau a
+    JOIN dau b ON b.d = a.d + INTERVAL 1 DAY
+    LEFT JOIN ret r ON r.d = a.d
+    ORDER BY day
+    """,
+    tags=("distinct", "bitmap", "retention", "E10", "mergeable"),
+)
+def q190_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day returning users via bitmap INTERSECTION — the
+    audience-overlap op (DAU retention, cross-dataset user overlap)
+    computed as bitwise AND of two days' word bitmaps + popcount,
+    instead of a corpus-sized user-level self-join: after the one
+    (day, word) fold, each day-pair intersection touches only
+    user-space/63 words, joined on the SAME word key the fold shuffled
+    on.  The oracle states the semantics as the naive distinct-user
+    self-join.  retention = returning / dau — one exact-integer
+    division, 1e-9-rounded."""
+    e = table(spark, sf_dir, "events")
+    day_words = user_bitmap_words(
+        e.select(F.date_trunc("day", "ts").alias("d"), "user_id"), "d"
+    ).localCheckpoint(eager=True)  # one corpus shuffle; dau + overlap read it
+    dau = popcount(day_words, "d").withColumnRenamed("n_distinct", "dau")
+    nxt = day_words.select(
+        (F.col("d") - F.expr("INTERVAL 1 DAY")).alias("d"),
+        "w",
+        F.col("bm").alias("bm_next"),
+    )
+    # the word table scales with user-space/63 — an unbounded derived
+    # table, so the day-pair intersection is pinned to a shuffle join on
+    # the SAME (d, w) key the fold shuffled on (never broadcast)
+    returning = (
+        day_words.join(nxt.hint("shuffle_merge"), ["d", "w"])
+        .select("d", F.bit_count(F.col("bm").bitwiseAND(F.col("bm_next"))).alias("rc"))
+        .groupBy("d")
+        .agg(F.sum("rc").alias("returning"))
+    )
+    dau_next = dau.select(
+        (F.col("d") - F.expr("INTERVAL 1 DAY")).alias("d"), F.col("dau").alias("next_dau")
+    )
+    ret0 = F.coalesce("returning", F.lit(0))
+    rate = ret0.cast("double") / F.col("dau").cast("double")
+    return (
+        dau.join(dau_next, "d")
+        .join(returning, "d", "left")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "next_dau",
+            ret0.alias("returning"),
+            (F.round(rate * F.lit(1e9)).cast("long") / F.lit(1e9)).alias("retention"),
+        )
+        .orderBy("day")
+    )

@@ -1659,3 +1659,121 @@ def q187_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q191_bm25_topk",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  t -> len(t) > 0)) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY 1, 2
+    ), dl AS (
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS total
+        FROM dl
+    ), dfq AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), qt AS (
+        SELECT term, df FROM dfq WHERE len(term) >= 6
+        ORDER BY df DESC, term LIMIT 3
+    ), scored AS (
+        SELECT t.doc_id,
+               CAST(ROUND(
+                   ln(CAST(2 * s.n_docs - 2 * q.df + 1 AS DOUBLE)
+                      / CAST(2 * q.df + 1 AS DOUBLE))
+                   * (CAST(22 * s.total * t.tf AS DOUBLE)
+                      / CAST(10 * s.total * t.tf + 3 * s.total
+                             + 9 * d.dl * s.n_docs AS DOUBLE))
+                   * 1000000000000) AS BIGINT) AS term_fp
+        FROM tf t JOIN qt q USING (term) JOIN dl d USING (doc_id), stats s
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+           CAST(CAST(SUM(term_fp) AS BIGINT) AS DOUBLE)
+               / 1000000000000.0 AS score
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+    tags=("text", "bm25", "retrieval", "ranking", "llm-pipeline"),
+)
+def q191_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 retrieval — the lexical scorer of every
+    retrieval-augmented pipeline, next to the dense tier (q34/q53): the
+    "query" is the corpus's own 3 highest-df terms of length >= 6
+    (deterministic on both engines, df desc / term asc), k1 = 6/5,
+    b = 3/4. All BM25 inputs are exact BIGINTs, so both transcendental-
+    free ratios are single IEEE divisions of identical integers:
+    idf = ln((2N-2df+1)/(2df+1)) (the +-0.5 terms doubled into
+    integers) and the saturation ratio restated over a common integer
+    denominator, tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) =
+    22*total*tf / (10*total*tf + 3*total + 9*dl*N) with avgdl = total/N
+    substituted — no intermediate rounding anywhere.  Per-term scores
+    are 1e-12 fixed-point BIGINTs, so the per-doc sum is order-
+    independent (AQE-proof).  Shape at scale: ONE corpus scan builds
+    the checkpointed (doc, term) tf table; dl, df, the 3-row query set
+    and the 1-row totals all derive from it; scoring joins tf against
+    the 3-term broadcast FIRST (the selectivity win — only matching
+    postings survive), then the doc-length join runs shuffle_merge on
+    doc_id (both sides unbounded); top-20 is TakeOrderedAndProject,
+    never a global sort."""
+    d = spread_for_cpu(table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.explode(tokens_of("text")).alias("term"))
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)  # corpus touched once; 4 consumers
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total")
+    )
+    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    qt = (
+        dfq.where(F.length("term") >= 6)
+        .orderBy(F.col("df").desc(), "term")
+        .limit(3)
+    )
+    num = F.lit(22) * F.col("total") * F.col("tf")
+    den = (
+        F.lit(10) * F.col("total") * F.col("tf")
+        + F.lit(3) * F.col("total")
+        + F.lit(9) * F.col("dl") * F.col("n_docs")
+    )
+    idf = F.log(
+        (F.lit(2) * F.col("n_docs") - F.lit(2) * F.col("df") + 1).cast("double")
+        / (F.lit(2) * F.col("df") + 1).cast("double")
+    )
+    in_bound = den.cast("double") < F.lit(EXACT_DOUBLE_BOUND)
+    scored = (
+        tf.join(F.broadcast(qt), "term")
+        .join(dl.hint("shuffle_merge"), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .where(
+            exactness_guard(
+                in_bound,
+                "q191: BM25 integer denominator >= 2^53 — the saturation "
+                "ratio would silently lose precision",
+            )
+        )
+        .select(
+            "doc_id",
+            F.round(idf * (num.cast("double") / den.cast("double")) * F.lit(1e12))
+            .cast("long")
+            .alias("term_fp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms_hit"),
+            (F.sum("term_fp").cast("double") / F.lit(1e12)).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )

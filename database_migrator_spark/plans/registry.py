@@ -102,6 +102,7 @@ def all_queries() -> dict[str, DeclaredQuery]:
     then oldest-gate-row queries, then progressively fresher blocks —
     each group sorted by name."""
     from database_migrator_spark.operators import (  # noqa: F401
+        bitmapops,
         bpe,
         curation,
         dedup,

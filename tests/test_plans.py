@@ -897,3 +897,24 @@ def test_weighted_sample_group_limit_pushdown(spark):
     p = plan_of(spark, "q186_weighted_sample")
     assert "WindowGroupLimit" in p
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_bitmap_rollup_merges_checkpoint_not_corpus(spark):
+    """q189: the daily tier merges the HOURLY word-bitmap checkpoint —
+    the returned plan contains no corpus FileScan (events shuffled once,
+    at checkpoint build), no window, no cartesian; the per-day join of
+    two day-keyed aggregates is bounded either way."""
+    p = plan_of(spark, "q189_bitmap_distinct_rollup")
+    assert "FileScan" not in p
+    assert "Window" not in p and "CartesianProduct" not in p
+
+
+def test_bitmap_retention_shuffle_joins_word_table(spark):
+    """q190: the day-pair bitmap intersection joins the word table
+    (user-space/63 rows per day — unbounded derived) on the fold's own
+    (d, w) key as a SHUFFLE join, never broadcast; no corpus FileScan
+    in the returned plan."""
+    p = plan_of(spark, "q190_bitmap_retention")
+    assert "FileScan" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    assert "CartesianProduct" not in p
