@@ -535,3 +535,109 @@ def q188_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "q192_column_profile",
+    oracle="""
+    WITH unp AS (
+        SELECT 'o_orderkey' AS col_name,
+               lpad(CAST(o_orderkey AS VARCHAR), 20, '0') AS val FROM orders
+        UNION ALL
+        SELECT 'o_custkey', lpad(CAST(o_custkey AS VARCHAR), 20, '0') FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', o_orderstatus FROM orders
+        UNION ALL
+        SELECT 'o_totalprice',
+               lpad(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+                    20, '0') FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', o_orderpriority FROM orders
+    ), counts AS (
+        SELECT col_name, val, CAST(COUNT(*) AS BIGINT) AS c
+        FROM unp GROUP BY 1, 2
+    ), prof AS (
+        SELECT col_name,
+               CAST(SUM(c) AS BIGINT) AS n_rows,
+               CAST(COALESCE(SUM(c) FILTER (val IS NULL), 0) AS BIGINT)
+                   AS n_nulls,
+               CAST(COUNT(*) FILTER (val IS NOT NULL) AS BIGINT) AS n_distinct,
+               MIN(val) AS min_val, MAX(val) AS max_val
+        FROM counts GROUP BY 1
+    ), top AS (
+        SELECT col_name, val AS top_val, c AS top_count
+        FROM counts WHERE val IS NOT NULL
+        QUALIFY row_number() OVER (PARTITION BY col_name
+                                   ORDER BY c DESC, val) = 1
+    )
+    SELECT p.col_name, p.n_rows, p.n_nulls, p.n_distinct,
+           p.min_val, p.max_val, t.top_val, t.top_count
+    FROM prof p JOIN top t USING (col_name)
+    ORDER BY col_name
+    """,
+    tags=("etl", "profiling", "data-quality", "single-pass"),
+)
+def q192_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table column profile — row count, null count, exact
+    distinct count, min/max, and the modal value per column — from ONE
+    scan of the table: the stats pass every ingest pipeline runs before
+    trusting a new drop.  The naive formulation is one COUNT(DISTINCT)
+    + min/max + mode query PER COLUMN (6 scans here, hundreds on a wide
+    fact table); instead each row is unpivoted (`stack`) into
+    (col_name, canonical_value) pairs — one scan, one (col, val)
+    shuffle — and every statistic derives from that value-count table.
+    Values are canonicalized to strings whose LEXICOGRAPHIC order equals
+    the native order (numerics zero-padded to width 20, money in exact
+    cents, timestamps ISO), so min/max/mode are engine-independent.
+    The per-column mode is a top-1 row_number over the value-count
+    table; Spark's rank-limit pushdown (WindowGroupLimit, plan-locked)
+    keeps one candidate row per column per map task, so the mode never
+    globally sorts a corpus-sized distinct-value table."""
+    o = table(spark, sf_dir, "orders")
+    pairs = o.select(
+        F.expr(
+            "stack(6, "
+            "'o_orderkey', lpad(CAST(o_orderkey AS STRING), 20, '0'), "
+            "'o_custkey', lpad(CAST(o_custkey AS STRING), 20, '0'), "
+            "'o_orderstatus', o_orderstatus, "
+            "'o_totalprice', lpad(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+            " AS STRING), 20, '0'), "
+            "'o_orderdate', date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss'), "
+            "'o_orderpriority', o_orderpriority"
+            ") AS (col_name, val)"
+        )
+    )
+    counts = (
+        pairs.groupBy("col_name", "val")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)  # one corpus scan; prof + mode read it
+    )
+    prof = counts.groupBy("col_name").agg(
+        F.sum("c").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("val").isNull(), F.col("c"))), F.lit(0)
+        ).alias("n_nulls"),
+        F.count(F.when(F.col("val").isNotNull(), F.lit(1))).alias("n_distinct"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("col_name").orderBy(F.col("c").desc(), "val")
+    top = (
+        counts.where(F.col("val").isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("col_name", F.col("val").alias("top_val"), F.col("c").alias("top_count"))
+    )
+    return (
+        prof.join(F.broadcast(top), "col_name")
+        .select(
+            "col_name", "n_rows", "n_nulls", "n_distinct",
+            "min_val", "max_val", "top_val", "top_count",
+        )
+        .orderBy("col_name")
+    )

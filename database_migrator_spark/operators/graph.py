@@ -327,3 +327,93 @@ def q180_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(r * F.lit(1e9)).cast("long") / F.lit(1e9)).alias("assortativity"),
         )
     )
+
+
+@query(
+    "q194_kcore_3core",
+    oracle="""
+    WITH RECURSIVE base AS (
+        SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), und AS (
+        SELECT u, v FROM base UNION ALL SELECT v AS u, u AS v FROM base
+    ), peel(it, u, v) AS (
+        SELECT 0, u, v FROM und
+        UNION ALL
+        SELECT p.it + 1, p.u, p.v
+        FROM peel p
+        JOIN (SELECT u, COUNT(*) AS d FROM peel GROUP BY u) da ON da.u = p.u
+        JOIN (SELECT u, COUNT(*) AS d FROM peel GROUP BY u) db ON db.u = p.v
+        WHERE p.it < 6 AND da.d >= 3 AND db.d >= 3
+    ), agg AS (
+        SELECT
+          (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) FROM peel WHERE it = 6)
+              AS n_nodes_core,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM peel WHERE it = 6) AS m2_6,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM peel WHERE it = 5) AS m2_5
+    )
+    SELECT CAST(3 AS BIGINT) AS k, CAST(6 AS BIGINT) AS rounds,
+           n_nodes_core, CAST(m2_6 // 2 AS BIGINT) AS n_edges_core,
+           CAST(CASE WHEN m2_6 = m2_5 THEN 1 ELSE 0 END AS BIGINT) AS converged
+    FROM agg
+    """,
+    tags=("graph", "kcore", "iterative", "llm-pipeline"),
+)
+def q194_kcore_3core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the customer–supplier graph by iterative peeling — the
+    dense-subgraph extractor (spam-farm / boilerplate-ring detection in
+    link graphs; the "stable community" filter before PageRank-weighted
+    sampling): repeatedly delete nodes of degree < 3 until stable.
+    Fixed 6 peel rounds on BOTH engines (the BFS/PageRank discipline —
+    no driver-side convergence inspection; the `converged` column
+    REPORTS whether round 6 changed anything instead), so results are
+    bit-identical by construction: each round recomputes exact integer
+    degrees on the surviving edge set and keeps edges whose BOTH
+    endpoints have degree >= 3, i.e. two left-semi joins against the
+    same degree aggregate, localCheckpointed per round to hold the lazy
+    plan constant-size.  The oracle replays the identical peel as a
+    DuckDB recursive CTE (aggregation + multiple working-table
+    references, the q106 BPE precedent).  Per-round cost at 100 TB is
+    one degree shuffle + two semi joins on the shrinking edge set —
+    never more than the edge list, never all-pairs."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    cur = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    prev = cur
+    for _ in range(6):
+        prev = cur
+        deg = cur.groupBy("u").agg(F.count("*").alias("d"))
+        keep = deg.where(F.col("d") >= 3).select("u")
+        cur = (
+            cur.join(keep, "u", "left_semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    m6 = cur.agg(F.count("*").alias("m2_6"))
+    m5 = prev.agg(F.count("*").alias("m2_5"))
+    nodes = cur.select("u").distinct().agg(F.count("*").alias("n_nodes_core"))
+    return (
+        m6.crossJoin(F.broadcast(m5))
+        .crossJoin(F.broadcast(nodes))
+        .select(
+            F.lit(3).cast("long").alias("k"),
+            F.lit(6).cast("long").alias("rounds"),
+            "n_nodes_core",
+            F.expr("m2_6 DIV 2").cast("long").alias("n_edges_core"),
+            F.when(F.col("m2_6") == F.col("m2_5"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("converged"),
+        )
+    )

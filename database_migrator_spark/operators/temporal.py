@@ -1711,3 +1711,86 @@ def q183_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q193_cusum_changepoint",
+    oracle=f"""
+    WITH {_DENSE_HOURLY_ORACLE}
+    , seq AS (
+        SELECT event_type, h, c,
+               CAST(row_number() OVER (PARTITION BY event_type ORDER BY h)
+                    AS BIGINT) AS i,
+               CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY h
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pfx
+        FROM dense
+    ), tot AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c) AS BIGINT) AS t
+        FROM dense GROUP BY 1
+    ), s AS (
+        SELECT seq.event_type, seq.h, seq.i,
+               abs(tot.n * seq.pfx - seq.i * tot.t) AS abs_s,
+               tot.n, tot.t
+        FROM seq JOIN tot USING (event_type)
+    )
+    SELECT event_type, n AS n_hours, t AS total_events,
+           strftime(h, '%Y-%m-%d %H:%M:%S') AS cp_hour,
+           i AS cp_index,
+           CAST(abs_s AS BIGINT) AS max_abs_s,
+           CAST(ROUND(CAST(abs_s AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))
+                      * 1000000000) AS BIGINT) / 1000000000.0 AS cusum_stat
+    FROM s
+    QUALIFY row_number() OVER (PARTITION BY event_type
+                               ORDER BY abs_s DESC, i) = 1
+    ORDER BY event_type
+    """,
+    tags=("temporal", "changepoint", "cusum", "monitoring", "dense-hourly"),
+)
+def q193_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type — WHERE the hourly
+    rate shifted, completing the drift family (q164/q173/q174 say THAT
+    two windows differ; q172 flags single outliers): the hour i
+    maximizing |S_i|, S_i = Σ_{j<=i}(c_j − mean).  Scaled by n to stay
+    in exact integers: n·S_i = n·prefix_i − i·T, so the argmax is a
+    pure BIGINT comparison — no float drift can move the reported hour.
+    The normalized statistic |S|/(n·T) (one double division of exact
+    integers, 1e-9-rounded) is the comparable shift-magnitude score.
+    Shape at scale: everything runs on the shared bounded
+    dense_hourly_counts checkpoint (~720 h x types; the corpus was
+    touched once at artifact build) — per-type windows over a bounded
+    grid, a broadcast-sized totals join, and a WindowGroupLimit top-1
+    for the argmax."""
+    dense = dense_hourly_counts(spark, sf_dir)
+    w_seq = Window.partitionBy("event_type").orderBy("h")
+    seq = dense.select(
+        "event_type",
+        "h",
+        F.row_number().over(w_seq).cast("long").alias("i"),
+        F.sum("c").over(w_seq.rowsBetween(Window.unboundedPreceding, 0)).alias("pfx"),
+    )
+    tot = dense.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("c").alias("t")
+    )
+    s = seq.join(F.broadcast(tot), "event_type").withColumn(
+        "abs_s", F.abs(F.col("n") * F.col("pfx") - F.col("i") * F.col("t"))
+    )
+    w_top = Window.partitionBy("event_type").orderBy(F.col("abs_s").desc(), "i")
+    stat = F.col("abs_s").cast("double") / (
+        F.col("n").cast("double") * F.col("t").cast("double")
+    )
+    return (
+        s.withColumn("__rn", F.row_number().over(w_top))
+        .where(F.col("__rn") == 1)
+        .select(
+            "event_type",
+            F.col("n").alias("n_hours"),
+            F.col("t").alias("total_events"),
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("cp_hour"),
+            F.col("i").alias("cp_index"),
+            F.col("abs_s").alias("max_abs_s"),
+            (F.round(stat * F.lit(1e9)).cast("long") / F.lit(1e9)).alias("cusum_stat"),
+        )
+        .orderBy("event_type")
+    )
