@@ -1777,3 +1777,114 @@ def q191_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "q195_phrase_proximity",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           t -> len(t) > 0) AS t
+        FROM documents
+    ), pos AS (
+        SELECT doc_id, t[i] AS term, CAST(i AS BIGINT) AS pos
+        FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+    ), docterm AS (
+        SELECT DISTINCT doc_id, term FROM pos WHERE len(term) >= 6
+    ), dfq AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        FROM docterm GROUP BY 1
+    ), qrow AS (
+        SELECT
+          (SELECT term FROM dfq ORDER BY df DESC, term LIMIT 1) AS qa,
+          (SELECT term FROM dfq ORDER BY df DESC, term LIMIT 1 OFFSET 1) AS qb
+    ), pa AS (
+        SELECT doc_id, pos FROM pos, qrow WHERE term = qa
+        QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY pos) <= 200
+    ), pb AS (
+        SELECT doc_id, pos FROM pos, qrow WHERE term = qb
+        QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY pos) <= 200
+    ), pairs AS (
+        SELECT pa.doc_id, abs(pa.pos - pb.pos) AS dist
+        FROM pa JOIN pb USING (doc_id)
+    ), prox AS (
+        SELECT doc_id, CAST(MIN(dist) AS BIGINT) AS min_dist,
+               CAST(SUM(CASE WHEN dist <= 4 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_within
+        FROM pairs GROUP BY doc_id
+    )
+    SELECT doc_id, qrow.qa AS term_a, qrow.qb AS term_b, min_dist, n_within
+    FROM prox, qrow WHERE min_dist <= 4
+    ORDER BY min_dist, n_within DESC, doc_id LIMIT 20
+    """,
+    tags=("text", "retrieval", "proximity", "positional-index", "llm-pipeline"),
+)
+def q195_phrase_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional proximity search (the NEAR operator) — docs where the
+    corpus's two highest-df length>=6 terms (q191's deterministic query
+    recipe) co-occur within 4 tokens: the retrieval primitive BM25
+    (q191) cannot express, because bag-of-words scoring is blind to
+    token ORDER.  Built on a positional postings list — (doc, term,
+    pos) via posexplode — exactly the structure a phrase/proximity
+    index ships at scale: per query term the postings are capped at the
+    first 200 occurrences per doc (rank-limit window on the real
+    (doc_id) key -> WindowGroupLimit, the q157 sequence-cap
+    discipline), then the two posting sets meet in ONE doc_id-keyed
+    shuffle join (both sides unbounded derived -> pinned shuffle_merge)
+    and fold to min-distance + within-window counts.  The tokenized
+    corpus is localCheckpointed once; the df pass and the postings
+    pass both read the checkpoint, so the parquet is scanned once.
+    All-integer distances; total order (min_dist, n_within desc,
+    doc_id) with LIMIT 20 -> TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    d = spread_for_cpu(table(spark, sf_dir, "documents"))
+    toksdf = d.select("doc_id", tokens_of("text").alias("toks")).localCheckpoint(
+        eager=True
+    )
+    pos = toksdf.select(
+        "doc_id", F.posexplode("toks").alias("p0", "term")
+    ).select("doc_id", "term", (F.col("p0") + 1).cast("long").alias("pos"))
+    docterm = (
+        pos.where(F.length("term") >= 6).select("doc_id", "term").distinct()
+    )
+    dfq = docterm.groupBy("term").agg(F.count("*").alias("df"))
+    qrow = (
+        dfq.orderBy(F.col("df").desc(), "term")
+        .limit(2)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct((-F.col("df")).alias("nd"), F.col("term")))
+            ).alias("arr")
+        )
+        .select(
+            F.col("arr")[0]["term"].alias("qa"), F.col("arr")[1]["term"].alias("qb")
+        )
+    )
+    posq = pos.crossJoin(F.broadcast(qrow))
+    w_cap = Window.partitionBy("doc_id").orderBy("pos")
+    def capped(side: str) -> DataFrame:
+        return (
+            posq.where(F.col("term") == F.col(side))
+            .withColumn("__rn", F.row_number().over(w_cap))
+            .where(F.col("__rn") <= 200)
+            .select("doc_id", "pos", "qa", "qb")
+        )
+    pa = capped("qa")
+    pb = capped("qb").select("doc_id", F.col("pos").alias("pos_b"))
+    pairs = pa.join(pb.hint("shuffle_merge"), "doc_id").select(
+        "doc_id", "qa", "qb", F.abs(F.col("pos") - F.col("pos_b")).alias("dist")
+    )
+    return (
+        pairs.groupBy("doc_id")
+        .agg(
+            F.first("qa").alias("term_a"),
+            F.first("qb").alias("term_b"),
+            F.min("dist").alias("min_dist"),
+            F.sum(F.when(F.col("dist") <= 4, 1).otherwise(0)).alias("n_within"),
+        )
+        .where(F.col("min_dist") <= 4)
+        .orderBy("min_dist", F.col("n_within").desc(), "doc_id")
+        .limit(20)
+    )
