@@ -918,3 +918,53 @@ def test_bitmap_retention_shuffle_joins_word_table(spark):
     assert "FileScan" not in p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_bm25_single_scan_and_topk(spark):
+    """q191: the checkpointed tf table is the only corpus-sized
+    artifact (no FileScan in the returned plan); scoring joins the
+    3-term broadcast before the doc-length shuffle join; top-20 is
+    TakeOrderedAndProject, never a global sort."""
+    p = plan_of(spark, "q191_bm25_topk")
+    assert "FileScan" not in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_column_profile_mode_uses_window_group_limit(spark):
+    """q192: ONE corpus FileScan feeds the unpivot; the per-column mode
+    top-1 runs under rank-limit pushdown (WindowGroupLimit) so a
+    corpus-sized distinct-value table is never globally sorted."""
+    p = plan_of(spark, "q192_column_profile")
+    assert "FileScan" not in p  # reads the checkpointed value-count table
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
+
+
+def test_cusum_runs_on_bounded_grid(spark):
+    """q193: everything runs on the dense-hourly checkpoint — no corpus
+    FileScan, no shuffle join, windows only over the bounded grid."""
+    p = plan_of(spark, "q193_cusum_changepoint")
+    assert "FileScan" not in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_kcore_returns_checkpointed_counts(spark):
+    """q194: the peel rounds are checkpointed — the returned plan reads
+    only the final/previous edge checkpoints (no corpus FileScan) and
+    the three 1-row aggregates meet by broadcast."""
+    p = plan_of(spark, "q194_kcore_3core")
+    assert "FileScan" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_proximity_postings_capped_and_shuffle_joined(spark):
+    """q195: postings caps run under WindowGroupLimit; the two posting
+    sets meet in ONE doc_id shuffle join (pinned, never broadcast);
+    top-20 is TakeOrderedAndProject; corpus scanned zero times in the
+    returned plan (tokenized checkpoint)."""
+    p = plan_of(spark, "q195_phrase_proximity")
+    assert "FileScan" not in p
+    assert "WindowGroupLimit" in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    assert "TakeOrderedAndProject" in p
