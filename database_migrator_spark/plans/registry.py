@@ -76,21 +76,27 @@ def query(
 #   rank 1 — queries whose last gate row is the OLDEST.
 #   rank 2+ — progressively fresher gate rows.
 #
-# Round-8 instance: rank 0 = q159-q174 (the 16 round-7 wave additions —
-# never gated, local sf0.01/sf0.1 oracle evidence only) plus any query
-# added this round; rank 1 = q38-q50, whose rows still date to r04 —
-# the catalog's oldest hard signal after the r07 q02-q37 refresh;
-# rank 2 = the r05-gated block that r06 did not re-gate
-# (q100-q143 minus q115/q119, plus q51/q94/q96) — its first 21 by name
-# (q100-q114, q116-q118, q120-q122) top up the 50-row budget.
-# Round-9 residue: the REMAINING r05-stale names (q123-q143 + q51/q94/
-# q96 = 24) go first next round, then the r06-gated block (q01,
-# q52-q99-era, q144) becomes the oldest signal and fills the rest —
-# that completes the third full-catalog re-gate cycle.  Order changes
-# NOTHING for the pytest oracle suite or bench.py — they run the whole
-# catalog.  tests/test_bench_contract.py pins the resulting first-50
-# list so a refactor cannot silently reorder the gate.
-_ROUND8_NEW = {f"q{i}" for i in range(159, 200)}
+# Round-8 instance: rank 0 = q159-q195 (the 16 round-7 additions plus
+# the 21 added during round 8 — never gated, local sf0.01/sf0.1 oracle
+# evidence only; CAPPED at q195 so the window still closes with rank 1),
+# rank 1 = q38-q50, whose rows still date to r04 — the catalog's oldest
+# hard signal after the r07 q02-q37 refresh.  37 + 13 = exactly the
+# 50-row budget: the r05-stale block gets NO rows this round (further
+# round-8 additions beyond q195 must rank BELOW q38-q50, or they push
+# the r04-stale rows out of the gate).
+# Round-9 plan: the ENTIRE r05-stale set (q100-q143 minus q115/q119,
+# plus q51/q94/q96 = 45 names) goes first, topped up by the oldest 5 of
+# the r06-gated block; r10 then takes the r06/r07 remainder (q01,
+# q52-q99-era, q144) — completing the third full-catalog re-gate cycle.
+# Order changes NOTHING for the pytest oracle suite or bench.py — they
+# run the whole catalog.  tests/test_bench_contract.py pins the
+# resulting first-50 list so a refactor cannot silently reorder the
+# gate.
+_ROUND8_NEW = {f"q{i}" for i in range(159, 196)}
+# round-8 additions past the 50-row window: gate-wise they queue right
+# behind the r04-stale block (they'll lead the r9 rotation with the
+# r05-stale set); local sf0.01 oracle evidence covers them meanwhile.
+_ROUND8_OVERFLOW = {f"q{i}" for i in range(196, 220)}
 _R04_STALE = {f"q{i:02d}" for i in range(38, 51)}
 _R05_STALE = ({f"q{i}" for i in range(100, 144)} - {"q115", "q119"}) | {"q51", "q94", "q96"}
 
@@ -129,8 +135,10 @@ def all_queries() -> dict[str, DeclaredQuery]:
             return (0, name)
         if qid in _R04_STALE:
             return (1, name)
-        if qid in _R05_STALE:
+        if qid in _ROUND8_OVERFLOW:
             return (2, name)
-        return (3, name)
+        if qid in _R05_STALE:
+            return (3, name)
+        return (4, name)
 
     return dict(sorted(_REGISTRY.items(), key=lambda kv: rank(kv[0])))

@@ -92,13 +92,22 @@ def test_gate_order_front_loads_stale_signal_set():
     names = list(all_queries())
     gate = [n.split("_", 1)[0] for n in names[:50]]
     new_block = sorted(
-        n.split("_", 1)[0] for n in names if n.split("_", 1)[0] in {f"q{i}" for i in range(159, 200)}
+        n.split("_", 1)[0] for n in names if n.split("_", 1)[0] in {f"q{i}" for i in range(159, 196)}
     )
     n_new = len(new_block)
+    assert n_new <= 37, "rank-0 additions would push q38-q50 out of the gate"
     assert gate[:n_new] == new_block
     assert gate[n_new : n_new + 13] == [f"q{i}" for i in range(38, 51)]
+    # round-8 overflow additions (q196+) queue directly behind the
+    # r04-stale block, ahead of the r05-stale round-9 residue
+    overflow = sorted(
+        n.split("_", 1)[0] for n in names if n.split("_", 1)[0] in {f"q{i}" for i in range(196, 220)}
+    )
+    post_gate = [n.split("_", 1)[0] for n in names[n_new + 13 :]]
+    assert post_gate[: len(overflow)] == overflow
     r05_fill = [f"q{i}" for i in range(100, 123) if i not in (115, 119)]
-    assert gate[n_new + 13 :] == r05_fill[: 50 - n_new - 13]
+    fill_seen = [q for q in gate[n_new + 13 :]]
+    assert fill_seen == r05_fill[: max(0, 50 - n_new - 13)]
     # the r9 residue and the fresher blocks must all sort after the
     # 50-row window
     tail = {n.split("_", 1)[0] for n in names[50:]}

@@ -170,6 +170,15 @@ PROBE_QUERIES = [
     "q186_weighted_sample",
     "q187_source_entropy",
     "q188_zorder_layout",
+    # round-8 wave 2: exact bitmap distinct family, BM25 + proximity
+    # retrieval, single-pass profiling, CUSUM, k-core peel
+    "q189_bitmap_distinct_rollup",
+    "q190_bitmap_retention",
+    "q191_bm25_topk",
+    "q192_column_profile",
+    "q193_cusum_changepoint",
+    "q194_kcore_3core",
+    "q195_phrase_proximity",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
