@@ -56,6 +56,29 @@ def popcount(words: DataFrame, *keys) -> DataFrame:
     return words.groupBy(*keys).agg(F.sum(F.bit_count("bm")).alias("n_distinct"))
 
 
+# (day, word) bitmap fold shared by q190 (retention) and q198
+# (stickiness) — one corpus shuffle per (session, sf_dir), the
+# dense_hourly_counts / doc_term_frequencies caching pattern.
+_DAY_WORDS_CACHE: dict = {}
+
+
+def day_user_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    app = spark.sparkContext.applicationId
+    for stale in [k for k in _DAY_WORDS_CACHE if k[0] != app]:
+        del _DAY_WORDS_CACHE[stale]
+    key = (app, _os.path.abspath(sf_dir))
+    df = _DAY_WORDS_CACHE.get(key)
+    if df is None:
+        e = table(spark, sf_dir, "events")
+        df = user_bitmap_words(
+            e.select(F.date_trunc("day", "ts").alias("d"), "user_id"), "d"
+        ).localCheckpoint(eager=True)  # corpus shuffled once, here
+        _DAY_WORDS_CACHE[key] = df
+    return df
+
+
 @query(
     "q189_bitmap_distinct_rollup",
     oracle="""
@@ -163,10 +186,7 @@ def q190_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     on.  The oracle states the semantics as the naive distinct-user
     self-join.  retention = returning / dau — one exact-integer
     division, 1e-9-rounded."""
-    e = table(spark, sf_dir, "events")
-    day_words = user_bitmap_words(
-        e.select(F.date_trunc("day", "ts").alias("d"), "user_id"), "d"
-    ).localCheckpoint(eager=True)  # one corpus shuffle; dau + overlap read it
+    day_words = day_user_words(spark, sf_dir)
     dau = popcount(day_words, "d").withColumnRenamed("n_distinct", "dau")
     nxt = day_words.select(
         (F.col("d") - F.expr("INTERVAL 1 DAY")).alias("d"),
@@ -196,6 +216,73 @@ def q190_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "next_dau",
             ret0.alias("returning"),
             (F.round(rate * F.lit(1e9)).cast("long") / F.lit(1e9)).alias("retention"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "q198_bitmap_stickiness",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+    ), dau AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS c FROM du GROUP BY d
+    ), days AS (
+        SELECT DISTINCT d FROM du
+    ), wau AS (
+        SELECT a.d, CAST(COUNT(DISTINCT b.user_id) AS BIGINT) AS c
+        FROM days a JOIN du b
+          ON b.d BETWEEN a.d - INTERVAL 6 DAY AND a.d
+        GROUP BY a.d
+    )
+    SELECT strftime(dau.d, '%Y-%m-%d') AS day,
+           dau.c AS dau, wau.c AS wau,
+           CAST(ROUND(CAST(dau.c AS DOUBLE) / wau.c * 1000000000)
+                AS BIGINT) / 1000000000.0 AS stickiness
+    FROM dau JOIN wau ON wau.d = dau.d
+    ORDER BY day
+    """,
+    tags=("distinct", "bitmap", "stickiness", "rolling-window", "E10"),
+)
+def q198_bitmap_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day — the engagement ratio every product
+    dashboard tracks — with the trailing-7-day WAU computed as a
+    ROLLING BITMAP UNION: each day's word bitmaps are replayed into the
+    7 target days they contribute to (explode over offsets 0..6, the
+    windowed-sketch-merge pattern), then OR-merged per (target day,
+    word) and popcounted.  The raw corpus is shuffled once (the shared
+    day_user_words checkpoint, reused by q190); the rolling union runs
+    entirely on the bounded word table — the oracle's day x user
+    self-join over the raw corpus, which a naive COUNT(DISTINCT) over a
+    7-day window implies, never happens.  Partial leading windows are
+    included (WAU over however many of the 7 days exist), matching the
+    oracle's BETWEEN semantics."""
+    day_words = day_user_words(spark, sf_dir)
+    days = day_words.select("d").distinct()
+    targets = (
+        day_words.select(
+            "d", "w", "bm", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off")
+        )
+        .select(
+            F.expr("d + make_dt_interval(off)").alias("d"), "w", "bm"
+        )
+        .join(F.broadcast(days), "d", "left_semi")
+    )
+    wau = popcount(merge_words(targets, "d"), "d").withColumnRenamed(
+        "n_distinct", "wau"
+    )
+    dau = popcount(day_words, "d").withColumnRenamed("n_distinct", "dau")
+    ratio = F.col("dau").cast("double") / F.col("wau").cast("double")
+    return (
+        dau.join(wau, "d")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            (F.round(ratio * F.lit(1e9)).cast("long") / F.lit(1e9)).alias(
+                "stickiness"
+            ),
         )
         .orderBy("day")
     )

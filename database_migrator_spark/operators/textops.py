@@ -1661,10 +1661,39 @@ def q187_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q191_bm25_topk",
-    oracle=r"""
-    WITH toks AS (
+# ---------------------------------------------------------------------------
+# Lexical-retrieval substrate shared by q191 (BM25), q196 (QLD) and q197
+# (RRF fusion): the (doc_id, term, tf) table is the ONE corpus-sized
+# artifact of the family.  Like dense_hourly_counts, it is materialized
+# once per (session, sf_dir) as a localCheckpoint so however many
+# scorers run, the documents parquet is scanned exactly once.
+# ---------------------------------------------------------------------------
+_TF_CACHE: dict = {}
+
+
+def doc_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    app = spark.sparkContext.applicationId
+    for stale in [k for k in _TF_CACHE if k[0] != app]:
+        del _TF_CACHE[stale]
+    key = (app, _os.path.abspath(sf_dir))
+    df = _TF_CACHE.get(key)
+    if df is None:
+        d = spread_for_cpu(table(spark, sf_dir, "documents"))
+        df = (
+            d.select("doc_id", F.explode(tokens_of("text")).alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").alias("tf"))
+            .localCheckpoint(eager=True)  # corpus touched once, here
+        )
+        _TF_CACHE[key] = df
+    return df
+
+
+#: the oracle-side mirror of the substrate + derived tables + the
+#: deterministic 3-term query (highest-df terms of length >= 6).
+_LEX_BASE_ORACLE = r"""toks AS (
         SELECT doc_id,
                unnest(list_filter(string_split_regex(lower(text), '\s+'),
                                   t -> len(t) > 0)) AS term
@@ -1683,7 +1712,24 @@ def q187_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), qt AS (
         SELECT term, df FROM dfq WHERE len(term) >= 6
         ORDER BY df DESC, term LIMIT 3
-    ), scored AS (
+    )"""
+
+
+def _lex_query_terms(spark: SparkSession, sf_dir: str):
+    """(tf, dl, stats, qt) DataFrames — the Spark mirror of
+    _LEX_BASE_ORACLE, all derived from the cached tf substrate."""
+    tf = doc_term_frequencies(spark, sf_dir)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("total"))
+    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    qt = dfq.where(F.length("term") >= 6).orderBy(F.col("df").desc(), "term").limit(3)
+    return tf, dl, stats, qt
+
+
+@query(
+    "q191_bm25_topk",
+    oracle=f"""
+    WITH {_LEX_BASE_ORACLE}, scored AS (
         SELECT t.doc_id,
                CAST(ROUND(
                    ln(CAST(2 * s.n_docs - 2 * q.df + 1 AS DOUBLE)
@@ -1722,23 +1768,17 @@ def q191_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings survive), then the doc-length join runs shuffle_merge on
     doc_id (both sides unbounded); top-20 is TakeOrderedAndProject,
     never a global sort."""
-    d = spread_for_cpu(table(spark, sf_dir, "documents"))
-    toks = d.select("doc_id", F.explode(tokens_of("text")).alias("term"))
-    tf = (
-        toks.groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=True)  # corpus touched once; 4 consumers
+    return (
+        _bm25_doc_scores(spark, sf_dir)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
     )
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    stats = dl.agg(
-        F.count("*").alias("n_docs"), F.sum("dl").alias("total")
-    )
-    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    qt = (
-        dfq.where(F.length("term") >= 6)
-        .orderBy(F.col("df").desc(), "term")
-        .limit(3)
-    )
+
+
+def _bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_terms_hit, score): q191's BM25 scorer over the cached
+    tf substrate — reused by q197's rank fusion."""
+    tf, dl, stats, qt = _lex_query_terms(spark, sf_dir)
     num = F.lit(22) * F.col("total") * F.col("tf")
     den = (
         F.lit(10) * F.col("total") * F.col("tf")
@@ -1768,14 +1808,9 @@ def q191_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("term_fp"),
         )
     )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_terms_hit"),
-            (F.sum("term_fp").cast("double") / F.lit(1e12)).alias("score"),
-        )
-        .orderBy(F.col("score").desc(), "doc_id")
-        .limit(20)
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_terms_hit"),
+        (F.sum("term_fp").cast("double") / F.lit(1e12)).alias("score"),
     )
 
 
@@ -1886,5 +1921,212 @@ def q195_phrase_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("min_dist") <= 4)
         .orderBy("min_dist", F.col("n_within").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+_QLD_MU = 2000  # Dirichlet smoothing mass, exact integer
+
+
+def _qld_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_terms_present, score): Dirichlet query-likelihood over
+    the cached tf substrate — q196's scorer, reused by q197.  EVERY doc
+    is scored (smoothing gives absent terms mass mu*cf/C), so the score
+    grid is docs x 3 terms built by cross-joining the doc-length table
+    with the broadcast query row, left-joined against the query-term
+    postings."""
+    tf, dl, stats, qt = _lex_query_terms(spark, sf_dir)
+    cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    qtc = qt.join(F.broadcast(cf), "term")  # 3 rows: term, df, cf
+    post = tf.join(F.broadcast(qtc.select("term")), "term").select(
+        "doc_id", "term", "tf"
+    )
+    grid = dl.crossJoin(F.broadcast(qtc)).crossJoin(
+        F.broadcast(stats.select("total"))
+    )
+    scored = grid.join(
+        post.hint("shuffle_merge"), ["doc_id", "term"], "left"
+    ).withColumn("tf0", F.coalesce("tf", F.lit(0)))
+    num = F.col("tf0") * F.col("total") + F.lit(_QLD_MU) * F.col("cf")
+    den = (F.col("dl") + F.lit(_QLD_MU)) * F.col("total")
+    in_bound = den.cast("double") < F.lit(EXACT_DOUBLE_BOUND)
+    term_fp = F.round(
+        F.log(num.cast("double") / den.cast("double")) * F.lit(1e12)
+    ).cast("long")
+    return (
+        scored.where(
+            exactness_guard(
+                in_bound,
+                "q196: QLD integer denominator >= 2^53 — the smoothed "
+                "likelihood would silently lose precision",
+            )
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("tf0") > 0, 1).otherwise(0)).alias(
+                "n_terms_present"
+            ),
+            (F.sum(term_fp).cast("double") / F.lit(1e12)).alias("score"),
+        )
+    )
+
+
+@query(
+    "q196_qld_topk",
+    oracle=f"""
+    WITH {_LEX_BASE_ORACLE}, cf AS (
+        SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY 1
+    ), qtc AS (
+        SELECT qt.term, cf.cf FROM qt JOIN cf USING (term)
+    ), grid AS (
+        SELECT dl.doc_id, dl.dl, qtc.term, qtc.cf, s.total
+        FROM dl CROSS JOIN qtc, stats s
+    ), scored AS (
+        SELECT g.doc_id,
+               COALESCE(t.tf, 0) AS tf0,
+               CAST(ROUND(
+                   ln(CAST(COALESCE(t.tf, 0) * g.total + 2000 * g.cf
+                           AS DOUBLE)
+                      / CAST((g.dl + 2000) * g.total AS DOUBLE))
+                   * 1000000000000) AS BIGINT) AS term_fp
+        FROM grid g
+        LEFT JOIN tf t ON t.doc_id = g.doc_id AND t.term = g.term
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_terms_present,
+           CAST(CAST(SUM(term_fp) AS BIGINT) AS DOUBLE)
+               / 1000000000000.0 AS score
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+    tags=("text", "qld", "retrieval", "ranking", "llm-pipeline"),
+)
+def q196_qld_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood top-20 — the second classic
+    lexical scorer next to BM25 (q191), and deliberately a different
+    SHAPE: QLD scores EVERY document (absent query terms contribute the
+    smoothing mass mu*cf_t/C), so the plan is a docs x 3-term grid
+    (cross join with the broadcast query row) left-joined against the
+    query-term postings, where BM25's plan only touches matching
+    postings.  score = SUM ln((tf + mu*cf/C)/(dl + mu)) with mu = 2000,
+    restated over a common integer denominator as ln((tf*C + mu*cf) /
+    ((dl + mu)*C)) — every ln input a ratio of exact BIGINTs under the
+    2^53 guard, per-term 1e-12 fixed-point, order-independent BIGINT
+    sum.  Same deterministic 3-term query and cached tf substrate as
+    q191: the corpus is scanned once for the whole retrieval family."""
+    return (
+        _qld_doc_scores(spark, sf_dir)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@query(
+    "q197_rrf_fusion",
+    oracle=f"""
+    WITH {_LEX_BASE_ORACLE}, bm_scored AS (
+        SELECT t.doc_id,
+               CAST(ROUND(
+                   ln(CAST(2 * s.n_docs - 2 * q.df + 1 AS DOUBLE)
+                      / CAST(2 * q.df + 1 AS DOUBLE))
+                   * (CAST(22 * s.total * t.tf AS DOUBLE)
+                      / CAST(10 * s.total * t.tf + 3 * s.total
+                             + 9 * d.dl * s.n_docs AS DOUBLE))
+                   * 1000000000000) AS BIGINT) AS term_fp
+        FROM tf t JOIN qt q USING (term) JOIN dl d USING (doc_id), stats s
+    ), bm AS (
+        SELECT doc_id,
+               CAST(CAST(SUM(term_fp) AS BIGINT) AS DOUBLE)
+                   / 1000000000000.0 AS score
+        FROM bm_scored GROUP BY doc_id
+        ORDER BY score DESC, doc_id LIMIT 100
+    ), bm_rank AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                    AS BIGINT) AS r
+        FROM bm
+    ), cf AS (
+        SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY 1
+    ), qtc AS (
+        SELECT qt.term, cf.cf FROM qt JOIN cf USING (term)
+    ), grid AS (
+        SELECT dl.doc_id, dl.dl, qtc.term, qtc.cf, s.total
+        FROM dl CROSS JOIN qtc, stats s
+    ), ql_scored AS (
+        SELECT g.doc_id,
+               CAST(ROUND(
+                   ln(CAST(COALESCE(t.tf, 0) * g.total + 2000 * g.cf
+                           AS DOUBLE)
+                      / CAST((g.dl + 2000) * g.total AS DOUBLE))
+                   * 1000000000000) AS BIGINT) AS term_fp
+        FROM grid g
+        LEFT JOIN tf t ON t.doc_id = g.doc_id AND t.term = g.term
+    ), ql AS (
+        SELECT doc_id,
+               CAST(CAST(SUM(term_fp) AS BIGINT) AS DOUBLE)
+                   / 1000000000000.0 AS score
+        FROM ql_scored GROUP BY doc_id
+        ORDER BY score DESC, doc_id LIMIT 100
+    ), ql_rank AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                    AS BIGINT) AS r
+        FROM ql
+    ), fused AS (
+        SELECT COALESCE(b.doc_id, q.doc_id) AS doc_id,
+               COALESCE(b.r, 0) AS bm25_rank,
+               COALESCE(q.r, 0) AS qld_rank,
+               (CASE WHEN b.r IS NULL THEN 0
+                     ELSE CAST(ROUND(1000000000000.0 / (60 + b.r)) AS BIGINT)
+                END
+                + CASE WHEN q.r IS NULL THEN 0
+                       ELSE CAST(ROUND(1000000000000.0 / (60 + q.r)) AS BIGINT)
+                  END) AS rrf_fp
+        FROM bm_rank b FULL OUTER JOIN ql_rank q USING (doc_id)
+    )
+    SELECT doc_id, bm25_rank, qld_rank,
+           CAST(rrf_fp AS DOUBLE) / 1000000000000.0 AS rrf_score
+    FROM fused
+    ORDER BY rrf_score DESC, doc_id LIMIT 20
+    """,
+    tags=("text", "retrieval", "rank-fusion", "rrf", "llm-pipeline"),
+)
+def q197_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the BM25 (q191) and query-likelihood
+    (q196) rankings — THE standard way hybrid retrieval stacks combine
+    scorers without calibrating score scales: each scorer contributes
+    1/(60 + rank) for its top-100, summed.  Ranks come from the two
+    bounded top-100 lists (TakeOrderedAndProject first, so the only
+    single-partition windows run over <= 100 rows — the bounded-derived
+    -table exception), fused by a full outer join; 1/(60+r) is one IEEE
+    division of exact small integers, 1e-12 fixed-pointed so the sum is
+    order-independent.  Both scorers read the SAME cached tf substrate
+    — the corpus is scanned once for the whole family."""
+    from pyspark.sql import Window
+
+    def ranked(scores: DataFrame) -> DataFrame:
+        top = scores.orderBy(F.col("score").desc(), "doc_id").limit(100)
+        w = Window.orderBy(F.col("score").desc(), "doc_id")  # bounded: 100 rows
+        return top.select(
+            "doc_id", F.row_number().over(w).cast("long").alias("r")
+        )
+
+    bm = ranked(_bm25_doc_scores(spark, sf_dir))
+    ql = ranked(_qld_doc_scores(spark, sf_dir)).withColumnRenamed("r", "rq")
+    contrib = lambda c: F.when(F.col(c).isNull(), F.lit(0)).otherwise(  # noqa: E731
+        F.round(F.lit(1e12) / (F.lit(60) + F.col(c))).cast("long")
+    )
+    return (
+        bm.join(ql, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("r", F.lit(0)).alias("bm25_rank"),
+            F.coalesce("rq", F.lit(0)).alias("qld_rank"),
+            ((contrib("r") + contrib("rq")).cast("double") / F.lit(1e12)).alias(
+                "rrf_score"
+            ),
+        )
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
         .limit(20)
     )
