@@ -968,3 +968,35 @@ def test_proximity_postings_capped_and_shuffle_joined(spark):
     assert "WindowGroupLimit" in p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_qld_scores_all_docs_via_grid(spark):
+    """q196: no corpus FileScan in the returned plan (cached tf
+    substrate); the docs x 3-term grid comes from broadcast joins and
+    the postings attach via the pinned shuffle join — no cartesian."""
+    p = plan_of(spark, "q196_qld_topk")
+    assert "FileScan" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_rrf_windows_are_bounded(spark):
+    """q197: ranks come from two <=100-row windows AFTER the top-100
+    TakeOrderedAndProject — exactly two Window nodes, both over bounded
+    inputs; fusion is one join; no corpus FileScan."""
+    p = plan_of(spark, "q197_rrf_fusion")
+    assert "FileScan" not in p
+    assert p.count("Window [") == 2
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_stickiness_rolls_up_word_table(spark):
+    """q198: the rolling 7-day union runs on the day-words checkpoint
+    (no corpus FileScan); day-list semi join broadcasts; no cartesian,
+    no corpus-wide window."""
+    p = plan_of(spark, "q198_bitmap_stickiness")
+    assert "FileScan" not in p
+    assert "Window" not in p
+    assert "CartesianProduct" not in p

@@ -179,6 +179,10 @@ PROBE_QUERIES = [
     "q193_cusum_changepoint",
     "q194_kcore_3core",
     "q195_phrase_proximity",
+    # round-8 wave 5: QLD scorer, RRF fusion, rolling-bitmap stickiness
+    "q196_qld_topk",
+    "q197_rrf_fusion",
+    "q198_bitmap_stickiness",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
