@@ -344,11 +344,14 @@ def test_no_rdd_scans_anywhere(spark):
     (q178/q179 checkpoint their one-corpus-scan histogram for 3
     consumers), the graph statistics (q180 edge list / q182 oriented
     edges feed multiple joins), and q181 (shares q162's checkpointed
-    rare-first shingle substrate)."""
+    rare-first shingle substrate). Round-8 wave 4/5 adds the bitmap
+    word-table checkpoints (q189/q190/q198), the shared tf substrate of
+    the retrieval family (q191/q195/q196/q197), and q192's value-count
+    checkpoint (profile + mode both read it)."""
     for name, dq in _QS.items():
         if any(
             t in dq.tags
-            for t in ("streaming", "udtf", "minhash", "simhash", "semdedup", "pipeline", "bpe", "iterative", "decontamination", "ppjoin", "dense-hourly", "scd2", "diff", "bounded-artifact", "pmi", "bloom", "divergence", "contamination", "psi", "bounded-histogram", "rank", "assortativity", "containment", "triangles")
+            for t in ("streaming", "udtf", "minhash", "simhash", "semdedup", "pipeline", "bpe", "iterative", "decontamination", "ppjoin", "dense-hourly", "scd2", "diff", "bounded-artifact", "pmi", "bloom", "divergence", "contamination", "psi", "bounded-histogram", "rank", "assortativity", "containment", "triangles", "bitmap", "retrieval", "profiling")
         ):
             continue
         p = _QS[name].build(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
