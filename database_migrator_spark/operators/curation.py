@@ -915,3 +915,107 @@ def q186_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "n_chars", "rnk")
         .orderBy("source", "rnk", "doc_id")
     )
+
+
+@query(
+    "q199_greedy_coverage",
+    oracle=r"""
+    WITH RECURSIVE dt AS (
+        SELECT DISTINCT doc_id, tok AS term FROM (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                      t -> len(t) > 0)) AS tok
+            FROM documents
+        )
+    ), greedy AS (
+        SELECT 0 AS r,
+               CAST([] AS BIGINT[]) AS sel_docs,
+               CAST([] AS VARCHAR[]) AS covered,
+               CAST(NULL AS BIGINT) AS doc_id,
+               CAST(NULL AS BIGINT) AS gain,
+               CAST(0 AS BIGINT) AS covered_total
+        UNION ALL
+        SELECT s.r + 1,
+               list_append(s.sel_docs, p.doc_id),
+               list_distinct(list_concat(
+                   s.covered,
+                   (SELECT list(term) FROM dt WHERE dt.doc_id = p.doc_id))),
+               p.doc_id, p.gain,
+               CAST(len(list_distinct(list_concat(
+                   s.covered,
+                   (SELECT list(term) FROM dt WHERE dt.doc_id = p.doc_id))))
+                   AS BIGINT)
+        FROM greedy s, LATERAL (
+            SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+            FROM dt d
+            WHERE NOT list_contains(s.covered, d.term)
+              AND NOT list_contains(s.sel_docs, d.doc_id)
+            GROUP BY d.doc_id
+            ORDER BY gain DESC, d.doc_id
+            LIMIT 1
+        ) p
+        WHERE s.r < 5
+    )
+    SELECT r AS round, doc_id, gain AS new_terms, covered_total
+    FROM greedy WHERE r >= 1 ORDER BY r
+    """,
+    tags=("curation", "selection", "submodular", "coverage", "llm-pipeline"),
+)
+def q199_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy coverage-maximization selection — the submodular
+    data-SELECTION operator (facility-location / maximum-coverage
+    family) curation pipelines use to pick a small, maximally-diverse
+    subset: 5 rounds, each selecting the document that adds the most
+    NEW distinct terms to the covered vocabulary (tie -> lowest
+    doc_id), reporting per-round marginal gain and cumulative coverage.
+    The classic (1 - 1/e) greedy guarantee makes exactly this loop the
+    standard curation primitive.  Per round at scale: one term-keyed
+    LEFT ANTI join of the (doc, term) table against the covered-vocab
+    checkpoint (never broadcast - vocabulary is unbounded derived), a
+    per-doc count, and a 1-row TakeOrdered argmax that stays ON THE
+    CLUSTER (crossJoin-broadcast carries it into the next round — no
+    driver collect, the q110/q147 discipline); covered vocab is
+    localCheckpointed per round so the lazy plan stays constant-size.
+    Reads the shared `doc_term_frequencies` substrate — corpus scanned
+    once.  The oracle replays the identical greedy loop as a
+    list-state recursive CTE with a LATERAL argmax (q106's
+    one-statement-trainer precedent)."""
+    from database_migrator_spark.operators.textops import doc_term_frequencies
+
+    dt = doc_term_frequencies(spark, sf_dir).select("doc_id", "term")
+    covered = dt.select("term").where(F.lit(False)).localCheckpoint(eager=True)
+    sel_docs = dt.select("doc_id").where(F.lit(False)).localCheckpoint(eager=True)
+    rounds = []
+    for r in range(1, 6):
+        cand = (
+            dt.join(sel_docs, "doc_id", "left_anti")
+            .join(covered.hint("shuffle_merge"), "term", "left_anti")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("gain"))
+        )
+        pick = (
+            cand.orderBy(F.col("gain").desc(), "doc_id")
+            .limit(1)
+            .localCheckpoint(eager=True)  # 1 row, stays on the cluster
+        )
+        covered = (
+            covered.union(
+                dt.join(pick.select("doc_id"), "doc_id", "left_semi").select("term")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sel_docs = sel_docs.union(pick.select("doc_id")).localCheckpoint(eager=True)
+        total = covered.agg(F.count("*").alias("covered_total"))
+        rounds.append(
+            pick.crossJoin(F.broadcast(total)).select(
+                F.lit(r).cast("long").alias("round"),
+                "doc_id",
+                F.col("gain").alias("new_terms"),
+                "covered_total",
+            )
+        )
+    out = rounds[0]
+    for r_df in rounds[1:]:
+        out = out.union(r_df)
+    return out.orderBy("round")
