@@ -1003,3 +1003,12 @@ def test_stickiness_rolls_up_word_table(spark):
     assert "FileScan" not in p
     assert "Window" not in p
     assert "CartesianProduct" not in p
+
+
+def test_greedy_coverage_no_driver_collect_shape(spark):
+    """q199: the returned plan unions five 1-row broadcast-carried
+    picks — no corpus FileScan (tf substrate checkpoint), no cartesian;
+    the per-round argmax is TakeOrderedAndProject."""
+    p = plan_of(spark, "q199_greedy_coverage")
+    assert "FileScan" not in p
+    assert "CartesianProduct" not in p

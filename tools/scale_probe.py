@@ -183,6 +183,7 @@ PROBE_QUERIES = [
     "q196_qld_topk",
     "q197_rrf_fusion",
     "q198_bitmap_stickiness",
+    "q199_greedy_coverage",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
