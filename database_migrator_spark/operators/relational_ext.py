@@ -487,3 +487,97 @@ def q151_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q200_association_rules",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), n AS (
+        SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n FROM items
+    ), cnt AS (
+        SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM items GROUP BY p
+    ), freq AS (
+        SELECT p, c FROM cnt WHERE c >= 2
+    ), fitems AS (
+        SELECT i.o, i.p FROM items i JOIN freq USING (p)
+    ), pairs AS (
+        SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS pc
+        FROM fitems a JOIN fitems b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT pa AS part_a, pb AS part_b, pc AS pair_count,
+           ca.c AS count_a, cb.c AS count_b,
+           CAST(ROUND(CAST(pc AS DOUBLE) / n.n * 1000000000) AS BIGINT)
+               / 1000000000.0 AS support,
+           CAST(ROUND(CAST(pc AS DOUBLE) / ca.c * 1000000000) AS BIGINT)
+               / 1000000000.0 AS confidence,
+           CAST(ROUND(CAST(pc * n.n AS DOUBLE) / CAST(ca.c * cb.c AS DOUBLE)
+                      * 1000000000) AS BIGINT) / 1000000000.0 AS lift
+    FROM pairs
+    JOIN freq ca ON ca.p = pairs.pa
+    JOIN freq cb ON cb.p = pairs.pb, n
+    ORDER BY lift DESC, part_a, part_b LIMIT 20
+    """,
+    tags=("relational", "market-basket", "association-rules", "affinity"),
+)
+def q200_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules — support / confidence / lift for
+    part pairs co-purchased within an order, the Apriori 2-itemset tier:
+    the affinity primitive behind co-occurrence recommendations and
+    data-bundle detection.  Scale shape: the basket item table is
+    deduped and checkpointed ONCE; the a-priori PRUNE (only parts with
+    item-count >= min-support can appear in a frequent pair) runs
+    BEFORE pair enumeration, so the within-basket self-join — pinned
+    shuffle_merge on the basket key it is already clustered by — fans
+    out only over frequent items, bounded by basket-size² per order.
+    Part-count attachment is two joins against the parts-sized count
+    table (unbounded derived -> pinned shuffle_merge, never broadcast).
+    support/confidence/lift are single IEEE divisions of exact BIGINT
+    products, 1e-9 fixed-pointed; total order (lift desc, part_a,
+    part_b) with LIMIT 20 -> TakeOrderedAndProject."""
+    li = table(spark, sf_dir, "lineitem")
+    items = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=True)  # one shuffle; 3 consumers
+    )
+    n = items.agg(F.countDistinct("o").alias("n"))
+    cnt = items.groupBy("p").agg(F.count("*").alias("c"))
+    freq = cnt.where(F.col("c") >= 2)
+    fitems = items.join(freq.select("p").hint("shuffle_merge"), "p", "left_semi")
+    a = fitems.select("o", F.col("p").alias("pa"))
+    b = fitems.select("o", F.col("p").alias("pb"))
+    pairs = (
+        a.join(b.hint("shuffle_merge"), "o")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("pc"))
+        .where(F.col("pc") >= 2)
+    )
+    ca = freq.select(F.col("p").alias("pa"), F.col("c").alias("count_a"))
+    cb = freq.select(F.col("p").alias("pb"), F.col("c").alias("count_b"))
+    fp = lambda x: (F.round(x * F.lit(1e9)).cast("long") / F.lit(1e9))  # noqa: E731
+    return (
+        pairs.join(ca.hint("shuffle_merge"), "pa")
+        .join(cb.hint("shuffle_merge"), "pb")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            F.col("pc").alias("pair_count"),
+            "count_a",
+            "count_b",
+            fp(F.col("pc").cast("double") / F.col("n").cast("double")).alias("support"),
+            fp(F.col("pc").cast("double") / F.col("count_a").cast("double")).alias(
+                "confidence"
+            ),
+            fp(
+                (F.col("pc") * F.col("n")).cast("double")
+                / (F.col("count_a") * F.col("count_b")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(20)
+    )

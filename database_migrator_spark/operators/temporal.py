@@ -1794,3 +1794,111 @@ def q193_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q201_conversion_delay_quartiles",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), v AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'view'
+    ), delays AS (
+        SELECT p.event_id,
+               MIN(CAST(date_diff('second', v.ts, p.ts) AS BIGINT)) AS delay_s
+        FROM p JOIN v ON v.user_id = p.user_id
+        WHERE v.ts <= p.ts
+          AND date_diff('second', v.ts, p.ts) <= 1800
+        GROUP BY p.event_id
+    ), hist AS (
+        SELECT delay_s, CAST(COUNT(*) AS BIGINT) AS c FROM delays GROUP BY 1
+    ), cum AS (
+        SELECT delay_s, c,
+               CAST(SUM(c) OVER (ORDER BY delay_s ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum_c
+        FROM hist
+    ), tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(delay_s * c) AS BIGINT) AS s
+        FROM hist
+    )
+    SELECT tot.n AS n_conversions,
+           (SELECT MIN(delay_s) FROM cum WHERE cum_c >= (tot.n + 3) // 4)
+               AS p25_s,
+           (SELECT MIN(delay_s) FROM cum WHERE cum_c >= (tot.n + 1) // 2)
+               AS p50_s,
+           (SELECT MIN(delay_s) FROM cum WHERE cum_c >= (3 * tot.n + 3) // 4)
+               AS p75_s,
+           (SELECT MIN(delay_s) FROM cum WHERE cum_c >= (9 * tot.n + 9) // 10)
+               AS p90_s,
+           CAST(ROUND(CAST(tot.s AS DOUBLE) / tot.n * 1000000000) AS BIGINT)
+               / 1000000000.0 AS mean_s
+    FROM tot
+    """,
+    tags=("temporal", "funnel", "percentiles", "bounded-histogram"),
+)
+def q201_conversion_delay_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How long does conversion take?  Exact p25/p50/p75/p90 and mean of
+    the view->purchase delay (each purchase credited to the user's most
+    recent view at most 30 minutes prior — q163's lookback rule,
+    q159's time-bounded join) — the latency distribution behind funnel
+    SLOs.  Percentiles are EXACT but sort-free: delays land in a
+    bounded [0, 1800]-second histogram (checkpoint), and percentile_disc
+    = the smallest delay whose cumulative count reaches ceil(q*n),
+    computed with pure-integer ceilings ((q_num*n + q_den-1) DIV q_den)
+    on both engines — no engine quantile function whose boundary
+    convention could differ.  The only corpus-sized work is one
+    user-keyed purchase x view join (conditional-MIN aggregate, the
+    q175 shape); the histogram window is single-partition over <= 1801
+    rows (the bounded-derived-table exception)."""
+    e = table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("pts")
+    )
+    v = e.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts")
+    )
+    delay = F.unix_timestamp("pts") - F.unix_timestamp("vts")
+    delays = (
+        p.join(v, "user_id")
+        .where((F.col("vts") <= F.col("pts")) & (delay <= 1800))
+        .groupBy("event_id")
+        .agg(F.min(delay).alias("delay_s"))
+    )
+    hist = (
+        delays.groupBy("delay_s")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)  # bounded: <= 1801 rows
+    )
+    w = Window.orderBy("delay_s").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("delay_s", "c", F.sum("c").over(w).alias("cum_c"))
+    tot = hist.agg(
+        F.sum("c").alias("n"), F.sum(F.col("delay_s") * F.col("c")).alias("s")
+    )
+    cum_n = cum.crossJoin(F.broadcast(tot))
+    def pick(num: int, den: int, alias: str) -> DataFrame:
+        k = F.expr(f"({num} * n + {den} - 1) DIV {den}")
+        return (
+            cum_n.where(F.col("cum_c") >= k)
+            .agg(F.min("delay_s").alias(alias))
+        )
+    return (
+        tot.select(F.col("n").alias("n_conversions"), "n", "s")
+        .crossJoin(F.broadcast(pick(1, 4, "p25_s")))
+        .crossJoin(F.broadcast(pick(1, 2, "p50_s")))
+        .crossJoin(F.broadcast(pick(3, 4, "p75_s")))
+        .crossJoin(F.broadcast(pick(9, 10, "p90_s")))
+        .select(
+            "n_conversions",
+            "p25_s",
+            "p50_s",
+            "p75_s",
+            "p90_s",
+            (
+                F.round((F.col("s").cast("double") / F.col("n").cast("double")) * F.lit(1e9)).cast(
+                    "long"
+                )
+                / F.lit(1e9)
+            ).alias("mean_s"),
+        )
+    )
