@@ -1012,3 +1012,23 @@ def test_greedy_coverage_no_driver_collect_shape(spark):
     p = plan_of(spark, "q199_greedy_coverage")
     assert "FileScan" not in p
     assert "CartesianProduct" not in p
+
+
+def test_association_rules_pruned_shuffle_pairs(spark):
+    """q200: the within-basket self-join and both count attachments run
+    as pinned shuffle joins (never broadcast the parts-sized count
+    table); top-20 is TakeOrderedAndProject; no cartesian."""
+    p = plan_of(spark, "q200_association_rules")
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_conversion_quartiles_bounded_histogram(spark):
+    """q201: percentiles come from the <=1801-row histogram checkpoint
+    (no corpus FileScan in the returned plan), picks join by broadcast;
+    no corpus-wide sort or window."""
+    p = plan_of(spark, "q201_conversion_delay_quartiles")
+    assert "FileScan" not in p
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" not in p  # no top-k path needed

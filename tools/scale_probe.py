@@ -184,6 +184,8 @@ PROBE_QUERIES = [
     "q197_rrf_fusion",
     "q198_bitmap_stickiness",
     "q199_greedy_coverage",
+    "q200_association_rules",
+    "q201_conversion_delay_quartiles",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
