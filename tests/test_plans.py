@@ -351,7 +351,7 @@ def test_no_rdd_scans_anywhere(spark):
     for name, dq in _QS.items():
         if any(
             t in dq.tags
-            for t in ("streaming", "udtf", "minhash", "simhash", "semdedup", "pipeline", "bpe", "iterative", "decontamination", "ppjoin", "dense-hourly", "scd2", "diff", "bounded-artifact", "pmi", "bloom", "divergence", "contamination", "psi", "bounded-histogram", "rank", "assortativity", "containment", "triangles", "bitmap", "retrieval", "profiling")
+            for t in ("streaming", "udtf", "minhash", "simhash", "semdedup", "pipeline", "bpe", "iterative", "decontamination", "ppjoin", "dense-hourly", "scd2", "diff", "bounded-artifact", "pmi", "bloom", "divergence", "contamination", "psi", "bounded-histogram", "rank", "assortativity", "containment", "triangles", "bitmap", "retrieval", "profiling", "market-basket", "selection")
         ):
             continue
         p = _QS[name].build(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
