@@ -1902,3 +1902,115 @@ def q201_conversion_delay_quartiles(spark: SparkSession, sf_dir: str) -> DataFra
             ).alias("mean_s"),
         )
     )
+
+
+@query(
+    "q202_circular_peak_hour",
+    oracle="""
+    WITH hh AS (
+        SELECT event_type, CAST(hour(ts) AS BIGINT) AS h,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), trig AS (
+        SELECT event_type, h, c,
+               CAST(ROUND(sin(pi() * h / 12) * 1000000) AS BIGINT) AS s6,
+               CAST(ROUND(cos(pi() * h / 12) * 1000000) AS BIGINT) AS c6
+        FROM hh
+    ), sums AS (
+        SELECT event_type,
+               CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(c * s6) AS BIGINT) AS sfp,
+               CAST(SUM(c * c6) AS BIGINT) AS cfp
+        FROM trig GROUP BY 1
+    ), disc AS (
+        SELECT event_type, h AS peak_hour
+        FROM hh QUALIFY row_number() OVER (PARTITION BY event_type
+                                           ORDER BY c DESC, h) = 1
+    ), ang AS (
+        SELECT s.event_type, s.n, d.peak_hour,
+               atan2(CAST(s.sfp AS DOUBLE) / 1000000.0,
+                     CAST(s.cfp AS DOUBLE) / 1000000.0) AS a,
+               sqrt(CAST(s.sfp AS DOUBLE) * s.sfp + CAST(s.cfp AS DOUBLE) * s.cfp)
+                   / 1000000.0 / s.n AS r
+        FROM sums s JOIN disc d USING (event_type)
+    )
+    SELECT event_type, n, peak_hour,
+           CAST(ROUND((CASE WHEN a < 0 THEN a + 2 * pi() ELSE a END)
+                      / (2 * pi()) * 24 * 1000000) AS BIGINT)
+               / 1000000.0 AS circular_mean_hour,
+           CAST(ROUND(r * 1000000) AS BIGINT) / 1000000.0 AS resultant_length
+    FROM ang ORDER BY event_type
+    """,
+    tags=("temporal", "circular-statistics", "seasonality", "bounded-histogram"),
+)
+def q202_circular_peak_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular (directional) statistics of WHEN each event type
+    happens: the hour-of-day lives on a 24-hour circle, so the naive
+    arithmetic mean of hours is wrong across midnight — the correct
+    peak estimate is the circular mean atan2(Σ sin, Σ cos), and the
+    resultant length R in [0,1] is the concentration (1 = perfectly
+    periodic, 0 = uniform) — the one-number "is this diurnal?" read
+    next to q177's ACF.  Determinism: sin/cos are evaluated at only 24
+    distinct angles and 1e-6 fixed-pointed to BIGINTs per CELL, so the
+    corpus-weighted sums Σ c_h·s_h are EXACT integers (AQE-proof); only
+    the final atan2/sqrt run on identical doubles.  The discrete peak
+    hour (argmax cell, tie -> earliest) is pure-integer.  One corpus
+    scan folds to the bounded 24 x types histogram; everything after is
+    scale-free."""
+    e = table(spark, sf_dir, "events")
+    hh = (
+        e.groupBy("event_type", F.hour("ts").cast("long").alias("h"))
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)  # bounded: 24 x types
+    )
+    pi = 3.141592653589793
+    trig = hh.select(
+        "event_type",
+        "h",
+        "c",
+        F.round(F.sin(F.col("h") * F.lit(pi) / 12) * F.lit(1e6))
+        .cast("long")
+        .alias("s6"),
+        F.round(F.cos(F.col("h") * F.lit(pi) / 12) * F.lit(1e6))
+        .cast("long")
+        .alias("c6"),
+    )
+    sums = trig.groupBy("event_type").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("s6")).alias("sfp"),
+        F.sum(F.col("c") * F.col("c6")).alias("cfp"),
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("c").desc(), "h")
+    disc = (
+        hh.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("event_type", F.col("h").alias("peak_hour"))
+    )
+    a = F.atan2(
+        F.col("sfp").cast("double") / F.lit(1e6),
+        F.col("cfp").cast("double") / F.lit(1e6),
+    )
+    r = (
+        F.sqrt(
+            F.col("sfp").cast("double") * F.col("sfp")
+            + F.col("cfp").cast("double") * F.col("cfp")
+        )
+        / F.lit(1e6)
+        / F.col("n")
+    )
+    a_pos = F.when(a < 0, a + F.lit(2 * pi)).otherwise(a)
+    return (
+        sums.join(F.broadcast(disc), "event_type")
+        .select(
+            "event_type",
+            "n",
+            "peak_hour",
+            (F.round(a_pos / F.lit(2 * pi) * 24 * F.lit(1e6)).cast("long") / F.lit(1e6)).alias(
+                "circular_mean_hour"
+            ),
+            (F.round(r * F.lit(1e6)).cast("long") / F.lit(1e6)).alias(
+                "resultant_length"
+            ),
+        )
+        .orderBy("event_type")
+    )

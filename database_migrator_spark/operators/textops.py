@@ -2130,3 +2130,141 @@ def q197_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf_score").desc(), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "q203_js_divergence_matrix",
+    oracle=r"""
+    WITH dt AS (
+        SELECT source,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  t -> len(t) > 0)) AS tok
+        FROM documents
+    ), cnt AS (
+        SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM dt GROUP BY 1, 2
+    ), ns AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1
+    ), pairs AS (
+        SELECT a.source AS sa, b.source AS sb FROM ns a JOIN ns b
+        ON a.source < b.source
+    ), common AS (
+        SELECT p.sa, p.sb,
+               CAST(SUM(CAST(ROUND(
+                   (CAST(ca.c AS DOUBLE) / na.n)
+                   * ln(CAST(2 * ca.c * nb.n AS DOUBLE)
+                        / CAST(ca.c * nb.n + cb.c * na.n AS DOUBLE))
+                   * 1000000000000) AS BIGINT)) AS BIGINT) AS term_a_fp,
+               CAST(SUM(CAST(ROUND(
+                   (CAST(cb.c AS DOUBLE) / nb.n)
+                   * ln(CAST(2 * cb.c * na.n AS DOUBLE)
+                        / CAST(ca.c * nb.n + cb.c * na.n AS DOUBLE))
+                   * 1000000000000) AS BIGINT)) AS BIGINT) AS term_b_fp,
+               CAST(SUM(ca.c) AS BIGINT) AS mass_a,
+               CAST(SUM(cb.c) AS BIGINT) AS mass_b
+        FROM pairs p
+        JOIN cnt ca ON ca.source = p.sa
+        JOIN cnt cb ON cb.source = p.sb AND cb.tok = ca.tok
+        JOIN ns na ON na.source = p.sa
+        JOIN ns nb ON nb.source = p.sb
+        GROUP BY 1, 2
+    ), jsd AS (
+        SELECT c.sa, c.sb,
+               (CAST(c.term_a_fp AS DOUBLE) / 1000000000000.0
+                + (1.0 - CAST(c.mass_a AS DOUBLE) / na.n) * ln(2)
+                + CAST(c.term_b_fp AS DOUBLE) / 1000000000000.0
+                + (1.0 - CAST(c.mass_b AS DOUBLE) / nb.n) * ln(2)) / 2
+                   AS j
+        FROM common c
+        JOIN ns na ON na.source = c.sa
+        JOIN ns nb ON nb.source = c.sb
+    )
+    SELECT sa AS source_a, sb AS source_b,
+           CAST(ROUND(j * 1000000000) AS BIGINT) / 1000000000.0 AS jsd_nats,
+           CAST(ROUND(j / ln(2) * 1000000000) AS BIGINT) / 1000000000.0
+               AS jsd_normalized
+    FROM jsd ORDER BY source_a, source_b
+    """,
+    tags=("text", "divergence", "jensen-shannon", "llm-pipeline"),
+)
+def q203_js_divergence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source token
+    distributions — the SYMMETRIC, bounded [0, ln 2] companion of
+    q103's one-vs-corpus KL: the matrix a mixing pipeline reads to find
+    near-duplicate SOURCES (mirrors, syndication feeds) before setting
+    sampling rates.  Decomposition that avoids a full-outer token join:
+    for tokens present in BOTH sources the exact-ratio terms
+    p·ln(2·c_a·n_b/(c_a·n_b + c_b·n_a)) accumulate in 1e-12 fixed
+    point; tokens exclusive to one source contribute exactly p·ln 2, so
+    their total is (1 − common_mass/n)·ln 2 — computed from the SAME
+    inner join's mass sums, no anti-join pass.  One (source, tok)
+    corpus shuffle (checkpointed); the pair join fans out only over
+    tokens shared by a source pair, keyed on the token; per-source
+    totals broadcast.  Every ln input is a ratio of exact BIGINTs
+    (guarded); only the final /2 and /ln2 run on assembled doubles."""
+    d = spread_for_cpu(table(spark, sf_dir, "documents"))
+    cnt = (
+        d.select("source", F.explode(tokens_of("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)  # one corpus shuffle; all pairs read it
+    )
+    ns = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    ca = cnt.select(
+        F.col("source").alias("sa"), "tok", F.col("c").alias("c_a")
+    )
+    cb = cnt.select(
+        F.col("source").alias("sb"), "tok", F.col("c").alias("c_b")
+    )
+    na = ns.select(F.col("source").alias("sa"), F.col("n").alias("n_a"))
+    nb = ns.select(F.col("source").alias("sb"), F.col("n").alias("n_b"))
+    joined = (
+        ca.join(cb.hint("shuffle_merge"), "tok")
+        .where(F.col("sa") < F.col("sb"))
+        .join(F.broadcast(na), "sa")
+        .join(F.broadcast(nb), "sb")
+    )
+    cross_a = F.col("c_a") * F.col("n_b")
+    cross_b = F.col("c_b") * F.col("n_a")
+    in_bound = (cross_a + cross_b).cast("double") < F.lit(EXACT_DOUBLE_BOUND)
+    term = lambda c, n, cr: F.round(  # noqa: E731
+        (F.col(c).cast("double") / F.col(n))
+        * F.log((F.lit(2) * cr).cast("double") / (cross_a + cross_b).cast("double"))
+        * F.lit(1e12)
+    ).cast("long")
+    common = (
+        joined.where(
+            exactness_guard(
+                in_bound,
+                "q203: JSD cross product >= 2^53 — fixed-point terms would "
+                "silently lose precision",
+            )
+        )
+        .groupBy("sa", "sb")
+        .agg(
+            F.sum(term("c_a", "n_a", cross_a)).alias("term_a_fp"),
+            F.sum(term("c_b", "n_b", cross_b)).alias("term_b_fp"),
+            F.sum("c_a").alias("mass_a"),
+            F.sum("c_b").alias("mass_b"),
+        )
+    )
+    ln2 = float(__import__("math").log(2.0))
+    j = (
+        F.col("term_a_fp").cast("double") / F.lit(1e12)
+        + (F.lit(1.0) - F.col("mass_a").cast("double") / F.col("n_a")) * F.lit(ln2)
+        + F.col("term_b_fp").cast("double") / F.lit(1e12)
+        + (F.lit(1.0) - F.col("mass_b").cast("double") / F.col("n_b")) * F.lit(ln2)
+    ) / 2
+    return (
+        common.join(F.broadcast(na), "sa")
+        .join(F.broadcast(nb), "sb")
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            (F.round(j * F.lit(1e9)).cast("long") / F.lit(1e9)).alias("jsd_nats"),
+            (F.round(j / F.lit(ln2) * F.lit(1e9)).cast("long") / F.lit(1e9)).alias(
+                "jsd_normalized"
+            ),
+        )
+        .orderBy("source_a", "source_b")
+    )
