@@ -1032,3 +1032,22 @@ def test_conversion_quartiles_bounded_histogram(spark):
     assert "FileScan" not in p
     assert "CartesianProduct" not in p
     assert "TakeOrderedAndProject" not in p  # no top-k path needed
+
+
+def test_circular_stats_bounded_histogram(spark):
+    """q202: everything after the 24 x types histogram checkpoint is
+    scale-free — no corpus FileScan in the returned plan, the argmax
+    window runs over the bounded histogram, no cartesian."""
+    p = plan_of(spark, "q202_circular_peak_hour")
+    assert "FileScan" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_jsd_single_token_shuffle(spark):
+    """q203: one (source, tok) checkpoint feeds the pair join (pinned
+    shuffle on tok) and the broadcast totals; no corpus FileScan, no
+    cartesian."""
+    p = plan_of(spark, "q203_js_divergence_matrix")
+    assert "FileScan" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    assert "CartesianProduct" not in p
