@@ -267,3 +267,92 @@ def test_seq_length_histogram_bucket_boundaries(spark, tmp_path):
     assert rows[512]["n_docs"] == 1     # 512
     assert rows[1024]["n_docs"] == 1    # 2000
     assert abs(sum(r["frac_docs"] for r in rows.values()) - 1.0) < 1e-12
+
+
+def test_greedy_coverage_matches_python_reference(spark, tmp_path):
+    """q199 equals a pure-Python greedy on a corpus engineered with a
+    known selection order: doc 0 has the biggest vocabulary, then the
+    greedy picks by MARGINAL gain (not raw size), ties to lowest id."""
+    import pandas as pd
+
+    from database_migrator_spark.plans.registry import all_queries
+
+    texts = [
+        "a b c d e",        # gain 5 — picked first
+        "a b c d x",        # raw 5 but marginal 1 after doc0
+        "p q r",            # marginal 3 — picked second
+        "p q r s",          # superset of doc2: marginal 1 (s) after it
+        "x y",              # marginal 2 after doc1? x covered only if doc1 picked
+        "z",                # marginal 1
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+
+    # pure-Python greedy reference (ties -> lowest doc_id; only docs
+    # with gain >= 1 are candidates; no re-selection)
+    docterms = {i: set(t.split()) for i, t in enumerate(texts)}
+    covered: set = set()
+    chosen: list = []
+    expect = []
+    for r in range(1, 6):
+        best = None
+        for i, ts in docterms.items():
+            if i in chosen:
+                continue
+            g = len(ts - covered)
+            if g >= 1 and (best is None or g > best[1] or (g == best[1] and i < best[0])):
+                best = (i, g)
+        if best is None:
+            break
+        chosen.append(best[0])
+        covered |= docterms[best[0]]
+        expect.append((r, best[0], best[1], len(covered)))
+
+    got = [
+        (r["round"], r["doc_id"], r["new_terms"], r["covered_total"])
+        for r in all_queries()["q199_greedy_coverage"].build(spark, str(tmp_path)).collect()
+    ]
+    assert got == expect
+
+
+def test_phrase_proximity_hand_positions(spark, tmp_path):
+    """q195 on a corpus where the two highest-df length>=6 terms and
+    every pairwise distance are known by construction."""
+    import pandas as pd
+
+    from database_migrator_spark.plans.registry import all_queries
+
+    # "planet" and "galaxy" are the only len>=6 terms; df(planet)=3 >
+    # df(galaxy)=2 -> qa=planet, qb=galaxy
+    texts = [
+        "planet x galaxy",            # dist 2 -> within
+        "planet a b c d e f galaxy",  # dist 7 -> NOT within (<=4)
+        "planet only here",
+        "galaxy planet",              # dist 1, two pairs? one pos each
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    rows = {
+        r["doc_id"]: r
+        for r in all_queries()["q195_phrase_proximity"].build(spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == {0, 3}  # doc1 fails the <=4 bound, doc2 lacks galaxy
+    assert rows[0]["min_dist"] == 2 and rows[0]["n_within"] == 1
+    assert rows[3]["min_dist"] == 1 and rows[3]["n_within"] == 1
+    assert rows[0]["term_a"] == "planet" and rows[0]["term_b"] == "galaxy"

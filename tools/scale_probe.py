@@ -186,6 +186,8 @@ PROBE_QUERIES = [
     "q199_greedy_coverage",
     "q200_association_rules",
     "q201_conversion_delay_quartiles",
+    "q202_circular_peak_hour",
+    "q203_js_divergence_matrix",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
