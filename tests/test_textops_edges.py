@@ -356,3 +356,108 @@ def test_phrase_proximity_hand_positions(spark, tmp_path):
     assert rows[0]["min_dist"] == 2 and rows[0]["n_within"] == 1
     assert rows[3]["min_dist"] == 1 and rows[3]["n_within"] == 1
     assert rows[0]["term_a"] == "planet" and rows[0]["term_b"] == "galaxy"
+
+
+def test_bm25_matches_python_reference(spark, tmp_path):
+    """q191 equals a pure-Python BM25 (k1=1.2, b=0.75) on a tiny corpus
+    whose 3 query terms are known by construction."""
+    import math
+
+    import pandas as pd
+
+    from database_migrator_spark.plans.registry import all_queries
+
+    texts = [
+        "common1 common2 common3 filler",
+        "common1 common2 common3 common1 common1",
+        "common1 other words here now",
+        "common2 common3 nothing else",
+        "unrelated text entirely",
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+
+    toks = [t.split() for t in texts]
+    from collections import Counter
+
+    tfs = [Counter(t) for t in toks]
+    dls = [len(t) for t in toks]
+    n_docs, total = len(toks), sum(dls)
+    avgdl = total / n_docs
+    df = Counter()
+    for c in tfs:
+        df.update(c.keys())
+    qterms = sorted(
+        (t for t in df if len(t) >= 6), key=lambda t: (-df[t], t)
+    )[:3]
+    assert set(qterms) == {"common1", "common2", "common3"}
+    k1, b = 1.2, 0.75
+    want = {}
+    for i, c in enumerate(tfs):
+        fp = 0
+        hits = 0
+        for t in qterms:
+            tf = c.get(t, 0)
+            if tf == 0:
+                continue
+            hits += 1
+            idf = math.log((2 * n_docs - 2 * df[t] + 1) / (2 * df[t] + 1))
+            sat = tf * (k1 + 1) / (tf + k1 * (1 - b + b * dls[i] / avgdl))
+            fp += round(idf * sat * 1e12)
+        if hits:
+            want[i] = (hits, fp / 1e12)
+    got = {
+        r["doc_id"]: (r["n_terms_hit"], r["score"])
+        for r in all_queries()["q191_bm25_topk"].build(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0]
+        assert abs(got[i][1] - want[i][1]) < 1e-9
+
+
+def test_association_rules_hand_lift(spark, tmp_path):
+    """q200 on hand baskets: pair (1,2) occurs in 2 of 4 baskets with
+    count_1=3, count_2=2 -> support 0.5, confidence 2/3, lift 4/3."""
+    import pandas as pd
+
+    from database_migrator_spark.plans.registry import all_queries
+
+    rows = []
+    baskets = {10: [1, 2, 5], 20: [1, 2], 30: [1, 5], 40: [5, 7]}
+    ln = 0
+    for o, parts in baskets.items():
+        for p in parts:
+            rows.append((o, p, 1, ln))
+            ln += 1
+    pdf = pd.DataFrame(
+        rows, columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+    )
+    pdf["l_quantity"] = 1.0
+    pdf["l_extendedprice"] = 1.0
+    pdf["l_discount"] = 0.0
+    pdf["l_tax"] = 0.0
+    pdf["l_returnflag"] = "N"
+    pdf["l_linestatus"] = "O"
+    pdf["l_shipdate"] = pd.Timestamp("2024-01-01")
+    pdf.to_parquet(tmp_path / "lineitem.parquet")
+    got = {
+        (r["part_a"], r["part_b"]): r
+        for r in all_queries()["q200_association_rules"].build(spark, str(tmp_path)).collect()
+    }
+    # frequent parts: 1 (c=3), 2 (c=2), 5 (c=3); pairs with pc>=2:
+    # (1,2) pc=2 and (1,5) pc=2
+    assert set(got) == {(1, 2), (1, 5)}
+    r12 = got[(1, 2)]
+    assert r12["pair_count"] == 2 and r12["count_a"] == 3 and r12["count_b"] == 2
+    assert abs(r12["support"] - 0.5) < 1e-9
+    assert abs(r12["confidence"] - round(2 / 3 * 1e9) / 1e9) < 1e-12
+    assert abs(r12["lift"] - round(2 * 4 / (3 * 2) * 1e9) / 1e9) < 1e-12
