@@ -29,7 +29,7 @@ import pandas as pd  # module-global: postponed annotations in pandas_udf
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from database_migrator_spark.functions.exact import int_div
+from database_migrator_spark.functions.exact import int_div, to_cents
 
 from database_migrator_spark.plans.registry import query
 from database_migrator_spark.sources import spread_for_cpu, table
@@ -1622,4 +1622,74 @@ def q182_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         nodes.crossJoin(F.broadcast(counts))
         .crossJoin(F.broadcast(tri))
         .select("n_nodes", "n_edges", "n_wedges", "n_triangles", cc.alias("global_clustering"))
+    )
+
+
+@query(
+    "q204_record_linkage",
+    oracle="""
+    WITH cand AS (
+        SELECT c.c_custkey, s.s_suppkey,
+               CAST(levenshtein(substr(c.c_name, 10), substr(s.s_name, 10))
+                    AS BIGINT) AS lev,
+               abs(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)
+                   - CAST(ROUND(s.s_acctbal * 100) AS BIGINT)) AS bal_diff_cents
+        FROM customer c JOIN supplier s ON s.s_nationkey = c.c_nationkey
+    ), scored AS (
+        SELECT c_custkey, s_suppkey, lev, bal_diff_cents,
+               CAST(ROUND((0.6 * (9 - lev) / 9.0
+                           + 0.4 * (100000 - LEAST(bal_diff_cents, 100000))
+                             / 100000.0) * 1000000000) AS BIGINT)
+                   / 1000000000.0 AS score
+        FROM cand
+    )
+    SELECT c_custkey, s_suppkey, lev, bal_diff_cents, score
+    FROM scored WHERE score >= 0.8
+    ORDER BY score DESC, c_custkey, s_suppkey LIMIT 20
+    """,
+    tags=("dedup", "record-linkage", "blocking", "E15"),
+)
+def q204_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked RECORD LINKAGE across two entity tables — the classic
+    two-dataset sibling of within-corpus fuzzy dedup (q26/q78): match
+    customers to suppliers by a composite of edit similarity on the
+    entity-id digits and account-balance proximity, candidate pairs
+    generated ONLY within a blocking key (nationkey — the standard
+    linkage posture: never all-pairs across blocks; swap in sorted-
+    neighborhood or LSH blocks at higher cardinality).  The block join
+    is a plain equi hash join; levenshtein runs JVM-side (identical
+    definition in DuckDB); the composite score is evaluated with the
+    SAME operation order on both engines over exact-integer inputs
+    (lev in 0..9, balance delta in exact cents, capped), 1e-9
+    fixed-pointed; top-20 under a total order -> TakeOrdered."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").alias("nk"),
+        F.substring("c_name", 10, 9).alias("c_digits"),
+        to_cents("c_acctbal").alias("c_cents"),
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.col("s_nationkey").alias("nk"),
+        F.substring("s_name", 10, 9).alias("s_digits"),
+        to_cents("s_acctbal").alias("s_cents"),
+    )
+    lev = F.levenshtein("c_digits", "s_digits").cast("long")
+    bal = F.abs(F.col("c_cents") - F.col("s_cents"))
+    cand = c.join(F.broadcast(s), "nk").select(
+        "c_custkey", "s_suppkey", lev.alias("lev"), bal.alias("bal_diff_cents")
+    )
+    score = (
+        F.lit(0.6) * (F.lit(9) - F.col("lev")) / F.lit(9.0)
+        + F.lit(0.4)
+        * (F.lit(100000) - F.least(F.col("bal_diff_cents"), F.lit(100000)))
+        / F.lit(100000.0)
+    )
+    return (
+        cand.withColumn(
+            "score", F.round(score * F.lit(1e9)).cast("long") / F.lit(1e9)
+        )
+        .where(F.col("score") >= 0.8)
+        .orderBy(F.col("score").desc(), "c_custkey", "s_suppkey")
+        .limit(20)
     )

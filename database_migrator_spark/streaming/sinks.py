@@ -15,7 +15,11 @@ from pyspark.sql import DataFrame
 
 
 def foreach_batch_parquet(
-    stream_df: DataFrame, out_dir: str, checkpoint_dir: str, output_mode: str = "append"
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+    transform=None,
 ):
     """Write a streaming DataFrame to parquet, one idempotent directory
     per micro-batch (batch_id partition). Returns the started query.
@@ -23,9 +27,17 @@ def foreach_batch_parquet(
     Append mode (stateless row pipelines): the union of batch dirs is the
     stream, each row exactly once. For aggregations pass
     ``output_mode="complete"`` and read only the latest batch dir.
-    """
+
+    ``transform`` (optional, ``DataFrame -> DataFrame``) runs on each
+    micro-batch BEFORE the write — the per-batch partial-fold hook
+    (e.g. q205 folds raw events to bitmap words per batch, landing a
+    mergeable partial instead of raw rows). It must be deterministic:
+    a replayed batch must land identical content for the
+    overwrite-by-batch-id idempotence to hold."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if transform is not None:
+            batch_df = transform(batch_df)
         # overwrite-by-batch-id = replay-safe (exactly-once effective)
         batch_df.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch_id={batch_id}")
@@ -182,4 +194,53 @@ def q167_stream_jdbc_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.sum(cols["CENTS"]) / F.lit(100.0)).alias("total_value"),
         )
         .orderBy("event_type")
+    )
+
+
+@query(
+    "q205_stream_bitmap_dau",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    tags=("streaming", "bitmap", "distinct", "E17", "E10"),
+)
+def q205_stream_bitmap_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACT distinct-user counting — the E17 x E10b
+    composition: each micro-batch folds its rows to (day, word) bitmap
+    PARTIALS inside foreachBatch (the ``transform`` hook) and lands
+    them overwrite-by-batch-id; the read side OR-merges partials across
+    every batch and popcounts.  Equality with the batch
+    COUNT(DISTINCT) oracle proves the sketch's merge is lossless under
+    incremental ingest — the production shape for continuous DAU at
+    100 TB, where per-batch state is user-space/63 words instead of
+    raw rows, and a replayed batch lands byte-identical partials (the
+    fold is deterministic), so exactly-once survives restarts."""
+    from database_migrator_spark.operators.bitmapops import (
+        merge_words,
+        popcount,
+        user_bitmap_words,
+    )
+    from database_migrator_spark.scratch import scratch_dir
+    from database_migrator_spark.sources import events_stream
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    out = scratch_dir("q205_out", *key)
+    ckpt = scratch_dir("q205_ckpt", *key)
+    src = events_stream(spark, sf_dir).select(
+        F.date_trunc("day", "ts").alias("d"), "user_id"
+    )
+    q = foreach_batch_parquet(
+        src, out, ckpt, transform=lambda b: user_bitmap_words(b, "d")
+    )
+    q.awaitTermination()
+    partials = spark.read.parquet(out).select("d", "w", "bm")
+    return (
+        popcount(merge_words(partials, "d"), "d")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("n_distinct").alias("dau"),
+        )
+        .orderBy("day")
     )
