@@ -1051,3 +1051,12 @@ def test_jsd_single_token_shuffle(spark):
     assert "FileScan" not in p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_record_linkage_blocked_equi_join(spark):
+    """q204: candidates come ONLY from the nationkey equi join — never
+    a cross join; top-20 is TakeOrderedAndProject."""
+    p = plan_of(spark, "q204_record_linkage")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+    assert "TakeOrderedAndProject" in p
