@@ -188,6 +188,8 @@ PROBE_QUERIES = [
     "q201_conversion_delay_quartiles",
     "q202_circular_peak_hour",
     "q203_js_divergence_matrix",
+    "q204_record_linkage",
+    "q205_stream_bitmap_dau",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
