@@ -107,6 +107,19 @@ def main() -> None:
     t0 = time.perf_counter()
     doc_shingles_cached(spark, sf_dir)
     ingest["gram_fit"] = round(time.perf_counter() - t0, 2)
+    # round-8 session substrates: the retrieval family's tf table and
+    # the bitmap family's day-words fold — same once-per-deployment
+    # semantics as the artifacts above
+    from database_migrator_spark.operators.textops import doc_term_frequencies
+
+    t0 = time.perf_counter()
+    doc_term_frequencies(spark, sf_dir)
+    ingest["tf_fit"] = round(time.perf_counter() - t0, 2)
+    from database_migrator_spark.operators.bitmapops import day_user_words
+
+    t0 = time.perf_counter()
+    day_user_words(spark, sf_dir)
+    ingest["daywords_fit"] = round(time.perf_counter() - t0, 2)
     # spin up the Arrow/pandas worker pool once so the first pandas-UDF
     # query isn't charged Python worker startup
     def _warm(batches):
