@@ -2268,3 +2268,112 @@ def q203_js_divergence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+@query(
+    "q206_sparse_cosine_pairs",
+    oracle=f"""
+    WITH {_LEX_BASE_ORACLE}, band AS (
+        SELECT term, df FROM dfq WHERE df >= 2 AND df <= 100
+    ), w AS (
+        SELECT t.doc_id, t.term,
+               CAST(ROUND(t.tf * ln(CAST(s.n_docs AS DOUBLE) / b.df) * 1000)
+                    AS BIGINT) AS wfp
+        FROM tf t JOIN band b USING (term), stats s
+    ), norms AS (
+        SELECT doc_id, CAST(SUM(wfp * wfp) AS BIGINT) AS nsq
+        FROM w GROUP BY 1
+    ), dots AS (
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               CAST(SUM(a.wfp * b.wfp) AS BIGINT) AS dot
+        FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), scored AS (
+        SELECT da, db, dot,
+               CAST(ROUND(CAST(dot AS DOUBLE)
+                          / (sqrt(CAST(na.nsq AS DOUBLE))
+                             * sqrt(CAST(nb.nsq AS DOUBLE)))
+                          * 1000000000) AS BIGINT) / 1000000000.0 AS cosine
+        FROM dots
+        JOIN norms na ON na.doc_id = dots.da
+        JOIN norms nb ON nb.doc_id = dots.db
+        WHERE dot > 0
+    )
+    SELECT da AS doc_a, db AS doc_b, cosine
+    FROM scored WHERE cosine >= 0.5
+    ORDER BY cosine DESC, doc_a, doc_b LIMIT 20
+    """,
+    tags=("text", "retrieval", "sparse-cosine", "similarity-join", "llm-pipeline"),
+)
+def q206_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARSE lexical cosine similarity join — TF-IDF vector cosine via
+    the inverted-index (term-at-a-time) join: the document-similarity
+    metric that catches paraphrase-level overlap shingle Jaccard
+    (q162) misses and dense embeddings (q45) need a model for.  Terms
+    are restricted to the DISCRIMINATIVE df band [2, 100]: singletons
+    cannot pair, boilerplate terms would dominate the pair fan-out
+    (Σ df² explodes at corpus scale) — the standard index-prune, and
+    the similarity is defined over the pruned space on both engines.
+    Weights tf·ln(N/df) are 1e-3 fixed-pointed BIGINTs, so every pair
+    dot product Σ w_a·w_b and every norm Σ w² is an EXACT integer sum
+    (order-independent under AQE) off the ONE term-keyed shuffle join
+    — only the final sqrt/divide run on identical doubles, 1e-9-
+    rounded.  Pairs below cosine 0.5 drop; top-20 under a total order
+    -> TakeOrderedAndProject.  Reads the shared tf substrate: no new
+    corpus scan."""
+    tf, dl, stats, qt = _lex_query_terms(spark, sf_dir)
+    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    band = dfq.where((F.col("df") >= 2) & (F.col("df") <= 100))
+    w = (
+        tf.join(band.hint("shuffle_merge"), "term")
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+                * F.lit(1000)
+            )
+            .cast("long")
+            .alias("wfp"),
+        )
+        .localCheckpoint(eager=True)  # feeds norms + both join sides
+    )
+    norms = w.groupBy("doc_id").agg(F.sum(F.col("wfp") * F.col("wfp")).alias("nsq"))
+    a = w.select(F.col("doc_id").alias("da"), "term", F.col("wfp").alias("wa"))
+    b = w.select(F.col("doc_id").alias("db"), "term", F.col("wfp").alias("wb"))
+    dots = (
+        a.join(b.hint("shuffle_merge"), "term")
+        .where(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+        .where(F.col("dot") > 0)
+    )
+    na = norms.select(F.col("doc_id").alias("da"), F.col("nsq").alias("nsq_a"))
+    nb = norms.select(F.col("doc_id").alias("db"), F.col("nsq").alias("nsq_b"))
+    in_bound = (F.col("dot").cast("double") < F.lit(EXACT_DOUBLE_BOUND)) & (
+        F.col("nsq_a").cast("double") < F.lit(EXACT_DOUBLE_BOUND)
+    ) & (F.col("nsq_b").cast("double") < F.lit(EXACT_DOUBLE_BOUND))
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("nsq_a").cast("double")) * F.sqrt(F.col("nsq_b").cast("double"))
+    )
+    return (
+        dots.join(na.hint("shuffle_merge"), "da")
+        .join(nb.hint("shuffle_merge"), "db")
+        .where(
+            exactness_guard(
+                in_bound,
+                "q206: fixed-point dot/norm >= 2^53 — cosine would silently "
+                "lose precision",
+            )
+        )
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            (F.round(cos * F.lit(1e9)).cast("long") / F.lit(1e9)).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.5)
+        .orderBy(F.col("cosine").desc(), "doc_a", "doc_b")
+        .limit(20)
+    )

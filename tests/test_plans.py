@@ -1060,3 +1060,16 @@ def test_record_linkage_blocked_equi_join(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_sparse_cosine_inverted_index_join(spark):
+    """q206: the pair dot products come from ONE term-keyed shuffle
+    join over the banded postings checkpoint (never broadcast — the
+    postings table is corpus-sized); norms attach via pinned shuffle
+    joins; top-20 is TakeOrderedAndProject; no corpus FileScan (shared
+    tf substrate), no cartesian."""
+    p = plan_of(spark, "q206_sparse_cosine_pairs")
+    assert "FileScan" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "TakeOrderedAndProject" in p
