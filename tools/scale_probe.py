@@ -190,6 +190,7 @@ PROBE_QUERIES = [
     "q203_js_divergence_matrix",
     "q204_record_linkage",
     "q205_stream_bitmap_dau",
+    "q206_sparse_cosine_pairs",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
