@@ -1019,3 +1019,129 @@ def q199_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r_df in rounds[1:]:
         out = out.union(r_df)
     return out.orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# q207 — segment-level corpus dedup with keep-first reconstruction
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q207_segment_dedup_yield",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           t -> len(t) > 0) AS t
+        FROM documents
+    ), segs AS (
+        SELECT doc_id, source, i AS seg_idx,
+               array_to_string(t[10*i+1:10*i+10], ' ') AS seg,
+               len(t[10*i+1:10*i+10]) AS seg_len
+        FROM toks, unnest(range(0, (len(t) + 9) // 10)) AS u(i)
+    ), firsts AS (
+        SELECT seg, MIN(doc_id * 100000 + seg_idx) AS first_key
+        FROM segs GROUP BY seg
+    ), flagged AS (
+        SELECT s.source, s.doc_id, s.seg_len,
+               CASE WHEN s.doc_id * 100000 + s.seg_idx = f.first_key
+                    THEN 1 ELSE 0 END AS kept
+        FROM segs s JOIN firsts f USING (seg)
+    ), per_doc AS (
+        SELECT source, doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_segs,
+               CAST(SUM(kept) AS BIGINT) AS n_kept,
+               CAST(SUM(seg_len) AS BIGINT) AS n_tokens,
+               CAST(SUM(kept * seg_len) AS BIGINT) AS n_kept_tokens
+        FROM flagged GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_segs) AS BIGINT) AS n_segs,
+           CAST(SUM(n_kept) AS BIGINT) AS n_kept_segs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_kept_tokens) AS BIGINT) AS n_kept_tokens,
+           CAST(SUM(n_kept_tokens) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE)
+               AS token_yield,
+           CAST(SUM(CASE WHEN 2 * n_kept_tokens < n_tokens THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_gutted
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("text", "dedup", "segment", "curation", "c4-style", "llm-pipeline"),
+)
+def q207_segment_dedup_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level corpus dedup with keep-first reconstruction — the
+    C4/RefinedWeb 'duplicate paragraph removal' tier between q58's
+    whole-document hash dedup and q113/q118's overlapping-window span
+    signals: documents are cut into NON-overlapping 10-token segments
+    (the paragraph analog for the newline-free synthetic corpus,
+    trailing partial kept so token accounting is total), every segment
+    occurrence except the global first (min (doc_id, seg_idx), encoded
+    as one BIGINT key so both engines take the same min) is dropped,
+    and the report is the per-source yield a curation run budgets
+    against: segments/tokens before vs after, plus how many documents
+    lose >= half their tokens ('gutted' — candidates for whole-doc
+    drop).
+
+    Shape at scale: one explode to (doc, seg_idx, segment) rows, one
+    segment-keyed min aggregate, one segment-keyed join back (pinned
+    shuffle-merge — the segment table is corpus-sized and must never be
+    broadcast), then a bounded per-source rollup. Production would fold
+    segments to 128-bit digests before the shuffle; the string key
+    keeps the oracle exact cross-engine (q118's discipline)."""
+    d = _spread(spark, table(spark, sf_dir, "documents"))
+    toks = tokens_of("text")
+    segs = d.select(
+        "source",
+        "doc_id",
+        F.posexplode(
+            # guard: sequence(0, -1) would DESCEND for empty docs
+            F.when(
+                F.size(toks) > 0,
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.ceil(F.size(toks) / F.lit(10)).cast("int") - 1
+                    ),
+                    lambda i: F.slice(toks, i * 10 + 1, 10),
+                ),
+            ).otherwise(F.array().cast("array<array<string>>")),
+        ).alias("seg_idx", "seg_toks"),
+    ).select(
+        "source",
+        "doc_id",
+        (F.col("doc_id") * F.lit(100000) + F.col("seg_idx")).alias("key"),
+        F.array_join("seg_toks", " ").alias("seg"),
+        F.size("seg_toks").cast("long").alias("seg_len"),
+    )
+    firsts = segs.groupBy("seg").agg(F.min("key").alias("first_key"))
+    kept = (F.col("key") == F.col("first_key")).cast("long")
+    per_doc = (
+        segs.join(firsts.hint("shuffle_merge"), "seg")
+        .groupBy("source", "doc_id")
+        .agg(
+            F.count("*").alias("n_segs"),
+            F.sum(kept).alias("n_kept"),
+            F.sum("seg_len").alias("n_tokens"),
+            F.sum(kept * F.col("seg_len")).alias("n_kept_tokens"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_segs").alias("n_segs"),
+            F.sum("n_kept").alias("n_kept_segs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_kept_tokens").alias("n_kept_tokens"),
+            (
+                F.sum("n_kept_tokens").cast("double")
+                / F.sum("n_tokens").cast("double")
+            ).alias("token_yield"),
+            F.sum(
+                (F.lit(2) * F.col("n_kept_tokens") < F.col("n_tokens")).cast("long")
+            ).alias("n_docs_gutted"),
+        )
+        .orderBy("source")
+    )

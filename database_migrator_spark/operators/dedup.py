@@ -1693,3 +1693,170 @@ def q204_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "c_custkey", "s_suppkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q210 — MinHash sketch-fidelity evaluation on the verified pair set
+# ---------------------------------------------------------------------------
+
+
+def md5_slot_signatures(
+    docs: DataFrame, num_slots: int = 64, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Engine-portable MinHash signature rows (id, j, s12): slot j of a
+    document is MIN over its distinct 3-word shingles of the first 12
+    hex chars of md5(j || ' ' || shingle). Fixed-width lowercase hex
+    compares like the integer it encodes, so MIN-of-string IS min-hash
+    — reproducible by any engine with md5 (unlike xxhash64)."""
+    g = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(word_shingles(tokens_of(text_col)))).alias("g"),
+    )
+    slots = docs.sparkSession.range(0, num_slots).select(
+        F.col("id").cast("int").alias("j")
+    )
+    return (
+        g.crossJoin(F.broadcast(slots))
+        .groupBy("doc_id", "j")
+        .agg(
+            F.min(
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.col("j").cast("string"), F.col("g"))),
+                    1,
+                    12,
+                )
+            ).alias("s12")
+        )
+    )
+
+
+@query(
+    "q210_minhash_fidelity",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           t -> len(t) > 0) AS t
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                    THEN list_distinct(list_transform(
+                             generate_series(1, len(t) - 2),
+                             i -> array_to_string(t[i:i+2], ' ')))
+                    ELSE [array_to_string(t, ' ')]
+               END AS s
+        FROM toks
+    ), pairs AS (
+        SELECT a_id, b_id, jaccard FROM (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)
+                     AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        ) WHERE jaccard >= 0.6
+    ), pd AS (
+        SELECT a_id AS id FROM pairs UNION SELECT b_id FROM pairs
+    ), shx AS (
+        SELECT sh.doc_id, unnest(sh.s) AS g
+        FROM sh JOIN pd ON pd.id = sh.doc_id
+    ), slots AS (
+        SELECT unnest(generate_series(0, 63)) AS j
+    ), sig AS (
+        SELECT doc_id, j,
+               MIN(substr(md5(CAST(j AS VARCHAR) || ' ' || g), 1, 12)) AS s12
+        FROM shx CROSS JOIN slots
+        GROUP BY 1, 2
+    ), m AS (
+        SELECT p.a_id, p.b_id, p.jaccard,
+               CAST(SUM(CASE WHEN sa.s12 = sb.s12 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS matches
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.a_id
+        JOIN sig sb ON sb.doc_id = p.b_id AND sb.j = sa.j
+        GROUP BY 1, 2, 3
+    ), per AS (
+        SELECT LEAST(CAST(ROUND(jaccard * 1000000000) AS BIGINT) // 100000000,
+                     9) AS band,
+               CAST(ROUND(ABS(CAST(matches AS DOUBLE) / 64.0 - jaccard)
+                          * 1000000000) AS BIGINT) AS err9
+        FROM m
+    )
+    SELECT CAST(band AS BIGINT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(err9) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000000.0
+               AS mean_abs_err,
+           CAST(MAX(err9) AS DOUBLE) / 1000000000.0 AS max_abs_err
+    FROM per
+    GROUP BY band
+    ORDER BY band
+    """,
+    tags=("dedup", "minhash", "evaluation", "sketch-fidelity", "E15"),
+)
+def q210_minhash_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-FIDELITY evaluation — how well does a 64-slot MinHash
+    signature estimate true Jaccard on the pairs that matter? For every
+    exact-verified near-dup pair (the q66 provably-complete LSH+verify
+    set), the estimated similarity (matching signature slots / 64) is
+    compared against exact shingle Jaccard, reported per 0.1-wide
+    Jaccard band: pair count, mean and max absolute estimation error.
+    This is the calibration table that justifies band/row choices and
+    dedup thresholds before a 100 TB run — E[err] ~ sqrt(J(1-J)/64)
+    (~0.06 at J=0.6), so a mean far above that flags a broken sketch.
+
+    Engine-reproducible signatures WITHOUT xxhash: slot j of a document
+    is MIN over its distinct 3-word shingles of the first 12 hex chars
+    of md5(j || ' ' || shingle) — fixed-width lowercase hex compares
+    like the integer it encodes, so MIN-of-string IS min-hash and both
+    engines agree bit-for-bit (the q121/q37 md5-determinism recipe,
+    minus the integer parse). Banding math stays on integers: the band
+    index comes from the 1e-9 fixed-point jaccard, never from raw
+    double multiplication.
+
+    Shape at scale: signatures are computed ONLY for documents that
+    appear in a verified pair (semi-join first), the slot dimension is
+    a broadcast 64-row range, and the per-slot min is one (doc, j)
+    aggregate; the pair-to-signature joins are pinned shuffle-merge
+    because both sides are corpus-sized derived tables."""
+    d = table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        d, num_hashes=64, bands=32, threshold=0.6,
+        cache_key=_documents_cache_key(sf_dir),
+    ).localCheckpoint(eager=True)  # feeds the id set AND the match join
+    ids = (
+        pairs.select(F.col("a_id").alias("doc_id"))
+        .union(pairs.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    docs = spread_for_cpu(d.join(ids, "doc_id", "left_semi"))
+    sig = md5_slot_signatures(docs).localCheckpoint(
+        eager=True
+    )  # read twice (both pair sides)
+    sa = sig.select(F.col("doc_id").alias("a_id"), "j", F.col("s12").alias("sa"))
+    sb = sig.select(F.col("doc_id").alias("b_id"), "j", F.col("s12").alias("sb"))
+    m = (
+        pairs.join(sa.hint("shuffle_merge"), "a_id")
+        .join(sb.hint("shuffle_merge"), ["b_id", "j"])
+        .groupBy("a_id", "b_id", "jaccard")
+        .agg(F.sum((F.col("sa") == F.col("sb")).cast("long")).alias("matches"))
+    )
+    j9 = F.round(F.col("jaccard") * F.lit(1e9)).cast("long")
+    band = F.least(int_div(j9, F.lit(100000000)), F.lit(9).cast("long"))
+    err9 = F.round(
+        F.abs(F.col("matches").cast("double") / F.lit(64.0) - F.col("jaccard"))
+        * F.lit(1e9)
+    ).cast("long")
+    return (
+        m.select(band.cast("long").alias("band"), err9.alias("err9"))
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            (
+                F.sum("err9").cast("double")
+                / F.count("*").cast("double")
+                / F.lit(1e9)
+            ).alias("mean_abs_err"),
+            (F.max("err9").cast("double") / F.lit(1e9)).alias("max_abs_err"),
+        )
+        .orderBy("band")
+    )

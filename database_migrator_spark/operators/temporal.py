@@ -2014,3 +2014,118 @@ def q202_circular_peak_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q208_leadlag_xcorrelation",
+    oracle=f"""
+    WITH {_DENSE_HOURLY_ORACLE}, lags AS (
+        SELECT unnest(generate_series(1, 6)) AS lag
+    ), xc AS (
+        SELECT a.event_type AS type_lead, b.event_type AS type_follow, l.lag,
+               CAST(COUNT(*) AS BIGINT)       AS n_pairs,
+               CAST(SUM(a.c) AS BIGINT)       AS sx,
+               CAST(SUM(b.c) AS BIGINT)       AS sy,
+               CAST(SUM(a.c * b.c) AS BIGINT) AS sxy,
+               CAST(SUM(a.c * a.c) AS BIGINT) AS sxx,
+               CAST(SUM(b.c * b.c) AS BIGINT) AS syy
+        FROM lags l
+        CROSS JOIN dense a
+        JOIN dense b ON b.event_type <> a.event_type
+                    AND b.h = a.h + INTERVAL 1 HOUR * l.lag
+        GROUP BY 1, 2, 3
+    ), scored AS (
+        SELECT type_lead, type_follow, lag, n_pairs,
+               CAST(ROUND(
+                   CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                   / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)))
+                   * 1000000000) AS BIGINT) AS r9
+        FROM xc
+        WHERE n_pairs * sxx > sx * sx AND n_pairs * syy > sy * sy
+    ), best AS (
+        SELECT type_lead, type_follow, lag, n_pairs, r9,
+               row_number() OVER (PARTITION BY type_lead, type_follow
+                                  ORDER BY abs(r9) DESC, lag) AS rn
+        FROM scored
+    )
+    SELECT type_lead, type_follow,
+           CAST(lag AS BIGINT) AS best_lag, n_pairs,
+           r9 / 1000000000.0 AS xcorr
+    FROM best WHERE rn = 1
+    ORDER BY type_lead, type_follow
+    """,
+    tags=("temporal", "cross-correlation", "lead-lag", "dense-hourly"),
+)
+def q208_leadlag_xcorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between event types — 'does a surge in
+    views PRECEDE a surge in purchases, and by how many hours?': for
+    every ORDERED type pair (lead, follow) and lag 1-6 h, the Pearson
+    correlation of lead(h) vs follow(h+lag) over the densified hourly
+    grid, reporting each pair's best lag by |r| (tie -> smallest lag —
+    deterministic because the comparison runs on the 1e-9 fixed-point
+    INTEGER r9 on both engines, never on raw doubles). Completes the
+    correlation tier: q170 is lag-0, q177 is self-vs-self; this is the
+    directional leading-indicator matrix capacity planning reads.
+
+    Everything after the shared dense_hourly_counts checkpoint (one
+    corpus scan, amortized across q170-q172/q177/q183/q193) is bounded:
+    ~720 h x 5 types x 6 lags, exact BIGINT moment sums (n.Sxy - Sx.Sy
+    over identical integers), one double division 1e-9-rounded, and the
+    argmax window runs over the <=150-row scored table."""
+    dense = dense_hourly_counts(spark, sf_dir)
+    lags = spark.range(1, 7).select(F.col("id").cast("int").alias("lag"))
+    a = (
+        dense.crossJoin(F.broadcast(lags))
+        .withColumn("h2", F.col("h") + F.make_interval(hours=F.col("lag")))
+        .select(
+            F.col("event_type").alias("type_lead"), "lag", "h2", F.col("c").alias("ca")
+        )
+    )
+    b = dense.select(
+        F.col("event_type").alias("type_follow"),
+        F.col("h").alias("h2"),
+        F.col("c").alias("cb"),
+    )
+    xc = (
+        a.join(F.broadcast(b), "h2")
+        .where(F.col("type_follow") != F.col("type_lead"))
+        .groupBy("type_lead", "type_follow", "lag")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("ca").alias("sx"),
+            F.sum("cb").alias("sy"),
+            F.sum(F.col("ca") * F.col("cb")).alias("sxy"),
+            F.sum(F.col("ca") * F.col("ca")).alias("sxx"),
+            F.sum(F.col("cb") * F.col("cb")).alias("syy"),
+        )
+    )
+    r = (F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (
+        F.sqrt(
+            (F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        )
+        * F.sqrt(
+            (F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+        )
+    )
+    scored = xc.where(
+        (F.col("n_pairs") * F.col("sxx") > F.col("sx") * F.col("sx"))
+        & (F.col("n_pairs") * F.col("syy") > F.col("sy") * F.col("sy"))
+    ).withColumn("r9", F.round(r * F.lit(1e9)).cast("long"))
+    w = Window.partitionBy("type_lead", "type_follow").orderBy(
+        F.abs(F.col("r9")).desc(), F.col("lag")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "type_lead",
+            "type_follow",
+            F.col("lag").cast("long").alias("best_lag"),
+            "n_pairs",
+            (F.col("r9") / F.lit(1e9)).alias("xcorr"),
+        )
+        .orderBy("type_lead", "type_follow")
+    )

@@ -11,7 +11,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from database_migrator_spark.functions.exact import EXACT_DOUBLE_BOUND, exactness_guard
+from database_migrator_spark.functions.exact import (
+    EXACT_DOUBLE_BOUND,
+    exactness_guard,
+    int_div,
+)
 from database_migrator_spark.operators.dedup import tokens_of
 from database_migrator_spark.plans.registry import query
 from database_migrator_spark.sources import spread_for_cpu, table
@@ -2376,4 +2380,101 @@ def q206_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cosine") >= 0.5)
         .orderBy(F.col("cosine").desc(), "doc_a", "doc_b")
         .limit(20)
+    )
+
+
+@query(
+    "q209_token_gini_concentration",
+    oracle=r"""
+    WITH counts AS (
+        SELECT source,
+               CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                    t -> len(t) > 0)) AS BIGINT) AS v
+        FROM documents
+    ), hist AS (
+        SELECT source, v, CAST(COUNT(*) AS BIGINT) AS f
+        FROM counts GROUP BY 1, 2
+    ), cum AS (
+        SELECT source, v, f,
+               CAST(COALESCE(SUM(f) OVER (
+                   PARTITION BY source ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS fb
+        FROM hist
+    ), agg AS (
+        SELECT source,
+               CAST(SUM(f) AS BIGINT)     AS n,
+               CAST(SUM(v * f) AS BIGINT) AS sx,
+               CAST(SUM(v * (f * fb + (f * (f + 1)) // 2)) AS BIGINT) AS s1
+        FROM cum GROUP BY source
+    )
+    SELECT source, n AS n_docs, sx AS total_tokens,
+           CAST(ROUND(CAST(2 * s1 - (n + 1) * sx AS DOUBLE)
+                      / CAST(n * sx AS DOUBLE) * 1000000000) AS BIGINT)
+               / 1000000000.0 AS gini
+    FROM agg
+    WHERE sx > 0
+    ORDER BY source
+    """,
+    tags=("text", "gini", "concentration", "curation", "llm-pipeline"),
+)
+def q209_token_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-document token volume within each source —
+    the inequality diagnostic behind per-source budget decisions
+    (a source at G~0 contributes uniformly-sized documents; G->1 means
+    a few mega-documents carry the shard, so doc-level sampling rates
+    and dedup policies hit it very differently than its doc count
+    suggests). Complements q187's entropy (which sees only the
+    source-level totals) with the WITHIN-source shape.
+
+    Exactness without a corpus-wide sort: Gini needs the rank-weighted
+    sum over ASCENDING token counts, and ranks come from the q94/q125
+    two-level prefix-sum trick — collapse docs to the bounded (source,
+    token_count) histogram, take the running count over the histogram
+    (the only window, partitioned per source over a few hundred rows),
+    and expand each tie block's rank range in closed form:
+    sum_{i in block} i*v = v*(f*F_before + f(f+1)/2). Everything up to
+    the single 1e-9-rounded division is exact BIGINT arithmetic, and
+    G = (2*S1 - (n+1)*Sx) / (n*Sx) uses identical integers on both
+    engines (2^53 magnitudes guarded)."""
+    from pyspark.sql import Window
+
+    d = spread_for_cpu(table(spark, sf_dir, "documents"))
+    counts = d.select("source", token_count("text").alias("v"))
+    hist = counts.groupBy("source", "v").agg(F.count("*").alias("f"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.withColumn("fb", F.coalesce(F.sum("f").over(w), F.lit(0)))
+    block_s1 = F.col("v") * (
+        F.col("f") * F.col("fb") + int_div(F.col("f") * (F.col("f") + 1), F.lit(2))
+    )
+    agg = cum.groupBy("source").agg(
+        F.sum("f").alias("n"),
+        F.sum(F.col("v") * F.col("f")).alias("sx"),
+        F.sum(block_s1).alias("s1"),
+    )
+    num = F.lit(2) * F.col("s1") - (F.col("n") + 1) * F.col("sx")
+    den = F.col("n") * F.col("sx")
+    in_bound = (F.abs(num).cast("double") < F.lit(EXACT_DOUBLE_BOUND)) & (
+        den.cast("double") < F.lit(EXACT_DOUBLE_BOUND)
+    )
+    return (
+        agg.where(F.col("sx") > 0)
+        .where(
+            exactness_guard(
+                in_bound,
+                "q209: gini numerator/denominator >= 2^53 — double division "
+                "would silently lose precision",
+            )
+        )
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            F.col("sx").alias("total_tokens"),
+            (F.round(num.cast("double") / den.cast("double") * F.lit(1e9)).cast("long") / F.lit(1e9)).alias("gini"),
+        )
+        .orderBy("source")
     )

@@ -321,3 +321,46 @@ def test_neardup_triangles_match_python_closure(spark):
     assert row["n_wedges"] == want_wedges
     assert row["n_edges"] == len(pairs)
     assert row["n_nodes"] == len(adj)
+
+
+def test_md5_slot_signatures_match_pure_python(spark):
+    """q210's engine-portable signature: Spark's (doc, j) min-of-md5-hex
+    rows equal a pure-Python hashlib replay, and the slot-agreement
+    estimate lands near exact Jaccard for a crafted near-dup pair."""
+    import hashlib
+
+    from database_migrator_spark.operators.dedup import md5_slot_signatures
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = {
+        1: base,
+        2: base + " extra",  # high-Jaccard near-dup of 1
+        3: "one two three four five six seven eight nine ten",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["j"]): r["s12"]
+        for r in md5_slot_signatures(docs, num_slots=16).collect()
+    }
+
+    def shingles(text):
+        toks = text.lower().split()
+        if len(toks) >= 3:
+            return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        return {" ".join(toks)}
+
+    want = {}
+    for i, t in texts.items():
+        for j in range(16):
+            want[(i, j)] = min(
+                hashlib.md5(f"{j} {g}".encode()).hexdigest()[:12]
+                for g in shingles(t)
+            )
+    assert got == want
+
+    s1, s2 = shingles(texts[1]), shingles(texts[2])
+    exact = len(s1 & s2) / len(s1 | s2)
+    est = sum(1 for j in range(16) if want[(1, j)] == want[(2, j)]) / 16
+    assert abs(est - exact) <= 0.3  # 16 slots: sd ~ sqrt(J(1-J)/16) ~ 0.12

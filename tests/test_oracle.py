@@ -56,7 +56,17 @@ def test_entry_contract(spark):
 # ---------------------------------------------------------------------------
 
 SF01 = "/root/testdata/sf0.1"
-_SF01_EXCLUDED_QIDS = {"q66", "q72", "q90", "q101", "q115", "q127", "q146", "q182"}
+_SF01_EXCLUDED_QIDS = {
+    "q66",
+    "q72",
+    "q90",
+    "q101",
+    "q115",
+    "q127",
+    "q146",
+    "q182",
+    "q210",
+}
 _SF01_QUERIES = [
     n for n in _WITH_ORACLE if n.split("_", 1)[0] not in _SF01_EXCLUDED_QIDS
 ]

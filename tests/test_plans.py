@@ -1073,3 +1073,40 @@ def test_sparse_cosine_inverted_index_join(spark):
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_segment_dedup_single_seg_shuffle(spark):
+    """q207: segments flow through ONE segment-keyed min aggregate and
+    ONE segment-keyed join back (pinned shuffle — the segment table is
+    corpus-sized, never broadcast); per-source rollup after."""
+    p = plan_of(spark, "q207_segment_dedup_yield")
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_leadlag_runs_on_dense_grid(spark):
+    """q208: no corpus FileScan in the returned plan (shared
+    dense_hourly_counts checkpoint); the lag dimension and shifted grid
+    attach via broadcast; argmax window over the bounded scored table."""
+    p = plan_of(spark, "q208_leadlag_xcorrelation")
+    assert "FileScan" not in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_gini_histogram_prefix_sum(spark):
+    """q209: the only window runs over the bounded (source, token_count)
+    histogram AFTER the corpus collapses to counts — no corpus-wide
+    sort, no cartesian."""
+    p = plan_of(spark, "q209_token_gini_concentration")
+    assert "Window" in p
+    assert "CartesianProduct" not in p
+
+
+def test_minhash_fidelity_pinned_joins(spark):
+    """q210: signature tables join the pair set via pinned shuffle
+    (both corpus-sized derived tables); the 64-slot dimension is the
+    only broadcast; no cartesian."""
+    p = plan_of(spark, "q210_minhash_fidelity")
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    assert "CartesianProduct" not in p
