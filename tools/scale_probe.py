@@ -191,6 +191,10 @@ PROBE_QUERIES = [
     "q204_record_linkage",
     "q205_stream_bitmap_dau",
     "q206_sparse_cosine_pairs",
+    "q207_segment_dedup_yield",
+    "q208_leadlag_xcorrelation",
+    "q209_token_gini_concentration",
+    "q210_minhash_fidelity",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
