@@ -15,7 +15,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from database_migrator_spark.functions.exact import int_div, to_cents
+from database_migrator_spark.functions.exact import (
+    EXACT_DOUBLE_BOUND,
+    exactness_guard,
+    int_div,
+    to_cents,
+)
 from database_migrator_spark.plans.registry import query
 from database_migrator_spark.sources import table
 
@@ -2128,4 +2133,137 @@ def q208_leadlag_xcorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("r9") / F.lit(1e9)).alias("xcorr"),
         )
         .orderBy("type_lead", "type_follow")
+    )
+
+
+@query(
+    "q211_diurnal_variance_explained",
+    oracle=f"""
+    WITH {_DENSE_HOURLY_ORACLE}, complete AS (
+        SELECT event_type, CAST(h AS DATE) AS d
+        FROM dense GROUP BY 1, 2 HAVING COUNT(*) = 24
+    ), rows_c AS (
+        SELECT dense.event_type, hour(dense.h) AS g,
+               CAST(dense.h AS DATE) AS d, dense.c
+        FROM dense
+        JOIN complete ON complete.event_type = dense.event_type
+                     AND complete.d = CAST(dense.h AS DATE)
+    ), per_g AS (
+        SELECT event_type, g, CAST(SUM(c) AS BIGINT) AS sg
+        FROM rows_c GROUP BY 1, 2
+    ), per_t AS (
+        SELECT event_type,
+               CAST(COUNT(DISTINCT d) AS BIGINT) AS nd,
+               CAST(SUM(c) AS BIGINT)            AS s,
+               CAST(SUM(c * c) AS BIGINT)        AS q
+        FROM rows_c GROUP BY 1
+    ), g2 AS (
+        SELECT event_type, CAST(SUM(sg * sg) AS BIGINT) AS g2
+        FROM per_g GROUP BY 1
+    ), ranked AS (
+        SELECT event_type, g, sg,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY sg DESC, g) AS rp,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY sg ASC, g) AS rt
+        FROM per_g
+    )
+    SELECT t.event_type, t.nd AS n_days,
+           CAST(ROUND(CAST(24 * g2.g2 - t.s * t.s AS DOUBLE)
+                      / CAST(24 * t.nd * t.q - t.s * t.s AS DOUBLE)
+                      * 1000000000) AS BIGINT) / 1000000000.0
+               AS r2_diurnal,
+           CAST(p.g AS BIGINT) AS peak_hour,
+           CAST(tr.g AS BIGINT) AS trough_hour
+    FROM per_t t
+    JOIN g2 USING (event_type)
+    JOIN ranked p  ON p.event_type = t.event_type AND p.rp = 1
+    JOIN ranked tr ON tr.event_type = t.event_type AND tr.rt = 1
+    WHERE 24 * t.nd * t.q - t.s * t.s > 0
+    ORDER BY t.event_type
+    """,
+    tags=("temporal", "anova", "seasonality", "variance", "dense-hourly"),
+)
+def q211_diurnal_variance_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of each event type's hourly variance is the DAILY CYCLE?
+    One-way ANOVA R² with hour-of-day as the factor: SSB/SST over the
+    densified grid restricted to COMPLETE days (every hour-of-day group
+    then has exactly n_days members, which is what makes the ratio a
+    pure integer expression — R² = (24·Σ S_g² − S²) / (24·D·Σx² − S²)
+    with S_g the per-hour-of-day sums; unbalanced groups would force
+    per-group rationals). The actionable read next to q177's ACF
+    (which detects the cycle) and q202's resultant length (which
+    measures timing concentration): R² says what fraction of capacity
+    variance a per-hour-of-day model explains, i.e. whether diurnal
+    scheduling is worth anything for this stream. Peak/trough hours
+    are integer argmax/argmin (tie → earliest hour).
+
+    Everything downstream of the shared dense_hourly_counts checkpoint
+    is bounded (≤ 24 × types × days rows collapse immediately to 24 ×
+    types); exact BIGINT sums under a 2^53 guard, one 1e-9-rounded
+    division per type."""
+    dense = dense_hourly_counts(spark, sf_dir)
+    rows_c = dense.select(
+        "event_type",
+        F.hour("h").alias("g"),
+        F.to_date("h").alias("d"),
+        "c",
+    )
+    complete = (
+        rows_c.groupBy("event_type", "d")
+        .agg(F.count("*").alias("nh"))
+        .where(F.col("nh") == 24)
+        .drop("nh")
+    )
+    rows_c = rows_c.join(F.broadcast(complete), ["event_type", "d"])
+    per_g = rows_c.groupBy("event_type", "g").agg(F.sum("c").alias("sg"))
+    per_t = rows_c.groupBy("event_type").agg(
+        F.countDistinct("d").alias("nd"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+    )
+    g2 = per_g.groupBy("event_type").agg(F.sum(F.col("sg") * F.col("sg")).alias("g2"))
+    wp = Window.partitionBy("event_type").orderBy(F.col("sg").desc(), "g")
+    wt = Window.partitionBy("event_type").orderBy(F.col("sg").asc(), "g")
+    ranked = per_g.select(
+        "event_type",
+        "g",
+        "sg",
+        F.row_number().over(wp).alias("rp"),
+        F.row_number().over(wt).alias("rt"),
+    )
+    peak = ranked.where(F.col("rp") == 1).select(
+        "event_type", F.col("g").cast("long").alias("peak_hour")
+    )
+    trough = ranked.where(F.col("rt") == 1).select(
+        "event_type", F.col("g").cast("long").alias("trough_hour")
+    )
+    num = F.lit(24) * F.col("g2") - F.col("s") * F.col("s")
+    den = F.lit(24) * F.col("nd") * F.col("q") - F.col("s") * F.col("s")
+    # the long products themselves must stay exact: S < sqrt(2^63),
+    # 24·D·Q under 2^53 keeps the final double division lossless too
+    in_bound = (F.col("s").cast("double") < F.lit(3.0e9)) & (
+        F.lit(24.0) * F.col("nd").cast("double") * F.col("q").cast("double")
+        < F.lit(EXACT_DOUBLE_BOUND)
+    )
+    return (
+        per_t.join(F.broadcast(g2), "event_type")
+        .join(F.broadcast(peak), "event_type")
+        .join(F.broadcast(trough), "event_type")
+        .where(
+            exactness_guard(
+                in_bound,
+                "q211: ANOVA moment sums past exact-integer bounds — R² "
+                "would silently lose precision",
+            )
+        )
+        .where(den > 0)
+        .select(
+            "event_type",
+            F.col("nd").alias("n_days"),
+            (F.round(num.cast("double") / den.cast("double") * F.lit(1e9)).cast("long") / F.lit(1e9)).alias("r2_diurnal"),
+            "peak_hour",
+            "trough_hour",
+        )
+        .orderBy("event_type")
     )

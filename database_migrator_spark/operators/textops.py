@@ -2478,3 +2478,127 @@ def q209_token_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q212_distinctive_terms_logodds",
+    oracle=r"""
+    WITH dt AS (
+        SELECT source,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  t -> len(t) > 0)) AS tok
+        FROM documents
+    ), cnt AS (
+        SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM dt GROUP BY 1, 2
+    ), ns AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM cnt GROUP BY 1
+    ), yw AS (
+        SELECT tok, CAST(SUM(c) AS BIGINT) AS y_w FROM cnt GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt
+    ), sc AS (
+        SELECT cnt.source, cnt.tok, cnt.c, ns.n_s, yw.y_w, tot.n,
+               1000.0 * yw.y_w / tot.n AS aw
+        FROM cnt
+        JOIN ns USING (source)
+        JOIN yw USING (tok)
+        CROSS JOIN tot
+        WHERE cnt.c >= 5
+    ), z AS (
+        SELECT source, tok, c, y_w,
+               CAST(ROUND(
+                   (ln((c + aw) / (n_s + 1000.0 - c - aw))
+                    - ln((y_w - c + aw)
+                         / (n - n_s + 1000.0 - (y_w - c) - aw)))
+                   / sqrt(1.0 / (c + aw) + 1.0 / (y_w - c + aw))
+                   * 1000000000) AS BIGINT) AS z9
+        FROM sc
+        WHERE n_s + 1000.0 - c - aw > 0
+          AND n - n_s + 1000.0 - (y_w - c) - aw > 0
+    ), ranked AS (
+        SELECT source, tok, c, y_w, z9,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY z9 DESC, tok) AS rn
+        FROM z
+    )
+    SELECT source, tok AS term, c AS n_occurrences, y_w AS corpus_count,
+           z9 / 1000000000.0 AS log_odds_z
+    FROM ranked WHERE rn <= 10
+    ORDER BY source, log_odds_z DESC, term
+    """,
+    tags=("text", "log-odds", "distinctive-terms", "curation", "llm-pipeline"),
+)
+def q212_distinctive_terms_logodds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHAT makes each source different — top-10 distinctive terms by
+    the Monroe et al. log-odds ratio with an informative Dirichlet
+    prior (the lexical contrast statistic that fixes both raw-ratio
+    small-count blowups and TF-IDF's indifference to the comparison
+    corpus): source-vs-rest log-odds delta, shrunk by a prior
+    proportional to corpus frequency (a0 = 1000 pseudo-tokens),
+    standardized by its estimated variance. The curation read next to
+    q187 (entropy says HOW diverse, this says WITH WHAT) and q103/q203
+    (divergence says HOW FAR, this names the terms).
+
+    Determinism: every double is assembled per-row from exact BIGINTs
+    (c, n_s, y_w, n) in identical expression order on both engines —
+    there are no cross-row float sums anywhere; the ranking key is the
+    1e-9 fixed-point INTEGER z9 with term tiebreak. Shape at scale:
+    one (source, tok) corpus shuffle; the vocab-sized y_w margin joins
+    back token-keyed (pinned shuffle-merge, never broadcast); the
+    bounded per-source margin and scalar total broadcast; the top-10
+    filter compiles to WindowGroupLimit, so no source partition is
+    ever fully sorted."""
+    d = spread_for_cpu(table(spark, sf_dir, "documents"))
+    cnt = (
+        d.select("source", F.explode(tokens_of("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)  # margins + candidates derive from it
+    )
+    ns = cnt.groupBy("source").agg(F.sum("c").alias("n_s"))
+    yw = cnt.groupBy("tok").agg(F.sum("c").alias("y_w"))
+    tot = cnt.agg(F.sum("c").alias("n"))
+    sc = (
+        cnt.where(F.col("c") >= 5)
+        .join(F.broadcast(ns), "source")
+        .join(yw.hint("shuffle_merge"), "tok")
+        .crossJoin(F.broadcast(tot))
+        .where(
+            exactness_guard(
+                F.col("n").cast("double") < F.lit(EXACT_DOUBLE_BOUND),
+                "q212: corpus token total >= 2^53 — log-odds doubles would "
+                "silently lose precision",
+            )
+        )
+    )
+    aw = F.lit(1000.0) * F.col("y_w") / F.col("n")
+    den1 = F.col("n_s") + F.lit(1000.0) - F.col("c") - aw
+    den2 = (
+        F.col("n") - F.col("n_s") + F.lit(1000.0)
+        - (F.col("y_w") - F.col("c")) - aw
+    )
+    delta = F.log((F.col("c") + aw) / den1) - F.log(
+        (F.col("y_w") - F.col("c") + aw) / den2
+    )
+    var = F.lit(1.0) / (F.col("c") + aw) + F.lit(1.0) / (
+        F.col("y_w") - F.col("c") + aw
+    )
+    z9 = F.round(delta / F.sqrt(var) * F.lit(1e9)).cast("long")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.col("z9").desc(), "tok")
+    return (
+        sc.where((den1 > 0) & (den2 > 0))
+        .withColumn("z9", z9)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select(
+            "source",
+            F.col("tok").alias("term"),
+            F.col("c").alias("n_occurrences"),
+            F.col("y_w").alias("corpus_count"),
+            (F.col("z9") / F.lit(1e9)).alias("log_odds_z"),
+        )
+        .orderBy("source", F.col("log_odds_z").desc(), "term")
+    )

@@ -1110,3 +1110,23 @@ def test_minhash_fidelity_pinned_joins(spark):
     p = plan_of(spark, "q210_minhash_fidelity")
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_anova_runs_on_dense_grid(spark):
+    """q211: no corpus FileScan (shared dense_hourly_counts checkpoint);
+    moment joins broadcast-bounded; windows only over the 24-row
+    per-type hour table."""
+    p = plan_of(spark, "q211_diurnal_variance_explained")
+    assert "FileScan" not in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_logodds_topk_is_window_group_limit(spark):
+    """q212: the vocab-sized y_w margin joins back via pinned shuffle
+    (never broadcast); the per-source top-10 compiles to
+    WindowGroupLimit, so no source partition is globally sorted."""
+    p = plan_of(spark, "q212_distinctive_terms_logodds")
+    assert "WindowGroupLimit" in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    assert "CartesianProduct" not in p
