@@ -195,6 +195,8 @@ PROBE_QUERIES = [
     "q208_leadlag_xcorrelation",
     "q209_token_gini_concentration",
     "q210_minhash_fidelity",
+    "q211_diurnal_variance_explained",
+    "q212_distinctive_terms_logodds",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
