@@ -641,3 +641,116 @@ def q192_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col_name")
     )
+
+
+@query(
+    "q214_referential_integrity",
+    oracle="""
+    WITH rels AS (
+        SELECT 'events.user_id->customer' AS relationship,
+               CAST(COUNT(*) AS BIGINT) AS n_child,
+               CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_orphans,
+               CAST(COUNT(DISTINCT CASE WHEN c.c_custkey IS NULL
+                                        THEN e.user_id END) AS BIGINT)
+                   AS n_orphan_keys
+        FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+        UNION ALL
+        SELECT 'lineitem.l_orderkey->orders',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(COUNT(DISTINCT CASE WHEN o.o_orderkey IS NULL
+                                        THEN l.l_orderkey END) AS BIGINT)
+        FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+        UNION ALL
+        SELECT 'lineitem.l_partkey->part',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(COUNT(DISTINCT CASE WHEN p.p_partkey IS NULL
+                                        THEN l.l_partkey END) AS BIGINT)
+        FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_partkey
+        UNION ALL
+        SELECT 'lineitem.l_suppkey->supplier',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(COUNT(DISTINCT CASE WHEN s.s_suppkey IS NULL
+                                        THEN l.l_suppkey END) AS BIGINT)
+        FROM lineitem l LEFT JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        UNION ALL
+        SELECT 'orders.o_custkey->customer',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(COUNT(DISTINCT CASE WHEN c.c_custkey IS NULL
+                                        THEN o.o_custkey END) AS BIGINT)
+        FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    )
+    SELECT relationship, n_child, n_orphans, n_orphan_keys,
+           CAST(n_orphans AS DOUBLE) / CAST(n_child AS DOUBLE) AS orphan_rate
+    FROM rels
+    ORDER BY relationship
+    """,
+    tags=("etl", "data-quality", "referential-integrity", "audit"),
+)
+def q214_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit — the FK orphan report a
+    warehouse runs after every load (q61 checks WITHIN-table nulls /
+    ranges / duplicates; this checks BETWEEN tables): for each declared
+    child→parent relationship, total child rows, rows whose key has no
+    parent, distinct orphan keys, and the orphan rate. Includes the
+    deliberately-unconstrained events.user_id→customer edge — event
+    streams are exactly where real pipelines leak unknown actors.
+
+    Shape at scale: each relationship is ONE left join on its key (the
+    parent side projected to the key column — Catalyst broadcasts the
+    small dims and shuffle-joins the big ones) folded immediately to a
+    4-number summary; the lineitem key projection is checkpointed once
+    and reused by its three relationship branches instead of re-scanning
+    the fact table."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey")
+        .localCheckpoint(eager=True)  # 3 relationship branches read it
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    e = table(spark, sf_dir, "events")
+
+    def audit(rel, child, key, parent, pkey):
+        j = child.select(F.col(key)).join(
+            parent.select(F.col(pkey)).distinct(),
+            F.col(key) == F.col(pkey),
+            "left",
+        )
+        orphan = F.col(pkey).isNull()
+        return j.agg(
+            F.lit(rel).alias("relationship"),
+            F.count("*").alias("n_child"),
+            F.sum(orphan.cast("long")).alias("n_orphans"),
+            F.countDistinct(F.when(orphan, F.col(key))).alias("n_orphan_keys"),
+        ).select(
+            "relationship",
+            "n_child",
+            "n_orphans",
+            "n_orphan_keys",
+            (F.col("n_orphans").cast("double") / F.col("n_child").cast("double")).alias(
+                "orphan_rate"
+            ),
+        )
+
+    parts = [
+        audit("events.user_id->customer", e, "user_id", c, "c_custkey"),
+        audit("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+        audit("lineitem.l_partkey->part", li, "l_partkey",
+              table(spark, sf_dir, "part"), "p_partkey"),
+        audit("lineitem.l_suppkey->supplier", li, "l_suppkey",
+              table(spark, sf_dir, "supplier"), "s_suppkey"),
+        audit("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out.orderBy("relationship")

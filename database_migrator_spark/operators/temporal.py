@@ -2267,3 +2267,95 @@ def q211_diurnal_variance_explained(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q215_interarrival_burstiness",
+    oracle="""
+    WITH gaps AS (
+        SELECT event_type,
+               (epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id))) // 1000000 AS gap_s
+        FROM events
+    ), g AS (
+        SELECT event_type, gap_s FROM gaps WHERE gap_s IS NOT NULL
+    ), agg AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT)              AS n_gaps,
+               CAST(SUM(gap_s) AS BIGINT)            AS s,
+               CAST(SUM(gap_s * gap_s) AS BIGINT)    AS q
+        FROM g GROUP BY event_type
+    )
+    SELECT event_type, n_gaps,
+           CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_s,
+           CAST(ROUND((CAST(n_gaps AS DOUBLE) * CAST(q AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                      / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                      * 1000000000) AS BIGINT)
+               / 1000000000.0 AS cv_squared,
+           CAST(ROUND((CAST(n_gaps AS DOUBLE) * CAST(q AS DOUBLE)
+                       - 2.0 * CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                      / (CAST(n_gaps AS DOUBLE) * CAST(q AS DOUBLE))
+                      * 1000000000) AS BIGINT)
+               / 1000000000.0 AS burstiness
+    FROM agg
+    WHERE s > 0 AND q > 0
+    ORDER BY event_type
+    """,
+    tags=("temporal", "burstiness", "interarrival", "statistics"),
+)
+def q215_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness of per-user inter-arrival times by event type — the
+    INTER-ARRIVAL-domain companion of the count-domain seasonality tier
+    (q177 ACF / q211 ANOVA): CV² of the gap distribution and a
+    burstiness index B = (σ²−μ²)/(σ²+μ²) = (n·Q−2·S²)/(n·Q) — the
+    SQUARED variant of Goh-Barabási's (σ−μ)/(σ+μ), same sign and fixed
+    points, chosen because it is a pure ratio of exact BIGINTs:
+    B=−1 periodic heartbeat, B=0 Poisson, B→1 bursty sessions. Tells a capacity
+    planner whether per-user load smooths out or arrives in spikes —
+    and a bot detector which event types tick like machines.
+
+    Gaps are computed per (user, event_type) — the window partitions by
+    the natural key, never corpus-wide — in integer SECONDS (identical
+    floor division both engines); the moment SUMS (S, Q = Σgap²) are
+    exact BIGINTs, and the n·Q / S² products — which overflow int64 at
+    corpus scale — run in doubles on both engines (q77's recipe:
+    identical exact inputs, identical IEEE ops, 1e-9-rounded)."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    g = (
+        e.select("event_type", gap_us.alias("gap_us"))
+        .where(F.col("gap_us").isNotNull())
+        .select("event_type", int_div(F.col("gap_us"), F.lit(1_000_000)).alias("gap_s"))
+    )
+    agg = g.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("gap_s").alias("s"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).alias("q"),
+    )
+    # q77's recipe: the moment SUMS stay exact BIGINTs, the n·Q / S²
+    # PRODUCTS (which overflow int64 at scale) run in doubles — both
+    # engines multiply the identical IEEE doubles, so the 1e-9-rounded
+    # ratios stay bit-identical without 2^53-bounded integer products.
+    nd = F.col("n_gaps").cast("double")
+    sd = F.col("s").cast("double")
+    qd = F.col("q").cast("double")
+    cv2 = (nd * qd - sd * sd) / (sd * sd)
+    burst = (nd * qd - F.lit(2.0) * sd * sd) / (nd * qd)
+    return (
+        agg.where((F.col("s") > 0) & (F.col("q") > 0))
+        .select(
+            "event_type",
+            "n_gaps",
+            (F.col("s").cast("double") / F.col("n_gaps").cast("double")).alias(
+                "mean_gap_s"
+            ),
+            (F.round(cv2 * F.lit(1e9)).cast("long") / F.lit(1e9)).alias("cv_squared"),
+            (F.round(burst * F.lit(1e9)).cast("long") / F.lit(1e9)).alias(
+                "burstiness"
+            ),
+        )
+        .orderBy("event_type")
+    )

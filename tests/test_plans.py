@@ -1130,3 +1130,30 @@ def test_logodds_topk_is_window_group_limit(spark):
     assert "WindowGroupLimit" in p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_tukey_outliers_single_scan_two_pass(spark):
+    """q213: the (nation, cents) projection is checkpointed — the fence
+    pass and the filter pass share it (no second corpus FileScan); the
+    25-row fence table broadcasts back; no cartesian."""
+    p = plan_of(spark, "q213_order_value_outliers")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_referential_integrity_no_cartesian(spark):
+    """q214: every relationship is one equi left join folded to a
+    4-number summary; the lineitem key projection is checkpointed for
+    its three branches; no cartesian/nested-loop anywhere."""
+    p = plan_of(spark, "q214_referential_integrity")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Union" in p
+
+
+def test_burstiness_windows_on_natural_key(spark):
+    """q215: the lag window partitions by (user_id, event_type) — one
+    corpus shuffle, never a single-partition window; moments fold
+    immediately to the bounded per-type table."""
+    p = plan_of(spark, "q215_interarrival_burstiness")
+    assert "Window" in p
+    assert "CartesianProduct" not in p
