@@ -197,6 +197,9 @@ PROBE_QUERIES = [
     "q210_minhash_fidelity",
     "q211_diurnal_variance_explained",
     "q212_distinctive_terms_logodds",
+    "q213_order_value_outliers",
+    "q214_referential_integrity",
+    "q215_interarrival_burstiness",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
