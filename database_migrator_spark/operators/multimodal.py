@@ -1012,3 +1012,107 @@ def q148_image_ahash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q217_audio_silence_segments",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, doc_id % 256 + 16 AS n FROM documents
+    ), samples AS (
+        SELECT doc_id, i,
+               ((doc_id * 31 + i * 7) % 4096) - 2048 AS s
+        FROM docs, unnest(range(0, n)) AS u(i)
+    ), silent AS (
+        SELECT doc_id, i,
+               i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        FROM samples WHERE abs(s) < 512
+    ), runs AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS run_len
+        FROM silent GROUP BY doc_id, grp
+    ), per_doc AS (
+        SELECT doc_id,
+               CAST(SUM(run_len) AS BIGINT) AS n_silent,
+               CAST(SUM(CASE WHEN run_len >= 8 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_segments,
+               CAST(MAX(run_len) AS BIGINT) AS longest_run
+        FROM runs GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(d.n AS BIGINT) AS n_samples,
+           COALESCE(p.n_silent, 0) AS n_silent,
+           COALESCE(p.n_segments, 0) AS n_silence_segments,
+           COALESCE(p.longest_run, 0) AS longest_silence_run,
+           CAST(COALESCE(p.n_silent, 0) AS DOUBLE) / CAST(d.n AS DOUBLE)
+               AS silence_ratio
+    FROM docs d LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    tags=("multimodal", "audio", "silence", "segmentation", "llm-pipeline"),
+)
+def q217_audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence segmentation over REAL decoded audio — the VAD-lite
+    trim/segment pass an audio-curation pipeline runs before any model
+    (drop dead air, split on pauses): every document's synthesized WAV
+    (q69's closed-form generator) is decoded by the pure RIFF codec and
+    its PCM stream walked for maximal runs of |amplitude| < 512;
+    reported per doc: silent-sample count, number of silence SEGMENTS
+    (runs ≥ 8 samples — the splittable pauses), the longest run, and
+    the silence ratio. The oracle recomputes the runs arithmetically
+    from the generator's closed form via gaps-and-islands SQL, so the
+    decode→threshold→run-length chain is hash-verified end to end; an
+    off-by-one in run detection shifts segment counts and fails the
+    hash. Python-side work is a single pass per document inside the
+    Arrow batch (the decode_audio_features shape); everything is exact
+    integer arithmetic."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    audios = attach_wav_audio(d)
+
+    def segs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["audio"]):
+                _rate, samples = decode_wav(bytes(blob))
+                n_silent = n_segments = longest = run = 0
+                for s in samples:
+                    if abs(s) < 512:
+                        run += 1
+                        n_silent += 1
+                        if run > longest:
+                            longest = run
+                    else:
+                        if run >= 8:
+                            n_segments += 1
+                        run = 0
+                if run >= 8:
+                    n_segments += 1
+                out.append(
+                    (
+                        int(doc_id),
+                        len(samples),
+                        n_silent,
+                        n_segments,
+                        longest,
+                        n_silent / len(samples),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "n_samples",
+                    "n_silent",
+                    "n_silence_segments",
+                    "longest_silence_run",
+                    "silence_ratio",
+                ],
+            )
+
+    return audios.mapInPandas(
+        segs,
+        schema=(
+            "doc_id bigint, n_samples bigint, n_silent bigint, "
+            "n_silence_segments bigint, longest_silence_run bigint, "
+            "silence_ratio double"
+        ),
+    ).orderBy("doc_id")

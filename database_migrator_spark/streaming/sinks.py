@@ -244,3 +244,57 @@ def q205_stream_bitmap_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "q216_stream_heavy_hitters",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY n_events DESC, user_id
+    LIMIT 20
+    """,
+    tags=("streaming", "heavy-hitters", "topk", "E17", "llm-pipeline"),
+)
+def q216_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming TOP-K over an UNBOUNDED key space — the heavy-hitter
+    report (which users dominate the stream?) no per-key streaming
+    state can hold at 100 TB: each micro-batch folds to exact (user,
+    count, cents) PARTIALS inside foreachBatch (counts and integer-cent
+    sums are algebraic, so partial merge is lossless by construction)
+    and lands them overwrite-by-batch-id; the read side merges partials
+    across batches and takes the top-20. Equality with the batch
+    GROUP BY oracle proves exactly-once delivery AND merge correctness
+    — the q205 composition with an unbounded key instead of a bitmap
+    (per-batch state is |keys-in-batch| rows, never |all keys|).
+    Deterministic per-batch fold ⇒ a replayed batch lands byte-identical
+    partials, so restart-safety costs nothing."""
+    from database_migrator_spark.scratch import scratch_dir
+    from database_migrator_spark.sources import events_stream
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    out = scratch_dir("q216_out", *key)
+    ckpt = scratch_dir("q216_ckpt", *key)
+    src = events_stream(spark, sf_dir).select("user_id", "value")
+
+    def fold(b: DataFrame) -> DataFrame:
+        return b.groupBy("user_id").agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+
+    q = foreach_batch_parquet(src, out, ckpt, transform=fold)
+    q.awaitTermination()
+    partials = spark.read.parquet(out).select("user_id", "n", "cents")
+    return (
+        partials.groupBy("user_id")
+        .agg(
+            F.sum("n").alias("n_events"),
+            (F.sum("cents") / F.lit(100.0)).alias("total_value"),
+        )
+        .orderBy(F.col("n_events").desc(), "user_id")
+        .limit(20)
+    )
