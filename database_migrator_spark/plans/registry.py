@@ -76,29 +76,26 @@ def query(
 #   rank 1 — queries whose last gate row is the OLDEST.
 #   rank 2+ — progressively fresher gate rows.
 #
-# Round-8 instance: rank 0 = q159-q195 (the 16 round-7 additions plus
-# the 21 added during round 8 — never gated, local sf0.01/sf0.1 oracle
-# evidence only; CAPPED at q195 so the window still closes with rank 1),
-# rank 1 = q38-q50, whose rows still date to r04 — the catalog's oldest
-# hard signal after the r07 q02-q37 refresh.  37 + 13 = exactly the
-# 50-row budget: the r05-stale block gets NO rows this round (further
-# round-8 additions beyond q195 must rank BELOW q38-q50, or they push
-# the r04-stale rows out of the gate).
-# Round-9 plan: the ENTIRE r05-stale set (q100-q143 minus q115/q119,
-# plus q51/q94/q96 = 45 names) goes first, topped up by the oldest 5 of
-# the r06-gated block; r10 then takes the r06/r07 remainder (q01,
-# q52-q99-era, q144) — completing the third full-catalog re-gate cycle.
+# Round-9 instance (rotated AFTER the r08 gate ran and recorded
+# q159-q195 + q38-q50 all green): rank 0 = every NEVER-GATED query —
+# the round-8 overflow block q196-q217 plus this round's additions
+# (q218+), all carrying local sf0.01 oracle evidence only; rank 1 = the
+# r05-stale set sorted by name (q100-q114, q116-q118, q120-q143,
+# q51/q94/q96 — their rows date to r05, now the catalog's oldest hard
+# signal).  With 24 never-gated names the 50-row window closes at q127.
+# Round-10 plan: rank 0 = any r9 additions past the window, rank 1 =
+# the r05 residue this round could not fit (q128-q143 + q51/q94/q96 =
+# 19 names), topped up by the oldest of the r06-gated block (q52+,
+# q115, q119, q144-q158 by name) — completing the third full-catalog
+# re-gate cycle; q01-q37 (r07) and q38-q50/q159-q195 (r08) queue last.
 # Order changes NOTHING for the pytest oracle suite or bench.py — they
 # run the whole catalog.  tests/test_bench_contract.py pins the
 # resulting first-50 list so a refactor cannot silently reorder the
 # gate.
-_ROUND8_NEW = {f"q{i}" for i in range(159, 196)}
-# round-8 additions past the 50-row window: gate-wise they queue right
-# behind the r04-stale block (they'll lead the r9 rotation with the
-# r05-stale set); local sf0.01 oracle evidence covers them meanwhile.
-_ROUND8_OVERFLOW = {f"q{i}" for i in range(196, 220)}
-_R04_STALE = {f"q{i:02d}" for i in range(38, 51)}
+_NEVER_GATED = {f"q{i}" for i in range(196, 240)}
 _R05_STALE = ({f"q{i}" for i in range(100, 144)} - {"q115", "q119"}) | {"q51", "q94", "q96"}
+# gated green in r08 (CORRECTNESS_r08.json) — the freshest signal
+_R08_FRESH = {f"q{i}" for i in range(159, 196)} | {f"q{i:02d}" for i in range(38, 51)}
 
 
 def all_queries() -> dict[str, DeclaredQuery]:
@@ -131,14 +128,12 @@ def all_queries() -> dict[str, DeclaredQuery]:
 
     def rank(name: str) -> tuple[int, str]:
         qid = name.split("_", 1)[0]
-        if qid in _ROUND8_NEW:
+        if qid in _NEVER_GATED:
             return (0, name)
-        if qid in _R04_STALE:
-            return (1, name)
-        if qid in _ROUND8_OVERFLOW:
-            return (2, name)
         if qid in _R05_STALE:
+            return (1, name)
+        if qid in _R08_FRESH:
             return (3, name)
-        return (4, name)
+        return (2, name)
 
     return dict(sorted(_REGISTRY.items(), key=lambda kv: rank(kv[0])))

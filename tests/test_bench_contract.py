@@ -80,35 +80,30 @@ def test_bench_json_line_fits_tail_window():
 
 
 def test_gate_order_front_loads_stale_signal_set():
-    """Round 8: the 50-row gate must spend its budget on (a) the
-    round-7/round-8 additions (q159+) that have never had a driver row,
-    then (b) q38-q50, whose rows still date to r04 — the oldest hard
-    signal after r07 refreshed q02-q37 — then (c) the oldest of the
-    r05-gated block (q100-q114, q116-q118, q120-q122 by name order;
-    q115/q119 were re-gated r06).  The remaining r05-stale names
-    (q123-q143, q51, q94, q96) are the round-9 residue; q01 and the
-    r06/r07-gated blocks queue last.  Pinning the exact first-50 list
-    (not just the set) so a refactor cannot silently reorder the gate."""
+    """Round 9: the 50-row gate must spend its budget on (a) every
+    NEVER-GATED query — the round-8 overflow q196-q217 plus round-9
+    additions (q218+), which have only local sf0.01 oracle evidence —
+    then (b) the r05-stale set in name order (q100-q114, q116-q118,
+    q120-q127 fill the window at 24 rank-0 names; q115/q119 were
+    re-gated r06).  The r05 residue (q128-q143, q51, q94, q96) is the
+    round-10 lead, then the r06-gated block; q01-q37 (r07) and
+    q38-q50/q159-q195 (r08, the freshest rows) queue last.  Pinning the
+    exact first-50 list (not just the set) so a refactor cannot
+    silently reorder the gate."""
     names = list(all_queries())
     gate = [n.split("_", 1)[0] for n in names[:50]]
-    new_block = sorted(
-        n.split("_", 1)[0] for n in names if n.split("_", 1)[0] in {f"q{i}" for i in range(159, 196)}
+    never_gated = sorted(
+        n.split("_", 1)[0] for n in names if n.split("_", 1)[0] in {f"q{i}" for i in range(196, 240)}
     )
-    n_new = len(new_block)
-    assert n_new <= 37, "rank-0 additions would push q38-q50 out of the gate"
-    assert gate[:n_new] == new_block
-    assert gate[n_new : n_new + 13] == [f"q{i}" for i in range(38, 51)]
-    # round-8 overflow additions (q196+) queue directly behind the
-    # r04-stale block, ahead of the r05-stale round-9 residue
-    overflow = sorted(
-        n.split("_", 1)[0] for n in names if n.split("_", 1)[0] in {f"q{i}" for i in range(196, 220)}
+    n_new = len(never_gated)
+    assert n_new <= 35, "rank-0 additions would starve the r05-stale refresh"
+    assert gate[:n_new] == never_gated
+    r05_stale = sorted(
+        ({f"q{i}" for i in range(100, 144)} - {"q115", "q119"}) | {"q51", "q94", "q96"}
     )
-    post_gate = [n.split("_", 1)[0] for n in names[n_new + 13 :]]
-    assert post_gate[: len(overflow)] == overflow
-    r05_fill = [f"q{i}" for i in range(100, 123) if i not in (115, 119)]
-    fill_seen = [q for q in gate[n_new + 13 :]]
-    assert fill_seen == r05_fill[: max(0, 50 - n_new - 13)]
-    # the r9 residue and the fresher blocks must all sort after the
+    assert gate[n_new:] == r05_stale[: 50 - n_new]
+    # the r05 residue and every freshly-gated block sort after the
     # 50-row window
     tail = {n.split("_", 1)[0] for n in names[50:]}
-    assert {"q01", "q51", "q94", "q96", "q143", "q52", "q99", "q02", "q37", "q145"} <= tail
+    assert set(r05_stale[50 - n_new :]) <= tail
+    assert {"q01", "q02", "q37", "q38", "q50", "q52", "q99", "q115", "q119", "q144", "q159", "q195"} <= tail

@@ -347,11 +347,17 @@ def test_no_rdd_scans_anywhere(spark):
     rare-first shingle substrate). Round-8 wave 4/5 adds the bitmap
     word-table checkpoints (q189/q190/q198), the shared tf substrate of
     the retrieval family (q191/q195/q196/q197), and q192's value-count
-    checkpoint (profile + mode both read it)."""
+    checkpoint (profile + mode both read it). Round-8 waves 10/11 add
+    q212 (reads the same checkpointed tf/vocab substrate as the
+    retrieval family — tag 'log-odds'), q213 (checkpoints its
+    (nation, cents) projection so the two-pass fence filter scans the
+    corpus once — tag 'tukey'), and q214 (checkpoints the child-key
+    projections feeding five FK audits — tag
+    'referential-integrity')."""
     for name, dq in _QS.items():
         if any(
             t in dq.tags
-            for t in ("streaming", "udtf", "minhash", "simhash", "semdedup", "pipeline", "bpe", "iterative", "decontamination", "ppjoin", "dense-hourly", "scd2", "diff", "bounded-artifact", "pmi", "bloom", "divergence", "contamination", "psi", "bounded-histogram", "rank", "assortativity", "containment", "triangles", "bitmap", "retrieval", "profiling", "market-basket", "selection")
+            for t in ("streaming", "udtf", "minhash", "simhash", "semdedup", "pipeline", "bpe", "iterative", "decontamination", "ppjoin", "dense-hourly", "scd2", "diff", "bounded-artifact", "pmi", "bloom", "divergence", "contamination", "psi", "bounded-histogram", "rank", "assortativity", "containment", "triangles", "bitmap", "retrieval", "profiling", "market-basket", "selection", "log-odds", "tukey", "referential-integrity")
         ):
             continue
         p = _QS[name].build(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
