@@ -1040,11 +1040,11 @@ def q199_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                len(t[10*i+1:10*i+10]) AS seg_len
         FROM toks, unnest(range(0, (len(t) + 9) // 10)) AS u(i)
     ), firsts AS (
-        SELECT seg, MIN(doc_id * 100000 + seg_idx) AS first_key
+        SELECT seg, MIN(doc_id * 2147483648 + seg_idx) AS first_key
         FROM segs GROUP BY seg
     ), flagged AS (
         SELECT s.source, s.doc_id, s.seg_len,
-               CASE WHEN s.doc_id * 100000 + s.seg_idx = f.first_key
+               CASE WHEN s.doc_id * 2147483648 + s.seg_idx = f.first_key
                     THEN 1 ELSE 0 END AS kept
         FROM segs s JOIN firsts f USING (seg)
     ), per_doc AS (
@@ -1079,7 +1079,10 @@ def q207_segment_dedup_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the paragraph analog for the newline-free synthetic corpus,
     trailing partial kept so token accounting is total), every segment
     occurrence except the global first (min (doc_id, seg_idx), encoded
-    as one BIGINT key so both engines take the same min) is dropped,
+    as one BIGINT key doc_id*2^31+seg_idx so both engines take the same
+    min — the 2^31 multiplier exceeds any physically possible segment
+    count per document, and an exactness_guard fails the job loudly if
+    a key would leave the guaranteed-ordered range) is dropped,
     and the report is the per-source yield a curation run budgets
     against: segments/tokens before vs after, plus how many documents
     lose >= half their tokens ('gutted' — candidates for whole-doc
@@ -1111,9 +1114,17 @@ def q207_segment_dedup_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "source",
         "doc_id",
-        (F.col("doc_id") * F.lit(100000) + F.col("seg_idx")).alias("key"),
+        (F.col("doc_id") * F.lit(2**31) + F.col("seg_idx")).alias("key"),
         F.array_join("seg_toks", " ").alias("seg"),
         F.size("seg_toks").cast("long").alias("seg_len"),
+    ).where(
+        # keep-first is MIN over doc_id*2^31+seg_idx: ordered iff
+        # seg_idx < 2^31 (10-token segments => docs < ~21G tokens) and
+        # doc_id < 2^32 (key stays inside int64). Fail loudly otherwise.
+        exactness_guard(
+            (F.col("seg_idx") < F.lit(2**31)) & (F.col("doc_id") < F.lit(2**32)),
+            "q207 keep-first key would collide or overflow int64",
+        )
     )
     firsts = segs.groupBy("seg").agg(F.min("key").alias("first_key"))
     kept = (F.col("key") == F.col("first_key")).cast("long")
