@@ -1014,6 +1014,31 @@ def q148_image_ahash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def silence_run_stats(
+    samples: list[int], threshold: int = 512, min_run: int = 8
+) -> tuple[int, int, int]:
+    """Single-pass run-length walk over a PCM stream: returns
+    (n_silent_samples, n_silence_segments, longest_silence_run) where a
+    sample is silent iff |amplitude| < ``threshold`` and a SEGMENT is a
+    maximal silent run of >= ``min_run`` samples.  A run still open at
+    stream end counts (the trailing-run branch q217's unit test pins);
+    a run of exactly ``min_run`` is a segment (boundary inclusive)."""
+    n_silent = n_segments = longest = run = 0
+    for s in samples:
+        if abs(s) < threshold:
+            run += 1
+            n_silent += 1
+            if run > longest:
+                longest = run
+        else:
+            if run >= min_run:
+                n_segments += 1
+            run = 0
+    if run >= min_run:
+        n_segments += 1
+    return n_silent, n_segments, longest
+
+
 @query(
     "q217_audio_silence_segments",
     oracle="""
@@ -1073,19 +1098,7 @@ def q217_audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["audio"]):
                 _rate, samples = decode_wav(bytes(blob))
-                n_silent = n_segments = longest = run = 0
-                for s in samples:
-                    if abs(s) < 512:
-                        run += 1
-                        n_silent += 1
-                        if run > longest:
-                            longest = run
-                    else:
-                        if run >= 8:
-                            n_segments += 1
-                        run = 0
-                if run >= 8:
-                    n_segments += 1
+                n_silent, n_segments, longest = silence_run_stats(samples)
                 out.append(
                     (
                         int(doc_id),

@@ -413,3 +413,52 @@ def test_audio_frame_features_windowing_edges(spark):
     assert row.peak_frame == 0  # tie -> first
     assert row.peak_energy == frame_e
     assert row.active_frames == 0
+
+
+def test_silence_run_stats_boundaries():
+    """q217's run-length contract on hand-built PCM: a run of exactly
+    min_run samples IS a segment (boundary inclusive), min_run-1 is not,
+    and a silent run still open at stream end counts — the two branches
+    a naive loop drops."""
+    from database_migrator_spark.operators.multimodal import silence_run_stats
+
+    loud, quiet = 2000, 0
+    # exactly 8 silent then loud: one segment
+    assert silence_run_stats([quiet] * 8 + [loud]) == (8, 1, 8)
+    # 7 silent then loud: silent samples counted but NO segment
+    assert silence_run_stats([quiet] * 7 + [loud]) == (7, 0, 7)
+    # trailing run open at stream end: still a segment
+    assert silence_run_stats([loud] + [quiet] * 9) == (9, 1, 9)
+    # trailing run below min_run: no segment
+    assert silence_run_stats([loud] + [quiet] * 3) == (3, 0, 3)
+    # threshold is STRICT |s| < 512: +/-511 silent, +/-512 loud
+    assert silence_run_stats([511, -511, 512, -512]) == (2, 0, 2)
+    # two separated segments; longest tracks the larger
+    assert silence_run_stats([quiet] * 8 + [loud] + [quiet] * 10) == (18, 2, 10)
+    # empty stream
+    assert silence_run_stats([]) == (0, 0, 0)
+
+
+def test_q217_matches_direct_decode(spark):
+    """End-to-end q217 on the smoke corpus agrees with decoding each WAV
+    in-process and walking it with silence_run_stats — pins the Arrow
+    seam (mapInPandas batch shape) against the pure-Python reference."""
+    from database_migrator_spark.operators.multimodal import (
+        attach_wav_audio,
+        decode_wav,
+        silence_run_stats,
+    )
+    from database_migrator_spark.plans.registry import all_queries
+    from database_migrator_spark.sources import table
+
+    from .conftest import SF_SMOKE
+
+    got = {
+        r.doc_id: (r.n_samples, r.n_silent, r.n_silence_segments, r.longest_silence_run)
+        for r in all_queries()["q217_audio_silence_segments"].build(spark, SF_SMOKE).collect()
+    }
+    d = table(spark, SF_SMOKE, "documents").select("doc_id").limit(20)
+    for r in attach_wav_audio(d).collect():
+        _rate, samples = decode_wav(bytes(r.audio))
+        n_silent, n_segs, longest = silence_run_stats(samples)
+        assert got[r.doc_id] == (len(samples), n_silent, n_segs, longest)

@@ -630,6 +630,23 @@ def test_image_ahash_single_window_shuffle(spark):
     assert "ReadSchema: struct<doc_id:bigint>" in scan
 
 
+def test_audio_silence_arrow_seam_bounded(spark):
+    """q217: generate→decode→run-walk is partition-preserving
+    mapInPandas (one ArrowEvalPython-free seam — mapInPandas shows as
+    MapInPandas, never per-row PythonUDF); the only exchanges allowed
+    are the conditional CPU-spread of the narrow scan and the
+    presentation orderBy. The scan must read ONLY doc_id — the WAV is
+    synthesized from the key, so a wider ReadSchema means the column
+    pruning broke (the q148 discipline)."""
+    p = plan_of(spark, "q217_audio_silence_segments")
+    assert "MapInPandas" in p
+    assert "BatchEvalPython" not in p  # no row-at-a-time Python UDF
+    assert p.count("Exchange") <= 2
+    assert "CartesianProduct" not in p and "Window" not in p
+    scan = p[p.index("FileScan") :]
+    assert "ReadSchema: struct<doc_id:bigint>" in scan
+
+
 def test_skew_report_window_free(spark):
     """q154: the decile boundaries must come from ONE percentile aggregate
     broadcast back over the per-key counts (a one-row BroadcastNestedLoop

@@ -154,3 +154,20 @@ def test_q167_jdbc_sink_reinvocation_is_idempotent(spark):
     second = [tuple(r) for r in dq.build(spark, SF_SMOKE).collect()]
     assert first == second
     assert len(first) > 0
+
+
+def test_q216_reinvocation_is_idempotent(spark):
+    """Re-invoking q216 in the same session reuses the checkpoint (no new
+    batches) and the already-landed partial directories — byte-identical
+    results prove overwrite-by-batch-id replay safety for the unbounded
+    heavy-hitter partials, q205's guarantee with a non-bitmap state."""
+    from database_migrator_spark.plans.registry import all_queries
+
+    dq = all_queries()["q216_stream_heavy_hitters"]
+    first = [tuple(r) for r in dq.build(spark, SF_SMOKE).collect()]
+    second = [tuple(r) for r in dq.build(spark, SF_SMOKE).collect()]
+    assert first == second
+    assert len(first) > 0
+    # top-k ordering is total: counts strictly descend or tie-break by user
+    counts = [t[1] for t in first]
+    assert counts == sorted(counts, reverse=True)

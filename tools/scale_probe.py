@@ -200,6 +200,9 @@ PROBE_QUERIES = [
     "q213_order_value_outliers",
     "q214_referential_integrity",
     "q215_interarrival_burstiness",
+    # round-9 backfill: the two wave-11 snapshot additions
+    "q216_stream_heavy_hitters",
+    "q217_audio_silence_segments",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
