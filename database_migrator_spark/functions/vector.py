@@ -38,6 +38,19 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     return F.when(denom_sq > 0, dot(a, b) / F.sqrt(denom_sq))
 
 
+def l2_dist_sq(a: Column | str, b: Column | str) -> Column:
+    """Σ (a_i-b_i)² in double, sequential fold — bit-identical to DuckDB's
+    ``list_reduce(list_transform(range(1, len+1), i -> (a[i]-b[i])*(a[i]-b[i])), (x,y) -> x+y)``
+    per the module-head determinism note."""
+    diffs = F.zip_with(
+        _c(a),
+        _c(b),
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
 def l2_normalize(a: Column | str) -> Column:
     """Unit-normalize to ``array<double>``; NULL when the norm is 0.
     Normalized vectors turn cosine similarity into a plain dot product —

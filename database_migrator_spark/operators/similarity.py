@@ -29,6 +29,7 @@ from pyspark.sql import types as T
 from database_migrator_spark.functions.vector import (
     cosine_similarity,
     dot,
+    l2_dist_sq,
     l2_norm_sq,
 )
 from database_migrator_spark.plans.registry import query
@@ -1212,4 +1213,195 @@ def q153_int8_quantization_report(spark: SparkSession, sf_dir: str) -> DataFrame
             "bytes_ratio",
         )
         .orderBy("label")
+    )
+
+
+# Fixed closed-form IVF centroids for q219: k=16 clusters × 64 dims, every
+# value a small exact decimal ((j*5 + d*3) % 17 - 8) / 20 ∈ [-0.4, 0.4] —
+# the embedding value range. GIVEN fixed centroids the assign step is exact
+# (nearest centroid by L2, ties to the lowest cluster id), so the same
+# literals inline into a DuckDB VALUES table and the whole incremental
+# maintenance path hash-matches — q144's fixed-codebook trick applied to
+# the IVF coarse quantizer (the genuinely iterative centroid TRAINING
+# stays q53/q105's seeded-KMeans tier).
+_FIXED_IVF_K, _FIXED_IVF_DIM = 16, 64
+FIXED_IVF_CENTROIDS: list[list[float]] = [
+    [((j * 5 + d * 3) % 17 - 8) / 20.0 for d in range(_FIXED_IVF_DIM)]
+    for j in range(_FIXED_IVF_K)
+]
+
+
+def _fixed_ivf_centroids_sql() -> str:
+    """The identical centroids as a DuckDB VALUES table (cluster, c)."""
+    rows = []
+    for j in range(_FIXED_IVF_K):
+        vals = ", ".join(repr(x) for x in FIXED_IVF_CENTROIDS[j])
+        rows.append(f"({j}, [{vals}]::DOUBLE[])")
+    return ",\n               ".join(rows)
+
+
+def _fixed_ivf_centroids_frame(spark: SparkSession) -> DataFrame:
+    """FIXED_IVF_CENTROIDS as a DataFrame built from the closed form over
+    ``spark.range`` — value-identical to the Python literals (integer
+    arithmetic, then one exact double division by 20.0 — the same IEEE
+    op Python used to produce them), but planned as a Range scan instead
+    of the ``createDataFrame`` RDD that would trip the no-RDD-scan plan
+    invariant."""
+    return spark.range(_FIXED_IVF_K).select(
+        F.col("id").cast("int").alias("cluster"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_FIXED_IVF_DIM - 1)),
+            lambda d: ((F.col("id") * 5 + d * 3) % 17 - 8).cast("double") / F.lit(20.0),
+        ).alias("centroid"),
+    )
+
+
+def ivf_assign_fixed(vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "v") -> DataFrame:
+    """Assign each vector to its nearest FIXED_IVF_CENTROIDS cluster by
+    L2 (ties to the lowest cluster id) — the append-path coarse
+    quantization of IVF maintenance. One broadcast of the 16-row
+    centroid table, one exact-fold distance per (vector, centroid),
+    min-of-struct argmin (no window, no shuffle beyond the groupBy).
+    Returns (id_col, cluster, d2)."""
+    spark = vectors.sparkSession
+    cents = _fixed_ivf_centroids_frame(spark)
+    return (
+        vectors.crossJoin(F.broadcast(cents))
+        .select(
+            id_col,
+            F.col("cluster"),
+            l2_dist_sq(F.col(vec_col), F.col("centroid")).alias("d2"),
+        )
+        .groupBy(id_col)
+        .agg(F.min(F.struct("d2", "cluster")).alias("m"))
+        .select(id_col, F.col("m.cluster").alias("cluster"), F.col("m.d2").alias("d2"))
+    )
+
+
+@query(
+    "q219_ivf_index_append",
+    oracle=f"""
+    WITH cents(cluster, c) AS (
+        VALUES {_fixed_ivf_centroids_sql()}
+    ), e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), indexed AS (
+        SELECT * FROM e WHERE vec_id % 4 <> 0
+    ), batch AS (
+        SELECT * FROM e WHERE vec_id % 2 = 0
+    ), fresh AS (
+        SELECT b.* FROM batch b
+        LEFT JOIN indexed i USING (vec_id) WHERE i.vec_id IS NULL
+    ), tagged AS (
+        SELECT 'old' AS part, vec_id, v FROM indexed
+        UNION ALL
+        SELECT 'new' AS part, vec_id, v FROM fresh
+    ), asg AS (
+        SELECT part, vec_id, cluster,
+               list_reduce(list_transform(range(1, {_FIXED_IVF_DIM} + 1),
+                   i -> (v[i] - c[i]) * (v[i] - c[i])),
+                   (x, y) -> x + y) AS d2
+        FROM tagged CROSS JOIN cents
+    ), best AS (
+        SELECT part, vec_id, cluster, d2 FROM (
+            SELECT part, vec_id, cluster, d2,
+                   row_number() OVER (PARTITION BY part, vec_id
+                                      ORDER BY d2, cluster) AS rn
+            FROM asg
+        ) WHERE rn = 1
+    ), st AS (
+        SELECT cluster,
+               CAST(SUM(CASE WHEN part = 'old' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_indexed,
+               CAST(SUM(CASE WHEN part = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_appended,
+               CAST(SUM(CASE WHEN part = 'new'
+                             THEN CAST(ROUND(d2 * 1000000000) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS sum9
+        FROM best GROUP BY 1
+    )
+    SELECT CAST(cents.cluster AS BIGINT) AS cluster,
+           COALESCE(n_indexed, 0) AS n_indexed,
+           COALESCE(n_appended, 0) AS n_appended,
+           COALESCE(n_indexed, 0) + COALESCE(n_appended, 0) AS n_total,
+           CASE WHEN COALESCE(n_appended, 0) > 0
+                THEN CAST(ROUND(CAST(sum9 AS DOUBLE) / n_appended) AS BIGINT)
+                     / 1000000000.0
+                ELSE 0.0 END AS mean_append_d2
+    FROM cents LEFT JOIN st USING (cluster)
+    ORDER BY cluster
+    """,
+    tags=("similarity", "ann", "ivf", "incremental", "llm-pipeline"),
+)
+def q219_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index MAINTENANCE — real pipelines append
+    embeddings between periodic refits, they don't re-cluster 100 TB per
+    batch: an existing index holds 3/4 of the corpus (vec_id % 4 != 0),
+    a re-crawl batch arrives carrying half the corpus (vec_id % 2 == 0,
+    half of it already indexed), and the maintenance pass (a) anti-joins
+    the batch against the indexed ids so only genuinely-new vectors are
+    touched (q97's incremental-ingest shape), (b) assigns each new
+    vector to its nearest EXISTING centroid (fixed coarse quantizer —
+    q144's fixed-codebook trick makes the whole path hash-matchable),
+    and (c) reports the post-append index: per cluster, old count,
+    appended count, total, and the mean L2² of appended vectors to
+    their centroid — the drift signal that decides when a full refit is
+    due. Per-row d2 is 1e-9 fixed-pointed to BIGINT before the sum so
+    distributed summation order cannot move the mean (integer-cents
+    discipline); the 16-row centroid table is the only broadcast; the
+    anti join and the argmin groupBy are the only corpus-sized work."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    indexed = e.where(F.col("vec_id") % 4 != 0)
+    batch = e.where(F.col("vec_id") % 2 == 0)
+    fresh = batch.join(indexed.select("vec_id"), "vec_id", "left_anti")
+    tagged = indexed.withColumn("part", F.lit("old")).unionByName(
+        fresh.withColumn("part", F.lit("new"))
+    )
+    best = (
+        tagged.crossJoin(F.broadcast(_fixed_ivf_centroids_frame(spark)))
+        .select(
+            "part",
+            "vec_id",
+            "cluster",
+            l2_dist_sq(F.col("v"), F.col("centroid")).alias("d2"),
+        )
+        .groupBy("part", "vec_id")
+        .agg(F.min(F.struct("d2", "cluster")).alias("m"))
+        .select("part", F.col("m.cluster").alias("cluster"), F.col("m.d2").alias("d2"))
+    )
+    st = best.groupBy("cluster").agg(
+        F.sum(F.when(F.col("part") == "old", 1).otherwise(0)).alias("n_indexed"),
+        F.sum(F.when(F.col("part") == "new", 1).otherwise(0)).alias("n_appended"),
+        F.sum(
+            F.when(
+                F.col("part") == "new",
+                F.round(F.col("d2") * F.lit(1e9)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("sum9"),
+    )
+    spine = spark.range(_FIXED_IVF_K).select(F.col("id").cast("int").alias("cluster"))
+    return (
+        spine.join(st, "cluster", "left")
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            F.coalesce("n_indexed", F.lit(0)).alias("n_indexed"),
+            F.coalesce("n_appended", F.lit(0)).alias("n_appended"),
+            (F.coalesce("n_indexed", F.lit(0)) + F.coalesce("n_appended", F.lit(0))).alias(
+                "n_total"
+            ),
+            F.when(
+                F.coalesce("n_appended", F.lit(0)) > 0,
+                F.round(
+                    F.col("sum9").cast("double") / F.col("n_appended").cast("double")
+                ).cast("long")
+                / F.lit(1e9),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("mean_append_d2"),
+        )
+        .orderBy("cluster")
     )

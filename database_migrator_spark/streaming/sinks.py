@@ -298,3 +298,125 @@ def q216_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_events").desc(), "user_id")
         .limit(20)
     )
+
+
+@query(
+    "q218_stream_value_quantiles",
+    oracle="""
+    WITH h AS (
+        SELECT event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), cum AS (
+        SELECT event_type, cents, c,
+               CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY cents
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c
+        FROM h
+    ), tot AS (
+        SELECT event_type, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(cents * c) AS BIGINT) AS s
+        FROM h GROUP BY 1
+    ), picks AS (
+        SELECT cum.event_type,
+               MIN(CASE WHEN cum_c >= (t.n + 1) // 2 THEN cents END)
+                   AS p50_cents,
+               MIN(CASE WHEN cum_c >= (9 * t.n + 9) // 10 THEN cents END)
+                   AS p90_cents,
+               MIN(CASE WHEN cum_c >= (99 * t.n + 99) // 100 THEN cents END)
+                   AS p99_cents
+        FROM cum JOIN tot t USING (event_type)
+        GROUP BY 1
+    )
+    SELECT t.event_type, t.n AS n_events,
+           p.p50_cents, p.p90_cents, p.p99_cents,
+           CAST(ROUND(CAST(t.s AS DOUBLE) / t.n * 1000000000) AS BIGINT)
+               / 1000000000.0 AS mean_cents
+    FROM tot t JOIN picks p USING (event_type)
+    ORDER BY t.event_type
+    """,
+    tags=("streaming", "percentiles", "bounded-histogram", "E17", "sla"),
+)
+def q218_stream_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGEABLE QUANTILES — the per-type latency/value-SLO
+    report (p50/p90/p99 + mean) a 100 TB event pipeline runs
+    continuously, composed E17 x q201: each micro-batch folds its rows
+    to an exact (event_type, integer-cents, count) HISTOGRAM partial
+    inside foreachBatch (histograms over a bounded value domain are
+    algebraic — merge is cell-wise sum, lossless by construction, no
+    t-digest approximation needed) and lands it overwrite-by-batch-id;
+    the read side sums partials across batches and extracts EXACT
+    percentile_disc values via q201's pure-integer ceil(q*n) thresholds
+    — the smallest cents value whose cumulative count reaches the
+    threshold, identical arithmetic on both engines. Equality with the
+    batch GROUP BY oracle proves exactly-once delivery AND histogram
+    mergeability; per-batch state is |distinct (type, cents) in batch|
+    — bounded by the VALUE DOMAIN, not the stream length. The per-type
+    cumulative window runs over the bounded merged histogram (the
+    bounded-derived-table exception), never the raw stream."""
+    from database_migrator_spark.scratch import scratch_dir
+    from database_migrator_spark.sources import events_stream
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    out = scratch_dir("q218_out", *key)
+    ckpt = scratch_dir("q218_ckpt", *key)
+    src = events_stream(spark, sf_dir).select("event_type", "value")
+
+    def fold(b: DataFrame) -> DataFrame:
+        return b.groupBy(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        ).agg(F.count("*").alias("c"))
+
+    q = foreach_batch_parquet(src, out, ckpt, transform=fold)
+    q.awaitTermination()
+    from pyspark.sql import Window
+
+    hist = (
+        spark.read.parquet(out)
+        .groupBy("event_type", "cents")
+        .agg(F.sum("c").alias("c"))
+        .localCheckpoint(eager=True)  # bounded: value-domain-sized
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select("event_type", "cents", F.sum("c").over(w).alias("cum_c"))
+    tot = hist.groupBy("event_type").agg(
+        F.sum("c").alias("n"), F.sum(F.col("cents") * F.col("c")).alias("s")
+    )
+    picks = (
+        cum.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min(
+                F.when(F.col("cum_c") >= F.expr("(n + 1) DIV 2"), F.col("cents"))
+            ).alias("p50_cents"),
+            F.min(
+                F.when(F.col("cum_c") >= F.expr("(9 * n + 9) DIV 10"), F.col("cents"))
+            ).alias("p90_cents"),
+            F.min(
+                F.when(F.col("cum_c") >= F.expr("(99 * n + 99) DIV 100"), F.col("cents"))
+            ).alias("p99_cents"),
+        )
+    )
+    return (
+        tot.join(picks, "event_type")
+        .select(
+            "event_type",
+            F.col("n").alias("n_events"),
+            "p50_cents",
+            "p90_cents",
+            "p99_cents",
+            (
+                F.round(
+                    (F.col("s").cast("double") / F.col("n").cast("double"))
+                    * F.lit(1e9)
+                ).cast("long")
+                / F.lit(1e9)
+            ).alias("mean_cents"),
+        )
+        .orderBy("event_type")
+    )

@@ -1180,3 +1180,28 @@ def test_burstiness_windows_on_natural_key(spark):
     p = plan_of(spark, "q215_interarrival_burstiness")
     assert "Window" in p
     assert "CartesianProduct" not in p
+
+
+def test_stream_quantiles_final_plan_bounded(spark):
+    """q218: the returned frame computes percentiles over the
+    checkpointed MERGED histogram — the final plan must never rescan
+    the corpus (no FileScan: the only inputs are the checkpoint's
+    ExistingRDD scans) and the cumulative window must be the per-type
+    partitioned one, not a corpus-wide sort."""
+    p = plan_of(spark, "q218_stream_value_quantiles")
+    assert "FileScan" not in p  # reads only the checkpointed histogram
+    assert "Window" in p
+    assert "CartesianProduct" not in p
+
+
+def test_ivf_append_broadcast_centroids_anti_join(spark):
+    """q219: the 16-row centroid table and cluster spine are the only
+    broadcasts; the batch-vs-indexed membership check is a hash LeftAnti
+    (never a nested loop), and no corpus-sized side ever broadcasts —
+    at 100 TB the only big movers are the anti join and the argmin
+    groupBy shuffle."""
+    p = plan_of(spark, "q219_ivf_index_append")
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p  # 16-row centroid cross join only
+    assert "Window" not in p  # argmin is min-of-struct agg, not row_number

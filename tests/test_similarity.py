@@ -224,3 +224,54 @@ def test_pq_adc_ranking_tracks_true_distance(spark):
     top1 = min(true, key=true.get)
     rank = sorted(adc, key=adc.get).index(top1)
     assert rank < len(ids) // 4  # inside the 25% re-rank window
+
+
+def test_ivf_assign_fixed_matches_numpy_argmin(spark):
+    """The fixed-centroid assign path must agree with an independent
+    numpy argmin over the same literals (ties to the lowest cluster id)
+    — the index-consistency contract behind q219's append step."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from database_migrator_spark.operators.similarity import (
+        FIXED_IVF_CENTROIDS,
+        ivf_assign_fixed,
+    )
+    from database_migrator_spark.sources import table
+
+    from .conftest import SF_SMOKE
+
+    e = (
+        table(spark, SF_SMOKE, "embeddings")
+        .where(F.col("vec_id") < 100)
+        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    )
+    got = {r.vec_id: r.cluster for r in ivf_assign_fixed(e).collect()}
+    C = np.asarray(FIXED_IVF_CENTROIDS, dtype=np.float64)
+    for r in e.collect():
+        d2 = ((np.asarray(r.v, dtype=np.float64)[None, :] - C) ** 2).sum(axis=1)
+        assert got[r.vec_id] == int(np.argmin(d2))  # argmin ties -> lowest id
+
+
+def test_q219_append_set_is_exact_complement(spark):
+    """q219's anti-join must append EXACTLY the batch-minus-indexed ids
+    (vec_id % 4 == 0 among vec_id % 2 == 0), every cluster row must
+    balance (n_total = n_indexed + n_appended), and totals must tile the
+    corpus partition."""
+    from pyspark.sql import functions as F
+
+    from database_migrator_spark.plans.registry import all_queries
+    from database_migrator_spark.sources import table
+
+    from .conftest import SF_SMOKE
+
+    rows = all_queries()["q219_ivf_index_append"].build(spark, SF_SMOKE).collect()
+    e = table(spark, SF_SMOKE, "embeddings")
+    n_indexed = e.where(F.col("vec_id") % 4 != 0).count()
+    n_new = e.where((F.col("vec_id") % 2 == 0) & (F.col("vec_id") % 4 == 0)).count()
+    assert len(rows) == 16  # full cluster spine, empty clusters included
+    assert sum(r.n_indexed for r in rows) == n_indexed
+    assert sum(r.n_appended for r in rows) == n_new
+    for r in rows:
+        assert r.n_total == r.n_indexed + r.n_appended
+        assert (r.mean_append_d2 > 0) == (r.n_appended > 0)

@@ -171,3 +171,19 @@ def test_q216_reinvocation_is_idempotent(spark):
     # top-k ordering is total: counts strictly descend or tie-break by user
     counts = [t[1] for t in first]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_q218_reinvocation_is_idempotent(spark):
+    """Re-invoking q218 reuses the checkpoint and landed histogram
+    partials — byte-identical results prove overwrite-by-batch-id replay
+    safety for the mergeable-quantile state, and the percentile picks
+    satisfy the exact ceil(q*n) contract (p50 <= p90 <= p99)."""
+    from database_migrator_spark.plans.registry import all_queries
+
+    dq = all_queries()["q218_stream_value_quantiles"]
+    first = [tuple(r) for r in dq.build(spark, SF_SMOKE).collect()]
+    second = [tuple(r) for r in dq.build(spark, SF_SMOKE).collect()]
+    assert first == second
+    assert len(first) > 0
+    for _type, n, p50, p90, p99, _mean in first:
+        assert n > 0 and p50 <= p90 <= p99

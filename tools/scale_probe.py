@@ -203,6 +203,9 @@ PROBE_QUERIES = [
     # round-9 backfill: the two wave-11 snapshot additions
     "q216_stream_heavy_hitters",
     "q217_audio_silence_segments",
+    # round-9 additions
+    "q218_stream_value_quantiles",
+    "q219_ivf_index_append",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
