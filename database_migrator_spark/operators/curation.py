@@ -1156,3 +1156,199 @@ def q207_segment_dedup_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q220_doc_prefix_templates",
+    oracle=r"""
+    WITH p AS (
+        SELECT source,
+               array_to_string(
+                   (list_filter(string_split_regex(lower(text), '\s+'),
+                                t -> len(t) > 0))[1:5], ' ') AS prefix
+        FROM documents
+    ), c AS (
+        SELECT source, prefix, CAST(COUNT(*) AS BIGINT) AS n_docs_with_prefix
+        FROM p GROUP BY 1, 2
+    ), tot AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM p GROUP BY 1
+    ), r AS (
+        SELECT source, prefix, n_docs_with_prefix,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_docs_with_prefix DESC, prefix)
+                   AS template_rank
+        FROM c
+    )
+    SELECT r.source, r.template_rank, r.prefix, r.n_docs_with_prefix,
+           t.n_docs,
+           CAST(r.n_docs_with_prefix AS DOUBLE) / t.n_docs AS share
+    FROM r JOIN tot t USING (source)
+    WHERE template_rank <= 3
+    ORDER BY source, template_rank
+    """,
+    tags=("text", "boilerplate", "template", "curation", "llm-pipeline"),
+)
+def q220_doc_prefix_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template/boilerplate detection by document PREFIX — the corpus-
+    level companion of q113/q118's within-document span signals: pages
+    generated from the same template share their opening tokens, so the
+    top recurring 5-token prefixes per source (count + share of the
+    source's documents) flag templated shards a curation run caps or
+    strips (the C4 'same opening boilerplate' read). Shape at scale:
+    one prefix projection (no explode — a 5-element slice per doc), one
+    (source, prefix)-keyed count, per-source top-3 via a rank window
+    that Spark rewrites to WindowGroupLimit (map-side per-partition
+    top-k, so the post-aggregation shuffle carries <= 3 rows per source
+    per partition, never the full prefix table), and a bounded
+    per-source totals broadcast back."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = tokens_of("text")
+    p = d.select(
+        "source", F.array_join(F.slice(toks, 1, 5), " ").alias("prefix")
+    )
+    c = p.groupBy("source", "prefix").agg(
+        F.count("*").alias("n_docs_with_prefix")
+    )
+    tot = p.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_docs_with_prefix").desc(), "prefix"
+    )
+    return (
+        c.withColumn("template_rank", F.row_number().over(w))
+        .where(F.col("template_rank") <= 3)
+        .join(F.broadcast(tot), "source")
+        .select(
+            "source",
+            "template_rank",
+            "prefix",
+            "n_docs_with_prefix",
+            "n_docs",
+            (
+                F.col("n_docs_with_prefix").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("share"),
+        )
+        .orderBy("source", "template_rank")
+    )
+
+
+@query(
+    "q221_kmv_distinct_fidelity",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ), hh AS (
+        SELECT event_type, user_id,
+               substr(md5(CAST(user_id AS VARCHAR)), 1, 12) AS h
+        FROM du
+    ), bt AS (
+        SELECT event_type, user_id, h FROM (
+            SELECT event_type, user_id, h,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY h, user_id) AS rn
+            FROM hh
+        ) WHERE rn <= 16
+    ), sk AS (
+        SELECT event_type AS scope, CAST(COUNT(*) AS BIGINT) AS n_sk,
+               MAX(h) AS hk
+        FROM bt GROUP BY 1
+    ), ex AS (
+        SELECT event_type AS scope, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM du GROUP BY 1
+    ), gu AS (
+        SELECT DISTINCT user_id, h FROM bt
+    ), gb AS (
+        SELECT user_id, h FROM (
+            SELECT user_id, h, row_number() OVER (ORDER BY h, user_id) AS rn
+            FROM gu
+        ) WHERE rn <= 16
+    ), rows_ AS (
+        SELECT sk.scope, ex.n_exact, sk.n_sk, sk.hk
+        FROM sk JOIN ex USING (scope)
+        UNION ALL
+        SELECT 'ALL', (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events),
+               CAST(COUNT(*) AS BIGINT), MAX(h)
+        FROM gb
+    ), est AS (
+        SELECT scope, n_exact,
+               CASE WHEN n_sk < 16 THEN n_sk
+                    ELSE 4222124650659840 // ((strpos('0123456789abcdef', substr(hk, 1, 1)) - 1) * 17592186044416 + (strpos('0123456789abcdef', substr(hk, 2, 1)) - 1) * 1099511627776 + (strpos('0123456789abcdef', substr(hk, 3, 1)) - 1) * 68719476736 + (strpos('0123456789abcdef', substr(hk, 4, 1)) - 1) * 4294967296 + (strpos('0123456789abcdef', substr(hk, 5, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(hk, 6, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(hk, 7, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(hk, 8, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(hk, 9, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(hk, 10, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(hk, 11, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(hk, 12, 1)) - 1) * 1) END AS kmv_estimate
+        FROM rows_
+    )
+    SELECT scope, n_exact, kmv_estimate,
+           CAST(kmv_estimate - n_exact AS DOUBLE) / n_exact AS rel_err
+    FROM est
+    ORDER BY scope
+    """,
+    tags=("sketch", "kmv", "distinct", "mergeable", "fidelity", "E10"),
+)
+def q221_kmv_distinct_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    '''KMV (k-minimum-values, bottom-k) distinct-count sketch with its
+    fidelity report — the third mergeable-distinct tier next to the HLL
+    family (q95, approximate, rows-only) and the exact bitmaps
+    (q189/q190): per event type the 16 smallest md5 values over the
+    distinct user set (fixed-width hex, so MIN-of-string IS min-hash —
+    q210\'s portability trick), the standard unbiased estimate
+    (k-1)*2^48 DIV h_(k) from the k-th minimum, and the signed relative
+    error vs the exact COUNT(DISTINCT). The \'ALL\' row is computed BY
+    MERGING the per-type sketches (union of bottom-k sets, re-take the
+    bottom 16 — the lossless KMV merge, since every global bottom-16
+    hash is in its own type\'s bottom-16) and scored against the exact
+    global distinct — the hash gate covers merge correctness, estimator
+    arithmetic (pure BIGINT, no float hash math), and the n<k
+    exact-fallback convention in one query. Shape at scale: one
+    distinct shuffle, a rank<=16 window Spark rewrites to
+    WindowGroupLimit (map-side per-partition bottom-k, so the window
+    shuffle carries 16 rows per partition per type, never the corpus);
+    hex->int conversion happens AFTER the bottom-k filter, on <= 17
+    bounded rows. The exact counts are the ground-truth side a fidelity
+    query exists to compare against — production reads the sketch only.
+    '''
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").select("event_type", "user_id")
+    du = (
+        e.distinct()
+        .withColumn("h", F.substring(F.md5(F.col("user_id").cast("string")), 1, 12))
+        .localCheckpoint(eager=True)  # read by the window AND the exact counts
+    )
+    w = Window.partitionBy("event_type").orderBy("h", "user_id")
+    bt = (
+        du.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 16)
+        .localCheckpoint(eager=True)  # bounded: <= 16 rows per type
+    )
+    sk = bt.groupBy(F.col("event_type").alias("scope")).agg(
+        F.count("*").alias("n_sk"), F.max("h").alias("hk")
+    )
+    ex = du.groupBy(F.col("event_type").alias("scope")).agg(
+        F.count("*").alias("n_exact")
+    )
+    per_type = sk.join(ex, "scope")
+    gu = bt.select("user_id", "h").distinct()
+    wg = Window.orderBy("h", "user_id")  # bounded derived table (<= 16*types)
+    gb = gu.withColumn("rn", F.row_number().over(wg)).where(F.col("rn") <= 16)
+    g_ex = du.select("user_id").distinct().agg(F.count("*").alias("n_exact"))
+    g_row = (
+        gb.agg(F.count("*").alias("n_sk"), F.max("h").alias("hk"))
+        .crossJoin(F.broadcast(g_ex))
+        .select(F.lit("ALL").alias("scope"), "n_exact", "n_sk", "hk")
+    )
+    est = F.when(F.col("n_sk") < 16, F.col("n_sk")).otherwise(
+        F.expr("4222124650659840L DIV CAST(conv(hk, 16, 10) AS BIGINT)")
+    )
+    return (
+        per_type.unionByName(g_row)
+        .select(
+            "scope",
+            "n_exact",
+            est.alias("kmv_estimate"),
+            (
+                (est - F.col("n_exact")).cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("rel_err"),
+        )
+        .orderBy("scope")
+    )

@@ -678,3 +678,125 @@ def q213_order_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@query(
+    "q222_trimmed_order_stats",
+    oracle="""
+    WITH oc AS (
+        SELECT n.n_name,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ), hist AS (
+        SELECT n_name, cents, CAST(COUNT(*) AS BIGINT) AS c
+        FROM oc GROUP BY 1, 2
+    ), cum AS (
+        SELECT n_name, cents, c,
+               CAST(SUM(c) OVER (PARTITION BY n_name ORDER BY cents
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c
+        FROM hist
+    ), tot AS (
+        SELECT n_name, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(cents * c) AS BIGINT) AS s
+        FROM hist GROUP BY 1
+    ), kept AS (
+        SELECT cum.n_name, t.n, t.s, t.n // 10 AS t_side,
+               GREATEST(0, LEAST(cum_c, t.n - t.n // 10)
+                           - GREATEST(cum_c - c, t.n // 10)) AS k_c,
+               cents
+        FROM cum JOIN tot t USING (n_name)
+    )
+    SELECT n_name AS nation,
+           n AS n_orders,
+           t_side AS n_trimmed_each_side,
+           CAST(ROUND(CAST(s AS DOUBLE) / n * 1000000000) AS BIGINT)
+               / 1000000000.0 AS mean_cents,
+           CAST(ROUND(CAST(SUM(cents * k_c) AS DOUBLE) / (n - 2 * t_side)
+                      * 1000000000) AS BIGINT) / 1000000000.0
+               AS trimmed_mean_cents
+    FROM kept
+    GROUP BY 1, 2, 3, s
+    ORDER BY nation
+    """,
+    tags=("relational", "robust-stats", "trimmed-mean", "tukey", "data-quality"),
+)
+def q222_trimmed_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean of order value per nation — the robust LOCATION
+    estimate next to q213's Tukey fences (which COUNT outliers, this
+    neutralizes them): drop the lowest and highest n DIV 10 order
+    statistics and average the middle exactly, SORT-FREE via the
+    bounded integer-cents histogram — each histogram cell contributes
+    max(0, min(cum, n-t) - max(cum-c, t)) kept copies, the overlap of
+    its order-statistic range [cum-c+1, cum] with the kept band
+    [t+1, n-t], so the trimmed sum is one pure-BIGINT pass over the
+    (nation, cents) histogram (no per-row rank, no corpus sort). The
+    per-nation cumulative window runs over the bounded histogram only
+    (q201/q213's exception); the raw mean rides along for the
+    robustness delta. Reuses q213's checkpointed projection shape: one
+    corpus scan, bounded everything after."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    oc = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    hist = (
+        oc.groupBy("n_name", "cents")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)  # bounded: value-domain-sized
+    )
+    w = (
+        Window.partitionBy("n_name")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select("n_name", "cents", "c", F.sum("c").over(w).alias("cum_c"))
+    tot = hist.groupBy("n_name").agg(
+        F.sum("c").alias("n"), F.sum(F.col("cents") * F.col("c")).alias("s")
+    )
+    t_side = F.expr("n DIV 10")
+    kept = cum.join(F.broadcast(tot), "n_name").select(
+        "n_name",
+        "n",
+        "s",
+        t_side.alias("t_side"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.least(F.col("cum_c"), F.col("n") - t_side)
+            - F.greatest(F.col("cum_c") - F.col("c"), t_side),
+        ).alias("k_c"),
+        "cents",
+    )
+    return (
+        kept.groupBy("n_name", "n", "t_side", "s")
+        .agg(F.sum(F.col("cents") * F.col("k_c")).alias("tsum"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n").alias("n_orders"),
+            F.col("t_side").alias("n_trimmed_each_side"),
+            (
+                F.round((F.col("s").cast("double") / F.col("n").cast("double")) * F.lit(1e9)).cast("long")
+                / F.lit(1e9)
+            ).alias("mean_cents"),
+            (
+                F.round(
+                    (
+                        F.col("tsum").cast("double")
+                        / (F.col("n") - 2 * F.col("t_side")).cast("double")
+                    )
+                    * F.lit(1e9)
+                ).cast("long")
+                / F.lit(1e9)
+            ).alias("trimmed_mean_cents"),
+        )
+        .orderBy("nation")
+    )

@@ -353,11 +353,14 @@ def test_no_rdd_scans_anywhere(spark):
     (nation, cents) projection so the two-pass fence filter scans the
     corpus once — tag 'tukey'), and q214 (checkpoints the child-key
     projections feeding five FK audits — tag
-    'referential-integrity')."""
+    'referential-integrity'). Round 9 adds q221 (tag 'kmv'): its
+    distinct-user hash table and bottom-k rows are checkpointed because
+    the sketch, the exact counts, and the merged-ALL row all read
+    them."""
     for name, dq in _QS.items():
         if any(
             t in dq.tags
-            for t in ("streaming", "udtf", "minhash", "simhash", "semdedup", "pipeline", "bpe", "iterative", "decontamination", "ppjoin", "dense-hourly", "scd2", "diff", "bounded-artifact", "pmi", "bloom", "divergence", "contamination", "psi", "bounded-histogram", "rank", "assortativity", "containment", "triangles", "bitmap", "retrieval", "profiling", "market-basket", "selection", "log-odds", "tukey", "referential-integrity")
+            for t in ("streaming", "udtf", "minhash", "simhash", "semdedup", "pipeline", "bpe", "iterative", "decontamination", "ppjoin", "dense-hourly", "scd2", "diff", "bounded-artifact", "pmi", "bloom", "divergence", "contamination", "psi", "bounded-histogram", "rank", "assortativity", "containment", "triangles", "bitmap", "retrieval", "profiling", "market-basket", "selection", "log-odds", "tukey", "referential-integrity", "kmv")
         ):
             continue
         p = _QS[name].build(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
@@ -1205,3 +1208,55 @@ def test_ivf_append_broadcast_centroids_anti_join(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" in p  # 16-row centroid cross join only
     assert "Window" not in p  # argmin is min-of-struct agg, not row_number
+
+
+def test_prefix_templates_window_group_limit(spark):
+    """q220: the per-source top-3 rank must plan with WindowGroupLimit
+    (map-side per-partition top-k before the window shuffle — on a
+    corpus-sized prefix table the full sort would be the 100 TB
+    mistake); the per-source totals come back by ONE broadcast; the
+    prefix projection is slice-only (no explode/Generate)."""
+    p = plan_of(spark, "q220_doc_prefix_templates")
+    assert "WindowGroupLimit" in p
+    assert p.count("BroadcastHashJoin") == 1
+    assert "Generate" not in p
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+
+
+def test_kmv_bottom_k_window_group_limit(spark):
+    """q221: the per-type rank<=16 stage must plan with WindowGroupLimit
+    (the map-side partial bottom-k that makes KMV mergeable-cheap at
+    scale). That stage executes during the builder's checkpoint, so the
+    final plan shows only the bounded post-sketch work — reconstruct
+    the stage here and lock its shape, then assert the final plan stays
+    cartesian-free with at most the 1-row exact-count nested loop."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from database_migrator_spark.sources import table
+
+    du = (
+        table(spark, SF_SMOKE, "events")
+        .select("event_type", "user_id")
+        .distinct()
+        .withColumn("h", F.substring(F.md5(F.col("user_id").cast("string")), 1, 12))
+    )
+    w = Window.partitionBy("event_type").orderBy("h", "user_id")
+    stage = du.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 16)
+    sp = stage._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in sp
+    p = plan_of(spark, "q221_kmv_distinct_fidelity")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 1  # 1-row exact-count frame
+
+
+def test_trimmed_mean_histogram_only(spark):
+    """q222: after the one corpus scan folds to the checkpointed
+    (nation, cents) histogram, everything is bounded — the cumulative
+    window and both aggregates read the checkpoint (no second corpus
+    FileScan in the final plan's post-checkpoint section), the totals
+    come back by broadcast, and there is no corpus-wide sort."""
+    p = plan_of(spark, "q222_trimmed_order_stats")
+    assert "CartesianProduct" not in p
+    assert "Window" in p
+    assert "SortMergeJoin" not in p

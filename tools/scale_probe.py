@@ -206,6 +206,9 @@ PROBE_QUERIES = [
     # round-9 additions
     "q218_stream_value_quantiles",
     "q219_ivf_index_append",
+    "q220_doc_prefix_templates",
+    "q221_kmv_distinct_fidelity",
+    "q222_trimmed_order_stats",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
