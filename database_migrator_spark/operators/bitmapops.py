@@ -286,3 +286,181 @@ def q198_bitmap_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# q223's HLL constant: alpha_256 * m^2 * 2^49 with alpha_256 =
+# 0.7213/(1 + 1.079/256) (Flajolet et al.'s bias correction for m=256),
+# precomputed in Python and inlined as the SAME double literal in both
+# engines so the raw estimate K/S is one identical double division.
+_HLL_M = 256
+_HLL_K_NUM = 0.7213 / (1 + 1.079 / 256) * (_HLL_M * _HLL_M) * float(2**49)
+
+
+@query(
+    "q223_hll_register_fidelity",
+    oracle=f"""
+    WITH hx AS (
+        SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events
+    ), parts AS (
+        SELECT event_type,
+               (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket,
+               substr(h, 3, 12) AS h12
+        FROM hx
+    ), rho AS (
+        SELECT event_type, bucket,
+               CASE WHEN trim(LEADING '0' FROM h12) = '' THEN 49
+                    ELSE 4 * (12 - length(trim(LEADING '0' FROM h12)))
+                         + CASE substr(trim(LEADING '0' FROM h12), 1, 1)
+                               WHEN '1' THEN 3
+                               WHEN '2' THEN 2 WHEN '3' THEN 2
+                               WHEN '4' THEN 1 WHEN '5' THEN 1
+                               WHEN '6' THEN 1 WHEN '7' THEN 1
+                               ELSE 0 END
+                         + 1 END AS rho
+        FROM parts
+    ), regs AS (
+        SELECT event_type, bucket, CAST(MAX(rho) AS BIGINT) AS m_j
+        FROM rho GROUP BY 1, 2
+    ), types AS (
+        SELECT DISTINCT event_type FROM events
+    ), spine AS (
+        SELECT event_type, j AS bucket
+        FROM types, unnest(range(0, {_HLL_M})) AS u(j)
+    ), full_regs AS (
+        SELECT s.event_type, s.bucket, COALESCE(r.m_j, 0) AS m_j
+        FROM spine s LEFT JOIN regs r
+          ON r.event_type = s.event_type AND r.bucket = s.bucket
+    ), merged AS (
+        SELECT 'ALL' AS scope, bucket, CAST(MAX(m_j) AS BIGINT) AS m_j
+        FROM full_regs GROUP BY 2
+    ), scoped AS (
+        SELECT event_type AS scope, bucket, m_j FROM full_regs
+        UNION ALL
+        SELECT scope, bucket, m_j FROM merged
+    ), ssum AS (
+        SELECT scope,
+               CAST(SUM(562949953421312 >> m_j) AS BIGINT) AS s,
+               CAST(SUM(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_empty
+        FROM scoped GROUP BY 1
+    ), ex AS (
+        SELECT event_type AS scope,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+        FROM events GROUP BY 1
+        UNION ALL
+        SELECT 'ALL', CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+    ), est AS (
+        SELECT ssum.scope, ex.n_exact, ssum.n_empty,
+               CASE WHEN ({_HLL_K_NUM!r} / CAST(s AS DOUBLE)) <= 640.0
+                         AND n_empty > 0
+                    THEN CAST(ROUND({_HLL_M}.0 * ln({_HLL_M}.0 / n_empty)
+                                    * 1000000) AS BIGINT)
+                    ELSE CAST(ROUND({_HLL_K_NUM!r} / CAST(s AS DOUBLE)
+                                    * 1000000) AS BIGINT) END AS est6
+        FROM ssum JOIN ex USING (scope)
+    )
+    SELECT scope, n_exact, est6 / 1000000.0 AS hll_estimate,
+           n_empty AS n_empty_registers,
+           CAST(est6 - n_exact * 1000000 AS DOUBLE)
+               / (n_exact * 1000000) AS rel_err
+    FROM est
+    ORDER BY scope
+    """,
+    tags=("sketch", "hll", "distinct", "mergeable", "fidelity", "E10", "bounded-artifact"),
+)
+def q223_hll_register_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch PORTABLE HyperLogLog with hash-matched registers —
+    upgrades the HLL tier from q95's rows-only engine sketch to the
+    full E10 evidence standard (KMV q221 / bitmaps q189 already have
+    it): md5-based bucket (first byte, m=256) and rank rho = leading
+    zero bits of the next 48 bits + 1, computed by pure hex-string
+    arithmetic on BOTH engines (leading-'0' trim + one CASE over the
+    first nonzero digit — no float log2 whose boundary rounding could
+    disagree); per-scope registers are MAX(rho) per bucket, the 'ALL'
+    row is produced BY MERGING the per-type registers (register-wise
+    MAX — the lossless HLL union), and the harmonic sum is EXACT:
+    Σ 2^(49−M_j) as one BIGINT (≤ 2^57), so the raw estimate
+    alpha·m²·2^49 / S is a single identical double division. Flajolet
+    small-range correction (linear counting m·ln(m/V)) included and
+    1e-6 fixed-pointed. The exact distinct counts are the ground-truth
+    side a fidelity query exists for. Shape at scale: NO pre-distinct —
+    duplicates cannot move a MAX, so the register build is one
+    map-side-combinable aggregate over the raw stream into <=
+    types×256 rows; everything after is bounded."""
+    e = table(spark, sf_dir, "events").select("event_type", "user_id")
+    h = F.md5(F.col("user_id").cast("string"))
+    parts = e.select(
+        "event_type",
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("bucket"),
+        F.substring(h, 3, 12).alias("h12"),
+    )
+    rest = F.expr("trim(LEADING '0' FROM h12)")
+    d = F.substring(rest, 1, 1)
+    extra = (
+        F.when(d == "1", 3)
+        .when(d.isin("2", "3"), 2)
+        .when(d.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rho = F.when(rest == "", 49).otherwise(
+        4 * (12 - F.length(rest)) + extra + 1
+    )
+    regs = (
+        parts.select("event_type", "bucket", rho.alias("rho"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").cast("long").alias("m_j"))
+        .localCheckpoint(eager=True)  # bounded: <= types x 256 rows
+    )
+    types = regs.select("event_type").distinct()
+    spine = types.crossJoin(
+        F.broadcast(spark.range(_HLL_M).select(F.col("id").cast("int").alias("bucket")))
+    )
+    full_regs = (
+        spine.join(regs, ["event_type", "bucket"], "left")
+        .select(
+            "event_type", "bucket", F.coalesce("m_j", F.lit(0).cast("long")).alias("m_j")
+        )
+    )
+    merged = full_regs.groupBy("bucket").agg(F.max("m_j").alias("m_j")).select(
+        F.lit("ALL").alias("scope"), "bucket", "m_j"
+    )
+    scoped = full_regs.select(
+        F.col("event_type").alias("scope"), "bucket", "m_j"
+    ).unionByName(merged)
+    ssum = scoped.groupBy("scope").agg(
+        F.sum(F.expr("shiftright(562949953421312L, cast(m_j AS int))")).alias("s"),
+        F.sum((F.col("m_j") == 0).cast("long")).alias("n_empty"),
+    )
+    ex = (
+        e.groupBy(F.col("event_type").alias("scope"))
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+        .unionByName(
+            e.agg(F.countDistinct("user_id").alias("n_exact")).select(
+                F.lit("ALL").alias("scope"), "n_exact"
+            )
+        )
+    )
+    raw = F.lit(_HLL_K_NUM) / F.col("s").cast("double")
+    est6 = F.when(
+        (raw <= 640.0) & (F.col("n_empty") > 0),
+        F.round(
+            F.lit(float(_HLL_M))
+            * F.log(F.lit(float(_HLL_M)) / F.col("n_empty").cast("double"))
+            * 1000000
+        ).cast("long"),
+    ).otherwise(F.round(raw * 1000000).cast("long"))
+    return (
+        ssum.join(ex, "scope")
+        .select(
+            "scope",
+            "n_exact",
+            (est6 / F.lit(1000000.0)).alias("hll_estimate"),
+            F.col("n_empty").alias("n_empty_registers"),
+            (
+                (est6 - F.col("n_exact") * 1000000).cast("double")
+                / (F.col("n_exact") * 1000000).cast("double")
+            ).alias("rel_err"),
+        )
+        .orderBy("scope")
+    )

@@ -754,3 +754,101 @@ def q214_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.union(p)
     return out.orderBy("relationship")
+
+
+# q224's candidate FDs: a mix of key-implied dependencies that must HOLD
+# and plausible-but-false ones that must be measured, over two tables.
+_FD_CANDIDATES: list[tuple[str, list[str], str]] = [
+    ("orders", ["o_orderkey"], "o_custkey"),
+    ("orders", ["o_custkey"], "o_orderstatus"),
+    ("orders", ["o_orderdate"], "o_orderpriority"),
+    ("lineitem", ["l_orderkey"], "l_suppkey"),
+    ("lineitem", ["l_partkey"], "l_suppkey"),
+    ("lineitem", ["l_orderkey", "l_linenumber"], "l_partkey"),
+]
+
+
+def _fd_label(tbl: str, lhs: list[str], rhs: str) -> str:
+    return f"{tbl}: {','.join(lhs)} -> {rhs}"
+
+
+def _fd_oracle_block(tbl: str, lhs: list[str], rhs: str) -> str:
+    lhs_csv = ", ".join(lhs)
+    return f"""
+    SELECT '{_fd_label(tbl, lhs, rhs)}' AS fd,
+           CAST(SUM(nx) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_lhs,
+           CAST(SUM(CASE WHEN n_y > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_lhs,
+           CAST(SUM(nx) - SUM(mx) AS BIGINT) AS g3_rows_to_remove,
+           CAST(CASE WHEN SUM(CASE WHEN n_y > 1 THEN 1 ELSE 0 END) = 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS holds,
+           CAST(SUM(nx) - SUM(mx) AS DOUBLE) / CAST(SUM(nx) AS DOUBLE)
+               AS g3_error
+    FROM (
+        SELECT {lhs_csv}, COUNT(*) AS n_y, SUM(c) AS nx, MAX(c) AS mx
+        FROM (
+            SELECT {lhs_csv}, {rhs}, CAST(COUNT(*) AS BIGINT) AS c
+            FROM {tbl} GROUP BY {lhs_csv}, {rhs}
+        ) GROUP BY {lhs_csv}
+    )"""
+
+
+@query(
+    "q224_functional_dependencies",
+    oracle=(
+        "\n    UNION ALL\n".join(
+            _fd_oracle_block(t, l, r) for t, l, r in _FD_CANDIDATES
+        )
+        + "\n    ORDER BY fd\n    "
+    ),
+    tags=("etl", "data-quality", "profiling", "functional-dependency", "audit"),
+)
+def q224_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit (TANE-style g3 measure) — the
+    INTRA-table schema-discovery companion of q192's single-column
+    profile and q214's cross-table FK audit: for each candidate
+    X -> Y dependency, the number of X groups, how many are violated
+    (>= 2 distinct Y), and the EXACT g3 repair cost — the minimum rows
+    to delete so the FD holds, Σ_x (group size − modal-Y count), the
+    standard approximate-FD error measure. Candidates mix key-implied
+    FDs that must hold (o_orderkey -> o_custkey, the composite lineitem
+    key) with plausible-but-false ones whose violation rate is the
+    signal. Shape at scale: per candidate one (X, Y) count aggregate
+    (map-side combinable) feeding one X-keyed re-aggregate — no joins,
+    no windows; the six candidates are independent single-table
+    pipelines unioned into a 6-row report (a profiling batch scans per
+    candidate by design — each scan is column-pruned to X∪Y)."""
+    frames = []
+    for tbl, lhs, rhs in _FD_CANDIDATES:
+        t = table(spark, sf_dir, tbl).select(*lhs, rhs)
+        xy = t.groupBy(*lhs, rhs).agg(F.count("*").alias("c"))
+        px = xy.groupBy(*lhs).agg(
+            F.count("*").alias("n_y"),
+            F.sum("c").alias("nx"),
+            F.max("c").alias("mx"),
+        )
+        viol = F.sum((F.col("n_y") > 1).cast("long"))
+        frames.append(
+            px.agg(
+                F.sum("nx").alias("n_rows"),
+                F.count("*").alias("n_lhs"),
+                viol.alias("n_violating_lhs"),
+                (F.sum("nx") - F.sum("mx")).alias("g3_rows_to_remove"),
+            ).select(
+                F.lit(_fd_label(tbl, lhs, rhs)).alias("fd"),
+                "n_rows",
+                "n_lhs",
+                "n_violating_lhs",
+                "g3_rows_to_remove",
+                (F.col("n_violating_lhs") == 0).cast("long").alias("holds"),
+                (
+                    F.col("g3_rows_to_remove").cast("double")
+                    / F.col("n_rows").cast("double")
+                ).alias("g3_error"),
+            )
+        )
+    out = frames[0]
+    for f_ in frames[1:]:
+        out = out.unionByName(f_)
+    return out.orderBy("fd")

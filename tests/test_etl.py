@@ -128,3 +128,32 @@ def test_q89_short_identifier_clamps_match_duckdb(spark, tmp_path):
     for k, nm in zip(range(1, len(names) + 1), names):
         if len(nm) <= 4:
             assert by_key[k][1] == nm and by_key[k][2] == 0
+
+
+def test_functional_dependencies_known_truths(spark):
+    """q224: key-implied FDs must HOLD with zero repair cost; failing
+    candidates must carry a g3 that matches an independent pandas
+    recomputation; g3_error is always in [0, 1)."""
+    from database_migrator_spark.plans.registry import all_queries
+    from database_migrator_spark.sources import table
+
+    from .conftest import SF_SMOKE
+
+    rows = {
+        r.fd: r
+        for r in all_queries()["q224_functional_dependencies"].build(spark, SF_SMOKE).collect()
+    }
+    assert len(rows) == 6
+    pk = rows["orders: o_orderkey -> o_custkey"]
+    assert pk.holds == 1 and pk.g3_rows_to_remove == 0 and pk.n_violating_lhs == 0
+    for r in rows.values():
+        assert 0 <= r.g3_error < 1
+        assert (r.holds == 1) == (r.g3_rows_to_remove == 0)
+        assert r.n_lhs <= r.n_rows
+    # independent recomputation of one failing candidate
+    pdf = table(spark, SF_SMOKE, "orders").select("o_custkey", "o_orderstatus").toPandas()
+    g = pdf.groupby(["o_custkey", "o_orderstatus"]).size().reset_index(name="c")
+    keep = g.groupby("o_custkey")["c"].max().sum()
+    want_g3 = len(pdf) - keep
+    got = rows["orders: o_custkey -> o_orderstatus"]
+    assert got.g3_rows_to_remove == want_g3

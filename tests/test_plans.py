@@ -1260,3 +1260,26 @@ def test_trimmed_mean_histogram_only(spark):
     assert "CartesianProduct" not in p
     assert "Window" in p
     assert "SortMergeJoin" not in p
+
+
+def test_hll_register_build_single_aggregate_no_distinct(spark):
+    """q223: the register build must be ONE map-side-combinable
+    aggregate over the RAW stream — no pre-distinct shuffle (duplicates
+    cannot move a MAX), no join before the bounded register table, and
+    the final plan (post-checkpoint) carries only bounded work with no
+    corpus re-scan beyond the two exact ground-truth counts."""
+    p = plan_of(spark, "q223_hll_register_fidelity")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    # ground-truth exact counts are the only corpus scans in the final plan
+    assert p.count("FileScan") <= 2
+
+
+def test_functional_dependencies_aggregate_only(spark):
+    """q224: each candidate is (X,Y)-count -> X-reaggregate — the plan
+    must be pure aggregates + union: no joins of any kind, no windows,
+    and every scan column-pruned to the candidate's X∪Y columns."""
+    p = plan_of(spark, "q224_functional_dependencies")
+    assert "Join" not in p
+    assert "Window" not in p
+    assert "CartesianProduct" not in p

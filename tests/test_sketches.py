@@ -121,3 +121,77 @@ def test_approx_quantiles_bracketed_by_exact_neighbors(spark):
                 .first()
             )
             assert lo <= getattr(r, col) <= hi, (r.o_orderstatus, col)
+
+
+def test_hll_rho_matches_python_reference(spark):
+    """q223's hex-string rho (leading zero bits of the 48-bit tail + 1)
+    must equal an independent pure-Python computation over real md5
+    hashes — the register content IS the sketch, an off-by-one here
+    biases every estimate 2x."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from database_migrator_spark.sources import table
+
+    from .conftest import SF_SMOKE
+
+    e = table(spark, SF_SMOKE, "events").select("user_id").distinct().limit(200)
+    h = F.md5(F.col("user_id").cast("string"))
+    rest = F.expr("trim(LEADING '0' FROM h12)")
+    d = F.substring(rest, 1, 1)
+    extra = (
+        F.when(d == "1", 3)
+        .when(d.isin("2", "3"), 2)
+        .when(d.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rho = F.when(rest == "", 49).otherwise(4 * (12 - F.length(rest)) + extra + 1)
+    got = {
+        r.user_id: r.rho
+        for r in e.select("user_id", F.substring(h, 3, 12).alias("h12"))
+        .select("user_id", rho.alias("rho"))
+        .collect()
+    }
+    for uid, spark_rho in got.items():
+        hx = hashlib.md5(str(uid).encode()).hexdigest()
+        v = int(hx[2:14], 16)
+        want = 49 if v == 0 else 49 - v.bit_length()  # leading zeros + 1
+        assert spark_rho == want, (uid, hx, spark_rho, want)
+
+
+def test_hll_all_row_equals_direct_global_sketch(spark):
+    """q223's 'ALL' row is built by MERGING per-type registers
+    (register-wise MAX). HLL merge is lossless, so it must equal the
+    sketch computed directly over the un-partitioned stream — rebuild
+    the global registers from scratch and compare the estimate."""
+    import hashlib
+    from collections import defaultdict
+
+    from database_migrator_spark.operators.bitmapops import _HLL_K_NUM, _HLL_M
+    from database_migrator_spark.plans.registry import all_queries
+    from database_migrator_spark.sources import table
+
+    from .conftest import SF_SMOKE
+
+    rows = {
+        r.scope: r
+        for r in all_queries()["q223_hll_register_fidelity"].build(spark, SF_SMOKE).collect()
+    }
+    regs = defaultdict(int)
+    for r in table(spark, SF_SMOKE, "events").select("user_id").collect():
+        hx = hashlib.md5(str(r.user_id).encode()).hexdigest()
+        b = int(hx[:2], 16)
+        v = int(hx[2:14], 16)
+        rho = 49 if v == 0 else 49 - v.bit_length()
+        regs[b] = max(regs[b], rho)
+    s = sum(2 ** (49 - regs[j]) for j in range(_HLL_M))
+    v_empty = sum(1 for j in range(_HLL_M) if regs[j] == 0)
+    raw = _HLL_K_NUM / s
+    import math
+
+    est = _HLL_M * math.log(_HLL_M / v_empty) if (raw <= 2.5 * _HLL_M and v_empty > 0) else raw
+    assert rows["ALL"].hll_estimate == round(est * 1e6) / 1e6
+    assert rows["ALL"].n_empty_registers == v_empty
+    # sanity: the estimator lands within 20% of truth at this scale
+    assert abs(rows["ALL"].rel_err) < 0.2

@@ -209,6 +209,8 @@ PROBE_QUERIES = [
     "q220_doc_prefix_templates",
     "q221_kmv_distinct_fidelity",
     "q222_trimmed_order_stats",
+    "q223_hll_register_fidelity",
+    "q224_functional_dependencies",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
