@@ -1350,7 +1350,10 @@ def q219_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     due. Per-row d2 is 1e-9 fixed-pointed to BIGINT before the sum so
     distributed summation order cannot move the mean (integer-cents
     discipline); the 16-row centroid table is the only broadcast; the
-    anti join and the argmin groupBy are the only corpus-sized work."""
+    anti join and the argmin groupBy are the only corpus-sized work.
+    (The demo's 3 scans of `embeddings` exist only because indexed set
+    and arriving batch are synthesized from ONE table by vec_id%k — in
+    production they are different datasets, one scan each.)"""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),

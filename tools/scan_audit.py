@@ -22,6 +22,14 @@ stand:
 - 3-scan group (q75/q108/q125/q128/q136/q61): two-aggregate + join
   shapes; one extra pruned scan each, not worth a corpus-sized
   materialization.
+- q214 (7): the FK audit spans SIX different tables (events, lineitem,
+  orders, customer, part, supplier) — one scan per table side, like q04.
+- q224 (6): six independent FD candidates, each a column-pruned scan of
+  exactly its X∪Y columns — a profiling batch scans per candidate by
+  design.
+- q219 (3): the indexed/batch/anti sides all derive from ONE table only
+  because the demo splits it by vec_id%k; in production they are
+  different datasets (persisted index + arriving batch), one scan each.
 
 Usage: python tools/scan_audit.py [min_scans] 2>/dev/null
 """
