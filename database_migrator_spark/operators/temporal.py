@@ -2359,3 +2359,248 @@ def q215_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q225_position_attribution",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS pid, user_id, ts AS pts FROM events
+        WHERE event_type = 'purchase'
+    ), v AS (
+        SELECT event_id AS vid, user_id, ts AS vts,
+               CAST(json_extract(props, '$.k') AS BIGINT) % 4 AS channel
+        FROM events WHERE event_type = 'view'
+    ), path AS (
+        SELECT p.pid, v.vid, v.channel,
+               row_number() OVER (PARTITION BY p.pid
+                                  ORDER BY v.vts, v.vid) AS pos,
+               COUNT(*) OVER (PARTITION BY p.pid) AS n
+        FROM p JOIN v ON v.user_id = p.user_id
+        WHERE v.vts <= p.pts
+          AND date_diff('second', v.vts, p.pts) <= 1800
+    ), credit AS (
+        SELECT channel, pid,
+               CASE WHEN n = 1 THEN 10000
+                    WHEN n = 2 THEN 5000
+                    WHEN pos = 1 THEN 4000
+                    WHEN pos = n THEN 4000
+                    ELSE 2000 // (n - 2)
+                         + CASE WHEN pos - 1 <= 2000 % (n - 2)
+                                THEN 1 ELSE 0 END
+               END AS bp
+        FROM path
+    ), by_channel AS (
+        SELECT channel,
+               CAST(COUNT(DISTINCT pid) AS BIGINT) AS n_conversions_touched,
+               CAST(COUNT(*) AS BIGINT) AS n_touches,
+               CAST(SUM(bp) AS BIGINT) AS credit_bp
+        FROM credit GROUP BY 1
+    )
+    SELECT channel, n_conversions_touched, n_touches, credit_bp,
+           CAST(credit_bp AS DOUBLE)
+               / (SELECT CAST(SUM(credit_bp) AS BIGINT) FROM by_channel)
+               AS credit_share
+    FROM by_channel
+    ORDER BY channel
+    """,
+    tags=("temporal", "attribution", "funnel", "marketing"),
+)
+def q225_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution — the
+    industry-standard refinement of q163's last-touch: every view in
+    the purchase's 30-minute lookback path earns credit in INTEGER
+    BASIS POINTS that sum to exactly 10000 per conversion (first and
+    last touch 40% each, the middle 20% split by integer division with
+    the remainder assigned to the earliest middle touches — a
+    deterministic exact split both engines reproduce digit for digit;
+    1-touch and 2-touch paths degenerate to 100% / 50-50). Touches are
+    bucketed into four channel surrogates (props.k % 4 — the synthetic
+    stand-in for utm_source). Report per channel: conversions touched,
+    touches, total credit, and credit share. Shape at scale: one
+    user-keyed purchase x view join bounded by the lookback window
+    (q175's shape), one per-conversion window for position/length
+    (purchase-keyed — millions of tiny partitions, never one big one),
+    then a 4-row rollup; the share division is one exact-integer
+    ratio."""
+    e = table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("pts")
+    )
+    v = e.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("vid"),
+        "user_id",
+        F.col("ts").alias("vts"),
+        (F.get_json_object("props", "$.k").cast("long") % 4).alias("channel"),
+    )
+    gap = F.unix_timestamp("pts") - F.unix_timestamp("vts")
+    path = (
+        p.join(v, "user_id")
+        .where((F.col("vts") <= F.col("pts")) & (gap <= 1800))
+        .select("pid", "vid", "channel", "vts")
+    )
+    w = Window.partitionBy("pid").orderBy("vts", "vid")
+    wn = Window.partitionBy("pid")
+    ranked = path.select(
+        "pid",
+        "channel",
+        F.row_number().over(w).alias("pos"),
+        F.count("*").over(wn).alias("n"),
+    )
+    mid_base = F.expr("2000 DIV (n - 2)")
+    mid_rem = F.expr("2000 % (n - 2)")
+    bp = (
+        F.when(F.col("n") == 1, 10000)
+        .when(F.col("n") == 2, 5000)
+        .when(F.col("pos") == 1, 4000)
+        .when(F.col("pos") == F.col("n"), 4000)
+        .otherwise(mid_base + F.when(F.col("pos") - 1 <= mid_rem, 1).otherwise(0))
+    )
+    by_channel = (
+        ranked.select("pid", "channel", bp.alias("bp"))
+        .groupBy("channel")
+        .agg(
+            F.countDistinct("pid").alias("n_conversions_touched"),
+            F.count("*").alias("n_touches"),
+            F.sum("bp").alias("credit_bp"),
+        )
+        # bounded (4 rows); read twice (report + grand total) — without
+        # this Catalyst re-derives the whole join+window pipeline under
+        # the broadcast total
+        .localCheckpoint(eager=True)
+    )
+    tot = by_channel.agg(F.sum("credit_bp").alias("tot_bp"))
+    return (
+        by_channel.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            "n_conversions_touched",
+            "n_touches",
+            "credit_bp",
+            (F.col("credit_bp").cast("double") / F.col("tot_bp").cast("double")).alias(
+                "credit_share"
+            ),
+        )
+        .orderBy("channel")
+    )
+
+
+@query(
+    "q226_nearest_event_join",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS pid, user_id, ts AS pts,
+               CAST(date_part('hour', ts) AS BIGINT) AS hr
+        FROM events WHERE event_type = 'purchase'
+    ), c AS (
+        SELECT event_id AS cid, user_id, ts AS cts
+        FROM events WHERE event_type = 'click'
+    ), cand AS (
+        SELECT p.pid, p.hr,
+               abs(date_diff('second', c.cts, p.pts)) AS gap_s,
+               epoch_us(c.cts) AS cus, c.cid
+        FROM p JOIN c ON c.user_id = p.user_id
+        WHERE abs(date_diff('second', c.cts, p.pts)) <= 3600
+    ), best AS (
+        SELECT pid, hr, gap_s FROM (
+            SELECT pid, hr, gap_s,
+                   row_number() OVER (PARTITION BY pid
+                                      ORDER BY gap_s, cus, cid) AS rn
+            FROM cand
+        ) WHERE rn = 1
+    ), hours AS (
+        SELECT hr, CAST(COUNT(*) AS BIGINT) AS n_purchases FROM p GROUP BY 1
+    ), matched AS (
+        SELECT hr, CAST(COUNT(*) AS BIGINT) AS n_matched,
+               CAST(SUM(gap_s) AS BIGINT) AS sum_gap_s
+        FROM best GROUP BY 1
+    )
+    SELECT h.hr AS hour, h.n_purchases,
+           COALESCE(m.n_matched, 0) AS n_matched,
+           CAST(COALESCE(m.n_matched, 0) AS DOUBLE) / h.n_purchases
+               AS match_rate,
+           CASE WHEN COALESCE(m.n_matched, 0) > 0
+                THEN CAST(ROUND(CAST(m.sum_gap_s AS DOUBLE) / m.n_matched
+                                * 1000000) AS BIGINT) / 1000000.0
+                ELSE 0.0 END AS mean_abs_gap_s
+    FROM hours h LEFT JOIN matched m ON m.hr = h.hr
+    ORDER BY hour
+    """,
+    tags=("temporal", "asof", "nearest", "range-join", "custom-operator"),
+)
+def q226_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIDIRECTIONAL nearest-event join (pandas merge_asof
+    direction='nearest') — completes the as-of family: q23 looks only
+    BACKWARD; sensor/stream alignment wants the nearest same-user click
+    to each purchase in EITHER direction within ±1h, |gap| minimized,
+    ties to the earlier event. Spark has no native nearest join; the
+    scale shape is q52's bucketized range join made symmetric — the
+    probe explodes into its 3 candidate hour-cells {t−1, t, t+1}, a
+    plain (user, cell) equi hash join finds candidates, the exact
+    |gap| <= 1h filter prunes, and the per-purchase argmin is ONE
+    min-of-struct aggregate (gap, ts, id — no window). Report per
+    purchase hour-of-day: purchases, matched count/rate, and the mean
+    |gap| as an exact-integer-seconds ratio. O(N · rows-per-cell),
+    never a quadratic theta join."""
+    e = table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.hour("ts").cast("long").alias("hr"),
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), "user_id", F.col("ts").alias("cts")
+    )
+    cell = 3600 * 1_000_000
+    p_cell = F.expr(f"unix_micros(pts) DIV {cell}")
+    px = p.withColumn(
+        "__cell", F.explode(F.array(p_cell - 1, p_cell, p_cell + 1))
+    )
+    cx = c.withColumn("__cell", F.expr(f"unix_micros(cts) DIV {cell}"))
+    gap_s = F.abs(F.unix_timestamp("pts") - F.unix_timestamp("cts"))
+    best = (
+        px.join(cx, ["user_id", "__cell"])
+        .where(gap_s <= 3600)
+        .select(
+            "pid",
+            "hr",
+            gap_s.alias("gap_s"),
+            F.unix_micros("cts").alias("cus"),
+            "cid",
+        )
+        # each (pid, cid) pair matches exactly once (a click has ONE
+        # cell; the probe's 3 cells are distinct) — the argmin below is
+        # pure per-purchase selection, not dedup
+        .groupBy("pid", "hr")
+        .agg(F.min(F.struct("gap_s", "cus", "cid")).alias("m"))
+        .select("pid", "hr", F.col("m.gap_s").alias("gap_s"))
+    )
+    hours = p.groupBy("hr").agg(F.count("*").alias("n_purchases"))
+    matched = best.groupBy("hr").agg(
+        F.count("*").alias("n_matched"), F.sum("gap_s").alias("sum_gap_s")
+    )
+    return (
+        hours.join(matched, "hr", "left")
+        .select(
+            F.col("hr").alias("hour"),
+            "n_purchases",
+            F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+            (
+                F.coalesce("n_matched", F.lit(0)).cast("double")
+                / F.col("n_purchases").cast("double")
+            ).alias("match_rate"),
+            F.when(
+                F.coalesce("n_matched", F.lit(0)) > 0,
+                F.round(
+                    F.col("sum_gap_s").cast("double")
+                    / F.col("n_matched").cast("double")
+                    * 1000000
+                ).cast("long")
+                / F.lit(1000000.0),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("mean_abs_gap_s"),
+        )
+        .orderBy("hour")
+    )

@@ -2602,3 +2602,108 @@ def q212_distinctive_terms_logodds(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("source", F.col("log_odds_z").desc(), "term")
     )
+
+
+@query(
+    "q227_zipf_slope",
+    oracle=r"""
+    WITH dt AS (
+        SELECT source,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  t -> len(t) > 0)) AS tok
+        FROM documents
+    ), cnt AS (
+        SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM dt GROUP BY 1, 2
+    ), ranked AS (
+        SELECT source, c,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY c DESC, tok) AS rnk
+        FROM cnt
+    ), pts AS (
+        SELECT source,
+               CAST(ROUND(ln(CAST(rnk AS DOUBLE)) * 1000000) AS BIGINT) AS x6,
+               CAST(ROUND(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS y6
+        FROM ranked WHERE rnk <= 100
+    ), sums AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x6) AS BIGINT) AS sx,
+               CAST(SUM(y6) AS BIGINT) AS sy,
+               CAST(SUM(x6 * y6) AS BIGINT) AS sxy,
+               CAST(SUM(x6 * x6) AS BIGINT) AS sxx,
+               CAST(SUM(y6 * y6) AS BIGINT) AS syy
+        FROM pts GROUP BY 1
+    )
+    SELECT source, n AS n_fit,
+           CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000) AS BIGINT)
+               / 1000000.0 AS zipf_slope,
+           CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                      * CAST(n * sxy - sx * sy AS DOUBLE)
+                      / (CAST(n * sxx - sx * sx AS DOUBLE)
+                         * CAST(n * syy - sy * sy AS DOUBLE))
+                      * 1000000) AS BIGINT) / 1000000.0 AS r2
+    FROM sums
+    ORDER BY source
+    """,
+    tags=("text", "zipf", "statistics", "curation", "llm-pipeline"),
+)
+def q227_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency slope per source — the power-law diagnostic a
+    corpus audit reads next to q111's length histogram and q126's
+    vocabulary growth: OLS of ln(count) on ln(rank) over each source's
+    top-100 tokens (natural text sits near slope −1; a flat slope flags
+    templated/synthetic shards, a cliff flags boilerplate domination).
+    Determinism: the ln values are 1e-6 fixed-pointed to BIGINT PER
+    POINT (the q212 discipline), so all five regression sums are exact
+    integers and the slope/R² are single identical double expressions —
+    no cross-row float accumulation anywhere. Shape at scale: one
+    (source, tok) count shuffle; the top-100 rank compiles to
+    WindowGroupLimit (map-side partial top-k, no source partition ever
+    fully sorts); the regression runs on ≤100 bounded rows per
+    source."""
+    d = spread_for_cpu(table(spark, sf_dir, "documents"))
+    cnt = (
+        d.select("source", F.explode(tokens_of("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.col("c").desc(), "tok")
+    pts = (
+        cnt.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 100)
+        .select(
+            "source",
+            F.round(F.log(F.col("rnk").cast("double")) * 1000000)
+            .cast("long")
+            .alias("x6"),
+            F.round(F.log(F.col("c").cast("double")) * 1000000)
+            .cast("long")
+            .alias("y6"),
+        )
+    )
+    sums = pts.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("x6").alias("sx"),
+        F.sum("y6").alias("sy"),
+        F.sum(F.col("x6") * F.col("y6")).alias("sxy"),
+        F.sum(F.col("x6") * F.col("x6")).alias("sxx"),
+        F.sum(F.col("y6") * F.col("y6")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return sums.select(
+        "source",
+        F.col("n").alias("n_fit"),
+        (F.round(num / den * 1000000).cast("long") / F.lit(1000000.0)).alias(
+            "zipf_slope"
+        ),
+        (
+            F.round(num * num / (den * deny) * 1000000).cast("long")
+            / F.lit(1000000.0)
+        ).alias("r2"),
+    ).orderBy("source")

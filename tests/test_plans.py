@@ -360,7 +360,7 @@ def test_no_rdd_scans_anywhere(spark):
     for name, dq in _QS.items():
         if any(
             t in dq.tags
-            for t in ("streaming", "udtf", "minhash", "simhash", "semdedup", "pipeline", "bpe", "iterative", "decontamination", "ppjoin", "dense-hourly", "scd2", "diff", "bounded-artifact", "pmi", "bloom", "divergence", "contamination", "psi", "bounded-histogram", "rank", "assortativity", "containment", "triangles", "bitmap", "retrieval", "profiling", "market-basket", "selection", "log-odds", "tukey", "referential-integrity", "kmv")
+            for t in ("streaming", "udtf", "minhash", "simhash", "semdedup", "pipeline", "bpe", "iterative", "decontamination", "ppjoin", "dense-hourly", "scd2", "diff", "bounded-artifact", "pmi", "bloom", "divergence", "contamination", "psi", "bounded-histogram", "rank", "assortativity", "containment", "triangles", "bitmap", "retrieval", "profiling", "market-basket", "selection", "log-odds", "tukey", "referential-integrity", "kmv", "attribution")
         ):
             continue
         p = _QS[name].build(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
@@ -1283,3 +1283,36 @@ def test_functional_dependencies_aggregate_only(spark):
     assert "Join" not in p
     assert "Window" not in p
     assert "CartesianProduct" not in p
+
+
+def test_position_attribution_plan_bounded(spark):
+    """q225: per-conversion position/length windows share ONE pid hash
+    partitioning and run ONCE — the bounded 4-row by_channel frame is
+    checkpointed so the grand-total broadcast reads it instead of
+    re-deriving the whole join+window pipeline (Catalyst would); the
+    only nested-loop is the 1-row total broadcast."""
+    p = plan_of(spark, "q225_position_attribution")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 1  # 1-row total frame
+    assert "Window" not in p  # windows ran inside the checkpoint build
+    assert p.count("FileScan") == 0  # reads only the 4-row checkpoint
+
+
+def test_nearest_join_equi_hash_no_window(spark):
+    """q226: the symmetric nearest join must stay an equi hash join on
+    (user, cell) — never a theta join — and the per-purchase argmin is
+    a min-of-struct AGGREGATE, not a window."""
+    p = plan_of(spark, "q226_nearest_event_join")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Window" not in p
+    assert "Generate explode" in p or "Generate" in p  # the 3-cell explode
+
+
+def test_zipf_top100_window_group_limit(spark):
+    """q227: the per-source top-100 rank must compile to
+    WindowGroupLimit — on a web-scale vocabulary the full per-source
+    sort would be the 100 TB mistake; the regression itself runs on
+    <= 100 bounded rows per source."""
+    p = plan_of(spark, "q227_zipf_slope")
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p

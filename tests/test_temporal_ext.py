@@ -167,3 +167,78 @@ def test_uninterrupted_funnel_hand_corpus(spark):
     assert r["n_blocked"] == 1  # user 2
     assert r["sum_delay_s"] == 60 + 90 + 10
     assert abs(r["match_rate"] - 3 / 5) < 1e-12
+
+
+def test_position_attribution_credit_sums_to_10000_per_conversion(spark):
+    """q225's contract: every conversion's path credit sums to exactly
+    10000 basis points regardless of path length — the integer split
+    (first 4000 / last 4000 / middle 2000 with earliest-first
+    remainder) must be total."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from database_migrator_spark.sources import table
+
+    from .conftest import SF_SMOKE
+
+    e = table(spark, SF_SMOKE, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("pts")
+    )
+    v = e.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("vid"), "user_id", F.col("ts").alias("vts")
+    )
+    gap = F.unix_timestamp("pts") - F.unix_timestamp("vts")
+    path = p.join(v, "user_id").where((F.col("vts") <= F.col("pts")) & (gap <= 1800))
+    w = Window.partitionBy("pid").orderBy("vts", "vid")
+    wn = Window.partitionBy("pid")
+    ranked = path.select(
+        "pid", F.row_number().over(w).alias("pos"), F.count("*").over(wn).alias("n")
+    )
+    bp = (
+        F.when(F.col("n") == 1, 10000)
+        .when(F.col("n") == 2, 5000)
+        .when(F.col("pos") == 1, 4000)
+        .when(F.col("pos") == F.col("n"), 4000)
+        .otherwise(
+            F.expr("2000 DIV (n - 2)")
+            + F.when(F.col("pos") - 1 <= F.expr("2000 % (n - 2)"), 1).otherwise(0)
+        )
+    )
+    sums = ranked.select("pid", bp.alias("bp")).groupBy("pid").agg(F.sum("bp").alias("s"))
+    bad = sums.where(F.col("s") != 10000).count()
+    assert bad == 0
+    assert sums.count() > 0
+
+
+def test_nearest_event_join_matches_brute_force(spark):
+    """q226's bucketized 3-cell nearest join must agree with a direct
+    pandas nearest-neighbor computation (|gap| <= 1h, tie -> earlier
+    click) on the smoke corpus — cell-boundary candidates are exactly
+    where a naive 1-cell explode silently drops matches."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from database_migrator_spark.plans.registry import all_queries
+    from database_migrator_spark.sources import table
+
+    from .conftest import SF_SMOKE
+
+    got = {
+        r.hour: (r.n_purchases, r.n_matched)
+        for r in all_queries()["q226_nearest_event_join"].build(spark, SF_SMOKE).collect()
+    }
+    e = table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "event_type", F.unix_timestamp("ts").alias("s"),
+        F.hour("ts").alias("hr"),
+    ).toPandas()
+    p = e[e.event_type == "purchase"]
+    c = e[e.event_type == "click"]
+    by_user = {u: g.sort_values("s") for u, g in c.groupby("user_id")}
+    want = {}
+    for _, row in p.iterrows():
+        n_p, n_m = want.get(row.hr, (0, 0))
+        cand = by_user.get(row.user_id)
+        matched = cand is not None and (abs(cand.s - row.s) <= 3600).any()
+        want[row.hr] = (n_p + 1, n_m + (1 if matched else 0))
+    assert got == want

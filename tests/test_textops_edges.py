@@ -461,3 +461,39 @@ def test_association_rules_hand_lift(spark, tmp_path):
     assert abs(r12["support"] - 0.5) < 1e-9
     assert abs(r12["confidence"] - round(2 / 3 * 1e9) / 1e9) < 1e-12
     assert abs(r12["lift"] - round(2 * 4 / (3 * 2) * 1e9) / 1e9) < 1e-12
+
+
+def test_zipf_slope_matches_numpy_polyfit(spark):
+    """q227's fixed-point integer OLS must agree with numpy's float
+    polyfit to ~1e-4 on every source (the 1e-6 quantization of ln is
+    the only difference), and slopes must be negative (frequencies
+    descend with rank by construction)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from database_migrator_spark.operators.dedup import tokens_of
+    from database_migrator_spark.plans.registry import all_queries
+    from database_migrator_spark.sources import table
+
+    from .conftest import SF_SMOKE
+
+    rows = all_queries()["q227_zipf_slope"].build(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    cnt = (
+        table(spark, SF_SMOKE, "documents")
+        .select("source", F.explode(tokens_of("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .count()
+        .toPandas()
+    )
+    for r in rows:
+        g = cnt[cnt.source == r.source].sort_values(
+            ["count", "tok"], ascending=[False, True]
+        ).head(100)
+        x = np.log(np.arange(1, len(g) + 1))
+        y = np.log(g["count"].to_numpy(dtype=float))
+        slope = np.polyfit(x, y, 1)[0]
+        assert r.n_fit == len(g)
+        assert abs(r.zipf_slope - slope) < 1e-4
+        assert r.zipf_slope < 0
+        assert 0 <= r.r2 <= 1

@@ -211,6 +211,9 @@ PROBE_QUERIES = [
     "q222_trimmed_order_stats",
     "q223_hll_register_fidelity",
     "q224_functional_dependencies",
+    "q225_position_attribution",
+    "q226_nearest_event_join",
+    "q227_zipf_slope",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
