@@ -852,3 +852,139 @@ def q224_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f_ in frames[1:]:
         out = out.unionByName(f_)
     return out.orderBy("fd")
+
+
+@query(
+    "q228_delete_propagation_audit",
+    oracle=r"""
+    WITH d AS (
+        SELECT doc_id, text, doc_id % 37 = 0 AS del FROM documents
+    ), toks AS (
+        SELECT doc_id, del,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           t -> len(t) > 0) AS t
+        FROM d
+    ), tf AS (
+        SELECT DISTINCT doc_id, del, unnest(t) AS term FROM toks
+    ), grams AS (
+        SELECT DISTINCT doc_id, del,
+               list_aggregate(t[i:i+7], 'string_agg', ' ') AS g
+        FROM toks, unnest(range(1, len(t) - 6)) AS u(i)
+        WHERE len(t) >= 8
+    ), groups AS (
+        SELECT md5(text) AS dg, MIN(doc_id) AS keeper,
+               COUNT(*) AS n,
+               SUM(CASE WHEN del THEN 1 ELSE 0 END) AS n_del
+        FROM d GROUP BY 1
+    ), rows_ AS (
+        SELECT 'documents' AS artifact,
+               CAST(SUM(CASE WHEN del THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_invalidated,
+               CAST(COUNT(*) AS BIGINT) AS n_total
+        FROM d
+        UNION ALL
+        SELECT 'token_volume',
+               CAST(SUM(CASE WHEN del THEN len(t) ELSE 0 END) AS BIGINT),
+               CAST(SUM(len(t)) AS BIGINT)
+        FROM toks
+        UNION ALL
+        SELECT 'tf_rows',
+               CAST(SUM(CASE WHEN del THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT)
+        FROM tf
+        UNION ALL
+        SELECT 'shingle_rows',
+               CAST(SUM(CASE WHEN del THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT)
+        FROM grams
+        UNION ALL
+        SELECT 'dedup_keeper_reelections',
+               CAST(SUM(CASE WHEN keeper % 37 = 0 AND n - n_del >= 1
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT)
+        FROM groups
+    )
+    SELECT artifact, n_invalidated, n_total,
+           CAST(n_invalidated AS DOUBLE) / n_total AS pct
+    FROM rows_
+    ORDER BY artifact
+    """,
+    tags=("etl", "governance", "deletion", "gdpr", "audit", "llm-pipeline"),
+)
+def q228_delete_propagation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten IMPACT AUDIT — the derived-artifact
+    companion of q137's file-level delete propagation: before a
+    deletion batch (here doc_id % 37 == 0) is applied, a 100 TB
+    pipeline must know what it invalidates downstream. Reports, per
+    derived artifact, the invalidated row count and fraction:
+    documents, token volume, tf-substrate rows (distinct (doc, term)),
+    8-gram shingle rows (q118's definition), and — the subtle one —
+    exact-dedup KEEPER RE-ELECTIONS: md5-content groups whose canonical
+    representative (min doc_id) is being deleted while survivors
+    remain, each of which forces a new canonical downstream. Every
+    metric is an exact count from the artifact's defining expression
+    (no cached state — the audit must be recomputable standalone).
+    Shape at scale: one corpus scan per artifact definition,
+    map-side-combinable aggregates, no joins, no windows; the
+    dedup-group pass is the same digest shuffle q58 runs."""
+    from database_migrator_spark.operators.dedup import tokens_of, word_shingles
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 37 == 0).alias("del")
+    )
+    toks = d.select("doc_id", "del", tokens_of("text").alias("t"))
+    del_l = F.col("del").cast("long")
+    docs_row = d.agg(
+        F.sum(del_l).alias("n_invalidated"), F.count("*").alias("n_total")
+    ).select(F.lit("documents").alias("artifact"), "n_invalidated", "n_total")
+    tok_row = toks.agg(
+        F.sum(F.when(F.col("del"), F.size("t")).otherwise(0).cast("long")).alias(
+            "n_invalidated"
+        ),
+        F.sum(F.size("t").cast("long")).alias("n_total"),
+    ).select(F.lit("token_volume").alias("artifact"), "n_invalidated", "n_total")
+    tf = toks.select("doc_id", "del", F.explode(F.array_distinct("t")).alias("term"))
+    tf_row = tf.agg(
+        F.sum(del_l).alias("n_invalidated"), F.count("*").alias("n_total")
+    ).select(F.lit("tf_rows").alias("artifact"), "n_invalidated", "n_total")
+    grams = toks.where(F.size("t") >= 8).select(
+        "doc_id",
+        "del",
+        F.explode(F.array_distinct(word_shingles(F.col("t"), 8))).alias("g"),
+    )
+    gram_row = grams.agg(
+        F.sum(del_l).alias("n_invalidated"), F.count("*").alias("n_total")
+    ).select(F.lit("shingle_rows").alias("artifact"), "n_invalidated", "n_total")
+    groups = d.groupBy(F.md5("text").alias("dg")).agg(
+        F.min("doc_id").alias("keeper"),
+        F.count("*").alias("n"),
+        F.sum(del_l).alias("n_del"),
+    )
+    reelect = groups.agg(
+        F.sum(
+            (
+                (F.col("keeper") % 37 == 0) & (F.col("n") - F.col("n_del") >= 1)
+            ).cast("long")
+        ).alias("n_invalidated"),
+        F.count("*").alias("n_total"),
+    ).select(
+        F.lit("dedup_keeper_reelections").alias("artifact"),
+        "n_invalidated",
+        "n_total",
+    )
+    return (
+        docs_row.unionByName(tok_row)
+        .unionByName(tf_row)
+        .unionByName(gram_row)
+        .unionByName(reelect)
+        .select(
+            "artifact",
+            "n_invalidated",
+            "n_total",
+            (
+                F.col("n_invalidated").cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("pct"),
+        )
+        .orderBy("artifact")
+    )

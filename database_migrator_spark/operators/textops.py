@@ -2707,3 +2707,101 @@ def q227_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("r2"),
     ).orderBy("source")
+
+
+@query(
+    "q229_incremental_index_refresh",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, doc_id % 5 = 0 AS is_delta,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           t -> len(t) > 0) AS t
+        FROM documents
+    ), dt AS (
+        SELECT doc_id, is_delta, unnest(list_distinct(t)) AS term FROM toks
+    ), tf AS (
+        SELECT unnest(t) AS term FROM toks
+    ), merged AS (
+        SELECT term,
+               CAST(SUM(CASE WHEN is_delta THEN 0 ELSE 1 END) AS BIGINT)
+                   AS df_old,
+               CAST(SUM(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT)
+                   AS df_delta,
+               CAST(COUNT(*) AS BIGINT) AS df_merged
+        FROM dt GROUP BY 1
+    ), tfm AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS tf_merged FROM tf GROUP BY 1
+    )
+    SELECT m.term, m.df_old, m.df_delta, m.df_merged, t.tf_merged
+    FROM merged m JOIN tfm t USING (term)
+    ORDER BY m.df_merged DESC, m.term
+    LIMIT 20
+    """,
+    tags=("text", "retrieval", "incremental", "index-refresh", "llm-pipeline"),
+)
+def q229_incremental_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LEXICAL INDEX refresh — q165's algebraic-refresh
+    invariant applied to the retrieval tier (and q219's arriving-batch
+    shape applied to text): the BM25/QLD family's df/tf statistics are
+    pure sums, so when a delta batch arrives (doc_id % 5 == 0) the
+    index updates by MERGING the old index's per-term stats with stats
+    computed over the DELTA ALONE — the Spark side never aggregates
+    old∪delta together (two separate aggregations + one term-keyed
+    merge join), while the oracle recomputes everything from the full
+    corpus; hash equality proves the merge is lossless, which is the
+    invariant that lets a 100 TB index absorb a 0.1 TB recrawl without
+    a full rebuild. Reports the top-20 terms by merged df with the
+    old/delta decomposition. The df side dedups per document in-row
+    (array_distinct — one shuffle row per (doc, term)); the merge join
+    is term-keyed pinned shuffle-merge (vocabulary tables are unbounded
+    — never broadcast)."""
+    from database_migrator_spark.operators.dedup import tokens_of
+
+    d = spread_for_cpu(table(spark, sf_dir, "documents")).select(
+        "doc_id", (F.col("doc_id") % 5 == 0).alias("is_delta"), tokens_of("text").alias("t")
+    )
+    old = d.where(~F.col("is_delta"))
+    delta = d.where(F.col("is_delta"))
+
+    def df_of(part: DataFrame, alias: str) -> DataFrame:
+        return (
+            part.select(F.explode(F.array_distinct("t")).alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").alias(alias))
+        )
+
+    def tf_of(part: DataFrame, alias: str) -> DataFrame:
+        return (
+            part.select(F.explode("t").alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").alias(alias))
+        )
+
+    df_old = df_of(old, "df_old")
+    df_delta = df_of(delta, "df_delta")
+    tf_old = tf_of(old, "tf_old")
+    tf_delta = tf_of(delta, "tf_delta")
+    merged_df = (
+        df_old.join(df_delta.hint("shuffle_merge"), "term", "full_outer")
+        .select(
+            "term",
+            F.coalesce("df_old", F.lit(0)).alias("df_old"),
+            F.coalesce("df_delta", F.lit(0)).alias("df_delta"),
+        )
+        .withColumn("df_merged", F.col("df_old") + F.col("df_delta"))
+    )
+    merged_tf = (
+        tf_old.join(tf_delta.hint("shuffle_merge"), "term", "full_outer")
+        .select(
+            "term",
+            (F.coalesce("tf_old", F.lit(0)) + F.coalesce("tf_delta", F.lit(0))).alias(
+                "tf_merged"
+            ),
+        )
+    )
+    return (
+        merged_df.join(merged_tf.hint("shuffle_merge"), "term")
+        .select("term", "df_old", "df_delta", "df_merged", "tf_merged")
+        .orderBy(F.col("df_merged").desc(), "term")
+        .limit(20)
+    )

@@ -157,3 +157,41 @@ def test_functional_dependencies_known_truths(spark):
     want_g3 = len(pdf) - keep
     got = rows["orders: o_custkey -> o_orderstatus"]
     assert got.g3_rows_to_remove == want_g3
+
+
+def test_delete_propagation_audit_consistency(spark):
+    """q228's invariants: invalidated <= total per artifact, the
+    documents fraction matches the %37 delete rule exactly, and the
+    keeper-reelection count matches an independent pandas
+    recomputation over the content-hash groups."""
+    import hashlib
+
+    from database_migrator_spark.plans.registry import all_queries
+    from database_migrator_spark.sources import table
+
+    from .conftest import SF_SMOKE
+
+    rows = {
+        r.artifact: r
+        for r in all_queries()["q228_delete_propagation_audit"].build(spark, SF_SMOKE).collect()
+    }
+    assert set(rows) == {
+        "documents", "token_volume", "tf_rows", "shingle_rows",
+        "dedup_keeper_reelections",
+    }
+    for r in rows.values():
+        assert 0 <= r.n_invalidated <= r.n_total
+        assert abs(r.pct - r.n_invalidated / r.n_total) < 1e-15
+    pdf = table(spark, SF_SMOKE, "documents").select("doc_id", "text").toPandas()
+    assert rows["documents"].n_invalidated == int((pdf.doc_id % 37 == 0).sum())
+    groups = {}
+    for _, row in pdf.iterrows():
+        groups.setdefault(hashlib.md5(row.text.encode()).hexdigest(), []).append(
+            int(row.doc_id)
+        )
+    want = sum(
+        1
+        for ids in groups.values()
+        if min(ids) % 37 == 0 and any(i % 37 != 0 for i in ids)
+    )
+    assert rows["dedup_keeper_reelections"].n_invalidated == want

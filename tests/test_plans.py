@@ -1316,3 +1316,26 @@ def test_zipf_top100_window_group_limit(spark):
     p = plan_of(spark, "q227_zipf_slope")
     assert "WindowGroupLimit" in p
     assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+
+
+def test_delete_audit_join_free(spark):
+    """q228: five artifact definitions, each a map-side-combinable
+    aggregate over its own column-pruned scan — no joins, no windows
+    anywhere (the audit must cost five scans, not a single shuffle
+    more)."""
+    p = plan_of(spark, "q228_delete_propagation_audit")
+    assert "Join" not in p
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_index_refresh_vocab_joins_never_broadcast(spark):
+    """q229: the old/delta per-term merges are FULL OUTER joins of two
+    unbounded vocabulary tables — they must stay shuffle-merge (a
+    broadcast of either side OOMs at web scale), and the top-20 must
+    be a TakeOrderedAndProject, never a global sort."""
+    p = plan_of(spark, "q229_incremental_index_refresh")
+    assert "SortMergeJoin FullOuter" in p or ("SortMergeJoin" in p and "FullOuter" in p)
+    assert "BroadcastHashJoin" not in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p

@@ -497,3 +497,38 @@ def test_zipf_slope_matches_numpy_polyfit(spark):
         assert abs(r.zipf_slope - slope) < 1e-4
         assert r.zipf_slope < 0
         assert 0 <= r.r2 <= 1
+
+
+def test_incremental_index_refresh_merge_is_lossless(spark):
+    """q229's invariant beyond the top-20 the oracle checks: for EVERY
+    term, old-index df + delta df must equal the df of a full recompute
+    over the union — the algebraic property that lets a production
+    index absorb a recrawl without a rebuild."""
+    from pyspark.sql import functions as F
+
+    from database_migrator_spark.operators.dedup import tokens_of
+    from database_migrator_spark.sources import table
+
+    from .conftest import SF_SMOKE
+
+    d = table(spark, SF_SMOKE, "documents").select(
+        "doc_id", (F.col("doc_id") % 5 == 0).alias("is_delta"), tokens_of("text").alias("t")
+    )
+    full = (
+        d.select(F.explode(F.array_distinct("t")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df_full"))
+    )
+    parts = (
+        d.select("is_delta", F.explode(F.array_distinct("t")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df_merged"))
+    )
+    bad = (
+        full.join(parts, "term", "full_outer")
+        .where(
+            F.coalesce("df_full", F.lit(0)) != F.coalesce("df_merged", F.lit(0))
+        )
+        .count()
+    )
+    assert bad == 0

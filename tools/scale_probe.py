@@ -214,6 +214,8 @@ PROBE_QUERIES = [
     "q225_position_attribution",
     "q226_nearest_event_join",
     "q227_zipf_slope",
+    "q228_delete_propagation_audit",
+    "q229_incremental_index_refresh",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
