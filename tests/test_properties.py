@@ -325,3 +325,122 @@ def test_two_level_prefix_sum_equals_single_cumsum(marks, bucket_width):
         base += local
     flat = [v for b in sorted(two_level) for v in two_level[b]]
     assert flat == single
+
+
+def test_silence_run_stats_property():
+    """q217's run-length kernel vs a trivially-correct reference on
+    random PCM streams (hypothesis): silent counts, segment counts and
+    longest run must agree for every stream, threshold and min_run."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from database_migrator_spark.operators.multimodal import silence_run_stats
+
+    def reference(samples, threshold, min_run):
+        runs, cur = [], 0
+        for s in samples:
+            if abs(s) < threshold:
+                cur += 1
+            else:
+                if cur:
+                    runs.append(cur)
+                cur = 0
+        if cur:
+            runs.append(cur)
+        return (
+            sum(runs),
+            sum(1 for r in runs if r >= min_run),
+            max(runs, default=0),
+        )
+
+    @given(
+        st.lists(st.integers(min_value=-4096, max_value=4096), max_size=200),
+        st.integers(min_value=1, max_value=1024),
+        st.integers(min_value=1, max_value=16),
+    )
+    @settings(max_examples=200, deadline=None)
+    def check(samples, threshold, min_run):
+        assert silence_run_stats(samples, threshold, min_run) == reference(
+            samples, threshold, min_run
+        )
+
+    check()
+
+
+def test_trimmed_mean_overlap_arithmetic_property():
+    """q222's kept-copy formula — each histogram cell contributes
+    max(0, min(cum, n-t) - max(cum-c, t)) — must reproduce the sorted
+    trim exactly for any multiset and trim count (hypothesis)."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=300))
+    @settings(max_examples=200, deadline=None)
+    def check(values):
+        n = len(values)
+        t = n // 10
+        srt = sorted(values)
+        want = sum(srt[t : n - t])
+        hist = sorted(Counter(values).items())
+        cum = 0
+        got = 0
+        for v, c in hist:
+            cum += c
+            kept = max(0, min(cum, n - t) - max(cum - c, t))
+            got += v * kept
+        assert got == want
+
+    check()
+
+
+def test_kmv_estimator_reference_property():
+    """q221's estimator: on random id sets, the bottom-16 md5 sketch's
+    (k-1)*2^48 DIV h_(k) estimate must match a pure-Python KMV built
+    from the same hashes, and the n<k fallback must be exact."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.sets(st.integers(min_value=0, max_value=10**9), max_size=400))
+    @settings(max_examples=100, deadline=None)
+    def check(ids):
+        hs = sorted(hashlib.md5(str(u).encode()).hexdigest()[:12] for u in ids)
+        k = 16
+        if len(hs) < k:
+            est = len(hs)
+        else:
+            est = (15 * 2**48) // int(hs[k - 1], 16)
+            # unbiased-ish: within a factor ~4 of truth at n>=k (loose
+            # sanity bound; k=16 has ~25% stderr)
+            assert est > 0
+            if len(hs) >= 64:
+                assert len(hs) / 6 < est < len(hs) * 6
+        assert est == (len(hs) if len(hs) < k else (15 * 2**48) // int(hs[k - 1], 16))
+
+    check()
+
+
+def test_hll_rho_reference_property():
+    """q223's hex-arithmetic rho vs int.bit_length on random 48-bit
+    values: rho = 49 - bit_length(v) (49 when v = 0), computed from the
+    hex string exactly as both engines do."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.integers(min_value=0, max_value=2**48 - 1))
+    @settings(max_examples=500, deadline=None)
+    def check(v):
+        h12 = f"{v:012x}"
+        rest = h12.lstrip("0")
+        if rest == "":
+            rho = 49
+        else:
+            d = rest[0]
+            extra = {"1": 3, "2": 2, "3": 2}.get(d, 1 if d in "4567" else 0)
+            rho = 4 * (12 - len(rest)) + extra + 1
+        assert rho == (49 if v == 0 else 49 - v.bit_length())
+
+    check()

@@ -195,3 +195,35 @@ def test_hll_all_row_equals_direct_global_sketch(spark):
     assert rows["ALL"].n_empty_registers == v_empty
     # sanity: the estimator lands within 20% of truth at this scale
     assert abs(rows["ALL"].rel_err) < 0.2
+
+
+def test_kmv_all_row_equals_direct_global_sketch(spark):
+    """q221's 'ALL' row merges per-type bottom-16 sets; KMV merge is
+    lossless (every global bottom-16 hash is in its own type's
+    bottom-16 — if 16 hashes in a type were smaller, the candidate
+    could not be global top-16), so it must equal the sketch computed
+    directly over the global distinct-user set."""
+    import hashlib
+
+    from database_migrator_spark.plans.registry import all_queries
+    from database_migrator_spark.sources import table
+
+    from .conftest import SF_SMOKE
+
+    rows = {
+        r.scope: r
+        for r in all_queries()["q221_kmv_distinct_fidelity"].build(spark, SF_SMOKE).collect()
+    }
+    users = sorted(
+        {r.user_id for r in table(spark, SF_SMOKE, "events").select("user_id").collect()}
+    )
+    hs = sorted(
+        (hashlib.md5(str(u).encode()).hexdigest()[:12], u) for u in users
+    )
+    k = 16
+    if len(hs) < k:
+        want = len(hs)
+    else:
+        want = (15 * 2**48) // int(hs[k - 1][0], 16)
+    assert rows["ALL"].kmv_estimate == want
+    assert rows["ALL"].n_exact == len(users)
