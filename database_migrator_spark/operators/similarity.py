@@ -1408,3 +1408,106 @@ def q219_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+@query(
+    "q230_embedding_centroid_drift",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               vec_id % 2 = 0 AS is_new
+        FROM embeddings
+    ), ex AS (
+        SELECT label, is_new, i AS dim,
+               CAST(ROUND(v[i] * 1000000) AS BIGINT) AS v6
+        FROM e, unnest(range(1, 65)) AS u(i)
+    ), agg AS (
+        SELECT label, is_new, dim,
+               CAST(SUM(v6) AS BIGINT) AS s6, CAST(COUNT(*) AS BIGINT) AS n
+        FROM ex GROUP BY 1, 2, 3
+    ), pair AS (
+        SELECT a.label, a.dim,
+               CAST(ROUND((CAST(a.s6 AS DOUBLE) / a.n / 1000000.0
+                           - CAST(b.s6 AS DOUBLE) / b.n / 1000000.0)
+                          * 1000000) AS BIGINT) AS d6,
+               a.n AS n_new, b.n AS n_old
+        FROM agg a JOIN agg b
+          ON a.label = b.label AND a.dim = b.dim
+         AND a.is_new AND NOT b.is_new
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           MIN(n_old) AS n_old, MIN(n_new) AS n_new,
+           CAST(ROUND(sqrt(CAST(CAST(SUM(d6 * d6) AS BIGINT) AS DOUBLE))
+                      / 1000000.0 * 1000000000) AS BIGINT) / 1000000000.0
+               AS centroid_shift_l2
+    FROM pair
+    GROUP BY label
+    ORDER BY label
+    """,
+    tags=("similarity", "embedding", "drift", "monitoring", "llm-pipeline"),
+)
+def q230_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding DISTRIBUTION drift between ingest batches — the
+    ML-monitoring read that decides when q53/q219's coarse quantizer
+    needs refitting and whether a new crawl shifted the representation
+    space: per label, the L2 distance between the old batch's centroid
+    (vec_id odd) and the new batch's (vec_id even). Exactness contract:
+    per-component values are 1e-6 fixed-pointed BEFORE summation (the
+    q153 quantization discipline), so the per-(label, dim) component
+    sums are exact BIGINTs regardless of row order; the per-dim mean
+    delta is one deterministic double expression re-quantized to 1e-6,
+    and the final Σd² over the 64 bounded dims is again an exact BIGINT
+    — sqrt at the very end, 1e-9 rounded. Shape at scale: one
+    posexplode to (label, batch, dim) rows (64 per vector) feeding one
+    map-side-combinable sum — no joins of corpus-sized sides, the
+    old/new pairing happens on the label×64-row aggregate."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "label",
+        (F.col("vec_id") % 2 == 0).alias("is_new"),
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "dim0", "x"
+        ),
+    )
+    agg = e.select(
+        "label",
+        "is_new",
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(F.col("x") * 1000000).cast("long").alias("v6"),
+    ).groupBy("label", "is_new", "dim").agg(
+        F.sum("v6").alias("s6"), F.count("*").alias("n")
+    ).localCheckpoint(eager=True)  # bounded: labels x 2 x 64 rows; read by
+    # BOTH pairing branches — without this Catalyst re-derives the
+    # explode+aggregate pipeline (and re-scans the corpus) per side
+    a = agg.where(F.col("is_new")).select(
+        "label", "dim", F.col("s6").alias("s6_new"), F.col("n").alias("n_new")
+    )
+    b = agg.where(~F.col("is_new")).select(
+        "label", "dim", F.col("s6").alias("s6_old"), F.col("n").alias("n_old")
+    )
+    d6 = F.round(
+        (
+            F.col("s6_new").cast("double") / F.col("n_new").cast("double") / F.lit(1000000.0)
+            - F.col("s6_old").cast("double") / F.col("n_old").cast("double") / F.lit(1000000.0)
+        )
+        * 1000000
+    ).cast("long")
+    pair = a.join(b, ["label", "dim"]).select(
+        "label", "n_old", "n_new", d6.alias("d6")
+    )
+    return (
+        pair.groupBy(F.col("label").cast("long").alias("label"))
+        .agg(
+            F.min("n_old").alias("n_old"),
+            F.min("n_new").alias("n_new"),
+            (
+                F.round(
+                    F.sqrt(F.sum(F.col("d6") * F.col("d6")).cast("double"))
+                    / F.lit(1000000.0)
+                    * F.lit(1e9)
+                ).cast("long")
+                / F.lit(1e9)
+            ).alias("centroid_shift_l2"),
+        )
+        .orderBy("label")
+    )

@@ -360,7 +360,7 @@ def test_no_rdd_scans_anywhere(spark):
     for name, dq in _QS.items():
         if any(
             t in dq.tags
-            for t in ("streaming", "udtf", "minhash", "simhash", "semdedup", "pipeline", "bpe", "iterative", "decontamination", "ppjoin", "dense-hourly", "scd2", "diff", "bounded-artifact", "pmi", "bloom", "divergence", "contamination", "psi", "bounded-histogram", "rank", "assortativity", "containment", "triangles", "bitmap", "retrieval", "profiling", "market-basket", "selection", "log-odds", "tukey", "referential-integrity", "kmv", "attribution")
+            for t in ("streaming", "udtf", "minhash", "simhash", "semdedup", "pipeline", "bpe", "iterative", "decontamination", "ppjoin", "dense-hourly", "scd2", "diff", "bounded-artifact", "pmi", "bloom", "divergence", "contamination", "psi", "bounded-histogram", "rank", "assortativity", "containment", "triangles", "bitmap", "retrieval", "profiling", "market-basket", "selection", "log-odds", "tukey", "referential-integrity", "kmv", "attribution", "monitoring")
         ):
             continue
         p = _QS[name].build(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
@@ -1339,3 +1339,13 @@ def test_index_refresh_vocab_joins_never_broadcast(spark):
     assert "BroadcastHashJoin" not in p
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
+
+
+def test_embedding_drift_aggregate_before_join(spark):
+    """q230: the old/new pairing must join the label×64 AGGREGATES,
+    never corpus-sized sides — the only Generate is the component
+    posexplode, and there is no cartesian product or window."""
+    p = plan_of(spark, "q230_embedding_centroid_drift")
+    assert "CartesianProduct" not in p and "Window" not in p
+    assert "Generate" not in p  # the posexplode ran inside the checkpoint
+    assert "FileScan" not in p  # both branches read the bounded checkpoint

@@ -275,3 +275,34 @@ def test_q219_append_set_is_exact_complement(spark):
     for r in rows:
         assert r.n_total == r.n_indexed + r.n_appended
         assert (r.mean_append_d2 > 0) == (r.n_appended > 0)
+
+
+def test_embedding_drift_matches_numpy(spark):
+    """q230's fixed-point drift must equal a numpy recomputation that
+    applies the same 1e-6 quantization contract (values quantized
+    before averaging, per-dim deltas re-quantized, sqrt last)."""
+    import numpy as np
+
+    from database_migrator_spark.plans.registry import all_queries
+    from database_migrator_spark.sources import table
+
+    from .conftest import SF_SMOKE
+
+    rows = {
+        r.label: r
+        for r in all_queries()["q230_embedding_centroid_drift"].build(spark, SF_SMOKE).collect()
+    }
+    pdf = table(spark, SF_SMOKE, "embeddings").toPandas()
+    labels = sorted(pdf.label.unique())
+    assert set(rows) == {int(l) for l in labels}
+    for lab in labels:
+        g = pdf[pdf.label == lab]
+        new = g[g.vec_id % 2 == 0]
+        old = g[g.vec_id % 2 == 1]
+        vn = np.round(np.stack(new.embedding.to_numpy()).astype(np.float64) * 1e6)
+        vo = np.round(np.stack(old.embedding.to_numpy()).astype(np.float64) * 1e6)
+        d6 = np.round((vn.sum(0) / len(vn) - vo.sum(0) / len(vo)))
+        want = round(float(np.sqrt((d6 * d6).sum())) / 1e6 * 1e9) / 1e9
+        r = rows[int(lab)]
+        assert (r.n_old, r.n_new) == (len(old), len(new))
+        assert r.centroid_shift_l2 == want

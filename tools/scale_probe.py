@@ -216,6 +216,7 @@ PROBE_QUERIES = [
     "q227_zipf_slope",
     "q228_delete_propagation_audit",
     "q229_incremental_index_refresh",
+    "q230_embedding_centroid_drift",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
