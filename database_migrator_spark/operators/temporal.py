@@ -2604,3 +2604,138 @@ def q226_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+@query(
+    "q231_point_in_time_features",
+    oracle="""
+    WITH pur AS (
+        SELECT user_id, ts, event_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ), feat0 AS (
+        SELECT user_id, ts,
+               CAST(row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS BIGINT)
+                   AS n_so_far,
+               CAST(SUM(cents) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cents_so_far
+        FROM pur
+    ), feat AS (
+        -- one version per (user, ts): the LAST running state at that ts
+        SELECT user_id, ts, MAX(n_so_far) AS n_so_far,
+               MAX(cents_so_far) AS cents_so_far
+        FROM feat0 GROUP BY 1, 2
+    ), v AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    ), cand AS (
+        SELECT v.event_id, f.n_so_far, f.cents_so_far,
+               row_number() OVER (PARTITION BY v.event_id
+                                  ORDER BY f.ts DESC) AS rn
+        FROM v JOIN feat f
+          ON f.user_id = v.user_id AND f.ts < v.ts
+    ), joined AS (
+        SELECT v.event_id,
+               COALESCE(c.n_so_far, 0) AS n_so_far,
+               COALESCE(c.cents_so_far, 0) AS cents_so_far
+        FROM v LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+          ON c.event_id = v.event_id
+    )
+    SELECT LEAST(n_so_far, 5) AS tier,
+           CAST(COUNT(*) AS BIGINT) AS n_views,
+           CAST(SUM(cents_so_far) AS BIGINT) AS sum_cents_so_far,
+           CAST(ROUND(CAST(SUM(cents_so_far) AS DOUBLE) / COUNT(*)
+                      * 1000000) AS BIGINT) / 1000000.0
+               AS mean_cents_so_far
+    FROM joined
+    GROUP BY 1
+    ORDER BY tier
+    """,
+    tags=("temporal", "asof", "feature-store", "point-in-time", "leakage", "llm-pipeline"),
+)
+def q231_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEATURE-STORE point-in-time join — the leakage-free enrichment
+    every training pipeline needs (and the #1 way feature pipelines
+    silently cheat): each view event is enriched with the per-user
+    running purchase state (count, integer-cents total) AS OF STRICTLY
+    BEFORE the view's timestamp — a feature version stamped at exactly
+    the view's own instant is EXCLUDED, because at serving time it
+    would not have been visible yet. The versioned dimension is derived
+    in-query (running stats at each purchase, collapsed to one version
+    per (user, ts)); the join is q23's single-shuffle as-of shape: one
+    union of version rows and probe rows, one user-partitioned window
+    ordered by (ts, flag) with PROBES SORTING BEFORE same-ts versions
+    (flag 0 < 1 — that ordering IS the strictness rule), and one
+    last(ignoreNulls) carry-forward. No per-probe candidate scan, no
+    range join: O(N log N) in the partition, one shuffle. Report per
+    prior-purchase tier (capped at 5; tier 0 = cold-start views with no
+    history): view count and mean carried feature, exact-integer
+    ratio."""
+    e = table(spark, sf_dir, "events")
+    pur = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    wrun = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    feat = (
+        pur.select(
+            "user_id",
+            "ts",
+            F.count("*").over(wrun).alias("n_so_far"),
+            F.sum("cents").over(wrun).alias("cents_so_far"),
+        )
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("n_so_far").alias("n_so_far"),
+            F.max("cents_so_far").alias("cents_so_far"),
+        )
+    )
+    v = e.where(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    unioned = feat.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("flag"),
+        F.struct("n_so_far", "cents_so_far").alias("st"),
+        F.lit(None).cast("long").alias("event_id"),
+    ).unionByName(
+        v.select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("flag"),
+            F.lit(None).cast("struct<n_so_far:bigint,cents_so_far:bigint>").alias("st"),
+            "event_id",
+        )
+    )
+    wasof = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "flag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "flag",
+        "event_id",
+        F.last("st", ignorenulls=True).over(wasof).alias("st"),
+    ).where(F.col("flag") == 0)
+    joined = carried.select(
+        F.coalesce(F.col("st.n_so_far"), F.lit(0)).alias("n_so_far"),
+        F.coalesce(F.col("st.cents_so_far"), F.lit(0)).alias("cents_so_far"),
+    )
+    return (
+        joined.groupBy(F.least(F.col("n_so_far"), F.lit(5)).alias("tier"))
+        .agg(
+            F.count("*").alias("n_views"),
+            F.sum("cents_so_far").alias("sum_cents_so_far"),
+            (
+                F.round(
+                    F.sum("cents_so_far").cast("double")
+                    / F.count("*").cast("double")
+                    * 1000000
+                ).cast("long")
+                / F.lit(1000000.0)
+            ).alias("mean_cents_so_far"),
+        )
+        .orderBy("tier")
+    )

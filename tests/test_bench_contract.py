@@ -82,21 +82,24 @@ def test_bench_json_line_fits_tail_window():
 def test_gate_order_front_loads_stale_signal_set():
     """Round 9: the 50-row gate must spend its budget on (a) every
     NEVER-GATED query — the round-8 overflow q196-q217 plus round-9
-    additions (q218+), which have only local sf0.01 oracle evidence —
-    then (b) the r05-stale set in name order (q100-q114, q116-q118,
-    q120-q127 fill the window at 24 rank-0 names; q115/q119 were
-    re-gated r06).  The r05 residue (q128-q143, q51, q94, q96) is the
-    round-10 lead, then the r06-gated block; q01-q37 (r07) and
-    q38-q50/q159-q195 (r08, the freshest rows) queue last.  Pinning the
-    exact first-50 list (not just the set) so a refactor cannot
-    silently reorder the gate."""
+    additions (q218+), which have only local sf0.001/0.01/0.1 oracle
+    evidence — then (b) the r05-stale set in name order (q115/q119 were
+    re-gated r06).  The r05 residue is the round-10 lead, then the
+    r06-gated block; q01-q37 (r07) and q38-q50/q159-q195 (r08, the
+    freshest rows) queue last.  Pinning the exact first-50 list (not
+    just the set) so a refactor cannot silently reorder the gate.  The
+    rank-0 cap trades new-operator hard signal against stale-row
+    refresh: at 36 never-gated names 14 stale rows still re-gate, and
+    every stale name has an r05 green row and three local oracle scales
+    behind it — past 38 the refresh starves and additions must wait a
+    round."""
     names = list(all_queries())
     gate = [n.split("_", 1)[0] for n in names[:50]]
     never_gated = sorted(
         n.split("_", 1)[0] for n in names if n.split("_", 1)[0] in {f"q{i}" for i in range(196, 240)}
     )
     n_new = len(never_gated)
-    assert n_new <= 35, "rank-0 additions would starve the r05-stale refresh"
+    assert n_new <= 38, "rank-0 additions would starve the r05-stale refresh"
     assert gate[:n_new] == never_gated
     r05_stale = sorted(
         ({f"q{i}" for i in range(100, 144)} - {"q115", "q119"}) | {"q51", "q94", "q96"}

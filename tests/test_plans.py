@@ -1349,3 +1349,15 @@ def test_embedding_drift_aggregate_before_join(spark):
     assert "CartesianProduct" not in p and "Window" not in p
     assert "Generate" not in p  # the posexplode ran inside the checkpoint
     assert "FileScan" not in p  # both branches read the bounded checkpoint
+
+
+def test_point_in_time_join_free_single_user_shuffle(spark):
+    """q231: the as-of enrichment is the UNION trick — no join operator
+    at all; the running-stats window, the version collapse, and the
+    carry-forward window all share user-keyed partitionings (at most 3
+    user/hash exchanges + the bounded tier rollup), and there is no
+    per-probe candidate scan."""
+    p = plan_of(spark, "q231_point_in_time_features")
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("Exchange hashpartitioning") <= 4

@@ -242,3 +242,96 @@ def test_nearest_event_join_matches_brute_force(spark):
         matched = cand is not None and (abs(cand.s - row.s) <= 3600).any()
         want[row.hr] = (n_p + 1, n_m + (1 if matched else 0))
     assert got == want
+
+
+def test_point_in_time_strictness_excludes_same_instant_version(spark):
+    """q231's leakage rule on a hand-built frame: a feature version
+    stamped at EXACTLY the probe's timestamp must be excluded (it would
+    not have been visible at serving time) — the (ts, flag) sort with
+    probes before same-ts versions is the mechanism. Also checks the
+    cold-start (no prior version) and normal carry-forward paths."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    feat = spark.createDataFrame(
+        [(1, 100, 10), (1, 200, 20), (2, 150, 99)],
+        "user_id long, ts long, val long",
+    )
+    probes = spark.createDataFrame(
+        [(1, 100, "same-instant"), (1, 150, "carry-10"), (1, 250, "carry-20"),
+         (2, 100, "cold-start")],
+        "user_id long, ts long, tag string",
+    )
+    unioned = feat.select(
+        "user_id", "ts", F.lit(1).alias("flag"), F.col("val"),
+        F.lit(None).cast("string").alias("tag"),
+    ).unionByName(
+        probes.select(
+            "user_id", "ts", F.lit(0).alias("flag"),
+            F.lit(None).cast("long").alias("val"), "tag",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "flag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    got = {
+        r.tag: r.carried
+        for r in unioned.select(
+            "flag", "tag", F.last("val", ignorenulls=True).over(w).alias("carried")
+        )
+        .where(F.col("flag") == 0)
+        .collect()
+    }
+    assert got == {
+        "same-instant": None,  # version at the probe's own instant excluded
+        "carry-10": 10,
+        "carry-20": 20,
+        "cold-start": None,
+    }
+
+
+def test_point_in_time_matches_brute_force(spark):
+    """q231 end-to-end vs a pandas brute force (strict f.ts < v.ts,
+    latest version wins, cold-start tier 0) on the smoke corpus."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from database_migrator_spark.plans.registry import all_queries
+    from database_migrator_spark.sources import table
+
+    from .conftest import SF_SMOKE
+
+    got = {
+        r.tier: (r.n_views, r.sum_cents_so_far)
+        for r in all_queries()["q231_point_in_time_features"].build(spark, SF_SMOKE).collect()
+    }
+    e = table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "event_type",
+        F.unix_timestamp("ts").alias("s"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).toPandas()
+    pur = e[e.event_type == "purchase"].sort_values(["user_id", "s", "event_id"])
+    pur = pur.assign(
+        n_so_far=pur.groupby("user_id").cumcount() + 1,
+        cents_so_far=pur.groupby("user_id").cents.cumsum(),
+    )
+    # one version per (user, ts): last running state
+    pur = pur.groupby(["user_id", "s"], as_index=False).agg(
+        n_so_far=("n_so_far", "max"), cents_so_far=("cents_so_far", "max")
+    )
+    by_user = {u: g for u, g in pur.groupby("user_id")}
+    want = {}
+    for _, row in e[e.event_type == "view"].iterrows():
+        g = by_user.get(row.user_id)
+        n = c = 0
+        if g is not None:
+            prior = g[g.s < row.s]
+            if len(prior):
+                last = prior.iloc[prior.s.values.argmax()]
+                n, c = int(last.n_so_far), int(last.cents_so_far)
+        tier = min(n, 5)
+        nv, sc = want.get(tier, (0, 0))
+        want[tier] = (nv + 1, sc + c)
+    assert got == want

@@ -217,6 +217,7 @@ PROBE_QUERIES = [
     "q228_delete_propagation_audit",
     "q229_incremental_index_refresh",
     "q230_embedding_centroid_drift",
+    "q231_point_in_time_features",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
