@@ -2739,3 +2739,114 @@ def q231_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier")
     )
+
+
+@query(
+    "q232_conversion_wilson_ci",
+    oracle="""
+    WITH v AS (
+        SELECT event_id, user_id, ts,
+               CAST(json_extract(props, '$.k') AS BIGINT) % 4 AS channel
+        FROM events WHERE event_type = 'view'
+    ), p AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    ), conv AS (
+        SELECT v.event_id, v.channel,
+               MAX(CASE WHEN p.ts >= v.ts
+                         AND date_diff('second', v.ts, p.ts) <= 1800
+                        THEN 1 ELSE 0 END) AS converted
+        FROM v LEFT JOIN p ON p.user_id = v.user_id
+        GROUP BY 1, 2
+    ), agg AS (
+        SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_views,
+               CAST(SUM(converted) AS BIGINT) AS n_converted
+        FROM conv GROUP BY 1
+    )
+    SELECT channel, n_views, n_converted,
+           CAST(ROUND(CAST(n_converted AS DOUBLE) / n_views * 1000000000)
+                AS BIGINT) / 1000000000.0 AS rate,
+           GREATEST(0.0, CAST(ROUND(
+               ((CAST(n_converted AS DOUBLE) / n_views
+                 + 1.9208 / n_views
+                 - 1.96 * sqrt((CAST(n_converted AS DOUBLE) / n_views)
+                               * (1.0 - CAST(n_converted AS DOUBLE) / n_views)
+                               / n_views
+                               + 0.9604 / (CAST(n_views AS DOUBLE)
+                                           * n_views)))
+                / (1.0 + 3.8416 / n_views)) * 1000000000) AS BIGINT)
+               / 1000000000.0) AS wilson_lo,
+           LEAST(1.0, CAST(ROUND(
+               ((CAST(n_converted AS DOUBLE) / n_views
+                 + 1.9208 / n_views
+                 + 1.96 * sqrt((CAST(n_converted AS DOUBLE) / n_views)
+                               * (1.0 - CAST(n_converted AS DOUBLE) / n_views)
+                               / n_views
+                               + 0.9604 / (CAST(n_views AS DOUBLE)
+                                           * n_views)))
+                / (1.0 + 3.8416 / n_views)) * 1000000000) AS BIGINT)
+               / 1000000000.0) AS wilson_hi
+    FROM agg
+    ORDER BY channel
+    """,
+    tags=("temporal", "funnel", "statistics", "confidence-interval", "marketing"),
+)
+def q232_conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion rate per channel WITH 95% Wilson score interval — the
+    statistical-inference tier the funnel family (q74/q159/q225) was
+    missing: a point rate without an interval over-reads small
+    channels, and the Wilson interval (unlike the naive Wald) stays
+    inside [0,1] and behaves at rate 0 or 1. A view converts if the
+    same user purchases within 30 minutes at-or-after it (q163's
+    lookback mirrored forward, MAX-folded per view so multiple
+    purchases count once). Determinism: n and x are exact BIGINTs and
+    every double op is the SAME literal expression on both engines —
+    z=1.96 enters as the constants z²/2=1.9208, z²=3.8416 and
+    z²/4=0.9604, so there is no engine-evaluated z arithmetic — then
+    1e-9 rounding and a [0,1] clamp (at x=0 the analytic lower bound is
+    exactly 0; the clamp absorbs the last-ulp float residue). Shape at scale: one user-keyed view×purchase
+    join folded by MAX (the q175 conditional-aggregate shape), a 4-row
+    channel rollup, and per-row double math on the bounded result."""
+    e = table(spark, sf_dir, "events")
+    v = e.where(F.col("event_type") == "view").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("vts"),
+        (F.get_json_object("props", "$.k").cast("long") % 4).alias("channel"),
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    gap = F.unix_timestamp("pts") - F.unix_timestamp("vts")
+    conv = (
+        v.join(p, "user_id", "left")
+        .groupBy("event_id", "channel")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("pts") >= F.col("vts")) & (gap <= 1800), 1
+                ).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    agg = conv.groupBy("channel").agg(
+        F.count("*").alias("n_views"), F.sum("converted").alias("n_converted")
+    )
+    n_d = F.col("n_views").cast("double")
+    ph = F.col("n_converted").cast("double") / n_d
+    center = ph + F.lit(1.9208) / n_d
+    margin = F.lit(1.96) * F.sqrt(
+        ph * (F.lit(1.0) - ph) / n_d + F.lit(0.9604) / (n_d * n_d)
+    )
+    denom = F.lit(1.0) + F.lit(3.8416) / n_d
+
+    def r9(c):
+        return F.round(c * F.lit(1e9)).cast("long") / F.lit(1e9)
+
+    return agg.select(
+        "channel",
+        "n_views",
+        "n_converted",
+        r9(ph).alias("rate"),
+        F.greatest(F.lit(0.0), r9((center - margin) / denom)).alias("wilson_lo"),
+        F.least(F.lit(1.0), r9((center + margin) / denom)).alias("wilson_hi"),
+    ).orderBy("channel")

@@ -1361,3 +1361,14 @@ def test_point_in_time_join_free_single_user_shuffle(spark):
     assert "Join" not in p
     assert "CartesianProduct" not in p
     assert p.count("Exchange hashpartitioning") <= 4
+
+
+def test_wilson_ci_conditional_max_fold(spark):
+    """q232: the view x purchase lookahead folds by MAX per view (the
+    q175 conditional-aggregate shape) — one user-keyed hash join, no
+    window, no cartesian; the Wilson math is per-row on the bounded
+    4-channel rollup."""
+    p = plan_of(spark, "q232_conversion_wilson_ci")
+    assert "CartesianProduct" not in p
+    assert "Window" not in p
+    assert "HashJoin" in p or "SortMergeJoin" in p

@@ -335,3 +335,29 @@ def test_point_in_time_matches_brute_force(spark):
         nv, sc = want.get(tier, (0, 0))
         want[tier] = (nv + 1, sc + c)
     assert got == want
+
+
+def test_wilson_ci_reference_and_properties(spark):
+    """q232's interval vs an independent pure-Python Wilson computation
+    using the same exact decimal constants (1.9208 / 3.8416 / 0.9604 —
+    deliberately NOT float(1.96)**2/k, which differs in the last ulp),
+    plus the properties that make Wilson the right interval:
+    lo <= rate <= hi and both bounds inside [0, 1] (the query clamps
+    the last-ulp float residue at the x=0 / x=n edges)."""
+    import math
+
+    from database_migrator_spark.plans.registry import all_queries
+
+    from .conftest import SF_SMOKE
+
+    rows = all_queries()["q232_conversion_wilson_ci"].build(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    for r in rows:
+        n, x = r.n_views, r.n_converted
+        ph = x / n
+        center = ph + 1.9208 / n
+        margin = 1.96 * math.sqrt(ph * (1.0 - ph) / n + 0.9604 / (n * n))
+        denom = 1.0 + 3.8416 / n
+        assert r.wilson_lo == max(0.0, round((center - margin) / denom * 1e9) / 1e9)
+        assert r.wilson_hi == min(1.0, round((center + margin) / denom * 1e9) / 1e9)
+        assert 0.0 <= r.wilson_lo <= r.rate <= r.wilson_hi <= 1.0

@@ -218,6 +218,7 @@ PROBE_QUERIES = [
     "q229_incremental_index_refresh",
     "q230_embedding_centroid_drift",
     "q231_point_in_time_features",
+    "q232_conversion_wilson_ci",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
