@@ -1211,7 +1211,10 @@ def q220_doc_prefix_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = p.groupBy("source", "prefix").agg(
         F.count("*").alias("n_docs_with_prefix")
     )
-    tot = p.groupBy("source").agg(F.count("*").alias("n_docs"))
+    # every document contributes exactly ONE prefix row, so the
+    # per-source totals are derivable from the bounded aggregate —
+    # re-scanning the corpus for them would double the dominant cost
+    tot = c.groupBy("source").agg(F.sum("n_docs_with_prefix").alias("n_docs"))
     w = Window.partitionBy("source").orderBy(
         F.col("n_docs_with_prefix").desc(), "prefix"
     )

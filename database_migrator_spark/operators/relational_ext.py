@@ -744,10 +744,7 @@ def q222_trimmed_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oc = (
         o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .select(
-            "n_name",
-            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-        )
+        .select("n_name", to_cents("o_totalprice").alias("cents"))
     )
     hist = (
         oc.groupBy("n_name", "cents")

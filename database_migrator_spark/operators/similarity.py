@@ -1256,25 +1256,32 @@ def _fixed_ivf_centroids_frame(spark: SparkSession) -> DataFrame:
     )
 
 
-def ivf_assign_fixed(vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "v") -> DataFrame:
+def ivf_assign_fixed(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """Assign each vector to its nearest FIXED_IVF_CENTROIDS cluster by
     L2 (ties to the lowest cluster id) — the append-path coarse
     quantization of IVF maintenance. One broadcast of the 16-row
     centroid table, one exact-fold distance per (vector, centroid),
     min-of-struct argmin (no window, no shuffle beyond the groupBy).
-    Returns (id_col, cluster, d2)."""
+    ``passthrough`` columns ride along the argmin key (q219 carries its
+    old/new partition tag). Returns (*passthrough, id_col, cluster, d2)."""
     spark = vectors.sparkSession
     cents = _fixed_ivf_centroids_frame(spark)
+    keys = [*passthrough, id_col]
     return (
         vectors.crossJoin(F.broadcast(cents))
         .select(
-            id_col,
+            *keys,
             F.col("cluster"),
             l2_dist_sq(F.col(vec_col), F.col("centroid")).alias("d2"),
         )
-        .groupBy(id_col)
+        .groupBy(*keys)
         .agg(F.min(F.struct("d2", "cluster")).alias("m"))
-        .select(id_col, F.col("m.cluster").alias("cluster"), F.col("m.d2").alias("d2"))
+        .select(*keys, F.col("m.cluster").alias("cluster"), F.col("m.d2").alias("d2"))
     )
 
 
@@ -1364,17 +1371,8 @@ def q219_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = indexed.withColumn("part", F.lit("old")).unionByName(
         fresh.withColumn("part", F.lit("new"))
     )
-    best = (
-        tagged.crossJoin(F.broadcast(_fixed_ivf_centroids_frame(spark)))
-        .select(
-            "part",
-            "vec_id",
-            "cluster",
-            l2_dist_sq(F.col("v"), F.col("centroid")).alias("d2"),
-        )
-        .groupBy("part", "vec_id")
-        .agg(F.min(F.struct("d2", "cluster")).alias("m"))
-        .select("part", F.col("m.cluster").alias("cluster"), F.col("m.d2").alias("d2"))
+    best = ivf_assign_fixed(tagged, passthrough=("part",)).select(
+        "part", "cluster", "d2"
     )
     st = best.groupBy("cluster").agg(
         F.sum(F.when(F.col("part") == "old", 1).otherwise(0)).alias("n_indexed"),

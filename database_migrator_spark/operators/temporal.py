@@ -2369,7 +2369,8 @@ def q215_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE event_type = 'purchase'
     ), v AS (
         SELECT event_id AS vid, user_id, ts AS vts,
-               CAST(json_extract(props, '$.k') AS BIGINT) % 4 AS channel
+               COALESCE(CAST(json_extract(props, '$.k') AS BIGINT) % 4, -1)
+                   AS channel
         FROM events WHERE event_type = 'view'
     ), path AS (
         SELECT p.pid, v.vid, v.channel,
@@ -2415,7 +2416,10 @@ def q225_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     the remainder assigned to the earliest middle touches — a
     deterministic exact split both engines reproduce digit for digit;
     1-touch and 2-touch paths degenerate to 100% / 50-50). Touches are
-    bucketed into four channel surrogates (props.k % 4 — the synthetic
+    bucketed into four channel surrogates (props.k % 4, COALESCEd to
+    the explicit -1 bucket when props lacks k — a NULL group would sort
+    NULLS FIRST in Spark but NULLS LAST in DuckDB and break the hash;
+    the synthetic
     stand-in for utm_source). Report per channel: conversions touched,
     touches, total credit, and credit share. Shape at scale: one
     user-keyed purchase x view join bounded by the lookback window
@@ -2431,7 +2435,9 @@ def q225_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("vid"),
         "user_id",
         F.col("ts").alias("vts"),
-        (F.get_json_object("props", "$.k").cast("long") % 4).alias("channel"),
+        F.coalesce(
+            F.get_json_object("props", "$.k").cast("long") % 4, F.lit(-1)
+        ).alias("channel"),
     )
     gap = F.unix_timestamp("pts") - F.unix_timestamp("vts")
     path = (
@@ -2675,7 +2681,7 @@ def q231_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio."""
     e = table(spark, sf_dir, "events")
     pur = e.where(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "event_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+        "user_id", "ts", "event_id", to_cents("value").alias("cents")
     )
     wrun = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, 0
@@ -2746,7 +2752,8 @@ def q231_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH v AS (
         SELECT event_id, user_id, ts,
-               CAST(json_extract(props, '$.k') AS BIGINT) % 4 AS channel
+               COALESCE(CAST(json_extract(props, '$.k') AS BIGINT) % 4, -1)
+                   AS channel
         FROM events WHERE event_type = 'view'
     ), p AS (
         SELECT user_id, ts FROM events WHERE event_type = 'purchase'
@@ -2811,7 +2818,9 @@ def q232_conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.col("ts").alias("vts"),
-        (F.get_json_object("props", "$.k").cast("long") % 4).alias("channel"),
+        F.coalesce(
+            F.get_json_object("props", "$.k").cast("long") % 4, F.lit(-1)
+        ).alias("channel"),
     )
     p = e.where(F.col("event_type") == "purchase").select(
         "user_id", F.col("ts").alias("pts")

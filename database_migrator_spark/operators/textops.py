@@ -2645,6 +2645,7 @@ def q212_distinctive_terms_logodds(spark: SparkSession, sf_dir: str) -> DataFram
                          * CAST(n * syy - sy * sy AS DOUBLE))
                       * 1000000) AS BIGINT) / 1000000.0 AS r2
     FROM sums
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
     ORDER BY source
     """,
     tags=("text", "zipf", "statistics", "curation", "llm-pipeline"),
@@ -2662,7 +2663,10 @@ def q227_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source, tok) count shuffle; the top-100 rank compiles to
     WindowGroupLimit (map-side partial top-k, no source partition ever
     fully sorts); the regression runs on ≤100 bounded rows per
-    source."""
+    source. Degenerate fits are FILTERED identically on both engines
+    (a single-rank source zeroes the x-variance; a shard of all-equal
+    counts zeroes the y-variance — either would make slope/R² 0/0 and
+    crash the NaN→BIGINT cast under ANSI)."""
     d = spread_for_cpu(table(spark, sf_dir, "documents"))
     cnt = (
         d.select("source", F.explode(tokens_of("text")).alias("tok"))
@@ -2696,7 +2700,8 @@ def q227_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-    return sums.select(
+    return sums.where((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+                      & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0)).select(
         "source",
         F.col("n").alias("n_fit"),
         (F.round(num / den * 1000000).cast("long") / F.lit(1000000.0)).alias(

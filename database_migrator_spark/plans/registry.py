@@ -82,13 +82,14 @@ def query(
 # (q218+), all carrying local sf0.01 oracle evidence only; rank 1 = the
 # r05-stale set sorted by name (q100-q114, q116-q118, q120-q143,
 # q51/q94/q96 — their rows date to r05, now the catalog's oldest hard
-# signal).  With 34 never-gated names (q196-q229 after the round-9
-# waves) the 50-row window closes at q116.
+# signal).  With 37 never-gated names (q196-q232 after the round-9
+# waves) the 50-row window closes at q112 (13 stale rows re-gate).
 # Round-10 plan: rank 0 = any r10 additions, rank 1 = the r05 residue
-# this round could not fit (q117-q143 minus q119, plus q51/q94/q96 =
-# 29 names), topped up by the oldest of the r06-gated block (q52+,
-# q115, q119, q144-q158 by name) — completing the third full-catalog
-# re-gate cycle; q01-q37 (r07) and q38-q50/q159-q195 (r08) queue last.
+# this round could not fit (q113/q114, q116-q118, q120-q143, plus
+# q51/q94/q96 = 32 names), topped up by the oldest of the r06-gated
+# block (q52+, q115, q119, q144-q158 by name) — completing the third
+# full-catalog re-gate cycle; q01-q37 (r07) and q38-q50/q159-q195
+# (r08) queue last.
 # Order changes NOTHING for the pytest oracle suite or bench.py — they
 # run the whole catalog.  tests/test_bench_contract.py pins the
 # resulting first-50 list so a refactor cannot silently reorder the

@@ -362,10 +362,11 @@ def q218_stream_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = scratch_dir("q218_ckpt", *key)
     src = events_stream(spark, sf_dir).select("event_type", "value")
 
+    from database_migrator_spark.functions.exact import to_cents
+
     def fold(b: DataFrame) -> DataFrame:
         return b.groupBy(
-            "event_type",
-            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            "event_type", to_cents("value").alias("cents")
         ).agg(F.count("*").alias("c"))
 
     q = foreach_batch_parquet(src, out, ckpt, transform=fold)

@@ -519,10 +519,25 @@ def test_incremental_index_refresh_merge_is_lossless(spark):
         .groupBy("term")
         .agg(F.count("*").alias("df_full"))
     )
+
+    def df_of(part, alias):
+        return (
+            part.select(F.explode(F.array_distinct("t")).alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").alias(alias))
+        )
+
+    # the MERGE structure under test: two separate aggregations (old and
+    # delta are never aggregated together) full-outer-joined and summed
     parts = (
-        d.select("is_delta", F.explode(F.array_distinct("t")).alias("term"))
-        .groupBy("term")
-        .agg(F.count("*").alias("df_merged"))
+        df_of(d.where(~F.col("is_delta")), "df_old")
+        .join(df_of(d.where(F.col("is_delta")), "df_delta"), "term", "full_outer")
+        .select(
+            "term",
+            (F.coalesce("df_old", F.lit(0)) + F.coalesce("df_delta", F.lit(0))).alias(
+                "df_merged"
+            ),
+        )
     )
     bad = (
         full.join(parts, "term", "full_outer")
@@ -532,3 +547,6 @@ def test_incremental_index_refresh_merge_is_lossless(spark):
         .count()
     )
     assert bad == 0
+    # and the split is a real partition: both sides non-empty
+    assert d.where(F.col("is_delta")).count() > 0
+    assert d.where(~F.col("is_delta")).count() > 0
