@@ -2859,3 +2859,148 @@ def q232_conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.lit(0.0), r9((center - margin) / denom)).alias("wilson_lo"),
         F.least(F.lit(1.0), r9((center + margin) / denom)).alias("wilson_hi"),
     ).orderBy("channel")
+
+
+@query(
+    "q233_cuped_adjusted_lift",
+    oracle="""
+    WITH bounds AS (
+        SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid
+        FROM events
+    ), per_user AS (
+        SELECT user_id, user_id % 2 AS arm,
+               CAST(SUM(CASE WHEN epoch_us(ts) < b.mid
+                             THEN CAST(ROUND(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN epoch_us(ts) >= b.mid
+                             THEN CAST(ROUND(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS y
+        FROM events, bounds b
+        GROUP BY 1, 2
+    ), m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM per_user
+    ), th AS (
+        SELECT n, sx, sy,
+               CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+                    THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                         / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    ELSE 0.0 END AS theta,
+               CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                         * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+                         > 0
+                    THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                         * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                         / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                            * (CAST(n AS DOUBLE) * syy
+                               - CAST(sy AS DOUBLE) * sy))
+                    ELSE 0.0 END AS var_reduction
+        FROM m
+    ), arms AS (
+        SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(x) AS BIGINT) AS sxa, CAST(SUM(y) AS BIGINT) AS sya
+        FROM per_user GROUP BY 1
+    )
+    SELECT a.arm, a.n_users,
+           CAST(ROUND(CAST(a.sya AS DOUBLE) / a.n_users * 1000000) AS BIGINT)
+               / 1000000.0 AS mean_post_cents,
+           CAST(ROUND((CAST(a.sya AS DOUBLE) / a.n_users
+                       - t.theta * (CAST(a.sxa AS DOUBLE) / a.n_users
+                                    - CAST(t.sx AS DOUBLE) / t.n))
+                      * 1000000) AS BIGINT) / 1000000.0
+               AS mean_post_cents_cuped,
+           CAST(ROUND(t.theta * 1000000000) AS BIGINT) / 1000000000.0
+               AS theta,
+           CAST(ROUND(t.var_reduction * 1000000000) AS BIGINT)
+               / 1000000000.0 AS var_reduction
+    FROM arms a CROSS JOIN th t
+    ORDER BY a.arm
+    """,
+    tags=("temporal", "experimentation", "cuped", "statistics", "ab-testing"),
+)
+def q233_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout — the modern A/B
+    technique q232's intervals feed into (Deng et al. 2013: regress the
+    experiment metric on a PRE-EXPERIMENT covariate and report the
+    adjusted means; same lift, much tighter variance): users split into
+    arms by user_id parity, the time range split at its exact integer
+    midpoint (epoch-micros (min+max) DIV 2 — identical arithmetic both
+    engines), x = pre-period spend, y = post-period spend in integer
+    cents. theta = cov(x,y)/var(x) from EXACT pooled BIGINT moments
+    (n, Σx, Σy, Σxy, Σxx, Σyy; n·Σ products evaluated in double because
+    they exceed int64 — each factor is an exactly-converted BIGINT, so
+    both engines compute identical doubles in identical order); the
+    per-arm CUPED mean uses the closed form ȳ_a − θ(x̄_a − x̄) — no
+    second per-row pass. Also reports θ and the achieved variance
+    reduction (corr²(x,y)). Zero-variance degenerate cases fall back to
+    θ=0 identically on both sides. Shape at scale: one user-keyed
+    conditional-sum aggregate (map-side combinable) + bounded 1-row/
+    2-row frames broadcast — the whole readout is two shuffles."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us"), to_cents("value").alias("cents")
+    )
+    bounds = e.agg(
+        ((F.min("us") + F.max("us")) - F.pmod(F.min("us") + F.max("us"), F.lit(2)))
+        .cast("long")
+        .alias("mid2")
+    ).select((F.col("mid2") / 2).cast("long").alias("mid"))
+    per_user = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id", (F.col("user_id") % 2).alias("arm"))
+        .agg(
+            F.sum(F.when(F.col("us") < F.col("mid"), F.col("cents")).otherwise(0)).alias("x"),
+            F.sum(F.when(F.col("us") >= F.col("mid"), F.col("cents")).otherwise(0)).alias("y"),
+        )
+        .localCheckpoint(eager=True)  # read by pooled moments AND per-arm sums
+    )
+    m = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d, sy_d = F.col("sx").cast("double"), F.col("sy").cast("double")
+    den_x = n_d * F.col("sxx") - sx_d * F.col("sx")
+    den_y = n_d * F.col("syy") - sy_d * F.col("sy")
+    num = n_d * F.col("sxy") - sx_d * F.col("sy")
+    th = m.select(
+        "n",
+        "sx",
+        F.when(den_x > 0, num / den_x).otherwise(F.lit(0.0)).alias("theta"),
+        F.when(den_x * den_y > 0, num * num / (den_x * den_y))
+        .otherwise(F.lit(0.0))
+        .alias("var_reduction"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count("*").alias("n_users"),
+        F.sum("x").alias("sxa"),
+        F.sum("y").alias("sya"),
+    )
+
+    def r(c, scale):
+        return F.round(c * F.lit(float(scale))).cast("long") / F.lit(float(scale))
+
+    ya = F.col("sya").cast("double") / F.col("n_users").cast("double")
+    xa = F.col("sxa").cast("double") / F.col("n_users").cast("double")
+    xbar = F.col("sx").cast("double") / F.col("n").cast("double")
+    return (
+        arms.crossJoin(F.broadcast(th))
+        .select(
+            "arm",
+            "n_users",
+            r(ya, 1_000_000).alias("mean_post_cents"),
+            r(ya - F.col("theta") * (xa - xbar), 1_000_000).alias(
+                "mean_post_cents_cuped"
+            ),
+            r(F.col("theta"), 1_000_000_000).alias("theta"),
+            r(F.col("var_reduction"), 1_000_000_000).alias("var_reduction"),
+        )
+        .orderBy("arm")
+    )

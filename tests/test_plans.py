@@ -356,11 +356,12 @@ def test_no_rdd_scans_anywhere(spark):
     'referential-integrity'). Round 9 adds q221 (tag 'kmv'): its
     distinct-user hash table and bottom-k rows are checkpointed because
     the sketch, the exact counts, and the merged-ALL row all read
-    them."""
+    them; q225 ('attribution'), q230 ('monitoring') and q233 ('cuped')
+    checkpoint bounded aggregates read by multiple branches."""
     for name, dq in _QS.items():
         if any(
             t in dq.tags
-            for t in ("streaming", "udtf", "minhash", "simhash", "semdedup", "pipeline", "bpe", "iterative", "decontamination", "ppjoin", "dense-hourly", "scd2", "diff", "bounded-artifact", "pmi", "bloom", "divergence", "contamination", "psi", "bounded-histogram", "rank", "assortativity", "containment", "triangles", "bitmap", "retrieval", "profiling", "market-basket", "selection", "log-odds", "tukey", "referential-integrity", "kmv", "attribution", "monitoring")
+            for t in ("streaming", "udtf", "minhash", "simhash", "semdedup", "pipeline", "bpe", "iterative", "decontamination", "ppjoin", "dense-hourly", "scd2", "diff", "bounded-artifact", "pmi", "bloom", "divergence", "contamination", "psi", "bounded-histogram", "rank", "assortativity", "containment", "triangles", "bitmap", "retrieval", "profiling", "market-basket", "selection", "log-odds", "tukey", "referential-integrity", "kmv", "attribution", "monitoring", "cuped")
         ):
             continue
         p = _QS[name].build(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
@@ -1372,3 +1373,14 @@ def test_wilson_ci_conditional_max_fold(spark):
     assert "CartesianProduct" not in p
     assert "Window" not in p
     assert "HashJoin" in p or "SortMergeJoin" in p
+
+
+def test_cuped_single_user_shuffle_broadcast_moments(spark):
+    """q233: one user-keyed conditional-sum aggregate is the only
+    corpus-sized shuffle; the midpoint bound, pooled moments and theta
+    come back as 1-row broadcasts over the checkpointed per-user table
+    — no corpus re-scan in the final plan, no window, no sort-merge."""
+    p = plan_of(spark, "q233_cuped_adjusted_lift")
+    assert "FileScan" not in p  # reads only the per-user checkpoint
+    assert "Window" not in p and "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p

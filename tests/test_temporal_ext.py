@@ -361,3 +361,40 @@ def test_wilson_ci_reference_and_properties(spark):
         assert r.wilson_lo == max(0.0, round((center - margin) / denom * 1e9) / 1e9)
         assert r.wilson_hi == min(1.0, round((center + margin) / denom * 1e9) / 1e9)
         assert 0.0 <= r.wilson_lo <= r.rate <= r.wilson_hi <= 1.0
+
+
+def test_cuped_invariants_and_numpy_theta(spark):
+    """q233: (a) CUPED preserves the POOLED mean exactly — the
+    n_a-weighted average of adjusted per-arm means equals the raw
+    pooled mean (adjustment only moves variance between arms); (b)
+    theta equals numpy's OLS slope of y on x; (c) var_reduction is
+    corr^2 in [0, 1]."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from database_migrator_spark.plans.registry import all_queries
+    from database_migrator_spark.sources import table
+
+    from .conftest import SF_SMOKE
+
+    rows = all_queries()["q233_cuped_adjusted_lift"].build(spark, SF_SMOKE).collect()
+    assert len(rows) == 2
+    n_tot = sum(r.n_users for r in rows)
+    pooled_raw = sum(r.n_users * r.mean_post_cents for r in rows) / n_tot
+    pooled_adj = sum(r.n_users * r.mean_post_cents_cuped for r in rows) / n_tot
+    assert abs(pooled_raw - pooled_adj) < 1e-3  # identical up to the 1e-6 rounding
+    for r in rows:
+        assert 0.0 <= r.var_reduction <= 1.0
+    # numpy reference for theta on the same per-user (x, y) table
+    e = table(spark, SF_SMOKE, "events").select(
+        "user_id", F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).toPandas()
+    mid = (e.us.min() + e.us.max()) // 2
+    g = e.assign(x=e.cents.where(e.us < mid, 0), y=e.cents.where(e.us >= mid, 0))
+    pu = g.groupby("user_id")[["x", "y"]].sum()
+    X = pu.x.to_numpy(dtype=float)
+    Y = pu.y.to_numpy(dtype=float)
+    theta = ((len(X) * (X * Y).sum() - X.sum() * Y.sum())
+             / (len(X) * (X * X).sum() - X.sum() ** 2))
+    assert abs(rows[0].theta - theta) < 1e-6

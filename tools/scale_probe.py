@@ -219,6 +219,7 @@ PROBE_QUERIES = [
     "q230_embedding_centroid_drift",
     "q231_point_in_time_features",
     "q232_conversion_wilson_ci",
+    "q233_cuped_adjusted_lift",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
