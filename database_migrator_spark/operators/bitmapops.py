@@ -101,6 +101,7 @@ def day_user_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1 ORDER BY 1
     """,
     tags=("distinct", "bitmap", "rollup", "E10", "mergeable"),
+    checkpointed_substrate=True,
 )
 def q189_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact hourly AND daily distinct users from ONE corpus shuffle —
@@ -175,6 +176,7 @@ def q189_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY day
     """,
     tags=("distinct", "bitmap", "retention", "E10", "mergeable"),
+    checkpointed_substrate=True,
 )
 def q190_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-over-day returning users via bitmap INTERSECTION — the
@@ -244,6 +246,7 @@ def q190_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY day
     """,
     tags=("distinct", "bitmap", "stickiness", "rolling-window", "E10"),
+    checkpointed_substrate=True,
 )
 def q198_bitmap_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU/WAU stickiness per day — the engagement ratio every product
@@ -368,6 +371,7 @@ _HLL_K_NUM = 0.7213 / (1 + 1.079 / 256) * (_HLL_M * _HLL_M) * float(2**49)
     ORDER BY scope
     """,
     tags=("sketch", "hll", "distinct", "mergeable", "fidelity", "E10", "bounded-artifact"),
+    checkpointed_substrate=True,
 )
 def q223_hll_register_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """From-scratch PORTABLE HyperLogLog with hash-matched registers —

@@ -250,6 +250,7 @@ LIMIT 20
     # statement (see _BPE_RECURSIVE_CTE); ALSO exact-matched against a
     # pure-Python reference BPE trainer in tests/test_bpe.py
     tags=("text", "bpe", "tokenizer", "iterative", "llm-pipeline"),
+    checkpointed_substrate=True,
 )
 def q106_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 10 BPE merges learned from the documents corpus — tokenizer
@@ -275,6 +276,7 @@ def q106_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_Q107_ORACLE,  # same recursive-CTE trainer, final-round
     # segmentation exploded to the top-20 vocabulary
     tags=("text", "bpe", "tokenizer", "llm-pipeline"),
+    checkpointed_substrate=True,
 )
 def q107_bpe_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ENCODE side of the tokenizer: apply the 10 learned merges to the
@@ -329,6 +331,7 @@ ORDER BY source
     "q116_tokenizer_fertility",
     oracle=_Q116_ORACLE,
     tags=("text", "bpe", "tokenizer", "diagnostics", "llm-pipeline"),
+    checkpointed_substrate=True,
 )
 def q116_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility per source — corpus-weighted subword pieces

@@ -133,6 +133,7 @@ def q118_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY source_a, source_b
     """,
     tags=("text", "contamination", "curation", "llm-pipeline"),
+    checkpointed_substrate=True,
 )
 def q119_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise source-level 8-gram Jaccard overlap — the cross-source
@@ -378,6 +379,7 @@ def _bloom_positions(h: Column) -> Column:
     ORDER BY pr.doc_id
     """,
     tags=("dedup", "bloom", "incremental", "ingest", "E14", "llm-pipeline"),
+    checkpointed_substrate=True,
 )
 def q121_bloom_ingest_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter approximate-membership pre-filter for incremental
@@ -960,6 +962,7 @@ def q186_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM greedy WHERE r >= 1 ORDER BY r
     """,
     tags=("curation", "selection", "submodular", "coverage", "llm-pipeline"),
+    checkpointed_substrate=True,
 )
 def q199_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy coverage-maximization selection — the submodular
@@ -1187,6 +1190,7 @@ def q207_segment_dedup_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY source, template_rank
     """,
     tags=("text", "boilerplate", "template", "curation", "llm-pipeline"),
+    checkpointed_substrate=True,  # the (source, prefix) count frame feeds tot + the rank window
 )
 def q220_doc_prefix_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Template/boilerplate detection by document PREFIX — the corpus-
@@ -1210,10 +1214,14 @@ def q220_doc_prefix_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = p.groupBy("source", "prefix").agg(
         F.count("*").alias("n_docs_with_prefix")
-    )
+    ).localCheckpoint(eager=True)
     # every document contributes exactly ONE prefix row, so the
     # per-source totals are derivable from the bounded aggregate —
-    # re-scanning the corpus for them would double the dominant cost
+    # re-scanning the corpus for them would double the dominant cost.
+    # The checkpoint makes that actually true in the PLAN: without it,
+    # Catalyst re-derives the whole tokenize+aggregate pipeline for the
+    # tot branch (2 FileScans, no ReusedExchange — the round-9 ADVICE
+    # finding), exactly what q225/q230/q233 checkpoint against.
     tot = c.groupBy("source").agg(F.sum("n_docs_with_prefix").alias("n_docs"))
     w = Window.partitionBy("source").orderBy(
         F.col("n_docs_with_prefix").desc(), "prefix"
@@ -1286,6 +1294,7 @@ def q220_doc_prefix_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY scope
     """,
     tags=("sketch", "kmv", "distinct", "mergeable", "fidelity", "E10"),
+    checkpointed_substrate=True,
 )
 def q221_kmv_distinct_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     '''KMV (k-minimum-values, bottom-k) distinct-count sketch with its

@@ -555,6 +555,7 @@ def q27_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # approximate-recall candidate generation; exact-Jaccard
     # verified in tests/test_dedup.py against the brute-force pair set
     tags=("dedup", "minhash", "lsh", "E15"),
+    checkpointed_substrate=True,
 )
 def q28_minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
@@ -591,6 +592,7 @@ def q28_minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY a_id, b_id
     """,
     tags=("dedup", "minhash", "lsh", "verified", "E15"),
+    checkpointed_substrate=True,
 )
 def q66_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL LSH pipeline hash-matched against brute force: candidates
@@ -645,6 +647,7 @@ def q66_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY id
     """,
     tags=("dedup", "clustering", "components", "minhash", "E15"),
+    checkpointed_substrate=True,
 )
 def q72_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup CLUSTERING, hash-matched end-to-end: verified near-dup pairs
@@ -703,6 +706,7 @@ def q72_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY component
     """,
     tags=("dedup", "clustering", "canonical", "minhash", "E15"),
+    checkpointed_substrate=True,
 )
 def q90_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The final step of the dedup story, hash-matched end-to-end:
@@ -772,6 +776,7 @@ def q97_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q29_simhash_near_duplicates",
     oracle=None,  # sketch-based; verified in tests/test_dedup.py
     tags=("dedup", "simhash", "E15"),
+    checkpointed_substrate=True,
 )
 def q29_simhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
@@ -903,6 +908,7 @@ def q78_jaro_winkler_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY d.doc_id
     """,
     tags=("dedup", "split", "leakage", "minhash", "llm-pipeline"),
+    checkpointed_substrate=True,
 )
 def q115_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test assignment: a plain per-document hash
@@ -972,6 +978,7 @@ def q115_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY b.doc_id
     """,
     tags=("dedup", "incremental", "minhash", "lsh", "ingest", "E14", "E15", "llm-pipeline"),
+    checkpointed_substrate=True,
 )
 def q127_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental NEAR-dup dedup — q97's recrawl shape upgraded from
@@ -1089,6 +1096,7 @@ def q127_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY cluster_size
     """,
     tags=("dedup", "clustering", "histogram", "minhash", "llm-pipeline"),
+    checkpointed_substrate=True,
     bench=False,  # two tiny aggregations over the cc_fit artifact that
     # bench.py already times under its ingest key (q72 times the artifact
     # read itself) — benching it would double-count while crowding the
@@ -1332,6 +1340,7 @@ def rare_first_shingle_docs(spark: SparkSession, d: DataFrame) -> DataFrame:
     ORDER BY doc_a, doc_b
     """,
     tags=("dedup", "jaccard", "prefix-filter", "ppjoin", "E15", "llm-pipeline"),
+    checkpointed_substrate=True,
 )
 def q162_prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All pairs with 3-word-SHINGLE-set Jaccard >= 0.7 via PREFIX
@@ -1443,6 +1452,7 @@ def q162_prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFra
     ORDER BY inner_doc, outer_doc
     """,
     tags=("dedup", "containment", "prefix-filter", "E15", "llm-pipeline"),
+    checkpointed_substrate=True,
 )
 def q181_shingle_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ASYMMETRIC near-dup: all (inner, outer) pairs where >= 90% of the
@@ -1549,6 +1559,7 @@ def q181_shingle_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame
     FROM agg
     """,
     tags=("graph", "dedup", "triangles", "clustering-coefficient", "llm-pipeline"),
+    checkpointed_substrate=True,
 )
 def q182_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count + global clustering coefficient of the VERIFIED
@@ -1792,6 +1803,7 @@ def md5_slot_signatures(
     ORDER BY band
     """,
     tags=("dedup", "minhash", "evaluation", "sketch-fidelity", "E15"),
+    checkpointed_substrate=True,
 )
 def q210_minhash_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-FIDELITY evaluation — how well does a 64-slot MinHash

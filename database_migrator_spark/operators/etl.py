@@ -132,6 +132,7 @@ def scd2_apply(
     ORDER BY c_custkey, valid_from, c_acctbal
     """,
     tags=("scd2", "merge", "etl"),
+    checkpointed_substrate=True,
 )
 def q60_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 upsert emulation over the customer dim: +100.0 balance updates
@@ -364,6 +365,7 @@ def q79_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY change_type, c_custkey
     """,
     tags=("etl", "cdc", "diff", "reconciliation"),
+    checkpointed_substrate=True,
 )
 def q80_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff over a simulated table evolution (every 97th key
@@ -579,6 +581,7 @@ def q188_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY col_name
     """,
     tags=("etl", "profiling", "data-quality", "single-pass"),
+    checkpointed_substrate=True,
 )
 def q192_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-table column profile — row count, null count, exact
@@ -694,6 +697,7 @@ def q192_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY relationship
     """,
     tags=("etl", "data-quality", "referential-integrity", "audit"),
+    checkpointed_substrate=True,
 )
 def q214_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-table referential-integrity audit — the FK orphan report a

@@ -105,6 +105,7 @@ def pagerank_fixed_point(
     LIMIT 20
     """,
     tags=("graph", "pagerank", "iterative", "llm-pipeline"),
+    checkpointed_substrate=True,
 )
 def q110_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 PageRank over the undirected customer–supplier purchase
@@ -169,6 +170,7 @@ _BFS_MAX_HOPS = 6
     ORDER BY hops
     """,
     tags=("graph", "bfs", "iterative", "llm-pipeline"),
+    checkpointed_substrate=True,
 )
 def q147_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-source BFS over the undirected customer–supplier purchase
@@ -267,6 +269,7 @@ def q147_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE m2 * sxx > sx * sx AND m2 * syy > sy * sy
     """,
     tags=("graph", "assortativity", "degree", "statistics", "llm-pipeline"),
+    checkpointed_substrate=True,
 )
 def q180_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity (Newman's r) of the undirected customer–
@@ -358,6 +361,7 @@ def q180_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM agg
     """,
     tags=("graph", "kcore", "iterative", "llm-pipeline"),
+    checkpointed_substrate=True,
 )
 def q194_kcore_3core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-core of the customer–supplier graph by iterative peeling — the

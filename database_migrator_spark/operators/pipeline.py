@@ -264,6 +264,7 @@ def prepare_training_corpus(
     ORDER BY stage
     """,
     tags=("pipeline", "llm-pipeline", "e2e"),
+    checkpointed_substrate=True,
     bench=False,  # the composition of q99+q58+q28+q72+q90+q98+q93, each
     # of which the headline bench already times individually — benching
     # the composed run would double-count ~15s of identical stage CPU

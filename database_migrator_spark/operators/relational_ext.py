@@ -521,6 +521,7 @@ def q151_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY lift DESC, part_a, part_b LIMIT 20
     """,
     tags=("relational", "market-basket", "association-rules", "affinity"),
+    checkpointed_substrate=True,
 )
 def q200_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules — support / confidence / lift for
@@ -619,6 +620,7 @@ def q200_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY nation
     """,
     tags=("relational", "outliers", "tukey", "statistics", "data-quality"),
+    checkpointed_substrate=True,
 )
 def q213_order_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tukey-fence outlier audit of order value per nation — the robust
@@ -721,6 +723,7 @@ def q213_order_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY nation
     """,
     tags=("relational", "robust-stats", "trimmed-mean", "tukey", "data-quality"),
+    checkpointed_substrate=True,
 )
 def q222_trimmed_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10%-trimmed mean of order value per nation — the robust LOCATION

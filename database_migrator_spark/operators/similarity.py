@@ -726,6 +726,7 @@ def semantic_cluster_stats(
     ORDER BY label, vec_id
     """,
     tags=("similarity", "dedup", "semdedup", "llm-pipeline"),
+    checkpointed_substrate=True,
 )
 def q109_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic (embedding-space) deduplication, SemDeDup-style: drop a
@@ -1444,6 +1445,7 @@ def q219_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY label
     """,
     tags=("similarity", "embedding", "drift", "monitoring", "llm-pipeline"),
+    checkpointed_substrate=True,
 )
 def q230_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding DISTRIBUTION drift between ingest batches — the

@@ -181,6 +181,7 @@ def q154_join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY event_type, dow
     """,
     tags=("diagnostics", "chi-square", "drift", "statistics", "bounded-artifact"),
+    checkpointed_substrate=True,
 )
 def q164_chi_square_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square independence test on the event_type × weekday
@@ -333,6 +334,7 @@ def q168_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY type_a, type_b
     """,
     tags=("analytics", "correlation", "pearson", "diagnostics", "dense-hourly"),
+    checkpointed_substrate=True,
 )
 def q170_event_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlation of hourly event-type volumes — the
@@ -429,6 +431,7 @@ def q170_event_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY event_type
     """,
     tags=("diagnostics", "psi", "drift", "statistics", "mixing"),
+    checkpointed_substrate=True,
 )
 def q173_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index of the VALUE distribution between the
@@ -529,6 +532,7 @@ def q173_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY event_type
     """,
     tags=("diagnostics", "ks", "drift", "statistics", "bounded-histogram"),
+    checkpointed_substrate=True,
 )
 def q174_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov statistic on the VALUE distribution
@@ -645,6 +649,7 @@ def q174_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY event_type
     """,
     tags=("statistics", "spearman", "rank", "association", "drift"),
+    checkpointed_substrate=True,
 )
 def q178_spearman_value_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation between event value and the VARIANT-
@@ -784,6 +789,7 @@ def q178_spearman_value_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY event_type
     """,
     tags=("statistics", "mann-whitney", "rank", "drift"),
+    checkpointed_substrate=True,
 )
 def q179_mann_whitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney U (rank-sum) of each event type's value distribution
@@ -893,6 +899,7 @@ _BENFORD_P = {
     ORDER BY bp.digit
     """,
     tags=("statistics", "benford", "drift", "bounded-histogram"),
+    checkpointed_substrate=True,
 )
 def q184_benford_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit drift of the value distribution — the fraud /

@@ -1314,6 +1314,7 @@ _DENSE_HOURLY_ORACLE = """
     ORDER BY a.event_type
     """,
     tags=("temporal", "forecast", "seasonal-naive", "evaluation", "dense-hourly"),
+    checkpointed_substrate=True,
 )
 def q171_seasonal_naive_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forecast-BASELINE evaluation — the report every capacity model is
@@ -1379,6 +1380,7 @@ def q171_seasonal_naive_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY x.event_type, hour
     """,
     tags=("temporal", "ewma", "control-chart", "anomaly", "iterative", "dense-hourly"),
+    checkpointed_substrate=True,
 )
 def q172_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA control chart — the smoothed anomaly monitor (q155's z-score
@@ -1580,6 +1582,7 @@ def _uninterrupted_funnel(e: DataFrame) -> DataFrame:
     ORDER BY lag
     """,
     tags=("temporal", "autocorrelation", "seasonality", "dense-hourly"),
+    checkpointed_substrate=True,
 )
 def q177_hourly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Autocorrelation function of total hourly event volume at lags
@@ -1665,6 +1668,7 @@ def q177_hourly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY event_type
     """,
     tags=("temporal", "theil-sen", "robust", "trend", "dense-hourly"),
+    checkpointed_substrate=True,
 )
 def q183_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil–Sen robust trend of each event type's hourly volume — the
@@ -1752,6 +1756,7 @@ def q183_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY event_type
     """,
     tags=("temporal", "changepoint", "cusum", "monitoring", "dense-hourly"),
+    checkpointed_substrate=True,
 )
 def q193_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM changepoint detection per event type — WHERE the hourly
@@ -1841,6 +1846,7 @@ def q193_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM tot
     """,
     tags=("temporal", "funnel", "percentiles", "bounded-histogram"),
+    checkpointed_substrate=True,
 )
 def q201_conversion_delay_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """How long does conversion take?  Exact p25/p50/p75/p90 and mean of
@@ -1947,6 +1953,7 @@ def q201_conversion_delay_quartiles(spark: SparkSession, sf_dir: str) -> DataFra
     FROM ang ORDER BY event_type
     """,
     tags=("temporal", "circular-statistics", "seasonality", "bounded-histogram"),
+    checkpointed_substrate=True,
 )
 def q202_circular_peak_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Circular (directional) statistics of WHEN each event type
@@ -2061,6 +2068,7 @@ def q202_circular_peak_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY type_lead, type_follow
     """,
     tags=("temporal", "cross-correlation", "lead-lag", "dense-hourly"),
+    checkpointed_substrate=True,
 )
 def q208_leadlag_xcorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lead-lag cross-correlation between event types — 'does a surge in
@@ -2183,6 +2191,7 @@ def q208_leadlag_xcorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY t.event_type
     """,
     tags=("temporal", "anova", "seasonality", "variance", "dense-hourly"),
+    checkpointed_substrate=True,
 )
 def q211_diurnal_variance_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """How much of each event type's hourly variance is the DAILY CYCLE?
@@ -2406,6 +2415,7 @@ def q215_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY channel
     """,
     tags=("temporal", "attribution", "funnel", "marketing"),
+    checkpointed_substrate=True,
 )
 def q225_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U-shaped (position-based) multi-touch attribution — the
@@ -2921,6 +2931,7 @@ def q232_conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY a.arm
     """,
     tags=("temporal", "experimentation", "cuped", "statistics", "ab-testing"),
+    checkpointed_substrate=True,
 )
 def q233_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED variance-reduced experiment readout — the modern A/B

@@ -692,6 +692,7 @@ def sequence_packing(
     LIMIT 20
     """,
     tags=("text", "cooccurrence", "pmi"),
+    checkpointed_substrate=True,
 )
 def q96_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 document-level token co-occurrence pairs with pointwise
@@ -856,6 +857,7 @@ def benchmark_decontamination(
     ORDER BY t.doc_id
     """,
     tags=("text", "decontamination", "ngram", "llm-pipeline"),
+    checkpointed_substrate=True,
 )
 def q98_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test-set decontamination — the n-gram collision scan every serious
@@ -1094,6 +1096,7 @@ def q75_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY source
     """,
     tags=("text", "mixing", "divergence", "llm-pipeline"),
+    checkpointed_substrate=True,
 )
 def q103_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source KL divergence of the token distribution from the
@@ -1545,6 +1548,7 @@ def q114_per_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY b.bench_doc_id
     """,
     tags=("text", "decontamination", "attribution", "ngram", "llm-pipeline"),
+    checkpointed_substrate=True,
 )
 def q145_contamination_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The drill-down report a decontamination pass (q98) triggers: for
@@ -1610,6 +1614,7 @@ def q145_contamination_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     ORDER BY ns.source
     """,
     tags=("text", "entropy", "perplexity", "divergence", "llm-pipeline"),
+    checkpointed_substrate=True,
 )
 def q187_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source unigram Shannon entropy and perplexity — the
@@ -1751,6 +1756,7 @@ def _lex_query_terms(spark: SparkSession, sf_dir: str):
     ORDER BY score DESC, doc_id LIMIT 20
     """,
     tags=("text", "bm25", "retrieval", "ranking", "llm-pipeline"),
+    checkpointed_substrate=True,
 )
 def q191_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-20 retrieval — the lexical scorer of every
@@ -1858,6 +1864,7 @@ def _bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY min_dist, n_within DESC, doc_id LIMIT 20
     """,
     tags=("text", "retrieval", "proximity", "positional-index", "llm-pipeline"),
+    checkpointed_substrate=True,
 )
 def q195_phrase_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional proximity search (the NEAR operator) — docs where the
@@ -2005,6 +2012,7 @@ def _qld_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY score DESC, doc_id LIMIT 20
     """,
     tags=("text", "qld", "retrieval", "ranking", "llm-pipeline"),
+    checkpointed_substrate=True,
 )
 def q196_qld_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dirichlet-smoothed query-likelihood top-20 — the second classic
@@ -2095,6 +2103,7 @@ def q196_qld_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY rrf_score DESC, doc_id LIMIT 20
     """,
     tags=("text", "retrieval", "rank-fusion", "rrf", "llm-pipeline"),
+    checkpointed_substrate=True,
 )
 def q197_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion of the BM25 (q191) and query-likelihood
@@ -2190,6 +2199,7 @@ def q197_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM jsd ORDER BY source_a, source_b
     """,
     tags=("text", "divergence", "jensen-shannon", "llm-pipeline"),
+    checkpointed_substrate=True,
 )
 def q203_js_divergence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Jensen-Shannon divergence between source token
@@ -2308,6 +2318,7 @@ def q203_js_divergence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY cosine DESC, doc_a, doc_b LIMIT 20
     """,
     tags=("text", "retrieval", "sparse-cosine", "similarity-join", "llm-pipeline"),
+    checkpointed_substrate=True,
 )
 def q206_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARSE lexical cosine similarity join — TF-IDF vector cosine via
@@ -2528,6 +2539,7 @@ def q209_token_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame
     ORDER BY source, log_odds_z DESC, term
     """,
     tags=("text", "log-odds", "distinctive-terms", "curation", "llm-pipeline"),
+    checkpointed_substrate=True,
 )
 def q212_distinctive_terms_logodds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WHAT makes each source different — top-10 distinctive terms by

@@ -36,6 +36,15 @@ class DeclaredQuery:
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
     bench: bool = True  # include in bench.py headline run
+    # Declares that this query INTENTIONALLY reads a localCheckpoint
+    # substrate (sketch-once self-join sides, shared per-session fit
+    # tables, iterative-loop breaks) — the one legitimate reason a plan
+    # may contain an RDD scan. tests/test_plans.py enforces "no
+    # ExistingRDD anywhere" on every query NOT declaring this, so a new
+    # checkpoint fails the suite unless its author declares the substrate
+    # here, next to the checkpoint it excuses (the round-8 red suite came
+    # from the old trailing string-tag blacklist in the test file).
+    checkpointed_substrate: bool = False
 
 
 def query(
@@ -43,6 +52,7 @@ def query(
     oracle: str | None = None,
     tags: tuple[str, ...] = (),
     bench: bool = True,
+    checkpointed_substrate: bool = False,
 ) -> Callable[[Builder], Builder]:
     """Decorator registering a query builder under ``name``."""
 
@@ -50,7 +60,13 @@ def query(
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
         _REGISTRY[name] = DeclaredQuery(
-            name=name, build=fn, oracle=oracle, doc=(fn.__doc__ or "").strip(), tags=tuple(tags), bench=bench
+            name=name,
+            build=fn,
+            oracle=oracle,
+            doc=(fn.__doc__ or "").strip(),
+            tags=tuple(tags),
+            bench=bench,
+            checkpointed_substrate=checkpointed_substrate,
         )
         return fn
 
@@ -76,28 +92,29 @@ def query(
 #   rank 1 — queries whose last gate row is the OLDEST.
 #   rank 2+ — progressively fresher gate rows.
 #
-# Round-9 instance (rotated AFTER the r08 gate ran and recorded
-# q159-q195 + q38-q50 all green): rank 0 = every NEVER-GATED query —
-# the round-8 overflow block q196-q217 plus this round's additions
-# (q218+), all carrying local sf0.01 oracle evidence only; rank 1 = the
-# r05-stale set sorted by name (q100-q114, q116-q118, q120-q143,
-# q51/q94/q96 — their rows date to r05, now the catalog's oldest hard
-# signal).  With 37 never-gated names (q196-q232 after the round-9
-# waves) the 50-row window closes at q112 (13 stale rows re-gate).
-# Round-10 plan: rank 0 = any r10 additions, rank 1 = the r05 residue
-# this round could not fit (q113/q114, q116-q118, q120-q143, plus
-# q51/q94/q96 = 32 names), topped up by the oldest of the r06-gated
-# block (q52+, q115, q119, q144-q158 by name) — completing the third
-# full-catalog re-gate cycle; q01-q37 (r07) and q38-q50/q159-q195
-# (r08) queue last.
+# Round-10 instance (rotated AFTER the r09 gate ran and recorded the 38
+# never-gated names q196-q233 PLUS the first 12 r05-stale rows q100-q111,
+# all green — CORRECTNESS_r09.json): rank 0 = never-gated r10 additions
+# (q234+) and any query whose ORACLE changed this round (q59 upgraded
+# from rows-only to a batch-equivalence hash oracle — a semantic change,
+# so its r06 row no longer certifies it); rank 1 = the r05-stale RESIDUE
+# in name order (q112-q114, q116-q118, q120-q143, q51/q94/q96 = 33
+# names, verified against all nine CORRECTNESS files); rank 2 = the
+# r06-gated block (q52-q93, q95, q97-q99, q115, q119, q144 — now the
+# oldest signal after the residue) tops up the 50-row window.  This
+# completes the third full-catalog re-gate cycle; q01-q37/q145-q158
+# (r07), q38-q50/q159-q195 (r08) and q100-q111/q196-q233 (r09, the
+# freshest rows) queue last.
 # Order changes NOTHING for the pytest oracle suite or bench.py — they
 # run the whole catalog.  tests/test_bench_contract.py pins the
 # resulting first-50 list so a refactor cannot silently reorder the
 # gate.
-_NEVER_GATED = {f"q{i}" for i in range(196, 240)}
-_R05_STALE = ({f"q{i}" for i in range(100, 144)} - {"q115", "q119"}) | {"q51", "q94", "q96"}
-# gated green in r08 (CORRECTNESS_r08.json) — the freshest signal
+_NEVER_GATED = {f"q{i}" for i in range(234, 270)} | {"q59"}  # q59: oracle upgraded r10
+_R05_STALE = ({f"q{i}" for i in range(112, 144)} - {"q115", "q119"}) | {"q51", "q94", "q96"}
+_R06_FRESH = ({f"q{i:02d}" for i in range(52, 100)} - {"q59", "q94", "q96"}) | {"q115", "q119", "q144"}
+# gated green in r08/r09 — the freshest signal
 _R08_FRESH = {f"q{i}" for i in range(159, 196)} | {f"q{i:02d}" for i in range(38, 51)}
+_R09_FRESH = {f"q{i}" for i in range(196, 234)} | {f"q{i}" for i in range(100, 112)}
 
 
 def all_queries() -> dict[str, DeclaredQuery]:
@@ -134,8 +151,12 @@ def all_queries() -> dict[str, DeclaredQuery]:
             return (0, name)
         if qid in _R05_STALE:
             return (1, name)
+        if qid in _R06_FRESH:
+            return (2, name)
         if qid in _R08_FRESH:
-            return (3, name)
-        return (2, name)
+            return (4, name)
+        if qid in _R09_FRESH:
+            return (5, name)
+        return (3, name)  # r07-gated (q01-q37, q145-q158)
 
     return dict(sorted(_REGISTRY.items(), key=lambda kv: rank(kv[0])))

@@ -189,23 +189,39 @@ def q40_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q59_stream_dedup_within_watermark",
-    oracle=None,  # horizon-scoped semantics (state is evicted past the
-    # watermark by design) — behavior asserted in
-    # tests/test_streaming_latedata.py::test_drop_duplicates_within_watermark
+    oracle="""
+    SELECT DISTINCT user_id, event_type
+    FROM events
+    ORDER BY user_id, event_type
+    """,
     tags=("streaming", "dedup", "watermark", "E18"),
 )
 def q59_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark: dedup state bounded by the watermark
     horizon — the 100 TB streaming dedup (unbounded-key dropDuplicates
-    state grows forever; this evicts keys older than the delay)."""
+    state grows forever; this evicts keys older than the delay).
+
+    Hash-gated batch-equivalence contract (upgraded from rows-only in
+    round 10): the emitted MULTISET is inherently split-dependent — a
+    key whose state was evicted past the watermark re-emits when it
+    recurs in a later micro-batch, so per-row output (which event_id
+    wins, how many epochs a key spans) varies with batch boundaries and
+    partition order. What IS deterministic under ANY split is the
+    emitted key DOMAIN: every key's first arrival passes the filter
+    (no state yet) and is appended in that same micro-batch, and no
+    key outside the data can appear — so DISTINCT over the emitted
+    rows equals exactly the batch DISTINCT (user_id, event_type).
+    That completeness+soundness invariant is what the oracle hashes;
+    the eviction/re-emission behavior itself stays covered by
+    tests/test_streaming_latedata.py::test_drop_duplicates_within_watermark."""
     dedup = (
         _events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
-        .select("user_id", "event_type", "event_id")
+        .select("user_id", "event_type")
     )
     out = run_stream_to_table(dedup, mode="append")
-    return out.orderBy("user_id", "event_type", "event_id")
+    return out.distinct().orderBy("user_id", "event_type")
 
 
 @query(

@@ -80,33 +80,40 @@ def test_bench_json_line_fits_tail_window():
 
 
 def test_gate_order_front_loads_stale_signal_set():
-    """Round 9: the 50-row gate must spend its budget on (a) every
-    NEVER-GATED query — the round-8 overflow q196-q217 plus round-9
-    additions (q218+), which have only local sf0.001/0.01/0.1 oracle
-    evidence — then (b) the r05-stale set in name order (q115/q119 were
-    re-gated r06).  The r05 residue is the round-10 lead, then the
-    r06-gated block; q01-q37 (r07) and q38-q50/q159-q195 (r08, the
-    freshest rows) queue last.  Pinning the exact first-50 list (not
-    just the set) so a refactor cannot silently reorder the gate.  The
-    rank-0 cap trades new-operator hard signal against stale-row
-    refresh: at 36 never-gated names 14 stale rows still re-gate, and
-    every stale name has an r05 green row and three local oracle scales
-    behind it — past 38 the refresh starves and additions must wait a
-    round."""
+    """Round 10: the 50-row gate must spend its budget on (a) every
+    NEVER-GATED query — round-10 additions (q234+) plus q59, whose
+    oracle was upgraded from rows-only to a batch-equivalence hash this
+    round (a semantic change: its r06 row no longer certifies the new
+    contract) — then (b) the r05-stale RESIDUE in name order (q112-q114,
+    q116-q118, q120-q143, q51/q94/q96 — the 33 names whose newest driver
+    row still dates to round 5), then (c) the r06-gated block topping up
+    the window. q01-q37/q145-q158 (r07), q38-q50/q159-q195 (r08) and
+    q100-q111/q196-q233 (r09, the freshest rows) queue last. Pinning
+    the exact first-50 list (not just the set) so a refactor cannot
+    silently reorder the gate. The rank-0 cap keeps all 33 stale rows
+    plus at least a few r06 refreshes inside the window."""
     names = list(all_queries())
     gate = [n.split("_", 1)[0] for n in names[:50]]
     never_gated = sorted(
-        n.split("_", 1)[0] for n in names if n.split("_", 1)[0] in {f"q{i}" for i in range(196, 240)}
+        n.split("_", 1)[0]
+        for n in names
+        if n.split("_", 1)[0] in ({f"q{i}" for i in range(234, 270)} | {"q59"})
     )
     n_new = len(never_gated)
-    assert n_new <= 38, "rank-0 additions would starve the r05-stale refresh"
+    assert n_new <= 17, "rank-0 additions would starve the r05-stale refresh"
     assert gate[:n_new] == never_gated
     r05_stale = sorted(
-        ({f"q{i}" for i in range(100, 144)} - {"q115", "q119"}) | {"q51", "q94", "q96"}
+        ({f"q{i}" for i in range(112, 144)} - {"q115", "q119"}) | {"q51", "q94", "q96"}
     )
-    assert gate[n_new:] == r05_stale[: 50 - n_new]
-    # the r05 residue and every freshly-gated block sort after the
-    # 50-row window
+    assert len(r05_stale) == 33
+    assert gate[n_new : n_new + 33] == r05_stale
+    # the r06 block fills the remaining rows in name order
+    r06_fresh = sorted(
+        ({f"q{i:02d}" for i in range(52, 100)} - {"q59", "q94", "q96"})
+        | {"q115", "q119", "q144"}
+    )
+    assert gate[n_new + 33 :] == r06_fresh[: 50 - n_new - 33]
+    # every freshly-gated block sorts after the 50-row window
     tail = {n.split("_", 1)[0] for n in names[50:]}
-    assert set(r05_stale[50 - n_new :]) <= tail
-    assert {"q01", "q02", "q37", "q38", "q50", "q52", "q99", "q115", "q119", "q144", "q159", "q195"} <= tail
+    assert set(r06_fresh[50 - n_new - 33 :]) <= tail
+    assert {"q01", "q02", "q37", "q38", "q50", "q100", "q111", "q145", "q159", "q196", "q233"} <= tail

@@ -330,42 +330,44 @@ def test_hll_sketches_aggregate_two_phase(spark):
 def test_no_rdd_scans_anywhere(spark):
     """Every declared query must read through the parquet FileScan path
     (vectorized reader, pushdown-capable) — never an RDD scan. Exempt:
-    streaming/UDTF sources, the sketch pipelines whose localCheckpoint
-    (sketch-once materialization for the self-join) is an intentional RDD
-    boundary — including q109's normalize-once checkpoint feeding both
-    self-join sides — the composed corpus pipeline whose stage-boundary
-    checkpoints are the same pattern, the BPE queries whose merge
-    table is a driver-local list (vocabulary argmax results), the
-    decontamination family (q98/q145) reading the once-per-session
-    checkpointed 8-gram shingle table (doc_shingles_cached), and q162
-    (ppjoin), whose sorted-shingle table is checkpointed because three
-    consumers read it (test_prefix_filter_join_all_shuffle_merge pins
-    that shape). Round 8 adds the same pattern in the rank statistics
-    (q178/q179 checkpoint their one-corpus-scan histogram for 3
-    consumers), the graph statistics (q180 edge list / q182 oriented
-    edges feed multiple joins), and q181 (shares q162's checkpointed
-    rare-first shingle substrate). Round-8 wave 4/5 adds the bitmap
-    word-table checkpoints (q189/q190/q198), the shared tf substrate of
-    the retrieval family (q191/q195/q196/q197), and q192's value-count
-    checkpoint (profile + mode both read it). Round-8 waves 10/11 add
-    q212 (reads the same checkpointed tf/vocab substrate as the
-    retrieval family — tag 'log-odds'), q213 (checkpoints its
-    (nation, cents) projection so the two-pass fence filter scans the
-    corpus once — tag 'tukey'), and q214 (checkpoints the child-key
-    projections feeding five FK audits — tag
-    'referential-integrity'). Round 9 adds q221 (tag 'kmv'): its
-    distinct-user hash table and bottom-k rows are checkpointed because
-    the sketch, the exact counts, and the merged-ALL row all read
-    them; q225 ('attribution'), q230 ('monitoring') and q233 ('cuped')
-    checkpoint bounded aggregates read by multiple branches."""
+    streaming/UDTF sources, plus every query DECLARING
+    ``checkpointed_substrate=True`` in the registry — the one legitimate
+    RDD boundary (sketch-once localCheckpoint self-join sides, shared
+    per-session fit tables, iterative-loop breaks). The exemption lives
+    on the ``DeclaredQuery`` itself (plans/registry.py), next to the
+    checkpoint it excuses, so adding a checkpointed query without
+    declaring the substrate fails HERE — the round-8 red suite came
+    from the old trailing string-tag blacklist this test used to carry.
+    The declaration is also checked in the opposite direction
+    (``test_checkpointed_substrate_declarations_are_true``): a query
+    declaring the substrate without an actual RDD scan is stale."""
     for name, dq in _QS.items():
-        if any(
-            t in dq.tags
-            for t in ("streaming", "udtf", "minhash", "simhash", "semdedup", "pipeline", "bpe", "iterative", "decontamination", "ppjoin", "dense-hourly", "scd2", "diff", "bounded-artifact", "pmi", "bloom", "divergence", "contamination", "psi", "bounded-histogram", "rank", "assortativity", "containment", "triangles", "bitmap", "retrieval", "profiling", "market-basket", "selection", "log-odds", "tukey", "referential-integrity", "kmv", "attribution", "monitoring", "cuped")
-        ):
+        if dq.checkpointed_substrate or "streaming" in dq.tags or "udtf" in dq.tags:
             continue
         p = _QS[name].build(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
-        assert "ExistingRDD" not in p, f"{name} scans an RDD"
+        assert "ExistingRDD" not in p, (
+            f"{name} scans an RDD — either remove the localCheckpoint or "
+            "declare checkpointed_substrate=True on its @query registration"
+        )
+
+
+def test_checkpointed_substrate_declarations_are_true(spark):
+    """The inverse invariant: every query declaring
+    ``checkpointed_substrate=True`` must actually plan an ExistingRDD
+    scan at smoke scale — a stale declaration would silently widen the
+    exemption (the tag-blacklist failure mode in reverse). Streaming
+    queries cannot declare it (their exemption is the source type)."""
+    declared = [
+        (n, dq) for n, dq in _QS.items() if dq.checkpointed_substrate
+    ]
+    assert declared, "registry lost all substrate declarations"
+    for name, dq in declared:
+        assert "streaming" not in dq.tags and "udtf" not in dq.tags, name
+        p = _QS[name].build(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        assert "ExistingRDD" in p, (
+            f"{name} declares checkpointed_substrate=True but plans no RDD "
+            "scan — remove the stale declaration"
+        )
 
 
 def test_source_divergence_single_token_shuffle_broadcast_stats(spark):
@@ -1222,6 +1224,12 @@ def test_prefix_templates_window_group_limit(spark):
     assert p.count("BroadcastHashJoin") == 1
     assert "Generate" not in p
     assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+    # the (source, prefix) count frame is checkpointed before the tot
+    # branch derives from it — without the checkpoint Catalyst re-runs
+    # the whole tokenize+aggregate pipeline for tot (2 corpus FileScans,
+    # the round-9 ADVICE finding); the corpus must be scanned ONCE
+    assert p.count("FileScan") == 0  # both branches read the checkpoint
+    assert p.count("Scan ExistingRDD") >= 2
 
 
 def test_kmv_bottom_k_window_group_limit(spark):
