@@ -1872,3 +1872,205 @@ def q210_minhash_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+# ---------------------------------------------------------------------------
+# q234 — engine-portable banded MinHash-LSH near-dup join (hash-gated twin
+# of q28: the full band→bucket→candidate→verify pipeline under the driver's
+# value hash, via q210's md5-hex signature trick)
+# ---------------------------------------------------------------------------
+
+
+def minhash_near_duplicates_portable(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_slots: int = 64,
+    bands: int = 16,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Banded MinHash-LSH near-duplicate candidates with exact-Jaccard
+    verify, every stage engine-reproducible (q28's pipeline with q210's
+    md5 portability): slot j of a document is MIN over its distinct
+    3-word shingles of the first 12 hex chars of md5(j || ' ' ||
+    shingle) — fixed-width lowercase hex compares like the integer it
+    encodes, so MIN-of-string IS min-hash and any engine with md5
+    agrees bit-for-bit. Band keys concatenate the ``rows`` slot minima
+    of each band; docs sharing any (band, key) bucket become candidate
+    pairs; buckets larger than ``max_bucket`` are dropped (bucket
+    membership is deterministic, so the cap is hash-safe — boilerplate
+    clusters at web scale would otherwise go quadratic); candidates are
+    verified with exact shingle Jaccard at threshold 0.6, compared in
+    INTEGER form (5·|∩| ≥ 3·|∪| — no float boundary to disagree on).
+
+    Returns (a_id, b_id, n_shared_bands, jaccard) — n_shared_bands is
+    the number of band buckets that fired for the pair, the LSH recall
+    diagnostic.
+    """
+    rows = num_slots // bands
+    from pyspark.sql import Window
+
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(tokens_of(text_col))).alias("toks"),
+    ).withColumn("n_sh", F.size("toks"))
+    # both self-join sides and the verify stage read the shingle table —
+    # materialize it once (the q28/q66 sketch-once pattern)
+    sh = sh.localCheckpoint(eager=True)
+    g = sh.select("id", F.explode("toks").alias("g"))
+    slots = docs.sparkSession.range(0, num_slots).select(
+        F.col("id").cast("int").alias("j")
+    )
+    sig = (
+        g.crossJoin(F.broadcast(slots))
+        .groupBy("id", "j")
+        .agg(
+            F.min(
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.col("j").cast("string"), F.col("g"))),
+                    1,
+                    12,
+                )
+            ).alias("s12")
+        )
+    )
+    bnd = (
+        sig.groupBy(
+            "id", int_div(F.col("j").cast("long"), F.lit(rows)).alias("band")
+        )
+        .agg(
+            F.concat(
+                *[
+                    F.min(F.when(F.col("j") % rows == k, F.col("s12")))
+                    for k in range(rows)
+                ]
+            ).alias("bkey")
+        )
+        .withColumn("bucket_n", F.count("*").over(Window.partitionBy("band", "bkey")))
+        .where(F.col("bucket_n") <= max_bucket)
+        .select("id", "band", "bkey")
+        # BOTH self-join sides read the banded table — materialize it once,
+        # or Catalyst re-derives the whole explode→64-slot-min→band-key
+        # pipeline (the dominant cost) per side
+        .localCheckpoint(eager=True)
+    )
+    cand = (
+        bnd.select(F.col("id").alias("a_id"), "band", "bkey")
+        .join(
+            bnd.select(F.col("id").alias("b_id"), "band", "bkey").hint("shuffle_merge"),
+            ["band", "bkey"],
+        )
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+    a = sh.select(F.col("id").alias("a_id"), F.col("toks").alias("a_toks"), F.col("n_sh").alias("a_n"))
+    b = sh.select(F.col("id").alias("b_id"), F.col("toks").alias("b_toks"), F.col("n_sh").alias("b_n"))
+    inter = F.size(F.array_intersect(F.col("a_toks"), F.col("b_toks"))).cast("long")
+    union = F.size(F.array_union(F.col("a_toks"), F.col("b_toks"))).cast("long")
+    return (
+        cand
+        # sound size-ratio prune in INTEGER form (Jaccard ≤ min/max sizes):
+        # kills most accidental collisions before the array intersect
+        .join(a.hint("shuffle_merge"), "a_id")
+        .join(b.hint("shuffle_merge"), "b_id")
+        .where(
+            F.lit(5) * F.least("a_n", "b_n") >= F.lit(3) * F.greatest("a_n", "b_n")
+        )
+        .withColumn("inter", inter)
+        .withColumn("union_", union)
+        .where(F.lit(5) * F.col("inter") >= F.lit(3) * F.col("union_"))
+        .select(
+            "a_id",
+            "b_id",
+            "n_shared_bands",
+            (F.col("inter").cast("double") / F.col("union_").cast("double")).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+@query(
+    "q234_minhash_lsh_portable",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           t -> len(t) > 0) AS t
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                    THEN list_distinct(list_transform(
+                             generate_series(1, len(t) - 2),
+                             i -> array_to_string(t[i:i+2], ' ')))
+                    ELSE [array_to_string(t, ' ')]
+               END AS s
+        FROM toks
+    ), shx AS (
+        SELECT doc_id, unnest(s) AS g FROM sh
+    ), slots AS (
+        SELECT unnest(generate_series(0, 63)) AS j
+    ), sig AS (
+        SELECT doc_id, j,
+               MIN(substr(md5(CAST(j AS VARCHAR) || ' ' || g), 1, 12)) AS s12
+        FROM shx CROSS JOIN slots
+        GROUP BY 1, 2
+    ), bnd AS (
+        SELECT doc_id, j // 4 AS band,
+               MIN(CASE WHEN j % 4 = 0 THEN s12 END)
+               || MIN(CASE WHEN j % 4 = 1 THEN s12 END)
+               || MIN(CASE WHEN j % 4 = 2 THEN s12 END)
+               || MIN(CASE WHEN j % 4 = 3 THEN s12 END) AS bkey
+        FROM sig
+        GROUP BY 1, 2
+        QUALIFY COUNT(*) OVER (PARTITION BY band, bkey) <= 1000
+    ), cand AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+        FROM bnd a
+        JOIN bnd b ON a.band = b.band AND a.bkey = b.bkey
+                   AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), v AS (
+        SELECT c.a_id, c.b_id, c.n_shared_bands,
+               len(list_intersect(sa.s, sb.s)) AS i,
+               len(list_distinct(list_concat(sa.s, sb.s))) AS u,
+               len(sa.s) AS na, len(sb.s) AS nb
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.a_id
+        JOIN sh sb ON sb.doc_id = c.b_id
+    )
+    SELECT a_id, b_id, n_shared_bands,
+           CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS jaccard
+    FROM v
+    WHERE 5 * LEAST(na, nb) >= 3 * GREATEST(na, nb)
+      AND 5 * i >= 3 * u
+    ORDER BY a_id, b_id
+    """,
+    tags=("dedup", "minhash", "lsh", "portable", "E15", "llm-pipeline"),
+    checkpointed_substrate=True,  # shingle table feeds sig + both verify sides
+)
+def q234_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gated twin of q28: the COMPLETE banded MinHash-LSH pipeline —
+    signatures, band keys, bucket candidate join (capped), size-ratio
+    prune, exact-Jaccard verify — under the driver's cross-engine value
+    hash. q28/q66 stay the engine-speed tier (xxhash64 signatures, JVM
+    codegen); this twin swaps only the hash family for q210's
+    md5-portable slot construction (MIN over fixed-width md5 hex IS
+    min-hash) so DuckDB replays the identical pipeline bit-for-bit:
+    band membership, bucket cap (deterministic — bucket membership is a
+    pure function of the data), candidate set, and the 0.6 threshold
+    compared in INTEGER form (5·|∩| ≥ 3·|∪|) all match exactly.
+
+    This retires SURVEY §2B E15's 'MinHash-LSH bench-only' caveat: the
+    banding mechanics themselves are now hash-verified, not just
+    recall-tested. Shape at scale: one corpus scan into a checkpointed
+    shingle table (read by the signature build and both verify sides),
+    a broadcast 64-row slot spine, one (id, j) aggregate, one (id,
+    band) aggregate, and a bucket-keyed self-join pinned shuffle-merge
+    — never all-pairs; output is bounded by true near-dup pairs, the
+    same regime the 10x probe reads dedup-family ratios against."""
+    d = table(spark, sf_dir, "documents")
+    return minhash_near_duplicates_portable(spread_for_cpu(d)).orderBy("a_id", "b_id")

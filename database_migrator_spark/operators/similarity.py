@@ -1511,3 +1511,214 @@ def q230_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# q235/q236 — hash-gated twins of the ANN tier (fixed closed-form
+# hyperplanes / the q219 fixed coarse quantizer make bucket assignment and
+# probe-side top-k exact cross-engine; only the iterative KMeans TRAINING
+# stays rows-only at q53/q105)
+# ---------------------------------------------------------------------------
+
+# Fixed closed-form SRP hyperplanes: 4 planes × 64 dims (q35's engine
+# tier also uses 4 — one bucket per ~1/16 of the corpus, multi-probed),
+# every weight ((p*p*13 + d*d*7 + p*d*11) % 19 - 9) / 10.0 ∈ [-0.9, 0.9]
+# — integer arithmetic then ONE exact IEEE division, so the identical
+# doubles inline into a DuckDB VALUES table (the q219 centroid recipe
+# applied to q35's hyperplanes). The quadratic mixing matters: a LINEAR
+# form (a·p + b·d) mod m makes every plane a cyclic shift of the same
+# periodic pattern — near-degenerate planes, measured recall@10 of 0.
+_SRP_FIXED_PLANES_N = 4
+SRP_FIXED_PLANES: list[list[float]] = [
+    [((p * p * 13 + d * d * 7 + p * d * 11) % 19 - 9) / 10.0 for d in range(_DIM)]
+    for p in range(_SRP_FIXED_PLANES_N)
+]
+
+
+def _srp_fixed_planes_sql() -> str:
+    """The identical hyperplanes as a DuckDB VALUES table (p, w)."""
+    rows = []
+    for p in range(_SRP_FIXED_PLANES_N):
+        vals = ", ".join(repr(x) for x in SRP_FIXED_PLANES[p])
+        rows.append(f"({p}, [{vals}]::DOUBLE[])")
+    return ",\n               ".join(rows)
+
+
+@query(
+    "q235_srp_lsh_topk_portable",
+    oracle=f"""
+    WITH planes(p, w) AS (
+        VALUES {_srp_fixed_planes_sql()}
+    ), e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), bkt AS (
+        SELECT e.vec_id,
+               CAST(SUM(CASE WHEN list_reduce(
+                                 list_transform(range(1, {_DIM} + 1),
+                                                i -> e.v[i] * planes.w[i]),
+                                 (x, y) -> x + y) > 0
+                             THEN 1 << planes.p ELSE 0 END) AS BIGINT) AS bucket
+        FROM e CROSS JOIN planes
+        GROUP BY e.vec_id
+    ), q AS (
+        SELECT e.vec_id, bkt.bucket, e.v
+        FROM e JOIN bkt USING (vec_id) WHERE e.vec_id = 1
+    ), probes AS (
+        SELECT bucket FROM q
+        UNION ALL
+        SELECT xor(q.bucket, CAST(1 << s.p AS BIGINT))
+        FROM q CROSS JOIN (SELECT unnest(generate_series(0, {_SRP_FIXED_PLANES_N - 1})) AS p) s
+    ), cand AS (
+        SELECT e.vec_id, e.v, bkt.bucket
+        FROM e JOIN bkt USING (vec_id)
+        WHERE e.vec_id <> 1 AND bkt.bucket IN (SELECT bucket FROM probes)
+    )
+    SELECT c.vec_id, c.bucket,
+           list_reduce(list_transform(range(1, {_DIM} + 1),
+                         i -> c.v[i] * q.v[i]), (a, b) -> a + b)
+           / sqrt(
+               list_reduce(list_transform(range(1, {_DIM} + 1),
+                             i -> c.v[i] * c.v[i]), (a, b) -> a + b)
+               * list_reduce(list_transform(range(1, {_DIM} + 1),
+                             i -> q.v[i] * q.v[i]), (a, b) -> a + b)
+             ) AS sim
+    FROM cand c, q
+    ORDER BY sim DESC, c.vec_id
+    LIMIT 10
+    """,
+    tags=("similarity", "ann", "lsh", "portable", "E16"),
+)
+def q235_srp_lsh_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gated twin of q35: signed-random-projection LSH top-k with
+    FIXED closed-form hyperplanes. q35 stays the engine tier (seeded
+    numpy planes, recall-tested vs brute force); this twin swaps only
+    the plane source — 8 planes whose weights are exact small decimals
+    from integer arithmetic — so bucket assignment (sign of the same
+    left-to-right IEEE dot fold), the multi-probe set (bucket XOR each
+    single bit), the candidate set, and the final exact-cosine top-10
+    (q34's bit-identical fold) all reproduce in DuckDB exactly.
+
+    Shape at scale: bucket assignment is a per-row expression over one
+    scan (the plane table is 8 literal rows folded into codegen), the
+    query row broadcasts, and the probe filter prunes the corpus before
+    any distance math — the same plan q35 runs, hash-verified here."""
+    e = table(spark, sf_dir, "embeddings")
+    bucketed = e.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        srp_bucket(F.col("embedding"), SRP_FIXED_PLANES).alias("bucket"),
+    )
+    q = bucketed.where(F.col("vec_id") == 1).select(
+        F.col("v").alias("__query_vec"), F.col("bucket").alias("__qb")
+    )
+    probes = F.array(
+        F.col("__qb"),
+        *[F.col("__qb").bitwiseXOR(F.lit(1 << i)) for i in range(_SRP_FIXED_PLANES_N)],
+    )
+    return (
+        bucketed.where(F.col("vec_id") != 1)
+        .crossJoin(F.broadcast(q))
+        .where(F.array_contains(probes, F.col("bucket")))
+        .select(
+            "vec_id",
+            "bucket",
+            cosine_similarity(F.col("v"), F.col("__query_vec")).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+@query(
+    "q236_ivf_topk_portable",
+    oracle=f"""
+    WITH cents(cluster, c) AS (
+        VALUES {_fixed_ivf_centroids_sql()}
+    ), e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), asg AS (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY
+                   list_reduce(list_transform(range(1, {_FIXED_IVF_DIM} + 1),
+                       i -> (v[i] - c[i]) * (v[i] - c[i])), (x, y) -> x + y),
+                   cluster) AS rn
+        FROM e CROSS JOIN cents
+        QUALIFY rn = 1
+    ), q AS (
+        SELECT v FROM e WHERE vec_id = 1
+    ), probe_cells AS (
+        SELECT cents.cluster
+        FROM cents, q
+        ORDER BY list_reduce(list_transform(range(1, {_FIXED_IVF_DIM} + 1),
+                     i -> (q.v[i] - cents.c[i]) * (q.v[i] - cents.c[i])),
+                     (x, y) -> x + y),
+                 cents.cluster
+        LIMIT 4
+    )
+    SELECT e.vec_id, CAST(asg.cluster AS BIGINT) AS cluster,
+           list_reduce(list_transform(range(1, {_FIXED_IVF_DIM} + 1),
+               i -> (e.v[i] - q.v[i]) * (e.v[i] - q.v[i])), (x, y) -> x + y)
+               AS d2
+    FROM e
+    JOIN asg USING (vec_id)
+    JOIN probe_cells USING (cluster), q
+    WHERE e.vec_id <> 1
+    ORDER BY d2, e.vec_id
+    LIMIT 10
+    """,
+    tags=("similarity", "ann", "ivf", "portable", "E16"),
+)
+def q236_ivf_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gated twin of q53: IVF probe-side top-k against the FIXED
+    coarse quantizer (q219's closed-form 16×64 centroid table). The
+    inverted lists come from the exact argmin assignment q219 already
+    hash-proved (nearest centroid by the same L2² fold, ties to the
+    lowest cluster id); the query probes its 4 nearest cells (ordered
+    by the query-to-centroid distance, same fold, same tiebreak) and
+    scans ONLY those cells' vectors for the exact top-10 by L2² with
+    vec_id tiebreak. Every float both engines compare is produced by
+    the identical sequential IEEE fold, so cell membership, probe
+    order, and the final ranking agree bit-for-bit. Only the KMeans
+    TRAINING of a data-adaptive quantizer remains rows-only (q53/q105,
+    recall-tested); the query path — the part that runs per-request at
+    serving time — is now hash-verified.
+
+    Shape at scale: assignment is one broadcast of the 16-row centroid
+    table + min-of-struct argmin (no window over the corpus); the probe
+    set is a 4-row broadcast semi-join that prunes the corpus to ~4/16
+    before any query-distance math; top-k plans as
+    TakeOrderedAndProject. A real deployment persists the assignment as
+    the partition key (q53's ivf_fit does exactly that) so the probe
+    semi-join becomes partition pruning."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    asg = ivf_assign_fixed(e, id_col="vec_id", vec_col="v").select("vec_id", "cluster")
+    qv = e.where(F.col("vec_id") == 1).select(F.col("v").alias("__qv"))
+    cents = _fixed_ivf_centroids_frame(spark)
+    probe_cells = (
+        cents.crossJoin(F.broadcast(qv))
+        .select("cluster", l2_dist_sq(F.col("__qv"), F.col("centroid")).alias("dq"))
+        .orderBy("dq", "cluster")
+        .limit(4)
+        .select("cluster")
+    )
+    return (
+        e.where(F.col("vec_id") != 1)
+        # the assignment table is corpus-sized — Catalyst's static stats
+        # would broadcast it at test scale; pin the shuffle join (at 100 TB
+        # the assignment is the persisted partition key instead, q53's
+        # ivf_fit layout, and this join becomes partition pruning)
+        .join(asg.hint("shuffle_merge"), "vec_id")
+        .join(F.broadcast(probe_cells), "cluster", "left_semi")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.col("cluster").cast("long").alias("cluster"),
+            l2_dist_sq(F.col("v"), F.col("__qv")).alias("d2"),
+        )
+        .orderBy("d2", "vec_id")
+        .limit(10)
+    )

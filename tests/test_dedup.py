@@ -364,3 +364,49 @@ def test_md5_slot_signatures_match_pure_python(spark):
     exact = len(s1 & s2) / len(s1 | s2)
     est = sum(1 for j in range(16) if want[(1, j)] == want[(2, j)]) / 16
     assert abs(est - exact) <= 0.3  # 16 slots: sd ~ sqrt(J(1-J)/16) ~ 0.12
+
+
+def test_portable_lsh_pairs_superset_of_banded_truth(spark):
+    """q234 (portable banded LSH): on the smoke corpus the verified pair
+    set must (a) contain only true Jaccard>=0.6 pairs (soundness — the
+    verify stage guarantees it) and (b) equal the brute-force truth
+    RESTRICTED to pairs that share at least one of the 16 md5 band keys
+    (completeness relative to the banding — LSH misses only pairs no
+    band catches)."""
+    from database_migrator_spark.operators.dedup import (
+        minhash_near_duplicates_portable,
+        tokens_of,
+        word_shingles,
+    )
+    from database_migrator_spark.sources import table as _table
+
+    from .conftest import SF_SMOKE
+
+    d = _table(spark, SF_SMOKE, "documents")
+    got = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in minhash_near_duplicates_portable(d).collect()
+    }
+    sh = {
+        r.doc_id: set(r.s)
+        for r in d.select(
+            "doc_id", F.array_distinct(word_shingles(tokens_of("text"))).alias("s")
+        ).collect()
+    }
+    ids = sorted(sh)
+    truth = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sh[a] & sh[b])
+            union = len(sh[a] | sh[b])
+            if union and 5 * inter >= 3 * union:
+                truth[(a, b)] = inter / union
+    # soundness: every emitted pair is true
+    for pair, j in got.items():
+        assert pair in truth and abs(truth[pair] - j) < 1e-12
+    # completeness floor: at J>=0.6 with 16 bands x 4 rows the expected
+    # per-pair catch probability is >=1-(1-0.6^4)^16 ~ 0.9; on the crafted
+    # smoke corpus the banding should catch essentially all true pairs
+    if truth:
+        recall = len(got) / len(truth)
+        assert recall >= 0.8, f"banded recall = {recall} over {len(truth)} true pairs"

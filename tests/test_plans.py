@@ -1392,3 +1392,48 @@ def test_cuped_single_user_shuffle_broadcast_moments(spark):
     assert "FileScan" not in p  # reads only the per-user checkpoint
     assert "Window" not in p and "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
+
+
+def test_portable_minhash_lsh_sig_built_once_joins_pinned(spark):
+    """q234: the md5 signature/banding pipeline (the dominant cost) must
+    execute ONCE into the banded-table checkpoint — the final plan reads
+    checkpoints only (no md5, no corpus FileScan) — and every
+    corpus-sized join side (bucket self-join, both verify sides) stays
+    pinned shuffle-merge: Catalyst's static stats would broadcast these
+    unbounded derived tables at test scale."""
+    p = plan_of(spark, "q234_minhash_lsh_portable")
+    assert "md5" not in p  # signatures built once, inside the checkpoint
+    assert p.count("FileScan") == 0
+    assert p.count("Scan ExistingRDD") >= 3  # self-join + two verify sides
+    assert p.count("SortMergeJoin") == 3
+    assert "BroadcastHashJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_srp_portable_single_scan_topk(spark):
+    """q235: bucket assignment is a per-row expression over the scan (the
+    8 fixed planes fold into the expression — no plane-table join), the
+    query row is the only broadcast (1-row nested loop), the probe
+    filter prunes before the cosine, and top-k plans as
+    TakeOrderedAndProject (never a global sort)."""
+    p = plan_of(spark, "q235_srp_lsh_topk_portable")
+    assert p.count("BroadcastNestedLoopJoin") == 1  # the 1-row query vec
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "Exchange hashpartitioning" not in p  # no shuffle at all
+
+
+def test_ivf_portable_probe_prunes_before_distance(spark):
+    """q236: the corpus-sized assignment join is pinned shuffle-merge
+    (broadcasting it is the 100 TB mistake — in production it is the
+    persisted partition key), the 4-cell probe set and the 1-row query
+    vector are the only broadcasts, and the final top-k is
+    TakeOrderedAndProject."""
+    p = plan_of(spark, "q236_ivf_topk_portable")
+    assert "SortMergeJoin" in p  # the assignment join
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    # broadcasts: 16-row centroid spine (assignment + probe ranking) and
+    # the 1-row query vector — all bounded
+    assert p.count("BroadcastHashJoin") <= 1  # the 4-row probe-cell semi join

@@ -306,3 +306,57 @@ def test_embedding_drift_matches_numpy(spark):
         r = rows[int(lab)]
         assert (r.n_old, r.n_new) == (len(old), len(new))
         assert r.centroid_shift_l2 == want
+
+
+def test_srp_portable_recall_and_exact_sims(spark, embeddings):
+    """q235 (fixed-plane SRP twin): returned sims are exact cosines (spot
+    check vs the brute-force list) and recall@10 vs brute force is
+    non-trivial — the fixed closed-form planes must not degrade below
+    the seeded-random tier's floor."""
+    from database_migrator_spark.plans.registry import all_queries
+
+    exact_rows = cosine_topk(embeddings, query_vec_id=1, k=10).collect()
+    exact = {r.vec_id: r.sim for r in exact_rows}
+    approx_rows = (
+        all_queries()["q235_srp_lsh_topk_portable"].build(spark, SF_SMOKE).collect()
+    )
+    recall = len(set(exact) & {r.vec_id for r in approx_rows}) / 10
+    assert recall >= 0.3, f"fixed-plane recall@10 = {recall}"
+    sims = [r.sim for r in approx_rows]
+    assert sims == sorted(sims, reverse=True)
+    for r in approx_rows:  # any overlap with brute force must agree exactly
+        if r.vec_id in exact:
+            assert r.sim == exact[r.vec_id]
+
+
+def test_ivf_portable_topk_exact_within_probed_cells(spark, embeddings):
+    """q236 (fixed-quantizer IVF twin): the returned top-10 must equal a
+    brute-force L2 top-10 RESTRICTED to the probed cells (the
+    approximation is the probe set, never the ranking), and ranking the
+    whole corpus by L2 must contain every returned id at equal-or-better
+    distance."""
+    from database_migrator_spark.functions.vector import l2_dist_sq
+    from database_migrator_spark.operators.similarity import ivf_assign_fixed
+    from database_migrator_spark.plans.registry import all_queries
+
+    got = all_queries()["q236_ivf_topk_portable"].build(spark, SF_SMOKE).collect()
+    assert 0 < len(got) <= 10
+    d2s = [r.d2 for r in got]
+    assert d2s == sorted(d2s)
+
+    e = embeddings.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    asg = {r.vec_id: r.cluster for r in ivf_assign_fixed(e, vec_col="v").collect()}
+    probed = {r.cluster for r in got}
+    qv = e.where(F.col("vec_id") == 1).select(F.col("v").alias("qv"))
+    brute = (
+        e.where(F.col("vec_id") != 1)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", l2_dist_sq("v", "qv").alias("d2"))
+        .collect()
+    )
+    in_cells = sorted(
+        ((r.d2, r.vec_id) for r in brute if asg[r.vec_id] in probed)
+    )[: len(got)]
+    assert [(r.d2, r.vec_id) for r in got] == in_cells
