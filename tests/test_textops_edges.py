@@ -550,3 +550,75 @@ def test_incremental_index_refresh_merge_is_lossless(spark):
     # and the split is a real partition: both sides non-empty
     assert d.where(F.col("is_delta")).count() > 0
     assert d.where(~F.col("is_delta")).count() > 0
+
+
+def test_maxscore_equals_exhaustive_and_prunes_at_sf001(spark):
+    """q237's MaxScore path must return EXACTLY the exhaustive top-20
+    (pruning soundness) at a scale where the prune branch FIRES: at
+    sf0.01 the rarest query term fills the top-20 (θ > 0) while the
+    other two terms' upper bounds clamp to 0, so every document lacking
+    the essential term is eliminated — this asserts both the branch
+    actually pruning (θ > Σrest) and result equality under it. The
+    no-prune branch is covered at SF_SMOKE by the oracle suite (rarest
+    df < 20 there → θ = LONG_MIN)."""
+    from pyspark.sql import functions as F
+
+    from database_migrator_spark.operators.textops import (
+        _bm25_idf,
+        _bm25_term_fp,
+        _lex_query_terms,
+    )
+    from database_migrator_spark.plans.registry import all_queries
+
+    sf = "/root/testdata/sf0.01"
+    got = all_queries()["q237_bm25_maxscore_topk"].build(spark, sf).collect()
+
+    tf, dl, stats, _ = _lex_query_terms(spark, sf)
+    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    qt = dfq.orderBy(F.col("df").asc(), "term").limit(3).select("term", "df")
+    exhaustive = (
+        _bm25_term_fp(tf.join(F.broadcast(qt), "term"), dl, stats)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms_hit"),
+            (F.sum("term_fp").cast("double") / F.lit(1e12)).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+        .collect()
+    )
+    assert [r.asDict() for r in got] == [r.asDict() for r in exhaustive]
+
+    # the prune condition must actually hold here: θ (20th-best essential
+    # score) strictly exceeds the non-essential upper-bound sum
+    ub = qt.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.round(F.greatest(_bm25_idf(), F.lit(0.0)) * F.lit(2.2) * F.lit(1e12))
+        .cast("long")
+        .alias("ub_fp"),
+    )
+    t1 = ub.orderBy(F.col("ub_fp").desc(), "term").limit(1).select("term")
+    docs1 = tf.join(F.broadcast(qt), "term").join(
+        F.broadcast(t1), "term", "left_semi"
+    ).select("doc_id")
+    s1 = (
+        _bm25_term_fp(
+            tf.join(F.broadcast(qt), "term").join(docs1, "doc_id", "left_semi"),
+            dl,
+            stats,
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("term_fp").alias("score_fp"))
+    )
+    top = (
+        s1.orderBy(F.col("score_fp").desc(), "doc_id")
+        .limit(20)
+        .agg(F.min("score_fp").alias("m"), F.count("*").alias("c"))
+        .collect()[0]
+    )
+    rest = (
+        ub.join(t1, "term", "left_anti")
+        .agg(F.coalesce(F.sum("ub_fp"), F.lit(0)).alias("s"))
+        .collect()[0]
+    )
+    assert top.c == 20 and rest.s < top.m, "prune branch did not fire at sf0.01"

@@ -276,6 +276,28 @@ def run(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     t0 = time.perf_counter()
     neardup_components_cached(spark, sf_dir)
     ingest["cc_fit"] = round(time.perf_counter() - t0, 2)
+    # the retrieval family's shared tf substrate and the decontamination
+    # shingle table — bench.py warms both; without this the FIRST
+    # retrieval query probed at the scaled SF pays the whole substrate
+    # build inside its own timer (the round-9 probe read q191 at 13.3x
+    # when its true scaling is ~2x — a methodology artifact, not a plan
+    # regression)
+    from database_migrator_spark.operators.textops import (
+        doc_shingles_cached,
+        doc_term_frequencies,
+    )
+
+    t0 = time.perf_counter()
+    doc_term_frequencies(spark, sf_dir)
+    ingest["tf_fit"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    doc_shingles_cached(spark, sf_dir)
+    ingest["gram_fit"] = round(time.perf_counter() - t0, 2)
+    from database_migrator_spark.operators.bitmapops import day_user_words
+
+    t0 = time.perf_counter()
+    day_user_words(spark, sf_dir)
+    ingest["daywords_fit"] = round(time.perf_counter() - t0, 2)
     qs = all_queries()
     out = {}
     for name in PROBE_QUERIES:
