@@ -2074,3 +2074,151 @@ def q234_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     same regime the 10x probe reads dedup-family ratios against."""
     d = table(spark, sf_dir, "documents")
     return minhash_near_duplicates_portable(spread_for_cpu(d)).orderBy("a_id", "b_id")
+
+
+# ---------------------------------------------------------------------------
+# q238 — engine-portable SimHash + pigeonhole-banded Hamming join (hash-gated
+# twin of q29: the last non-iterative rows-only operator, retired via the
+# q210/q234 md5-portability trick applied to Charikar sketches)
+# ---------------------------------------------------------------------------
+
+
+def simhash_hamming_portable(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 48,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate pairs with every stage engine-reproducible
+    (q29's pipeline with q234's portability): the per-token hash is the
+    first 12 hex chars of md5 parsed as a 48-bit integer (the repo's
+    conv-slice pattern — xxhash64 is Spark-only), the sketch is the
+    per-bit majority vote over the token MULTISET (Charikar weighting:
+    a token occurring t times votes t times), packed into one BIGINT,
+    and candidates come from ``n_bands`` 12-bit band-equality buckets —
+    pigeonhole-complete for Hamming ≤ n_bands - 1: 3 flipped bits touch
+    at most 3 of the 4 bands, so one band always survives intact.
+    Verification is codegen'd bit_count(xor) on the packed sketches.
+
+    Ties (bit-sum exactly 0) resolve to bit 0 on both engines (strict
+    ``> 0`` majority). Returns (a_id, b_id, hamming, n_shared_bands).
+    """
+    toks = tokens_of(text_col)
+    th = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("long"),
+    )
+    idx = F.array(*[F.lit(i) for i in range(n_bits)])
+    # one fold per row with an n_bits-wide accumulator (the sanctioned
+    # HOF shape: never n_bits sibling transforms of the same child)
+    sums = F.aggregate(
+        th,
+        F.array_repeat(F.lit(0).cast("long"), n_bits),
+        lambda acc, h: F.zip_with(
+            acc, idx, lambda a, b: a + F.getbit(h, b) * 2 - 1
+        ),
+    )
+    bits = F.transform(sums, lambda s: (s > 0).cast("long"))
+    # MSB-first fold packs the 48 bits into one long (2^48 < 2^63: safe)
+    packed = F.aggregate(
+        F.reverse(bits), F.lit(0).cast("long"), lambda acc, b: acc * 2 + b
+    )
+    sh = (
+        docs.where(F.size(toks) >= 1)
+        .select(F.col(id_col).alias("id"), packed.alias("sh"))
+    )
+    width = n_bits // n_bands
+    band_cols = [
+        F.struct(
+            F.lit(k).alias("band"),
+            F.shiftright(F.col("sh"), width * k)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("bv"),
+        )
+        for k in range(n_bands)
+    ]
+    banded = (
+        sh.select("id", "sh", F.explode(F.array(*band_cols)).alias("b"))
+        .select("id", "sh", "b.band", "b.bv")
+        # sketch once, join twice: both self-join sides read this table
+        .localCheckpoint(eager=True)
+    )
+    left = banded.select(
+        "band", "bv", F.col("id").alias("a_id"), F.col("sh").alias("a_sh")
+    )
+    right = banded.select(
+        "band", "bv", F.col("id").alias("b_id"), F.col("sh").alias("b_sh")
+    )
+    hamming = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh"))).cast("long")
+    return (
+        left.join(right.hint("shuffle_merge"), ["band", "bv"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .groupBy("a_id", "b_id", "hamming")
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+@query(
+    "q238_simhash_hamming_portable",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           t -> len(t) > 0) AS t
+        FROM documents
+    ), th AS (
+        SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 12) AS BIGINT) AS h
+        FROM (SELECT doc_id, unnest(t) AS tok FROM toks WHERE len(t) >= 1)
+    ), bits AS (
+        SELECT doc_id, b,
+               CAST(SUM(2 * ((h >> b) & 1) - 1) AS BIGINT) AS s
+        FROM th CROSS JOIN (SELECT unnest(generate_series(0, 47)) AS b)
+        GROUP BY 1, 2
+    ), sh AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+                             ELSE 0 END) AS BIGINT) AS sh
+        FROM bits GROUP BY 1
+    ), bnd AS (
+        SELECT doc_id, sh, k AS band, (sh >> (12 * k)) & 4095 AS bv
+        FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k)
+    ), cand AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming,
+               CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+        FROM bnd a JOIN bnd b
+          ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3
+    )
+    SELECT a_id, b_id, hamming, n_shared_bands
+    FROM cand WHERE hamming <= 3
+    ORDER BY a_id, b_id
+    """,
+    tags=("dedup", "simhash", "hamming", "portable", "E15", "llm-pipeline"),
+    checkpointed_substrate=True,  # banded sketch table feeds both join sides
+)
+def q238_simhash_hamming_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gated twin of q29 — the COMPLETE SimHash near-dup pipeline
+    (per-token hashing, majority-vote sketch, pigeonhole banding,
+    Hamming verify) under the driver's cross-engine value hash. q29
+    stays the engine-speed tier (xxhash64, 64-bit, 8 bands); this twin
+    swaps the hash family for the md5-slice construction so DuckDB
+    replays the sketch bit-for-bit: 48-bit sketches from 12-hex-char
+    token hashes, 4 × 12-bit bands (complete for Hamming ≤ 3 — the
+    Google-style tight-dedup radius), bit_count(xor) verification, and
+    per-pair shared-band counts all match exactly.
+
+    With q234 (MinHash-LSH) and this, every non-iterative member of the
+    fuzzy-dedup family is hash-verified end to end; only trainings with
+    float iteration (KMeans) remain rows-only. Shape at scale: one
+    corpus scan folds each document to a single BIGINT sketch (one
+    interpreted fold per row, JVM bit ops after), the banded table is
+    checkpointed and self-joined shuffle-merge on (band, 12-bit value)
+    — never all-pairs; bucket sizes follow sketch-collision rates, the
+    same bounded-fan-out regime as q29."""
+    d = table(spark, sf_dir, "documents")
+    return simhash_hamming_portable(spread_for_cpu(d)).orderBy("a_id", "b_id")

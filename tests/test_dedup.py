@@ -410,3 +410,53 @@ def test_portable_lsh_pairs_superset_of_banded_truth(spark):
     if truth:
         recall = len(got) / len(truth)
         assert recall >= 0.8, f"banded recall = {recall} over {len(truth)} true pairs"
+
+
+def test_portable_simhash_equals_bruteforce_truth(spark):
+    """q238 (portable SimHash): 4 x 12-bit bands are pigeonhole-COMPLETE
+    for Hamming <= 3 (3 flips touch at most 3 of 4 bands), so unlike the
+    probabilistic MinHash banding the emitted pair set must EQUAL the
+    brute-force truth exactly — sketches, Hamming distances and
+    shared-band counts recomputed in pure Python from md5."""
+    import hashlib
+
+    from database_migrator_spark.operators.dedup import simhash_hamming_portable
+    from database_migrator_spark.sources import table as _table
+
+    from .conftest import SF_SMOKE
+
+    d = _table(spark, SF_SMOKE, "documents")
+    got = {
+        (r.a_id, r.b_id): (r.hamming, r.n_shared_bands)
+        for r in simhash_hamming_portable(d).collect()
+    }
+
+    def sketch(text: str) -> int:
+        toks = [t for t in text.lower().split() if t]
+        sums = [0] * 48
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:12], 16)
+            for b in range(48):
+                sums[b] += 2 * ((h >> b) & 1) - 1
+        return sum(1 << b for b in range(48) if sums[b] > 0)
+
+    sk = {
+        r.doc_id: sketch(r.text)
+        for r in d.select("doc_id", "text").collect()
+        if r.text and r.text.split()
+    }
+    ids = sorted(sk)
+    truth = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            x = sk[a] ^ sk[b]
+            ham = bin(x).count("1")
+            if ham <= 3:
+                shared = sum(
+                    1
+                    for k in range(4)
+                    if (sk[a] >> (12 * k)) & 4095 == (sk[b] >> (12 * k)) & 4095
+                )
+                truth[(a, b)] = (ham, shared)
+    assert got == truth
+    assert truth, "smoke corpus must exercise the near-dup path"

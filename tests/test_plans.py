@@ -1453,3 +1453,19 @@ def test_maxscore_prunes_in_plan_and_topk(spark):
     # the pruning gate: rest_ub_fp >= theta_fp appears as a join/filter
     # condition over the broadcast 1-row bound frames
     assert "theta_fp" in p and "rest_ub_fp" in p
+
+
+def test_portable_simhash_sketch_once_join_pinned(spark):
+    """q238: the md5 sketch fold (the dominant cost) must execute ONCE
+    into the banded-table checkpoint — the final plan reads the
+    checkpoint only (no md5, no corpus FileScan) — and the bucket
+    self-join stays pinned shuffle-merge: both sides are the unbounded
+    corpus-sized sketch table that Catalyst's static stats would
+    broadcast at test scale."""
+    p = plan_of(spark, "q238_simhash_hamming_portable")
+    assert "md5" not in p
+    assert p.count("FileScan") == 0
+    assert p.count("Scan ExistingRDD") == 2  # the two self-join sides
+    assert "SortMergeJoin" in p
+    assert "BroadcastHashJoin" not in p
+    assert "CartesianProduct" not in p
