@@ -3015,3 +3015,130 @@ def q233_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+@query(
+    "q239_nelson_aalen_hazard",
+    oracle="""
+    WITH pu AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t0,
+               MAX(epoch_us(ts)) AS last_us
+        FROM events GROUP BY 1
+    ), fp AS (
+        SELECT p.user_id, p.t0, p.last_us,
+               MIN(CASE WHEN e.event_type = 'purchase'
+                         AND epoch_us(e.ts) >= p.t0
+                        THEN epoch_us(e.ts) END) AS p0
+        FROM pu p LEFT JOIN events e ON e.user_id = p.user_id
+        WHERE p.t0 IS NOT NULL
+        GROUP BY 1, 2, 3
+    ), d AS (
+        SELECT CASE WHEN p0 IS NOT NULL THEN (p0 - t0) // 3600000000
+                    ELSE (last_us - t0) // 3600000000 END AS duration_h,
+               CASE WHEN p0 IS NOT NULL THEN 1 ELSE 0 END AS converted
+        FROM fp
+    ), hist AS (
+        SELECT duration_h, CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(converted) AS BIGINT) AS n_events
+        FROM d GROUP BY 1
+    ), risk AS (
+        SELECT duration_h, n_users, n_events,
+               CAST(SUM(n_users) OVER (ORDER BY duration_h
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                    AS BIGINT) AS n_risk
+        FROM hist
+    ), haz AS (
+        SELECT duration_h, n_risk, n_events,
+               CAST(SUM(n_events * 1000000000000 // n_risk)
+                    OVER (ORDER BY duration_h) AS BIGINT) AS h_fp
+        FROM risk
+    )
+    SELECT duration_h, n_risk, n_events,
+           CAST(h_fp AS DOUBLE) / 1000000000000.0 AS cum_hazard
+    FROM haz WHERE n_events > 0
+    ORDER BY duration_h
+    """,
+    tags=("temporal", "survival", "statistics", "funnel"),
+)
+def q239_nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator for time-to-conversion —
+    the survival-analysis tier the funnel family lacks: q201's delay
+    quartiles describe only users who DID convert, silently biased low;
+    the hazard estimator handles right-censoring correctly (a user with
+    no purchase contributes to every risk set up to their last
+    observation, then censors out). Duration = first 'view' to first
+    at-or-after 'purchase', in HOURS — the time-domain bound (~720
+    cells over the 30-day window) that keeps the life table a bounded
+    derived table regardless of corpus size, the q179 histogram
+    discipline. H(t) = sum over event times t' <= t of d_t'/n_t'
+    (Aalen's sum — chosen over Kaplan-Meier's PRODUCT, which has no
+    shuffle-free exact form; S(t) = exp(-H(t)) recovers survival).
+
+    Determinism: d and n are exact BIGINTs; each increment enters as
+    d*1e12 DIV n (integer floor division on both engines) and the
+    cumulative sum is an integer window sum — bit-exact, order-free.
+    Shape at scale: one user-keyed aggregate, one user-keyed join back
+    to events folded by MIN (the q232 conditional-aggregate shape), then
+    every later table is life-table-sized; the only single-partition
+    window runs over the bounded hour histogram."""
+    e = table(spark, sf_dir, "events")
+    pu = e.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+        ).alias("t0"),
+        F.max(F.unix_micros("ts")).alias("last_us"),
+    ).where(F.col("t0").isNotNull())
+    pur = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("pus")
+    )
+    fp = (
+        pu.join(pur, "user_id", "left")
+        .groupBy("user_id", "t0", "last_us")
+        .agg(F.min(F.when(F.col("pus") >= F.col("t0"), F.col("pus"))).alias("p0"))
+    )
+    d = fp.select(
+        F.when(
+            F.col("p0").isNotNull(), int_div(F.col("p0") - F.col("t0"), 3_600_000_000)
+        )
+        .otherwise(int_div(F.col("last_us") - F.col("t0"), 3_600_000_000))
+        .alias("duration_h"),
+        F.when(F.col("p0").isNotNull(), 1).otherwise(0).alias("converted"),
+    )
+    hist = d.groupBy("duration_h").agg(
+        F.count("*").alias("n_users"), F.sum("converted").alias("n_events")
+    )
+    # suffix window sum gives the risk set directly — one lineage, no
+    # totals branch that would re-derive the aggregate pipeline (the
+    # q220 doubled-FileScan failure mode)
+    w_suffix = Window.orderBy("duration_h").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    w_cum = Window.orderBy("duration_h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = hist.select(
+        "duration_h",
+        "n_events",
+        F.sum("n_users").over(w_suffix).alias("n_risk"),
+    )
+    haz = risk.select(
+        "duration_h",
+        "n_risk",
+        "n_events",
+        F.sum(
+            int_div(F.col("n_events") * F.lit(1_000_000_000_000), F.col("n_risk"))
+        )
+        .over(w_cum)
+        .alias("h_fp"),
+    )
+    return (
+        haz.where(F.col("n_events") > 0)
+        .select(
+            "duration_h",
+            "n_risk",
+            "n_events",
+            (F.col("h_fp").cast("double") / F.lit(1e12)).alias("cum_hazard"),
+        )
+        .orderBy("duration_h")
+    )

@@ -1469,3 +1469,18 @@ def test_portable_simhash_sketch_once_join_pinned(spark):
     assert "SortMergeJoin" in p
     assert "BroadcastHashJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_nelson_aalen_windows_on_life_table_only(spark):
+    """q239: the corpus is touched exactly twice (the per-user aggregate
+    and the purchase projection — both column-pruned scans, the q232
+    shape); the risk set is a SUFFIX window sum over the histogram — one
+    lineage, no totals branch re-deriving the aggregate pipeline (the
+    q220 doubled-FileScan failure mode) — so every window runs AFTER the
+    hour-histogram reduction and the single-partition exchange feeds
+    only the bounded life table."""
+    p = plan_of(spark, "q239_nelson_aalen_hazard")
+    assert p.count("FileScan") == 2
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # the life-table windows sort AFTER both corpus-keyed aggregates
+    assert "SinglePartition" in p

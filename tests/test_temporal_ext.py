@@ -398,3 +398,31 @@ def test_cuped_invariants_and_numpy_theta(spark):
     theta = ((len(X) * (X * Y).sum() - X.sum() * Y.sum())
              / (len(X) * (X * X).sum() - X.sum() ** 2))
     assert abs(rows[0].theta - theta) < 1e-6
+
+
+def test_nelson_aalen_lifetable_invariants(spark):
+    """q239: classic life-table invariants on the smoke corpus — risk
+    sets strictly decrease over event times, the cumulative hazard
+    strictly increases, every increment equals d/n in 1e-12 fixed
+    point, and the first risk set equals the number of users with a
+    first view (nobody censors before time 0)."""
+    from database_migrator_spark.plans.registry import all_queries
+
+    from .conftest import SF_SMOKE
+
+    rows = (
+        all_queries()["q239_nelson_aalen_hazard"]
+        .build(spark, SF_SMOKE)
+        .collect()
+    )
+    assert rows, "smoke corpus must produce conversion events"
+    prev_risk, prev_h, expect = None, 0.0, 0
+    for r in rows:
+        assert r.n_events >= 1 and r.n_risk >= r.n_events
+        if prev_risk is not None:
+            assert r.n_risk < prev_risk
+        inc_fp = r.n_events * 1_000_000_000_000 // r.n_risk
+        expect += inc_fp
+        assert abs(r.cum_hazard - expect / 1e12) < 1e-15
+        assert r.cum_hazard > prev_h
+        prev_risk, prev_h = r.n_risk, r.cum_hazard
