@@ -942,3 +942,141 @@ def q184_benford_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@query(
+    "q240_kruskal_wallis_value",
+    oracle="""
+    WITH hist AS (
+        SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), pooled AS (
+        SELECT cents, CAST(SUM(c) AS BIGINT) AS n FROM hist GROUP BY 1
+    ), ranked AS (
+        SELECT cents, n,
+               CAST(2 * COALESCE(SUM(n) OVER (ORDER BY cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + n + 1 AS BIGINT) AS r2
+        FROM pooled
+    ), grp AS (
+        SELECT event_type,
+               CAST(SUM(c) AS BIGINT) AS n_i,
+               CAST(SUM(c * r2) AS BIGINT) AS rank_sum_2x
+        FROM hist JOIN ranked USING (cents)
+        GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(n_i) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(CAST(rank_sum_2x AS DOUBLE)
+                                   * CAST(rank_sum_2x AS DOUBLE)
+                                   / (4.0 * CAST(n_i AS DOUBLE)))
+                             AS BIGINT)) AS BIGINT) AS s_int
+        FROM grp
+    ), ties AS (
+        SELECT CAST(SUM(CAST(n AS HUGEINT) * n * n - n) AS DECIMAL(38, 0))
+                   AS t3
+        FROM pooled
+    )
+    SELECT g.event_type, g.n_i, g.rank_sum_2x,
+           CAST(ROUND((12.0 * CAST(t.s_int AS DOUBLE)
+                       / (CAST(t.n AS DOUBLE) * (CAST(t.n AS DOUBLE) + 1.0))
+                       - 3.0 * (CAST(t.n AS DOUBLE) + 1.0))
+                      * 1000000000) AS BIGINT) / 1000000000.0 AS h,
+           CAST(ROUND((12.0 * CAST(t.s_int AS DOUBLE)
+                       / (CAST(t.n AS DOUBLE) * (CAST(t.n AS DOUBLE) + 1.0))
+                       - 3.0 * (CAST(t.n AS DOUBLE) + 1.0))
+                      / (1.0 - CAST(t3.t3 AS DOUBLE)
+                               / (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE)
+                                  * CAST(t.n AS DOUBLE) - CAST(t.n AS DOUBLE)))
+                      * 1000000000) AS BIGINT) / 1000000000.0 AS h_corrected
+    FROM grp g, tot t, ties t3
+    ORDER BY g.event_type
+    """,
+    tags=("statistics", "kruskal-wallis", "rank", "drift"),
+    checkpointed_substrate=True,
+)
+def q240_kruskal_wallis_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H over every event type's value distribution — the
+    k-group generalization of q179's Mann-Whitney (one omnibus rank test
+    instead of k pairwise U's, the correct first step before pairwise
+    drill-down). Same exact-rank machinery: ties take average ranks off
+    the pooled cents histogram, so DOUBLED rank sums are exact BIGINTs.
+    H = 12/(N(N+1))·ΣR_i²/n_i − 3(N+1) with the tie correction
+    C = 1 − Σ(t³−t)/(N³−N); both H and H/C are single double
+    expressions over exact integers. The one non-analytic step —
+    ΣR_i²/n_i — enters per group as ROUND(R2²/(4·n_i)) computed in
+    DOUBLE (R2² exceeds 2^63 past ~1e5-row groups, but IEEE doubles over
+    identical exact-integer inputs round identically on both engines),
+    summed as BIGINTs over the k=5 bounded group rows — the sub-integer
+    truncation shifts H by <1e-7, identically on both engines.
+
+    Shape at scale: ONE corpus scan into the checkpointed (type, cents)
+    histogram (read by the pooled rank build and the group fold); the
+    pooled ranking window runs over the bounded cents value domain
+    (~18k cells); everything after is k-row arithmetic."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    hist = (
+        e.select(
+            "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)  # 2 consumers, 1 corpus scan
+    )
+    pooled = hist.groupBy("cents").agg(F.sum("c").alias("n"))
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = pooled.select(
+        "cents",
+        "n",
+        (
+            2 * F.coalesce(F.sum("n").over(w), F.lit(0)) + F.col("n") + 1
+        ).alias("r2"),
+    )
+    grp = (
+        hist.join(ranked.hint("shuffle_merge"), "cents")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").alias("n_i"),
+            F.sum(F.col("c") * F.col("r2")).alias("rank_sum_2x"),
+        )
+    )
+    d38 = "decimal(38,0)"
+    tot = grp.agg(
+        F.sum("n_i").alias("n"),
+        F.sum(
+            F.round(
+                F.col("rank_sum_2x").cast("double")
+                * F.col("rank_sum_2x").cast("double")
+                / (F.lit(4.0) * F.col("n_i").cast("double"))
+            ).cast("long")
+        ).alias("s_int"),
+    )
+    ties = pooled.agg(
+        F.sum(
+            F.col("n").cast(d38) * F.col("n") * F.col("n") - F.col("n")
+        ).alias("t3")
+    )
+    nd = F.col("n").cast("double")
+    h = (
+        F.lit(12.0) * F.col("s_int").cast("double") / (nd * (nd + F.lit(1.0)))
+        - F.lit(3.0) * (nd + F.lit(1.0))
+    )
+    corr = F.lit(1.0) - F.col("t3").cast("double") / (nd * nd * nd - nd)
+
+    def r9(c):
+        return F.round(c * F.lit(1e9)).cast("long") / F.lit(1e9)
+
+    return (
+        grp.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "event_type",
+            "n_i",
+            "rank_sum_2x",
+            r9(h).alias("h"),
+            r9(h / corr).alias("h_corrected"),
+        )
+        .orderBy("event_type")
+    )

@@ -1484,3 +1484,18 @@ def test_nelson_aalen_windows_on_life_table_only(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     # the life-table windows sort AFTER both corpus-keyed aggregates
     assert "SinglePartition" in p
+
+
+def test_kruskal_wallis_single_scan_histogram_ranks(spark):
+    """q240: ONE corpus scan builds the checkpointed (type, cents)
+    histogram; every branch (pooled ranks, group fold, H totals, tie
+    term) re-derives from that CHECKPOINT — histogram-sized work, never
+    a corpus re-scan — so the final plan has zero FileScans; the
+    pooled-rank join is pinned shuffle-merge (both sides histogram-sized
+    but unbounded-domain derived tables); the k-row H frames broadcast."""
+    p = plan_of(spark, "q240_kruskal_wallis_value")
+    assert "FileScan" not in p  # reads the histogram checkpoint only
+    assert p.count("Scan ExistingRDD") == 5  # all branches off the checkpoint
+    assert "SortMergeJoin" in p
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") == 2  # 1-row tot + ties

@@ -70,3 +70,54 @@ def test_salt_is_deterministic_and_spread(spark):
     # deterministic: recompute → identical assignment
     again = {r["__salt"]: r["count"] for r in salted.groupBy("__salt").count().collect()}
     assert counts == again
+
+
+def test_kruskal_wallis_matches_textbook_reference(spark):
+    """q240: H and the tie-corrected H must match a from-scratch textbook
+    implementation (average ranks over the pooled sample, 12/(N(N+1))
+    formula, Σ(t³−t) correction) computed in plain Python on the smoke
+    corpus — independent of the histogram/fixed-point machinery."""
+    from collections import Counter
+
+    from database_migrator_spark.plans.registry import all_queries
+    from database_migrator_spark.sources import table as _table
+
+    from .conftest import SF_SMOKE
+
+    got = {
+        r.event_type: r
+        for r in all_queries()["q240_kruskal_wallis_value"]
+        .build(spark, SF_SMOKE)
+        .collect()
+    }
+    rows = (
+        _table(spark, SF_SMOKE, "events")
+        .select("event_type", "value")
+        .collect()
+    )
+    samples = {}
+    for r in rows:
+        samples.setdefault(r.event_type, []).append(round(r.value * 100))
+    pooled = sorted(c for v in samples.values() for c in v)
+    n = len(pooled)
+    # average rank per tied value
+    first = {}
+    for i, c in enumerate(pooled, 1):
+        first.setdefault(c, i)
+    cnt = Counter(pooled)
+    avg_rank = {c: first[c] + (cnt[c] - 1) / 2 for c in cnt}
+    s = sum(
+        sum(avg_rank[c] for c in v) ** 2 / len(v) for v in samples.values()
+    )
+    h = 12.0 * s / (n * (n + 1)) - 3.0 * (n + 1)
+    t3 = sum(t**3 - t for t in cnt.values())
+    h_corr = h / (1.0 - t3 / (n**3 - n))
+    assert set(got) == set(samples)
+    for et, v in samples.items():
+        assert got[et].n_i == len(v)
+        assert got[et].rank_sum_2x == round(2 * sum(avg_rank[c] for c in v))
+        # the per-group ROUND-to-integer of R2²/(4n_i) shifts H by up to
+        # 12·k/(N(N+1)) — ~6e-5 at the 1k-row smoke corpus (identically
+        # on both engines; the hash oracle checks exact equality)
+        assert abs(got[et].h - h) < 2e-4
+        assert abs(got[et].h_corrected - h_corr) < 2e-4
