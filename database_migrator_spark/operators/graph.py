@@ -421,3 +421,150 @@ def q194_kcore_3core(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("converged"),
         )
     )
+
+
+def pagerank_weighted_fixed_point(
+    und: DataFrame, iterations: int = _ITERATIONS
+) -> DataFrame:
+    """WEIGHTED PageRank in BIGINT trillionths over a symmetric weighted
+    edge list (u, v, w) — q110's integer recurrence with each neighbor's
+    mass split in proportion to edge weight instead of 1/deg:
+    r'(v) = (15·⌊SCALE/N⌋ + 85·Σ_{u~v} ⌊r(u)·w(u,v) / W(u)⌋) DIV 100,
+    W(u) = Σ_x w(u,x). r ≤ SCALE (mass conservation + teleport), so
+    r·w stays under 2^63 while w < ~9e6; the guard fails loudly past
+    that (rescale weights — only RATIOS w/W matter)."""
+    from database_migrator_spark.functions.exact import exactness_guard
+
+    und = und.localCheckpoint(eager=True)
+    wd = und.groupBy("u").agg(F.sum("w").alias("tw"))
+    und_wd = (
+        und.join(wd, "u")
+        .where(
+            exactness_guard(
+                F.col("w") < F.lit(9_000_000),
+                "pagerank_weighted: edge weight >= 9e6 — r*w would exceed "
+                "2^63; rescale weights (only w/W ratios matter)",
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    n = wd.count()  # one scalar action at setup, none per iteration
+    base = _SCALE // n
+    r = wd.select("u", F.lit(base).cast("long").alias("r"))
+    for _ in range(iterations):
+        contrib = r.join(und_wd, "u").select(
+            F.col("v").alias("u"), F.expr("(r * w) DIV tw").alias("c")
+        )
+        r = (
+            contrib.groupBy("u")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                "u",
+                F.expr(
+                    f"CAST(({(_DAMP_DEN - _DAMP_NUM) * base}L "
+                    f"+ {_DAMP_NUM}L * s) DIV {_DAMP_DEN}L AS BIGINT)"
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)  # constant plan per round
+        )
+    return r
+
+
+@query(
+    "q241_textrank_keywords",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> len(t) >= 3) AS t
+        FROM documents
+    ), bg AS (
+        SELECT LEAST(pair[1], pair[2]) AS u,
+               GREATEST(pair[1], pair[2]) AS v,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM (
+            SELECT unnest(list_transform(range(1, len(t)),
+                                         i -> [t[i], t[i+1]])) AS pair
+            FROM toks WHERE len(t) >= 2
+        ) WHERE pair[1] <> pair[2]
+        GROUP BY 1, 2
+    ), und AS (
+        SELECT u, v, w FROM bg UNION ALL SELECT v AS u, u AS v, w FROM bg
+    ), wd AS (
+        SELECT u, CAST(SUM(w) AS BIGINT) AS tw FROM und GROUP BY u
+    ), nn AS (
+        SELECT COUNT(*) AS n FROM wd
+    ), pr AS (
+        SELECT u, CAST({_SCALE} // n AS BIGINT) AS r, 0 AS it FROM wd, nn
+        UNION ALL
+        SELECT und.v AS u,
+               CAST((15 * ({_SCALE} // (SELECT n FROM nn))
+                     + 85 * SUM((pr.r * und.w) // wd.tw)) // 100
+                    AS BIGINT) AS r,
+               pr.it + 1 AS it
+        FROM pr
+        JOIN wd ON wd.u = pr.u
+        JOIN und ON und.u = pr.u
+        WHERE pr.it < {_ITERATIONS}
+        GROUP BY und.v, pr.it
+    )
+    SELECT u AS word, CAST(r AS DOUBLE) / {_SCALE}.0 AS rank
+    FROM pr WHERE it = {_ITERATIONS}
+    ORDER BY rank DESC, word LIMIT 20
+    """,
+    tags=("graph", "textrank", "keywords", "iterative", "llm-pipeline"),
+    checkpointed_substrate=True,
+)
+def q241_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): WEIGHTED
+    PageRank over the word co-occurrence graph — nodes are corpus words
+    (len ≥ 3), edges connect adjacent tokens with weight = corpus-wide
+    co-occurrence count, and a word's rank is its stationary mass. The
+    unsupervised keyword ranker of extractive-summarization pipelines:
+    unlike raw frequency (q91) it rewards words that co-occur with
+    many OTHER central words. Weighted mass-splitting (r·w DIV W)
+    differentiates hubs even on near-complete graphs, where unweighted
+    PageRank collapses to the uniform vector.
+
+    Same exactness discipline as q110: BIGINT trillionths, integer
+    floor divisions, 5 fixed iterations, one recursive-CTE oracle
+    replaying the identical recurrence — hash-matched bit-for-bit.
+    Shape at scale: the (u,v,w) co-occurrence build is one
+    bigram-vocabulary aggregate off one corpus scan; each round is one
+    rank⋈edges join + one destination-keyed aggregate, localCheckpoint
+    per round (constant plan), zero per-round driver traffic."""
+    from database_migrator_spark.operators.dedup import tokens_of
+
+    d = table(spark, sf_dir, "documents")
+    # adjacency over the FILTERED token sequence (the oracle's semantics:
+    # dropping short tokens splices their neighbors together), via one
+    # positional zip of the filtered array with its own tail — the
+    # doc_bigrams fold shape, never per-pair lambdas
+    toks = F.filter(tokens_of("text"), lambda t: F.length(t) >= 3)
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = (
+        d.where(F.size(toks) >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .where(F.col("w1") != F.col("w2"))
+        .select(
+            F.least("w1", "w2").alias("u"),
+            F.greatest("w1", "w2").alias("v"),
+        )
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("w"))
+    )
+    und = bg.union(bg.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
+    r = pagerank_weighted_fixed_point(und)
+    return (
+        r.select(
+            F.col("u").alias("word"),
+            (F.col("r").cast("double") / F.lit(float(_SCALE))).alias("rank"),
+        )
+        .orderBy(F.col("rank").desc(), "word")
+        .limit(20)
+    )

@@ -66,3 +66,34 @@ def test_pagerank_matches_float_reference(spark):
         ranks = nxt
     for u in adj:
         assert abs(r[u] - ranks[u]) < 1e-9
+
+
+def test_weighted_pagerank_matches_python_replay(spark):
+    """pagerank_weighted_fixed_point (q241): the integer recurrence on a
+    small asymmetric weighted graph must equal a plain-Python replay of
+    the same fixed-point arithmetic, and per-round mass must stay
+    conserved within the floor-division leakage bound (N floors of at
+    most 1 trillionth each per round)."""
+    from database_migrator_spark.operators.graph import (
+        _SCALE,
+        pagerank_weighted_fixed_point,
+    )
+
+    edges = [("a", "b", 3), ("a", "c", 1), ("b", "c", 2), ("c", "d", 5)]
+    und = [(u, v, w) for u, v, w in edges] + [(v, u, w) for u, v, w in edges]
+    df = spark.createDataFrame(und, "u string, v string, w long")
+    got = {r.u: r.r for r in pagerank_weighted_fixed_point(df).collect()}
+
+    tw = {}
+    for u, v, w in und:
+        tw[u] = tw.get(u, 0) + w
+    n = len(tw)
+    base = _SCALE // n
+    r = {u: base for u in tw}
+    for _ in range(5):
+        s = {u: 0 for u in tw}
+        for u, v, w in und:
+            s[v] += (r[u] * w) // tw[u]
+        r = {u: (15 * base + 85 * s[u]) // 100 for u in tw}
+    assert got == r
+    assert abs(sum(got.values()) - _SCALE) <= 5 * n * 100  # floor leakage

@@ -1499,3 +1499,14 @@ def test_kruskal_wallis_single_scan_histogram_ranks(spark):
     assert "SortMergeJoin" in p
     assert "CartesianProduct" not in p
     assert p.count("BroadcastNestedLoopJoin") == 2  # 1-row tot + ties
+
+
+def test_textrank_final_plan_reads_checkpoint_topk(spark):
+    """q241: after 5 checkpointed rounds the FINAL plan reads only the
+    last round's materialized labels — no corpus FileScan, no join, no
+    recursive blow-up (the lazy-loop plan explosion q110 guards
+    against) — and top-20 plans as TakeOrderedAndProject."""
+    p = plan_of(spark, "q241_textrank_keywords")
+    assert "FileScan" not in p
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
