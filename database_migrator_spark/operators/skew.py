@@ -1080,3 +1080,143 @@ def q240_kruskal_wallis_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_BOOT_B = 200  # bootstrap replicates; 2.5%/97.5% = order stats 5 and 195
+
+
+@query(
+    "q242_bootstrap_ci_daily_revenue",
+    oracle=f"""
+    WITH days AS (
+        SELECT o_orderdate AS d,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS day_cents
+        FROM orders GROUP BY 1
+    ), idx AS (
+        SELECT day_cents,
+               CAST(ROW_NUMBER() OVER (ORDER BY d) - 1 AS BIGINT) AS i
+        FROM days
+    ), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM idx),
+    draws AS (
+        SELECT r.r,
+               CAST('0x' || substr(md5(CAST(r.r AS VARCHAR) || '-' ||
+                    CAST(s.i AS VARCHAR)), 1, 12) AS BIGINT)
+                   % (SELECT nd FROM nn) AS pick
+        FROM (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS r) r
+        CROSS JOIN (SELECT unnest(generate_series(0,
+                        (SELECT nd FROM nn) - 1)) AS i) s
+    ), boot AS (
+        SELECT d.r, CAST(SUM(i.day_cents) AS BIGINT) AS boot_sum
+        FROM draws d JOIN idx i ON i.i = d.pick
+        GROUP BY 1
+    ), ranked AS (
+        SELECT boot_sum, ROW_NUMBER() OVER (ORDER BY boot_sum, r) AS rk
+        FROM boot
+    ), tot AS (
+        SELECT CAST(SUM(day_cents) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS nd
+        FROM idx
+    )
+    SELECT t.nd AS n_days, CAST({_BOOT_B} AS BIGINT) AS n_boot,
+           CAST(t.total AS DOUBLE) / t.nd AS mean_daily_cents,
+           CAST((SELECT boot_sum FROM ranked WHERE rk = 5) AS DOUBLE)
+               / t.nd AS ci_lo_cents,
+           CAST((SELECT boot_sum FROM ranked WHERE rk = 195) AS DOUBLE)
+               / t.nd AS ci_hi_cents
+    FROM tot t
+    """,
+    tags=("statistics", "bootstrap", "confidence-interval", "resampling"),
+    checkpointed_substrate=True,
+)
+def q242_bootstrap_ci_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonparametric bootstrap 95% CI for mean daily order revenue — the
+    distribution-free interval for statistics with no closed-form
+    standard error (q232's Wilson covers proportions only). The
+    resampling is ENGINE-REPRODUCIBLE: draw (replicate r, slot i) picks
+    day index md5(r||'-'||i) mod n_days via the repo's md5-slice
+    pseudo-randomness (q37/q121's trick — rand() would kill both the
+    driver hash and Spark retry determinism). Replicate sums are exact
+    BIGINT cents, so the 2.5%/97.5% bounds are ORDER STATISTICS of 200
+    exact integers (rank 5/195 with replicate-id tiebreak) — no
+    interpolation, no float compare, bit-identical cross-engine.
+
+    Bootstrap-over-aggregates discipline: resample the BOUNDED daily
+    aggregate (~2.4k cells — the time-domain bound), never corpus rows,
+    so the draw spine is B×n_days ~ 480k rows regardless of corpus
+    size; the day table broadcasts into the pick join; the only
+    single-partition windows index the bounded day / 200-replicate
+    tables. The one driver scalar (n_days) is the q110 setup-count
+    precedent."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    days = (
+        o.groupBy(F.col("o_orderdate").alias("d"))
+        .agg(F.sum(to_cents("o_totalprice")).alias("day_cents"))
+        .localCheckpoint(eager=True)  # 1 corpus scan; 3 consumers
+    )
+    idx = days.select(
+        "day_cents",
+        (F.row_number().over(Window.orderBy("d")) - 1).cast("long").alias("i"),
+    )
+    nd = days.count()  # one scalar action at setup (the q110 precedent)
+    spine = (
+        spark.range(_BOOT_B)
+        .select(F.col("id").alias("r"))
+        .crossJoin(F.broadcast(spark.range(nd).select(F.col("id").alias("i"))))
+    )
+    pick = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("r").cast("string"),
+                        F.lit("-"),
+                        F.col("i").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(nd)
+    )
+    boot = (
+        spine.select("r", pick.alias("pick"))
+        .join(F.broadcast(idx), F.col("pick") == F.col("i"))
+        .groupBy("r")
+        .agg(F.sum("day_cents").alias("boot_sum"))
+    )
+    ranked = boot.select(
+        "boot_sum",
+        F.row_number().over(Window.orderBy("boot_sum", "r")).alias("rk"),
+    )
+    tot = days.agg(
+        F.sum("day_cents").alias("total"), F.count("*").alias("n_days")
+    )
+    lo = ranked.where(F.col("rk") == 5).select(
+        F.col("boot_sum").alias("lo_sum")
+    )
+    hi = ranked.where(F.col("rk") == 195).select(
+        F.col("boot_sum").alias("hi_sum")
+    )
+    return (
+        tot.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n_days",
+            F.lit(_BOOT_B).cast("long").alias("n_boot"),
+            (F.col("total").cast("double") / F.col("n_days")).alias(
+                "mean_daily_cents"
+            ),
+            (F.col("lo_sum").cast("double") / F.col("n_days")).alias(
+                "ci_lo_cents"
+            ),
+            (F.col("hi_sum").cast("double") / F.col("n_days")).alias(
+                "ci_hi_cents"
+            ),
+        )
+    )

@@ -1510,3 +1510,15 @@ def test_textrank_final_plan_reads_checkpoint_topk(spark):
     assert "FileScan" not in p
     assert "TakeOrderedAndProject" in p
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_bootstrap_resamples_bounded_aggregate_only(spark):
+    """q242: the corpus is scanned once into the daily checkpoint; the
+    draw spine joins the BROADCAST bounded day table (resampling
+    aggregates, never corpus rows); single-partition exchanges feed only
+    the bounded day/replicate tables; no shuffle-merge join anywhere."""
+    p = plan_of(spark, "q242_bootstrap_ci_daily_revenue")
+    assert "FileScan" not in p  # day table is checkpointed
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p  # pick -> day_cents
+    assert "CartesianProduct" not in p

@@ -121,3 +121,45 @@ def test_kruskal_wallis_matches_textbook_reference(spark):
         # on both engines; the hash oracle checks exact equality)
         assert abs(got[et].h - h) < 2e-4
         assert abs(got[et].h_corrected - h_corr) < 2e-4
+
+
+def test_bootstrap_ci_python_replay_and_coverage(spark):
+    """q242: the full resampling pipeline replayed in plain Python from
+    the raw smoke-corpus orders (md5 picks, exact-cent replicate sums,
+    rank-5/195 order statistics) must reproduce every output value, and
+    the interval must bracket the point estimate."""
+    import hashlib
+
+    from database_migrator_spark.plans.registry import all_queries
+    from database_migrator_spark.sources import table as _table
+
+    from .conftest import SF_SMOKE
+
+    row = (
+        all_queries()["q242_bootstrap_ci_daily_revenue"]
+        .build(spark, SF_SMOKE)
+        .collect()[0]
+    )
+    orders = _table(spark, SF_SMOKE, "orders").select(
+        "o_orderdate", "o_totalprice"
+    ).collect()
+    days = {}
+    for r in orders:
+        days[r.o_orderdate] = days.get(r.o_orderdate, 0) + round(
+            r.o_totalprice * 100
+        )
+    cents = [days[d] for d in sorted(days)]
+    nd = len(cents)
+    sums = []
+    for rep in range(200):
+        s = 0
+        for i in range(nd):
+            h = int(hashlib.md5(f"{rep}-{i}".encode()).hexdigest()[:12], 16)
+            s += cents[h % nd]
+        sums.append((s, rep))
+    sums.sort()
+    assert row.n_days == nd and row.n_boot == 200
+    assert row.mean_daily_cents == sum(cents) / nd
+    assert row.ci_lo_cents == sums[4][0] / nd
+    assert row.ci_hi_cents == sums[194][0] / nd
+    assert row.ci_lo_cents <= row.mean_daily_cents <= row.ci_hi_cents
