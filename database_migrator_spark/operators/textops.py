@@ -2974,3 +2974,110 @@ def q237_bm25_maxscore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "q243_kneser_ney_bigram_score",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           t -> len(t) > 0) AS ts
+        FROM documents
+    ), bg AS (
+        SELECT doc_id, pair[1] AS w1, pair[2] AS w2
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(ts)),
+                                         i -> [ts[i], ts[i+1]])) AS pair
+            FROM toks WHERE len(ts) >= 2
+        )
+    ), c2 AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2
+    ), c1 AS (
+        SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1,
+               CAST(COUNT(*) AS BIGINT) AS n1f
+        FROM c2 GROUP BY 1
+    ), cont AS (
+        SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p FROM c2 GROUP BY 1
+    ), tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM c2),
+    probs AS (
+        SELECT c2.w1, c2.w2,
+               CAST((4 * c2.c2 - 3) * 1000000000000 // (4 * c1.c1)
+                    + ((3 * c1.n1f * 1000000000000) // (4 * c1.c1))
+                      * cont.n1p // (SELECT t FROM tt) AS BIGINT) AS p_fp
+        FROM c2 JOIN c1 USING (w1) JOIN cont USING (w2)
+    )
+    SELECT bg.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(CAST(round(-ln(CAST(p_fp AS DOUBLE) / 1000000000000.0)
+                               * 1000000000000) AS BIGINT)) AS DOUBLE)
+               / 1000000000000.0 / COUNT(*) AS avg_kn_nll
+    FROM bg JOIN probs USING (w1, w2)
+    GROUP BY bg.doc_id
+    ORDER BY bg.doc_id
+    """,
+    tags=("text", "lm", "smoothing", "quality", "llm-pipeline"),
+)
+def q243_kneser_ney_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document surprisal under an INTERPOLATED KNESER-NEY bigram
+    model — the production LM-scoring tier above q108's unsmoothed MLE:
+    absolute discounting (D = 3/4) moves mass from observed bigrams to a
+    CONTINUATION model (how many distinct left-contexts a word follows —
+    'francisco' is frequent but only ever follows 'san', so its
+    continuation probability is tiny), the smoothing that KenLM-style
+    corpus-quality scorers actually use. P(w2|w1) = (c2−D)/c1 +
+    D·N1+(w1,·)/c1 · N1+(·,w2)/T; every input is an exact BIGINT, the
+    probability is assembled in 1e-12 fixed point with two integer floor
+    divisions mirrored verbatim on both engines ((4c2−3)·1e12 DIV 4c1 +
+    (3·N1f·1e12 DIV 4c1)·N1p DIV T — D=3/4 folded into integers), and
+    per-doc surprisal is the q108 order-free fixed-point sum of
+    −ln(p_fp/1e12) over exact identical doubles.
+
+    Shape at scale: q108's exact shape plus two more bigram-vocabulary
+    aggregates (left fan-out N1+(w1,·) rides the c1 fold; right
+    continuation N1+(·,w2) is one more c2 aggregate) and a 1-row type
+    total; the instance stream joins the assembled probability table on
+    (w1, w2) pinned shuffle-merge (bigram vocabulary NEVER broadcasts,
+    q108/q103's lesson)."""
+    d = spread_for_cpu(table(spark, sf_dir, "documents"))
+    bg = doc_bigrams(d)
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("w1").agg(
+        F.sum("c2").alias("c1"), F.count("*").alias("n1f")
+    )
+    cont = c2.groupBy("w2").agg(F.count("*").alias("n1p"))
+    tt = c2.agg(F.count("*").alias("t"))
+    fp = F.lit(1_000_000_000_000)
+    p_fp = int_div((4 * F.col("c2") - 3) * fp, 4 * F.col("c1")) + int_div(
+        int_div(3 * F.col("n1f") * fp, 4 * F.col("c1")) * F.col("n1p"),
+        F.col("t"),
+    )
+    probs = (
+        c2.join(c1.hint("shuffle_merge"), "w1")
+        .join(cont.hint("shuffle_merge"), "w2")
+        .crossJoin(F.broadcast(tt))
+        .where(
+            exactness_guard(
+                (F.col("c2") < F.lit(2_000_000))
+                & (F.col("n1f") < F.lit(3_000_000)),
+                "q243: bigram count >= 2e6 or fan-out >= 3e6 — the 1e-12 "
+                "fixed-point assembly would exceed 2^63; rescale SCALE",
+            )
+        )
+        .select("w1", "w2", p_fp.cast("long").alias("p_fp"))
+    )
+    nll = -F.log(F.col("p_fp").cast("double") / F.lit(1e12))
+    return (
+        bg.join(probs.hint("shuffle_merge"), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (
+                F.sum(F.round(nll * F.lit(1e12)).cast("long")).cast("double")
+                / F.lit(1e12)
+                / F.count("*")
+            ).alias("avg_kn_nll"),
+        )
+        .orderBy("doc_id")
+    )

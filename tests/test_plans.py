@@ -1522,3 +1522,15 @@ def test_bootstrap_resamples_bounded_aggregate_only(spark):
     assert "SortMergeJoin" not in p
     assert "BroadcastHashJoin" in p  # pick -> day_cents
     assert "CartesianProduct" not in p
+
+
+def test_kneser_ney_vocab_joins_pinned_no_broadcast(spark):
+    """q243: all three bigram-vocabulary-sized joins (c1 marginals,
+    continuation counts, the instance-stream prob join) stay pinned
+    shuffle-merge — the bigram vocabulary NEVER broadcasts (q103's OOM
+    lesson); the only broadcast is the 1-row type total."""
+    p = plan_of(spark, "q243_kneser_ney_bigram_score")
+    assert p.count("SortMergeJoin") == 3
+    assert "BroadcastHashJoin" not in p
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row T
+    assert "CartesianProduct" not in p

@@ -622,3 +622,73 @@ def test_maxscore_equals_exhaustive_and_prunes_at_sf001(spark):
         .collect()[0]
     )
     assert top.c == 20 and rest.s < top.m, "prune branch did not fire at sf0.01"
+
+
+def test_kneser_ney_probabilities_normalize_and_match_python(spark):
+    """q243: on the smoke corpus the assembled KN probabilities must (a)
+    nearly normalize per left-context (Σ_w2 P(w2|w1) ≤ 1, with deficit
+    only from unseen continuations and fixed-point floors) and (b) match
+    a plain-Python reimplementation of the interpolated-KN formula
+    within the two floor divisions' 2e-12 truncation."""
+    from collections import Counter, defaultdict
+
+    from database_migrator_spark.operators.dedup import tokens_of  # noqa: F401
+    from database_migrator_spark.plans.registry import all_queries
+    from database_migrator_spark.sources import table as _table
+
+    from .conftest import SF_SMOKE
+
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_kn_nll)
+        for r in all_queries()["q243_kneser_ney_bigram_score"]
+        .build(spark, SF_SMOKE)
+        .collect()
+    }
+    docs = {
+        r.doc_id: [t for t in r.text.lower().split() if t]
+        for r in _table(spark, SF_SMOKE, "documents").collect()
+    }
+    c2 = Counter()
+    for ts in docs.values():
+        for a, b in zip(ts, ts[1:]):
+            c2[(a, b)] += 1
+    c1, n1f, n1p = Counter(), Counter(), Counter()
+    for (a, b), c in c2.items():
+        c1[a] += c
+        n1f[a] += 1
+        n1p[b] += 1
+    T = len(c2)
+
+    def p_fp(a, b):
+        return (4 * c2[(a, b)] - 3) * 10**12 // (4 * c1[a]) + (
+            3 * n1f[a] * 10**12 // (4 * c1[a])
+        ) * n1p[b] // T
+
+    # (a) normalization per context over the FULL vocabulary: unseen
+    # continuations get only the backoff term (max(c2-D,0) = 0), so the
+    # total must reach 1 up to fixed-point floors (~|V|*2e-12)
+    vocab = sorted(n1p)
+    by_w1 = defaultdict(set)
+    for a, b in c2:
+        by_w1[a].add(b)
+    for a, bs in by_w1.items():
+        s = sum(
+            p_fp(a, b)
+            if b in bs
+            else (3 * n1f[a] * 10**12 // (4 * c1[a])) * n1p[b] // T
+            for b in vocab
+        ) / 1e12
+        assert 1.0 - 1e-6 < s <= 1.0 + 1e-9, (a, s)
+    # (b) per-doc surprisal replay
+    import math
+
+    for doc_id, ts in docs.items():
+        pairs = list(zip(ts, ts[1:]))
+        if not pairs:
+            assert doc_id not in got
+            continue
+        s = sum(round(-math.log(p_fp(a, b) / 1e12) * 1e12) for a, b in pairs)
+        want = s / 1e12 / len(pairs)
+        n, nll = got[doc_id]
+        assert n == len(pairs)
+        assert abs(nll - want) < 1e-9
