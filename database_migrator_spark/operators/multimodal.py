@@ -1129,3 +1129,122 @@ def q217_audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "silence_ratio double"
         ),
     ).orderBy("doc_id")
+
+
+def attach_shot_video(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a raw-frame video blob WITH SHOT STRUCTURE per document
+    (attach_raw_video's layout plus a scene discontinuity): doc_id % 40
+    + 5 frames of 64 bytes in shots of doc_id % 7 + 3 frames; byte j of
+    frame i is (doc_id + 31·(i DIV shot_len) + 3·i + j) % 256 — small
+    within-shot motion (+3/frame), a +31 jump at every shot change.
+    Closed forms an SQL oracle can recompute, same partition-cap
+    rationale as attach_bmp_image."""
+    docs = spread_for_cpu(docs, cap=16)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                n_frames = d % 40 + 5
+                shot_len = d % 7 + 3
+                blob = b"".join(
+                    bytes(
+                        (d + 31 * (i // shot_len) + 3 * i + j) % 256
+                        for j in range(64)
+                    )
+                    for i in range(n_frames)
+                )
+                out.append((d, blob))
+            yield pd.DataFrame(out, columns=["doc_id", "video"])
+
+    return docs.select(id_col).mapInPandas(gen, schema="doc_id bigint, video binary")
+
+
+SHOT_SCHEMA = "doc_id bigint, n_frames bigint, n_shots bigint, first_boundary bigint"
+
+
+def detect_shot_boundaries(
+    videos: DataFrame, frame_size: int = 64, threshold: int = 1500
+) -> DataFrame:
+    """Shot-boundary detection by consecutive-frame L1 byte distance —
+    the scene-segmentation step of a video-curation pipeline (sampling
+    one keyframe per SHOT beats q124's fixed-stride sampling, which
+    over-samples static scenes and skips short ones). Walks the raw
+    blob frame by frame (offset i·frame_size — the boundary math the
+    oracle verifies), accumulates sum|b_i − b_{i−1}| over the 64-byte
+    frames, and cuts where the distance exceeds ``threshold`` (within-
+    shot motion bounds the L1 at 942 here; the flattest shot change
+    scores 2176 — the margin the unit test pins). A real pipeline swaps
+    the byte loop for decoded-luma histograms; the Arrow plumbing,
+    1-blob→stats shape and threshold rule are identical."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["video"]):
+                b = bytes(blob)
+                n = len(b) // frame_size
+                boundaries = []
+                for i in range(1, n):
+                    prev = b[(i - 1) * frame_size : i * frame_size]
+                    cur = b[i * frame_size : (i + 1) * frame_size]
+                    l1 = sum(abs(x - y) for x, y in zip(cur, prev))
+                    if l1 > threshold:
+                        boundaries.append(i)
+                out.append(
+                    (
+                        int(doc_id),
+                        n,
+                        1 + len(boundaries),
+                        boundaries[0] if boundaries else -1,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "n_frames", "n_shots", "first_boundary"],
+            )
+
+    return videos.mapInPandas(stats, schema=SHOT_SCHEMA)
+
+
+@query(
+    "q244_video_shot_boundaries",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, doc_id % 40 + 5 AS n_frames, doc_id % 7 + 3 AS shot_len
+        FROM documents
+    ), diffs AS (
+        SELECT f.doc_id, f.n_frames, i,
+               (SELECT SUM(ABS(
+                    ((f.doc_id + 31 * (i // f.shot_len) + 3 * i + j) % 256)
+                  - ((f.doc_id + 31 * ((i-1) // f.shot_len) + 3 * (i-1) + j)
+                     % 256)))
+                FROM unnest(range(0, 64)) AS u(j)) AS l1
+        FROM f, unnest(range(1, f.n_frames)) AS fr(i)
+    )
+    SELECT doc_id,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(1 + COUNT(CASE WHEN l1 > 1500 THEN 1 END) AS BIGINT)
+               AS n_shots,
+           CAST(COALESCE(MIN(CASE WHEN l1 > 1500 THEN i END), -1) AS BIGINT)
+               AS first_boundary
+    FROM diffs
+    GROUP BY doc_id, n_frames
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "video", "shot-detection", "mapInPandas"),
+)
+def q244_video_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video SHOT-BOUNDARY detection, hash-matched end to end: synthesize
+    a raw-frame blob with genuine shot structure (+31 scene jumps over
+    +3 within-shot motion), then detect cuts from the BYTES ALONE
+    (consecutive-frame L1 distance over a 1500 threshold) and
+    hash-match count/first-cut against the oracle recomputing the
+    closed forms arithmetically — so the frame-offset walk, the |Δ|
+    accumulation and the threshold rule are verified, not assumed. The
+    margin is structural (max within-shot L1 942 < min boundary L1
+    2176), so detection is EXACT here: n_shots always equals
+    ceil(n_frames/shot_len), which the unit test asserts independently."""
+    d = table(spark, sf_dir, "documents")
+    return detect_shot_boundaries(attach_shot_video(d)).orderBy("doc_id")

@@ -462,3 +462,44 @@ def test_q217_matches_direct_decode(spark):
         _rate, samples = decode_wav(bytes(r.audio))
         n_silent, n_segs, longest = silence_run_stats(samples)
         assert got[r.doc_id] == (len(samples), n_silent, n_segs, longest)
+
+
+def test_shot_boundaries_recover_true_shot_structure(spark):
+    """q244: the byte-level detector must recover the PLANTED shot
+    structure exactly on the smoke corpus — n_shots =
+    ceil(n_frames/shot_len) and the first boundary at frame shot_len —
+    and the L1 margin that makes detection exact must hold (max
+    within-shot distance < threshold < min boundary distance)."""
+    import math
+
+    from database_migrator_spark.operators.multimodal import (
+        attach_shot_video,
+        detect_shot_boundaries,
+    )
+    from database_migrator_spark.sources import table as _table
+
+    from .conftest import SF_SMOKE
+
+    d = _table(spark, SF_SMOKE, "documents")
+    rows = detect_shot_boundaries(attach_shot_video(d)).collect()
+    assert rows
+    for r in rows:
+        shot_len = r.doc_id % 7 + 3
+        assert r.n_frames == r.doc_id % 40 + 5
+        assert r.n_shots == math.ceil(r.n_frames / shot_len)
+        expect_first = shot_len if r.n_frames > shot_len else -1
+        assert r.first_boundary == expect_first
+    # margin check on one blob: within-shot L1 < 1500 < boundary L1
+    blob = bytes(
+        attach_shot_video(d.where(F.col("doc_id") == 11)).collect()[0].video
+    )
+    shot_len = 11 % 7 + 3
+    l1s = []
+    for i in range(1, len(blob) // 64):
+        prev, cur = blob[(i - 1) * 64 : i * 64], blob[i * 64 : (i + 1) * 64]
+        l1s.append((i, sum(abs(x - y) for x, y in zip(cur, prev))))
+    for i, l1 in l1s:
+        if i % shot_len == 0:
+            assert l1 > 1500
+        else:
+            assert l1 < 1500
