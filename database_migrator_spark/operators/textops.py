@@ -1823,6 +1823,7 @@ def _bm25_term_fp(postings: DataFrame, dl: DataFrame, stats: DataFrame) -> DataF
         )
         .select(
             "doc_id",
+            "term",
             F.round(
                 _bm25_idf() * (num.cast("double") / den.cast("double")) * F.lit(1e12)
             )
@@ -3080,4 +3081,138 @@ def q243_kneser_ney_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_kn_nll"),
         )
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "q245_rm3_expansion_rescore",
+    oracle=f"""
+    WITH {_LEX_BASE_ORACLE}, scored AS (
+        SELECT t.doc_id,
+               CAST(ROUND(
+                   ln(CAST(2 * s.n_docs - 2 * q.df + 1 AS DOUBLE)
+                      / CAST(2 * q.df + 1 AS DOUBLE))
+                   * (CAST(22 * s.total * t.tf AS DOUBLE)
+                      / CAST(10 * s.total * t.tf + 3 * s.total
+                             + 9 * d.dl * s.n_docs AS DOUBLE))
+                   * 1000000000000) AS BIGINT) AS term_fp
+        FROM tf t JOIN qt q USING (term) JOIN dl d USING (doc_id), stats s
+    ), b10 AS (
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   CAST(CAST(SUM(term_fp) AS BIGINT) AS DOUBLE)
+                       / 1000000000000.0 AS score
+            FROM scored GROUP BY doc_id
+        ) ORDER BY score DESC, doc_id LIMIT 10
+    ), rm AS (
+        SELECT t.term,
+               CAST(SUM(t.tf * 1000000000 // d.dl) AS BIGINT) AS rm_fp
+        FROM tf t JOIN b10 USING (doc_id) JOIN dl d USING (doc_id)
+        GROUP BY 1
+    ), exp8 AS (
+        SELECT term, rm_fp FROM rm WHERE len(term) >= 4
+        ORDER BY rm_fp DESC, term LIMIT 8
+    ), srm AS (SELECT CAST(SUM(rm_fp) AS BIGINT) AS total_rm FROM exp8),
+    wts AS (
+        SELECT term, CAST(SUM(w) AS BIGINT) AS w_fp FROM (
+            SELECT term, CAST(1666 AS BIGINT) AS w FROM qt
+            UNION ALL
+            SELECT term,
+                   CAST(5000 * rm_fp // (SELECT total_rm FROM srm) AS BIGINT)
+                       AS w
+            FROM exp8
+        ) GROUP BY 1
+    ), resc AS (
+        SELECT t.doc_id,
+               w.w_fp * CAST(ROUND(
+                   ln(CAST(2 * s.n_docs - 2 * q.df + 1 AS DOUBLE)
+                      / CAST(2 * q.df + 1 AS DOUBLE))
+                   * (CAST(22 * s.total * t.tf AS DOUBLE)
+                      / CAST(10 * s.total * t.tf + 3 * s.total
+                             + 9 * d.dl * s.n_docs AS DOUBLE))
+                   * 1000000000000) AS BIGINT) AS wterm_fp
+        FROM tf t JOIN wts w USING (term) JOIN dfq q USING (term)
+             JOIN dl d USING (doc_id), stats s
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+           CAST(CAST(SUM(wterm_fp) AS BIGINT) AS DOUBLE)
+               / 10000000000000000.0 AS score
+    FROM resc GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+    tags=("text", "retrieval", "rm3", "query-expansion", "llm-pipeline"),
+    checkpointed_substrate=True,
+)
+def q245_rm3_expansion_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3 pseudo-relevance feedback (Lavrenko & Croft relevance models,
+    the Anserini default): run the q191 BM25 query, take the top-10
+    feedback docs, estimate a relevance model over their vocabulary
+    (rm(w) = Σ_d tf(w,d)/dl_d — uniform P(d), each term's expected
+    in-feedback likelihood), pick the 8 strongest len≥4 expansion terms,
+    interpolate with the original query at λ=1/2, and RESCORE the corpus
+    with the weighted query — the classic recall lever over one-shot
+    BM25, all on the same checkpointed tf substrate (no extra corpus
+    scan).
+
+    Determinism: rm masses are Σ tf·1e9 DIV dl integers; λ-interpolated
+    weights live in 1e4 fixed point (orig terms 1666 each ≈ (1/2)/3;
+    expansion 5000·rm DIV Σrm — summed where a term is both); each
+    rescore contribution is w_fp · term_fp (≤3e17, 11-term sums stay
+    under 2^63), so scores are exact BIGINTs in 1e-16 scale. All
+    selection steps carry total orders (score/doc_id, rm/term).
+    Shape at scale: feedback set is a 10-row broadcast; the rm fold is
+    bounded by 10 docs' vocabulary; the ≤11-term weighted query
+    broadcasts into the postings join; dl joins stay shuffle-merge;
+    top-20 is TakeOrderedAndProject."""
+    tf, dl, stats, qt = _lex_query_terms(spark, sf_dir)
+    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    top10 = (
+        _bm25_doc_scores(spark, sf_dir)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+        .select("doc_id")
+    )
+    rm = (
+        tf.join(F.broadcast(top10), "doc_id")
+        .join(dl.hint("shuffle_merge"), "doc_id")
+        .groupBy("term")
+        .agg(
+            F.sum(
+                int_div(F.col("tf") * F.lit(1_000_000_000), F.col("dl"))
+            ).alias("rm_fp")
+        )
+    )
+    exp8 = (
+        rm.where(F.length("term") >= 4)
+        .orderBy(F.col("rm_fp").desc(), "term")
+        .limit(8)
+    )
+    srm = exp8.agg(F.sum("rm_fp").alias("total_rm"))
+    wts = (
+        qt.select("term", F.lit(1666).cast("long").alias("w"))
+        .unionByName(
+            exp8.crossJoin(F.broadcast(srm)).select(
+                "term",
+                int_div(
+                    F.lit(5000) * F.col("rm_fp"), F.col("total_rm")
+                ).alias("w"),
+            )
+        )
+        .groupBy("term")
+        .agg(F.sum("w").alias("w_fp"))
+    )
+    qterms = wts.join(dfq, "term")  # ≤11 rows: weights + per-term df
+    scored = _bm25_term_fp(tf.join(F.broadcast(qterms), "term"), dl, stats)
+    return (
+        scored.join(F.broadcast(wts), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms_hit"),
+            (
+                F.sum(F.col("w_fp") * F.col("term_fp")).cast("double")
+                / F.lit(1e16)
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
     )

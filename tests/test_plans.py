@@ -1534,3 +1534,15 @@ def test_kneser_ney_vocab_joins_pinned_no_broadcast(spark):
     assert "BroadcastHashJoin" not in p
     assert "BroadcastNestedLoopJoin" in p  # the 1-row T
     assert "CartesianProduct" not in p
+
+
+def test_rm3_bounded_broadcasts_substrate_only_scans(spark):
+    """q245: the corpus is touched only through the tf checkpoint (no
+    FileScan); the feedback set, weighted query and 1-row totals are
+    the only broadcasts; dl joins stay shuffle-merge; final top-20 is
+    TakeOrderedAndProject."""
+    p = plan_of(spark, "q245_rm3_expansion_rescore")
+    assert "FileScan" not in p
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" in p  # the dl joins
+    assert "CartesianProduct" not in p

