@@ -1722,3 +1722,206 @@ def q236_ivf_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("d2", "vec_id")
         .limit(10)
     )
+
+
+@query(
+    "q246_margin_bitext_mining",
+    oracle=f"""
+    WITH cents(cluster, c) AS (
+        VALUES {{CENTS}}
+    ), nrm AS (
+        SELECT vec_id, label % 2 AS side,
+               sqrt(list_reduce(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                    (p, q) -> p + q)) AS nn,
+               embedding
+        FROM embeddings
+    ), n AS (
+        SELECT vec_id, side,
+               list_transform(embedding, x -> CAST(x AS DOUBLE) / nn) AS e
+        FROM nrm WHERE nn > 0
+    ), asg AS (
+        SELECT vec_id, side, e, cluster FROM (
+            SELECT n.vec_id, n.side, n.e, cents.cluster,
+                   row_number() OVER (PARTITION BY n.vec_id
+                       ORDER BY list_reduce(list_transform(
+                           range(1, {{DIM}} + 1),
+                           i -> (e[i] - c[i]) * (e[i] - c[i])),
+                           (x, y) -> x + y), cents.cluster) AS rn
+            FROM n CROSS JOIN cents
+        ) WHERE rn = 1
+    ), pairs AS (
+        SELECT a.cluster, a.vec_id AS a_id, b.vec_id AS b_id,
+               CAST(ROUND(list_reduce(list_transform(
+                   range(1, {{DIM}} + 1),
+                   i -> a.e[i] * b.e[i]), (x, y) -> x + y)
+                   * 1000000000000) AS BIGINT) AS cos_fp
+        FROM asg a JOIN asg b
+          ON a.cluster = b.cluster AND a.side = 0 AND b.side = 1
+    ), dax AS (
+        SELECT a_id, CAST(SUM(cos_fp) AS BIGINT)
+                   // CAST(COUNT(*) AS BIGINT) AS den_a
+        FROM (SELECT a_id, cos_fp,
+                     row_number() OVER (PARTITION BY a_id
+                                        ORDER BY cos_fp DESC, b_id) AS rn
+              FROM pairs) WHERE rn <= 4
+        GROUP BY 1
+    ), dby AS (
+        SELECT b_id, CAST(SUM(cos_fp) AS BIGINT)
+                   // CAST(COUNT(*) AS BIGINT) AS den_b
+        FROM (SELECT b_id, cos_fp,
+                     row_number() OVER (PARTITION BY b_id
+                                        ORDER BY cos_fp DESC, a_id) AS rn
+              FROM pairs) WHERE rn <= 4
+        GROUP BY 1
+    ), scored AS (
+        SELECT p.a_id, p.b_id, p.cos_fp,
+               CAST(2 * p.cos_fp AS DOUBLE) / (dax.den_a + dby.den_b)
+                   AS margin
+        FROM pairs p JOIN dax USING (a_id) JOIN dby USING (b_id)
+        WHERE dax.den_a + dby.den_b > 0
+    ), besta AS (
+        SELECT a_id, b_id FROM (
+            SELECT a_id, b_id,
+                   row_number() OVER (PARTITION BY a_id
+                                      ORDER BY margin DESC, b_id) AS rn
+            FROM scored) WHERE rn = 1
+    ), bestb AS (
+        SELECT a_id, b_id FROM (
+            SELECT a_id, b_id,
+                   row_number() OVER (PARTITION BY b_id
+                                      ORDER BY margin DESC, a_id) AS rn
+            FROM scored) WHERE rn = 1
+    )
+    SELECT s.a_id, s.b_id,
+           CAST(s.cos_fp AS DOUBLE) / 1000000000000.0 AS cosine,
+           CAST(ROUND(s.margin * 1000000000) AS BIGINT) / 1000000000.0
+               AS margin
+    FROM scored s JOIN besta USING (a_id, b_id) JOIN bestb USING (a_id, b_id)
+    ORDER BY margin DESC, a_id LIMIT 20
+    """.replace("{CENTS}", _fixed_ivf_centroids_sql()).replace(
+        "{DIM}", str(_FIXED_IVF_DIM)
+    ),
+    tags=("similarity", "bitext-mining", "margin", "alignment", "llm-pipeline"),
+    checkpointed_substrate=True,
+)
+def q246_margin_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk, the
+    CCMatrix/LASER recipe): treat label parity as two 'languages',
+    score cross-side candidates by RATIO margin — cosine divided by the
+    mean of each endpoint's top-4 neighborhood cosines — and keep only
+    MUTUAL best matches. The margin criterion is what separates true
+    translation pairs from hubness artifacts that raw cosine top-1
+    cannot (a hub scores high against everything, so its margin ≈ 1);
+    mined pairs are the seed corpus for multilingual training data.
+
+    Scale shape: candidates are generated ONLY within a fixed-coarse-
+    quantizer cell (q219's closed-form centroids — in production the
+    trained IVF assignment), so the pair fan-out is Σ m_a·m_b per cell,
+    never N²; the normalized+assigned frame is checkpointed and
+    self-joined shuffle-merge; the k-NN denominators are two
+    id-partitioned rank-4 windows over the SAME checkpointed pair
+    table (3 consumers, built once). Determinism: cosines are 1e-12
+    fixed-point BIGINTs (identical fold + IEEE ops), denominators are
+    TRUNCATING integer-divided means (Spark ``div`` == DuckDB ``//``,
+    sign-safe), margins divide exact integers, and every selection
+    window carries an id tiebreak."""
+    e = table(spark, sf_dir, "embeddings")
+    nrm = e.select(
+        "vec_id",
+        (F.col("label") % 2).alias("side"),
+        F.col("embedding").alias("v0"),
+        F.sqrt(l2_norm_sq("embedding")).alias("nn"),
+    )
+    normed = nrm.where(F.col("nn") > 0).select(
+        "vec_id",
+        "side",
+        F.transform(F.col("v0"), lambda x: x.cast("double") / F.col("nn")).alias(
+            "e"
+        ),
+    )
+    asg = ivf_assign_fixed(normed, vec_col="e", passthrough=("side", "e")).select(
+        "vec_id", "side", "e", "cluster"
+    )
+    asg = asg.localCheckpoint(eager=True)  # both pair sides read it
+    a = asg.where(F.col("side") == 0).select(
+        "cluster", F.col("vec_id").alias("a_id"), F.col("e").alias("ea")
+    )
+    b = asg.where(F.col("side") == 1).select(
+        "cluster", F.col("vec_id").alias("b_id"), F.col("e").alias("eb")
+    )
+    pairs = (
+        a.join(b.hint("shuffle_merge"), "cluster")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(dot(F.col("ea"), F.col("eb")) * F.lit(1e12))
+            .cast("long")
+            .alias("cos_fp"),
+        )
+        .localCheckpoint(eager=True)  # 3 consumers: dax, dby, scored
+    )
+    from pyspark.sql import Window
+
+    wa = Window.partitionBy("a_id").orderBy(F.col("cos_fp").desc(), "b_id")
+    wb = Window.partitionBy("b_id").orderBy(F.col("cos_fp").desc(), "a_id")
+    # Mean of the top-4 cosines via TRUNCATING integer division (Spark
+    # SQL ``div``), matching DuckDB ``//`` — NOT functions.exact.int_div,
+    # which floors and would diverge on a negative top-4 sum (possible
+    # when an anchor's best cross-side cosines are all negative); the
+    # q183 signed-fixed-point precedent.
+    dax = (
+        pairs.withColumn("rn", F.row_number().over(wa))
+        .where(F.col("rn") <= 4)
+        .groupBy("a_id")
+        .agg(F.sum("cos_fp").alias("s"), F.count("*").alias("c"))
+        .select("a_id", F.expr("s div c").alias("den_a"))
+    )
+    dby = (
+        pairs.withColumn("rn", F.row_number().over(wb))
+        .where(F.col("rn") <= 4)
+        .groupBy("b_id")
+        .agg(F.sum("cos_fp").alias("s"), F.count("*").alias("c"))
+        .select("b_id", F.expr("s div c").alias("den_b"))
+    )
+    scored = (
+        pairs.join(dax.hint("shuffle_merge"), "a_id")
+        .join(dby.hint("shuffle_merge"), "b_id")
+        .where(F.col("den_a") + F.col("den_b") > 0)
+        .select(
+            "a_id",
+            "b_id",
+            "cos_fp",
+            (
+                (F.lit(2) * F.col("cos_fp")).cast("double")
+                / (F.col("den_a") + F.col("den_b"))
+            ).alias("margin"),
+        )
+        .localCheckpoint(eager=True)  # besta, bestb, final join
+    )
+    wma = Window.partitionBy("a_id").orderBy(F.col("margin").desc(), "b_id")
+    wmb = Window.partitionBy("b_id").orderBy(F.col("margin").desc(), "a_id")
+    besta = (
+        scored.withColumn("rn", F.row_number().over(wma))
+        .where(F.col("rn") == 1)
+        .select("a_id", "b_id")
+    )
+    bestb = (
+        scored.withColumn("rn", F.row_number().over(wmb))
+        .where(F.col("rn") == 1)
+        .select("a_id", "b_id")
+    )
+    return (
+        scored.join(besta.hint("shuffle_merge"), ["a_id", "b_id"])
+        .join(bestb.hint("shuffle_merge"), ["a_id", "b_id"])
+        .select(
+            "a_id",
+            "b_id",
+            (F.col("cos_fp").cast("double") / F.lit(1e12)).alias("cosine"),
+            (F.round(F.col("margin") * F.lit(1e9)).cast("long") / F.lit(1e9)).alias(
+                "margin"
+            ),
+        )
+        .orderBy(F.col("margin").desc(), "a_id")
+        .limit(20)
+    )

@@ -1546,3 +1546,20 @@ def test_rm3_bounded_broadcasts_substrate_only_scans(spark):
     assert "TakeOrderedAndProject" in p
     assert "SortMergeJoin" in p  # the dl joins
     assert "CartesianProduct" not in p
+
+
+def test_bitext_margin_final_plan_reads_scored_checkpoint(spark):
+    """q246: the FINAL plan reads only the checkpointed margin-scored
+    pair table (normalize/assign/pair/denominator work all landed in
+    upstream checkpoints — no corpus FileScan, no re-derivation of the
+    pair fan-out for each of the 3 consumers); the two mutual-best
+    joins stay pinned shuffle-merge (both sides are the unbounded
+    scored-pair table Catalyst's static stats would broadcast at test
+    scale); top-20 is TakeOrderedAndProject."""
+    p = plan_of(spark, "q246_margin_bitext_mining")
+    assert "FileScan" not in p
+    assert p.count("Scan ExistingRDD") == 3  # besta, bestb, final join
+    assert p.count("SortMergeJoin") == 2
+    assert "BroadcastHashJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p

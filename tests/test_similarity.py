@@ -360,3 +360,93 @@ def test_ivf_portable_topk_exact_within_probed_cells(spark, embeddings):
         ((r.d2, r.vec_id) for r in brute if asg[r.vec_id] in probed)
     )[: len(got)]
     assert [(r.d2, r.vec_id) for r in got] == in_cells
+
+
+def test_q246_margin_matches_python_replay_and_is_mutual(spark):
+    """q246: a pure-Python replay of the whole mining recipe — sequential
+    IEEE folds for norms/cosines (bit-identical to the engine's
+    ``aggregate`` fold), fixed-IVF argmin assignment, in-cell cross-side
+    pairs, 1e-12 fixed-point HALF_UP rounding, TRUNCATING top-4 mean
+    denominators, ratio margin, mutual-best intersection — must
+    reproduce the query's top-20 EXACTLY; mutual-best additionally
+    implies each endpoint id appears at most once."""
+    import math
+
+    from database_migrator_spark.operators.similarity import FIXED_IVF_CENTROIDS
+    from database_migrator_spark.plans.registry import all_queries
+
+    from .conftest import SF_SMOKE
+
+    rows = table(spark, SF_SMOKE, "embeddings").collect()
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    # normalize + assign (argmin ties -> lowest cluster id)
+    sides, cells, normed = {}, {}, {}
+    for r in rows:
+        nn = math.sqrt(fold_dot(r.embedding, r.embedding))
+        if nn <= 0:
+            continue
+        e = [float(x) / nn for x in r.embedding]
+        best = min(
+            (sum((ei - ci) ** 2 for ei, ci in zip(e, c)), j)
+            for j, c in enumerate(FIXED_IVF_CENTROIDS)
+        )[1]
+        normed[r.vec_id], cells[r.vec_id], sides[r.vec_id] = e, best, r.label % 2
+
+    def round_half_up(v):  # Spark ROUND(double) / DuckDB ROUND: half away from 0
+        return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+    pairs = {}
+    for a in normed:
+        if sides[a] != 0:
+            continue
+        for b in normed:
+            if sides[b] == 1 and cells[a] == cells[b]:
+                pairs[(a, b)] = round_half_up(fold_dot(normed[a], normed[b]) * 1e12)
+    assert pairs, "planted corpus must produce in-cell cross-side pairs"
+
+    def trunc_mean_top4(items):  # Spark `div` == DuckDB `//`: trunc toward 0
+        top = sorted(items, key=lambda t: (-t[0], t[1]))[:4]
+        s, c = sum(t[0] for t in top), len(top)
+        q = abs(s) // c
+        return q if s >= 0 else -q
+
+    den_a = {
+        a: trunc_mean_top4([(fp, b) for (x, b), fp in pairs.items() if x == a])
+        for a in {x for x, _ in pairs}
+    }
+    den_b = {
+        b: trunc_mean_top4([(fp, a) for (a, y), fp in pairs.items() if y == b])
+        for b in {y for _, y in pairs}
+    }
+    scored = {
+        (a, b): (2 * fp) / (den_a[a] + den_b[b])
+        for (a, b), fp in pairs.items()
+        if den_a[a] + den_b[b] > 0
+    }
+    best_a = {}
+    best_b = {}
+    for (a, b), m in scored.items():
+        if a not in best_a or (-m, b) < (-scored[(a, best_a[a])], best_a[a]):
+            best_a[a] = b
+        if b not in best_b or (-m, a) < (-scored[(best_b[b], b)], best_b[b]):
+            best_b[b] = a
+    mutual = [
+        (a, b, pairs[(a, b)] / 1e12, round_half_up(scored[(a, b)] * 1e9) / 1e9)
+        for (a, b) in scored
+        if best_a[a] == b and best_b[b] == a
+    ]
+    expect = sorted(mutual, key=lambda t: (-t[3], t[0]))[:20]
+
+    got = [
+        (r.a_id, r.b_id, r.cosine, r.margin)
+        for r in all_queries()["q246_margin_bitext_mining"].build(spark, SF_SMOKE).collect()
+    ]
+    assert got == expect
+    assert len({a for a, *_ in got}) == len(got)  # each anchor at most once
+    assert len({b for _, b, *_ in got}) == len(got)
