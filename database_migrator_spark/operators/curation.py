@@ -1364,3 +1364,86 @@ def q221_kmv_distinct_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("scope")
     )
+
+
+@query(
+    "q249_training_shuffle_shard",
+    oracle="""
+    WITH k AS (
+        SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ), keyed AS (
+        SELECT doc_id, source,
+               CAST('0x' || substr(h, 1, 4) AS BIGINT) % 8 AS shard,
+               substr(h, 5, 12) AS okey
+        FROM k
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                                   ORDER BY okey, doc_id) - 1 AS BIGINT) AS pos,
+           doc_id, source
+    FROM keyed
+    ORDER BY shard, pos
+    """,
+    tags=("curation", "shuffle", "sharding", "llm-pipeline"),
+)
+def q249_training_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle — the manifest stage
+    between curation and the trainer: every document gets a (shard,
+    position) under a pseudo-random permutation, so epoch order is
+    decorrelated from ingest order (adjacent crawl/source runs would
+    otherwise land in the same batches). Keys are md5 slices of the
+    doc_id (the q121/q242 trick): engine-reproducible and Spark-retry-
+    safe where rand() is neither — a re-run, a failed-task retry, and
+    the DuckDB oracle all produce the SAME permutation.
+
+    Scale shape: the shuffle is hierarchical, never a global sort —
+    shard = 4 hex chars mod 8 (a parameter; at 100 TB it is the trainer
+    data-parallel degree), and WITHIN a shard the position comes from
+    the q94 two-level prefix sum: row_number runs per (shard, first
+    okey hex char) — 16 parallel tasks per shard whose order concats
+    correctly because the bucket char is a monotone prefix of the order
+    key — and the 128-row bucket-count table takes the only
+    single-partition window before broadcasting back. No task ever
+    sorts a whole shard."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    keyed = d.select(
+        "doc_id",
+        "source",
+        (F.conv(F.substring("h", 1, 4), 16, 10).cast("long") % 8).alias("shard"),
+        F.substring("h", 5, 12).alias("okey"),
+        F.substring("h", 5, 1).alias("_bucket"),
+    )
+    from pyspark.sql import Window
+
+    # Level 1: dense rank within (shard, bucket) — 128-way parallel.
+    w_local = Window.partitionBy("shard", "_bucket").orderBy("okey", "doc_id")
+    # Level 2: exclusive prefix of bucket sizes per shard — 128 rows total,
+    # the only single-partition-per-shard window, then a broadcast join.
+    w_buckets = (
+        Window.partitionBy("shard")
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bucket_base = (
+        keyed.groupBy("shard", "_bucket")
+        .agg(F.count("*").alias("_n"))
+        .withColumn(
+            "_base",
+            F.coalesce(F.sum("_n").over(w_buckets), F.lit(0).cast("long")),
+        )
+        .select("shard", "_bucket", "_base")
+    )
+    return (
+        keyed.withColumn("_rn", F.row_number().over(w_local))
+        .join(F.broadcast(bucket_base), ["shard", "_bucket"])
+        .select(
+            "shard",
+            (F.col("_base") + F.col("_rn") - 1).cast("long").alias("pos"),
+            "doc_id",
+            "source",
+        )
+        .orderBy("shard", "pos")
+    )

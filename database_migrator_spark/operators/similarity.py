@@ -1925,3 +1925,171 @@ def q246_margin_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("margin").desc(), "a_id")
         .limit(20)
     )
+
+
+@query(
+    "q248_hard_negative_mining",
+    oracle=f"""
+    WITH cents(cluster, c) AS (
+        VALUES {{CENTS}}
+    ), nrm AS (
+        SELECT vec_id, label,
+               sqrt(list_reduce(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                    (p, q) -> p + q)) AS nn,
+               embedding
+        FROM embeddings
+    ), n AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE) / nn) AS e
+        FROM nrm WHERE nn > 0
+    ), asg AS (
+        SELECT vec_id, label, e, cluster FROM (
+            SELECT n.vec_id, n.label, n.e, cents.cluster,
+                   row_number() OVER (PARTITION BY n.vec_id
+                       ORDER BY list_reduce(list_transform(
+                           range(1, {{DIM}} + 1),
+                           i -> (e[i] - c[i]) * (e[i] - c[i])),
+                           (x, y) -> x + y), cents.cluster) AS rn
+            FROM n CROSS JOIN cents
+        ) WHERE rn = 1
+    ), pairs AS (
+        SELECT a.vec_id AS a_id, a.label AS a_lab,
+               b.vec_id AS b_id, b.label AS b_lab,
+               CAST(ROUND(list_reduce(list_transform(
+                   range(1, {{DIM}} + 1),
+                   i -> a.e[i] * b.e[i]), (x, y) -> x + y)
+                   * 1000000000000) AS BIGINT) AS cos_fp
+        FROM asg a JOIN asg b
+          ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+    ), pos AS (
+        SELECT a_id, b_id AS pos_id, cos_fp AS pos_fp FROM (
+            SELECT a_id, b_id, cos_fp,
+                   row_number() OVER (PARTITION BY a_id
+                                      ORDER BY cos_fp DESC, b_id) AS rn
+            FROM pairs WHERE a_lab = b_lab) WHERE rn = 1
+    ), neg AS (
+        SELECT a_id, b_id AS neg_id, cos_fp AS neg_fp, rn AS neg_rank FROM (
+            SELECT a_id, b_id, cos_fp,
+                   row_number() OVER (PARTITION BY a_id
+                                      ORDER BY cos_fp DESC, b_id) AS rn
+            FROM pairs WHERE a_lab <> b_lab) WHERE rn <= 3
+    )
+    SELECT p.a_id AS anchor_id, p.pos_id,
+           CAST(g.neg_rank AS BIGINT) AS neg_rank, g.neg_id,
+           CAST(p.pos_fp AS DOUBLE) / 1000000000000.0 AS pos_cos,
+           CAST(g.neg_fp AS DOUBLE) / 1000000000000.0 AS neg_cos,
+           CASE WHEN g.neg_fp >= p.pos_fp THEN 'hard'
+                WHEN g.neg_fp > p.pos_fp - 200000000000 THEN 'semi_hard'
+                ELSE 'easy' END AS tier
+    FROM pos p JOIN neg g USING (a_id)
+    ORDER BY anchor_id, neg_rank
+    """.replace("{CENTS}", _fixed_ivf_centroids_sql()).replace(
+        "{DIM}", str(_FIXED_IVF_DIM)
+    ),
+    tags=("similarity", "hard-negatives", "contrastive", "llm-pipeline"),
+    checkpointed_substrate=True,
+)
+def q248_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet mining for contrastive embedding training (the FaceNet /
+    sentence-transformers recipe): for every anchor, its POSITIVE is the
+    most-similar same-label in-cell neighbor and its top-3 NEGATIVES are
+    the most-similar different-label in-cell neighbors, each graded
+    'hard' (scores above the positive — an active margin violation),
+    'semi_hard' (within the 0.2 cosine margin — FaceNet's sweet spot:
+    informative but not label-noise-suspect) or 'easy'. Random negatives
+    make contrastive losses collapse; this mined set IS the training
+    data an embedding-model pipeline feeds back into itself.
+
+    Scale shape: candidates are generated ONLY within a fixed-coarse-
+    quantizer cell (Σ m_c² fan-out, never N² — in production the trained
+    IVF assignment, and hard negatives are by definition nearby, so cell
+    locality loses only easy pairs); the assigned frame is checkpointed
+    and self-joined shuffle-merge; the checkpointed pair table feeds the
+    positive and negative rank windows; the pos⋈neg join of two
+    unbounded derived tables stays pinned shuffle-merge. Determinism:
+    1e-12 fixed-point cosines (identical folds), id tiebreaks on both
+    rank windows, margin compared in exact BIGINT fixed point."""
+    e = table(spark, sf_dir, "embeddings")
+    nrm = e.select(
+        "vec_id",
+        "label",
+        F.col("embedding").alias("v0"),
+        F.sqrt(l2_norm_sq("embedding")).alias("nn"),
+    )
+    normed = nrm.where(F.col("nn") > 0).select(
+        "vec_id",
+        "label",
+        F.transform(F.col("v0"), lambda x: x.cast("double") / F.col("nn")).alias(
+            "e"
+        ),
+    )
+    asg = ivf_assign_fixed(normed, vec_col="e", passthrough=("label", "e")).select(
+        "vec_id", "label", "e", "cluster"
+    )
+    asg = asg.localCheckpoint(eager=True)  # both self-join sides read it
+    a = asg.select(
+        "cluster",
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_lab"),
+        F.col("e").alias("ea"),
+    )
+    b = asg.select(
+        "cluster",
+        F.col("vec_id").alias("b_id"),
+        F.col("label").alias("b_lab"),
+        F.col("e").alias("eb"),
+    )
+    pairs = (
+        a.join(b.hint("shuffle_merge"), "cluster")
+        .where(F.col("a_id") != F.col("b_id"))
+        .select(
+            "a_id",
+            "a_lab",
+            "b_id",
+            "b_lab",
+            F.round(dot(F.col("ea"), F.col("eb")) * F.lit(1e12))
+            .cast("long")
+            .alias("cos_fp"),
+        )
+        .localCheckpoint(eager=True)  # consumers: pos branch, neg branch
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("a_id").orderBy(F.col("cos_fp").desc(), "b_id")
+    pos = (
+        pairs.where(F.col("a_lab") == F.col("b_lab"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("a_id", F.col("b_id").alias("pos_id"), F.col("cos_fp").alias("pos_fp"))
+    )
+    neg = (
+        pairs.where(F.col("a_lab") != F.col("b_lab"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "a_id",
+            F.col("b_id").alias("neg_id"),
+            F.col("cos_fp").alias("neg_fp"),
+            F.col("rn").cast("long").alias("neg_rank"),
+        )
+    )
+    return (
+        pos.join(neg.hint("shuffle_merge"), "a_id")
+        .select(
+            F.col("a_id").alias("anchor_id"),
+            "pos_id",
+            "neg_rank",
+            "neg_id",
+            (F.col("pos_fp").cast("double") / F.lit(1e12)).alias("pos_cos"),
+            (F.col("neg_fp").cast("double") / F.lit(1e12)).alias("neg_cos"),
+            F.when(F.col("neg_fp") >= F.col("pos_fp"), F.lit("hard"))
+            .when(
+                F.col("neg_fp") > F.col("pos_fp") - F.lit(200_000_000_000),
+                F.lit("semi_hard"),
+            )
+            .otherwise(F.lit("easy"))
+            .alias("tier"),
+        )
+        .orderBy("anchor_id", "neg_rank")
+    )

@@ -3142,3 +3142,126 @@ def q239_nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("duration_h")
     )
+
+
+@query(
+    "q247_calibration_report",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               COUNT(*) FILTER (WHERE event_type = 'view')  AS v,
+               COUNT(*) FILTER (WHERE event_type = 'click') AS c,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        FROM events GROUP BY 1, 2
+    ), s AS (
+        SELECT (1000000 * (c + 1)) // (v + c + 2) AS conf_fp, y FROM u
+    ), b AS (
+        SELECT conf_fp // 100000 AS bin,
+               CAST(COUNT(*) AS BIGINT)      AS n,
+               CAST(SUM(y) AS BIGINT)        AS n_pos,
+               CAST(SUM(conf_fp) AS BIGINT)  AS sum_conf_fp
+        FROM s GROUP BY 1
+    ), g AS (
+        SELECT bin, n, n_pos,
+               sum_conf_fp // n AS mean_conf_fp,
+               (1000000 * n_pos) // n AS acc_fp,
+               abs((1000000 * n_pos) // n - sum_conf_fp // n) AS gap_fp
+        FROM b
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, n AS n_units, n_pos,
+           CAST(mean_conf_fp AS DOUBLE) / 1000000.0 AS mean_conf,
+           CAST(acc_fp AS DOUBLE) / 1000000.0       AS frac_pos,
+           CAST(gap_fp AS DOUBLE) / 1000000.0       AS gap
+    FROM g
+    UNION ALL
+    SELECT -1,
+           CAST(SUM(n) AS BIGINT),
+           CAST(SUM(n_pos) AS BIGINT),
+           CAST(CAST(SUM(n * mean_conf_fp) AS BIGINT)
+                // CAST(SUM(n) AS BIGINT) AS DOUBLE) / 1000000.0,
+           CAST((1000000 * CAST(SUM(n_pos) AS BIGINT))
+                // CAST(SUM(n) AS BIGINT) AS DOUBLE) / 1000000.0,
+           CAST(CAST(SUM(n * gap_fp) AS BIGINT)
+                // CAST(SUM(n) AS BIGINT) AS DOUBLE) / 1000000.0
+    FROM g
+    ORDER BY bin
+    """,
+    tags=("statistics", "calibration", "monitoring", "experimentation"),
+    checkpointed_substrate=True,
+)
+def q247_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + Expected Calibration Error for a propensity
+    score — the CALIBRATION half of classifier monitoring that the drift
+    family (q177/q208) and rank tests (q179/q240) don't cover: a score
+    can discriminate perfectly yet be badly calibrated, and miscalibrated
+    data-quality classifiers silently skew threshold-filtered corpora.
+    Unit = (user, day); score = Laplace-smoothed click share
+    (c+1)/(v+c+2) — a deterministic integer-ratio propensity (no exp():
+    libm transcendentals aren't bit-portable across engines); outcome =
+    purchased that day. Ten equal-width bins; per bin the mean
+    confidence, empirical positive rate and |gap|; the bin=-1 row is the
+    whole-corpus readout whose gap column IS the ECE (the n-weighted
+    mean |gap| — Naeini/Guo et al.'s estimator).
+
+    Exactness: scores live in 1e-6 fixed point via non-negative integer
+    floor division (Spark int_div == DuckDB // on non-negatives), bin =
+    conf_fp DIV 1e5 (strictly < 1e6, so bins 0..9 with no clamp), every
+    per-bin statistic is a BIGINT, and the ECE numerator Σ n_b·gap_fp_b
+    stays under 1e6·N — exact past 2^53 units. The ≤10-row per-bin frame
+    is checkpointed once and feeds both the per-bin projection and the
+    ALL-row re-aggregate (the q220 doubled-FileScan lesson)."""
+    e = table(spark, sf_dir, "events")
+    u = e.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("v"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("c"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("y"),
+    )
+    s = u.select(
+        int_div(
+            F.lit(1_000_000) * (F.col("c") + 1), F.col("v") + F.col("c") + 2
+        ).alias("conf_fp"),
+        "y",
+    )
+    b = s.groupBy(int_div(F.col("conf_fp"), 100_000).alias("bin")).agg(
+        F.count("*").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum("conf_fp").alias("sum_conf_fp"),
+    )
+    g = b.select(
+        "bin",
+        "n",
+        "n_pos",
+        int_div(F.col("sum_conf_fp"), F.col("n")).alias("mean_conf_fp"),
+        int_div(F.lit(1_000_000) * F.col("n_pos"), F.col("n")).alias("acc_fp"),
+    ).withColumn(
+        "gap_fp", F.abs(F.col("acc_fp") - F.col("mean_conf_fp"))
+    ).localCheckpoint(eager=True)  # <= 10 rows; per-bin projection + ALL row
+    per_bin = g.select(
+        "bin",
+        F.col("n").alias("n_units"),
+        "n_pos",
+        (F.col("mean_conf_fp").cast("double") / F.lit(1e6)).alias("mean_conf"),
+        (F.col("acc_fp").cast("double") / F.lit(1e6)).alias("frac_pos"),
+        (F.col("gap_fp").cast("double") / F.lit(1e6)).alias("gap"),
+    )
+    all_row = g.agg(
+        F.sum("n").alias("N"),
+        F.sum("n_pos").alias("P"),
+        F.sum(F.col("n") * F.col("mean_conf_fp")).alias("SC"),
+        F.sum(F.col("n") * F.col("gap_fp")).alias("SG"),
+    ).select(
+        F.lit(-1).cast("long").alias("bin"),
+        F.col("N").alias("n_units"),
+        F.col("P").alias("n_pos"),
+        (int_div(F.col("SC"), F.col("N")).cast("double") / F.lit(1e6)).alias(
+            "mean_conf"
+        ),
+        (
+            int_div(F.lit(1_000_000) * F.col("P"), F.col("N")).cast("double")
+            / F.lit(1e6)
+        ).alias("frac_pos"),
+        (int_div(F.col("SG"), F.col("N")).cast("double") / F.lit(1e6)).alias("gap"),
+    )
+    return per_bin.unionByName(all_row).orderBy("bin")

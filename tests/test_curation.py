@@ -239,3 +239,40 @@ def test_countmin_sketch_is_mergeable(spark):
     for r in list(h1) + list(h2):
         merged[(r.j, r.p)] = merged.get((r.j, r.p), 0) + r.cnt
     assert merged == full
+
+
+def test_shuffle_shard_is_dense_permutation_and_interleaves(spark):
+    """q249: the manifest must be a PERMUTATION — every doc exactly once,
+    positions dense 0..n_k−1 within each shard — the within-shard order
+    must equal the md5-slice order (two-level prefix sum == the direct
+    single-window answer), and the shuffle must actually decorrelate:
+    every shard mixes several sources and, unlike ingest order, adjacent
+    positions are not source-runs."""
+    import hashlib
+    from collections import defaultdict
+
+    from database_migrator_spark.plans.registry import all_queries
+
+    rows = (
+        all_queries()["q249_training_shuffle_shard"]
+        .build(spark, SF_SMOKE)
+        .collect()
+    )
+    docs = {r.doc_id: r.source for r in table(spark, SF_SMOKE, "documents").collect()}
+    assert sorted(r.doc_id for r in rows) == sorted(docs)
+    by_shard = defaultdict(list)
+    for r in rows:
+        by_shard[r.shard].append(r)
+    assert set(by_shard) <= set(range(8))
+    for shard, rs in by_shard.items():
+        assert sorted(r.pos for r in rs) == list(range(len(rs)))
+        # two-level prefix sum == direct order by (md5 slice, doc_id)
+        def key(r):
+            h = hashlib.md5(str(r.doc_id).encode()).hexdigest()
+            assert int(h[:4], 16) % 8 == shard
+            return (h[4:16], r.doc_id)
+
+        assert [r.doc_id for r in sorted(rs, key=lambda r: r.pos)] == [
+            r.doc_id for r in sorted(rs, key=key)
+        ]
+        assert len({r.source for r in rs}) >= 3  # shards interleave sources

@@ -1563,3 +1563,45 @@ def test_bitext_margin_final_plan_reads_scored_checkpoint(spark):
     assert "BroadcastHashJoin" not in p
     assert "CartesianProduct" not in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_calibration_final_plan_reads_bin_checkpoint(spark):
+    """q247: the corpus lands in the ≤10-row per-bin checkpoint in one
+    pass; the final plan (per-bin projection ∪ ALL-row re-aggregate)
+    reads ONLY that checkpoint — no FileScan, no join, and the one
+    single-partition exchange feeds the bounded bin table, never corpus
+    rows (the q220 doubled-pipeline failure mode)."""
+    p = plan_of(spark, "q247_calibration_report")
+    assert "FileScan" not in p
+    assert p.count("Scan ExistingRDD") == 2  # per-bin projection + ALL row
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_hard_negative_branches_read_pair_checkpoint(spark):
+    """q248: the positive and negative rank branches both read the
+    checkpointed in-cell pair table (the pair fan-out — the dominant
+    cost — is computed once); their join stays pinned shuffle-merge
+    (two unbounded derived tables Catalyst's static stats would
+    broadcast at test scale); no cartesian anywhere."""
+    p = plan_of(spark, "q248_hard_negative_mining")
+    assert "FileScan" not in p
+    assert p.count("Scan ExistingRDD") == 2  # pos branch + neg branch
+    assert p.count("SortMergeJoin") == 1  # pos ⋈ neg, pinned
+    assert "BroadcastHashJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_shuffle_shard_two_level_prefix_sum_shape(spark):
+    """q249: the within-shard position must come from the two-level
+    prefix sum — the per-(shard, bucket) rank window plus the bounded
+    128-row bucket-base window broadcast back (BroadcastHashJoin) — with
+    NO single-partition exchange and NO corpus-wide sort-merge join; the
+    corpus is touched twice but both scans are column-pruned (doc_id,
+    source vs doc_id alone for the bucket counts)."""
+    p = plan_of(spark, "q249_training_shuffle_shard")
+    assert p.count("FileScan") == 2
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "Exchange SinglePartition" not in p
+    assert "CartesianProduct" not in p

@@ -450,3 +450,73 @@ def test_q246_margin_matches_python_replay_and_is_mutual(spark):
     assert got == expect
     assert len({a for a, *_ in got}) == len(got)  # each anchor at most once
     assert len({b for _, b, *_ in got}) == len(got)
+
+
+def test_q248_triplets_match_numpy_brute_force(spark):
+    """q248: positives, negative ranks and tier grades must agree with a
+    numpy brute force restricted to the same fixed-IVF cells — the
+    positive is the same-label in-cell argmax, negatives are the top-3
+    different-label in-cell cosines, tiers partition by the exact
+    fixed-point margin; every anchor with a same-label neighbor AND a
+    different-label neighbor in its cell appears, each at most 3 times."""
+    import math
+
+    from database_migrator_spark.operators.similarity import FIXED_IVF_CENTROIDS
+    from database_migrator_spark.plans.registry import all_queries
+
+    from .conftest import SF_SMOKE
+
+    rows = table(spark, SF_SMOKE, "embeddings").collect()
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    normed, cells, labels = {}, {}, {}
+    for r in rows:
+        nn = math.sqrt(fold_dot(r.embedding, r.embedding))
+        if nn <= 0:
+            continue
+        e = [float(x) / nn for x in r.embedding]
+        best = min(
+            (sum((ei - ci) ** 2 for ei, ci in zip(e, c)), j)
+            for j, c in enumerate(FIXED_IVF_CENTROIDS)
+        )[1]
+        normed[r.vec_id], cells[r.vec_id], labels[r.vec_id] = e, best, r.label
+
+    def rhu(v):
+        return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+    expect = []
+    for a in sorted(normed):
+        same, diff = [], []
+        for b in normed:
+            if b == a or cells[b] != cells[a]:
+                continue
+            fp = rhu(fold_dot(normed[a], normed[b]) * 1e12)
+            (same if labels[b] == labels[a] else diff).append((-fp, b))
+        if not same or not diff:
+            continue
+        pos_negfp, pos_id = min(same)
+        for rank, (nfp, nid) in enumerate(sorted(diff)[:3], start=1):
+            pos_fp, neg_fp = -pos_negfp, -nfp
+            tier = (
+                "hard"
+                if neg_fp >= pos_fp
+                else "semi_hard"
+                if neg_fp > pos_fp - 200_000_000_000
+                else "easy"
+            )
+            expect.append(
+                (a, pos_id, rank, nid, pos_fp / 1e12, neg_fp / 1e12, tier)
+            )
+    got = [
+        (r.anchor_id, r.pos_id, r.neg_rank, r.neg_id, r.pos_cos, r.neg_cos, r.tier)
+        for r in all_queries()["q248_hard_negative_mining"].build(spark, SF_SMOKE).collect()
+    ]
+    assert got == expect
+    from collections import Counter
+
+    assert all(v <= 3 for v in Counter(a for a, *_ in got).values())

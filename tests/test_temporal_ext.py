@@ -426,3 +426,51 @@ def test_nelson_aalen_lifetable_invariants(spark):
         assert abs(r.cum_hazard - expect / 1e12) < 1e-15
         assert r.cum_hazard > prev_h
         prev_risk, prev_h = r.n_risk, r.cum_hazard
+
+
+def test_calibration_report_matches_python_replay(spark):
+    """q247: a plain-Python replay over the collected (user, day) units —
+    Laplace-smoothed integer-ratio confidences, floor-division fixed
+    point, 10 equal-width bins, n-weighted ECE — must reproduce every
+    per-bin row AND the bin=-1 ALL row exactly; basic reliability-table
+    invariants hold (bins in range, counts tile the units, gap =
+    |frac_pos − mean_conf| up to the two floors)."""
+    from collections import defaultdict
+
+    from database_migrator_spark.plans.registry import all_queries
+    from database_migrator_spark.sources import table
+
+    from .conftest import SF_SMOKE
+
+    e = table(spark, SF_SMOKE, "events").select("user_id", F.to_date("ts").alias("d"), "event_type").collect()
+    agg = defaultdict(lambda: [0, 0, 0])  # (user, d) -> [v, c, y]
+    for r in e:
+        a = agg[(r.user_id, r.d)]
+        if r.event_type == "view":
+            a[0] += 1
+        elif r.event_type == "click":
+            a[1] += 1
+        elif r.event_type == "purchase":
+            a[2] = 1
+    bins = defaultdict(lambda: [0, 0, 0])  # bin -> [n, n_pos, sum_conf_fp]
+    for v, c, y in agg.values():
+        conf_fp = (1_000_000 * (c + 1)) // (v + c + 2)
+        b = bins[conf_fp // 100_000]
+        b[0] += 1
+        b[1] += y
+        b[2] += conf_fp
+    expect, N, P, SC, SG = [], 0, 0, 0, 0
+    for bn in sorted(bins):
+        n, n_pos, sc = bins[bn]
+        mean_fp, acc_fp = sc // n, (1_000_000 * n_pos) // n
+        gap_fp = abs(acc_fp - mean_fp)
+        N, P, SC, SG = N + n, P + n_pos, SC + n * mean_fp, SG + n * gap_fp
+        expect.append((bn, n, n_pos, mean_fp / 1e6, acc_fp / 1e6, gap_fp / 1e6))
+    all_row = (-1, N, P, (SC // N) / 1e6, ((1_000_000 * P) // N) / 1e6, (SG // N) / 1e6)
+    got = [
+        (r.bin, r.n_units, r.n_pos, r.mean_conf, r.frac_pos, r.gap)
+        for r in all_queries()["q247_calibration_report"].build(spark, SF_SMOKE).collect()
+    ]
+    assert got == [all_row] + expect
+    assert all(0 <= b <= 9 for b, *_ in expect)
+    assert sum(n for _, n, *_ in expect) == N and N == len(agg)
