@@ -220,6 +220,22 @@ PROBE_QUERIES = [
     "q231_point_in_time_features",
     "q232_conversion_wilson_ci",
     "q233_cuped_adjusted_lift",
+    "q234_minhash_lsh_portable",
+    "q235_srp_lsh_topk_portable",
+    "q236_ivf_topk_portable",
+    "q237_bm25_maxscore_topk",
+    "q238_simhash_hamming_portable",
+    "q239_nelson_aalen_hazard",
+    "q240_kruskal_wallis_value",
+    "q241_textrank_keywords",
+    "q242_bootstrap_ci_daily_revenue",
+    "q243_kneser_ney_bigram_score",
+    "q244_video_shot_boundaries",
+    "q245_rm3_expansion_rescore",
+    "q246_margin_bitext_mining",
+    "q247_calibration_report",
+    "q248_hard_negative_mining",
+    "q249_training_shuffle_shard",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
