@@ -109,7 +109,13 @@ def query(
 # run the whole catalog.  tests/test_bench_contract.py pins the
 # resulting first-50 list so a refactor cannot silently reorder the
 # gate.
-_NEVER_GATED = {f"q{i}" for i in range(234, 270)} | {"q59"}  # q59: oracle upgraded r10
+# Rank-0 budget: the 50-row window must hold ALL 33 r05-stale residue
+# names, so at most 17 never-gated names may precede them. q234-q249
+# (+ q59's upgraded oracle) fill that budget EXACTLY; later round-10
+# additions (q250+) therefore queue at rank 1.5 — first AFTER the
+# window, becoming rank 0 when the post-r10-gate rotation runs.
+_NEVER_GATED = {f"q{i}" for i in range(234, 250)} | {"q59"}  # q59: oracle upgraded r10
+_QUEUED_NEXT = {f"q{i}" for i in range(250, 280)}
 _R05_STALE = ({f"q{i}" for i in range(112, 144)} - {"q115", "q119"}) | {"q51", "q94", "q96"}
 _R06_FRESH = ({f"q{i:02d}" for i in range(52, 100)} - {"q59", "q94", "q96"}) | {"q115", "q119", "q144"}
 # gated green in r08/r09 — the freshest signal
@@ -151,12 +157,14 @@ def all_queries() -> dict[str, DeclaredQuery]:
             return (0, name)
         if qid in _R05_STALE:
             return (1, name)
+        if qid in _QUEUED_NEXT:
+            return (2, name)  # outside the full r10 window; rank 0 in r11
         if qid in _R06_FRESH:
-            return (2, name)
+            return (3, name)
         if qid in _R08_FRESH:
-            return (4, name)
-        if qid in _R09_FRESH:
             return (5, name)
-        return (3, name)  # r07-gated (q01-q37, q145-q158)
+        if qid in _R09_FRESH:
+            return (6, name)
+        return (4, name)  # r07-gated (q01-q37, q145-q158)
 
     return dict(sorted(_REGISTRY.items(), key=lambda kv: rank(kv[0])))

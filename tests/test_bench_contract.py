@@ -97,11 +97,20 @@ def test_gate_order_front_loads_stale_signal_set():
     never_gated = sorted(
         n.split("_", 1)[0]
         for n in names
-        if n.split("_", 1)[0] in ({f"q{i}" for i in range(234, 270)} | {"q59"})
+        if n.split("_", 1)[0] in ({f"q{i}" for i in range(234, 250)} | {"q59"})
     )
     n_new = len(never_gated)
     assert n_new <= 17, "rank-0 additions would starve the r05-stale refresh"
     assert gate[:n_new] == never_gated
+    # later round-10 additions (q250+) must queue OUTSIDE the full
+    # 50-row window — first in line for the post-r10-gate rotation —
+    # never displacing a stale row
+    queued = {
+        n.split("_", 1)[0] for n in names if n.split("_", 1)[0] in {f"q{i}" for i in range(250, 280)}
+    }
+    if queued:
+        post_window = [n.split("_", 1)[0] for n in names[50:]]
+        assert post_window[: len(queued)] == sorted(queued)
     r05_stale = sorted(
         ({f"q{i}" for i in range(112, 144)} - {"q115", "q119"}) | {"q51", "q94", "q96"}
     )
