@@ -3265,3 +3265,533 @@ def q247_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int_div(F.col("SG"), F.col("N")).cast("double") / F.lit(1e6)).alias("gap"),
     )
     return per_bin.unionByName(all_row).orderBy("bin")
+
+
+@query(
+    "q250_groupwise_auc",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               COUNT(*) FILTER (WHERE event_type = 'view')  AS v,
+               COUNT(*) FILTER (WHERE event_type = 'click') AS c,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        FROM events GROUP BY 1, 2
+    ), s AS (
+        SELECT isodow(d) - 1 AS dow,
+               (1000000 * (c + 1)) // (v + c + 2) AS conf_fp, y
+        FROM u
+    ), h AS (
+        SELECT dow, conf_fp,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT)   AS np
+        FROM s GROUP BY 1, 2
+    ), r AS (
+        SELECT dow, n, np,
+               CAST(COALESCE(SUM(n) OVER (
+                   PARTITION BY dow ORDER BY conf_fp
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cb
+        FROM h
+    ), g AS (
+        SELECT dow,
+               CAST(SUM(n) AS BIGINT)  AS nn,
+               CAST(SUM(np) AS BIGINT) AS p,
+               CAST(SUM(np * (2 * cb + n + 1)) AS BIGINT) AS s2
+        FROM r GROUP BY 1
+    ), ha AS (
+        SELECT conf_fp, CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(np) AS BIGINT) AS np
+        FROM h GROUP BY 1
+    ), ra AS (
+        SELECT n, np,
+               CAST(COALESCE(SUM(n) OVER (
+                   ORDER BY conf_fp
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cb
+        FROM ha
+    ), ga AS (
+        SELECT CAST(SUM(n) AS BIGINT)  AS nn,
+               CAST(SUM(np) AS BIGINT) AS p,
+               CAST(SUM(np * (2 * cb + n + 1)) AS BIGINT) AS s2
+        FROM ra
+    )
+    SELECT * FROM (
+        SELECT CAST(dow AS BIGINT) AS dow, p AS n_pos, nn - p AS n_neg,
+               CAST(s2 - p * (p + 1) AS DOUBLE)
+                   / CAST(2 * p * (nn - p) AS DOUBLE) AS auc
+        FROM g WHERE p > 0 AND nn - p > 0
+        UNION ALL
+        SELECT -1, p, nn - p,
+               CAST(s2 - p * (p + 1) AS DOUBLE)
+                   / CAST(2 * p * (nn - p) AS DOUBLE)
+        FROM ga WHERE p > 0 AND nn - p > 0
+    ) ORDER BY dow
+    """,
+    tags=("statistics", "auc", "evaluation", "monitoring"),
+    checkpointed_substrate=True,
+)
+def q250_groupwise_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of the q247 propensity score, per weekday and
+    pooled — the DISCRIMINATION half of classifier monitoring next to
+    q247's calibration (the two fail independently: a perfectly
+    calibrated score can rank at chance, a perfect ranker can be
+    mis-scaled; per-slice AUC is the fairness/segment readout). AUC is
+    computed by the Mann-Whitney identity with tie-average ranks —
+    exactly the q240 histogram-rank machinery: per (weekday, score) cell
+    counts, an exclusive cumulative window over the BOUNDED score
+    histogram (≤1e6 distinct fixed-point scores per slice — never a
+    corpus-wide per-row rank), and AUC = (2·ΣR⁺ − P(P+1)) / (2·P·N) from
+    DOUBLED rank sums so every intermediate is an exact BIGINT; the one
+    division is a single IEEE op over exactly-converted integers.
+    Slices with no positives or no negatives drop (AUC undefined); the
+    dow=-1 row pools the histogram across slices — derived from the same
+    checkpointed cell table, never a corpus re-scan."""
+    e = table(spark, sf_dir, "events")
+    u = e.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("v"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("c"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("y"),
+    )
+    s = u.select(
+        F.weekday("d").cast("long").alias("dow"),
+        int_div(
+            F.lit(1_000_000) * (F.col("c") + 1), F.col("v") + F.col("c") + 2
+        ).alias("conf_fp"),
+        "y",
+    )
+    h = (
+        s.groupBy("dow", "conf_fp")
+        .agg(F.count("*").alias("n"), F.sum("y").cast("long").alias("np"))
+        .localCheckpoint(eager=True)  # per-dow ranks + pooled ALL branch
+    )
+
+    def auc_of(hist: DataFrame, keys: list[str]) -> DataFrame:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy("conf_fp")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        r = hist.select(
+            *keys,
+            "n",
+            "np",
+            F.coalesce(F.sum("n").over(w), F.lit(0).cast("long")).alias("cb"),
+        )
+        g = r.groupBy(*keys).agg(
+            F.sum("n").alias("nn"),
+            F.sum("np").alias("p"),
+            F.sum(
+                F.col("np") * (F.lit(2) * F.col("cb") + F.col("n") + 1)
+            ).alias("s2"),
+        )
+        return g.where((F.col("p") > 0) & (F.col("nn") - F.col("p") > 0)).select(
+            *keys,
+            F.col("p").alias("n_pos"),
+            (F.col("nn") - F.col("p")).alias("n_neg"),
+            (
+                (F.col("s2") - F.col("p") * (F.col("p") + 1)).cast("double")
+                / (F.lit(2) * F.col("p") * (F.col("nn") - F.col("p"))).cast(
+                    "double"
+                )
+            ).alias("auc"),
+        )
+
+    per_dow = auc_of(h, ["dow"])
+    pooled = auc_of(
+        h.groupBy("conf_fp").agg(
+            F.sum("n").alias("n"), F.sum("np").alias("np")
+        ).withColumn("dow", F.lit(-1).cast("long")),
+        ["dow"],
+    )
+    return per_dow.unionByName(pooled).orderBy("dow")
+
+
+@query(
+    "q251_isotonic_calibration",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               COUNT(*) FILTER (WHERE event_type = 'view')  AS v,
+               COUNT(*) FILTER (WHERE event_type = 'click') AS c,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        FROM events GROUP BY 1, 2
+    ), s AS (
+        SELECT ((1000000 * (c + 1)) // (v + c + 2)) // 100000 AS bin, y
+        FROM u
+    ), b AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS np
+        FROM s GROUP BY 1
+    ), pre AS (
+        SELECT bin, n, np,
+               CAST(SUM(n)  OVER (ORDER BY bin) AS BIGINT) AS pp,
+               CAST(SUM(np) OVER (ORDER BY bin) AS BIGINT) AS qq
+        FROM b
+    ), ivl AS (
+        SELECT j.bin AS jb, k.bin AS kb,
+               ((k.qq - (j.qq - j.np)) * 1000000000000)
+                   // (k.pp - (j.pp - j.n)) AS rate_fp
+        FROM pre j JOIN pre k ON j.bin <= k.bin
+    ), mn AS (
+        SELECT i.bin, ivl.jb, MIN(ivl.rate_fp) AS r
+        FROM pre i JOIN ivl ON ivl.jb <= i.bin AND i.bin <= ivl.kb
+        GROUP BY 1, 2
+    ), fit AS (
+        SELECT bin, MAX(r) AS iso_fp FROM mn GROUP BY 1
+    )
+    SELECT b.bin, b.n AS n_units, b.np AS n_pos,
+           CAST((b.np * 1000000000000) // b.n AS DOUBLE)
+               / 1000000000000.0 AS raw_rate,
+           CAST(f.iso_fp AS DOUBLE) / 1000000000000.0 AS iso_rate
+    FROM b JOIN fit f USING (bin)
+    ORDER BY bin
+    """,
+    tags=("statistics", "calibration", "isotonic", "monitoring"),
+    checkpointed_substrate=True,
+)
+def q251_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic-regression calibration map over the q247 reliability
+    bins — the RECALIBRATION step after q247 diagnoses miscalibration:
+    the monotone-nondecreasing fit of empirical positive rate vs score
+    (Zadrozny & Elkan's method; what sklearn's
+    CalibratedClassifierCV(method='isotonic') fits), learned here as a
+    per-bin lookup a serving pipeline applies to raw scores. Computed by
+    the MINIMAX identity iso_i = max_{j≤i} min_{k≥i} pooledrate(j..k) —
+    equivalent to pool-adjacent-violators (unit-tested against a
+    from-scratch PAV) but expressible as joins/aggregates with NO
+    sequential merge loop.
+
+    Scale shape: ONE corpus pass reduces to the ≤10-row bin histogram
+    (checkpointed; prefix sums, the ≤55-row interval table and the
+    interval-membership join are all bounded-by-bin-count — the only
+    nested-loop joins are over bounded frames, the q233 regime — so the
+    100 TB cost is exactly the q247 scan). Determinism: pooled rates are
+    1e-12 fixed-point integer floor divisions over exact prefix-sum
+    differences; min/max over identical integers on both engines."""
+    e = table(spark, sf_dir, "events")
+    u = e.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("v"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("c"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("y"),
+    )
+    s = u.select(
+        int_div(
+            int_div(
+                F.lit(1_000_000) * (F.col("c") + 1), F.col("v") + F.col("c") + 2
+            ),
+            100_000,
+        ).alias("bin"),
+        "y",
+    )
+    b = (
+        s.groupBy("bin")
+        .agg(F.count("*").alias("n"), F.sum("y").cast("long").alias("np"))
+        .localCheckpoint(eager=True)  # bounded ≤10 rows; 4 consumers below
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pre = b.select(
+        "bin",
+        "n",
+        "np",
+        F.sum("n").over(w).alias("pp"),
+        F.sum("np").over(w).alias("qq"),
+    ).localCheckpoint(eager=True)  # j side, k side, i side all read it
+    j = pre.select(
+        F.col("bin").alias("jb"),
+        (F.col("pp") - F.col("n")).alias("p0"),
+        (F.col("qq") - F.col("np")).alias("q0"),
+    )
+    k = pre.select(
+        F.col("bin").alias("kb"), F.col("pp").alias("pk"), F.col("qq").alias("qk")
+    )
+    ivl = (
+        j.join(k, F.col("jb") <= F.col("kb"))
+        .select(
+            "jb",
+            "kb",
+            int_div(
+                (F.col("qk") - F.col("q0")) * F.lit(1_000_000_000_000),
+                F.col("pk") - F.col("p0"),
+            ).alias("rate_fp"),
+        )
+    )
+    i = pre.select(F.col("bin").alias("ib"))
+    fit = (
+        i.join(ivl, (F.col("jb") <= F.col("ib")) & (F.col("ib") <= F.col("kb")))
+        .groupBy("ib", "jb")
+        .agg(F.min("rate_fp").alias("r"))
+        .groupBy("ib")
+        .agg(F.max("r").alias("iso_fp"))
+    )
+    return (
+        b.join(fit, b["bin"] == fit["ib"])
+        .select(
+            "bin",
+            F.col("n").alias("n_units"),
+            F.col("np").alias("n_pos"),
+            (
+                int_div(F.col("np") * F.lit(1_000_000_000_000), F.col("n")).cast(
+                    "double"
+                )
+                / F.lit(1e12)
+            ).alias("raw_rate"),
+            (F.col("iso_fp").cast("double") / F.lit(1e12)).alias("iso_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+_MARKOV_ITERS = 16  # 16-step absorption probability (both engines replay it)
+
+
+@query(
+    "q252_markov_removal_attribution",
+    oracle=f"""
+    WITH RECURSIVE ev AS (
+        SELECT user_id, CAST(ts AS DATE) AS d, ts, event_id,
+               event_type IN ('view', 'click') AS is_touch,
+               event_type = 'purchase' AS is_conv,
+               COALESCE(CAST(json_extract(props, '$.k') AS BIGINT) % 4, -1)
+                   AS ch
+        FROM events
+    ), seq AS (
+        SELECT user_id, d, ts, event_id, is_touch, ch,
+               last_value(CASE WHEN is_touch THEN ch END IGNORE NULLS)
+                   OVER (PARTITION BY user_id, d ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev,
+               MAX(CASE WHEN is_conv THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id, d) AS y,
+               SUM(CASE WHEN is_touch THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id, d ORDER BY ts, event_id
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS after
+        FROM ev
+    ), edges0 AS (
+        SELECT COALESCE(prev, -10) AS f, ch AS t FROM seq WHERE is_touch
+        UNION ALL
+        SELECT ch AS f, CASE WHEN y = 1 THEN 100 ELSE 101 END AS t
+        FROM seq WHERE is_touch AND COALESCE(after, 0) = 0
+    ), cnt AS (
+        SELECT f, t, CAST(COUNT(*) AS BIGINT) AS c FROM edges0 GROUP BY 1, 2
+    ), variants AS (
+        SELECT CAST(-99 AS BIGINT) AS v
+        UNION ALL
+        SELECT DISTINCT f FROM cnt WHERE f <> -10
+    ), vedges AS (
+        SELECT v.v, cnt.f,
+               CASE WHEN cnt.t = v.v THEN 101 ELSE cnt.t END AS t,
+               CAST(SUM(cnt.c) AS BIGINT) AS c
+        FROM variants v JOIN cnt ON cnt.f <> v.v
+        GROUP BY 1, 2, 3
+    ), outd AS (
+        SELECT v, f, CAST(SUM(c) AS BIGINT) AS o FROM vedges GROUP BY 1, 2
+    ), prob AS (
+        SELECT ve.v, ve.f, ve.t, (ve.c * 1000000) // o.o AS pfp
+        FROM vedges ve JOIN outd o ON o.v = ve.v AND o.f = ve.f
+    ), init AS (
+        SELECT v, f AS s, CAST(0 AS BIGINT) AS p FROM outd
+        UNION ALL
+        SELECT v, CAST(100 AS BIGINT), CAST(1000000 AS BIGINT) FROM variants
+        UNION ALL
+        SELECT v, CAST(101 AS BIGINT), CAST(0 AS BIGINT) FROM variants
+    ), it AS (
+        SELECT v, s, p, 0 AS i FROM init
+        UNION ALL
+        (
+            SELECT prob.v, prob.f AS s,
+                   CAST(CAST(SUM(prob.pfp * it.p) AS BIGINT)
+                        // 1000000 AS BIGINT) AS p,
+                   MIN(it.i) + 1 AS i
+            FROM it JOIN prob ON prob.v = it.v AND prob.t = it.s
+            WHERE it.i < {_MARKOV_ITERS}
+            GROUP BY prob.v, prob.f
+            UNION ALL
+            SELECT v, s, p, i + 1 FROM it
+            WHERE i < {_MARKOV_ITERS} AND s IN (100, 101)
+        )
+    ), fin AS (
+        SELECT v, p FROM it WHERE i = {_MARKOV_ITERS} AND s = -10
+    ), base AS (
+        SELECT p AS bp FROM fin WHERE v = -99
+    ), re AS (
+        SELECT v, p, GREATEST(bp - p, 0) AS r FROM fin, base WHERE v <> -99
+    ), tot AS (
+        SELECT CAST(SUM(r) AS BIGINT) AS tr FROM re
+    )
+    SELECT * FROM (
+        SELECT CAST(-99 AS BIGINT) AS channel,
+               CAST(bp AS DOUBLE) / 1000000.0 AS conv_prob,
+               0.0 AS removal_effect, 0.0 AS share
+        FROM base
+        UNION ALL
+        SELECT v, CAST(p AS DOUBLE) / 1000000.0,
+               CAST(r AS DOUBLE) / 1000000.0,
+               CASE WHEN tr > 0 THEN CAST(r AS DOUBLE) / CAST(tr AS DOUBLE)
+                    ELSE 0.0 END
+        FROM re, tot
+    ) ORDER BY channel
+    """,
+    tags=("temporal", "attribution", "markov", "marketing", "iterative"),
+    checkpointed_substrate=True,
+)
+def q252_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain REMOVAL-EFFECT attribution (Anderl et al.) — the
+    data-driven model that completes the attribution ladder above
+    last-touch (q163) and position-based (q225): build the first-order
+    channel-transition chain from daily user journeys (START → touches →
+    CONVERSION/NULL absorbing states), and credit each channel by how
+    much the chain's absorption probability DROPS when that channel is
+    removed (its visits redirected to NULL) — channels that merely
+    appear on converting paths but are causally bypassable earn little.
+
+    Scale shape: ONE corpus scan/shuffle — each touch row emits its 1-2
+    edges as an exploded array (prev-touch edge always; the →CONV/NULL
+    edge from the last touch, all from one (user, day) window pass) —
+    reduced to the ≤(channels+1)² transition-count table, checkpointed;
+    every variant chain (base + one per channel) then iterates IN
+    PARALLEL as rows of one bounded frame: {_MARKOV_ITERS} synchronous
+    value-iteration rounds, localCheckpointed per round (the q110
+    discipline — bounded frames, so each round is a tiny job).
+    Determinism: transition probabilities and absorption masses are
+    1e-6 fixed-point BIGINTs with per-term floor division mirrored in
+    the oracle's recursive CTE; products stay ≤1e12·terms, overflow-free
+    past 2^53 corpus rows; both engines replay the identical
+    {_MARKOV_ITERS} steps (the unit test asserts step-to-step movement
+    has converged below the displayed precision)."""
+    e = table(spark, sf_dir, "events")
+    ev = e.select(
+        "user_id",
+        F.to_date("ts").alias("d"),
+        "ts",
+        "event_id",
+        F.col("event_type").isin("view", "click").alias("is_touch"),
+        (F.col("event_type") == "purchase").alias("is_conv"),
+        F.coalesce(
+            F.get_json_object("props", "$.k").cast("long") % 4, F.lit(-1)
+        ).alias("ch"),
+    )
+    pw = Window.partitionBy("user_id", "d").orderBy("ts", "event_id")
+    seq = ev.select(
+        "is_touch",
+        "ch",
+        F.last(
+            F.when(F.col("is_touch"), F.col("ch")), ignorenulls=True
+        ).over(pw.rowsBetween(Window.unboundedPreceding, -1)).alias("prev"),
+        F.max(F.when(F.col("is_conv"), 1).otherwise(0))
+        .over(Window.partitionBy("user_id", "d"))
+        .alias("y"),
+        F.sum(F.when(F.col("is_touch"), 1).otherwise(0))
+        .over(pw.rowsBetween(1, Window.unboundedFollowing))
+        .alias("after"),
+    )
+    edge1 = F.struct(
+        F.coalesce(F.col("prev"), F.lit(-10)).cast("long").alias("f"),
+        F.col("ch").cast("long").alias("t"),
+    )
+    edge2 = F.when(
+        F.coalesce(F.col("after"), F.lit(0)) == 0,
+        F.struct(
+            F.col("ch").cast("long").alias("f"),
+            F.when(F.col("y") == 1, F.lit(100))
+            .otherwise(F.lit(101))
+            .cast("long")
+            .alias("t"),
+        ),
+    )
+    cnt = (
+        seq.where("is_touch")
+        .select(
+            F.explode(
+                F.filter(F.array(edge1, edge2), lambda x: x.isNotNull())
+            ).alias("e")
+        )
+        .groupBy(F.col("e.f").alias("f"), F.col("e.t").alias("t"))
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)  # bounded ≤(channels+1)·(channels+2)
+    )
+    variants = (
+        cnt.where(F.col("f") != -10)
+        .select(F.col("f").alias("v"))
+        .distinct()
+        .unionByName(
+            cnt.sparkSession.range(1).select(F.lit(-99).cast("long").alias("v"))
+        )
+        .localCheckpoint(eager=True)  # bounded ≤ channels+1; 3 consumers
+    )
+    vedges = (
+        variants.join(cnt, F.col("f") != F.col("v"))
+        .groupBy(
+            "v",
+            "f",
+            F.when(F.col("t") == F.col("v"), F.lit(101).cast("long"))
+            .otherwise(F.col("t"))
+            .alias("t2"),
+        )
+        .agg(F.sum("c").alias("c"))
+        .withColumnRenamed("t2", "t")
+    )
+    outd = vedges.groupBy("v", "f").agg(F.sum("c").alias("o"))
+    prob = (
+        vedges.join(outd, ["v", "f"])
+        .select(
+            "v", "f", "t", int_div(F.col("c") * F.lit(1_000_000), F.col("o")).alias("pfp")
+        )
+        .localCheckpoint(eager=True)  # read every iteration round
+    )
+    absorbing = variants.select(
+        "v", F.lit(100).cast("long").alias("s"), F.lit(1_000_000).cast("long").alias("p")
+    ).unionByName(
+        variants.select(
+            "v", F.lit(101).cast("long").alias("s"), F.lit(0).cast("long").alias("p")
+        )
+    )
+    p = (
+        outd.select("v", F.col("f").alias("s"), F.lit(0).cast("long").alias("p"))
+        .unionByName(absorbing)
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_MARKOV_ITERS):
+        nxt = (
+            prob.join(p, (prob["v"] == p["v"]) & (prob["t"] == p["s"]))
+            .groupBy(prob["v"].alias("v"), prob["f"].alias("s"))
+            .agg(
+                int_div(
+                    F.sum(F.col("pfp") * F.col("p")), F.lit(1_000_000)
+                ).alias("p")
+            )
+        )
+        p = nxt.unionByName(
+            p.where(F.col("s").isin(100, 101)).select("v", "s", "p")
+        ).localCheckpoint(eager=True)
+    fin = p.where(F.col("s") == -10).select("v", "p")
+    base = fin.where(F.col("v") == -99).select(F.col("p").alias("bp"))
+    re = (
+        fin.where(F.col("v") != -99)
+        .crossJoin(F.broadcast(base))
+        .select(
+            "v", "p", F.greatest(F.col("bp") - F.col("p"), F.lit(0).cast("long")).alias("r")
+        )
+        .localCheckpoint(eager=True)  # bounded; read by tot + final
+    )
+    tot = re.agg(F.sum("r").alias("tr"))
+    base_row = base.select(
+        F.lit(-99).cast("long").alias("channel"),
+        (F.col("bp").cast("double") / F.lit(1e6)).alias("conv_prob"),
+        F.lit(0.0).alias("removal_effect"),
+        F.lit(0.0).alias("share"),
+    )
+    ch_rows = re.crossJoin(F.broadcast(tot)).select(
+        F.col("v").alias("channel"),
+        (F.col("p").cast("double") / F.lit(1e6)).alias("conv_prob"),
+        (F.col("r").cast("double") / F.lit(1e6)).alias("removal_effect"),
+        F.when(
+            F.col("tr") > 0, F.col("r").cast("double") / F.col("tr").cast("double")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("share"),
+    )
+    return base_row.unionByName(ch_rows).orderBy("channel")

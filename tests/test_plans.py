@@ -1605,3 +1605,40 @@ def test_shuffle_shard_two_level_prefix_sum_shape(spark):
     assert "SortMergeJoin" not in p
     assert "Exchange SinglePartition" not in p
     assert "CartesianProduct" not in p
+
+
+def test_auc_branches_read_histogram_checkpoint(spark):
+    """q250: the corpus lands once in the checkpointed (dow, score) cell
+    table; the per-weekday rank branch and the pooled dow=-1 branch both
+    derive from it — no FileScan in the final plan, no join anywhere
+    (the AUC is pure windows + aggregates over the bounded histogram)."""
+    p = plan_of(spark, "q250_groupwise_auc")
+    assert "FileScan" not in p
+    assert p.count("Scan ExistingRDD") == 2  # per-dow + pooled branches
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_isotonic_all_work_after_bin_checkpoint_is_bounded(spark):
+    """q251: one corpus pass lands in the ≤10-row bin checkpoint; the
+    prefix/interval/minimax machinery derives entirely from checkpoints
+    (no FileScan in the final plan) and its nested-loop joins are
+    bounded×bounded frames only — the q233 regime, not a corpus
+    cartesian."""
+    p = plan_of(spark, "q251_isotonic_calibration")
+    assert "FileScan" not in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_markov_final_plan_reads_bounded_checkpoints_only(spark):
+    """q252: after 16 checkpointed value-iteration rounds the FINAL plan
+    reads only bounded checkpoints (no corpus FileScan, no lazy-loop
+    plan blow-up — the q110 guard), its single-partition exchange feeds
+    the ≤channels-row removal-effect table, and the only nested-loop
+    join broadcasts the 1-row base/total frames."""
+    p = plan_of(spark, "q252_markov_removal_attribution")
+    assert "FileScan" not in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 1  # 1-row total broadcast

@@ -474,3 +474,193 @@ def test_calibration_report_matches_python_replay(spark):
     assert got == [all_row] + expect
     assert all(0 <= b <= 9 for b, *_ in expect)
     assert sum(n for _, n, *_ in expect) == N and N == len(agg)
+
+
+def test_groupwise_auc_equals_pairwise_definition(spark):
+    """q250: the histogram-rank AUC must equal the O(n²) DEFINITION —
+    (wins + half-ties) / (P·N) over every (positive, negative) pair —
+    per weekday slice and pooled, and sit in [0, 1]."""
+    from collections import defaultdict
+
+    from database_migrator_spark.plans.registry import all_queries
+    from database_migrator_spark.sources import table
+
+    from .conftest import SF_SMOKE
+
+    e = table(spark, SF_SMOKE, "events").select("user_id", F.to_date("ts").alias("d"), "event_type").collect()
+    agg = defaultdict(lambda: [0, 0, 0])
+    for r in e:
+        a = agg[(r.user_id, r.d)]
+        if r.event_type == "view":
+            a[0] += 1
+        elif r.event_type == "click":
+            a[1] += 1
+        elif r.event_type == "purchase":
+            a[2] = 1
+    slices = defaultdict(list)
+    for (_, d), (v, c, y) in agg.items():
+        conf = (1_000_000 * (c + 1)) // (v + c + 2)
+        slices[d.weekday()].append((conf, y))
+        slices[-1].append((conf, y))
+
+    def pairwise_auc(units):
+        pos = [s for s, y in units if y]
+        neg = [s for s, y in units if not y]
+        if not pos or not neg:
+            return None
+        num = sum((p > n) + 0.5 * (p == n) for p in pos for n in neg)
+        return len(pos), len(neg), num / (len(pos) * len(neg))
+
+    expect = []
+    for dow in sorted(slices):
+        r = pairwise_auc(slices[dow])
+        if r:
+            expect.append((dow, r[0], r[1]))
+    got = [
+        (r.dow, r.n_pos, r.n_neg, r.auc)
+        for r in all_queries()["q250_groupwise_auc"].build(spark, SF_SMOKE).collect()
+    ]
+    assert [(d, p, n) for d, p, n, _ in got] == expect
+    for dow, _, _, auc in got:
+        ref = pairwise_auc(slices[dow])[2]
+        assert abs(auc - ref) < 1e-12 and 0.0 <= auc <= 1.0
+
+
+def test_isotonic_minimax_equals_pav_and_is_monotone(spark):
+    """q251: the minimax-formula fit must equal a from-scratch
+    pool-adjacent-violators run on the same fixed-point bin rates
+    (within the 1e-12 pooling truncation), be monotone nondecreasing,
+    and approximately preserve the weighted mean (PAV's invariant, up
+    to one truncation per pooled block)."""
+    from collections import defaultdict
+
+    from database_migrator_spark.plans.registry import all_queries
+    from database_migrator_spark.sources import table
+
+    from .conftest import SF_SMOKE
+
+    e = table(spark, SF_SMOKE, "events").select("user_id", F.to_date("ts").alias("d"), "event_type").collect()
+    agg = defaultdict(lambda: [0, 0, 0])
+    for r in e:
+        a = agg[(r.user_id, r.d)]
+        if r.event_type == "view":
+            a[0] += 1
+        elif r.event_type == "click":
+            a[1] += 1
+        elif r.event_type == "purchase":
+            a[2] = 1
+    bins = defaultdict(lambda: [0, 0])
+    for v, c, y in agg.values():
+        bn = ((1_000_000 * (c + 1)) // (v + c + 2)) // 100_000
+        bins[bn][0] += 1
+        bins[bn][1] += y
+    # from-scratch PAV on (weight=n, value=np/n), exact rational pooling
+    blocks = [[n, np] for bn, (n, np) in sorted(bins.items())]
+    merged = []
+    for blk in blocks:
+        merged.append(blk)
+        while len(merged) >= 2 and merged[-2][1] * merged[-1][0] > merged[-1][1] * merged[-2][0]:
+            b2, b1 = merged.pop(), merged.pop()
+            merged.append([b1[0] + b2[0], b1[1] + b2[1]])
+    # expand the pooled blocks back to per-bin fitted values
+    fitted, it = [], iter(merged)
+    cur, left = None, 0
+    for n, _ in blocks:
+        if left == 0:
+            cur = next(it)
+            left = cur[0]
+        fitted.append((cur[1] * 10**12) // cur[0] / 1e12)
+        left -= n
+    got = (
+        all_queries()["q251_isotonic_calibration"].build(spark, SF_SMOKE).collect()
+    )
+    assert [r.bin for r in got] == sorted(bins)
+    iso = [r.iso_rate for r in got]
+    assert all(iso[t] <= iso[t + 1] + 1e-12 for t in range(len(iso) - 1))
+    assert all(abs(a - b) <= 2e-12 for a, b in zip(iso, fitted))
+    tot = sum(n for n, _ in blocks)
+    wm_raw = sum(r.n_units * r.raw_rate for r in got) / tot
+    wm_iso = sum(r.n_units * r.iso_rate for r in got) / tot
+    assert abs(wm_raw - wm_iso) < 1e-6
+
+
+def test_markov_removal_matches_python_replay_and_converged(spark):
+    """q252: a plain-Python replay — daily journeys, transition counts,
+    per-variant redirect-to-NULL edges, 16 rounds of 1e-6 fixed-point
+    value iteration with per-term floor division — must reproduce every
+    output value exactly; the 16th step must have converged below one
+    fixed-point unit; shares are nonnegative and sum to ~1."""
+    import json
+    from collections import defaultdict
+
+    from database_migrator_spark.operators.temporal import _MARKOV_ITERS
+    from database_migrator_spark.plans.registry import all_queries
+    from database_migrator_spark.sources import table
+
+    from .conftest import SF_SMOKE
+
+    ev = (
+        table(spark, SF_SMOKE, "events")
+        .select("user_id", F.to_date("ts").alias("d"), "ts", "event_id", "event_type", "props")
+        .collect()
+    )
+    by_unit = defaultdict(list)
+    for r in ev:
+        by_unit[(r.user_id, r.d)].append(r)
+    cnt = defaultdict(int)
+    for rows in by_unit.values():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        y = any(r.event_type == "purchase" for r in rows)
+        touches = []
+        for r in rows:
+            if r.event_type in ("view", "click"):
+                k = json.loads(r.props).get("k") if r.props else None
+                touches.append(int(k) % 4 if k is not None else -1)
+        if not touches:
+            continue
+        prev = -10
+        for ch in touches:
+            cnt[(prev, ch)] += 1
+            prev = ch
+        cnt[(prev, 100 if y else 101)] += 1
+    channels = sorted({f for f, _ in cnt if f != -10})
+    results = {}
+    for v in [-99] + channels:
+        vedges = defaultdict(int)
+        for (f, t), c in cnt.items():
+            if f == v:
+                continue
+            vedges[(f, 101 if t == v else t)] += c
+        out = defaultdict(int)
+        for (f, _), c in vedges.items():
+            out[f] += c
+        prob = {(f, t): (c * 10**6) // out[f] for (f, t), c in vedges.items()}
+        p = {s: 0 for s in out}
+        p[100], p[101] = 10**6, 0
+        for i in range(_MARKOV_ITERS):
+            prev_p = dict(p)
+            nxt = {}
+            for (f, t), pf in prob.items():
+                nxt[f] = nxt.get(f, 0) + pf * prev_p.get(t, 0)
+            p = {f: s // 10**6 for f, s in nxt.items()}
+            p[100], p[101] = 10**6, 0
+            if i == _MARKOV_ITERS - 2:
+                p_prev_round = dict(p)
+        results[v] = p[-10]
+        assert abs(p[-10] - p_prev_round[-10]) <= 1  # converged
+    bp = results[-99]
+    res = {c: max(bp - results[c], 0) for c in channels}
+    tr = sum(res.values())
+    expect = [(-99, bp / 1e6, 0.0, 0.0)] + [
+        (c, results[c] / 1e6, res[c] / 1e6, (res[c] / tr if tr > 0 else 0.0))
+        for c in channels
+    ]
+    got = [
+        (r.channel, r.conv_prob, r.removal_effect, r.share)
+        for r in all_queries()["q252_markov_removal_attribution"]
+        .build(spark, SF_SMOKE)
+        .collect()
+    ]
+    assert got == expect
+    shares = [s for _, _, _, s in got[1:]]
+    assert all(s >= 0 for s in shares) and abs(sum(shares) - 1.0) < 1e-9
