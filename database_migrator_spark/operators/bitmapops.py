@@ -299,6 +299,85 @@ _HLL_M = 256
 _HLL_K_NUM = 0.7213 / (1 + 1.079 / 256) * (_HLL_M * _HLL_M) * float(2**49)
 
 
+def hll_registers(frame: DataFrame, id_col: str, *keys: str) -> DataFrame:
+    """Per-``keys`` portable-HLL register partials over ``id_col``:
+    md5-based bucket (first byte, m=256) and rank rho = leading-zero
+    bits of the next 48 bits + 1 via pure hex-string arithmetic (q223's
+    construction — any engine with md5 agrees bit-for-bit), reduced to
+    MAX(rho) per (keys, bucket). One map-side-combinable aggregate, NO
+    pre-distinct (duplicates cannot move a MAX); registers are the
+    mergeable sketch — register-wise MAX across partials IS the
+    lossless HLL union (q255's streaming merge relies on this)."""
+    h = F.md5(F.col(id_col).cast("string"))
+    parts = frame.select(
+        *keys,
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("bucket"),
+        F.substring(h, 3, 12).alias("h12"),
+    )
+    rest = F.expr("trim(LEADING '0' FROM h12)")
+    d = F.substring(rest, 1, 1)
+    extra = (
+        F.when(d == "1", 3)
+        .when(d.isin("2", "3"), 2)
+        .when(d.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rho = F.when(rest == "", 49).otherwise(
+        4 * (12 - F.length(rest)) + extra + 1
+    )
+    return (
+        parts.select(*keys, "bucket", rho.alias("rho"))
+        .groupBy(*keys, "bucket")
+        .agg(F.max("rho").cast("long").alias("m_j"))
+    )
+
+
+def hll_scoped_sums(regs: DataFrame, scope_col: str) -> DataFrame:
+    """From per-``scope_col`` registers to the exact per-scope harmonic
+    sum S = Σ 2^(49−M_j) (one BIGINT ≤ 2^57) and empty-register count,
+    with an 'ALL' scope produced BY MERGING the per-scope registers
+    (register-wise MAX — the lossless HLL union). Missing buckets are
+    spine-filled with 0 so every scope sums over exactly m registers."""
+    spark = regs.sparkSession
+    types = regs.select(scope_col).distinct()
+    spine = types.crossJoin(
+        F.broadcast(
+            spark.range(_HLL_M).select(F.col("id").cast("int").alias("bucket"))
+        )
+    )
+    full_regs = spine.join(regs, [scope_col, "bucket"], "left").select(
+        scope_col,
+        "bucket",
+        F.coalesce("m_j", F.lit(0).cast("long")).alias("m_j"),
+    )
+    merged = full_regs.groupBy("bucket").agg(F.max("m_j").alias("m_j")).select(
+        F.lit("ALL").alias("scope"), "bucket", "m_j"
+    )
+    scoped = full_regs.select(
+        F.col(scope_col).alias("scope"), "bucket", "m_j"
+    ).unionByName(merged)
+    return scoped.groupBy("scope").agg(
+        F.sum(F.expr("shiftright(562949953421312L, cast(m_j AS int))")).alias("s"),
+        F.sum((F.col("m_j") == 0).cast("long")).alias("n_empty"),
+    )
+
+
+def hll_estimate6(s: Column, n_empty: Column) -> Column:
+    """The 1e-6 fixed-point HLL estimate from an exact harmonic sum:
+    alpha·m²·2^49 / S (one identical double division on both engines)
+    with Flajolet's small-range linear-counting correction m·ln(m/V)
+    when the raw estimate ≤ 2.5m and empty registers exist."""
+    raw = F.lit(_HLL_K_NUM) / s.cast("double")
+    return F.when(
+        (raw <= 640.0) & (n_empty > 0),
+        F.round(
+            F.lit(float(_HLL_M))
+            * F.log(F.lit(float(_HLL_M)) / n_empty.cast("double"))
+            * 1000000
+        ).cast("long"),
+    ).otherwise(F.round(raw * 1000000).cast("long"))
+
+
 @query(
     "q223_hll_register_fidelity",
     oracle=f"""
@@ -393,49 +472,10 @@ def q223_hll_register_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable aggregate over the raw stream into <=
     types×256 rows; everything after is bounded."""
     e = table(spark, sf_dir, "events").select("event_type", "user_id")
-    h = F.md5(F.col("user_id").cast("string"))
-    parts = e.select(
-        "event_type",
-        F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("bucket"),
-        F.substring(h, 3, 12).alias("h12"),
-    )
-    rest = F.expr("trim(LEADING '0' FROM h12)")
-    d = F.substring(rest, 1, 1)
-    extra = (
-        F.when(d == "1", 3)
-        .when(d.isin("2", "3"), 2)
-        .when(d.isin("4", "5", "6", "7"), 1)
-        .otherwise(0)
-    )
-    rho = F.when(rest == "", 49).otherwise(
-        4 * (12 - F.length(rest)) + extra + 1
-    )
-    regs = (
-        parts.select("event_type", "bucket", rho.alias("rho"))
-        .groupBy("event_type", "bucket")
-        .agg(F.max("rho").cast("long").alias("m_j"))
-        .localCheckpoint(eager=True)  # bounded: <= types x 256 rows
-    )
-    types = regs.select("event_type").distinct()
-    spine = types.crossJoin(
-        F.broadcast(spark.range(_HLL_M).select(F.col("id").cast("int").alias("bucket")))
-    )
-    full_regs = (
-        spine.join(regs, ["event_type", "bucket"], "left")
-        .select(
-            "event_type", "bucket", F.coalesce("m_j", F.lit(0).cast("long")).alias("m_j")
-        )
-    )
-    merged = full_regs.groupBy("bucket").agg(F.max("m_j").alias("m_j")).select(
-        F.lit("ALL").alias("scope"), "bucket", "m_j"
-    )
-    scoped = full_regs.select(
-        F.col("event_type").alias("scope"), "bucket", "m_j"
-    ).unionByName(merged)
-    ssum = scoped.groupBy("scope").agg(
-        F.sum(F.expr("shiftright(562949953421312L, cast(m_j AS int))")).alias("s"),
-        F.sum((F.col("m_j") == 0).cast("long")).alias("n_empty"),
-    )
+    regs = hll_registers(e, "user_id", "event_type").localCheckpoint(
+        eager=True
+    )  # bounded: <= types x 256 rows
+    ssum = hll_scoped_sums(regs, "event_type")
     ex = (
         e.groupBy(F.col("event_type").alias("scope"))
         .agg(F.countDistinct("user_id").alias("n_exact"))
@@ -445,15 +485,7 @@ def q223_hll_register_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    raw = F.lit(_HLL_K_NUM) / F.col("s").cast("double")
-    est6 = F.when(
-        (raw <= 640.0) & (F.col("n_empty") > 0),
-        F.round(
-            F.lit(float(_HLL_M))
-            * F.log(F.lit(float(_HLL_M)) / F.col("n_empty").cast("double"))
-            * 1000000
-        ).cast("long"),
-    ).otherwise(F.round(raw * 1000000).cast("long"))
+    est6 = hll_estimate6(F.col("s"), F.col("n_empty"))
     return (
         ssum.join(ex, "scope")
         .select(

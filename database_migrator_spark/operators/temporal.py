@@ -3795,3 +3795,148 @@ def q252_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFra
         .alias("share"),
     )
     return base_row.unionByName(ch_rows).orderBy("channel")
+
+
+@query(
+    "q253_ipw_conversion_lift",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               COUNT(*) FILTER (WHERE event_type = 'view')  AS v,
+               MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)    AS t,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        FROM events GROUP BY 1, 2
+    ), s AS (
+        SELECT LEAST(v, 5) AS stratum, t, y FROM u
+    ), g AS (
+        SELECT stratum,
+               CAST(COUNT(*) AS BIGINT)                        AS n,
+               CAST(SUM(t) AS BIGINT)                          AS nt,
+               CAST(SUM(t * y) AS BIGINT)                      AS yt,
+               CAST(SUM((1 - t) * y) AS BIGINT)                AS yc
+        FROM s GROUP BY 1
+    ), r AS (
+        SELECT stratum, n, nt, n - nt AS nc, yt, yc,
+               (yt * 1000000000000) // nt            AS rt_fp,
+               (yc * 1000000000000) // (n - nt)      AS rc_fp
+        FROM g WHERE nt > 0 AND n - nt > 0
+    ), allr AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nn,
+               CAST(SUM(n * (rt_fp - rc_fp)) AS BIGINT) AS wsum,
+               CAST(SUM(nt) AS BIGINT) AS tnt, CAST(SUM(yt) AS BIGINT) AS tyt,
+               CAST(SUM(nc) AS BIGINT) AS tnc, CAST(SUM(yc) AS BIGINT) AS tyc
+        FROM r
+    ), viol AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_dropped
+        FROM g WHERE nt = 0 OR n - nt = 0
+    )
+    SELECT * FROM (
+        SELECT CAST(stratum AS BIGINT) AS stratum, n AS n_units,
+               nt AS n_treated,
+               CAST(rt_fp AS DOUBLE) / 1000000000000.0 AS rate_treated,
+               CAST(rc_fp AS DOUBLE) / 1000000000000.0 AS rate_control,
+               CAST(rt_fp - rc_fp AS DOUBLE) / 1000000000000.0 AS lift
+        FROM r
+        UNION ALL
+        SELECT -1, nn, tnt,
+               CAST((tyt * 1000000000000) // tnt AS DOUBLE) / 1000000000000.0,
+               CAST((tyc * 1000000000000) // tnc AS DOUBLE) / 1000000000000.0,
+               CAST(wsum // nn AS DOUBLE) / 1000000000000.0
+        FROM allr, viol WHERE nn > 0
+    ) ORDER BY stratum
+    """,
+    tags=("statistics", "causal", "ipw", "experimentation"),
+    checkpointed_substrate=True,
+)
+def q253_ipw_conversion_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confounding-adjusted conversion lift of clicking via
+    STRATIFICATION — the observational-causal tier next to q233's
+    randomized-experiment CUPED: treated = (user, day) units that
+    clicked, outcome = purchased, confounder = view volume (heavy
+    browsers both click more and buy more, so the naive treated-minus-
+    control difference is biased). With a DISCRETE propensity stratum
+    (views clamped to 0..5) the Horvitz-Thompson IPW estimator
+    collapses algebraically to the stratified estimator ATE =
+    Σ_s (n_s/N)·(rate_t,s − rate_c,s) — per-stratum exact integer
+    counts, rates in 1e-12 fixed point, the weighted sum Σ n·Δfp an
+    exact BIGINT floor-divided by N. Strata violating POSITIVITY (no
+    treated or no control — where IPW is undefined) drop from the
+    estimate, the stratum=-1 ALL row carries the adjusted ATE in
+    `lift` next to the NAIVE pooled rates whose difference shows the
+    confounding bias. One corpus pass → bounded ≤6-row stratum
+    checkpoint feeding the per-stratum and ALL branches."""
+    e = table(spark, sf_dir, "events")
+    u = e.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("v"),
+        F.max(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("t"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("y"),
+    )
+    g = (
+        u.select(F.least(F.col("v"), F.lit(5)).alias("stratum"), "t", "y")
+        .groupBy("stratum")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("t").cast("long").alias("nt"),
+            F.sum(F.col("t") * F.col("y")).cast("long").alias("yt"),
+            F.sum((F.lit(1) - F.col("t")) * F.col("y")).cast("long").alias("yc"),
+        )
+        .localCheckpoint(eager=True)  # ≤6 rows; per-stratum + ALL branches
+    )
+    r = g.where((F.col("nt") > 0) & (F.col("n") - F.col("nt") > 0)).select(
+        "stratum",
+        "n",
+        "nt",
+        (F.col("n") - F.col("nt")).alias("nc"),
+        "yt",
+        "yc",
+        int_div(F.col("yt") * F.lit(1_000_000_000_000), F.col("nt")).alias("rt_fp"),
+        int_div(
+            F.col("yc") * F.lit(1_000_000_000_000), F.col("n") - F.col("nt")
+        ).alias("rc_fp"),
+    )
+    per = r.select(
+        F.col("stratum").cast("long").alias("stratum"),
+        F.col("n").alias("n_units"),
+        F.col("nt").alias("n_treated"),
+        (F.col("rt_fp").cast("double") / F.lit(1e12)).alias("rate_treated"),
+        (F.col("rc_fp").cast("double") / F.lit(1e12)).alias("rate_control"),
+        ((F.col("rt_fp") - F.col("rc_fp")).cast("double") / F.lit(1e12)).alias(
+            "lift"
+        ),
+    )
+    allr = (
+        r.agg(
+            F.sum("n").alias("nn"),
+            F.sum(F.col("n") * (F.col("rt_fp") - F.col("rc_fp"))).alias("wsum"),
+            F.sum("nt").alias("tnt"),
+            F.sum("yt").alias("tyt"),
+            F.sum("nc").alias("tnc"),
+            F.sum("yc").alias("tyc"),
+        )
+        .where(F.col("nn") > 0)
+        .select(
+            F.lit(-1).cast("long").alias("stratum"),
+            F.col("nn").alias("n_units"),
+            F.col("tnt").alias("n_treated"),
+            (
+                int_div(
+                    F.col("tyt") * F.lit(1_000_000_000_000), F.col("tnt")
+                ).cast("double")
+                / F.lit(1e12)
+            ).alias("rate_treated"),
+            (
+                int_div(
+                    F.col("tyc") * F.lit(1_000_000_000_000), F.col("tnc")
+                ).cast("double")
+                / F.lit(1e12)
+            ).alias("rate_control"),
+            # wsum can be NEGATIVE (adverse lift) — use TRUNCATING `div`
+            # (== DuckDB //), not the flooring int_div (q246's lesson)
+            (F.expr("wsum div nn").cast("double") / F.lit(1e12)).alias("lift"),
+        )
+    )
+    return per.unionByName(allr).orderBy("stratum")

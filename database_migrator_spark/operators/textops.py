@@ -3216,3 +3216,111 @@ def q245_rm3_expansion_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "q254_unseen_mass_estimate",
+    oracle=r"""
+    WITH tok AS (
+        SELECT source, unnest(list_filter(
+                   string_split_regex(lower(text), '\s+'),
+                   t -> len(t) > 0)) AS tok
+        FROM documents
+    ), tf AS (
+        SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS f
+        FROM tok GROUP BY 1, 2
+    ), per AS (
+        SELECT source,
+               CAST(SUM(f) AS BIGINT)                         AS n_tokens,
+               CAST(COUNT(*) AS BIGINT)                       AS vocab,
+               CAST(COUNT(*) FILTER (WHERE f = 1) AS BIGINT)  AS n_hapax,
+               CAST(COUNT(*) FILTER (WHERE f = 2) AS BIGINT)  AS n_dis
+        FROM tf GROUP BY 1
+    ), allf AS (
+        SELECT tok, CAST(SUM(f) AS BIGINT) AS f FROM tf GROUP BY 1
+    ), alla AS (
+        SELECT 'ALL' AS source,
+               CAST(SUM(f) AS BIGINT)                         AS n_tokens,
+               CAST(COUNT(*) AS BIGINT)                       AS vocab,
+               CAST(COUNT(*) FILTER (WHERE f = 1) AS BIGINT)  AS n_hapax,
+               CAST(COUNT(*) FILTER (WHERE f = 2) AS BIGINT)  AS n_dis
+        FROM allf
+    )
+    SELECT source, n_tokens, vocab, n_hapax, n_dis,
+           CAST((n_hapax * 1000000000000) // n_tokens AS DOUBLE)
+               / 1000000000000.0 AS p_unseen,
+           CAST(vocab + (n_hapax * (n_hapax - 1)) // (2 * (n_dis + 1))
+                AS BIGINT) AS chao1_richness
+    FROM (SELECT * FROM per UNION ALL SELECT * FROM alla)
+    WHERE n_tokens > 0
+    ORDER BY source
+    """,
+    tags=("text", "good-turing", "vocabulary", "llm-pipeline"),
+    checkpointed_substrate=True,
+)
+def q254_unseen_mass_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing unseen-probability mass and Chao1 vocabulary-richness
+    per source — the 'how much novel text is left to crawl' readout that
+    sizes further collection next to q126's marginal-vocabulary and
+    q227's Zipf diagnostics: Turing's estimator P(next token is unseen)
+    = N1/N (the hapax share), and the bias-corrected Chao1 lower bound
+    on TRUE vocabulary size, vocab + N1(N1−1)/(2(N2+1)) — a source whose
+    estimated richness barely exceeds its observed vocab is mined out,
+    one with a long hapax tail still has coverage to give. The ALL row
+    re-aggregates the per-source term table to CORPUS-level frequencies
+    (a token hapax in two sources is NOT a corpus hapax — pooling the
+    stats would overcount), exactly as the oracle does.
+
+    Exactness: everything is integer counts; the two derived statistics
+    are non-negative integer floor divisions (p_unseen in 1e-12 fixed
+    point, Chao1 floored to a BIGINT). Scale shape: one corpus scan into
+    the checkpointed (source, token, f) term table (vocabulary-sized,
+    unbounded — both the per-source rollup and the ALL re-aggregate read
+    the checkpoint, never the corpus); map-side combines do the heavy
+    lifting, no joins, no windows."""
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        spread_for_cpu(d)
+        .select("source", F.explode(tokens_of("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("f"))
+        .localCheckpoint(eager=True)  # per-source rollup + ALL re-aggregate
+    )
+
+    def rollup(frame: DataFrame, src) -> DataFrame:
+        return frame.groupBy(src.alias("source")).agg(
+            F.sum("f").alias("n_tokens"),
+            F.count("*").alias("vocab"),
+            F.count(F.when(F.col("f") == 1, 1)).alias("n_hapax"),
+            F.count(F.when(F.col("f") == 2, 1)).alias("n_dis"),
+        )
+
+    per = rollup(tf, F.col("source"))
+    alla = rollup(
+        tf.groupBy("tok").agg(F.sum("f").alias("f")), F.lit("ALL")
+    )
+    return (
+        per.unionByName(alla)
+        .where(F.col("n_tokens") > 0)
+        .select(
+            "source",
+            "n_tokens",
+            "vocab",
+            "n_hapax",
+            "n_dis",
+            (
+                int_div(
+                    F.col("n_hapax") * F.lit(1_000_000_000_000), F.col("n_tokens")
+                ).cast("double")
+                / F.lit(1e12)
+            ).alias("p_unseen"),
+            (
+                F.col("vocab")
+                + int_div(
+                    F.col("n_hapax") * (F.col("n_hapax") - 1),
+                    F.lit(2) * (F.col("n_dis") + 1),
+                )
+            ).cast("long").alias("chao1_richness"),
+        )
+        .orderBy("source")
+    )

@@ -421,3 +421,119 @@ def q218_stream_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q255_stream_hll_partials",
+    oracle=f"""
+    WITH hx AS (
+        SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events
+    ), parts AS (
+        SELECT event_type,
+               (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket,
+               substr(h, 3, 12) AS h12
+        FROM hx
+    ), rho AS (
+        SELECT event_type, bucket,
+               CASE WHEN trim(LEADING '0' FROM h12) = '' THEN 49
+                    ELSE 4 * (12 - length(trim(LEADING '0' FROM h12)))
+                         + CASE substr(trim(LEADING '0' FROM h12), 1, 1)
+                               WHEN '1' THEN 3
+                               WHEN '2' THEN 2 WHEN '3' THEN 2
+                               WHEN '4' THEN 1 WHEN '5' THEN 1
+                               WHEN '6' THEN 1 WHEN '7' THEN 1
+                               ELSE 0 END
+                         + 1 END AS rho
+        FROM parts
+    ), regs AS (
+        SELECT event_type, bucket, CAST(MAX(rho) AS BIGINT) AS m_j
+        FROM rho GROUP BY 1, 2
+    ), types AS (
+        SELECT DISTINCT event_type FROM events
+    ), spine AS (
+        SELECT event_type, j AS bucket
+        FROM types, unnest(range(0, {{M}})) AS u(j)
+    ), full_regs AS (
+        SELECT s.event_type, s.bucket, COALESCE(r.m_j, 0) AS m_j
+        FROM spine s LEFT JOIN regs r
+          ON r.event_type = s.event_type AND r.bucket = s.bucket
+    ), merged AS (
+        SELECT 'ALL' AS scope, bucket, CAST(MAX(m_j) AS BIGINT) AS m_j
+        FROM full_regs GROUP BY 2
+    ), scoped AS (
+        SELECT event_type AS scope, bucket, m_j FROM full_regs
+        UNION ALL
+        SELECT scope, bucket, m_j FROM merged
+    ), ssum AS (
+        SELECT scope,
+               CAST(SUM(562949953421312 >> m_j) AS BIGINT) AS s,
+               CAST(SUM(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_empty
+        FROM scoped GROUP BY 1
+    )
+    SELECT scope,
+           CASE WHEN ({{K}} / CAST(s AS DOUBLE)) <= 640.0 AND n_empty > 0
+                THEN CAST(ROUND({{M}}.0 * ln({{M}}.0 / n_empty)
+                                * 1000000) AS BIGINT)
+                ELSE CAST(ROUND({{K}} / CAST(s AS DOUBLE)
+                                * 1000000) AS BIGINT) END / 1000000.0
+               AS hll_estimate,
+           n_empty AS n_empty_registers
+    FROM ssum
+    ORDER BY scope
+    """.replace("{M}", "256").replace(
+        "{K}", repr(0.7213 / (1 + 1.079 / 256) * (256 * 256) * float(2**49))
+    ),
+    tags=("streaming", "sketch", "hll", "mergeable", "E17", "E10"),
+    checkpointed_substrate=True,
+)
+def q255_stream_hll_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING distinct-user estimation via portable-HLL register
+    partials — the sketch tier of the q205/q216/q218 partials family
+    (exact bitmaps q205 need 1 bit per possible user; HLL registers are
+    256 bytes per scope REGARDLESS of the id domain — the sketch a
+    100 TB pipeline actually streams): each micro-batch folds to its
+    per-(type, bucket) MAX(rho) register partial inside foreachBatch
+    and lands overwrite-by-batch-id; the read side merges partials by
+    register-wise MAX — the LOSSLESS HLL union, so the merged registers
+    are bit-identical to a batch build over the whole stream — and
+    emits q223's exact-harmonic-sum estimates per type plus the
+    register-merged 'ALL' scope. Hash equality with the batch oracle
+    proves exactly-once delivery AND merge losslessness in one gate;
+    q223 (same registers, batch side) carries the fidelity-vs-exact
+    evidence. Per-batch state: ≤ types×256 rows, stream-length- and
+    id-domain-independent."""
+    from database_migrator_spark.operators.bitmapops import (
+        _HLL_M,
+        hll_estimate6,
+        hll_registers,
+        hll_scoped_sums,
+    )
+    from database_migrator_spark.scratch import scratch_dir
+    from database_migrator_spark.sources import events_stream
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    out = scratch_dir("q255_out", *key)
+    ckpt = scratch_dir("q255_ckpt", *key)
+    src = events_stream(spark, sf_dir).select("event_type", "user_id")
+
+    def fold(b: DataFrame) -> DataFrame:
+        return hll_registers(b, "user_id", "event_type")
+
+    q = foreach_batch_parquet(src, out, ckpt, transform=fold)
+    q.awaitTermination()
+    regs = (
+        spark.read.parquet(out)
+        .groupBy("event_type", "bucket")
+        .agg(F.max("m_j").alias("m_j"))  # register-wise MAX = HLL union
+        .localCheckpoint(eager=True)  # bounded: <= types x 256 rows
+    )
+    ssum = hll_scoped_sums(regs, "event_type")
+    return ssum.select(
+        "scope",
+        (hll_estimate6(F.col("s"), F.col("n_empty")) / F.lit(1_000_000.0)).alias(
+            "hll_estimate"
+        ),
+        F.col("n_empty").alias("n_empty_registers"),
+    ).orderBy("scope")

@@ -1642,3 +1642,37 @@ def test_markov_final_plan_reads_bounded_checkpoints_only(spark):
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
     assert p.count("BroadcastNestedLoopJoin") <= 1  # 1-row total broadcast
+
+
+def test_ipw_branches_read_stratum_checkpoint(spark):
+    """q253: one corpus pass lands in the ≤6-row stratum checkpoint;
+    the per-stratum projection and the ALL-row aggregate both derive
+    from it — no FileScan, no join in the final plan."""
+    p = plan_of(spark, "q253_ipw_conversion_lift")
+    assert "FileScan" not in p
+    assert p.count("Scan ExistingRDD") == 2
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_unseen_mass_reads_term_checkpoint_only(spark):
+    """q254: one corpus scan lands in the checkpointed (source, token, f)
+    term table; the per-source rollup and the corpus-level ALL
+    re-aggregate both read the checkpoint — no FileScan in the final
+    plan, no joins, no windows (map-side combinable aggregates only)."""
+    p = plan_of(spark, "q254_unseen_mass_estimate")
+    assert "FileScan" not in p
+    assert p.count("Scan ExistingRDD") == 2
+    assert "Join" not in p and "Window" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_stream_hll_final_plan_is_bounded_registers_only(spark):
+    """q255: the final plan reads the merged-register checkpoint
+    (≤types×256 rows) — no raw-events FileScan (the corpus flowed
+    through the streaming sink), the spine/union/estimate work joins
+    only bounded frames, no sort-merge join, no cartesian."""
+    p = plan_of(spark, "q255_stream_hll_partials")
+    assert "FileScan" not in p  # partials landed during build; final reads checkpoint
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p

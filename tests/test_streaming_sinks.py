@@ -187,3 +187,40 @@ def test_q218_reinvocation_is_idempotent(spark):
     assert len(first) > 0
     for _type, n, p50, p90, p99, _mean in first:
         assert n > 0 and p50 <= p90 <= p99
+
+
+def test_q255_streaming_registers_merge_losslessly(spark):
+    """q255: the register-wise MAX merge of per-batch HLL partials must
+    be BIT-IDENTICAL to a single batch register build over the whole
+    events table (the lossless-union property the estimate rests on),
+    and re-invocation is idempotent (overwrite-by-batch-id replay
+    safety, the q205/q216/q218 guarantee)."""
+    import os
+
+    from database_migrator_spark.operators.bitmapops import hll_registers
+    from database_migrator_spark.plans.registry import all_queries
+    from database_migrator_spark.scratch import scratch_dir
+    from database_migrator_spark.sources import table
+
+    dq = all_queries()["q255_stream_hll_partials"]
+    first = [tuple(r) for r in dq.build(spark, SF_SMOKE).collect()]
+    second = [tuple(r) for r in dq.build(spark, SF_SMOKE).collect()]
+    assert first == second and len(first) > 0
+    key = (spark.sparkContext.applicationId, os.path.abspath(SF_SMOKE))
+    out = scratch_dir("q255_out", *key)
+    streamed = {
+        (r.event_type, r.bucket): r.m_j
+        for r in spark.read.parquet(out)
+        .groupBy("event_type", "bucket")
+        .agg(F.max("m_j").alias("m_j"))
+        .collect()
+    }
+    direct = {
+        (r.event_type, r.bucket): r.m_j
+        for r in hll_registers(
+            table(spark, SF_SMOKE, "events").select("event_type", "user_id"),
+            "user_id",
+            "event_type",
+        ).collect()
+    }
+    assert streamed == direct

@@ -664,3 +664,63 @@ def test_markov_removal_matches_python_replay_and_converged(spark):
     assert got == expect
     shares = [s for _, _, _, s in got[1:]]
     assert all(s >= 0 for s in shares) and abs(sum(shares) - 1.0) < 1e-9
+
+
+def test_ipw_stratified_lift_matches_python_replay(spark):
+    """q253: a plain-Python replay of the stratified estimator — per
+    (user, day) treatment/outcome flags, view-bucket strata, exact
+    integer rates, positivity filtering, n-weighted truncating-division
+    ATE — must reproduce every row; the adjusted lift must differ from
+    the naive pooled difference when strata are imbalanced (the
+    confounding adjustment is doing something) and per-stratum lifts
+    must bracket it."""
+    from collections import defaultdict
+
+    from database_migrator_spark.plans.registry import all_queries
+    from database_migrator_spark.sources import table
+
+    from .conftest import SF_SMOKE
+
+    ev = (
+        table(spark, SF_SMOKE, "events")
+        .select("user_id", F.to_date("ts").alias("d"), "event_type")
+        .collect()
+    )
+    agg = defaultdict(lambda: [0, 0, 0])  # v, t, y
+    for r in ev:
+        a = agg[(r.user_id, r.d)]
+        if r.event_type == "view":
+            a[0] += 1
+        elif r.event_type == "click":
+            a[1] = 1
+        elif r.event_type == "purchase":
+            a[2] = 1
+    g = defaultdict(lambda: [0, 0, 0, 0])  # n, nt, yt, yc
+    for v, t, y in agg.values():
+        s = g[min(v, 5)]
+        s[0] += 1
+        s[1] += t
+        s[2] += t * y
+        s[3] += (1 - t) * y
+    expect, NN, W, TNT, TYT, TNC, TYC = [], 0, 0, 0, 0, 0, 0
+    for st in sorted(g):
+        n, nt, yt, yc = g[st]
+        if nt == 0 or n - nt == 0:
+            continue
+        rt, rc = (yt * 10**12) // nt, (yc * 10**12) // (n - nt)
+        expect.append((st, n, nt, rt / 1e12, rc / 1e12, (rt - rc) / 1e12))
+        NN += n
+        W += n * (rt - rc)
+        TNT, TYT, TNC, TYC = TNT + nt, TYT + yt, TNC + (n - nt), TYC + yc
+    tr_w = abs(W) // NN * (1 if W >= 0 else -1)  # truncating div
+    expect.append(
+        (-1, NN, TNT, (TYT * 10**12) // TNT / 1e12, (TYC * 10**12) // TNC / 1e12, tr_w / 1e12)
+    )
+    got = [
+        (r.stratum, r.n_units, r.n_treated, r.rate_treated, r.rate_control, r.lift)
+        for r in all_queries()["q253_ipw_conversion_lift"].build(spark, SF_SMOKE).collect()
+    ]
+    assert got == sorted(expect)
+    lifts = [l for st, *_, l in got if st >= 0]
+    adj = [l for st, *_, l in got if st == -1][0]
+    assert min(lifts) - 1e-12 <= adj <= max(lifts) + 1e-12  # convexity

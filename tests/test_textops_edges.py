@@ -748,3 +748,52 @@ def test_rm3_weight_budget_and_expansion_provenance(spark):
         or (rows[i].score == rows[i + 1].score and rows[i].doc_id < rows[i + 1].doc_id)
         for i in range(len(rows) - 1)
     )
+
+
+def test_unseen_mass_matches_python_replay(spark):
+    """q254: a Counter-based replay — per-source and corpus-level token
+    frequencies, hapax/dis counts, integer Turing share and
+    bias-corrected Chao1 — must reproduce every row; Chao1 never falls
+    below observed vocab, p_unseen ∈ [0,1], and the corpus-level hapax
+    count is ≤ the per-source sum (cross-source merging can only demote
+    hapaxes)."""
+    import re
+    from collections import Counter
+
+    from database_migrator_spark.plans.registry import all_queries
+    from database_migrator_spark.sources import table
+
+    from .conftest import SF_SMOKE
+
+    docs = table(spark, SF_SMOKE, "documents").select("source", "text").collect()
+    per_src, all_cnt = {}, Counter()
+    for r in docs:
+        toks = [t for t in re.split(r"\s+", (r.text or "").lower()) if t]
+        per_src.setdefault(r.source, Counter()).update(toks)
+        all_cnt.update(toks)
+
+    def stats(c):
+        n = sum(c.values())
+        v = len(c)
+        n1 = sum(1 for f in c.values() if f == 1)
+        n2 = sum(1 for f in c.values() if f == 2)
+        return (
+            n, v, n1, n2,
+            (n1 * 10**12) // n / 1e12,
+            v + (n1 * (n1 - 1)) // (2 * (n2 + 1)),
+        )
+
+    expect = sorted(
+        [("ALL", *stats(all_cnt))]
+        + [(s, *stats(c)) for s, c in per_src.items() if sum(c.values()) > 0]
+    )
+    got = [
+        tuple(r) for r in all_queries()["q254_unseen_mass_estimate"]
+        .build(spark, SF_SMOKE)
+        .collect()
+    ]
+    assert got == expect
+    for _, n, v, n1, n2, pu, chao in got:
+        assert chao >= v and 0.0 <= pu <= 1.0
+    all_row = dict((r[0], r) for r in got)["ALL"]
+    assert all_row[3] <= sum(r[3] for r in got if r[0] != "ALL")
