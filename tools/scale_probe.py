@@ -236,6 +236,12 @@ PROBE_QUERIES = [
     "q247_calibration_report",
     "q248_hard_negative_mining",
     "q249_training_shuffle_shard",
+    "q250_groupwise_auc",
+    "q251_isotonic_calibration",
+    "q252_markov_removal_attribution",
+    "q253_ipw_conversion_lift",
+    "q254_unseen_mass_estimate",
+    "q255_stream_hll_partials",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
