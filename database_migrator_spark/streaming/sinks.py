@@ -486,7 +486,6 @@ def q218_stream_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "{K}", repr(0.7213 / (1 + 1.079 / 256) * (256 * 256) * float(2**49))
     ),
     tags=("streaming", "sketch", "hll", "mergeable", "E17", "E10"),
-    checkpointed_substrate=True,
 )
 def q255_stream_hll_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING distinct-user estimation via portable-HLL register
