@@ -3324,3 +3324,215 @@ def q254_unseen_mass_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_MMR_ORACLE = f"""
+    WITH RECURSIVE {_LEX_BASE_ORACLE}, scored AS (
+        SELECT t.doc_id,
+               CAST(ROUND(
+                   ln(CAST(2 * s.n_docs - 2 * q.df + 1 AS DOUBLE)
+                      / CAST(2 * q.df + 1 AS DOUBLE))
+                   * (CAST(22 * s.total * t.tf AS DOUBLE)
+                      / CAST(10 * s.total * t.tf + 3 * s.total
+                             + 9 * d.dl * s.n_docs AS DOUBLE))
+                   * 1000000000000) AS BIGINT) AS term_fp
+        FROM tf t JOIN qt q USING (term) JOIN dl d USING (doc_id), stats s
+    ), cands0 AS (
+        SELECT doc_id, CAST(SUM(term_fp) AS BIGINT) AS rel_fp
+        FROM scored GROUP BY 1
+        ORDER BY rel_fp DESC, doc_id LIMIT 20
+    ), bounds AS (
+        SELECT CAST(MAX(rel_fp) AS BIGINT) AS mx,
+               CAST(MIN(rel_fp) AS BIGINT) AS mn
+        FROM cands0
+    ), cand AS (
+        SELECT doc_id,
+               CASE WHEN mx > mn
+                    THEN (((rel_fp - mn) * 10000) // (mx - mn)) * 100000000
+                    ELSE CAST(0 AS BIGINT) END AS relnorm_fp
+        FROM cands0, bounds
+    ), dt AS (
+        SELECT DISTINCT tf.doc_id, term
+        FROM tf JOIN cands0 USING (doc_id)
+    ), sz AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM dt GROUP BY 1
+    ), inter AS (
+        SELECT a.doc_id AS a, b.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS i
+        FROM dt a JOIN dt b ON a.term = b.term AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT a, b, (i * 1000000000000) // (sa.n + sb.n - i) AS sim_fp
+        FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+    ), mmr AS (
+        SELECT 0 AS r, CAST([] AS BIGINT[]) AS sel,
+               CAST(NULL AS BIGINT) AS doc_id,
+               CAST(NULL AS BIGINT) AS relnorm_fp,
+               CAST(NULL AS BIGINT) AS maxsim_fp,
+               CAST(NULL AS BIGINT) AS mmr_fp
+        UNION ALL
+        SELECT s.r + 1, list_append(s.sel, p.doc_id),
+               p.doc_id, p.relnorm_fp, p.maxsim_fp, p.mmr_fp
+        FROM mmr s, LATERAL (
+            SELECT doc_id, relnorm_fp, maxsim_fp,
+                   (relnorm_fp + 1000000000000 - maxsim_fp) // 2 AS mmr_fp
+            FROM (
+                SELECT c.doc_id, c.relnorm_fp,
+                       COALESCE((SELECT MAX(pr.sim_fp) FROM pairs pr
+                                 WHERE pr.a = c.doc_id
+                                   AND list_contains(s.sel, pr.b)),
+                                CAST(0 AS BIGINT)) AS maxsim_fp
+                FROM cand c
+                WHERE NOT list_contains(s.sel, c.doc_id)
+            )
+            ORDER BY mmr_fp DESC, doc_id LIMIT 1
+        ) p
+        WHERE s.r < 10
+    )
+    SELECT CAST(r AS BIGINT) AS rank, doc_id,
+           CAST(relnorm_fp AS DOUBLE) / 1000000000000.0 AS rel_norm,
+           CAST(maxsim_fp AS DOUBLE) / 1000000000000.0 AS max_sim_prior,
+           CAST(mmr_fp AS DOUBLE) / 1000000000000.0 AS mmr_score
+    FROM mmr WHERE r >= 1
+    ORDER BY rank
+    """
+
+
+@query(
+    "q256_mmr_diversified_topk",
+    oracle=_MMR_ORACLE,
+    tags=("text", "retrieval", "mmr", "diversity", "llm-pipeline"),
+    checkpointed_substrate=True,
+)
+def q256_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein) — the
+    diversity rerank between retrieval and a RAG context window: from
+    the BM25 top-20 (q191's scorer, same tf checkpoint), greedily pick
+    10 docs maximizing λ·relevance − (1−λ)·max-similarity-to-picked at
+    λ=1/2 — near-duplicate hits that BM25 ranks adjacently (and that
+    would waste context tokens saying the same thing) are demoted in
+    favor of novel coverage. Redundancy = exact Jaccard over the
+    candidates' distinct-term sets (integer-only, no transcendental);
+    relevance is min-max normalized to the same 1e-12 fixed-point scale
+    so the MMR mix is a pure BIGINT expression.
+
+    Scale shape: the corpus-sized work IS q191 (one tf-checkpoint scan +
+    the posting join + TakeOrderedAndProject top-20); everything after
+    is bounded by the CANDIDATE COUNT — the ≤20-row candidate frame,
+    ≤20-doc term sets, ≤380-row pairwise Jaccard table (each
+    checkpointed once), and 10 greedy rounds over those bounded frames
+    (the q199 loop discipline, localCheckpoint per round, zero driver
+    collects). The oracle replays the identical greedy recursion via
+    q199's list-carrying LATERAL recursive CTE."""
+    tf, dl, stats, qt = _lex_query_terms(spark, sf_dir)
+    scored = _bm25_term_fp(tf.join(F.broadcast(qt), "term"), dl, stats)
+    cands0 = (
+        scored.groupBy("doc_id")
+        .agg(F.sum("term_fp").alias("rel_fp"))
+        .orderBy(F.col("rel_fp").desc(), "doc_id")
+        .limit(20)
+        .localCheckpoint(eager=True)  # bounds + relnorm + dt restriction
+    )
+    bounds = cands0.agg(F.max("rel_fp").alias("mx"), F.min("rel_fp").alias("mn"))
+    cand = (
+        cands0.crossJoin(F.broadcast(bounds))
+        .where(
+            exactness_guard(
+                (F.col("mx") - F.col("mn")) < F.lit(922_337_203_685_477),
+                "MMR: relevance span * 1e4 would overflow int64",
+            )
+        )
+        .select(
+            "doc_id",
+            # normalize at 1e-4 precision then exact-scale to the 1e-12
+            # grid: (rel-mn)*1e12 overflows int64 (BM25 fp sums ~ 1e14);
+            # (rel-mn)*1e4 <= span*1e4 < 2^63 for any corpus whose idf
+            # stays under ln(2N) ~ 60 (guarded)
+            F.when(
+                F.col("mx") > F.col("mn"),
+                int_div(
+                    (F.col("rel_fp") - F.col("mn")) * F.lit(10_000),
+                    F.col("mx") - F.col("mn"),
+                )
+                * F.lit(100_000_000),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("relnorm_fp"),
+        )
+        .localCheckpoint(eager=True)  # read every greedy round
+    )
+    dt = (
+        tf.join(F.broadcast(cands0.select("doc_id")), "doc_id")
+        .select("doc_id", "term")
+        .distinct()
+        .localCheckpoint(eager=True)  # both Jaccard join sides
+    )
+    sz = dt.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = dt.select(F.col("doc_id").alias("a"), "term")
+    b = dt.select(F.col("doc_id").alias("b"), "term")
+    inter = (
+        a.join(b, "term")
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("i"))
+    )
+    pairs = (
+        inter.join(sz.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), "a")
+        .join(sz.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), "b")
+        .select(
+            "a",
+            "b",
+            int_div(
+                F.col("i") * F.lit(1_000_000_000_000),
+                F.col("na") + F.col("nb") - F.col("i"),
+            ).alias("sim_fp"),
+        )
+        .localCheckpoint(eager=True)  # read every greedy round
+    )
+    sel = (
+        cand.select(
+            F.lit(0).cast("long").alias("rank"),
+            "doc_id",
+            "relnorm_fp",
+            F.lit(0).cast("long").alias("maxsim_fp"),
+            F.lit(0).cast("long").alias("mmr_fp"),
+        )
+        .where(F.lit(False))
+        .localCheckpoint(eager=True)
+    )
+    for r in range(1, 11):
+        remaining = cand.join(sel.select("doc_id"), "doc_id", "left_anti")
+        ms = (
+            pairs.join(
+                sel.select(F.col("doc_id").alias("b")).hint("broadcast"), "b"
+            )
+            .groupBy("a")
+            .agg(F.max("sim_fp").alias("maxsim_fp"))
+        )
+        pick = (
+            remaining.join(ms, remaining["doc_id"] == ms["a"], "left")
+            .select(
+                "doc_id",
+                "relnorm_fp",
+                F.coalesce("maxsim_fp", F.lit(0).cast("long")).alias("maxsim_fp"),
+            )
+            .withColumn(
+                "mmr_fp",
+                int_div(
+                    F.col("relnorm_fp")
+                    + F.lit(1_000_000_000_000)
+                    - F.col("maxsim_fp"),
+                    2,
+                ),
+            )
+            .orderBy(F.col("mmr_fp").desc(), "doc_id")
+            .limit(1)
+            .select(F.lit(r).cast("long").alias("rank"), "doc_id", "relnorm_fp", "maxsim_fp", "mmr_fp")
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+    return sel.select(
+        "rank",
+        "doc_id",
+        (F.col("relnorm_fp").cast("double") / F.lit(1e12)).alias("rel_norm"),
+        (F.col("maxsim_fp").cast("double") / F.lit(1e12)).alias("max_sim_prior"),
+        (F.col("mmr_fp").cast("double") / F.lit(1e12)).alias("mmr_score"),
+    ).orderBy("rank")

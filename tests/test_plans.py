@@ -1676,3 +1676,14 @@ def test_stream_hll_final_plan_is_bounded_registers_only(spark):
     assert "FileScan" not in p  # partials landed during build; final reads checkpoint
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_mmr_final_plan_reads_selection_checkpoint(spark):
+    """q256: the corpus-sized work (BM25 over the tf checkpoint) happens
+    BEFORE the candidate checkpoint; after 10 greedy rounds the final
+    plan reads only the ≤10-row selection checkpoint — no FileScan, no
+    join, no greedy-loop lazy-plan blow-up (the q110/q199 guard)."""
+    p = plan_of(spark, "q256_mmr_diversified_topk")
+    assert "FileScan" not in p
+    assert "Join" not in p
+    assert "CartesianProduct" not in p

@@ -797,3 +797,71 @@ def test_unseen_mass_matches_python_replay(spark):
         assert chao >= v and 0.0 <= pu <= 1.0
     all_row = dict((r[0], r) for r in got)["ALL"]
     assert all_row[3] <= sum(r[3] for r in got if r[0] != "ALL")
+
+
+def test_mmr_greedy_matches_python_replay_and_diversifies(spark):
+    """q256: a Python replay of the greedy MMR recursion over the SAME
+    collected candidate/pair tables must reproduce all 10 picks exactly;
+    the picked set must be no more redundant (mean pairwise Jaccard)
+    than the plain BM25 top-10 it reranks; rank 1 is the top-relevance
+    doc and every max_sim_prior refers only to earlier picks."""
+    from pyspark.sql import functions as F
+
+    from database_migrator_spark.operators.textops import (
+        _bm25_term_fp,
+        _lex_query_terms,
+    )
+    from database_migrator_spark.plans.registry import all_queries
+
+    from .conftest import SF_SMOKE
+
+    tf, dl, stats, qt = _lex_query_terms(spark, SF_SMOKE)
+    scored = _bm25_term_fp(tf.join(F.broadcast(qt), "term"), dl, stats)
+    rel = {
+        r.doc_id: r.rel_fp
+        for r in scored.groupBy("doc_id")
+        .agg(F.sum("term_fp").alias("rel_fp"))
+        .orderBy(F.col("rel_fp").desc(), "doc_id")
+        .limit(20)
+        .collect()
+    }
+    terms = {
+        r.doc_id: set(r.ts)
+        for r in tf.where(F.col("doc_id").isin(list(rel)))
+        .groupBy("doc_id")
+        .agg(F.collect_set("term").alias("ts"))
+        .collect()
+    }
+    mx, mn = max(rel.values()), min(rel.values())
+    relnorm = {
+        d: (((v - mn) * 10_000) // (mx - mn)) * 100_000_000 if mx > mn else 0
+        for d, v in rel.items()
+    }
+
+    def sim(a, b):
+        i = len(terms[a] & terms[b])
+        return (i * 10**12) // (len(terms[a]) + len(terms[b]) - i) if i else 0
+
+    sel, expect = [], []
+    for rank in range(1, 11):
+        best = None
+        for c in sorted(set(rel) - set(sel)):
+            ms = max((sim(c, p) for p in sel), default=0)
+            mmr = (relnorm[c] + 10**12 - ms) // 2
+            if best is None or (-mmr, c) < (-best[3], best[0]):
+                best = (c, relnorm[c], ms, mmr)
+        sel.append(best[0])
+        expect.append((rank, best[0], best[1] / 1e12, best[2] / 1e12, best[3] / 1e12))
+    got = [
+        (r.rank, r.doc_id, r.rel_norm, r.max_sim_prior, r.mmr_score)
+        for r in all_queries()["q256_mmr_diversified_topk"].build(spark, SF_SMOKE).collect()
+    ]
+    assert got == expect
+    bm25_top10 = sorted(rel, key=lambda d: (-rel[d], d))[:10]
+
+    def mean_pair_sim(docs):
+        ps = [sim(a, b) for a in docs for b in docs if a < b]
+        return sum(ps) / len(ps)
+
+    assert mean_pair_sim(sel) <= mean_pair_sim(bm25_top10) + 1e-12
+    assert got[0][1] == max(relnorm, key=lambda d: (relnorm[d], -d))
