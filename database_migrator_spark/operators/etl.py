@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from database_migrator_spark.functions.exact import to_cents
+from database_migrator_spark.functions.exact import int_div, to_cents
 from database_migrator_spark.plans.registry import query
 from database_migrator_spark.sources import table
 
@@ -992,3 +992,121 @@ def q228_delete_propagation_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("artifact")
     )
+
+
+@query(
+    "q257_k_anonymity_audit",
+    oracle="""
+    WITH rel AS (
+        SELECT c.c_nationkey AS nation,
+               strftime(date_trunc('month', o.o_orderdate), '%Y-%m') AS ym,
+               o.o_orderpriority AS priority,
+               o.o_orderstatus AS status
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), cls AS (
+        SELECT nation, ym, priority,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(COUNT(DISTINCT status) AS BIGINT) AS l
+        FROM rel GROUP BY 1, 2, 3
+    ), banded AS (
+        SELECT CASE WHEN k = 1 THEN '1:unique'
+                    WHEN k < 5 THEN '2:2-4'
+                    WHEN k < 10 THEN '3:5-9'
+                    ELSE '4:10+' END AS band,
+               CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(SUM(k) AS BIGINT)   AS n_rows,
+               CAST(MIN(l) AS BIGINT)   AS min_l_diversity
+        FROM cls GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(n_rows) AS BIGINT) AS t FROM banded
+    )
+    SELECT * FROM (
+        SELECT band, n_classes, n_rows,
+               CAST((n_rows * 1000000000000) // t AS DOUBLE)
+                   / 1000000000000.0 AS row_share,
+               min_l_diversity
+        FROM banded, tot
+        UNION ALL
+        SELECT 'ALL', CAST(SUM(n_classes) AS BIGINT),
+               CAST(SUM(n_rows) AS BIGINT), 1.0,
+               CAST(MIN(min_l_diversity) AS BIGINT)
+        FROM banded
+    ) ORDER BY band
+    """,
+    tags=("governance", "privacy", "k-anonymity", "audit"),
+    checkpointed_substrate=True,
+)
+def q257_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity + l-diversity release audit (Sweeney; Machanavajjhala
+    et al.) — the privacy gate before publishing a derived dataset, next
+    to q228's deletion propagation and q137's erasure: treating
+    (customer nation, order month, order priority) as the
+    quasi-identifier combination a re-identification attacker links on,
+    every equivalence class's size k and its sensitive-attribute
+    (order status) diversity l are computed exactly, then rolled into
+    release-policy bands — '1:unique' rows are directly re-identifiable,
+    k<5 classes fail the common k=5 policy, and min_l=1 classes leak
+    the sensitive value even when k is large (the homogeneity attack
+    l-diversity exists for). The ALL row carries totals and the global
+    worst-case l.
+
+    Scale shape: one orders⋈customer key join (both sides unbounded —
+    pinned shuffle-merge, never a forced broadcast of a 100 TB-side
+    dimension), one (QI) aggregate with map-side combine, then the ≤4-row
+    band table (checkpointed; band projection + ALL row). Exactness:
+    pure BIGINT counts; row_share is one non-negative floor division."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderpriority", "o_orderstatus"
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    rel = o.join(
+        c.hint("shuffle_merge"), o["o_custkey"] == c["c_custkey"]
+    ).select(
+        F.col("c_nationkey").alias("nation"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("ym"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    cls = rel.groupBy("nation", "ym", "priority").agg(
+        F.count("*").alias("k"), F.countDistinct("status").alias("l")
+    )
+    banded = (
+        cls.groupBy(
+            F.when(F.col("k") == 1, "1:unique")
+            .when(F.col("k") < 5, "2:2-4")
+            .when(F.col("k") < 10, "3:5-9")
+            .otherwise("4:10+")
+            .alias("band")
+        )
+        .agg(
+            F.count("*").alias("n_classes"),
+            F.sum("k").alias("n_rows"),
+            F.min("l").alias("min_l_diversity"),
+        )
+        .localCheckpoint(eager=True)  # ≤4 rows; band projection + ALL row
+    )
+    tot = banded.agg(F.sum("n_rows").alias("t"))
+    per = banded.crossJoin(F.broadcast(tot)).select(
+        "band",
+        "n_classes",
+        "n_rows",
+        (
+            int_div(F.col("n_rows") * F.lit(1_000_000_000_000), F.col("t")).cast(
+                "double"
+            )
+            / F.lit(1e12)
+        ).alias("row_share"),
+        "min_l_diversity",
+    )
+    allr = banded.agg(
+        F.sum("n_classes").alias("n_classes"),
+        F.sum("n_rows").alias("n_rows"),
+        F.min("min_l_diversity").alias("min_l_diversity"),
+    ).select(
+        F.lit("ALL").alias("band"),
+        "n_classes",
+        "n_rows",
+        F.lit(1.0).alias("row_share"),
+        "min_l_diversity",
+    )
+    return per.unionByName(allr).orderBy("band")

@@ -800,3 +800,83 @@ def q222_trimmed_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@query(
+    "q259_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY 1
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    tags=("relational", "correlated-subquery", "semi-anti", "tpch-q21"),
+)
+def q259_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's shape — 'suppliers who kept orders waiting': for
+    finished orders with 2+ suppliers, blame the supplier who was the
+    ONLY late shipper (ship lag > 60 days past the order date; the
+    synthetic schema has no commit/receipt dates, so lateness is
+    ship-lag). The textbook statement is a DOUBLE-CORRELATED
+    EXISTS / NOT EXISTS — the hardest decorrelation shape in the TPC-H
+    suite — and that is exactly what the oracle runs; the Spark side
+    instead computes each order's supplier count and LATE-supplier
+    count in ONE orderkey-partitioned window pass (order groups are
+    tiny, so collect_set stays bounded) and filters late rows to those
+    in multi-supplier orders whose only late supplier is their own.
+    Hash equality IS the proof that the single-shuffle aggregation
+    rewrite implements the nested quantifiers — the rewrite a plan
+    author on a 100 TB fact table needs, because two correlated
+    re-joins of lineitem would triple the dominant shuffle."""
+    from pyspark.sql import Window
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    j = l.join(
+        o.hint("shuffle_merge"), l["l_orderkey"] == o["o_orderkey"]
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)).alias("late"),
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = j.select(
+        "l_orderkey",
+        "l_suppkey",
+        "late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supps"),
+        F.size(
+            F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).over(w)
+        ).alias("late_supps"),
+    )
+    qual = flagged.where(
+        F.col("late") & (F.col("n_supps") >= 2) & (F.col("late_supps") == 1)
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        qual.groupBy("l_suppkey")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .join(s.hint("shuffle_merge"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )

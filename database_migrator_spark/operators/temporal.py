@@ -3940,3 +3940,125 @@ def q253_ipw_conversion_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per.unionByName(allr).orderBy("stratum")
+
+
+@query(
+    "q258_woe_information_value",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               COUNT(*) FILTER (WHERE event_type = 'view') AS v,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        FROM events GROUP BY 1, 2
+    ), b AS (
+        SELECT LEAST(v, 5) AS bin,
+               CAST(SUM(y) + 1 AS BIGINT)            AS ps,
+               CAST(SUM(1 - y) + 1 AS BIGINT)        AS ns,
+               CAST(SUM(y) AS BIGINT)                AS n_pos,
+               CAST(SUM(1 - y) AS BIGINT)            AS n_neg
+        FROM u GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(ps) AS BIGINT) AS p, CAST(SUM(ns) AS BIGINT) AS n
+        FROM b
+    ), w AS (
+        SELECT bin, n_pos, n_neg,
+               CAST(ROUND(ln((CAST(ps AS DOUBLE) / CAST(p AS DOUBLE))
+                             * (CAST(n AS DOUBLE) / CAST(ns AS DOUBLE)))
+                          * 1000000000) AS BIGINT) AS woe_fp,
+               CAST(ROUND((CAST(ps AS DOUBLE) / CAST(p AS DOUBLE)
+                           - CAST(ns AS DOUBLE) / CAST(n AS DOUBLE))
+                          * ln((CAST(ps AS DOUBLE) / CAST(p AS DOUBLE))
+                               * (CAST(n AS DOUBLE) / CAST(ns AS DOUBLE)))
+                          * 1000000000) AS BIGINT) AS iv_fp
+        FROM b, tot
+    )
+    SELECT * FROM (
+        SELECT CAST(bin AS BIGINT) AS bin, n_pos, n_neg,
+               CAST(woe_fp AS DOUBLE) / 1000000000.0 AS woe,
+               CAST(iv_fp AS DOUBLE) / 1000000000.0 AS iv_contrib
+        FROM w
+        UNION ALL
+        SELECT -1, CAST(SUM(n_pos) AS BIGINT), CAST(SUM(n_neg) AS BIGINT),
+               0.0, CAST(CAST(SUM(iv_fp) AS BIGINT) AS DOUBLE) / 1000000000.0
+        FROM w
+    ) ORDER BY bin
+    """,
+    tags=("statistics", "woe", "feature-diagnostics", "monitoring"),
+    checkpointed_substrate=True,
+)
+def q258_woe_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence encoding + Information Value for the
+    view-volume feature against purchase — the feature-SELECTION
+    diagnostic (credit-scoring's standard screen; IV < 0.02 = useless,
+    > 0.5 = suspiciously strong/leaky) that complements q253's causal
+    read of the SAME substrate and q224's structural FDs: WoE_b =
+    ln((pos_b/P)/(neg_b/N)) with +1 Laplace smoothing (zero-proof),
+    IV = Σ_b (pos share − neg share)·WoE_b. A leaky feature screams
+    here before it poisons a quality classifier.
+
+    Determinism: the ln argument is assembled from EXACTLY-converted
+    BIGINT counts via a fixed IEEE op sequence mirrored verbatim in the
+    oracle ((ps/P)·(N/ns) — never the ps·N product, which overflows
+    int64 at corpus scale); per-bin WoE/IV land as 1e-9 fixed-point
+    BIGINTs BEFORE the total-IV sum, so the ALL row's Σ is
+    order-independent. One corpus pass → ≤6-row bin checkpoint feeding
+    the per-bin and ALL branches."""
+    e = table(spark, sf_dir, "events")
+    u = e.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("v"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("y"),
+    )
+    b = (
+        u.groupBy(F.least(F.col("v"), F.lit(5)).alias("bin"))
+        .agg(
+            (F.sum("y") + 1).cast("long").alias("ps"),
+            (F.sum(F.lit(1) - F.col("y")) + 1).cast("long").alias("ns"),
+            F.sum("y").cast("long").alias("n_pos"),
+            F.sum(F.lit(1) - F.col("y")).cast("long").alias("n_neg"),
+        )
+        # ≤6 rows; the totals branch and the WoE projection both read it —
+        # without this the corpus aggregate pipeline runs twice (the q220
+        # doubled-FileScan failure mode)
+        .localCheckpoint(eager=True)
+    )
+    tot = b.agg(F.sum("ps").alias("p"), F.sum("ns").alias("n"))
+    ratio = (F.col("ps").cast("double") / F.col("p").cast("double")) * (
+        F.col("n").cast("double") / F.col("ns").cast("double")
+    )
+    diff = F.col("ps").cast("double") / F.col("p").cast("double") - F.col(
+        "ns"
+    ).cast("double") / F.col("n").cast("double")
+    w = (
+        b.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_pos",
+            "n_neg",
+            F.round(F.log(ratio) * F.lit(1_000_000_000)).cast("long").alias("woe_fp"),
+            F.round(diff * F.log(ratio) * F.lit(1_000_000_000))
+            .cast("long")
+            .alias("iv_fp"),
+        )
+        .localCheckpoint(eager=True)  # ≤6 rows; per-bin + ALL branches
+    )
+    per = w.select(
+        F.col("bin").cast("long").alias("bin"),
+        "n_pos",
+        "n_neg",
+        (F.col("woe_fp").cast("double") / F.lit(1e9)).alias("woe"),
+        (F.col("iv_fp").cast("double") / F.lit(1e9)).alias("iv_contrib"),
+    )
+    allr = w.agg(
+        F.sum("n_pos").alias("n_pos"),
+        F.sum("n_neg").alias("n_neg"),
+        F.sum("iv_fp").alias("iv_fp"),
+    ).select(
+        F.lit(-1).cast("long").alias("bin"),
+        "n_pos",
+        "n_neg",
+        F.lit(0.0).alias("woe"),
+        (F.col("iv_fp").cast("double") / F.lit(1e9)).alias("iv_contrib"),
+    )
+    return per.unionByName(allr).orderBy("bin")

@@ -195,3 +195,84 @@ def test_delete_propagation_audit_consistency(spark):
         if min(ids) % 37 == 0 and any(i % 37 != 0 for i in ids)
     )
     assert rows["dedup_keeper_reelections"].n_invalidated == want
+
+
+def test_k_anonymity_bands_match_pandas_replay(spark):
+    """q257: a pandas replay of the QI equivalence classes (size k,
+    status diversity l), the release bands and the ALL row must match
+    exactly; bands tile the released rows and min-l is the true global
+    minimum."""
+    from database_migrator_spark.plans.registry import all_queries
+    from database_migrator_spark.sources import table
+
+    from .conftest import SF_SMOKE
+
+    o = table(spark, SF_SMOKE, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderpriority", "o_orderstatus"
+    ).toPandas()
+    c = table(spark, SF_SMOKE, "customer").select("c_custkey", "c_nationkey").toPandas()
+    rel = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    rel["ym"] = rel["o_orderdate"].astype(str).str[:7]
+    g = rel.groupby(["c_nationkey", "ym", "o_orderpriority"]).agg(
+        k=("o_orderstatus", "size"), l=("o_orderstatus", "nunique")
+    )
+
+    def band(k):
+        return "1:unique" if k == 1 else "2:2-4" if k < 5 else "3:5-9" if k < 10 else "4:10+"
+
+    g["band"] = g["k"].map(band)
+    b = g.groupby("band").agg(
+        n_classes=("k", "size"), n_rows=("k", "sum"), min_l=("l", "min")
+    )
+    t = int(b["n_rows"].sum())
+    expect = sorted(
+        (bd, int(r.n_classes), int(r.n_rows), (int(r.n_rows) * 10**12) // t / 1e12, int(r.min_l))
+        for bd, r in b.iterrows()
+    ) + [("ALL", int(b["n_classes"].sum()), t, 1.0, int(b["min_l"].min()))]
+    got = [
+        (r.band, r.n_classes, r.n_rows, r.row_share, r.min_l_diversity)
+        for r in all_queries()["q257_k_anonymity_audit"].build(spark, SF_SMOKE).collect()
+    ]
+    assert got == sorted(expect)
+    assert sum(n for bd, _, n, _, _ in got if bd != "ALL") == t == len(rel)
+
+
+def test_waiting_suppliers_hand_corpus(spark, tmp_path):
+    """q259 semantics on a planted corpus: (A) two suppliers, only s1
+    late -> s1 blamed; (B) two suppliers BOTH late -> nobody blamed
+    (NOT EXISTS another late supplier fails); (C) single-supplier late
+    order -> nobody (EXISTS another supplier fails); (D) open-status
+    order -> excluded entirely."""
+    import datetime as dt
+    import os
+
+    from database_migrator_spark.plans.registry import all_queries
+
+    d0 = dt.date(2024, 1, 1)
+    late, ontime = dt.date(2024, 3, 15), dt.date(2024, 1, 10)
+    orders = spark.createDataFrame(
+        [(1, "F", d0), (2, "F", d0), (3, "F", d0), (4, "O", d0)],
+        "o_orderkey bigint, o_orderstatus string, o_orderdate date",
+    )
+    lineitem = spark.createDataFrame(
+        [
+            (1, 101, late), (1, 102, ontime),          # A: blame 101
+            (2, 101, late), (2, 102, late),            # B: both late -> none
+            (3, 103, late),                            # C: single supplier
+            (4, 104, late), (4, 105, ontime),          # D: status O
+        ],
+        "l_orderkey bigint, l_suppkey bigint, l_shipdate date",
+    )
+    supplier = spark.createDataFrame(
+        [(101, "s101"), (102, "s102"), (103, "s103"), (104, "s104"), (105, "s105")],
+        "s_suppkey bigint, s_name string",
+    )
+    sf = str(tmp_path)
+    orders.coalesce(1).write.parquet(os.path.join(sf, "orders.parquet"))
+    lineitem.coalesce(1).write.parquet(os.path.join(sf, "lineitem.parquet"))
+    supplier.coalesce(1).write.parquet(os.path.join(sf, "supplier.parquet"))
+    got = [
+        (r.s_name, r.numwait)
+        for r in all_queries()["q259_waiting_suppliers"].build(spark, sf).collect()
+    ]
+    assert got == [("s101", 1)]

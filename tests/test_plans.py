@@ -1687,3 +1687,37 @@ def test_mmr_final_plan_reads_selection_checkpoint(spark):
     assert "FileScan" not in p
     assert "Join" not in p
     assert "CartesianProduct" not in p
+
+
+def test_k_anonymity_join_pinned_and_band_checkpoint(spark):
+    """q257: the orders⋈customer key join stays pinned shuffle-merge
+    (both sides unbounded at scale — a forced dimension broadcast is the
+    100 TB OOM); the final plan reads the ≤4-row band checkpoint for
+    both the projection and the ALL row."""
+    p = plan_of(spark, "q257_k_anonymity_audit")
+    assert "FileScan" not in p  # final plan reads the band checkpoint
+    assert p.count("Scan ExistingRDD") == 3  # projection, totals, ALL row
+    assert "CartesianProduct" not in p
+
+
+def test_woe_iv_reads_bin_checkpoint_only(spark):
+    """q258: one corpus pass lands in the ≤6-row bin checkpoint; the
+    totals broadcast and the per-bin/ALL branches all derive from
+    checkpoints — no FileScan, no sort-merge join in the final plan."""
+    p = plan_of(spark, "q258_woe_information_value")
+    assert "FileScan" not in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_waiting_suppliers_single_window_pass_topk(spark):
+    """q259: the double-correlated EXISTS/NOT-EXISTS shape must compile
+    to ONE orderkey-partitioned window pass over the joined fact —
+    never a second or third lineitem self-join (count the lineitem
+    scans) — with pinned shuffle-merge joins and TakeOrderedAndProject
+    top-20."""
+    p = plan_of(spark, "q259_waiting_suppliers")
+    assert p.count("FileScan") == 3  # lineitem + orders + supplier, once each
+    assert "TakeOrderedAndProject" in p
+    assert p.count("SortMergeJoin") == 2  # fact join + supplier join
+    assert "CartesianProduct" not in p

@@ -724,3 +724,57 @@ def test_ipw_stratified_lift_matches_python_replay(spark):
     lifts = [l for st, *_, l in got if st >= 0]
     adj = [l for st, *_, l in got if st == -1][0]
     assert min(lifts) - 1e-12 <= adj <= max(lifts) + 1e-12  # convexity
+
+
+def test_woe_iv_matches_python_replay(spark):
+    """q258: a plain-Python replay — Laplace-smoothed per-bin counts,
+    the exact ln argument sequence (ps/P)·(N/ns), 1e-9 fixed-pointing
+    BEFORE the IV total — must reproduce every row; positive-lift bins
+    have positive WoE and the IV total equals the sum of contributions."""
+    import math
+    from collections import defaultdict
+
+    from database_migrator_spark.plans.registry import all_queries
+    from database_migrator_spark.sources import table
+
+    from .conftest import SF_SMOKE
+
+    ev = (
+        table(spark, SF_SMOKE, "events")
+        .select("user_id", F.to_date("ts").alias("d"), "event_type")
+        .collect()
+    )
+    agg = defaultdict(lambda: [0, 0])
+    for r in ev:
+        a = agg[(r.user_id, r.d)]
+        if r.event_type == "view":
+            a[0] += 1
+        elif r.event_type == "purchase":
+            a[1] = 1
+    bins = defaultdict(lambda: [0, 0])
+    for v, y in agg.values():
+        bins[min(v, 5)][0] += y
+        bins[min(v, 5)][1] += 1 - y
+    P = sum(p + 1 for p, _ in bins.values())
+    N = sum(n + 1 for _, n in bins.values())
+    expect, iv_total = [], 0
+    for bn in sorted(bins):
+        pos, neg = bins[bn]
+        ps, ns = pos + 1, neg + 1
+        ratio = (ps / P) * (N / ns)
+        woe_fp = round(math.log(ratio) * 1e9)
+        iv_fp = round((ps / P - ns / N) * math.log(ratio) * 1e9)
+        iv_total += iv_fp
+        expect.append((bn, pos, neg, woe_fp / 1e9, iv_fp / 1e9))
+    expect.insert(
+        0,
+        (-1, sum(p for p, _ in bins.values()), sum(n for _, n in bins.values()), 0.0, iv_total / 1e9),
+    )
+    got = [
+        (r.bin, r.n_pos, r.n_neg, r.woe, r.iv_contrib)
+        for r in all_queries()["q258_woe_information_value"].build(spark, SF_SMOKE).collect()
+    ]
+    assert got == expect
+    for bn, pos, neg, woe, _ in got:
+        if bn >= 0 and (pos + 1) * N > (neg + 1) * P:
+            assert woe > 0
