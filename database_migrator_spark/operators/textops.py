@@ -3536,3 +3536,78 @@ def q256_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("maxsim_fp").cast("double") / F.lit(1e12)).alias("max_sim_prior"),
         (F.col("mmr_fp").cast("double") / F.lit(1e12)).alias("mmr_score"),
     ).orderBy("rank")
+
+
+@query(
+    "q260_index_delete_refresh",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           t -> len(t) > 0) AS t
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+        GROUP BY 1, 2
+    ), old AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df_old,
+               CAST(SUM(tf) AS BIGINT) AS tf_old
+        FROM tf GROUP BY 1
+    ), survivors AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df_new,
+               CAST(SUM(tf) AS BIGINT) AS tf_new
+        FROM tf WHERE doc_id % 17 <> 0 GROUP BY 1
+    )
+    SELECT o.term, o.df_old, s.df_new, o.tf_old, s.tf_new
+    FROM old o JOIN survivors s USING (term)
+    ORDER BY s.df_new DESC, o.term
+    LIMIT 20
+    """,
+    tags=("text", "retrieval", "index-maintenance", "deletion", "governance"),
+    checkpointed_substrate=True,
+)
+def q260_index_delete_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION refresh of the lexical index — the decrement twin of
+    q229's incremental ADD and the derived-artifact follow-through of
+    q228's right-to-be-forgotten audit: when a deletion batch (doc_id %
+    17 == 0, the deterministic stand-in for an erasure list) leaves the
+    corpus, the per-term df/tf index must be updated WITHOUT a full
+    rebuild. The Spark side SUBTRACTS the deleted docs' per-term partial
+    from the standing index (df/tf are algebraic — decrement merge is
+    exact; terms whose df hits 0 leave the vocabulary), while the
+    ORACLE recomputes the index from the surviving corpus from scratch
+    — hash equality proves the decrement lossless, q165/q229's
+    invariant extended to deletes.
+
+    Scale shape: both the standing index and the deletion partial
+    derive from the SAME session tf checkpoint (zero extra corpus
+    scans); the vocabulary-sized old⋈delta join stays pinned
+    shuffle-merge (never broadcast — q103's OOM lesson); top-20 via
+    TakeOrderedAndProject."""
+    tf = doc_term_frequencies(spark, sf_dir)
+    old = tf.groupBy("term").agg(
+        F.count("*").alias("df_old"), F.sum("tf").alias("tf_old")
+    )
+    delta = (
+        tf.where(F.col("doc_id") % 17 == 0)
+        .groupBy("term")
+        .agg(F.count("*").alias("df_del"), F.sum("tf").alias("tf_del"))
+    )
+    return (
+        old.join(delta.hint("shuffle_merge"), "term", "left")
+        .select(
+            "term",
+            "df_old",
+            (
+                F.col("df_old") - F.coalesce("df_del", F.lit(0).cast("long"))
+            ).alias("df_new"),
+            "tf_old",
+            (
+                F.col("tf_old") - F.coalesce("tf_del", F.lit(0).cast("long"))
+            ).alias("tf_new"),
+        )
+        .where(F.col("df_new") > 0)
+        .orderBy(F.col("df_new").desc(), "term")
+        .limit(20)
+    )

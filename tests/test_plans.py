@@ -1721,3 +1721,16 @@ def test_waiting_suppliers_single_window_pass_topk(spark):
     assert "TakeOrderedAndProject" in p
     assert p.count("SortMergeJoin") == 2  # fact join + supplier join
     assert "CartesianProduct" not in p
+
+
+def test_index_delete_refresh_reads_tf_checkpoint_only(spark):
+    """q260: both the standing index and the deletion partial derive
+    from the session tf checkpoint — no corpus FileScan; the
+    vocabulary-sized old⋈delta join stays pinned shuffle-merge (never
+    broadcast); top-20 is TakeOrderedAndProject."""
+    p = plan_of(spark, "q260_index_delete_refresh")
+    assert "FileScan" not in p
+    assert "SortMergeJoin" in p
+    assert "BroadcastHashJoin" not in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p

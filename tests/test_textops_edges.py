@@ -865,3 +865,38 @@ def test_mmr_greedy_matches_python_replay_and_diversifies(spark):
 
     assert mean_pair_sim(sel) <= mean_pair_sim(bm25_top10) + 1e-12
     assert got[0][1] == max(relnorm, key=lambda d: (relnorm[d], -d))
+
+
+def test_index_delete_refresh_decrement_is_lossless_full_vocab(spark):
+    """q260: the decrement merge must equal a from-scratch surviving-
+    corpus index for EVERY term (not just the emitted top-20), vanished
+    terms are exactly those whose df came only from deleted docs, and
+    no survivor's stats ever go negative."""
+    from pyspark.sql import functions as F
+
+    from database_migrator_spark.operators.textops import doc_term_frequencies
+
+    from .conftest import SF_SMOKE
+
+    tf = doc_term_frequencies(spark, SF_SMOKE)
+    old = tf.groupBy("term").agg(F.count("*").alias("df"), F.sum("tf").alias("t"))
+    delta = (
+        tf.where(F.col("doc_id") % 17 == 0)
+        .groupBy("term")
+        .agg(F.count("*").alias("dfd"), F.sum("tf").alias("td"))
+    )
+    merged = {
+        r.term: (r.df - (r.dfd or 0), r.t - (r.td or 0))
+        for r in old.join(delta, "term", "left").collect()
+    }
+    direct = {
+        r.term: (r.df, r.t)
+        for r in tf.where(F.col("doc_id") % 17 != 0)
+        .groupBy("term")
+        .agg(F.count("*").alias("df"), F.sum("tf").alias("t"))
+        .collect()
+    }
+    assert {t: v for t, v in merged.items() if v[0] > 0} == direct
+    assert all(df >= 0 and t >= 0 for df, t in merged.values())
+    vanished = {t for t, (df, _) in merged.items() if df == 0}
+    assert vanished == set(merged) - set(direct)
