@@ -242,6 +242,11 @@ PROBE_QUERIES = [
     "q253_ipw_conversion_lift",
     "q254_unseen_mass_estimate",
     "q255_stream_hll_partials",
+    "q256_mmr_diversified_topk",
+    "q257_k_anonymity_audit",
+    "q258_woe_information_value",
+    "q259_waiting_suppliers",
+    "q260_index_delete_refresh",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
