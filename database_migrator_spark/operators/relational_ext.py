@@ -880,3 +880,151 @@ def q259_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+@query(
+    "q262_join_cardinality_sketch",
+    oracle="""
+    WITH da AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    db AS (SELECT DISTINCT c_custkey AS k FROM customer),
+    ha AS (
+        SELECT k, substr(md5(CAST(k AS VARCHAR)), 1, 12) AS h FROM da
+        QUALIFY row_number() OVER (ORDER BY substr(md5(CAST(k AS VARCHAR)), 1, 12), k) <= 16
+    ), hb AS (
+        SELECT k, substr(md5(CAST(k AS VARCHAR)), 1, 12) AS h FROM db
+        QUALIFY row_number() OVER (ORDER BY substr(md5(CAST(k AS VARCHAR)), 1, 12), k) <= 16
+    ), hu AS (
+        SELECT h FROM (
+            SELECT h, row_number() OVER (ORDER BY h, k) AS rn
+            FROM (SELECT DISTINCT k, h FROM (SELECT * FROM ha UNION ALL SELECT * FROM hb))
+        ) WHERE rn <= 16
+    ), est AS (
+        SELECT
+          (SELECT CASE WHEN COUNT(*) < 16 THEN CAST(COUNT(*) AS BIGINT)
+                       ELSE (15 * 281474976710656)
+                            // CAST('0x' || MAX(h) AS BIGINT) END FROM ha)
+              AS d_a_est,
+          (SELECT CASE WHEN COUNT(*) < 16 THEN CAST(COUNT(*) AS BIGINT)
+                       ELSE (15 * 281474976710656)
+                            // CAST('0x' || MAX(h) AS BIGINT) END FROM hb)
+              AS d_b_est,
+          (SELECT CASE WHEN COUNT(*) < 16 THEN CAST(COUNT(*) AS BIGINT)
+                       ELSE (15 * 281474976710656)
+                            // CAST('0x' || MAX(h) AS BIGINT) END FROM hu)
+              AS d_u_est
+    ), ex AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)   AS n_a,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_b,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM da)       AS d_a,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM db)       AS d_b,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+                JOIN customer c ON o.o_custkey = c.c_custkey)  AS join_exact
+    )
+    SELECT n_a, n_b, d_a, d_b, d_a_est, d_b_est,
+           GREATEST(d_a_est + d_b_est - d_u_est, 0) AS d_inter_est,
+           join_exact,
+           CAST(ROUND(CAST(GREATEST(d_a_est + d_b_est - d_u_est, 0) AS DOUBLE)
+                      * (CAST(n_a AS DOUBLE) / CAST(d_a_est AS DOUBLE))
+                      * (CAST(n_b AS DOUBLE) / CAST(d_b_est AS DOUBLE)))
+                AS BIGINT) AS join_est
+    FROM ex, est
+    """,
+    tags=("relational", "statistics", "cardinality", "sketch", "optimizer"),
+    checkpointed_substrate=True,
+)
+def q262_join_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-CARDINALITY estimation from mergeable KMV key sketches — the
+    optimizer-statistics fidelity read (what a cost-based planner like
+    Catalyst's CBO does before choosing broadcast vs shuffle): per-side
+    bottom-16 md5 sketches of the join keys (q221's construction — MIN
+    over fixed-width hex IS min-hash, and merging two sketches is just
+    re-taking the bottom-16 of their union, so per-shard sketches
+    combine losslessly), distinct sides via (k−1)·2^48 DIV h_(k),
+    intersection by inclusion-exclusion (clamped at 0), and the
+    System-R uniformity estimate |A⋈B| ≈ D∩ · (n_A/D_A) · (n_B/D_B) —
+    reported NEXT TO the exact join count, so the estimator's error is
+    measured on the same data the planner would plan.
+
+    Determinism: sketches and distinct estimates are pure BIGINT
+    (hex-string min-hash + floor division, n<k exact fallback); the
+    final uniformity product is a fixed IEEE sequence over
+    exactly-converted integers, ROUND half-up on both engines. Scale
+    shape: per-side DISTINCT + bottom-k (WindowGroupLimit-able), the
+    exact join pinned shuffle-merge; everything downstream of the ≤16-row
+    sketches is bounded."""
+    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    c = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    from pyspark.sql import Window
+
+    def bottom16(side: DataFrame) -> DataFrame:
+        h = side.distinct().select(
+            "k", F.substring(F.md5(F.col("k").cast("string")), 1, 12).alias("h")
+        )
+        w = Window.orderBy("h", "k")
+        return (
+            h.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 16)
+            .select("k", "h")
+            .localCheckpoint(eager=True)  # ≤16 rows; estimate + union merge
+        )
+    ha, hb = bottom16(o), bottom16(c)
+
+    def kmv_est(sk: DataFrame) -> DataFrame:
+        return sk.agg(
+            F.when(
+                F.count("*") < 16, F.count("*").cast("long")
+            )
+            .otherwise(
+                F.expr(
+                    "(15 * 281474976710656L) div conv(max(h), 16, 10)"
+                ).cast("long")
+            )
+            .alias("est")
+        )
+
+    hu = (
+        ha.unionByName(hb)
+        .distinct()
+        .withColumn("rn", F.row_number().over(Window.orderBy("h", "k")))
+        .where(F.col("rn") <= 16)
+        .select("k", "h")
+    )
+    d_a_est = kmv_est(ha).select(F.col("est").alias("d_a_est"))
+    d_b_est = kmv_est(hb).select(F.col("est").alias("d_b_est"))
+    d_u_est = kmv_est(hu).select(F.col("est").alias("d_u_est"))
+    ex = (
+        o.agg(F.count("*").alias("n_a"), F.countDistinct("k").alias("d_a"))
+        .crossJoin(
+            c.agg(F.count("*").alias("n_b"), F.countDistinct("k").alias("d_b"))
+        )
+        .crossJoin(
+            o.join(c.hint("shuffle_merge"), "k")
+            .agg(F.count("*").alias("join_exact"))
+        )
+    )
+    d_inter = F.greatest(
+        F.col("d_a_est") + F.col("d_b_est") - F.col("d_u_est"),
+        F.lit(0).cast("long"),
+    )
+    return (
+        ex.crossJoin(F.broadcast(d_a_est))
+        .crossJoin(F.broadcast(d_b_est))
+        .crossJoin(F.broadcast(d_u_est))
+        .select(
+            "n_a",
+            "n_b",
+            "d_a",
+            "d_b",
+            "d_a_est",
+            "d_b_est",
+            d_inter.alias("d_inter_est"),
+            "join_exact",
+            F.round(
+                d_inter.cast("double")
+                * (F.col("n_a").cast("double") / F.col("d_a_est").cast("double"))
+                * (F.col("n_b").cast("double") / F.col("d_b_est").cast("double"))
+            )
+            .cast("long")
+            .alias("join_est"),
+        )
+    )

@@ -1220,3 +1220,138 @@ def q242_bootstrap_ci_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFra
             ),
         )
     )
+
+
+@query(
+    "q261_sampled_quantile_fidelity",
+    oracle="""
+    WITH h AS (
+        SELECT event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(COUNT(*) FILTER (
+                   WHERE CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                             1, 4) AS BIGINT) % 8 = 0)
+                   AS BIGINT) AS cs
+        FROM events GROUP BY 1, 2
+    ), cum AS (
+        SELECT event_type, cents, c, cs,
+               CAST(SUM(c)  OVER w AS BIGINT) AS cum_c,
+               CAST(SUM(cs) OVER w AS BIGINT) AS cum_cs
+        FROM h
+        WINDOW w AS (PARTITION BY event_type ORDER BY cents
+                     ROWS UNBOUNDED PRECEDING)
+    ), tot AS (
+        SELECT event_type, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(cs) AS BIGINT) AS ns
+        FROM h GROUP BY 1
+    ), picks AS (
+        SELECT cum.event_type,
+               MIN(CASE WHEN cum_c >= (t.n + 1) // 2 THEN cents END)
+                   AS p50_cents,
+               MIN(CASE WHEN cum_c >= (9 * t.n + 9) // 10 THEN cents END)
+                   AS p90_cents,
+               MIN(CASE WHEN cum_c >= (99 * t.n + 99) // 100 THEN cents END)
+                   AS p99_cents,
+               MIN(CASE WHEN cum_cs >= (t.ns + 1) // 2 THEN cents END)
+                   AS p50_est,
+               MIN(CASE WHEN cum_cs >= (9 * t.ns + 9) // 10 THEN cents END)
+                   AS p90_est,
+               MIN(CASE WHEN cum_cs >= (99 * t.ns + 99) // 100 THEN cents END)
+                   AS p99_est
+        FROM cum JOIN tot t USING (event_type)
+        GROUP BY 1
+    )
+    SELECT t.event_type, t.n AS n_events, t.ns AS n_sample,
+           p.p50_cents, p.p90_cents, p.p99_cents,
+           p.p50_est, p.p90_est, p.p99_est
+    FROM tot t JOIN picks p USING (event_type)
+    WHERE t.ns > 0
+    ORDER BY t.event_type
+    """,
+    tags=("statistics", "sampling", "quantiles", "sketch", "fidelity"),
+    checkpointed_substrate=True,
+)
+def q261_sampled_quantile_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-sampled quantile-sketch fidelity — the quantile tier's
+    analogue of q221 (KMV vs exact distinct) and q223 (HLL vs exact):
+    per-type p50/p90/p99 from a DETERMINISTIC 1-in-8 md5 row sample
+    (gate on event_id hex — engine-reproducible and retry-safe where
+    Bernoulli rand() is neither, and union-of-samples == sample-of-union
+    so shard samples merge losslessly) next to the EXACT q218-style
+    percentiles, so the estimation error a 100 TB pipeline accepts when
+    the full value histogram is too hot to maintain is MEASURED, not
+    assumed. Both extractions use q201/q218's pure-integer ceil(q·n)
+    thresholds.
+
+    Scale shape: ONE corpus pass builds a single (type, cents) histogram
+    carrying BOTH populations (full count + sampled count per cell —
+    the sample adds zero extra scans), checkpointed; cumulative windows
+    run over the bounded histogram only."""
+    e = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    gate = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 8
+        == 0
+    )
+    h = (
+        e.groupBy("event_type", to_cents("value").alias("cents"))
+        .agg(
+            F.count("*").alias("c"),
+            F.sum(gate.cast("long")).alias("cs"),
+        )
+        .localCheckpoint(eager=True)  # bounded: value-domain-sized
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = h.select(
+        "event_type",
+        "cents",
+        F.sum("c").over(w).alias("cum_c"),
+        F.sum("cs").over(w).alias("cum_cs"),
+    )
+    tot = h.groupBy("event_type").agg(
+        F.sum("c").alias("n"), F.sum("cs").alias("ns")
+    )
+    def pick(cum_col: str, n_col: str, num: int, den: int, alias: str):
+        return F.min(
+            F.when(
+                F.col(cum_col) >= F.expr(f"({num} * {n_col} + {num}) DIV {den}"),
+                F.col("cents"),
+            )
+        ).alias(alias)
+
+    picks = (
+        cum.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(
+            pick("cum_c", "n", 1, 2, "p50_cents"),
+            pick("cum_c", "n", 9, 10, "p90_cents"),
+            pick("cum_c", "n", 99, 100, "p99_cents"),
+            pick("cum_cs", "ns", 1, 2, "p50_est"),
+            pick("cum_cs", "ns", 9, 10, "p90_est"),
+            pick("cum_cs", "ns", 99, 100, "p99_est"),
+        )
+    )
+    return (
+        tot.where(F.col("ns") > 0)
+        .join(picks, "event_type")
+        .select(
+            "event_type",
+            F.col("n").alias("n_events"),
+            F.col("ns").alias("n_sample"),
+            "p50_cents",
+            "p90_cents",
+            "p99_cents",
+            "p50_est",
+            "p90_est",
+            "p99_est",
+        )
+        .orderBy("event_type")
+    )

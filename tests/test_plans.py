@@ -1734,3 +1734,41 @@ def test_index_delete_refresh_reads_tf_checkpoint_only(spark):
     assert "BroadcastHashJoin" not in p
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
+
+
+def test_sampled_quantiles_single_histogram_pass(spark):
+    """q261: ONE corpus pass lands both populations in the checkpointed
+    (type, cents) histogram — the sample adds zero extra scans; all
+    windows/joins downstream run over the bounded histogram (no
+    FileScan, no sort-merge join in the final plan)."""
+    p = plan_of(spark, "q261_sampled_quantile_fidelity")
+    assert "FileScan" not in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_join_cardinality_sketch_bottom_k_is_take_ordered(spark):
+    """q262: the per-side bottom-16 KMV rank window must compile to
+    TakeOrderedAndProject(limit=16) — map-side top-k over the distinct
+    keys, never a single-partition corpus sort (checked on the build
+    plan of the sketch; the final plan then only joins ≤16-row
+    checkpoints, bounded 1-row broadcasts and the pinned exact join)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from database_migrator_spark.sources import table
+
+    o = table(spark, SF_SMOKE, "orders").select(F.col("o_custkey").alias("k"))
+    h = o.distinct().select(
+        "k", F.substring(F.md5(F.col("k").cast("string")), 1, 12).alias("h")
+    )
+    sk = (
+        h.withColumn("rn", F.row_number().over(Window.orderBy("h", "k")))
+        .where(F.col("rn") <= 16)
+    )
+    build = sk._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject(limit=16" in build
+    assert "Exchange SinglePartition" not in build
+    p = plan_of(spark, "q262_join_cardinality_sketch")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" in p  # the exact join, pinned

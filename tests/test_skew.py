@@ -163,3 +163,101 @@ def test_bootstrap_ci_python_replay_and_coverage(spark):
     assert row.ci_lo_cents == sums[4][0] / nd
     assert row.ci_hi_cents == sums[194][0] / nd
     assert row.ci_lo_cents <= row.mean_daily_cents <= row.ci_hi_cents
+
+
+def test_sampled_quantiles_match_python_replay(spark):
+    """q261: a hashlib/Counter replay of BOTH populations — the full
+    histogram and the 1-in-8 md5-gated sample — with the same integer
+    ceil(q·n) thresholds must reproduce every row; the sample is the
+    deterministic subset (same gate recomputed in Python) and estimates
+    are real sample values."""
+    import hashlib
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from database_migrator_spark.plans.registry import all_queries
+    from database_migrator_spark.sources import table
+
+    from .conftest import SF_SMOKE
+
+    rows = (
+        table(spark, SF_SMOKE, "events")
+        .select("event_id", "event_type", F.round(F.col("value") * 100).cast("long").alias("cents"))
+        .collect()
+    )
+    full, samp = defaultdict(list), defaultdict(list)
+    for r in rows:
+        full[r.event_type].append(r.cents)
+        h = hashlib.md5(str(r.event_id).encode()).hexdigest()
+        if int(h[:4], 16) % 8 == 0:
+            samp[r.event_type].append(r.cents)
+
+    def q(vals, num, den):
+        vals = sorted(vals)
+        k = (num * len(vals) + num) // den
+        return vals[max(k, 1) - 1]
+
+    expect = []
+    for t in sorted(full):
+        if not samp.get(t):
+            continue
+        expect.append(
+            (
+                t, len(full[t]), len(samp[t]),
+                q(full[t], 1, 2), q(full[t], 9, 10), q(full[t], 99, 100),
+                q(samp[t], 1, 2), q(samp[t], 9, 10), q(samp[t], 99, 100),
+            )
+        )
+    got = [
+        tuple(r)
+        for r in all_queries()["q261_sampled_quantile_fidelity"]
+        .build(spark, SF_SMOKE)
+        .collect()
+    ]
+    assert got == expect
+    for t, n, ns, *_ in got:
+        assert 0 < ns < n
+
+
+def test_join_cardinality_sketch_matches_python_replay(spark):
+    """q262: a hashlib replay of both KMV sketches, the union merge,
+    inclusion-exclusion intersection and the System-R uniformity
+    product must reproduce the single report row exactly; with a
+    foreign-key join (every order has a customer) the exact join count
+    equals n_orders, and the estimate lands within 5x of it."""
+    import hashlib
+
+    from database_migrator_spark.plans.registry import all_queries
+    from database_migrator_spark.sources import table
+
+    from .conftest import SF_SMOKE
+
+    ok = [r.k for r in table(spark, SF_SMOKE, "orders").selectExpr("o_custkey AS k").collect()]
+    ck = [r.k for r in table(spark, SF_SMOKE, "customer").selectExpr("c_custkey AS k").collect()]
+
+    def sketch(keys):
+        hs = sorted((hashlib.md5(str(k).encode()).hexdigest()[:12], k) for k in set(keys))
+        return hs[:16]
+
+    def est(sk):
+        return len(sk) if len(sk) < 16 else (15 * 2**48) // int(sk[-1][0], 16)
+
+    sa, sb = sketch(ok), sketch(ck)
+    su = sorted(set(sa) | set(sb))[:16]
+    da, db, du = est(sa), est(sb), est(su)
+    d_inter = max(da + db - du, 0)
+    cks = set(ck)
+    join_exact = sum(1 for k in ok if k in cks)
+    join_est = round(float(d_inter) * (len(ok) / da) * (len(ck) / db))
+    expect = (
+        len(ok), len(ck), len(set(ok)), len(set(ck)), da, db, d_inter,
+        join_exact, join_est,
+    )
+    got = [
+        tuple(r)
+        for r in all_queries()["q262_join_cardinality_sketch"].build(spark, SF_SMOKE).collect()
+    ]
+    assert got == [expect]
+    assert join_exact == len(ok)  # FK totality on the synthetic data
+    assert join_est <= 5 * join_exact and join_exact <= 5 * max(join_est, 1)

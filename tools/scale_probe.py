@@ -247,6 +247,8 @@ PROBE_QUERIES = [
     "q258_woe_information_value",
     "q259_waiting_suppliers",
     "q260_index_delete_refresh",
+    "q261_sampled_quantile_fidelity",
+    "q262_join_cardinality_sketch",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
