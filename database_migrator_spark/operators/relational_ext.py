@@ -976,7 +976,8 @@ def q262_join_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .otherwise(
                 F.expr(
-                    "(15 * 281474976710656L) div conv(max(h), 16, 10)"
+                    "(15 * 281474976710656L)"
+                    " div cast(conv(max(h), 16, 10) as bigint)"
                 ).cast("long")
             )
             .alias("est")
