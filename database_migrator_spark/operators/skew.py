@@ -1082,7 +1082,13 @@ def q240_kruskal_wallis_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BOOT_B = 200  # bootstrap replicates; 2.5%/97.5% = order stats 5 and 195
+_BOOT_B = 200  # bootstrap replicates
+# 2.5%/97.5% CI bounds as order statistics, DERIVED from _BOOT_B so
+# retuning the replicate count cannot silently leave the bounds computed
+# at the wrong quantiles (rank 5 / 195 at B=200).
+_BOOT_LO = _BOOT_B // 40
+_BOOT_HI = _BOOT_B - _BOOT_LO
+assert _BOOT_B % 40 == 0, "2.5% rank must be exact for order-statistic CI"
 
 
 @query(
@@ -1120,9 +1126,9 @@ _BOOT_B = 200  # bootstrap replicates; 2.5%/97.5% = order stats 5 and 195
     )
     SELECT t.nd AS n_days, CAST({_BOOT_B} AS BIGINT) AS n_boot,
            CAST(t.total AS DOUBLE) / t.nd AS mean_daily_cents,
-           CAST((SELECT boot_sum FROM ranked WHERE rk = 5) AS DOUBLE)
+           CAST((SELECT boot_sum FROM ranked WHERE rk = {_BOOT_LO}) AS DOUBLE)
                / t.nd AS ci_lo_cents,
-           CAST((SELECT boot_sum FROM ranked WHERE rk = 195) AS DOUBLE)
+           CAST((SELECT boot_sum FROM ranked WHERE rk = {_BOOT_HI}) AS DOUBLE)
                / t.nd AS ci_hi_cents
     FROM tot t
     """,
@@ -1197,10 +1203,10 @@ def q242_bootstrap_ci_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     tot = days.agg(
         F.sum("day_cents").alias("total"), F.count("*").alias("n_days")
     )
-    lo = ranked.where(F.col("rk") == 5).select(
+    lo = ranked.where(F.col("rk") == _BOOT_LO).select(
         F.col("boot_sum").alias("lo_sum")
     )
-    hi = ranked.where(F.col("rk") == 195).select(
+    hi = ranked.where(F.col("rk") == _BOOT_HI).select(
         F.col("boot_sum").alias("hi_sum")
     )
     return (

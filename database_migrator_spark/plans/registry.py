@@ -92,33 +92,40 @@ def query(
 #   rank 1 — queries whose last gate row is the OLDEST.
 #   rank 2+ — progressively fresher gate rows.
 #
-# Round-10 instance (rotated AFTER the r09 gate ran and recorded the 38
-# never-gated names q196-q233 PLUS the first 12 r05-stale rows q100-q111,
-# all green — CORRECTNESS_r09.json): rank 0 = never-gated r10 additions
-# (q234+) and any query whose ORACLE changed this round (q59 upgraded
-# from rows-only to a batch-equivalence hash oracle — a semantic change,
-# so its r06 row no longer certifies it); rank 1 = the r05-stale RESIDUE
-# in name order (q112-q114, q116-q118, q120-q143, q51/q94/q96 = 33
-# names, verified against all nine CORRECTNESS files); rank 2 = the
-# r06-gated block (q52-q93, q95, q97-q99, q115, q119, q144 — now the
-# oldest signal after the residue) tops up the 50-row window.  This
-# completes the third full-catalog re-gate cycle; q01-q37/q145-q158
-# (r07), q38-q50/q159-q195 (r08) and q100-q111/q196-q233 (r09, the
-# freshest rows) queue last.
+# Round-11 instance (rotated AFTER the r10 gate ran and recorded the 17
+# rank-0 names q234-q249+q59 PLUS all 33 r05-stale residue rows, 49/50
+# hash-green — CORRECTNESS_r10.json; q117 no_oracle by declared design):
+# rank 0 = the 13 never-gated round-10 wave-2/3 additions q250-q262
+# (verified never-gated by diffing all ten CORRECTNESS files); rank 1 =
+# the 37 oldest r06-gated names in name order — the refresh pool is 49
+# names whose newest driver row dates to round 6 (q52-q99 minus
+# q59/q94/q96, plus q115/q119/q144 AND q01, whose r07-era row actually
+# landed in r06), and the first 37 by name (q01, q115, q119, q144,
+# q52-q85 minus q59) top the window up to exactly 50.
+# Round-12 plan (write it now so the rotation stays mechanical): rank 0
+# = r11 additions (q263+, currently _QUEUED_NEXT) + the 12-name r06
+# RESIDUE (_R06_RESIDUE below: q86-q93, q95, q97-q99); top up with the
+# 50-name r07 block (q02-q37, q145-q158) — that completes the fourth
+# full-catalog re-gate cycle with every name ≤4 rounds stale.
 # Order changes NOTHING for the pytest oracle suite or bench.py — they
 # run the whole catalog.  tests/test_bench_contract.py pins the
 # resulting first-50 list so a refactor cannot silently reorder the
 # gate.
-# Rank-0 budget: the 50-row window must hold ALL 33 r05-stale residue
-# names, so at most 17 never-gated names may precede them. q234-q249
-# (+ q59's upgraded oracle) fill that budget EXACTLY; later round-10
-# additions (q250+) therefore queue at rank 1.5 — first AFTER the
-# window, becoming rank 0 when the post-r10-gate rotation runs.
-_NEVER_GATED = {f"q{i}" for i in range(234, 250)} | {"q59"}  # q59: oracle upgraded r10
-_QUEUED_NEXT = {f"q{i}" for i in range(250, 280)}
-_R05_STALE = ({f"q{i}" for i in range(112, 144)} - {"q115", "q119"}) | {"q51", "q94", "q96"}
-_R06_FRESH = ({f"q{i:02d}" for i in range(52, 100)} - {"q59", "q94", "q96"}) | {"q115", "q119", "q144"}
-# gated green in r08/r09 — the freshest signal
+# Rank-0 budget: the 50-row window holds the 13 never-gated names plus
+# EXACTLY 37 refresh names; r11 additions (q263+) therefore queue at
+# _QUEUED_NEXT — first AFTER the window, becoming rank 0 when the
+# post-r11-gate rotation runs.
+_NEVER_GATED = {f"q{i}" for i in range(250, 263)}
+_R06_REFRESH = ({f"q{i:02d}" for i in range(52, 86)} - {"q59"}) | {
+    "q01",
+    "q115",
+    "q119",
+    "q144",
+}  # 37 names: fills the window exactly
+_QUEUED_NEXT = {f"q{i}" for i in range(263, 300)}  # r11 additions
+_R06_RESIDUE = {f"q{i:02d}" for i in range(86, 100)} - {"q94", "q96"}  # 12: r12 rank 0
+_R07_FRESH = {f"q{i:02d}" for i in range(2, 38)} | {f"q{i}" for i in range(145, 159)}
+# gated green in r08/r09/r10 — progressively fresher signal
 _R08_FRESH = {f"q{i}" for i in range(159, 196)} | {f"q{i:02d}" for i in range(38, 51)}
 _R09_FRESH = {f"q{i}" for i in range(196, 234)} | {f"q{i}" for i in range(100, 112)}
 
@@ -155,16 +162,18 @@ def all_queries() -> dict[str, DeclaredQuery]:
         qid = name.split("_", 1)[0]
         if qid in _NEVER_GATED:
             return (0, name)
-        if qid in _R05_STALE:
+        if qid in _R06_REFRESH:
             return (1, name)
         if qid in _QUEUED_NEXT:
-            return (2, name)  # outside the full r10 window; rank 0 in r11
-        if qid in _R06_FRESH:
-            return (3, name)
+            return (2, name)  # outside the full r11 window; rank 0 in r12
+        if qid in _R06_RESIDUE:
+            return (3, name)  # joins r12's rank 0 alongside _QUEUED_NEXT
+        if qid in _R07_FRESH:
+            return (4, name)
         if qid in _R08_FRESH:
             return (5, name)
         if qid in _R09_FRESH:
             return (6, name)
-        return (4, name)  # r07-gated (q01-q37, q145-q158)
+        return (7, name)  # r10-gated (q234-q249, q59, q51/q94/q96, q112-q143 block)
 
     return dict(sorted(_REGISTRY.items(), key=lambda kv: rank(kv[0])))

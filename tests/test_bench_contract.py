@@ -80,49 +80,48 @@ def test_bench_json_line_fits_tail_window():
 
 
 def test_gate_order_front_loads_stale_signal_set():
-    """Round 10: the 50-row gate must spend its budget on (a) every
-    NEVER-GATED query — round-10 additions (q234+) plus q59, whose
-    oracle was upgraded from rows-only to a batch-equivalence hash this
-    round (a semantic change: its r06 row no longer certifies the new
-    contract) — then (b) the r05-stale RESIDUE in name order (q112-q114,
-    q116-q118, q120-q143, q51/q94/q96 — the 33 names whose newest driver
-    row still dates to round 5), then (c) the r06-gated block topping up
-    the window. q01-q37/q145-q158 (r07), q38-q50/q159-q195 (r08) and
-    q100-q111/q196-q233 (r09, the freshest rows) queue last. Pinning
-    the exact first-50 list (not just the set) so a refactor cannot
-    silently reorder the gate. The rank-0 cap keeps all 33 stale rows
-    plus at least a few r06 refreshes inside the window."""
+    """Round 11: the 50-row gate must spend its budget on (a) the 13
+    never-gated round-10 wave-2/3 additions q250-q262 (verified never
+    gated by diffing all ten CORRECTNESS files), then (b) the 37 oldest
+    r06-gated names in name order — the refresh pool is the 49 names
+    whose newest driver row dates to round 6 (q52-q99 minus q59/q94/q96,
+    plus q115/q119/q144 and q01), of which the first 37 by name fill the
+    window exactly. The 12-name residue (q86-q93/q95/q97-q99) plus any
+    r11 additions (q263+, pinned first-after-window) form r12's rank 0.
+    q02-q37/q145-q158 (r07), q38-q50/q159-q195 (r08), q100-q111/
+    q196-q233 (r09) and the r10-gated rows queue last. Pinning the exact
+    first-50 list (not just the set) so a refactor cannot silently
+    reorder the gate."""
     names = list(all_queries())
     gate = [n.split("_", 1)[0] for n in names[:50]]
     never_gated = sorted(
         n.split("_", 1)[0]
         for n in names
-        if n.split("_", 1)[0] in ({f"q{i}" for i in range(234, 250)} | {"q59"})
+        if n.split("_", 1)[0] in {f"q{i}" for i in range(250, 263)}
     )
     n_new = len(never_gated)
-    assert n_new <= 17, "rank-0 additions would starve the r05-stale refresh"
+    assert n_new == 13
     assert gate[:n_new] == never_gated
-    # later round-10 additions (q250+) must queue OUTSIDE the full
-    # 50-row window — first in line for the post-r10-gate rotation —
-    # never displacing a stale row
-    queued = {
-        n.split("_", 1)[0] for n in names if n.split("_", 1)[0] in {f"q{i}" for i in range(250, 280)}
-    }
-    if queued:
-        post_window = [n.split("_", 1)[0] for n in names[50:]]
-        assert post_window[: len(queued)] == sorted(queued)
-    r05_stale = sorted(
-        ({f"q{i}" for i in range(112, 144)} - {"q115", "q119"}) | {"q51", "q94", "q96"}
-    )
-    assert len(r05_stale) == 33
-    assert gate[n_new : n_new + 33] == r05_stale
-    # the r06 block fills the remaining rows in name order
-    r06_fresh = sorted(
+    # the 37 oldest r06-gated names top the window up to exactly 50
+    r06_pool = sorted(
         ({f"q{i:02d}" for i in range(52, 100)} - {"q59", "q94", "q96"})
-        | {"q115", "q119", "q144"}
+        | {"q01", "q115", "q119", "q144"}
     )
-    assert gate[n_new + 33 :] == r06_fresh[: 50 - n_new - 33]
+    assert len(r06_pool) == 49
+    assert gate[n_new:] == r06_pool[: 50 - n_new]
+    # r11 additions (q263+) must queue OUTSIDE the full 50-row window —
+    # first in line for the post-r11-gate rotation — never displacing a
+    # stale row
+    queued = {
+        n.split("_", 1)[0] for n in names if n.split("_", 1)[0] in {f"q{i}" for i in range(263, 300)}
+    }
+    post_window = [n.split("_", 1)[0] for n in names[50:]]
+    if queued:
+        assert post_window[: len(queued)] == sorted(queued)
+    # the r06 residue immediately follows the queued additions (r12 rank 0)
+    residue = sorted({f"q{i:02d}" for i in range(86, 100)} - {"q94", "q96"})
+    assert len(residue) == 12
+    assert post_window[len(queued) : len(queued) + 12] == residue
     # every freshly-gated block sorts after the 50-row window
-    tail = {n.split("_", 1)[0] for n in names[50:]}
-    assert set(r06_fresh[50 - n_new - 33 :]) <= tail
-    assert {"q01", "q02", "q37", "q38", "q50", "q100", "q111", "q145", "q159", "q196", "q233"} <= tail
+    tail = set(post_window)
+    assert {"q02", "q37", "q38", "q50", "q100", "q111", "q145", "q159", "q196", "q233", "q234", "q249", "q59", "q51", "q112", "q143"} <= tail
