@@ -1918,34 +1918,36 @@ def minhash_near_duplicates_portable(
     # materialize it once (the q28/q66 sketch-once pattern)
     sh = sh.localCheckpoint(eager=True)
     g = sh.select("id", F.explode("toks").alias("g"))
-    slots = docs.sparkSession.range(0, num_slots).select(
-        F.col("id").cast("int").alias("j")
-    )
-    sig = (
-        g.crossJoin(F.broadcast(slots))
-        .groupBy("id", "j")
-        .agg(
+    # ONE groupBy("id") carrying all num_slots min aggregates (slot j's
+    # hash input is the same "j g" string the former 64-slot crossJoin
+    # built, so the minima are bit-identical) — the map-side partial fold
+    # shuffles ONE wide row per doc per partition instead of 64 rows,
+    # and the band keys below become plain column concats, deleting the
+    # former second groupBy(id, band) exchange entirely.
+    wide = g.groupBy("id").agg(
+        *[
             F.min(
                 F.substring(
-                    F.md5(F.concat_ws(" ", F.col("j").cast("string"), F.col("g"))),
-                    1,
-                    12,
+                    F.md5(F.concat_ws(" ", F.lit(str(j)), F.col("g"))), 1, 12
                 )
-            ).alias("s12")
-        )
+            ).alias(f"s{j}")
+            for j in range(num_slots)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("band"),
+                F.concat(
+                    *[F.col(f"s{b * rows + k}") for k in range(rows)]
+                ).alias("bkey"),
+            )
+            for b in range(bands)
+        ]
     )
     bnd = (
-        sig.groupBy(
-            "id", int_div(F.col("j").cast("long"), F.lit(rows)).alias("band")
-        )
-        .agg(
-            F.concat(
-                *[
-                    F.min(F.when(F.col("j") % rows == k, F.col("s12")))
-                    for k in range(rows)
-                ]
-            ).alias("bkey")
-        )
+        wide.select("id", F.explode(band_structs).alias("bb"))
+        .select("id", "bb.band", "bb.bkey")
         .withColumn("bucket_n", F.count("*").over(Window.partitionBy("band", "bkey")))
         .where(F.col("bucket_n") <= max_bucket)
         .select("id", "band", "bkey")

@@ -1725,6 +1725,146 @@ def q236_ivf_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q263_lloyd_step_portable",
+    oracle=f"""
+    WITH cents(cluster, c) AS (
+        VALUES {{CENTS}}
+    ), e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), asg AS (
+        SELECT vec_id, cluster FROM (
+            SELECT e.vec_id, cents.cluster,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                       list_reduce(list_transform(range(1, {_FIXED_IVF_DIM} + 1),
+                           i -> (v[i] - c[i]) * (v[i] - c[i])), (x, y) -> x + y),
+                       cents.cluster) AS rn
+            FROM e CROSS JOIN cents
+        ) WHERE rn = 1
+    ), dims AS (
+        SELECT unnest(generate_series(0, {_FIXED_IVF_DIM} - 1)) AS d
+    ), upd AS (
+        SELECT a.cluster, dims.d,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(e.v[dims.d + 1] * 1000000000) AS BIGINT))
+                    AS BIGINT) AS sum9
+        FROM e JOIN asg a USING (vec_id) CROSS JOIN dims
+        GROUP BY 1, 2
+    ), grid AS (
+        SELECT cents.cluster, dims.d,
+               CAST(ROUND(cents.c[dims.d + 1] * 1000000000) AS BIGINT) AS old9
+        FROM cents CROSS JOIN dims
+    )
+    SELECT CAST(g.cluster AS BIGINT) AS cluster,
+           CAST(g.d AS BIGINT) AS d,
+           COALESCE(u.n, 0) AS n_assigned,
+           CASE WHEN COALESCE(u.n, 0) > 0 THEN u.sum9 // u.n
+                ELSE g.old9 END AS mean9,
+           CASE WHEN COALESCE(u.n, 0) > 0 THEN (u.sum9 // u.n) - g.old9
+                ELSE CAST(0 AS BIGINT) END AS shift9
+    FROM grid g LEFT JOIN upd u USING (cluster, d)
+    ORDER BY cluster, d
+    """.replace("{CENTS}", _fixed_ivf_centroids_sql()),
+    tags=("similarity", "ann", "kmeans", "training", "portable", "E16"),
+)
+def q263_lloyd_step_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gated twin of the KMeans TRAINING step — the last rows-only
+    evidence tier (q53/q105/q117's iterative fits) replayed as ONE exact
+    Lloyd iteration. Assignment is the hash-proved fixed-quantizer
+    argmin (q219/q236's exact L2² fold, ties to the lowest cluster id);
+    the centroid UPDATE is computed in integer fixed point — each
+    component rounds once to 1e-9 and the per-(cluster, dim) mean is an
+    integer SUM followed by a truncating division (Spark ``div`` ==
+    DuckDB ``//``, the signed-division invariant: component sums can be
+    negative) — so both engines see bit-identical new centroids; empty
+    clusters keep their old centroid (shift 0), the standard Lloyd
+    convention, via the 16×64 grid LEFT JOIN (q184's absent-digit
+    recipe). ``shift9`` is the signed per-component movement — the
+    convergence signal a full training loop would threshold on.
+
+    Shape at scale: the 16 closed-form centroids fold into the row
+    expression as literals (q235's plane recipe), so assignment is pure
+    per-row codegen over ONE corpus scan — no join, no window, no
+    second lineage expansion; the update is one map-side-combinable
+    groupBy onto a 1024-group domain (posexplode fans out 64 rows per
+    vector but partial aggregation folds them to ≤1024 rows per
+    partition before the shuffle); the grid join is bounded×bounded.
+    A full fit is this step under the q110 iterate-with-localCheckpoint
+    discipline. 2^53 exactness guarded in-plan (|x|<1 ⇒ the component
+    sum stays exact up to ~4.5e6 corpus rows per cluster at 1e-9 grain;
+    the guard fails the job loudly past it)."""
+    from database_migrator_spark.functions.exact import exactness_guard
+
+    e = spread_for_cpu(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    # argmin over the 16 literal centroids as ONE fold (not 16 sibling
+    # HOF transforms — interpreted lambdas fan out per sibling, the
+    # CLAUDE.md accumulator rule): a constant array-of-(centroid, id)
+    # structs, transformed once into (d2, cluster) structs via the same
+    # exact L2² fold ivf_assign_fixed hash-proved, then array_min for
+    # the lowest-id-tiebreak argmin
+    cents_lit = F.array(
+        *[
+            F.struct(
+                F.array(*[F.lit(x) for x in FIXED_IVF_CENTROIDS[j]]).alias("c"),
+                F.lit(j).alias("cluster"),
+            )
+            for j in range(_FIXED_IVF_K)
+        ]
+    )
+    dists = F.transform(
+        cents_lit,
+        lambda cj: F.struct(
+            l2_dist_sq(F.col("v"), cj["c"]).alias("d2"),
+            cj["cluster"].alias("cluster"),
+        ),
+    )
+    comp = (
+        e.select(F.array_min(dists)["cluster"].alias("cluster"), "v")
+        .select("cluster", F.posexplode("v").alias("d", "x"))
+        .select(
+            "cluster",
+            F.col("d").cast("long").alias("d"),
+            F.round(F.col("x") * F.lit(1e9)).cast("long").alias("x9"),
+        )
+    )
+    upd = (
+        comp.groupBy("cluster", "d")
+        .agg(F.count("*").cast("long").alias("n"), F.sum("x9").alias("sum9"))
+        .where(
+            exactness_guard(
+                F.abs(F.col("sum9").cast("double")) < F.lit(4.5e15),
+                "q263: component sum exceeds the 2^53 exactness bound",
+            )
+        )
+    )
+    cents = _fixed_ivf_centroids_frame(spark)
+    grid = cents.select(
+        "cluster", F.posexplode("centroid").alias("d", "cold")
+    ).select(
+        "cluster",
+        F.col("d").cast("long").alias("d"),
+        F.round(F.col("cold") * F.lit(1e9)).cast("long").alias("old9"),
+    )
+    mean9 = F.expr("sum9 div n")  # truncating ÷ == DuckDB // (signed sums)
+    return (
+        # upd is bounded by the 16×64 group domain — broadcast is safe
+        grid.join(F.broadcast(upd), ["cluster", "d"], "left")
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            "d",
+            F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_assigned"),
+            F.when(F.col("n") > 0, mean9).otherwise(F.col("old9")).alias("mean9"),
+            F.when(F.col("n") > 0, mean9 - F.col("old9"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("shift9"),
+        )
+        .orderBy("cluster", "d")
+    )
+
+
+@query(
     "q246_margin_bitext_mining",
     oracle=f"""
     WITH cents(cluster, c) AS (

@@ -923,6 +923,9 @@ def q184_benford_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("digit")
         .agg(F.count("*").alias("n_obs"))
+        # ≤9-row histogram feeding BOTH the join and the total — checkpoint
+        # so the corpus is scanned once, not re-expanded per consumer
+        .localCheckpoint(eager=True)
     )
     bp = spark.createDataFrame(
         sorted(_BENFORD_P.items()), "digit long, p double"

@@ -1439,6 +1439,21 @@ def test_ivf_portable_probe_prunes_before_distance(spark):
     assert p.count("BroadcastHashJoin") <= 1  # the 4-row probe-cell semi join
 
 
+def test_lloyd_step_single_scan_no_joins(spark):
+    """q263: the single-Lloyd-iteration twin must assign via the
+    literal-centroid fold (per-row expression — no centroid join, no
+    window over the corpus, no second lineage expansion of the
+    embeddings scan) and aggregate the update map-side onto the bounded
+    1024-group domain; the only join is grid ← broadcast(upd), both
+    sides bounded."""
+    p = plan_of(spark, "q263_lloyd_step_portable")
+    assert p.count("FileScan") == 1  # ONE corpus scan
+    assert "SortMergeJoin" not in p
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") == 1  # grid <- broadcast(upd)
+
+
 def test_maxscore_prunes_in_plan_and_topk(spark):
     """q237: the MaxScore gate is IN THE PLAN (the θ/Σrest 1-row
     broadcasts feed a nested-loop filter over the non-essential
