@@ -1110,3 +1110,91 @@ def q257_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_l_diversity",
     )
     return per.unionByName(allr).orderBy("band")
+
+
+@query(
+    "q264_randomized_response_release",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderpriority AS priority,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS truth,
+               CASE WHEN CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                                                 || '-rr'), 1, 4)
+                         AS BIGINT) % 4 = 0 THEN 1 ELSE 0 END AS flip
+        FROM orders
+    ), rep AS (
+        SELECT priority, truth,
+               CASE WHEN flip = 1 THEN 1 - truth ELSE truth END AS reported
+        FROM base
+    ), agg AS (
+        SELECT priority,
+               CAST(COUNT(*) AS BIGINT)      AS n,
+               CAST(SUM(truth) AS BIGINT)    AS true_pos,
+               CAST(SUM(reported) AS BIGINT) AS released_pos
+        FROM rep GROUP BY 1
+    )
+    SELECT priority, n, true_pos, released_pos,
+           CAST(4 * released_pos - n AS DOUBLE) / 2.0 AS dp_estimate,
+           ABS(CAST(4 * released_pos - n AS DOUBLE) / 2.0
+               - CAST(true_pos AS DOUBLE)) AS abs_err
+    FROM agg ORDER BY priority
+    """,
+    tags=("governance", "privacy", "differential-privacy", "randomized-response"),
+)
+def q264_randomized_response_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-DP randomized response (Warner 1965; the RAPPOR primitive) —
+    the privacy mechanism a telemetry/training-data release applies
+    BEFORE aggregation, completing the governance family next to q257's
+    k-anonymity audit and q137's erasure: each row reports its sensitive
+    bit (order is in final status) truthfully with p = 3/4 and flipped
+    with 1 - p = 1/4 (ε = ln 3 local DP), the flip decision being the
+    engine-reproducible md5 coin (q121's recipe — slice the row-key
+    digest, mod 4); the release then publishes the per-group debiased
+    estimator (obs − n(1−p)) / (2p − 1) = (4·obs − n) / 2 next to the
+    true count the curator still holds, so the report shows exactly what
+    utility the DP release trades away (abs_err). Every quantity is
+    BIGINT until the final ×1/2 — both engines divide the same exact
+    integer, so the hash gate certifies the whole mechanism.
+
+    Scale shape: one scan, one map-side-combinable 5-group aggregate —
+    no joins, no windows; the md5 coin is per-row codegen, deterministic
+    across retries/re-plans (a seeded rand() would not survive either
+    engine's re-execution semantics)."""
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("truth"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit("-rr"))),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 4
+            == 0
+        ).alias("flip"),
+    )
+    rep = o.select(
+        "priority",
+        "truth",
+        F.when(F.col("flip"), 1 - F.col("truth")).otherwise(F.col("truth")).alias(
+            "reported"
+        ),
+    )
+    agg = rep.groupBy("priority").agg(
+        F.count("*").alias("n"),
+        F.sum("truth").alias("true_pos"),
+        F.sum("reported").alias("released_pos"),
+    )
+    est = (F.lit(4) * F.col("released_pos") - F.col("n")).cast("double") / F.lit(2.0)
+    return agg.select(
+        "priority",
+        "n",
+        "true_pos",
+        "released_pos",
+        est.alias("dp_estimate"),
+        F.abs(est - F.col("true_pos").cast("double")).alias("abs_err"),
+    ).orderBy("priority")

@@ -3611,3 +3611,205 @@ def q260_index_delete_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("df_new").desc(), "term")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q265 — RAG chunking: overlapping token windows with stable fingerprints
+# ---------------------------------------------------------------------------
+
+_CHUNK_W, _CHUNK_S = 32, 24  # window / stride (8-token overlap)
+
+
+@query(
+    "q265_rag_token_chunking",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           t -> len(t) > 0) AS t
+        FROM documents
+    ), meta AS (
+        SELECT doc_id, t, len(t) AS n,
+               (greatest(len(t) - {_CHUNK_W}, 0) + {_CHUNK_S - 1})
+                   // {_CHUNK_S} + 1 AS n_chunks
+        FROM toks
+    ), ch AS (
+        SELECT doc_id, t, n,
+               unnest(generate_series(0, n_chunks - 1)) AS i
+        FROM meta
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           CAST(least({_CHUNK_W}, n - i * {_CHUNK_S}) AS BIGINT) AS n_tok,
+           substr(md5(array_to_string(
+               t[i * {_CHUNK_S} + 1 :
+                 i * {_CHUNK_S} + least({_CHUNK_W}, n - i * {_CHUNK_S})], ' ')),
+               1, 12) AS fp12
+    FROM ch ORDER BY doc_id, chunk_idx
+    """,
+    tags=("text", "rag", "chunking", "llm-pipeline"),
+)
+def q265_rag_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-index chunking — the step between a raw corpus and q53/q236's
+    embedding index: split every document into overlapping token windows
+    (32-token window, 24-token stride — the 8-token overlap keeps
+    sentence fragments retrievable from either side of a boundary), with
+    a STABLE per-chunk fingerprint (md5 of the joined window, q210's
+    portable-digest recipe) so re-ingesting an unchanged document
+    re-derives identical chunk ids — the idempotence an incremental
+    embedding pipeline (q219's append path) keys on. Chunk count is the
+    greedy cover ⌈max(n−W,0)/S⌉+1, so short documents yield exactly one
+    chunk and every token is covered; the trailing chunk truncates to
+    the document end (n_tok < W) rather than padding.
+
+    Scale shape: pure per-row column expressions (tokenize once, ONE
+    sequence+transform fold per document — not a per-chunk self-join),
+    then posexplode; no joins, no windows, no shuffle at all before the
+    final presentation sort. At 100 TB this streams at scan speed, which
+    is exactly what a chunker feeding an embedding fleet must do."""
+    toks = tokens_of(F.col("text"))
+    n = F.size(toks)
+    n_chunks = (
+        int_div(F.greatest(n - _CHUNK_W, F.lit(0)) + F.lit(_CHUNK_S - 1), _CHUNK_S)
+        + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            F.least(F.lit(_CHUNK_W), n - i * _CHUNK_S).cast("long").alias("n_tok"),
+            F.substring(
+                F.md5(
+                    F.array_join(
+                        F.slice(
+                            toks,
+                            i * _CHUNK_S + 1,
+                            F.least(F.lit(_CHUNK_W), n - i * _CHUNK_S),
+                        ),
+                        " ",
+                    )
+                ),
+                1,
+                12,
+            ).alias("fp12"),
+        ),
+    )
+    d = table(spark, sf_dir, "documents")
+    return (
+        spread_for_cpu(d)
+        .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "ch"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.col("ch.n_tok").alias("n_tok"),
+            F.col("ch.fp12").alias("fp12"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q266 — inter-annotator agreement (Cohen's kappa) between two labelers
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q266_cohens_kappa_labelers",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT source,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           t -> len(t) > 0) AS t
+        FROM documents
+    ), lab AS (
+        SELECT source,
+               CASE WHEN len(t) >= 48 THEN 1 ELSE 0 END AS a,
+               CASE WHEN 4 * len(list_filter(t,
+                        x -> list_contains({list(_STOPWORDS)!r}, x)))
+                         >= len(t) AND len(t) > 0
+                    THEN 1 ELSE 0 END AS b
+        FROM toks
+    ), cm AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(a * b) AS BIGINT) AS n11,
+               CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+               CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+               CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+        FROM lab GROUP BY 1
+    ), k AS (
+        SELECT source, n, n11, n10, n01, n00,
+               (n11 + n00) AS po_num,
+               (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS pe_num
+        FROM cm
+    )
+    SELECT source, n, n11, n10, n01, n00,
+           CAST(po_num AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+           CAST(pe_num AS DOUBLE) / CAST(n * n AS DOUBLE) AS pe,
+           CASE WHEN n * n - pe_num = 0 THEN 1.0
+                ELSE CAST(n * po_num - pe_num AS DOUBLE)
+                     / CAST(n * n - pe_num AS DOUBLE) END AS kappa
+    FROM k ORDER BY source
+    """,
+    tags=("text", "annotation", "agreement", "statistics", "llm-pipeline"),
+)
+def q266_cohens_kappa_labelers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two heuristic labelers — the
+    inter-annotator-agreement gate an RLHF/quality-labeling pipeline
+    runs before trusting a rater pool (and the same arithmetic an
+    LLM-judge-vs-human audit uses): labeler A keeps documents with ≥48
+    tokens, labeler B keeps stopword-dense documents (4·hits ≥ tokens —
+    the q15-family quality heuristics as two INDEPENDENT binary raters),
+    and kappa corrects their raw agreement for the agreement their
+    marginals would produce by chance: κ = (N·(n11+n00) − Σ) / (N² − Σ)
+    with Σ = a₁b₁ + a₀b₀. The confusion matrix and both kappa operands
+    stay BIGINT; po/pe/kappa are each ONE IEEE division over exact
+    integers, so both engines emit bit-identical doubles (N² ≤ 2^53 up
+    to ~95M docs per source; past that the guard fails loudly).
+
+    Scale shape: one scan, per-row label expressions, one map-side-
+    combinable per-source aggregate — no joins, no windows."""
+    toks = tokens_of(F.col("text"))
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+    lab = table(spark, sf_dir, "documents").select(
+        "source",
+        F.when(n_tok >= 48, 1).otherwise(0).alias("a"),
+        F.when((F.lit(4) * n_stop >= n_tok) & (n_tok > 0), 1).otherwise(0).alias("b"),
+    )
+    cm = lab.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("a") * F.col("b")).alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).alias("n00"),
+    )
+    po_num = F.col("n11") + F.col("n00")
+    pe_num = (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01")) + (
+        F.col("n01") + F.col("n00")
+    ) * (F.col("n10") + F.col("n00"))
+    nn = F.col("n") * F.col("n")
+    return (
+        cm.where(
+            exactness_guard(
+                nn.cast("double") < F.lit(float(EXACT_DOUBLE_BOUND)),
+                "q266: N^2 exceeds the 2^53 exactness bound",
+            )
+        )
+        .select(
+            "source",
+            "n",
+            "n11",
+            "n10",
+            "n01",
+            "n00",
+            (po_num.cast("double") / F.col("n").cast("double")).alias("po"),
+            (pe_num.cast("double") / nn.cast("double")).alias("pe"),
+            F.when(nn - pe_num == 0, F.lit(1.0))
+            .otherwise(
+                (F.col("n") * po_num - pe_num).cast("double")
+                / (nn - pe_num).cast("double")
+            )
+            .alias("kappa"),
+        )
+        .orderBy("source")
+    )

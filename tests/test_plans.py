@@ -1454,6 +1454,32 @@ def test_lloyd_step_single_scan_no_joins(spark):
     assert p.count("BroadcastHashJoin") == 1  # grid <- broadcast(upd)
 
 
+def test_randomized_response_single_scan_no_joins(spark):
+    """q264: the RR mechanism is per-row codegen (md5 coin) over ONE
+    scan into a 5-group aggregate — no joins, no windows."""
+    p = plan_of(spark, "q264_randomized_response_release")
+    assert p.count("FileScan") == 1
+    assert "Join" not in p and "Window" not in p
+
+
+def test_rag_chunking_streams_scan_speed(spark):
+    """q265: chunking is per-row expressions + posexplode over one scan —
+    no joins, no windows, no aggregate shuffle (the only Exchange is the
+    presentation sort)."""
+    p = plan_of(spark, "q265_rag_token_chunking")
+    assert p.count("FileScan") == 1
+    assert "Join" not in p and "Window" not in p
+    assert "HashAggregate" not in p
+
+
+def test_cohens_kappa_single_scan_no_joins(spark):
+    """q266: label expressions fold into the scan projection; one
+    map-side-combinable per-source aggregate; no joins, no windows."""
+    p = plan_of(spark, "q266_cohens_kappa_labelers")
+    assert p.count("FileScan") == 1
+    assert "Join" not in p and "Window" not in p
+
+
 def test_maxscore_prunes_in_plan_and_topk(spark):
     """q237: the MaxScore gate is IN THE PLAN (the θ/Σrest 1-row
     broadcasts feed a nested-loop filter over the non-essential
