@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from database_migrator_spark.functions.exact import EXACT_DOUBLE_BOUND, exactness_guard
+from database_migrator_spark.functions.exact import EXACT_DOUBLE_BOUND, exactness_guard, int_div
 from database_migrator_spark.operators.dedup import tokens_of, word_shingles
 from database_migrator_spark.plans.registry import query
 from database_migrator_spark.sources import spread_for_cpu, table
@@ -1446,4 +1446,124 @@ def q249_training_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
         )
         .orderBy("shard", "pos")
+    )
+
+
+_PACK_B = 512  # trainer context length (tokens per packed sequence)
+
+
+@query(
+    "q267_sequence_packing_report",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(lower(text), '\s+'),
+                               x -> len(x) > 0)) AS n,
+               substr(md5(CAST(doc_id AS VARCHAR)), 5, 12) AS okey
+        FROM documents
+    ), o AS (
+        SELECT doc_id, n,
+               COALESCE(SUM(n) OVER (ORDER BY okey, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS start
+        FROM t WHERE n > 0
+    ), spans AS (
+        SELECT n,
+               ((start + n - 1) // {_PACK_B}) - (start // {_PACK_B}) + 1 AS span
+        FROM o
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_all,
+               CAST(SUM(n) AS BIGINT) AS total_tokens,
+               CAST((SUM(n) + {_PACK_B - 1}) // {_PACK_B} AS BIGINT) AS n_bins
+        FROM spans
+    )
+    SELECT CAST(span AS BIGINT) AS span,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS DOUBLE) / CAST(tot.n_docs_all AS DOUBLE) AS doc_share,
+           tot.n_bins AS n_bins,
+           tot.n_bins * {_PACK_B} - tot.total_tokens AS tail_waste
+    FROM spans, tot
+    GROUP BY span, tot.n_docs_all, tot.n_bins, tot.total_tokens
+    ORDER BY span
+    """,
+    tags=("curation", "packing", "training", "llm-pipeline"),
+    checkpointed_substrate=True,
+)
+def q267_sequence_packing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing audit for trainer batches — after q249's
+    deterministic shuffle, documents are concatenated in permutation
+    order and split into fixed 512-token contexts (the GPT-style
+    concat-and-split packing every pretraining loader runs): this
+    reports, per span width (how many contexts a document straddles),
+    the doc/token counts and share, plus the global context count and
+    the final-context padding waste — the numbers that decide whether
+    to pack naively, pad, or use best-fit. Document start offsets are a
+    corpus-wide EXCLUSIVE prefix sum of token counts in (okey, doc_id)
+    order, computed with q249's two-level scheme: a per-bucket window
+    (16-way parallel on the okey's leading hex char — a monotone prefix
+    of the order key) plus the bounded 16-row bucket-total prefix, so
+    no task ever windows the whole corpus. Pure BIGINT arithmetic;
+    doc_share is one exact-integer IEEE division.
+
+    At 100 TB: one scan, one 16-way-parallel windowed pass, bounded
+    broadcast — the same manifest pass that writes the packed index.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tokens_of(F.col("text"))).cast("long").alias("n"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 5, 12).alias("okey"),
+    ).where(F.col("n") > 0)
+    keyed = d.withColumn("_bucket", F.substring("okey", 1, 1))
+    from pyspark.sql import Window
+
+    w_local = (
+        Window.partitionBy("_bucket")
+        .orderBy("okey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_buckets = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bucket_base = (
+        keyed.groupBy("_bucket")
+        .agg(F.sum("n").alias("_bn"))
+        .withColumn(
+            "_base", F.coalesce(F.sum("_bn").over(w_buckets), F.lit(0).cast("long"))
+        )
+        .select("_bucket", "_base")
+    )
+    started = (
+        keyed.withColumn(
+            "_local", F.coalesce(F.sum("n").over(w_local), F.lit(0).cast("long"))
+        )
+        .join(F.broadcast(bucket_base), "_bucket")
+        .select("n", (F.col("_base") + F.col("_local")).alias("start"))
+    )
+    spans = started.select(
+        "n",
+        (
+            int_div(F.col("start") + F.col("n") - 1, F.lit(_PACK_B))
+            - int_div(F.col("start"), F.lit(_PACK_B))
+            + 1
+        ).alias("span"),
+    ).localCheckpoint(eager=True)  # read by the span groups AND the totals
+    tot = spans.agg(
+        F.count("*").alias("n_docs_all"),
+        F.sum("n").alias("total_tokens"),
+        int_div(F.sum("n") + F.lit(_PACK_B - 1), F.lit(_PACK_B)).alias("n_bins"),
+    )
+    return (
+        spans.groupBy("span")
+        .agg(F.count("*").alias("n_docs"), F.sum("n").alias("n_tokens"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("span").cast("long").alias("span"),
+            "n_docs",
+            "n_tokens",
+            (
+                F.col("n_docs").cast("double") / F.col("n_docs_all").cast("double")
+            ).alias("doc_share"),
+            "n_bins",
+            (F.col("n_bins") * _PACK_B - F.col("total_tokens")).alias("tail_waste"),
+        )
+        .orderBy("span")
     )

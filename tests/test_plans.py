@@ -1480,6 +1480,20 @@ def test_cohens_kappa_single_scan_no_joins(spark):
     assert "Join" not in p and "Window" not in p
 
 
+def test_sequence_packing_two_level_prefix(spark):
+    """q267: the packed-span table is computed once into a checkpoint
+    (two-level prefix sum inside it — the final plan reads the
+    checkpoint twice: span groups + totals) and the only join is the
+    1-row totals broadcast; no corpus window, no sort-merge, no
+    cartesian in the final plan."""
+    p = plan_of(spark, "q267_sequence_packing_report")
+    assert p.count("FileScan") == 0  # spans checkpoint only
+    assert p.count("Scan ExistingRDD") == 2
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "Window" not in p  # prefix windows live inside the checkpoint
+    assert p.count("BroadcastNestedLoopJoin") == 1  # the 1-row totals
+
+
 def test_maxscore_prunes_in_plan_and_topk(spark):
     """q237: the MaxScore gate is IN THE PLAN (the θ/Σrest 1-row
     broadcasts feed a nested-loop filter over the non-essential
