@@ -249,6 +249,12 @@ PROBE_QUERIES = [
     "q260_index_delete_refresh",
     "q261_sampled_quantile_fidelity",
     "q262_join_cardinality_sketch",
+    # round-11: Lloyd-step twin, DP release, RAG chunking, kappa, packing
+    "q263_lloyd_step_portable",
+    "q264_randomized_response_release",
+    "q265_rag_token_chunking",
+    "q266_cohens_kappa_labelers",
+    "q267_sequence_packing_report",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
