@@ -1,0 +1,168 @@
+"""Known-truth tests for the round-11 additions (q263-q267) — each query
+also carries a DuckDB hash oracle in the registry; these tests pin the
+SEMANTICS against an independent numpy/pandas replay or an algebraic
+invariant, the same belt-and-suspenders the earlier families carry."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from database_migrator_spark.plans.registry import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def catalog():
+    return all_queries()
+
+
+def _run(catalog, spark, name):
+    return catalog[name].build(spark, SF).toPandas()
+
+
+def test_lloyd_step_matches_numpy_replay(catalog, spark):
+    """q263 == a from-scratch numpy Lloyd iteration: argmin assignment
+    against the closed-form centroids, then integer-fixed-point means
+    with truncating division and old-centroid fallback."""
+    from database_migrator_spark.operators.similarity import FIXED_IVF_CENTROIDS
+
+    out = _run(catalog, spark, "q263_lloyd_step_portable")
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    C = np.asarray(FIXED_IVF_CENTROIDS, dtype=np.float64)
+    d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    assign = d2.argmin(axis=1)  # ties to lowest id, matching the argmin fold
+    x9 = np.round(V * 1e9).astype(np.int64)
+    old9 = np.round(C * 1e9).astype(np.int64)
+    for j in range(C.shape[0]):
+        members = x9[assign == j]
+        got = out[out["cluster"] == j].sort_values("d")
+        assert list(got["n_assigned"]) == [len(members)] * C.shape[1]
+        if len(members):
+            sums = members.sum(axis=0)
+            # truncating division toward zero (Spark div / DuckDB //)
+            exp_mean9 = (np.sign(sums) * (np.abs(sums) // len(members))).astype(
+                np.int64
+            )
+        else:
+            exp_mean9 = old9[j]
+        assert np.array_equal(got["mean9"].to_numpy(), exp_mean9)
+        assert np.array_equal(
+            got["shift9"].to_numpy(), exp_mean9 - old9[j] if len(members) else 0 * old9[j]
+        )
+
+
+def test_lloyd_step_reduces_inertia(catalog, spark):
+    """One Lloyd step must not increase total inertia (the monotonicity
+    that makes KMeans converge): Σ d²(v, new_centroid_of_assign(v)) ≤
+    Σ d²(v, old_centroid_of_assign(v))."""
+    from database_migrator_spark.operators.similarity import FIXED_IVF_CENTROIDS
+
+    out = _run(catalog, spark, "q263_lloyd_step_portable")
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    C = np.asarray(FIXED_IVF_CENTROIDS, dtype=np.float64)
+    assign = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    Cnew = (
+        out.sort_values(["cluster", "d"])["mean9"].to_numpy().reshape(C.shape) / 1e9
+    )
+    before = ((V - C[assign]) ** 2).sum()
+    after = ((V - Cnew[assign]) ** 2).sum()
+    assert after <= before + 1e-9
+
+
+def test_randomized_response_debias_identity(catalog, spark):
+    """q264: the published estimator must be exactly (4·obs − n)/2 and
+    abs_err its distance to the true count; the estimate is a real
+    debias (closer to truth than the raw released count when the flip
+    moved it) on the aggregate across groups."""
+    out = _run(catalog, spark, "q264_randomized_response_release")
+    est = (4 * out["released_pos"] - out["n"]) / 2.0
+    assert np.array_equal(out["dp_estimate"].to_numpy(), est.to_numpy())
+    assert np.allclose(
+        out["abs_err"], (out["dp_estimate"] - out["true_pos"]).abs(), rtol=0, atol=0
+    )
+    # ε=ln3 RR: E[est] = truth; total-level error should be well inside
+    # the binomial noise envelope (~2·sqrt(n·p(1-p)) at p=1/4)
+    n, err = out["n"].sum(), abs(out["dp_estimate"].sum() - out["true_pos"].sum())
+    assert err <= 4.0 * np.sqrt(n * 0.25 * 0.75) + 2
+
+
+def test_rag_chunking_covers_every_token(catalog, spark):
+    """q265: greedy 32/24 cover — first chunk holds min(32, n) tokens,
+    consecutive chunks overlap by exactly 8 (except the truncated tail),
+    and per doc the union of [i·24+1, i·24+n_tok] is [1, n]."""
+    out = _run(catalog, spark, "q265_rag_token_chunking")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    n_of = {
+        r.doc_id: len([t for t in str(r.text).lower().split() if t])
+        for r in docs.itertuples()
+    }
+    for doc_id, g in out.groupby("doc_id"):
+        n = n_of[doc_id]
+        g = g.sort_values("chunk_idx")
+        expected_chunks = (max(n - 32, 0) + 23) // 24 + 1
+        assert len(g) == expected_chunks
+        ends = g["chunk_idx"].to_numpy() * 24 + g["n_tok"].to_numpy()
+        starts = g["chunk_idx"].to_numpy() * 24  # 0-based exclusive form
+        assert ends[-1] == n  # last chunk reaches the document end
+        # every gap between consecutive starts is the stride; coverage has
+        # no hole because n_tok >= stride for all but the final chunk
+        assert (g["n_tok"].to_numpy()[:-1] == np.minimum(32, n - starts[:-1])).all()
+
+
+def test_cohens_kappa_matches_pandas_replay(catalog, spark):
+    """q266 == a pandas replay of the two labelers and the kappa
+    arithmetic (per source)."""
+    out = _run(catalog, spark, "q266_cohens_kappa_labelers").set_index("source")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    stop = {"the", "a", "of", "and", "to", "in", "is", "it"}
+    rows = []
+    for r in docs.itertuples():
+        toks = [t for t in str(r.text).lower().split() if t]
+        a = int(len(toks) >= 48)
+        b = int(len(toks) > 0 and 4 * sum(t in stop for t in toks) >= len(toks))
+        rows.append((r.source, a, b))
+    df = pd.DataFrame(rows, columns=["source", "a", "b"])
+    for src, g in df.groupby("source"):
+        n = len(g)
+        n11 = int(((g.a == 1) & (g.b == 1)).sum())
+        n00 = int(((g.a == 0) & (g.b == 0)).sum())
+        n10 = int(((g.a == 1) & (g.b == 0)).sum())
+        n01 = int(((g.a == 0) & (g.b == 1)).sum())
+        got = out.loc[src]
+        assert (got["n"], got["n11"], got["n10"], got["n01"], got["n00"]) == (
+            n,
+            n11,
+            n10,
+            n01,
+            n00,
+        )
+        pe_num = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+        exp_kappa = (
+            1.0
+            if n * n - pe_num == 0
+            else (n * (n11 + n00) - pe_num) / (n * n - pe_num)
+        )
+        assert got["kappa"] == exp_kappa
+
+
+def test_sequence_packing_totals_consistent(catalog, spark):
+    """q267 invariants: token totals across spans equal the corpus total
+    (n>0 docs), n_bins = ceil(total/512), tail_waste complements the
+    final context, doc_share sums to 1."""
+    out = _run(catalog, spark, "q267_sequence_packing_report")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    total = sum(
+        len([t for t in str(x).lower().split() if t]) for x in docs["text"]
+    )
+    assert out["n_tokens"].sum() == total
+    n_bins = (total + 511) // 512
+    assert (out["n_bins"] == n_bins).all()
+    assert (out["tail_waste"] == n_bins * 512 - total).all()
+    assert abs(out["doc_share"].sum() - 1.0) < 1e-12
+    assert out["n_docs"].sum() == len(docs)  # every sf0.001 doc has tokens
+    assert (out["span"] >= 1).all()
