@@ -1406,12 +1406,28 @@ def q249_training_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     key — and the 128-row bucket-count table takes the only
     single-partition window before broadcasting back. No task ever
     sorts a whole shard."""
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("h")
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    return _deterministic_shard_positions(d, passthrough=("source",)).orderBy(
+        "shard", "pos"
     )
+
+
+def _deterministic_shard_positions(
+    d: DataFrame, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
+    """q249's deterministic shuffle-shard core, reusable with extra
+    rider columns: input (doc_id, *passthrough) → (shard, pos, doc_id,
+    *passthrough) under the md5(doc_id) permutation, positions from the
+    q94 two-level prefix sum (row_number per (shard, okey-head bucket) —
+    128 parallel tasks — plus the bounded 128-row bucket-size prefix
+    broadcast back). No task ever sorts a whole shard."""
     keyed = d.select(
         "doc_id",
-        "source",
+        *passthrough,
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    ).select(
+        "doc_id",
+        *passthrough,
         (F.conv(F.substring("h", 1, 4), 16, 10).cast("long") % 8).alias("shard"),
         F.substring("h", 5, 12).alias("okey"),
         F.substring("h", 5, 1).alias("_bucket"),
@@ -1443,9 +1459,8 @@ def q249_training_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shard",
             (F.col("_base") + F.col("_rn") - 1).cast("long").alias("pos"),
             "doc_id",
-            "source",
+            *passthrough,
         )
-        .orderBy("shard", "pos")
     )
 
 
@@ -1566,4 +1581,139 @@ def q267_sequence_packing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_bins") * _PACK_B - F.col("total_tokens")).alias("tail_waste"),
         )
         .orderBy("span")
+    )
+
+
+_MANIFEST_FILE_DOCS = 1000  # docs per manifest file (trainer shard file size)
+
+
+@query(
+    "q268_shard_manifest_fingerprint",
+    oracle="""
+    WITH k AS (
+        SELECT doc_id, source,
+               len(list_filter(string_split_regex(lower(text), '\\s+'),
+                               t -> len(t) > 0)) AS n_tok,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ), keyed AS (
+        SELECT doc_id, source, n_tok,
+               CAST('0x' || substr(h, 1, 4) AS BIGINT) % 8 AS shard,
+               substr(h, 5, 12) AS okey
+        FROM k
+    ), positioned AS (
+        SELECT shard, source, n_tok, doc_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                                       ORDER BY okey, doc_id) - 1 AS BIGINT)
+                   AS pos
+        FROM keyed
+    ), perfile AS (
+        SELECT shard, pos // 1000 AS file_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+               md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY pos))
+                   AS fmd5,
+               list_distinct(list(source)) AS srcs
+        FROM positioned GROUP BY 1, 2
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(len(list_distinct(flatten(list(srcs)))) AS BIGINT) AS n_sources,
+           md5(string_agg(fmd5, ',' ORDER BY file_id)) AS manifest_md5
+    FROM perfile GROUP BY shard
+    ORDER BY shard
+    """,
+    tags=("curation", "provenance", "manifest", "reproducibility", "llm-pipeline"),
+)
+def q268_shard_manifest_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard provenance manifest — the dataset-card artifact a
+    reproducible run publishes next to the data: for each of q249's
+    deterministic shards, the doc/token/source totals and a CONTENT
+    FINGERPRINT of the exact document order the trainer will consume.
+    The fingerprint is TWO-LEVEL like the manifest files themselves:
+    each 1000-doc shard file hashes its ordered doc_id list, and the
+    shard hash folds the file hashes in file order — so (a) no executor
+    ever concatenates a whole shard into one string (per-file lists are
+    bounded), and (b) verifying one re-shipped file needs only that
+    file's hash, not the shard's. Rebuilding from an identical corpus
+    reproduces every hash bit-for-bit (the md5 permutation is
+    engine/retry-stable); any dropped, duplicated, or reordered document
+    flips the shard fingerprint — the integrity check a training run
+    performs before spending GPU-hours.
+
+    Scale shape: positions via q249's shared two-level prefix-sum helper
+    (128-way parallel windows + bounded broadcast); the per-file
+    ordered-list aggregate sorts ≤1000-element arrays per group
+    (map-side combinable by file key); source sets are bounded (~20
+    values) so the shard-level flatten-distinct is cheap."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(tokens_of(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    pos = _deterministic_shard_positions(d, passthrough=("source", "n_tok"))
+    perfile = (
+        pos.select(
+            "shard",
+            int_div(F.col("pos"), F.lit(_MANIFEST_FILE_DOCS)).alias("file_id"),
+            "pos",
+            "doc_id",
+            "source",
+            "n_tok",
+        )
+        .groupBy("shard", "file_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("pos"),
+                                    F.col("doc_id").cast("string").alias("did"),
+                                )
+                            )
+                        ),
+                        lambda x: x["did"],
+                    ),
+                )
+            ).alias("fmd5"),
+            F.collect_set("source").alias("srcs"),
+        )
+    )
+    return (
+        perfile.groupBy("shard")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.count("*").alias("n_files"),
+            F.size(F.array_distinct(F.flatten(F.collect_list("srcs"))))
+            .cast("long")
+            .alias("n_sources"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("file_id"), F.col("fmd5")))
+                        ),
+                        lambda x: x["fmd5"],
+                    ),
+                )
+            ).alias("manifest_md5"),
+        )
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            "n_docs",
+            "n_tokens",
+            "n_files",
+            "n_sources",
+            "manifest_md5",
+        )
+        .orderBy("shard")
     )

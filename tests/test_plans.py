@@ -1494,6 +1494,18 @@ def test_sequence_packing_two_level_prefix(spark):
     assert p.count("BroadcastNestedLoopJoin") == 1  # the 1-row totals
 
 
+def test_shard_manifest_two_level_no_global_sort(spark):
+    """q268: positions come from the shared q249 two-level prefix sum
+    (two partitioned windows + the bounded bucket-base broadcast); the
+    ordered-list fingerprints aggregate per ≤1000-doc file — no
+    sort-merge join, no cartesian, no corpus-wide single-partition
+    sort in the plan."""
+    p = plan_of(spark, "q268_shard_manifest_fingerprint")
+    assert p.count("Window") == 2  # level-1 rank + bounded bucket prefix
+    assert p.count("BroadcastHashJoin") == 1  # the 128-row bucket base
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
 def test_maxscore_prunes_in_plan_and_topk(spark):
     """q237: the MaxScore gate is IN THE PLAN (the θ/Σrest 1-row
     broadcasts feed a nested-loop filter over the non-essential

@@ -166,3 +166,59 @@ def test_sequence_packing_totals_consistent(catalog, spark):
     assert abs(out["doc_share"].sum() - 1.0) < 1e-12
     assert out["n_docs"].sum() == len(docs)  # every sf0.001 doc has tokens
     assert (out["span"] >= 1).all()
+
+
+def test_shard_manifest_python_replay_and_perturbation(catalog, spark):
+    """q268 == a pure-Python replay of the two-level manifest; dropping
+    one document flips its shard's fingerprint (the integrity property
+    the manifest exists for)."""
+    import hashlib
+
+    out = _run(catalog, spark, "q268_shard_manifest_fingerprint").set_index("shard")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+
+    def manifest(doc_rows):
+        shards = {}
+        for doc_id, source, text in doc_rows:
+            h = hashlib.md5(str(doc_id).encode()).hexdigest()
+            shard = int(h[:4], 16) % 8
+            shards.setdefault(shard, []).append((h[4:16], doc_id, source, text))
+        res = {}
+        for shard, rows in shards.items():
+            rows.sort(key=lambda r: (r[0], r[1]))
+            files = {}
+            for pos, (_, doc_id, source, text) in enumerate(rows):
+                files.setdefault(pos // 1000, []).append((doc_id, source, text))
+            fhashes = [
+                hashlib.md5(
+                    ",".join(str(d) for d, _, _ in files[fid]).encode()
+                ).hexdigest()
+                for fid in sorted(files)
+            ]
+            res[shard] = {
+                "n_docs": len(rows),
+                "n_tokens": sum(
+                    len([t for t in str(x[3]).lower().split() if t]) for x in rows
+                ),
+                "n_files": len(files),
+                "n_sources": len({r[2] for r in rows}),
+                "manifest_md5": hashlib.md5(",".join(fhashes).encode()).hexdigest(),
+            }
+        return res
+
+    rows = list(docs[["doc_id", "source", "text"]].itertuples(index=False, name=None))
+    exp = manifest(rows)
+    for shard, e in exp.items():
+        got = out.loc[shard]
+        assert got["manifest_md5"] == e["manifest_md5"]
+        assert (got["n_docs"], got["n_tokens"], got["n_files"], got["n_sources"]) == (
+            e["n_docs"],
+            e["n_tokens"],
+            e["n_files"],
+            e["n_sources"],
+        )
+    # perturbation: removing the first document flips exactly its shard
+    dropped = rows[1:]
+    exp2 = manifest(dropped)
+    victim = int(hashlib.md5(str(rows[0][0]).encode()).hexdigest()[:4], 16) % 8
+    assert exp2[victim]["manifest_md5"] != exp[victim]["manifest_md5"]

@@ -255,6 +255,7 @@ PROBE_QUERIES = [
     "q265_rag_token_chunking",
     "q266_cohens_kappa_labelers",
     "q267_sequence_packing_report",
+    "q268_shard_manifest_fingerprint",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
