@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from database_migrator_spark.functions.exact import int_div
 from database_migrator_spark.functions.vector import (
     cosine_similarity,
     dot,
@@ -2232,4 +2233,134 @@ def q248_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tier"),
         )
         .orderBy("anchor_id", "neg_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q269 — embedding ingest QA: norm screen with exact integer Tukey fences
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q269_embedding_norm_screen",
+    oracle=f"""
+    WITH base AS (
+        SELECT label,
+               CAST(ROUND(list_reduce(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                    (a, b) -> a + b) * 10000) AS BIGINT) AS n4
+        FROM embeddings
+    ), hist AS (
+        SELECT n4, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n FROM hist
+    ), cum AS (
+        SELECT n4, CAST(SUM(c) OVER (ORDER BY n4
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cm
+        FROM hist
+    ), f AS (
+        SELECT q1, q3,
+               q1 - (3 * (q3 - q1)) // 2 AS lo,
+               q3 + (3 * (q3 - q1)) // 2 AS hi
+        FROM (
+            SELECT (SELECT MIN(n4) FROM cum, tot WHERE cm >= (tot.n + 3) // 4)
+                       AS q1,
+                   (SELECT MIN(n4) FROM cum, tot
+                    WHERE cm >= (3 * tot.n + 3) // 4) AS q3
+        )
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (WHERE n4 < f.lo) AS BIGINT) AS n_below,
+           CAST(COUNT(*) FILTER (WHERE n4 > f.hi) AS BIGINT) AS n_above,
+           CAST(MIN(n4) AS BIGINT) AS min_n4,
+           CAST(MAX(n4) AS BIGINT) AS max_n4,
+           f.q1 AS q1_4, f.q3 AS q3_4, f.lo AS lo4, f.hi AS hi4
+    FROM base, f
+    GROUP BY label, f.q1, f.q3, f.lo, f.hi
+    ORDER BY label
+    """,
+    tags=("similarity", "embedding", "quality", "outliers", "llm-pipeline"),
+    checkpointed_substrate=True,
+)
+def q269_embedding_norm_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding ingest QA — the norm screen an indexing pipeline runs
+    BEFORE q53/q236 trust cosine geometry: near-zero norms make cosine
+    meaningless and huge norms are encoder/ingest faults (truncated
+    buffers, wrong dtype), so per label this reports how many vectors
+    fall outside exact Tukey fences (Q1/Q3 ± 1.5·IQR) of the corpus-wide
+    ||v||² distribution. Everything is integer-exact and sort-free:
+    ||v||² uses the bit-identical left-to-right IEEE fold (the
+    functions/vector.py determinism note), rounds ONCE to 1e-4 grain,
+    and the quartiles are order statistics of the cumulative
+    VALUE-DOMAIN-BOUNDED histogram (≤ ~230k cells at 64 dims regardless
+    of corpus size — the q240 cents-histogram precedent, so the one
+    single-partition window runs over a bounded derived table, never
+    the corpus); rank = ceil(N/4) / ceil(3N/4), fences in integer 1e-4
+    units (IQR·3//2 — non-negative, floor==truncate on both engines).
+
+    Scale shape: ONE corpus scan computes (label, n4) into a 16-byte-row
+    checkpoint feeding both the histogram and the per-label counts; the
+    fence frame is a 1-row broadcast."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "embeddings")
+    base = e.select(
+        "label",
+        F.round(l2_norm_sq(F.col("embedding")) * F.lit(10000.0))
+        .cast("long")
+        .alias("n4"),
+    ).localCheckpoint(eager=True)  # one scan/HOF pass; two consumers
+    hist = base.groupBy("n4").agg(F.count("*").alias("c"))
+    tot = hist.agg(F.sum("c").alias("n"))
+    cum = hist.select(
+        "n4",
+        F.sum("c")
+        .over(Window.orderBy("n4").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cm"),
+    )
+    q1 = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(F.col("cm") >= int_div(F.col("n") + 3, F.lit(4)))
+        .agg(F.min("n4").alias("q1"))
+    )
+    q3 = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(F.col("cm") >= int_div(F.lit(3) * F.col("n") + 3, F.lit(4)))
+        .agg(F.min("n4").alias("q3"))
+    )
+    iqr32 = int_div(F.lit(3) * (F.col("q3") - F.col("q1")), F.lit(2))
+    fences = (
+        q1.crossJoin(F.broadcast(q3))
+        .select(
+            "q1",
+            "q3",
+            (F.col("q1") - iqr32).alias("lo"),
+            (F.col("q3") + iqr32).alias("hi"),
+        )
+        .localCheckpoint(eager=True)  # 1 row
+    )
+    return (
+        base.crossJoin(F.broadcast(fences))
+        .groupBy("label", "q1", "q3", "lo", "hi")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("n4") < F.col("lo")).cast("long")).alias("n_below"),
+            F.sum((F.col("n4") > F.col("hi")).cast("long")).alias("n_above"),
+            F.min("n4").alias("min_n4"),
+            F.max("n4").alias("max_n4"),
+        )
+        .select(
+            F.col("label").cast("long").alias("label"),
+            "n",
+            "n_below",
+            "n_above",
+            "min_n4",
+            "max_n4",
+            F.col("q1").alias("q1_4"),
+            F.col("q3").alias("q3_4"),
+            F.col("lo").alias("lo4"),
+            F.col("hi").alias("hi4"),
+        )
+        .orderBy("label")
     )

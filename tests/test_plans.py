@@ -1506,6 +1506,18 @@ def test_shard_manifest_two_level_no_global_sort(spark):
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
 
 
+def test_norm_screen_bounded_window_one_scan(spark):
+    """q269: the (label, n4) checkpoint is the only corpus pass (no
+    FileScan in the final plan); the quartile machinery runs over the
+    value-domain-bounded histogram and the fence frame broadcasts — no
+    sort-merge join, no cartesian, no corpus window."""
+    p = plan_of(spark, "q269_embedding_norm_screen")
+    assert "FileScan" not in p  # reads the (label, n4) checkpoint only
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "Window" not in p  # the bounded-histogram window ran pre-checkpoint
+    assert p.count("BroadcastNestedLoopJoin") == 1  # the 1-row fence frame
+
+
 def test_maxscore_prunes_in_plan_and_topk(spark):
     """q237: the MaxScore gate is IN THE PLAN (the θ/Σrest 1-row
     broadcasts feed a nested-loop filter over the non-essential

@@ -222,3 +222,27 @@ def test_shard_manifest_python_replay_and_perturbation(catalog, spark):
     exp2 = manifest(dropped)
     victim = int(hashlib.md5(str(rows[0][0]).encode()).hexdigest()[:4], 16) % 8
     assert exp2[victim]["manifest_md5"] != exp[victim]["manifest_md5"]
+
+
+def test_norm_screen_numpy_replay(catalog, spark):
+    """q269 == a numpy replay: 1e-4-grain norm² histogram quartiles at
+    rank ceil(N/4)/ceil(3N/4), integer Tukey fences, per-label outlier
+    counts."""
+    out = _run(catalog, spark, "q269_embedding_norm_screen").set_index("label")
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    n4 = np.round((V * V).sum(axis=1) * 10000).astype(np.int64)
+    s = np.sort(n4)
+    N = len(s)
+    q1 = int(s[(N + 3) // 4 - 1])  # smallest value with cum >= ceil(N/4)
+    q3 = int(s[(3 * N + 3) // 4 - 1])
+    lo, hi = q1 - (3 * (q3 - q1)) // 2, q3 + (3 * (q3 - q1)) // 2
+    assert (out["q1_4"] == q1).all() and (out["q3_4"] == q3).all()
+    assert (out["lo4"] == lo).all() and (out["hi4"] == hi).all()
+    for label, g in pd.DataFrame({"label": emb["label"], "n4": n4}).groupby("label"):
+        got = out.loc[label]
+        assert got["n"] == len(g)
+        assert got["n_below"] == int((g["n4"] < lo).sum())
+        assert got["n_above"] == int((g["n4"] > hi).sum())
+        assert got["min_n4"] == int(g["n4"].min())
+        assert got["max_n4"] == int(g["n4"].max())

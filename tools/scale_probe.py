@@ -256,6 +256,7 @@ PROBE_QUERIES = [
     "q266_cohens_kappa_labelers",
     "q267_sequence_packing_report",
     "q268_shard_manifest_fingerprint",
+    "q269_embedding_norm_screen",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
