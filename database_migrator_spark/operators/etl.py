@@ -1198,3 +1198,78 @@ def q264_randomized_response_release(spark: SparkSession, sf_dir: str) -> DataFr
         est.alias("dp_estimate"),
         F.abs(est - F.col("true_pos").cast("double")).alias("abs_err"),
     ).orderBy("priority")
+
+
+# --- q271: incremental join-view maintenance (delta rules) ------------------
+
+_IVM_CUTOFF = "1997-01-01"
+
+
+@query(
+    "q271_join_view_delta_refresh",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+             / 100.0 AS revenue
+    FROM orders
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    ORDER BY segment
+    """,
+    tags=("etl", "ivm", "incremental", "materialized-view"),
+    checkpointed_substrate=True,
+)
+def q271_join_view_delta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view by the classic delta rules:
+    the revenue-by-segment view V = γ(O ⋈ L ⋈ C) is refreshed from a
+    MATERIALIZED base aggregate over the historical halves (O_old ⋈
+    L_old, emulated by an eager localCheckpoint — in production this is
+    the stored view) plus the three delta terms ΔO⋈L_old, O_old⋈ΔL and
+    ΔO⋈ΔL, where Δ = rows past the refresh cutoff. The four partial
+    aggregates (exact integer-cents, so the merge is order-independent)
+    union into ONE final re-aggregation — the oracle recomputes the view
+    from scratch, proving base + deltas ≡ full recompute bit-for-bit.
+    Scale shape: the delta scans carry pushed-down date predicates (at
+    100 TB the deltas are a day's partitions, not the corpus); the
+    customer dim broadcasts; only the base term — computed once, then
+    served from the materialization — touches full history."""
+    cutoff = F.lit(_IVM_CUTOFF).cast("timestamp")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", (F.col("o_orderdate") < cutoff).alias("o_old")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        to_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev_c"),
+        (F.col("l_shipdate") < cutoff).alias("l_old"),
+    )
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+
+    def part(o_side: DataFrame, l_side: DataFrame) -> DataFrame:
+        """One partial aggregate γ_segment(o_side ⋈ l_side ⋈ C)."""
+        return (
+            o_side.join(l_side, o_side["o_orderkey"] == l_side["l_orderkey"])
+            .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("segment")
+            .agg(F.count("*").alias("n"), F.sum("rev_c").alias("cents"))
+        )
+
+    o_old, o_new = o.where("o_old"), o.where("NOT o_old")
+    l_old, l_new = li.where("l_old"), li.where("NOT l_old")
+    # the stored view: computed once over history, then read back — the
+    # refresh never re-joins the historical halves
+    base = part(o_old, l_old).localCheckpoint(eager=True)
+    refreshed = (
+        base.unionByName(part(o_new, l_old))
+        .unionByName(part(o_old, l_new))
+        .unionByName(part(o_new, l_new))
+        .groupBy("segment")
+        .agg(
+            F.sum("n").alias("n_lines"),
+            (F.sum("cents") / F.lit(100.0)).alias("revenue"),
+        )
+    )
+    return refreshed.orderBy("segment")

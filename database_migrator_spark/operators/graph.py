@@ -568,3 +568,118 @@ def q241_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), "word")
         .limit(20)
     )
+
+
+# --- q272: label-propagation communities ------------------------------------
+#
+# Synchronous LPA with the deterministic tie-break "highest neighbour-label
+# count, then smallest label", packed into one BIGINT so a single MIN
+# aggregate resolves both keys: enc = (2^31 - c)·2^32 + lab.  c ≥ 1 keeps
+# the product under 2^63; labels are node ids, guarded < 2^32 so the
+# decode `enc % 2^32` is exact.
+_LPA_ROUNDS = 4
+_LPA_C_BASE = 2_147_483_648  # 2^31
+_LPA_LAB_MOD = 4_294_967_296  # 2^32
+
+
+@query(
+    "q272_label_propagation_communities",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), und AS (
+        SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+    ), labels(u, lab, r) AS (
+        SELECT DISTINCT u, u AS lab, 0 AS r FROM und
+        UNION ALL
+        SELECT u,
+               CAST(MIN(({_LPA_C_BASE} - c) * {_LPA_LAB_MOD} + lab)
+                    % {_LPA_LAB_MOD} AS BIGINT) AS lab,
+               r + 1 AS r
+        FROM (
+            SELECT und.u AS u, l.lab AS lab, COUNT(*) AS c,
+                   ANY_VALUE(l.r) AS r
+            FROM und JOIN labels l ON und.v = l.u
+            WHERE l.r < {_LPA_ROUNDS}
+            GROUP BY und.u, l.lab
+        )
+        GROUP BY u, r
+    )
+    SELECT CAST(lab AS BIGINT) AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(u) AS BIGINT) AS min_part
+    FROM labels WHERE r = {_LPA_ROUNDS}
+    GROUP BY lab
+    ORDER BY n_nodes DESC, community
+    """,
+    tags=("graph", "community", "label-propagation", "iterative"),
+    checkpointed_substrate=True,
+)
+def q272_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the part
+    CO-PURCHASE graph (parts that share an order; TPC-H orders hold ≤ 7
+    lines, so the per-order pair fan-out is bounded — the projection is
+    scale-safe, unlike a shared-key projection with unbounded groups).
+    Each of the {_LPA_ROUNDS} rounds every node adopts its most frequent
+    neighbour label, ties to the SMALLEST label — both keys resolved by
+    one MIN over a packed BIGINT, so the recurrence is pure integer
+    arithmetic and the DuckDB recursive CTE replays it bit-for-bit
+    (q110's single-statement-oracle pattern). Per-round localCheckpoint
+    keeps the lazy plan constant (CLAUDE.md iterative invariant); the
+    co-purchase substrate is sketched once. Unlike min-label propagation
+    (= connected components, q72), frequency voting splits the giant
+    component into co-purchase communities."""
+    from database_migrator_spark.functions.exact import exactness_guard
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    und = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        und.select("u")
+        .distinct()
+        .where(
+            exactness_guard(
+                F.col("u") < F.lit(_LPA_LAB_MOD),
+                "q272: node id must fit the 2^32 label-packing bound",
+            )
+        )
+        .select("u", F.col("u").alias("lab"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_LPA_ROUNDS):
+        nb = und.join(
+            labels.select(F.col("u").alias("v"), "lab"), "v"
+        ).select("u", "lab")
+        cnt = nb.groupBy("u", "lab").agg(F.count("*").alias("c"))
+        enc = (F.lit(_LPA_C_BASE) - F.col("c")) * F.lit(_LPA_LAB_MOD) + F.col("lab")
+        labels = (
+            cnt.groupBy("u")
+            .agg(F.min(enc).alias("enc"))
+            .select("u", F.pmod(F.col("enc"), F.lit(_LPA_LAB_MOD)).alias("lab"))
+            .localCheckpoint(eager=True)  # constant plan per round
+        )
+    return (
+        labels.groupBy("lab")
+        .agg(F.count("*").alias("n_nodes"), F.min("u").alias("min_part"))
+        .select(
+            F.col("lab").cast("long").alias("community"),
+            "n_nodes",
+            F.col("min_part").cast("long").alias("min_part"),
+        )
+        .orderBy(F.col("n_nodes").desc(), "community")
+    )

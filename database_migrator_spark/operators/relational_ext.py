@@ -1029,3 +1029,124 @@ def q262_join_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("join_est"),
         )
     )
+
+
+# --- q270: Pareto skyline --------------------------------------------------
+#
+# Bucket width for the two-level prefix-max over the unit-price axis.
+# price_fp = cents*1e4 // qty-cents ranges ~1.1e7..4.3e7 (the part price
+# list bounds unit prices regardless of data volume), so 1e5-wide buckets
+# give a few hundred cells — value-domain bounded, the q240/q269 precedent.
+_SKYLINE_BUCKET = 100_000
+
+
+@query(
+    "q270_pareto_skyline_parts",
+    oracle=f"""
+    WITH pp AS (
+      SELECT l_partkey,
+             SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) * 10000
+               // SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS price_fp,
+             SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS qty_c
+      FROM lineitem GROUP BY 1
+    ), b AS (
+      SELECT price_fp // {_SKYLINE_BUCKET} AS bucket, MAX(qty_c) AS bq
+      FROM pp GROUP BY 1
+    ), pb AS (
+      SELECT bucket, MAX(bq) OVER (ORDER BY bucket
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max FROM b
+    ), x AS (
+      SELECT pp.l_partkey, pp.price_fp, pp.qty_c, pb.prev_max,
+        MAX(qty_c) OVER (PARTITION BY pp.price_fp // {_SKYLINE_BUCKET}
+          ORDER BY pp.price_fp
+          RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS in_max,
+        MAX(qty_c) OVER (PARTITION BY pp.price_fp) AS eq_max
+      FROM pp JOIN pb ON pp.price_fp // {_SKYLINE_BUCKET} = pb.bucket
+    )
+    SELECT l_partkey AS part_key,
+           price_fp / 10000.0 AS unit_price,
+           qty_c / 100.0      AS total_qty
+    FROM x
+    WHERE NOT (GREATEST(COALESCE(prev_max, -1), COALESCE(in_max, -1)) >= qty_c
+               OR eq_max > qty_c)
+    ORDER BY unit_price, part_key
+    """,
+    tags=("relational", "skyline", "pareto", "dominance"),
+    checkpointed_substrate=True,
+)
+def q270_pareto_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline (dominance query): the parts no other part beats on
+    BOTH axes — lower average unit price AND higher total quantity sold
+    (ties broken strictly: a dominator must be strictly better somewhere).
+    The classic O(N²) NOT EXISTS formulation is replaced by an exact
+    two-level prefix-max: in 2D, a point is dominated iff the max
+    quantity among strictly-cheaper points reaches its own quantity (or a
+    same-price point strictly exceeds it), and "max over strictly-cheaper"
+    decomposes into (a) a prefix max over VALUE-DOMAIN-BOUNDED price
+    buckets (few hundred cells — the only single-partition window) and
+    (b) a per-bucket running max (windows partitioned by bucket, fully
+    parallel). Unit price is exact fixed point (cents·10⁴ ÷ qty-cents,
+    truncating DIV on provably non-negative operands) so both engines
+    agree bit-for-bit; the formulation is brute-force-verified in
+    tests/test_round11b.py. At 100 TB the corpus-scale work is one
+    map-side-combinable groupBy + partitioned windows — no all-pairs
+    term anywhere."""
+    li = table(spark, sf_dir, "lineitem")
+    pp = li.groupBy("l_partkey").agg(
+        F.sum(to_cents("l_extendedprice")).alias("ext_c"),
+        F.sum(to_cents("l_quantity")).alias("qty_c"),
+    )
+    pp = (
+        pp.select(
+            "l_partkey",
+            F.expr("ext_c * 10000L DIV qty_c").alias("price_fp"),
+            "qty_c",
+        )
+        .withColumn("bucket", F.expr(f"price_fp DIV {_SKYLINE_BUCKET}L"))
+        # the per-part frame feeds both the bucket maxima and the dominance
+        # pass — materialize it once so lineitem is scanned ONCE
+        .localCheckpoint(eager=True)
+    )
+
+    from pyspark.sql import Window
+
+    # level 1: bounded bucket frame (few hundred rows) — prefix max of the
+    # per-bucket maxima over all STRICTLY lower buckets
+    b = pp.groupBy("bucket").agg(F.max("qty_c").alias("bq"))
+    pb = b.select(
+        "bucket",
+        F.max("bq")
+        .over(
+            Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+        )
+        .alias("prev_max"),
+    )
+    # level 2: parallel per-bucket running max over strictly lower price,
+    # plus the same-price group max
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("price_fp")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_eq = Window.partitionBy("price_fp")
+    x = (
+        pp.join(F.broadcast(pb), "bucket")
+        .withColumn("in_max", F.max("qty_c").over(w_in))
+        .withColumn("eq_max", F.max("qty_c").over(w_eq))
+    )
+    dominated = (
+        F.greatest(
+            F.coalesce(F.col("prev_max"), F.lit(-1)),
+            F.coalesce(F.col("in_max"), F.lit(-1)),
+        )
+        >= F.col("qty_c")
+    ) | (F.col("eq_max") > F.col("qty_c"))
+    return (
+        x.where(~dominated)
+        .select(
+            F.col("l_partkey").alias("part_key"),
+            (F.col("price_fp") / F.lit(10000.0)).alias("unit_price"),
+            (F.col("qty_c") / F.lit(100.0)).alias("total_qty"),
+        )
+        .orderBy("unit_price", "part_key")
+    )

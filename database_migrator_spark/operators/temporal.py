@@ -4062,3 +4062,197 @@ def q258_woe_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("iv_fp").cast("double") / F.lit(1e9)).alias("iv_contrib"),
     )
     return per.unionByName(allr).orderBy("bin")
+
+
+# --- q273: split-conformal prediction coverage ------------------------------
+#
+# Fixed-point scale for nonconformity scores (cents · 1e4) and the
+# bucket width of the two-level order-statistic (1e7 fp units = 1000
+# currency units per cell) — the score domain is bounded by the order
+# price list, so the bucket frame is a value-domain-bounded few-1e4 rows.
+_CONF_FP = 10_000
+_CONF_BUCKET = 10_000_000
+_CONF_LEVEL_NUM = 9  # nominal coverage 9/10
+
+
+@query(
+    "q273_split_conformal_coverage",
+    oracle=f"""
+    WITH pop AS (
+        SELECT o_orderkey, c_mktsegment AS segment,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c,
+               substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) AS h2
+        FROM orders JOIN customer ON c_custkey = o_custkey
+    ), train AS (
+        SELECT segment, COUNT(*) AS n_train,
+               (SUM(price_c) * {_CONF_FP}) // COUNT(*) AS mu_fp
+        FROM pop WHERE h2 < '9a' GROUP BY segment
+    ), calib AS (
+        SELECT p.o_orderkey, p.segment,
+               ABS(p.price_c * {_CONF_FP} - t.mu_fp) AS s
+        FROM pop p JOIN train t ON p.segment = t.segment
+        WHERE p.h2 >= '9a' AND p.h2 < 'cd'
+    ), k AS (
+        SELECT segment, COUNT(*) AS n_calib,
+               ({_CONF_LEVEL_NUM} * (COUNT(*) + 1) + 9) // 10 AS k
+        FROM calib GROUP BY segment
+    ), ranked AS (
+        SELECT segment, s,
+               ROW_NUMBER() OVER (PARTITION BY segment ORDER BY s, o_orderkey)
+                   AS rn
+        FROM calib
+    ), qhat AS (
+        SELECT r.segment, r.s AS qhat_fp
+        FROM ranked r JOIN k ON r.segment = k.segment AND r.rn = k.k
+    ), test AS (
+        SELECT p.segment,
+               CASE WHEN ABS(p.price_c * {_CONF_FP} - t.mu_fp) <= q.qhat_fp
+                    THEN 1 ELSE 0 END AS covered
+        FROM pop p
+        JOIN train t ON p.segment = t.segment
+        JOIN qhat q ON p.segment = q.segment
+        WHERE p.h2 >= 'cd'
+    ), cov AS (
+        SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_test,
+               CAST(SUM(covered) AS BIGINT) AS n_covered
+        FROM test GROUP BY segment
+    )
+    SELECT t.segment AS segment, t.n_train, k.n_calib, cov.n_test, k.k,
+           q.qhat_fp / 1000000.0 AS qhat,
+           cov.n_covered,
+           CAST(cov.n_covered AS DOUBLE) / CAST(cov.n_test AS DOUBLE)
+               AS coverage
+    FROM train t
+    JOIN k ON t.segment = k.segment
+    JOIN qhat q ON t.segment = q.segment
+    JOIN cov ON t.segment = cov.segment
+    ORDER BY segment
+    """,
+    tags=("statistics", "conformal", "calibration", "uncertainty"),
+    checkpointed_substrate=True,
+)
+def q273_split_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split conformal prediction audit — the distribution-free coverage
+    guarantee check a model-serving pipeline runs before trusting
+    prediction intervals: a deterministic md5 three-way split
+    (60% train / 20% calibration / 20% test, reproducible across
+    engines and retries), a per-segment fixed-point mean predictor fit
+    on train, nonconformity scores |y − ŷ| on calibration, the exact
+    finite-sample quantile q̂ = s₍ₖ₎ with k = ⌈0.9·(n+1)⌉, and the
+    realized test coverage of ŷ ± q̂ (theory: ≥ 0.9 in expectation).
+    The k-th order statistic over corpus-scale calibration scores uses
+    the two-level pattern (q94/q125): per-(segment, bucket) counts over
+    the VALUE-DOMAIN-BOUNDED score histogram, a prefix sum on that
+    bounded frame locates q̂'s bucket, and only the ≤5 candidate buckets'
+    rows are ranked — no corpus-wide single-partition window. All score
+    arithmetic is BIGINT fixed point (guarded against the 10⁴-scaled
+    2^63 sum bound), so q̂ and the coverage counts hash bit-for-bit."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    h2 = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2)
+    pop = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "o_orderkey",
+            "segment",
+            to_cents("o_totalprice").alias("price_c"),
+            h2.alias("h2"),
+        )
+        .localCheckpoint(eager=True)  # one corpus join feeds all three splits
+    )
+    train = (
+        pop.where(F.col("h2") < "9a")
+        .groupBy("segment")
+        .agg(F.count("*").alias("n_train"), F.sum("price_c").alias("sum_c"))
+        .where(
+            exactness_guard(
+                F.col("sum_c").cast("double") * _CONF_FP < F.lit(float(2**63 - 2**10)),
+                "q273: 1e4-scaled train sum must stay inside int64",
+            )
+        )
+        .select(
+            "segment",
+            "n_train",
+            F.expr(f"(sum_c * {_CONF_FP}L) DIV n_train").alias("mu_fp"),
+        )
+        .localCheckpoint(eager=True)  # 5 rows, referenced by three passes
+    )
+    calib = (
+        pop.where((F.col("h2") >= "9a") & (F.col("h2") < "cd"))
+        .join(F.broadcast(train), "segment")
+        .select(
+            "segment",
+            "o_orderkey",
+            F.abs(F.col("price_c") * F.lit(_CONF_FP) - F.col("mu_fp")).alias("s"),
+            F.expr(
+                f"ABS(price_c * {_CONF_FP}L - mu_fp) DIV {_CONF_BUCKET}L"
+            ).alias("bucket"),
+        )
+        .localCheckpoint(eager=True)  # scored once; histogram + rank re-read it
+    )
+    cnt = (
+        calib.groupBy("segment", "bucket")
+        .agg(F.count("*").alias("cb"))
+        .localCheckpoint(eager=True)  # bounded histogram; k frame + prefix share it
+    )
+    kf = cnt.groupBy("segment").agg(F.sum("cb").alias("n_calib")).select(
+        "segment",
+        "n_calib",
+        F.expr(f"({_CONF_LEVEL_NUM} * (n_calib + 1) + 9) DIV 10").alias("k"),
+    )
+    w_pre = (
+        Window.partitionBy("segment")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cand = (
+        cnt.withColumn("cum_prev", F.coalesce(F.sum("cb").over(w_pre), F.lit(0)))
+        .join(F.broadcast(kf), "segment")
+        .where((F.col("cum_prev") < F.col("k")) & (F.col("cum_prev") + F.col("cb") >= F.col("k")))
+        .select("segment", "bucket", "cum_prev", "k")
+    )
+    w_rn = Window.partitionBy("segment").orderBy("s", "o_orderkey")
+    qhat = (
+        calib.join(F.broadcast(cand), ["segment", "bucket"])
+        .withColumn("rn", F.row_number().over(w_rn))
+        .where(F.col("cum_prev") + F.col("rn") == F.col("k"))
+        .select("segment", F.col("s").alias("qhat_fp"))
+        .localCheckpoint(eager=True)  # 5 rows, read by coverage + final select
+    )
+    cov = (
+        pop.where(F.col("h2") >= "cd")
+        .join(F.broadcast(train), "segment")
+        .join(F.broadcast(qhat), "segment")
+        .select(
+            "segment",
+            (
+                F.abs(F.col("price_c") * F.lit(_CONF_FP) - F.col("mu_fp"))
+                <= F.col("qhat_fp")
+            )
+            .cast("long")
+            .alias("covered"),
+        )
+        .groupBy("segment")
+        .agg(F.count("*").alias("n_test"), F.sum("covered").alias("n_covered"))
+    )
+    return (
+        train.select("segment", "n_train")
+        .join(F.broadcast(kf), "segment")
+        .join(F.broadcast(qhat), "segment")
+        .join(F.broadcast(cov), "segment")
+        .select(
+            "segment",
+            "n_train",
+            "n_calib",
+            "n_test",
+            "k",
+            (F.col("qhat_fp") / F.lit(1000000.0)).alias("qhat"),
+            "n_covered",
+            (
+                F.col("n_covered").cast("double") / F.col("n_test").cast("double")
+            ).alias("coverage"),
+        )
+        .orderBy("segment")
+    )

@@ -1851,3 +1851,49 @@ def test_join_cardinality_sketch_bottom_k_is_take_ordered(spark):
     p = plan_of(spark, "q262_join_cardinality_sketch")
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" in p  # the exact join, pinned
+
+
+def test_skyline_single_scan_partitioned_windows(spark):
+    """q270: the per-part frame is checkpointed (one lineitem scan); the
+    dominance pass = one bounded-bucket broadcast + partitioned windows —
+    no sort-merge join, no cartesian."""
+    p = plan_of(spark, "q270_pareto_skyline_parts")
+    assert "FileScan" not in p  # pp checkpoint only
+    assert p.count("Scan ExistingRDD") == 2  # bucket maxima + dominance pass
+    assert p.count("BroadcastHashJoin") == 1  # bounded bucket-prefix frame
+    assert p.count("Window") == 3  # bounded prefix + per-bucket + same-price
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_ivm_base_is_materialized_deltas_prune(spark):
+    """q271: the historical base aggregate is served from the
+    materialization (exactly one RDD scan); the delta terms re-join only
+    the cutoff-filtered scans (date predicates pushed); customer
+    broadcasts; no cartesian, no shuffled-hash join."""
+    p = plan_of(spark, "q271_join_view_delta_refresh")
+    assert p.count("Scan ExistingRDD") == 1  # the stored base view
+    assert "CartesianProduct" not in p and "ShuffledHashJoin" not in p
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in p or "orderdate" in p
+
+
+def test_lpa_final_plan_reads_last_round_only(spark):
+    """q272: per-round localCheckpoint keeps the lazy plan constant — the
+    final plan is ONE aggregate over the round-4 labels checkpoint (no
+    joins, no file scans, no window)."""
+    p = plan_of(spark, "q272_label_propagation_communities")
+    assert "FileScan" not in p
+    assert p.count("Scan ExistingRDD") == 1
+    assert "Join" not in p and "Window" not in p
+
+
+def test_conformal_bounded_rank_machinery(spark):
+    """q273: every corpus-scale pass reads a checkpoint (pop/calib), the
+    order-statistic runs on the bounded histogram + candidate buckets,
+    and all five auxiliary frames broadcast — no sort-merge join, no
+    cartesian, no window in the final plan."""
+    p = plan_of(spark, "q273_split_conformal_coverage")
+    assert "FileScan" not in p
+    assert p.count("Scan ExistingRDD") == 6
+    assert p.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "Window" not in p  # rank machinery ran inside the checkpoints

@@ -1,0 +1,217 @@
+"""Known-truth tests for the round-11 wave-4 additions (q270-q273) —
+each query also carries a DuckDB hash oracle in the registry; these pin
+the SEMANTICS against an independent numpy/pandas replay or an algebraic
+invariant, the same belt-and-suspenders the earlier families carry."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from database_migrator_spark.plans.registry import all_queries
+
+SF = "/root/testdata/sf0.001"
+SF1 = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def catalog():
+    return all_queries()
+
+
+def _run(catalog, spark, name, sf=SF):
+    return catalog[name].build(spark, sf).toPandas()
+
+
+# --- q270 skyline ------------------------------------------------------------
+
+
+def _part_points(sf):
+    li = pd.read_parquet(f"{sf}/lineitem.parquet")
+    ext_c = np.round(li["l_extendedprice"] * 100).astype(np.int64)
+    qty_c = np.round(li["l_quantity"] * 100).astype(np.int64)
+    g = pd.DataFrame(
+        {"k": li["l_partkey"], "ext_c": ext_c, "qty_c": qty_c}
+    ).groupby("k", as_index=False).sum()
+    g["price_fp"] = (g["ext_c"] * 10000) // g["qty_c"]
+    return g
+
+
+def test_skyline_matches_brute_force_dominance(catalog, spark):
+    """q270's two-level prefix-max formulation == the O(N²) definition:
+    a part is on the skyline iff no other part has price ≤ AND qty ≥
+    with at least one strict."""
+    g = _part_points(SF)
+    pts = g[["k", "price_fp", "qty_c"]].to_numpy()
+    keep = []
+    for i in range(len(pts)):
+        ki, pi, qi = pts[i]
+        dominated = any(
+            (pj <= pi and qj >= qi and (pj < pi or qj > qi))
+            for kj, pj, qj in pts
+            if kj != ki
+        )
+        if not dominated:
+            keep.append((pi, ki))
+    keep.sort()
+    out = _run(catalog, spark, "q270_pareto_skyline_parts")
+    assert list(out["part_key"]) == [k for _, k in keep]
+
+
+def test_skyline_is_strictly_monotone(catalog, spark):
+    """Along the price-sorted skyline quantity must strictly INCREASE —
+    a more expensive point with no more quantity would be dominated by
+    the cheaper one. (Exception: exact (price, qty) duplicates are
+    mutually non-dominating and both stay.)"""
+    out = _run(catalog, spark, "q270_pareto_skyline_parts", SF1)
+    qty = out["total_qty"].to_numpy()
+    price = out["unit_price"].to_numpy()
+    for dp, dq in zip(np.diff(price), np.diff(qty)):
+        assert (dp == 0 and dq == 0) or (dp > 0 and dq > 0)
+
+
+# --- q271 incremental join-view maintenance ----------------------------------
+
+
+def test_ivm_refresh_equals_full_recompute(catalog, spark):
+    """base(O_old⋈L_old) + the three delta terms == the view recomputed
+    from scratch in pandas (exact integer cents on both sides)."""
+    out = _run(catalog, spark, "q271_join_view_delta_refresh").set_index("segment")
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    c = pd.read_parquet(f"{SF}/customer.parquet")
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey").merge(
+        c, left_on="o_custkey", right_on="c_custkey"
+    )
+    # HALF_UP like Spark round()/DuckDB ROUND() — np.round is half-to-even
+    # and disagrees on products landing exactly on .5
+    rev_c = np.floor(
+        j["l_extendedprice"] * (1 - j["l_discount"]) * 100 + 0.5
+    ).astype(np.int64)
+    full = (
+        pd.DataFrame({"segment": j["c_mktsegment"], "rev_c": rev_c})
+        .groupby("segment")
+        .agg(n_lines=("rev_c", "size"), cents=("rev_c", "sum"))
+    )
+    assert dict(out["n_lines"]) == dict(full["n_lines"])
+    got_cents = (out["revenue"] * 100).round().astype(np.int64)
+    assert dict(got_cents) == dict(full["cents"])
+
+
+def test_ivm_delta_split_partitions_the_lines(spark):
+    """The four (old/new × old/new) terms partition the joined line set:
+    their counts sum to the full join's count and no line is in two."""
+    from database_migrator_spark.operators.etl import _IVM_CUTOFF
+
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    cut = pd.Timestamp(_IVM_CUTOFF)
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    oo = j["o_orderdate"] < cut
+    lo = j["l_shipdate"] < cut
+    n = len(j)
+    assert (oo & lo).sum() + (~oo & lo).sum() + (oo & ~lo).sum() + (
+        ~oo & ~lo
+    ).sum() == n
+
+
+# --- q272 label propagation ---------------------------------------------------
+
+
+def _lpa_replay(sf, rounds=4):
+    o = pd.read_parquet(f"{sf}/orders.parquet")  # noqa: F841  (edges need only lineitem)
+    li = pd.read_parquet(f"{sf}/lineitem.parquet")[["l_orderkey", "l_partkey"]]
+    j = li.merge(li, on="l_orderkey")
+    j = j[j["l_partkey_x"] < j["l_partkey_y"]]
+    e = j[["l_partkey_x", "l_partkey_y"]].drop_duplicates().to_numpy()
+    und = np.concatenate([e, e[:, ::-1]])
+    labels = {int(u): int(u) for u in np.unique(und)}
+    for _ in range(rounds):
+        new = {}
+        nb: dict[int, dict[int, int]] = {}
+        for u, v in und:
+            nb.setdefault(int(u), {})
+            lab = labels[int(v)]
+            nb[int(u)][lab] = nb[int(u)].get(lab, 0) + 1
+        for u, counts in nb.items():
+            best = min(((-c, lab) for lab, c in counts.items()))
+            new[u] = best[1]
+        labels = new
+    return labels
+
+
+def test_lpa_matches_python_replay(catalog, spark):
+    """q272 after 4 synchronous rounds == a dict-based python LPA with the
+    same most-frequent-then-smallest tie-break."""
+    labels = _lpa_replay(SF)
+    sizes: dict[int, int] = {}
+    for lab in labels.values():
+        sizes[lab] = sizes.get(lab, 0) + 1
+    expected = sorted(((n, c) for c, n in sizes.items()), key=lambda t: (-t[0], t[1]))
+    out = _run(catalog, spark, "q272_label_propagation_communities")
+    got = list(zip(out["n_nodes"], out["community"]))
+    assert got == expected
+
+
+def test_lpa_labels_are_member_node_ids(catalog, spark):
+    """Every community label must be the id of some graph node (labels
+    only ever copy existing labels, which start as node ids)."""
+    out = _run(catalog, spark, "q272_label_propagation_communities", SF1)
+    li = pd.read_parquet(f"{SF1}/lineitem.parquet")
+    parts = set(li["l_partkey"].unique())
+    assert set(out["community"]) <= parts
+    assert out["n_nodes"].sum() <= len(parts)
+
+
+# --- q273 split conformal ------------------------------------------------------
+
+
+def _conformal_replay(sf):
+    o = pd.read_parquet(f"{sf}/orders.parquet")
+    c = pd.read_parquet(f"{sf}/customer.parquet")
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    h2 = j["o_orderkey"].map(
+        lambda k: hashlib.md5(str(int(k)).encode()).hexdigest()[:2]
+    )
+    price_c = np.round(j["o_totalprice"] * 100).astype(np.int64)
+    df = pd.DataFrame(
+        {
+            "seg": j["c_mktsegment"],
+            "key": j["o_orderkey"],
+            "price_c": price_c,
+            "h2": h2,
+        }
+    )
+    rows = []
+    for seg, g in df.groupby("seg"):
+        tr = g[g["h2"] < "9a"]
+        ca = g[(g["h2"] >= "9a") & (g["h2"] < "cd")].copy()
+        te = g[g["h2"] >= "cd"]
+        mu_fp = (int(tr["price_c"].sum()) * 10000) // len(tr)
+        ca["s"] = (ca["price_c"] * 10000 - mu_fp).abs()
+        k = (9 * (len(ca) + 1) + 9) // 10
+        qhat = int(ca.sort_values(["s", "key"])["s"].iloc[k - 1])
+        covered = int(((te["price_c"] * 10000 - mu_fp).abs() <= qhat).sum())
+        rows.append((seg, len(tr), len(ca), len(te), k, qhat, covered))
+    return {r[0]: r[1:] for r in rows}
+
+def test_conformal_matches_python_replay(catalog, spark):
+    exp = _conformal_replay(SF)
+    out = _run(catalog, spark, "q273_split_conformal_coverage")
+    for _, r in out.iterrows():
+        n_train, n_calib, n_test, k, qhat_fp, covered = exp[r["segment"]]
+        assert r["n_train"] == n_train and r["n_calib"] == n_calib
+        assert r["n_test"] == n_test and r["k"] == k
+        assert round(r["qhat"] * 1e6) == qhat_fp
+        assert r["n_covered"] == covered
+
+
+def test_conformal_coverage_near_nominal(catalog, spark):
+    """The finite-sample guarantee: on exchangeable data expected coverage
+    is ≥ 0.9 (and ≤ 0.9 + 1/(n_calib+1)); at sf0.01 every segment should
+    land within a few points of nominal."""
+    out = _run(catalog, spark, "q273_split_conformal_coverage", SF1)
+    assert ((out["coverage"] - 0.9).abs() < 0.05).all()
