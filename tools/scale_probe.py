@@ -257,6 +257,11 @@ PROBE_QUERIES = [
     "q267_sequence_packing_report",
     "q268_shard_manifest_fingerprint",
     "q269_embedding_norm_screen",
+    # round-11 wave 4: skyline, join-view IVM, LPA communities, conformal
+    "q270_pareto_skyline_parts",
+    "q271_join_view_delta_refresh",
+    "q272_label_propagation_communities",
+    "q273_split_conformal_coverage",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
