@@ -2364,3 +2364,98 @@ def q269_embedding_norm_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --- q276: power-iteration step on the embedding second-moment matrix -------
+#
+# Fixed-point grain for the spectral step: v4 = round(v·1e4) keeps every
+# per-row product v4_i · (Σ_j v4_j) under ~2.4e9 and the per-dim corpus
+# sums exact BIGINTs far inside int64 (|v4| ≤ ~6e3 at 64 dims).
+_POWER_FP = 10_000
+
+
+@query(
+    "q276_power_iteration_step",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, i,
+               CAST(ROUND(CAST(embedding[i] AS DOUBLE) * {_POWER_FP}) AS BIGINT)
+                   AS v4
+        FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
+    ), rowdot AS (
+        SELECT vec_id, SUM(v4) AS dot FROM v GROUP BY vec_id
+    ), y AS (
+        SELECT v.i - 1 AS dim,
+               CAST(SUM(v.v4 * r.dot) AS BIGINT) AS y_fp,
+               CAST(SUM(v.v4) AS BIGINT) AS s4
+        FROM v JOIN rowdot r ON v.vec_id = r.vec_id
+        GROUP BY v.i
+    ), m AS (
+        SELECT MAX(ABS(y_fp)) AS ymax FROM y
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           s4,
+           y_fp / 100000000.0 AS y,
+           CAST(y_fp AS DOUBLE) / CAST(m.ymax AS DOUBLE) AS y_unit
+    FROM y, m
+    ORDER BY dim
+    """,
+    tags=("similarity", "spectral", "power-iteration", "llm-pipeline"),
+    checkpointed_substrate=True,
+)
+def q276_power_iteration_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One POWER-ITERATION step y = A·x on the corpus second-moment
+    matrix A = Σ v vᵀ of the embedding table, from the deterministic
+    all-ones start vector — the kernel inside every spectral method
+    (top principal direction, spectral norm estimation, PCA warm-start).
+    The 64×64 matrix is NEVER materialized: the rank-1 identity
+    (Σ v vᵀ)·x = Σ v·(vᵀx) turns the step into ONE corpus scan — a
+    per-row fixed-point dot fold, a posexplode, and a 64-group map-side-
+    combinable aggregate (no joins except the 1-row max broadcast). All
+    sums are exact BIGINTs at the 1e4 grain (per-row products ≤ 2.4e9,
+    well under the 2^53 double-exactness bound, guarded), so y and the
+    max-normalized direction hash bit-for-bit. The per-dim column sum s4
+    is reported alongside — the 'mean direction' x amplifies first."""
+    from database_migrator_spark.functions.exact import exactness_guard
+
+    e = table(spark, sf_dir, "embeddings")
+    v4 = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * _POWER_FP, 0).cast("long"),
+    )
+    rows = e.select(
+        "vec_id",
+        v4.alias("v4arr"),
+    ).select(
+        "vec_id",
+        "v4arr",
+        F.aggregate("v4arr", F.lit(0).cast("long"), lambda a, x: a + x).alias("dot"),
+    )
+    y = (
+        rows.select(F.posexplode("v4arr").alias("dim", "v4"), F.col("dot"))
+        .groupBy("dim")
+        .agg(
+            F.sum(F.col("v4") * F.col("dot")).alias("y_fp"),
+            F.sum("v4").alias("s4"),
+        )
+        .where(
+            exactness_guard(
+                F.abs(F.col("y_fp")).cast("double") < F.lit(float(2**53)),
+                "q276: y_fp must stay inside the double-exact range",
+            )
+        )
+        .localCheckpoint(eager=True)  # 64 rows; the max frame re-reads it
+    )
+    m = y.agg(F.max(F.abs(F.col("y_fp"))).alias("ymax"))
+    return (
+        y.crossJoin(F.broadcast(m))
+        .select(
+            F.col("dim").cast("long").alias("dim"),
+            "s4",
+            (F.col("y_fp") / F.lit(100000000.0)).alias("y"),
+            (F.col("y_fp").cast("double") / F.col("ymax").cast("double")).alias(
+                "y_unit"
+            ),
+        )
+        .orderBy("dim")
+    )

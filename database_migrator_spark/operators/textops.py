@@ -3813,3 +3813,312 @@ def q266_cohens_kappa_labelers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- q274: inverted-index postings with varint delta encoding ---------------
+#
+# Docs per index segment: posting lists are built PER (term, shard) so no
+# executor ever materializes a hot term's corpus-wide doc list — the
+# Lucene-segment shape. 256 docs/shard keeps every per-group array bounded.
+_POSTING_SHARD = 256
+
+
+@query(
+    "q274_postings_delta_index",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, t AS term
+        FROM documents,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> len(x) > 0)) AS u(t)
+    ), post AS (
+        SELECT DISTINCT doc_id, term FROM tok
+    ), tf AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS tf_total FROM tok GROUP BY term
+    ), g AS (
+        SELECT term, doc_id // {_POSTING_SHARD} AS shard, doc_id,
+               doc_id - COALESCE(
+                   lag(doc_id) OVER (PARTITION BY term, doc_id // {_POSTING_SHARD}
+                                     ORDER BY doc_id),
+                   (doc_id // {_POSTING_SHARD}) * {_POSTING_SHARD}) AS gap
+        FROM post
+    ), s AS (
+        SELECT term, shard,
+               CAST(COUNT(*) AS BIGINT) AS dfs,
+               CAST(SUM(CASE WHEN gap < 128 THEN 1
+                             WHEN gap < 16384 THEN 2
+                             WHEN gap < 2097152 THEN 3
+                             WHEN gap < 268435456 THEN 4
+                             ELSE 5 END) AS BIGINT) AS bytes,
+               md5(string_agg(CAST(gap AS VARCHAR), ',' ORDER BY doc_id)) AS fp
+        FROM g GROUP BY term, shard
+    )
+    SELECT term,
+           CAST(SUM(dfs) AS BIGINT)  AS df,
+           ANY_VALUE(tf_total)       AS tf_total,
+           CAST(COUNT(*) AS BIGINT)  AS n_shards,
+           CAST(SUM(bytes) AS BIGINT) AS bytes_varint,
+           CAST(SUM(bytes) AS DOUBLE) / CAST(8 * SUM(dfs) AS DOUBLE)
+               AS vs_fixed64,
+           md5(string_agg(fp, ',' ORDER BY shard)) AS postings_md5
+    FROM s JOIN tf USING (term)
+    GROUP BY term
+    ORDER BY term
+    """,
+    tags=("text", "index", "postings", "compression", "llm-pipeline"),
+    checkpointed_substrate=True,
+)
+def q274_postings_delta_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction audit — per-term posting lists with
+    VARINT DELTA encoding (the gap compression every search index uses),
+    built the scale-safe way: postings are assembled PER (term, shard of
+    {_POSTING_SHARD} docs) — the Lucene-segment shape — so a hot term
+    never materializes a corpus-wide doc list in one task; shard lists
+    are bounded arrays, gaps are taken against the previous in-shard doc
+    (first entry offsets from the shard base, so every shard decodes
+    independently), and the term-level content fingerprint folds shard
+    fingerprints in shard order (q268's two-level trick — verifying one
+    re-shipped segment needs only that segment's hash). Reports per term
+    the document frequency, total term frequency, varint byte cost and
+    the compression ratio against a fixed 8-byte-per-posting baseline.
+    All arithmetic BIGINT; the ratio is one exact integer division."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", tokens_of("text").alias("toks"))
+        # tf and the posting build both read the tokenized corpus — one
+        # text scan, materialized as (doc_id, tokens)
+        .localCheckpoint(eager=True)
+    )
+    tok = d.select("doc_id", F.explode("toks").alias("term"))
+    tf = tok.groupBy("term").agg(F.count("*").alias("tf_total"))
+    post = d.select(
+        "doc_id", F.explode(F.array_distinct("toks")).alias("term")
+    ).withColumn("shard", F.expr(f"doc_id DIV {_POSTING_SHARD}L"))
+    pershard = post.groupBy("term", "shard").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("docs")
+    )
+    base = F.col("shard") * F.lit(_POSTING_SHARD)
+    gaps = F.transform(
+        F.col("docs"),
+        lambda x, i: x - F.coalesce(F.get(F.col("docs"), i - 1), base),
+    )
+    varint = lambda g: (  # noqa: E731
+        F.when(g < 128, 1)
+        .when(g < 16384, 2)
+        .when(g < 2097152, 3)
+        .when(g < 268435456, 4)
+        .otherwise(5)
+        .cast("long")
+    )
+    enc = pershard.select(
+        "term",
+        "shard",
+        F.size("docs").cast("long").alias("dfs"),
+        F.aggregate(
+            gaps, F.lit(0).cast("long"), lambda acc, g: acc + varint(g)
+        ).alias("bytes"),
+        F.md5(F.concat_ws(",", gaps)).alias("fp"),
+    )
+    agg = enc.groupBy("term").agg(
+        F.sum("dfs").alias("df"),
+        F.count("*").alias("n_shards"),
+        F.sum("bytes").alias("bytes_varint"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("shard", "fp"))),
+                    lambda x: x["fp"],
+                ),
+            )
+        ).alias("postings_md5"),
+    )
+    return (
+        agg.join(tf, "term")
+        .select(
+            "term",
+            "df",
+            "tf_total",
+            "n_shards",
+            "bytes_varint",
+            (
+                F.col("bytes_varint").cast("double")
+                / (F.lit(8) * F.col("df")).cast("double")
+            ).alias("vs_fixed64"),
+            "postings_md5",
+        )
+        .orderBy("term")
+    )
+
+
+# --- q275: WordPiece greedy longest-match tokenization ----------------------
+#
+# Subword vocab = top-100 character n-grams (len 1..4) of the documents
+# corpus, weighted by token occurrences, ties to the lexicographically
+# smaller gram; applied CROSS-DOMAIN to part-name words so the UNK path
+# is real. Tokenization runs per DISTINCT word type (the standard trick:
+# types ≪ corpus; counts re-weight afterwards), so the corpus-scale work
+# is one token-count aggregate.
+_WP_VOCAB = 100
+_WP_GRAM_MAX = 4
+_WP_WORD_MAX = 10  # generator vocab bound used for position enumeration
+_WP_STEPS = 24  # fold iterations ≥ max word length
+
+
+@query(
+    "q275_wordpiece_greedy_tokenize",
+    oracle=f"""
+    WITH RECURSIVE docw AS (
+        SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM documents,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> len(x) > 0)) AS u(t)
+        GROUP BY t
+    ), cand AS (
+        SELECT substr(d.word, p, l) AS gram, SUM(d.cnt) AS wt
+        FROM docw d,
+             generate_series(1, {_WP_WORD_MAX}) gs(p),
+             generate_series(1, {_WP_GRAM_MAX}) ls(l)
+        WHERE p + l - 1 <= len(d.word)
+        GROUP BY 1
+    ), vocab AS (
+        SELECT gram FROM cand ORDER BY wt DESC, gram LIMIT {_WP_VOCAB}
+    ), pwords AS (
+        SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS occurrences
+        FROM part, unnest(string_split(lower(p_name), ' ')) AS u(w)
+        GROUP BY w
+    ), lmax AS (
+        SELECT w.word AS word, gs.p AS pos,
+               COALESCE(MAX(len(v.gram)), 0) AS L
+        FROM pwords w
+        JOIN generate_series(1, {_WP_WORD_MAX * 2}) gs(p) ON gs.p <= len(w.word)
+        LEFT JOIN vocab v ON v.gram = substr(w.word, gs.p, len(v.gram))
+        GROUP BY w.word, gs.p
+    ), walk(wword, pos, n_tok, n_unk) AS (
+        SELECT word, 1, 0, 0 FROM pwords
+        UNION ALL
+        SELECT wk.wword,
+               wk.pos + CASE WHEN l.L > 0 THEN l.L ELSE 1 END,
+               wk.n_tok + 1,
+               wk.n_unk + CASE WHEN l.L > 0 THEN 0 ELSE 1 END
+        FROM walk wk
+        JOIN pwords pw ON pw.word = wk.wword
+        JOIN lmax l ON l.word = wk.wword AND l.pos = wk.pos
+        WHERE wk.pos <= len(pw.word)
+    )
+    SELECT wk.wword AS word, pw.occurrences,
+           CAST(wk.n_tok AS BIGINT) AS n_tokens,
+           CAST(wk.n_unk AS BIGINT) AS n_unk,
+           CAST(len(wk.wword) AS BIGINT) AS n_chars
+    FROM walk wk JOIN pwords pw ON pw.word = wk.wword
+    WHERE wk.pos > len(wk.wword)
+    ORDER BY word
+    """,
+    tags=("text", "tokenizer", "wordpiece", "llm-pipeline"),
+    checkpointed_substrate=True,
+)
+def q275_wordpiece_greedy_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece-style GREEDY LONGEST-MATCH tokenization — the other
+    industry subword algorithm next to the BPE family (q106/q107/q116):
+    a top-{_WP_VOCAB} character-n-gram vocab is derived from the
+    documents corpus (occurrence-weighted, deterministic tie-break) and
+    applied cross-domain to part-name words, so out-of-vocabulary UNK
+    advances actually occur. Tokenization runs once per DISTINCT word
+    type (types ≪ corpus — the trick every tokenizer pipeline uses) via
+    a per-(word, position) longest-match table (ONE equi-join of the
+    enumerated substring candidates against the broadcast vocab — no
+    LIKE theta join) folded into a single array-accumulator walk
+    (one HOF fold, not sibling transforms, per the interpreted-lambda
+    rule). The DuckDB oracle replays the identical walk as a recursive
+    CTE. Reports per word: occurrences, token count, UNK count, chars."""
+    d = table(spark, sf_dir, "documents")
+    docw = (
+        d.select(F.explode(tokens_of("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    pl = docw.select(
+        "word",
+        "cnt",
+        F.explode(F.sequence(F.lit(1), F.lit(_WP_WORD_MAX))).alias("p"),
+    ).where(F.col("p") <= F.length("word"))
+    cand = (
+        pl.select(
+            "word",
+            "cnt",
+            "p",
+            F.explode(F.sequence(F.lit(1), F.lit(_WP_GRAM_MAX))).alias("l"),
+        )
+        .where(F.col("p") + F.col("l") - 1 <= F.length("word"))
+        .select(F.expr("substr(word, p, l)").alias("gram"), "cnt")
+        .groupBy("gram")
+        .agg(F.sum("cnt").alias("wt"))
+    )
+    vocab = cand.orderBy(F.col("wt").desc(), "gram").limit(_WP_VOCAB).select("gram")
+    p = table(spark, sf_dir, "part")
+    pwords = (
+        p.select(F.explode(F.split(F.lower(F.col("p_name")), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("occurrences"))
+        .localCheckpoint(eager=True)  # bounded word-type frame, read twice
+    )
+    tries = (
+        pwords.select(
+            "word",
+            F.explode(F.sequence(F.lit(1), F.lit(_WP_WORD_MAX * 2))).alias("pos"),
+        )
+        .where(F.col("pos") <= F.length("word"))
+        .select(
+            "word",
+            "pos",
+            F.explode(F.sequence(F.lit(1), F.lit(_WP_GRAM_MAX))).alias("l"),
+        )
+        .where(F.col("pos") + F.col("l") - 1 <= F.length("word"))
+        .withColumn("gram_try", F.expr("substr(word, pos, l)"))
+    )
+    lmax = (
+        tries.join(
+            F.broadcast(vocab), tries["gram_try"] == vocab["gram"], "left"
+        )
+        .groupBy("word", "pos")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("gram").isNotNull(), F.col("l"))), F.lit(0)
+            ).alias("L")
+        )
+    )
+    larr = lmax.groupBy("word").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "L"))), lambda x: x["L"]
+        ).alias("Larr")
+    )
+    acc0 = F.struct(
+        F.lit(1).alias("pos"), F.lit(0).alias("n_tok"), F.lit(0).alias("n_unk")
+    )
+
+    def step(acc, _):
+        ln = F.length(F.col("word"))
+        L = F.coalesce(F.element_at(F.col("Larr"), acc["pos"]), F.lit(0))
+        return F.when(acc["pos"] > ln, acc).otherwise(
+            F.struct(
+                (acc["pos"] + F.greatest(L, F.lit(1))).alias("pos"),
+                (acc["n_tok"] + 1).alias("n_tok"),
+                (acc["n_unk"] + F.when(L == 0, 1).otherwise(0)).alias("n_unk"),
+            )
+        )
+
+    walked = larr.select(
+        "word",
+        F.aggregate(F.sequence(F.lit(1), F.lit(_WP_STEPS)), acc0, step).alias("fin"),
+    )
+    return (
+        walked.join(pwords, "word")
+        .select(
+            "word",
+            "occurrences",
+            F.col("fin.n_tok").cast("long").alias("n_tokens"),
+            F.col("fin.n_unk").cast("long").alias("n_unk"),
+            F.length("word").cast("long").alias("n_chars"),
+        )
+        .orderBy("word")
+    )

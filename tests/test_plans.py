@@ -1897,3 +1897,37 @@ def test_conformal_bounded_rank_machinery(spark):
     assert p.count("BroadcastHashJoin") == 5
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
     assert "Window" not in p  # rank machinery ran inside the checkpoints
+
+
+def test_postings_one_text_scan_segment_local(spark):
+    """q274: the tokenized corpus is checkpointed (one text scan feeds tf
+    AND the posting build); gap lists assemble per (term, shard) — no
+    corpus-wide per-term window, no sort-merge join, no cartesian."""
+    p = plan_of(spark, "q274_postings_delta_index")
+    assert "FileScan" not in p  # tokenized checkpoint only
+    assert p.count("Scan ExistingRDD") == 2
+    assert p.count("BroadcastHashJoin") == 1  # bounded term-level tf join
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "Window" not in p  # gaps computed inside bounded per-shard arrays
+
+
+def test_wordpiece_one_corpus_scan_broadcast_vocab(spark):
+    """q275: one documents scan (vocab derivation), the bounded part-word
+    frame checkpointed, the top-100 vocab broadcast into the candidate
+    equi-join (no LIKE theta join → no nested-loop), walk = one fold."""
+    p = plan_of(spark, "q275_wordpiece_greedy_tokenize")
+    assert p.count("FileScan") == 1  # documents only (part words checkpointed)
+    assert p.count("BroadcastHashJoin") == 2  # vocab match + occurrence join
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_power_step_single_scan_no_matrix(spark):
+    """q276: the rank-1 identity keeps the plan at ONE corpus pass into
+    the 64-row checkpoint — no 64x64 materialization, no join except the
+    1-row max broadcast."""
+    p = plan_of(spark, "q276_power_iteration_step")
+    assert "FileScan" not in p  # y checkpoint only
+    assert p.count("Scan ExistingRDD") == 2  # y + its max frame
+    assert p.count("BroadcastNestedLoopJoin") == 1  # 1-row ymax
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p

@@ -215,3 +215,108 @@ def test_conformal_coverage_near_nominal(catalog, spark):
     land within a few points of nominal."""
     out = _run(catalog, spark, "q273_split_conformal_coverage", SF1)
     assert ((out["coverage"] - 0.9).abs() < 0.05).all()
+
+
+# --- q274 postings ------------------------------------------------------------
+
+
+def _varint_bytes(g):
+    return 1 if g < 128 else 2 if g < 16384 else 3 if g < 2097152 else 4 if g < 268435456 else 5
+
+
+def test_postings_match_python_replay_and_decode_losslessly(catalog, spark):
+    """q274 == a python per-shard postings build; decoding the gap lists
+    reconstructs the exact doc-id sets (losslessness of delta coding)."""
+    out = _run(catalog, spark, "q274_postings_delta_index").set_index("term")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    post: dict[str, set[int]] = {}
+    tf: dict[str, int] = {}
+    for _, r in docs.iterrows():
+        toks = [t for t in r["text"].lower().split() if t]
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        for t in set(toks):
+            post.setdefault(t, set()).add(int(r["doc_id"]))
+    for term, ids in post.items():
+        shards: dict[int, list[int]] = {}
+        for d in sorted(ids):
+            shards.setdefault(d // 256, []).append(d)
+        nbytes, fps = 0, []
+        for sh in sorted(shards):
+            prev = sh * 256
+            gaps = []
+            for d in shards[sh]:
+                gaps.append(d - prev)
+                prev = d
+            # decode check
+            pos, rec = sh * 256, []
+            for g in gaps:
+                pos += g
+                rec.append(pos)
+            assert rec == shards[sh]
+            nbytes += sum(_varint_bytes(g) for g in gaps)
+            fps.append(hashlib.md5(",".join(map(str, gaps)).encode()).hexdigest())
+        r = out.loc[term]
+        assert r["df"] == len(ids) and r["tf_total"] == tf[term]
+        assert r["n_shards"] == len(shards) and r["bytes_varint"] == nbytes
+        assert r["postings_md5"] == hashlib.md5(",".join(fps).encode()).hexdigest()
+
+
+# --- q275 wordpiece -----------------------------------------------------------
+
+
+def _wp_vocab(sf, v=100, lmax=4):
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    cnt: dict[str, int] = {}
+    for t in (
+        tok for txt in docs["text"] for tok in txt.lower().split() if tok
+    ):
+        cnt[t] = cnt.get(t, 0) + 1
+    wt: dict[str, int] = {}
+    for w, c in cnt.items():
+        for p in range(len(w)):
+            for l in range(1, lmax + 1):
+                if p + l <= len(w):
+                    g = w[p : p + l]
+                    wt[g] = wt.get(g, 0) + c
+    return {g for g, _ in sorted(wt.items(), key=lambda kv: (-kv[1], kv[0]))[:v]}
+
+
+def test_wordpiece_matches_python_greedy(catalog, spark):
+    vocab = _wp_vocab(SF)
+    parts = pd.read_parquet(f"{SF}/part.parquet")
+    words: dict[str, int] = {}
+    for nm in parts["p_name"]:
+        for w in nm.lower().split(" "):
+            words[w] = words.get(w, 0) + 1
+    out = _run(catalog, spark, "q275_wordpiece_greedy_tokenize").set_index("word")
+    assert set(out.index) == set(words)
+    for w, occ in words.items():
+        pos, n_tok, n_unk = 0, 0, 0
+        while pos < len(w):
+            for l in (4, 3, 2, 1):
+                if w[pos : pos + l] in vocab and pos + l <= len(w):
+                    pos, n_tok = pos + l, n_tok + 1
+                    break
+            else:
+                pos, n_tok, n_unk = pos + 1, n_tok + 1, n_unk + 1
+        r = out.loc[w]
+        assert (r["occurrences"], r["n_tokens"], r["n_unk"]) == (occ, n_tok, n_unk), w
+
+
+# --- q276 power iteration -----------------------------------------------------
+
+
+def test_power_step_matches_numpy(catalog, spark):
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    x = V * 1e4
+    v4 = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)  # half away
+    dot = v4.sum(axis=1)
+    y_fp = (v4 * dot[:, None]).sum(axis=0)
+    s4 = v4.sum(axis=0)
+    out = _run(catalog, spark, "q276_power_iteration_step")
+    assert np.array_equal(out["s4"].to_numpy(), s4)
+    got_fp = np.round(out["y"].to_numpy() * 1e8).astype(np.int64)
+    assert np.array_equal(got_fp, y_fp)
+    assert out["y_unit"].abs().max() == 1.0

@@ -262,6 +262,10 @@ PROBE_QUERIES = [
     "q271_join_view_delta_refresh",
     "q272_label_propagation_communities",
     "q273_split_conformal_coverage",
+    # round-11 wave 5: postings index, WordPiece tokenize, power iteration
+    "q274_postings_delta_index",
+    "q275_wordpiece_greedy_tokenize",
+    "q276_power_iteration_step",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
