@@ -1273,3 +1273,136 @@ def q271_join_view_delta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return refreshed.orderBy("segment")
+
+
+# --- q277: zone-map prunability audit ---------------------------------------
+#
+# Two candidate layouts for the same rows: "arrival" files chunk by order
+# key (insertion order), "clustered" files are shipdate-month partitions.
+# The audit evaluates the monthly predicate workload against each
+# layout's per-file min/max zone maps — the data-skipping decision every
+# lakehouse table service makes before rewriting a table (q188 builds a
+# 2D z-order layout; this measures what a layout is worth for a workload).
+_ZONE_ARRIVAL_CHUNK = 4096  # orders per arrival file
+
+
+@query(
+    "q277_zone_map_prunability",
+    oracle=f"""
+    WITH base AS (
+        SELECT date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+                   AS d,
+               strftime(l_shipdate, '%Y-%m') AS m,
+               l_orderkey // {_ZONE_ARRIVAL_CHUNK} AS arrival_file
+        FROM lineitem
+    ), files AS (
+        SELECT layout, file_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(MIN(d) AS BIGINT) AS min_d, CAST(MAX(d) AS BIGINT) AS max_d
+        FROM (
+            SELECT 'arrival' AS layout, CAST(arrival_file AS VARCHAR) AS file_id, d
+            FROM base
+            UNION ALL
+            SELECT 'clustered' AS layout, m AS file_id, d FROM base
+        ) GROUP BY layout, file_id
+    ), months AS (
+        -- the monthly workload frame IS the clustered layout's zone maps
+        SELECT file_id AS m, min_d AS m_start, max_d AS m_end,
+               n_rows AS true_rows
+        FROM files WHERE layout = 'clustered'
+    ), hit AS (
+        SELECT f.layout, mo.m, mo.true_rows,
+               CAST(COUNT(*) FILTER (WHERE f.min_d <= mo.m_end
+                                       AND f.max_d >= mo.m_start) AS BIGINT)
+                   AS files_hit,
+               CAST(COUNT(*) AS BIGINT) AS files_total,
+               CAST(COALESCE(SUM(f.n_rows) FILTER (WHERE f.min_d <= mo.m_end
+                                       AND f.max_d >= mo.m_start), 0) AS BIGINT)
+                   AS rows_scanned
+        FROM files f CROSS JOIN months mo
+        GROUP BY f.layout, mo.m, mo.true_rows
+    )
+    SELECT layout, m AS month, files_total, files_hit, rows_scanned,
+           true_rows,
+           CAST(rows_scanned - true_rows AS DOUBLE)
+               / CAST(rows_scanned AS DOUBLE) AS waste_ratio
+    FROM hit
+    ORDER BY layout, month
+    """,
+    tags=("etl", "zone-map", "data-skipping", "layout"),
+    checkpointed_substrate=True,
+)
+def q277_zone_map_prunability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max data-skipping) prunability audit — the
+    measurement a lakehouse table service runs before deciding a
+    re-clustering rewrite is worth it: the SAME lineitem rows land in
+    two candidate layouts ('arrival' files chunked by order key, i.e.
+    insertion order, vs 'clustered' shipdate-month partitions), per-file
+    min/max zone maps are collected for the ship-date column, and the
+    monthly-range predicate workload is evaluated against each layout:
+    files hit, rows a zone-map-pruned scan must read, the true matching
+    rows, and the wasted-scan ratio. One corpus scan builds BOTH
+    layouts' zone maps (the layout tag is exploded per row before ONE
+    aggregate); everything after is bounded (files × months). At 100 TB
+    zone maps are O(files) — this is exactly the footprint the audit
+    has there too."""
+    li = table(spark, sf_dir, "lineitem").select(
+        F.datediff(F.col("l_shipdate"), F.lit("1970-01-01").cast("date")).alias("d"),
+        F.date_format("l_shipdate", "yyyy-MM").alias("m"),
+        F.expr(f"l_orderkey DIV {_ZONE_ARRIVAL_CHUNK}L").alias("arrival_file"),
+    )
+    tagged = li.select(
+        "d",
+        "m",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("arrival").alias("layout"),
+                    F.col("arrival_file").cast("string").alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("clustered").alias("layout"), F.col("m").alias("file_id")
+                ),
+            )
+        ).alias("t"),
+    )
+    files = (
+        tagged.groupBy(F.col("t.layout").alias("layout"), F.col("t.file_id").alias("file_id"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("d").alias("min_d"),
+            F.max("d").alias("max_d"),
+        )
+        .localCheckpoint(eager=True)  # bounded zone-map frame, one corpus scan
+    )
+    # the monthly workload frame IS the clustered layout's own zone maps —
+    # no second corpus scan
+    months = files.where(F.col("layout") == "clustered").select(
+        F.col("file_id").alias("m"),
+        F.col("min_d").alias("m_start"),
+        F.col("max_d").alias("m_end"),
+        F.col("n_rows").alias("true_rows"),
+    )
+    hit_cond = (F.col("min_d") <= F.col("m_end")) & (F.col("max_d") >= F.col("m_start"))
+    hit = (
+        files.crossJoin(F.broadcast(months))
+        .groupBy("layout", "m", "true_rows")
+        .agg(
+            F.sum(F.when(hit_cond, 1).otherwise(0)).alias("files_hit"),
+            F.count("*").alias("files_total"),
+            F.coalesce(
+                F.sum(F.when(hit_cond, F.col("n_rows"))), F.lit(0).cast("long")
+            ).alias("rows_scanned"),
+        )
+    )
+    return hit.select(
+        "layout",
+        F.col("m").alias("month"),
+        "files_total",
+        "files_hit",
+        "rows_scanned",
+        "true_rows",
+        (
+            (F.col("rows_scanned") - F.col("true_rows")).cast("double")
+            / F.col("rows_scanned").cast("double")
+        ).alias("waste_ratio"),
+    ).orderBy("layout", "month")

@@ -1150,3 +1150,152 @@ def q270_pareto_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("unit_price", "part_key")
     )
+
+
+# --- q279: median / MAD robust outlier screen -------------------------------
+
+
+@query(
+    "q279_mad_robust_screen",
+    oracle="""
+    WITH oc AS (
+        SELECT n.n_name,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ), hist AS (
+        SELECT n_name, cents, CAST(COUNT(*) AS BIGINT) AS c
+        FROM oc GROUP BY 1, 2
+    ), tot AS (
+        SELECT n_name, CAST(SUM(c) AS BIGINT) AS n,
+               (SUM(c) + 1) // 2 AS k
+        FROM hist GROUP BY 1
+    ), cum AS (
+        SELECT n_name, cents, c,
+               CAST(SUM(c) OVER (PARTITION BY n_name ORDER BY cents
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c
+        FROM hist
+    ), med AS (
+        SELECT cum.n_name, cum.cents AS med_c
+        FROM cum JOIN tot USING (n_name)
+        WHERE cum.cum_c - cum.c < tot.k AND tot.k <= cum.cum_c
+    ), dev AS (
+        SELECT h.n_name, ABS(h.cents - m.med_c) AS d,
+               CAST(SUM(h.c) AS BIGINT) AS c
+        FROM hist h JOIN med m USING (n_name)
+        GROUP BY 1, 2
+    ), dcum AS (
+        SELECT n_name, d, c,
+               CAST(SUM(c) OVER (PARTITION BY n_name ORDER BY d
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c
+        FROM dev
+    ), mad AS (
+        SELECT dcum.n_name, dcum.d AS mad_c
+        FROM dcum JOIN tot USING (n_name)
+        WHERE dcum.cum_c - dcum.c < tot.k AND tot.k <= dcum.cum_c
+    ), outl AS (
+        SELECT dev.n_name,
+               CAST(COALESCE(SUM(dev.c) FILTER (WHERE dev.d > 2 * mad.mad_c),
+                             0) AS BIGINT) AS n_outliers
+        FROM dev JOIN mad USING (n_name)
+        GROUP BY 1
+    )
+    SELECT tot.n_name AS nation, tot.n AS n_orders,
+           med.med_c / 100.0 AS median_value,
+           mad.mad_c / 100.0 AS mad_value,
+           outl.n_outliers,
+           CAST(outl.n_outliers AS DOUBLE) / CAST(tot.n AS DOUBLE)
+               AS outlier_share
+    FROM tot
+    JOIN med USING (n_name)
+    JOIN mad USING (n_name)
+    JOIN outl USING (n_name)
+    ORDER BY nation
+    """,
+    tags=("relational", "robust-stats", "mad", "median", "data-quality"),
+    checkpointed_substrate=True,
+)
+def q279_mad_robust_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median / MAD robust outlier screen per nation — the robust SCALE
+    estimate completing the family (q213 Tukey fences, q222 trimmed
+    mean): exact lower-median of order value, exact median absolute
+    deviation, and the count beyond med ± 2·MAD. ALL THREE order
+    statistics come from ONE corpus scan: the (nation, cents) histogram
+    is checkpointed, the deviation histogram |cents − med| is REGROUPED
+    FROM THE HISTOGRAM (never the corpus), and both medians are cells
+    of a cumulative sum over bounded frames (q222's exception — the
+    windows never touch corpus-scale rows). Pure BIGINT throughout; the
+    two /100.0 presentations are exact."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    oc = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_name", to_cents("o_totalprice").alias("cents"))
+    )
+    hist = (
+        oc.groupBy("n_name", "cents")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)  # bounded value-domain histogram
+    )
+    tot = hist.groupBy("n_name").agg(
+        F.sum("c").alias("n"), F.expr("(SUM(c) + 1) DIV 2").alias("k")
+    )
+    w = (
+        Window.partitionBy("n_name")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select("n_name", "cents", "c", F.sum("c").over(w).alias("cum_c"))
+    med = (
+        cum.join(F.broadcast(tot), "n_name")
+        .where((F.col("cum_c") - F.col("c") < F.col("k")) & (F.col("k") <= F.col("cum_c")))
+        .select("n_name", F.col("cents").alias("med_c"))
+    )
+    dev = (
+        hist.join(F.broadcast(med), "n_name")
+        .groupBy("n_name", F.abs(F.col("cents") - F.col("med_c")).alias("d"))
+        .agg(F.sum("c").alias("c"))
+        .localCheckpoint(eager=True)  # bounded; mad cell + outlier rollup share it
+    )
+    wd = (
+        Window.partitionBy("n_name")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dcum = dev.select("n_name", "d", "c", F.sum("c").over(wd).alias("cum_c"))
+    mad = (
+        dcum.join(F.broadcast(tot), "n_name")
+        .where((F.col("cum_c") - F.col("c") < F.col("k")) & (F.col("k") <= F.col("cum_c")))
+        .select("n_name", F.col("d").alias("mad_c"))
+    )
+    outl = (
+        dev.join(F.broadcast(mad), "n_name")
+        .groupBy("n_name")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("d") > 2 * F.col("mad_c"), F.col("c"))),
+                F.lit(0).cast("long"),
+            ).alias("n_outliers")
+        )
+    )
+    return (
+        tot.join(F.broadcast(med), "n_name")
+        .join(F.broadcast(mad), "n_name")
+        .join(F.broadcast(outl), "n_name")
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n").alias("n_orders"),
+            (F.col("med_c") / F.lit(100.0)).alias("median_value"),
+            (F.col("mad_c") / F.lit(100.0)).alias("mad_value"),
+            "n_outliers",
+            (
+                F.col("n_outliers").cast("double") / F.col("n").cast("double")
+            ).alias("outlier_share"),
+        )
+        .orderBy("nation")
+    )

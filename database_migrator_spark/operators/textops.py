@@ -4122,3 +4122,93 @@ def q275_wordpiece_greedy_tokenize(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("word")
     )
+
+
+# --- q278: feature-hashing collision audit ----------------------------------
+#
+# Hashing-trick bucket count. Bigram types (~1e3 on this vocab) into 256
+# buckets makes collisions real and measurable; the md5-slice bucket is
+# the engine-portable pseudo-hash (q121/q37 recipe).
+_FEATHASH_BUCKETS = 256
+
+
+@query(
+    "q278_feature_hash_collisions",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> len(x) > 0) AS toks
+        FROM documents
+    ), bg AS (
+        SELECT toks[i] || '_' || toks[i + 1] AS bigram
+        FROM tok, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+    ), tf AS (
+        SELECT bigram, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM bg GROUP BY bigram
+    ), bucketed AS (
+        SELECT CAST('0x' || substr(md5(bigram), 1, 4) AS BIGINT)
+                   % {_FEATHASH_BUCKETS} AS bucket,
+               bigram, tf
+        FROM tf
+    ), per AS (
+        SELECT bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(tf) AS BIGINT) AS total_tf,
+               CAST(MAX(tf) AS BIGINT) AS dominant_tf
+        FROM bucketed GROUP BY bucket
+    )
+    SELECT bucket, n_types, total_tf, dominant_tf,
+           CAST(total_tf - dominant_tf AS DOUBLE) / CAST(total_tf AS DOUBLE)
+               AS collision_share
+    FROM per
+    ORDER BY bucket
+    """,
+    tags=("text", "feature-hashing", "collisions", "llm-pipeline"),
+)
+def q278_feature_hash_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick collision audit — before shipping a fixed-width
+    feature vector (the Vowpal-Wabbit / sklearn HashingVectorizer
+    representation), measure what the hash width destroys: token BIGRAM
+    types are hashed into {_FEATHASH_BUCKETS} buckets via the
+    engine-portable md5-slice (q121's recipe — reproducible across
+    engines, retries and re-plans, unlike murmur-based engine hashes)
+    and each bucket reports its colliding type count, total mass, the
+    dominant type's mass, and the collision share (the mass a linear
+    model can no longer attribute). Scale shape: one corpus scan into a
+    map-side-combinable bigram-type aggregate (types ≪ tokens), then a
+    bounded {_FEATHASH_BUCKETS}-row rollup — no joins, no windows."""
+    d = table(spark, sf_dir, "documents").select(tokens_of("text").alias("toks"))
+    bg = d.select(
+        F.explode(
+            F.transform(
+                F.slice(F.col("toks"), 1, F.greatest(F.size("toks") - 1, F.lit(0))),
+                lambda x, i: F.concat_ws(
+                    "_", x, F.get(F.col("toks"), i + 1)
+                ),
+            )
+        ).alias("bigram")
+    )
+    tf = bg.groupBy("bigram").agg(F.count("*").alias("tf"))
+    bucketed = tf.select(
+        (
+            F.conv(F.substring(F.md5(F.col("bigram")), 1, 4), 16, 10).cast("long")
+            % _FEATHASH_BUCKETS
+        ).alias("bucket"),
+        "tf",
+    )
+    per = bucketed.groupBy("bucket").agg(
+        F.count("*").alias("n_types"),
+        F.sum("tf").alias("total_tf"),
+        F.max("tf").alias("dominant_tf"),
+    )
+    return per.select(
+        "bucket",
+        "n_types",
+        "total_tf",
+        "dominant_tf",
+        (
+            (F.col("total_tf") - F.col("dominant_tf")).cast("double")
+            / F.col("total_tf").cast("double")
+        ).alias("collision_share"),
+    ).orderBy("bucket")

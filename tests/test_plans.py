@@ -1931,3 +1931,34 @@ def test_power_step_single_scan_no_matrix(spark):
     assert p.count("Scan ExistingRDD") == 2  # y + its max frame
     assert p.count("BroadcastNestedLoopJoin") == 1  # 1-row ymax
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_zonemap_audit_one_scan_bounded_cross(spark):
+    """q277: ONE corpus scan builds both layouts' zone maps (exploded
+    layout tag before a single aggregate, checkpointed); the workload
+    evaluation is a bounded files x months nested-loop — no sort-merge,
+    no corpus-scale join."""
+    p = plan_of(spark, "q277_zone_map_prunability")
+    assert "FileScan" not in p  # zone-map checkpoint only
+    assert p.count("Scan ExistingRDD") == 2  # files + its clustered slice
+    assert p.count("BroadcastNestedLoopJoin") == 1  # bounded workload cross
+    assert "SortMergeJoin" not in p
+
+
+def test_feature_hash_join_free(spark):
+    """q278: one corpus scan -> bigram-type aggregate -> 256-bucket
+    rollup; no joins, no windows anywhere."""
+    p = plan_of(spark, "q278_feature_hash_collisions")
+    assert p.count("FileScan") == 1
+    assert "Join" not in p and "Window" not in p
+
+
+def test_mad_screen_histogram_only(spark):
+    """q279: the corpus is scanned once into the (nation, cents)
+    histogram checkpoint; median, MAD and the outlier rollup all derive
+    from histogram-sized frames (windows partitioned per nation over
+    bounded cells, broadcasts only)."""
+    p = plan_of(spark, "q279_mad_robust_screen")
+    assert "FileScan" not in p  # histogram checkpoint only
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") == 7

@@ -320,3 +320,77 @@ def test_power_step_matches_numpy(catalog, spark):
     got_fp = np.round(out["y"].to_numpy() * 1e8).astype(np.int64)
     assert np.array_equal(got_fp, y_fp)
     assert out["y_unit"].abs().max() == 1.0
+
+
+# --- q277 zone maps -----------------------------------------------------------
+
+
+def test_zonemap_clustered_layout_is_exact(catalog, spark):
+    """Month partitions must never scan waste for month predicates
+    (each predicate hits exactly its own file), while the arrival
+    layout scans nearly everything."""
+    out = _run(catalog, spark, "q277_zone_map_prunability", SF1)
+    cl = out[out["layout"] == "clustered"]
+    assert (cl["files_hit"] == 1).all()
+    assert (cl["waste_ratio"] == 0.0).all()
+    ar = out[out["layout"] == "arrival"]
+    assert (ar["rows_scanned"] >= ar["true_rows"]).all()
+    assert ar["waste_ratio"].mean() > 0.5  # insertion order can't skip
+
+
+def test_zonemap_scan_is_sound(catalog, spark):
+    """Soundness of pruning: a zone-map scan may read too much but never
+    too little — rows_scanned >= true_rows for every (layout, month)."""
+    out = _run(catalog, spark, "q277_zone_map_prunability")
+    assert (out["rows_scanned"] >= out["true_rows"]).all()
+    m = pd.read_parquet(f"{SF}/lineitem.parquet")["l_shipdate"].dt.strftime("%Y-%m")
+    truth = m.value_counts()
+    for _, r in out.iterrows():
+        assert r["true_rows"] == truth[r["month"]]
+
+
+# --- q278 feature hashing -----------------------------------------------------
+
+
+def test_feature_hash_matches_python(catalog, spark):
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    tf: dict[str, int] = {}
+    for txt in docs["text"]:
+        toks = [t for t in txt.lower().split() if t]
+        for a, b in zip(toks, toks[1:]):
+            tf[f"{a}_{b}"] = tf.get(f"{a}_{b}", 0) + 1
+    per: dict[int, list[int]] = {}
+    for bg, c in tf.items():
+        b = int(hashlib.md5(bg.encode()).hexdigest()[:4], 16) % 256
+        per.setdefault(b, []).append(c)
+    out = _run(catalog, spark, "q278_feature_hash_collisions").set_index("bucket")
+    assert set(out.index) == set(per)
+    for b, cs in per.items():
+        r = out.loc[b]
+        assert r["n_types"] == len(cs) and r["total_tf"] == sum(cs)
+        assert r["dominant_tf"] == max(cs)
+
+
+# --- q279 MAD -----------------------------------------------------------------
+
+
+def test_mad_matches_python_order_statistics(catalog, spark):
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    c = pd.read_parquet(f"{SF}/customer.parquet")
+    n = pd.read_parquet(f"{SF}/nation.parquet")
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey").merge(
+        n, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    j["cents"] = np.round(j["o_totalprice"] * 100).astype(np.int64)
+    out = _run(catalog, spark, "q279_mad_robust_screen").set_index("nation")
+    for nat, g in j.groupby("n_name"):
+        v = np.sort(g["cents"].to_numpy())
+        k = (len(v) + 1) // 2
+        med = int(v[k - 1])  # exact lower median
+        dev = np.sort(np.abs(g["cents"].to_numpy() - med))
+        mad = int(dev[k - 1])
+        outliers = int((np.abs(g["cents"] - med) > 2 * mad).sum())
+        r = out.loc[nat]
+        assert round(r["median_value"] * 100) == med
+        assert round(r["mad_value"] * 100) == mad
+        assert r["n_outliers"] == outliers and r["n_orders"] == len(v)

@@ -266,6 +266,10 @@ PROBE_QUERIES = [
     "q274_postings_delta_index",
     "q275_wordpiece_greedy_tokenize",
     "q276_power_iteration_step",
+    # round-11 wave 6: zone-map audit, feature hashing, MAD screen
+    "q277_zone_map_prunability",
+    "q278_feature_hash_collisions",
+    "q279_mad_robust_screen",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
