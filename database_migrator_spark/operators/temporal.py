@@ -4256,3 +4256,225 @@ def q273_split_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("segment")
     )
+
+
+# --- q280: gaps-and-islands activity streaks --------------------------------
+
+
+@query(
+    "q280_activity_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        FROM events
+    ), isl AS (
+        SELECT user_id, d,
+               d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                   AS island
+        FROM days
+    ), streaks AS (
+        SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len
+        FROM isl GROUP BY user_id, island
+    ), per_user AS (
+        SELECT user_id, MAX(len) AS max_streak,
+               CAST(COUNT(*) AS BIGINT) AS n_islands,
+               CAST(SUM(len) AS BIGINT) AS n_days
+        FROM streaks GROUP BY user_id
+    )
+    SELECT CAST(max_streak AS BIGINT) AS max_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n_islands) AS BIGINT) AS n_islands,
+           CAST(SUM(n_days) AS BIGINT) AS n_active_days
+    FROM per_user
+    GROUP BY max_streak
+    ORDER BY max_streak
+    """,
+    tags=("temporal", "gaps-and-islands", "streaks", "engagement"),
+)
+def q280_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: consecutive-active-day STREAKS per user — the
+    classic SQL pattern (engagement streaks, uptime islands, sensor
+    continuity) done the canonical way: distinct active days, then
+    island id = day_number − row_number (constant within a run of
+    consecutive days, jumps at every gap), then streak lengths per
+    island. Every window is partitioned per user (fully parallel — no
+    corpus-wide sort), aggregates are map-side combinable, and the
+    result is the per-max-streak user histogram. Day arithmetic is pure
+    integer epoch-days, so both engines agree exactly."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("d"),
+    )
+    days = e.distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.select(
+        "user_id", "d", (F.col("d") - F.row_number().over(w)).alias("island")
+    )
+    streaks = isl.groupBy("user_id", "island").agg(F.count("*").alias("len"))
+    per_user = streaks.groupBy("user_id").agg(
+        F.max("len").alias("max_streak"),
+        F.count("*").alias("n_islands"),
+        F.sum("len").alias("n_days"),
+    )
+    return (
+        per_user.groupBy("max_streak")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("n_islands").alias("n_islands"),
+            F.sum("n_days").alias("n_active_days"),
+        )
+        .select(
+            F.col("max_streak").cast("long").alias("max_streak"),
+            "n_users",
+            "n_islands",
+            "n_active_days",
+        )
+        .orderBy("max_streak")
+    )
+
+
+# --- q281: watermark lateness audit -----------------------------------------
+#
+# The events file is perfectly time-ordered, so ARRIVAL is simulated as
+# event time + a bounded md5 jitter (≤ 2 minutes — the engine-reproducible
+# stand-in for network/queue delay; a full random shuffle would be an
+# unrealistic month-long disorder). Lateness of an arrival = how far its
+# event time sits behind the max event time already arrived — exactly
+# what a withWatermark() bound must cover. The global running max over
+# arrival order decomposes two-level (q270's prefix-max): 10-minute
+# arrival cells (value-domain bounded), a bounded cell-prefix frame, and
+# per-cell running maxima in parallel windows.
+_LATE_JITTER_US = 120_000_000  # max simulated delivery delay: 120 s
+_LATE_CELL_US = 600_000_000  # 10-minute arrival cells
+
+
+@query(
+    "q281_watermark_lateness_audit",
+    oracle=f"""
+    WITH arr AS (
+        SELECT event_id, epoch_us(ts) AS tus,
+               epoch_us(ts)
+                 + CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) % {_LATE_JITTER_US} AS atus
+        FROM events
+    ), cells AS (
+        SELECT atus // {_LATE_CELL_US} AS cell, MAX(tus) AS cmax
+        FROM arr GROUP BY 1
+    ), pc AS (
+        SELECT cell, MAX(cmax) OVER (ORDER BY cell
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_cell_max
+        FROM cells
+    ), x AS (
+        SELECT a.tus,
+               GREATEST(
+                   COALESCE(pc.prev_cell_max, a.tus),
+                   COALESCE(MAX(a.tus) OVER (PARTITION BY a.atus // {_LATE_CELL_US}
+                       ORDER BY a.atus, a.event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       a.tus)) AS seen_max
+        FROM arr a JOIN pc ON a.atus // {_LATE_CELL_US} = pc.cell
+    ), late AS (
+        SELECT GREATEST(0, seen_max - tus) AS lus FROM x
+    ), classed AS (
+        SELECT CASE WHEN lus = 0 THEN 0
+                    WHEN lus <= 1000000 THEN 1
+                    WHEN lus <= 10000000 THEN 2
+                    WHEN lus <= 60000000 THEN 3
+                    WHEN lus <= 600000000 THEN 4
+                    ELSE 5 END AS lateness_class,
+               lus
+        FROM late
+    )
+    SELECT CAST(lateness_class AS BIGINT) AS lateness_class,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS DOUBLE)
+               / CAST((SELECT COUNT(*) FROM arr) AS DOUBLE) AS share,
+           MAX(lus) / 1000000.0 AS max_lateness_sec
+    FROM classed
+    GROUP BY lateness_class
+    ORDER BY lateness_class
+    """,
+    tags=("temporal", "watermark", "lateness", "ops"),
+    checkpointed_substrate=True,
+)
+def q281_watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark lateness audit — the measurement that justifies a
+    streaming job's withWatermark() bound (q38/q59's knob): arrivals are
+    simulated as event time + a bounded md5 jitter (engine-reproducible
+    network-delay stand-in, ≤ 2 min), and each arrival's lateness is the
+    gap between the max event time already seen and its own event time;
+    the histogram over operational classes (on-time, ≤1 s/10 s/60 s/600 s,
+    beyond) says exactly how much state a candidate bound retains and
+    what it would drop. The global 'max seen so far' is two-level
+    (q270's prefix-max): 10-minute arrival cells (value-domain bounded),
+    a bounded cell-prefix frame, and per-cell running maxima in parallel
+    windows — no corpus-wide single-partition window. A missing prefix
+    (the very first arrivals of a cell) coalesces to the row's own time,
+    so no sentinel can overflow under ANSI. Exact integer microseconds
+    throughout."""
+    jit = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % _LATE_JITTER_US
+    )
+    e = (
+        table(spark, sf_dir, "events")
+        .select("event_id", F.unix_micros("ts").alias("tus"))
+        .withColumn("atus", F.col("tus") + jit)
+        .withColumn("cell", F.expr(f"atus DIV {_LATE_CELL_US}L"))
+        .localCheckpoint(eager=True)
+    )
+    cells = e.groupBy("cell").agg(F.max("tus").alias("cmax"))
+    pc = cells.select(
+        "cell",
+        F.max("cmax")
+        .over(Window.orderBy("cell").rowsBetween(Window.unboundedPreceding, -1))
+        .alias("prev_cell_max"),
+    )
+    w_in = (
+        Window.partitionBy("cell")
+        .orderBy("atus", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    x = (
+        e.join(F.broadcast(pc), "cell")
+        .withColumn(
+            "seen_max",
+            F.greatest(
+                F.coalesce(F.col("prev_cell_max"), F.col("tus")),
+                F.coalesce(F.max("tus").over(w_in), F.col("tus")),
+            ),
+        )
+        .select(
+            F.greatest(F.lit(0).cast("long"), F.col("seen_max") - F.col("tus")).alias(
+                "lus"
+            )
+        )
+    )
+    classed = x.select(
+        F.when(F.col("lus") == 0, 0)
+        .when(F.col("lus") <= 1_000_000, 1)
+        .when(F.col("lus") <= 10_000_000, 2)
+        .when(F.col("lus") <= 60_000_000, 3)
+        .when(F.col("lus") <= 600_000_000, 4)
+        .otherwise(5)
+        .cast("long")
+        .alias("lateness_class"),
+        "lus",
+    )
+    tot = e.agg(F.count("*").alias("n_total"))
+    return (
+        classed.groupBy("lateness_class")
+        .agg(F.count("*").alias("n_events"), F.max("lus").alias("max_lus"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lateness_class",
+            "n_events",
+            (F.col("n_events").cast("double") / F.col("n_total").cast("double")).alias(
+                "share"
+            ),
+            (F.col("max_lus") / F.lit(1000000.0)).alias("max_lateness_sec"),
+        )
+        .orderBy("lateness_class")
+    )

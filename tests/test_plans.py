@@ -1962,3 +1962,25 @@ def test_mad_screen_histogram_only(spark):
     assert "FileScan" not in p  # histogram checkpoint only
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
     assert p.count("BroadcastHashJoin") == 7
+
+
+def test_streaks_windows_partitioned_per_user(spark):
+    """q280: the islands trick runs in per-user windows only — no
+    single-partition window, no join anywhere."""
+    p = plan_of(spark, "q280_activity_streaks")
+    assert p.count("Window") == 1
+    assert "Join" not in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_lateness_two_level_prefix_max(spark):
+    """q281: the global running max is two-level — the only
+    single-partition window is the bounded arrival-cell prefix; the
+    corpus-side window is partitioned per cell; one checkpoint scan
+    feeds cells + the lateness pass + the total."""
+    p = plan_of(spark, "q281_watermark_lateness_audit")
+    assert "FileScan" not in p  # arrival checkpoint only
+    assert p.count("Window") == 2  # bounded cell prefix + per-cell running max
+    assert p.count("BroadcastHashJoin") == 1  # bounded cell-prefix frame
+    assert p.count("BroadcastNestedLoopJoin") == 1  # 1-row total
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p

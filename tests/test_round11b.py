@@ -394,3 +394,77 @@ def test_mad_matches_python_order_statistics(catalog, spark):
         assert round(r["median_value"] * 100) == med
         assert round(r["mad_value"] * 100) == mad
         assert r["n_outliers"] == outliers and r["n_orders"] == len(v)
+
+
+# --- q280 streaks -------------------------------------------------------------
+
+
+def test_streaks_match_python_replay(catalog, spark):
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    days = (
+        pd.DataFrame(
+            {
+                "u": e["user_id"],
+                "d": (e["ts"].dt.tz_localize(None).dt.normalize()
+                      - pd.Timestamp("1970-01-01")).dt.days,
+            }
+        )
+        .drop_duplicates()
+        .sort_values(["u", "d"])
+    )
+    hist: dict[int, list] = {}
+    for u, g in days.groupby("u"):
+        d = g["d"].to_numpy()
+        breaks = np.where(np.diff(d) > 1)[0]
+        lens = np.diff(np.concatenate([[-1], breaks, [len(d) - 1]]))
+        hist.setdefault(int(lens.max()), []).append((len(lens), len(d)))
+    out = _run(catalog, spark, "q280_activity_streaks").set_index("max_streak")
+    assert set(out.index) == set(hist)
+    for ms, entries in hist.items():
+        r = out.loc[ms]
+        assert r["n_users"] == len(entries)
+        assert r["n_islands"] == sum(i for i, _ in entries)
+        assert r["n_active_days"] == sum(d for _, d in entries)
+
+
+# --- q281 lateness ------------------------------------------------------------
+
+
+def test_lateness_matches_python_replay(catalog, spark):
+    from database_migrator_spark.operators.temporal import _LATE_JITTER_US
+
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    ts = e["ts"]
+    if ts.dt.tz is not None:
+        ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
+    tus = (ts - pd.Timestamp("1970-01-01")).dt.total_seconds().mul(1e6).round().astype(np.int64)
+    jit = e["event_id"].map(
+        lambda k: int(hashlib.md5(str(int(k)).encode()).hexdigest()[:8], 16)
+        % _LATE_JITTER_US
+    )
+    df = pd.DataFrame({"eid": e["event_id"], "tus": tus, "atus": tus + jit})
+    df = df.sort_values(["atus", "eid"]).reset_index(drop=True)
+    seen = df["tus"].cummax().shift(1)
+    lus = np.maximum(0, (seen - df["tus"]).fillna(0)).astype(np.int64)
+    classes = np.select(
+        [lus == 0, lus <= 1_000_000, lus <= 10_000_000, lus <= 60_000_000,
+         lus <= 600_000_000],
+        [0, 1, 2, 3, 4], default=5,
+    )
+    out = _run(catalog, spark, "q281_watermark_lateness_audit").set_index(
+        "lateness_class"
+    )
+    for cl in np.unique(classes):
+        sel = lus[classes == cl]
+        r = out.loc[cl]
+        assert r["n_events"] == len(sel)
+        assert round(r["max_lateness_sec"] * 1e6) == sel.max()
+    assert out["n_events"].sum() == len(df)
+
+
+def test_lateness_bounded_by_jitter(catalog, spark):
+    """No arrival can be later than the max simulated delivery delay."""
+    from database_migrator_spark.operators.temporal import _LATE_JITTER_US
+
+    out = _run(catalog, spark, "q281_watermark_lateness_audit", SF1)
+    assert (out["max_lateness_sec"] <= _LATE_JITTER_US / 1e6).all()

@@ -270,6 +270,9 @@ PROBE_QUERIES = [
     "q277_zone_map_prunability",
     "q278_feature_hash_collisions",
     "q279_mad_robust_screen",
+    # round-11 wave 7: gaps-and-islands, watermark lateness
+    "q280_activity_streaks",
+    "q281_watermark_lateness_audit",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
