@@ -1406,3 +1406,156 @@ def q277_zone_map_prunability(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("rows_scanned").cast("double")
         ).alias("waste_ratio"),
     ).orderBy("layout", "month")
+
+
+# --- q282: compaction bin-packing planner (FFD) -----------------------------
+#
+# First-Fit-Decreasing over the small-file inventory — the greedy the
+# table services run for OPTIMIZE/compaction. The inventory is a bounded
+# derived frame (one row per ~64-doc input file), so the sequential
+# greedy folds over ONE collected array — the same bounded-planning
+# stance as sources/sink.py's compaction planner; the corpus itself is
+# touched only by the size aggregate.
+_PACK_FILE_DOCS = 64
+_PACK_CAP = 65_536  # target compacted-file size (chars)
+
+
+@query(
+    "q282_compaction_bin_packing",
+    oracle=f"""
+    WITH RECURSIVE files AS (
+        SELECT doc_id // {_PACK_FILE_DOCS} AS file_id,
+               CAST(SUM(n_chars) AS BIGINT) AS sz
+        FROM documents GROUP BY 1
+    ), ordered AS (
+        SELECT file_id, sz,
+               row_number() OVER (ORDER BY sz DESC, file_id) AS rn
+        FROM files
+    ), nf AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST((SUM(sz) + {_PACK_CAP - 1}) // {_PACK_CAP} AS BIGINT) AS lb
+        FROM files
+    ),
+    pack(step, loads, nfs) AS (
+        SELECT 0, CAST([] AS BIGINT[]), CAST([] AS BIGINT[])
+        UNION ALL
+        SELECT p.step + 1,
+               CASE WHEN list_position(list_transform(p.loads,
+                            l -> l + o.sz <= {_PACK_CAP}), true) = 0
+                    THEN list_append(p.loads, o.sz)
+                    ELSE list_slice(p.loads, 1,
+                             list_position(list_transform(p.loads,
+                                 l -> l + o.sz <= {_PACK_CAP}), true) - 1)
+                         || [p.loads[list_position(list_transform(p.loads,
+                                 l -> l + o.sz <= {_PACK_CAP}), true)] + o.sz]
+                         || list_slice(p.loads,
+                             list_position(list_transform(p.loads,
+                                 l -> l + o.sz <= {_PACK_CAP}), true) + 1,
+                             len(p.loads))
+               END,
+               CASE WHEN list_position(list_transform(p.loads,
+                            l -> l + o.sz <= {_PACK_CAP}), true) = 0
+                    THEN list_append(p.nfs, CAST(1 AS BIGINT))
+                    ELSE list_slice(p.nfs, 1,
+                             list_position(list_transform(p.loads,
+                                 l -> l + o.sz <= {_PACK_CAP}), true) - 1)
+                         || [p.nfs[list_position(list_transform(p.loads,
+                                 l -> l + o.sz <= {_PACK_CAP}), true)] + 1]
+                         || list_slice(p.nfs,
+                             list_position(list_transform(p.loads,
+                                 l -> l + o.sz <= {_PACK_CAP}), true) + 1,
+                             len(p.nfs))
+               END
+        FROM pack p JOIN ordered o ON o.rn = p.step + 1
+    ), final AS (
+        SELECT unnest(generate_series(1, len(loads))) AS bin, loads, nfs
+        FROM pack, nf WHERE step = n
+    )
+    SELECT CAST(f.bin AS BIGINT) AS bin,
+           f.nfs[f.bin] AS n_files,
+           f.loads[f.bin] AS load,
+           f.loads[f.bin] / CAST({_PACK_CAP} AS DOUBLE) AS fill,
+           CAST(len(f.loads) AS BIGINT) AS n_bins,
+           nf.lb AS lb_bins
+    FROM final f, nf
+    ORDER BY bin
+    """,
+    tags=("etl", "compaction", "bin-packing", "planner"),
+)
+def q282_compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction PLANNER — First-Fit-Decreasing bin packing of the
+    small-file inventory into target-capacity output files, the greedy
+    every lakehouse OPTIMIZE implements (q135 executes a compaction;
+    this plans one and reports its quality): files sorted by size
+    descending fold through a bin-load accumulator (first bin that
+    fits, else open a new bin — one array-accumulator HOF fold over the
+    BOUNDED inventory collected to a single planning row, exactly the
+    driver-side footprint sink.py's planner has), emitting per-bin file
+    counts, loads and fill ratios next to the LP lower bound
+    ⌈Σsize/cap⌉ — FFD is guaranteed within 11/9·OPT + 6/9 of it. The
+    DuckDB oracle replays the identical greedy as a recursive CTE over
+    list state (both engines' list_position return 0 for 'no fit' —
+    measured, not assumed). Corpus work is ONE size aggregate; the
+    fold's cost is O(files · bins), independent of row count."""
+    d = table(spark, sf_dir, "documents").select(
+        F.expr(f"doc_id DIV {_PACK_FILE_DOCS}L").alias("file_id"), "n_chars"
+    )
+    files = d.groupBy("file_id").agg(F.sum("n_chars").alias("sz"))
+    inv = files.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col("sz")).alias("k1"),
+                    F.col("file_id").alias("k2"),
+                    F.col("sz").alias("sz"),
+                )
+            )
+        ).alias("inv"),
+        F.sum("sz").alias("total"),
+        F.count("*").alias("n_files_in"),
+    )
+    empty = F.array().cast("array<bigint>")
+    acc0 = F.struct(empty.alias("loads"), empty.alias("nfs"))
+
+    def step(acc, f):
+        sz = f["sz"]
+        idx = F.array_position(
+            F.transform(acc["loads"], lambda l: l + sz <= F.lit(_PACK_CAP)),
+            F.lit(True),
+        )
+        i = idx.cast("int")
+        upd = lambda arr, inc: F.when(  # noqa: E731
+            idx == 0, F.concat(arr, F.array(inc(F.lit(0).cast("long"), True)))
+        ).otherwise(
+            F.concat(
+                F.slice(arr, 1, i - 1),
+                F.array(inc(F.element_at(arr, i), False)),
+                F.slice(arr, i + 1, F.size(arr) - i),
+            )
+        )
+        new_loads = upd(acc["loads"], lambda cur, fresh: (cur + sz))
+        new_nfs = upd(acc["nfs"], lambda cur, fresh: (cur + 1))
+        return F.struct(new_loads.alias("loads"), new_nfs.alias("nfs"))
+
+    packed = inv.select(
+        F.aggregate(F.col("inv"), acc0, step).alias("p"),
+        F.expr(f"(total + {_PACK_CAP - 1}L) DIV {_PACK_CAP}L").alias("lb_bins"),
+    )
+    return (
+        packed.select(
+            F.posexplode(F.arrays_zip(F.col("p.loads"), F.col("p.nfs"))).alias(
+                "pos", "z"
+            ),
+            F.size("p.loads").cast("long").alias("n_bins"),
+            "lb_bins",
+        )
+        .select(
+            (F.col("pos") + 1).cast("long").alias("bin"),
+            F.col("z.nfs").alias("n_files"),
+            F.col("z.loads").alias("load"),
+            (F.col("z.loads") / F.lit(float(_PACK_CAP))).alias("fill"),
+            "n_bins",
+            "lb_bins",
+        )
+        .orderBy("bin")
+    )

@@ -1299,3 +1299,150 @@ def q279_mad_robust_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# --- q283: selectivity independence audit -----------------------------------
+
+
+@query(
+    "q283_selectivity_independence",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderstatus AS s, o_orderpriority AS p,
+               CAST(year(o_orderdate) AS VARCHAR) AS y
+        FROM orders
+    ), n AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base
+    ), cs AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY s),
+    cp AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY p),
+    cy AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY y),
+    actual AS (
+        SELECT 'status_x_priority' AS pred_kind, s AS a, p AS b,
+               CAST(COUNT(*) AS BIGINT) AS actual_rows
+        FROM base GROUP BY s, p
+        UNION ALL
+        SELECT 'status_x_year', s, y, CAST(COUNT(*) AS BIGINT)
+        FROM base GROUP BY s, y
+        UNION ALL
+        SELECT 'priority_x_year', p, y, CAST(COUNT(*) AS BIGINT)
+        FROM base GROUP BY p, y
+    ), est AS (
+        SELECT 'status_x_priority' AS pred_kind, cs.s AS a, cp.p AS b,
+               (cs.c * cp.c) // n.n AS est_rows
+        FROM cs, cp, n
+        UNION ALL
+        SELECT 'status_x_year', cs.s, cy.y, (cs.c * cy.c) // n.n
+        FROM cs, cy, n
+        UNION ALL
+        SELECT 'priority_x_year', cp.p, cy.y, (cp.c * cy.c) // n.n
+        FROM cp, cy, n
+    )
+    SELECT e.pred_kind AS pred_kind, e.a AS a, e.b AS b, e.est_rows,
+           COALESCE(ac.actual_rows, 0) AS actual_rows,
+           CAST(GREATEST(e.est_rows, COALESCE(ac.actual_rows, 0), 1) AS DOUBLE)
+               / CAST(LEAST(GREATEST(e.est_rows, 1),
+                            GREATEST(COALESCE(ac.actual_rows, 0), 1)) AS DOUBLE)
+               AS q_error
+    FROM est e
+    LEFT JOIN actual ac
+      ON ac.pred_kind = e.pred_kind AND ac.a = e.a AND ac.b = e.b
+    ORDER BY pred_kind, a, b
+    """,
+    tags=("relational", "optimizer-stats", "selectivity", "cardinality"),
+    checkpointed_substrate=True,
+)
+def q283_selectivity_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selectivity-estimation audit under the INDEPENDENCE assumption —
+    the q262 twin for conjunctive predicates: for every two-column
+    predicate (a AND b) over status/priority/order-year, the per-column
+    frequency statistics predict est = |a|·|b|/n (exact integer DIV, the
+    System-R rule every CBO applies without multi-column stats), set
+    against the true count and the standard q-error
+    max(est,act)/min(est,act) (1-clamped, so empty combos score the
+    full miss). The corpus is scanned ONCE into the three-column
+    projection checkpoint; the three per-column stats AND the three
+    pairwise actuals are bounded aggregates over it; estimates are a
+    cross of bounded stat frames. A high q-error row is exactly where a
+    real optimizer needs a multi-column histogram or runtime
+    re-optimization (AQE)."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderstatus").alias("s"),
+            F.col("o_orderpriority").alias("p"),
+            F.year("o_orderdate").cast("string").alias("y"),
+        )
+        .localCheckpoint(eager=True)  # one scan feeds stats + actuals
+    )
+    # each stats frame is read by one actual and two estimate branches —
+    # checkpoint the tiny frames so the corpus checkpoint is passed once per use
+    n = o.agg(F.count("*").alias("n")).localCheckpoint(eager=True)
+    cs = o.groupBy("s").agg(F.count("*").alias("c")).localCheckpoint(eager=True)
+    cp = o.groupBy("p").agg(F.count("*").alias("c")).localCheckpoint(eager=True)
+    cy = o.groupBy("y").agg(F.count("*").alias("c")).localCheckpoint(eager=True)
+
+    def actuals_one_pass() -> DataFrame:
+        """All three pairwise actuals in ONE corpus pass via GROUPING
+        SETS (one Expand + one aggregate instead of three scans)."""
+        view = f"__sel_audit_{uuid.uuid4().hex[:8]}"
+        o.createOrReplaceTempView(view)
+        try:
+            return spark.sql(
+                f"""
+                SELECT CASE
+                         WHEN GROUPING(y) = 1 THEN 'status_x_priority'
+                         WHEN GROUPING(p) = 1 THEN 'status_x_year'
+                         ELSE 'priority_x_year'
+                       END AS pred_kind,
+                       CASE WHEN GROUPING(y) = 1 OR GROUPING(p) = 1 THEN s
+                            ELSE p END AS a,
+                       CASE WHEN GROUPING(y) = 1 THEN p ELSE y END AS b,
+                       COUNT(*) AS actual_rows
+                FROM {view}
+                GROUP BY GROUPING SETS ((s, p), (s, y), (p, y))
+                """
+            )
+        finally:
+            spark.catalog.dropTempView(view)
+
+    def est(kind: str, fa: DataFrame, ka: str, fb: DataFrame, kb: str) -> DataFrame:
+        return (
+            fa.select(F.col(ka).alias("a"), F.col("c").alias("ca"))
+            .crossJoin(F.broadcast(fb.select(F.col(kb).alias("b"), F.col("c").alias("cb"))))
+            .crossJoin(F.broadcast(n))
+            .select(
+                F.lit(kind).alias("pred_kind"),
+                "a",
+                "b",
+                F.expr("(ca * cb) DIV n").alias("est_rows"),
+            )
+        )
+
+    acts = actuals_one_pass()
+    ests = (
+        est("status_x_priority", cs, "s", cp, "p")
+        .unionByName(est("status_x_year", cs, "s", cy, "y"))
+        .unionByName(est("priority_x_year", cp, "p", cy, "y"))
+    )
+    one = F.lit(1).cast("long")
+    joined = ests.join(F.broadcast(acts), ["pred_kind", "a", "b"], "left").select(
+        "pred_kind",
+        "a",
+        "b",
+        "est_rows",
+        F.coalesce(F.col("actual_rows"), F.lit(0).cast("long")).alias("actual_rows"),
+    )
+    return joined.select(
+        "pred_kind",
+        "a",
+        "b",
+        "est_rows",
+        "actual_rows",
+        (
+            F.greatest(F.col("est_rows"), F.col("actual_rows"), one).cast("double")
+            / F.least(
+                F.greatest(F.col("est_rows"), one),
+                F.greatest(F.col("actual_rows"), one),
+            ).cast("double")
+        ).alias("q_error"),
+    ).orderBy("pred_kind", "a", "b")

@@ -2459,3 +2459,180 @@ def q276_power_iteration_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# --- q284: IVF recall-vs-nprobe curve ---------------------------------------
+#
+# Probe levels for the tuning curve; 16 = every cell of the fixed
+# quantizer, i.e. exact brute force — the built-in ground truth row.
+_RECALL_LEVELS = (1, 2, 4, 8, 16)
+_RECALL_QUERIES = 5  # vec_id 1..5
+_RECALL_K = 10
+_RECALL_CHUNKS = 32  # two-level top-k fan-in
+
+
+@query(
+    "q284_ivf_recall_curve",
+    oracle=f"""
+    WITH cents(cluster, c) AS (
+        VALUES {{CENTS}}
+    ), e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), asg AS (
+        SELECT vec_id, cluster FROM (
+            SELECT e.vec_id, cents.cluster,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                       list_reduce(list_transform(range(1, {_FIXED_IVF_DIM} + 1),
+                           i -> (v[i] - c[i]) * (v[i] - c[i])), (x, y) -> x + y),
+                       cents.cluster) AS rn
+            FROM e CROSS JOIN cents
+        ) WHERE rn = 1
+    ), qs AS (
+        SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {_RECALL_QUERIES}
+    ), prank AS (
+        SELECT qid, cluster,
+               row_number() OVER (PARTITION BY qid ORDER BY
+                   list_reduce(list_transform(range(1, {_FIXED_IVF_DIM} + 1),
+                       i -> (qv[i] - c[i]) * (qv[i] - c[i])), (x, y) -> x + y),
+                   cluster) AS cr
+        FROM qs CROSS JOIN cents
+    ), cand AS (
+        SELECT q.qid, e.vec_id, p.cr,
+               list_reduce(list_transform(range(1, {_FIXED_IVF_DIM} + 1),
+                   i -> (e.v[i] - q.qv[i]) * (e.v[i] - q.qv[i])), (x, y) -> x + y)
+                   AS d2
+        FROM e
+        JOIN asg a USING (vec_id)
+        JOIN qs q ON e.vec_id <> q.qid
+        JOIN prank p ON p.qid = q.qid AND p.cluster = a.cluster
+    ), lv AS (
+        SELECT unnest(ARRAY{list(_RECALL_LEVELS)}) AS L
+    ), top AS (
+        SELECT qid, L, vec_id FROM (
+            SELECT c.qid, lv.L, c.vec_id,
+                   row_number() OVER (PARTITION BY c.qid, lv.L
+                                      ORDER BY c.d2, c.vec_id) AS rn
+            FROM cand c JOIN lv ON c.cr <= lv.L
+        ) WHERE rn <= {_RECALL_K}
+    ), truth AS (
+        SELECT qid, vec_id FROM top WHERE L = 16
+    ), hits AS (
+        SELECT t.L, CAST(COUNT(*) AS BIGINT) AS hits
+        FROM top t JOIN truth tr ON t.qid = tr.qid AND t.vec_id = tr.vec_id
+        GROUP BY t.L
+    ), cellcnt AS (
+        SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n FROM asg GROUP BY cluster
+    ), scanned AS (
+        SELECT lv.L, CAST(SUM(cc.n) AS BIGINT) AS n_scanned
+        FROM prank p JOIN cellcnt cc USING (cluster) JOIN lv ON p.cr <= lv.L
+        GROUP BY lv.L
+    )
+    SELECT CAST(s.L AS BIGINT) AS nprobe, s.n_scanned, h.hits,
+           CAST(h.hits AS DOUBLE)
+               / CAST({_RECALL_K} * {_RECALL_QUERIES} AS DOUBLE) AS mean_recall
+    FROM scanned s JOIN hits h ON s.L = h.L
+    ORDER BY nprobe
+    """.replace("{CENTS}", _fixed_ivf_centroids_sql()),
+    tags=("similarity", "ann", "ivf", "recall", "evaluation"),
+    checkpointed_substrate=True,
+)
+def q284_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF TUNING CURVE — recall@{_RECALL_K} and vectors scanned as a
+    function of nprobe, the measurement that picks a serving config
+    (q53/q236 answer one query at one nprobe; this sweeps the knob):
+    for {_RECALL_QUERIES} fixed queries, each probe level L ∈
+    {_RECALL_LEVELS} ranks only the vectors whose fixed-quantizer cell
+    is among the query's L nearest cells; L = 16 covers every cell and
+    IS the exact brute-force truth, so recall is measured against a row
+    the same plan produces. Per-(query, L) top-{_RECALL_K} uses the
+    TWO-LEVEL top-k (chunked partial top-k in parallel windows, then a
+    bounded merge — never a corpus-wide single-partition rank);
+    candidates carry their cell rank once, so all levels share one
+    distance computation. Scanned counts come from the bounded
+    (query, cell) rank × cell-size frames — no second corpus pass."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    asg = (
+        ivf_assign_fixed(e, id_col="vec_id", vec_col="v")
+        .select("vec_id", "cluster")
+        .localCheckpoint(eager=True)  # assignment computed once, reused 2x
+    )
+    qs = e.where(F.col("vec_id") < _RECALL_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    cents = _fixed_ivf_centroids_frame(spark)
+    from pyspark.sql import Window
+
+    w_pr = Window.partitionBy("qid").orderBy("dq", "cluster")
+    prank = (
+        cents.crossJoin(F.broadcast(qs))
+        .select(
+            "qid", "cluster", l2_dist_sq(F.col("qv"), F.col("centroid")).alias("dq")
+        )
+        .select("qid", "cluster", F.row_number().over(w_pr).alias("cr"))
+        .localCheckpoint(eager=True)  # 16 x queries rows; reused 2x
+    )
+    cand = (
+        e.join(asg.hint("shuffle_merge"), "vec_id")
+        .crossJoin(F.broadcast(qs))
+        .where(F.col("vec_id") != F.col("qid"))
+        .join(F.broadcast(prank), ["qid", "cluster"])
+        .select(
+            "qid",
+            "vec_id",
+            "cr",
+            l2_dist_sq(F.col("v"), F.col("qv")).alias("d2"),
+        )
+    )
+    lvls = F.array(*[F.lit(x) for x in _RECALL_LEVELS])
+    leveled = cand.select(
+        "qid",
+        "vec_id",
+        "d2",
+        F.explode(F.filter(lvls, lambda L: L >= F.col("cr"))).alias("L"),
+    )
+    chunk = F.pmod(F.col("vec_id"), F.lit(_RECALL_CHUNKS)).alias("chunk")
+    w1 = Window.partitionBy("qid", "L", "chunk").orderBy("d2", "vec_id")
+    w2 = Window.partitionBy("qid", "L").orderBy("d2", "vec_id")
+    top = (
+        leveled.select("qid", "vec_id", "d2", "L", chunk)
+        .withColumn("rn1", F.row_number().over(w1))
+        .where(F.col("rn1") <= _RECALL_K)  # bounded: chunks x k per (qid, L)
+        .withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= _RECALL_K)
+        .select("qid", "L", "vec_id")
+        .localCheckpoint(eager=True)  # truth slice + hit join share it
+    )
+    truth = top.where(F.col("L") == 16).select(
+        F.col("qid").alias("tqid"), F.col("vec_id").alias("tv")
+    )
+    hits = (
+        top.join(
+            F.broadcast(truth),
+            (F.col("qid") == F.col("tqid")) & (F.col("vec_id") == F.col("tv")),
+        )
+        .groupBy("L")
+        .agg(F.count("*").alias("hits"))
+    )
+    cellcnt = asg.groupBy("cluster").agg(F.count("*").alias("n"))
+    scanned = (
+        prank.join(F.broadcast(cellcnt), "cluster")
+        .select("qid", "cr", "n", F.explode(F.filter(lvls, lambda L: L >= F.col("cr"))).alias("L"))
+        .groupBy("L")
+        .agg(F.sum("n").alias("n_scanned"))
+    )
+    return (
+        scanned.join(F.broadcast(hits), "L")
+        .select(
+            F.col("L").cast("long").alias("nprobe"),
+            "n_scanned",
+            "hits",
+            (
+                F.col("hits").cast("double")
+                / F.lit(float(_RECALL_K * _RECALL_QUERIES))
+            ).alias("mean_recall"),
+        )
+        .orderBy("nprobe")
+    )

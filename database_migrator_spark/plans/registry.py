@@ -103,10 +103,11 @@ def query(
 # landed in r06), and the first 37 by name (q01, q115, q119, q144,
 # q52-q85 minus q59) top the window up to exactly 50.
 # Round-12 plan (write it now so the rotation stays mechanical): rank 0
-# = r11 additions (q263+, currently _QUEUED_NEXT) + the 12-name r06
-# RESIDUE (_R06_RESIDUE below: q86-q93, q95, q97-q99); top up with the
-# 50-name r07 block (q02-q37, q145-q158) — that completes the fourth
-# full-catalog re-gate cycle with every name ≤4 rounds stale.
+# = r11 additions (q263-q284, currently _QUEUED_NEXT — the original
+# wave q263-q269 plus the extended-session waves q270-q284) + the
+# 12-name r06 RESIDUE (_R06_RESIDUE below: q86-q93, q95, q97-q99) = 34
+# names; top up with the first 16 of the r07 block (q02-q17) — the r07
+# residue rides in r13, continuing the full-catalog re-gate cycle.
 # Order changes NOTHING for the pytest oracle suite or bench.py — they
 # run the whole catalog.  tests/test_bench_contract.py pins the
 # resulting first-50 list so a refactor cannot silently reorder the

@@ -1984,3 +1984,31 @@ def test_lateness_two_level_prefix_max(spark):
     assert p.count("BroadcastHashJoin") == 1  # bounded cell-prefix frame
     assert p.count("BroadcastNestedLoopJoin") == 1  # 1-row total
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_bin_packing_single_scan_single_planning_row(spark):
+    """q282: one corpus scan (size aggregate), the FFD greedy folds over
+    ONE collected planning row — no joins, no windows in the plan."""
+    p = plan_of(spark, "q282_compaction_bin_packing")
+    assert p.count("FileScan") == 1
+    assert "Join" not in p and "Window" not in p
+
+
+def test_selectivity_audit_one_grouping_sets_pass(spark):
+    """q283: the three pairwise actuals come from ONE Expand +
+    aggregate (GROUPING SETS) over the corpus checkpoint; estimates are
+    bounded stat-frame crosses (nested-loop over tens of rows)."""
+    p = plan_of(spark, "q283_selectivity_independence")
+    assert "FileScan" not in p
+    assert p.count("Expand") == 1  # grouping sets, not three scans
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_recall_curve_shares_distances_topk_two_level(spark):
+    """q284: the final plan reads the top-k checkpoint (distances and
+    the chunked two-level rank ran inside it once for all levels); the
+    scanned counts come from bounded rank x cell-size frames."""
+    p = plan_of(spark, "q284_ivf_recall_curve")
+    assert "FileScan" not in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") == 3

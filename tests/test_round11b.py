@@ -468,3 +468,101 @@ def test_lateness_bounded_by_jitter(catalog, spark):
 
     out = _run(catalog, spark, "q281_watermark_lateness_audit", SF1)
     assert (out["max_lateness_sec"] <= _LATE_JITTER_US / 1e6).all()
+
+
+# --- q282 bin packing ---------------------------------------------------------
+
+
+def test_ffd_matches_python_and_respects_capacity(catalog, spark):
+    from database_migrator_spark.operators.etl import _PACK_CAP, _PACK_FILE_DOCS
+
+    docs = pd.read_parquet(f"{SF1}/documents.parquet")
+    sizes = (
+        docs.assign(f=docs["doc_id"] // _PACK_FILE_DOCS)
+        .groupby("f")["n_chars"]
+        .sum()
+        .reset_index()
+        .to_numpy()
+    )
+    order = sorted(sizes.tolist(), key=lambda t: (-t[1], t[0]))
+    loads, nfs = [], []
+    for _, sz in order:
+        for i, l in enumerate(loads):
+            if l + sz <= _PACK_CAP:
+                loads[i] += sz
+                nfs[i] += 1
+                break
+        else:
+            loads.append(int(sz))
+            nfs.append(1)
+    out = _run(catalog, spark, "q282_compaction_bin_packing", SF1)
+    assert list(out["load"]) == loads and list(out["n_files"]) == nfs
+    assert (out["load"] <= _PACK_CAP).all()
+    total = sum(sz for _, sz in order)
+    assert out["lb_bins"].iloc[0] == -(-total // _PACK_CAP)
+    assert out["n_bins"].iloc[0] >= out["lb_bins"].iloc[0]
+
+
+# --- q283 selectivity ---------------------------------------------------------
+
+
+def test_selectivity_estimates_match_python(catalog, spark):
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    s = o["o_orderstatus"]
+    p = o["o_orderpriority"]
+    y = o["o_orderdate"].dt.year.astype(str)
+    n = len(o)
+    out = _run(catalog, spark, "q283_selectivity_independence")
+    df = pd.DataFrame({"s": s, "p": p, "y": y})
+    cols = {"status_x_priority": ("s", "p"), "status_x_year": ("s", "y"),
+            "priority_x_year": ("p", "y")}
+    for _, r in out.iterrows():
+        ca, cb = cols[r["pred_kind"]]
+        est = (int((df[ca] == r["a"]).sum()) * int((df[cb] == r["b"]).sum())) // n
+        act = int(((df[ca] == r["a"]) & (df[cb] == r["b"])).sum())
+        assert r["est_rows"] == est and r["actual_rows"] == act
+        qe = max(est, act, 1) / min(max(est, 1), max(act, 1))
+        assert abs(r["q_error"] - qe) < 1e-12
+
+
+# --- q284 recall curve --------------------------------------------------------
+
+
+def test_recall_curve_monotone_and_exact_at_full_probe(catalog, spark):
+    out = _run(catalog, spark, "q284_ivf_recall_curve", SF1).sort_values("nprobe")
+    assert out["nprobe"].tolist() == [1, 2, 4, 8, 16]
+    assert (np.diff(out["mean_recall"]) >= 0).all()  # more cells, never worse
+    assert (np.diff(out["n_scanned"]) > 0).all()
+    assert out.iloc[-1]["mean_recall"] == 1.0  # L=16 is brute force
+
+
+def test_recall_curve_matches_numpy_brute_force(catalog, spark):
+    from database_migrator_spark.operators.similarity import (
+        FIXED_IVF_CENTROIDS,
+        _RECALL_K,
+        _RECALL_LEVELS,
+        _RECALL_QUERIES,
+    )
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet").sort_values("vec_id")
+    ids = emb["vec_id"].to_numpy()
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    C = np.asarray(FIXED_IVF_CENTROIDS, dtype=np.float64)
+    assign = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    hits = {L: 0 for L in _RECALL_LEVELS}
+    for qi in range(_RECALL_QUERIES):
+        q = V[ids == qi][0]
+        cr = np.argsort(((C - q) ** 2).sum(axis=1), kind="stable")  # cell ranks
+        cell_rank = {c: r + 1 for r, c in enumerate(cr)}
+        d2 = ((V - q) ** 2).sum(axis=1)
+        mask_q = ids != qi
+        order = np.lexsort((ids[mask_q], d2[mask_q]))
+        cand_ids = ids[mask_q][order]
+        cand_cells = assign[mask_q][order]
+        truth = set(cand_ids[:_RECALL_K])
+        for L in _RECALL_LEVELS:
+            sel = [v for v, c in zip(cand_ids, cand_cells) if cell_rank[c] <= L]
+            hits[L] += len(truth & set(sel[:_RECALL_K]))
+    out = _run(catalog, spark, "q284_ivf_recall_curve").set_index("nprobe")
+    for L in _RECALL_LEVELS:
+        assert out.loc[L]["hits"] == hits[L], L

@@ -273,6 +273,10 @@ PROBE_QUERIES = [
     # round-11 wave 7: gaps-and-islands, watermark lateness
     "q280_activity_streaks",
     "q281_watermark_lateness_audit",
+    # round-11 wave 8: FFD compaction planner, selectivity audit, recall curve
+    "q282_compaction_bin_packing",
+    "q283_selectivity_independence",
+    "q284_ivf_recall_curve",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
