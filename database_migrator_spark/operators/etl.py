@@ -1559,3 +1559,112 @@ def q282_compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --- q285: column encoding advisor ------------------------------------------
+
+
+@query(
+    "q285_encoding_advisor",
+    oracle="""
+    WITH cols AS (
+        SELECT 'o_orderstatus' AS col, o_orderstatus AS v FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', o_orderpriority FROM orders
+        UNION ALL
+        SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+        UNION ALL
+        SELECT 'o_orderkey', CAST(o_orderkey AS VARCHAR) FROM orders
+    ), stats AS (
+        SELECT col,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+               CAST(SUM(len(v)) AS BIGINT) AS plain_bytes
+        FROM cols GROUP BY col
+    ), dictsz AS (
+        SELECT col, CAST(SUM(len(v)) AS BIGINT) AS dict_entry_bytes
+        FROM (SELECT DISTINCT col, v FROM cols) GROUP BY col
+    ), est AS (
+        SELECT s.col AS col, s.n_rows, s.n_distinct, s.plain_bytes,
+               d.dict_entry_bytes
+                 + s.n_rows * CAST(CEIL(LN(CAST(GREATEST(s.n_distinct, 2)
+                                               AS DOUBLE)) / LN(2.0) / 8.0)
+                              AS BIGINT) AS dict_bytes
+        FROM stats s JOIN dictsz d ON s.col = d.col
+    )
+    SELECT col, n_rows, n_distinct, plain_bytes, dict_bytes,
+           CAST(dict_bytes AS DOUBLE) / CAST(plain_bytes AS DOUBLE)
+               AS dict_ratio,
+           CASE WHEN dict_bytes < plain_bytes THEN 'dictionary'
+                ELSE 'plain' END AS advice
+    FROM est
+    ORDER BY col
+    """,
+    tags=("etl", "encoding", "advisor", "physical-design"),
+    checkpointed_substrate=True,
+)
+def q285_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column ENCODING advisor — the dictionary-vs-plain estimate a
+    columnar writer (Parquet/ORC) makes per column chunk, surfaced as a
+    table-level advisory (the physical-design family next to q277 zone
+    maps, q282 compaction, q188 z-order): per candidate column, the
+    exact plain-encoded byte count, the dictionary estimate
+    (distinct-entry bytes + n_rows · ⌈log₂(max(d,2))/8⌉ index bytes),
+    their ratio, and the verdict. Low-cardinality strings win huge
+    (status: 1 byte/row), near-unique keys lose — exactly the signal
+    that drives real writer heuristics. ONE corpus scan (the candidates
+    explode per row before the checkpoint), two bounded aggregates over
+    it; index width via doubles is safe (log₂ of an exact BIGINT,
+    identical expression both engines)."""
+    o = table(spark, sf_dir, "orders")
+    pair = lambda name, col: F.struct(  # noqa: E731
+        F.lit(name).alias("col"), col.cast("string").alias("v")
+    )
+    cols = (
+        o.select(
+            F.explode(
+                F.array(
+                    pair("o_orderstatus", F.col("o_orderstatus")),
+                    pair("o_orderpriority", F.col("o_orderpriority")),
+                    pair("o_custkey", F.col("o_custkey")),
+                    pair("o_orderkey", F.col("o_orderkey")),
+                )
+            ).alias("t")
+        )
+        .select(F.col("t.col").alias("col"), F.col("t.v").alias("v"))
+        # ONE orders scan builds the unpivot; stats + dictionary sizes re-read it
+        .localCheckpoint(eager=True)
+    )
+    stats = cols.groupBy("col").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("v").alias("n_distinct"),
+        F.sum(F.length("v")).alias("plain_bytes"),
+    )
+    dictsz = (
+        cols.distinct()
+        .groupBy("col")
+        .agg(F.sum(F.length("v")).alias("dict_entry_bytes"))
+    )
+    idx_bytes = F.ceil(
+        F.log2(F.greatest(F.col("n_distinct"), F.lit(2)).cast("double")) / F.lit(8.0)
+    ).cast("long")
+    est = stats.join(dictsz, "col").select(
+        "col",
+        "n_rows",
+        "n_distinct",
+        "plain_bytes",
+        (F.col("dict_entry_bytes") + F.col("n_rows") * idx_bytes).alias("dict_bytes"),
+    )
+    return est.select(
+        "col",
+        "n_rows",
+        "n_distinct",
+        "plain_bytes",
+        "dict_bytes",
+        (
+            F.col("dict_bytes").cast("double") / F.col("plain_bytes").cast("double")
+        ).alias("dict_ratio"),
+        F.when(F.col("dict_bytes") < F.col("plain_bytes"), "dictionary")
+        .otherwise("plain")
+        .alias("advice"),
+    ).orderBy("col")

@@ -1364,3 +1364,423 @@ def q261_sampled_quantile_fidelity(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("event_type")
     )
+
+
+# --- q286: Bloom join-pruning audit -----------------------------------------
+#
+# One 16-bit position computation serves every filter size: the swept
+# sizes all divide 2^16, so bits_m = p16 % m. Build side = one month of
+# orders (the dimension-side predicate a runtime filter would push).
+_BLOOM_SIZES = (4096, 16384, 65536)
+_BLOOM_K = 4
+
+
+@query(
+    "q286_bloom_join_pruning",
+    oracle=f"""
+    WITH build AS (
+        SELECT o_orderkey AS k, md5(CAST(o_orderkey AS VARCHAR)) AS h
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-05-01'
+          AND o_orderdate < TIMESTAMP '1998-06-01'
+    ), ms AS (
+        SELECT unnest(ARRAY{list(_BLOOM_SIZES)}) AS m
+    ), bpos AS (
+        SELECT DISTINCT ms.m,
+               ( (strpos('0123456789abcdef', substr(h, 1 + 4*j, 1)) - 1) * 4096
+               + (strpos('0123456789abcdef', substr(h, 2 + 4*j, 1)) - 1) * 256
+               + (strpos('0123456789abcdef', substr(h, 3 + 4*j, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(h, 4 + 4*j, 1)) - 1) ) % ms.m
+                   AS p
+        FROM build, (SELECT unnest(generate_series(0, {_BLOOM_K - 1})) AS j), ms
+    ), probe AS (
+        SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY l_orderkey
+    ), pk AS (
+        SELECT p.k, p.n_rows, md5(CAST(p.k AS VARCHAR)) AS h,
+               CASE WHEN b.k IS NULL THEN 0 ELSE 1 END AS is_true
+        FROM probe p LEFT JOIN (SELECT DISTINCT k FROM build) b ON p.k = b.k
+    ), ppos AS (
+        SELECT pk.k, pk.n_rows, pk.is_true, ms.m,
+               ( (strpos('0123456789abcdef', substr(h, 1 + 4*j, 1)) - 1) * 4096
+               + (strpos('0123456789abcdef', substr(h, 2 + 4*j, 1)) - 1) * 256
+               + (strpos('0123456789abcdef', substr(h, 3 + 4*j, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(h, 4 + 4*j, 1)) - 1) ) % ms.m
+                   AS p
+        FROM pk, (SELECT unnest(generate_series(0, {_BLOOM_K - 1})) AS j), ms
+    ), passed AS (
+        SELECT pp.k, pp.m, ANY_VALUE(pp.n_rows) AS n_rows,
+               ANY_VALUE(pp.is_true) AS is_true,
+               CASE WHEN COUNT(bp.p) = {_BLOOM_K} THEN 1 ELSE 0 END AS pass
+        FROM ppos pp LEFT JOIN bpos bp ON bp.m = pp.m AND bp.p = pp.p
+        GROUP BY pp.k, pp.m
+    ), bits AS (
+        SELECT m, CAST(COUNT(*) AS BIGINT) AS bits_set FROM bpos GROUP BY m
+    )
+    SELECT CAST(pa.m AS BIGINT) AS m_bits,
+           b.bits_set,
+           CAST(COUNT(*) AS BIGINT) AS n_probe_keys,
+           CAST(SUM(pa.pass) AS BIGINT) AS keys_pass,
+           CAST(SUM(pa.is_true) AS BIGINT) AS keys_true,
+           CAST(SUM(CASE WHEN pa.pass = 1 AND pa.is_true = 0
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(CASE WHEN pa.is_true = 0 THEN 1 ELSE 0 END)
+                      AS DOUBLE) AS key_fp_rate,
+           CAST(SUM(pa.n_rows) AS BIGINT) AS rows_total,
+           CAST(SUM(pa.pass * pa.n_rows) AS BIGINT) AS rows_scanned,
+           CAST(SUM(pa.is_true * pa.n_rows) AS BIGINT) AS rows_matched,
+           1.0 - CAST(SUM(pa.pass * pa.n_rows) AS DOUBLE)
+                 / CAST(SUM(pa.n_rows) AS DOUBLE) AS scan_reduction
+    FROM passed pa JOIN bits b ON b.m = pa.m
+    GROUP BY pa.m, b.bits_set
+    ORDER BY m_bits
+    """,
+    tags=("join", "bloom", "runtime-filter", "pruning"),
+    checkpointed_substrate=True,
+)
+def q286_bloom_join_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom JOIN-PRUNING audit — the size-tradeoff measurement behind
+    Spark's runtime bloom-filter joins (q121 uses a Bloom for ingest
+    dedup; this audits it as a JOIN pre-filter): the dimension-side
+    month of orders builds k={_BLOOM_K} md5-slice filters at
+    {_BLOOM_SIZES} bits (ONE 16-bit position computation serves every
+    size — the swept sizes divide 2^16, so bits = p16 % m), and the
+    fact side reports, per size: keys/rows surviving the filter, the
+    exact truth (semi join), the key false-positive rate among true
+    negatives, and the scan reduction a pruned scan achieves. No false
+    negative is possible by construction; the curve shows precisely the
+    memory ↔ pruning trade a runtime filter tunes. Scale shape:
+    membership is evaluated per DISTINCT probe key (keys ≪ rows — one
+    map-side-combinable groupBy), the bit tables are bounded
+    (≤ {max(_BLOOM_SIZES)} rows) broadcasts, and the probe-key frame is
+    checkpointed so lineitem is scanned once."""
+    o = table(spark, sf_dir, "orders")
+    build = (
+        o.where(
+            (F.col("o_orderdate") >= F.lit("1998-05-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp"))
+        )
+        .select(F.col("o_orderkey").alias("k"))
+        .localCheckpoint(eager=True)  # bounded build-key frame, read 2x
+    )
+    ms = F.array(*[F.lit(m) for m in _BLOOM_SIZES])
+    js = F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))
+
+    def positions(frame: DataFrame) -> DataFrame:
+        h = F.md5(F.col("k").cast("string"))
+        return (
+            frame.withColumn("h", h)
+            .withColumn("j", F.explode(js))
+            .withColumn(
+                "p16",
+                F.conv(F.substring(F.col("h"), 1 + 4 * F.col("j"), 4), 16, 10).cast(
+                    "long"
+                ),
+            )
+            .withColumn("m", F.explode(ms))
+            .withColumn("p", F.pmod(F.col("p16"), F.col("m")))
+        )
+
+    bpos = positions(build).select("m", "p").distinct().localCheckpoint(eager=True)
+    li = table(spark, sf_dir, "lineitem")
+    probe = (
+        li.groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.count("*").alias("n_rows"))
+        .join(
+            F.broadcast(build.select("k").distinct().withColumn("is_true", F.lit(1))),
+            "k",
+            "left",
+        )
+        .select("k", "n_rows", F.coalesce("is_true", F.lit(0)).alias("is_true"))
+        .localCheckpoint(eager=True)  # one lineitem scan; reused per size
+    )
+    passed = (
+        positions(probe)
+        .join(
+            F.broadcast(bpos.withColumn("hit", F.lit(1))), ["m", "p"], "left"
+        )
+        .groupBy("k", "m")
+        .agg(
+            F.first("n_rows").alias("n_rows"),
+            F.first("is_true").alias("is_true"),
+            (F.sum(F.coalesce("hit", F.lit(0))) == _BLOOM_K)
+            .cast("long")
+            .alias("pass"),
+        )
+    )
+    bits = bpos.groupBy("m").agg(F.count("*").alias("bits_set"))
+    return (
+        passed.join(F.broadcast(bits), "m")
+        .groupBy("m", "bits_set")
+        .agg(
+            F.count("*").alias("n_probe_keys"),
+            F.sum("pass").alias("keys_pass"),
+            F.sum("is_true").alias("keys_true"),
+            (
+                F.sum(
+                    F.when((F.col("pass") == 1) & (F.col("is_true") == 0), 1).otherwise(
+                        0
+                    )
+                ).cast("double")
+                / F.sum(F.when(F.col("is_true") == 0, 1).otherwise(0)).cast("double")
+            ).alias("key_fp_rate"),
+            F.sum("n_rows").alias("rows_total"),
+            F.sum(F.col("pass") * F.col("n_rows")).alias("rows_scanned"),
+            F.sum(F.col("is_true") * F.col("n_rows")).alias("rows_matched"),
+        )
+        .select(
+            F.col("m").cast("long").alias("m_bits"),
+            "bits_set",
+            "n_probe_keys",
+            "keys_pass",
+            "keys_true",
+            "key_fp_rate",
+            "rows_total",
+            "rows_scanned",
+            "rows_matched",
+            (
+                F.lit(1.0)
+                - F.col("rows_scanned").cast("double")
+                / F.col("rows_total").cast("double")
+            ).alias("scan_reduction"),
+        )
+        .orderBy("m_bits")
+    )
+
+
+# --- q287: clustering-factor statistic --------------------------------------
+#
+# Physical order proxy = (l_orderkey, l_linenumber) FOLLOWED BY every
+# compared column: the synthetic lineitem repeats (orderkey, linenumber)
+# heavily, and a run count is only well-defined under a TOTAL order —
+# ties identical in every compared column cannot move any run boundary,
+# so ordering by the full projection makes the statistic exact on both
+# engines. Adjacency is two-level: within-bucket lag windows (parallel)
+# + one boundary lag over the ~N/B bucket frame (√N bucketing keeps
+# that frame one ordinary partition; a third level applies the same
+# trick at extreme scale).
+_CLUSTER_BUCKET = 512
+
+
+@query(
+    "q287_clustering_factor",
+    oracle=f"""
+    WITH li AS (
+        SELECT l_orderkey * 16 + l_linenumber AS ok16,
+               l_orderkey // {_CLUSTER_BUCKET} AS bucket,
+               CAST(l_shipdate AS DATE) AS c_ship,
+               l_partkey AS c_part,
+               l_suppkey AS c_supp,
+               l_returnflag AS c_flag
+        FROM lineitem
+    ), lagged AS (
+        SELECT bucket, c_ship, c_part, c_supp, c_flag,
+               lag(c_ship) OVER w AS p_ship,
+               lag(c_part) OVER w AS p_part,
+               lag(c_supp) OVER w AS p_supp,
+               lag(c_flag) OVER w AS p_flag,
+               first_value(c_ship) OVER wf AS f_ship,
+               last_value(c_ship) OVER wf AS l_ship,
+               first_value(c_part) OVER wf AS f_part,
+               last_value(c_part) OVER wf AS l_part,
+               first_value(c_supp) OVER wf AS f_supp,
+               last_value(c_supp) OVER wf AS l_supp,
+               first_value(c_flag) OVER wf AS f_flag,
+               last_value(c_flag) OVER wf AS l_flag
+        FROM li
+        WINDOW
+          w AS (PARTITION BY bucket
+                ORDER BY ok16, c_ship, c_part, c_supp, c_flag),
+          wf AS (PARTITION BY bucket
+                 ORDER BY ok16, c_ship, c_part, c_supp, c_flag
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ), within AS (
+        SELECT
+          CAST(SUM(CASE WHEN p_ship IS NOT NULL AND c_ship <> p_ship
+                        THEN 1 ELSE 0 END) AS BIGINT) AS b_ship,
+          CAST(SUM(CASE WHEN p_part IS NOT NULL AND c_part <> p_part
+                        THEN 1 ELSE 0 END) AS BIGINT) AS b_part,
+          CAST(SUM(CASE WHEN p_supp IS NOT NULL AND c_supp <> p_supp
+                        THEN 1 ELSE 0 END) AS BIGINT) AS b_supp,
+          CAST(SUM(CASE WHEN p_flag IS NOT NULL AND c_flag <> p_flag
+                        THEN 1 ELSE 0 END) AS BIGINT) AS b_flag
+        FROM lagged
+    ), bounds AS (
+        SELECT bucket,
+               MIN(f_ship) AS f_ship, MIN(l_ship) AS l_ship,
+               MIN(f_part) AS f_part, MIN(l_part) AS l_part,
+               MIN(f_supp) AS f_supp, MIN(l_supp) AS l_supp,
+               MIN(f_flag) AS f_flag, MIN(l_flag) AS l_flag
+        FROM lagged GROUP BY bucket
+    ), blagged AS (
+        SELECT f_ship, f_part, f_supp, f_flag,
+               lag(l_ship) OVER wb AS pl_ship,
+               lag(l_part) OVER wb AS pl_part,
+               lag(l_supp) OVER wb AS pl_supp,
+               lag(l_flag) OVER wb AS pl_flag
+        FROM bounds
+        WINDOW wb AS (ORDER BY bucket)
+    ), cross_b AS (
+        SELECT
+          CAST(SUM(CASE WHEN pl_ship IS NOT NULL AND f_ship <> pl_ship
+                        THEN 1 ELSE 0 END) AS BIGINT) AS b_ship,
+          CAST(SUM(CASE WHEN pl_part IS NOT NULL AND f_part <> pl_part
+                        THEN 1 ELSE 0 END) AS BIGINT) AS b_part,
+          CAST(SUM(CASE WHEN pl_supp IS NOT NULL AND f_supp <> pl_supp
+                        THEN 1 ELSE 0 END) AS BIGINT) AS b_supp,
+          CAST(SUM(CASE WHEN pl_flag IS NOT NULL AND f_flag <> pl_flag
+                        THEN 1 ELSE 0 END) AS BIGINT) AS b_flag
+        FROM blagged
+    ), dst AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT c_ship) AS BIGINT) AS d_ship,
+               CAST(COUNT(DISTINCT c_part) AS BIGINT) AS d_part,
+               CAST(COUNT(DISTINCT c_supp) AS BIGINT) AS d_supp,
+               CAST(COUNT(DISTINCT c_flag) AS BIGINT) AS d_flag
+        FROM li
+    ), unp AS (
+        SELECT 'l_shipdate' AS candidate, n_rows, d_ship AS n_distinct,
+               1 + within.b_ship + cb.b_ship AS n_runs
+        FROM within, cross_b cb, dst
+        UNION ALL
+        SELECT 'l_partkey', n_rows, d_part, 1 + within.b_part + cb.b_part
+        FROM within, cross_b cb, dst
+        UNION ALL
+        SELECT 'l_suppkey', n_rows, d_supp, 1 + within.b_supp + cb.b_supp
+        FROM within, cross_b cb, dst
+        UNION ALL
+        SELECT 'l_returnflag', n_rows, d_flag, 1 + within.b_flag + cb.b_flag
+        FROM within, cross_b cb, dst
+    )
+    SELECT candidate, n_rows, n_distinct, CAST(n_runs AS BIGINT) AS n_runs,
+           CAST(n_distinct AS DOUBLE) / CAST(n_runs AS DOUBLE)
+               AS clustering_ratio
+    FROM unp
+    ORDER BY candidate
+    """,
+    tags=("layout", "clustering-factor", "physical-design", "advisor"),
+    checkpointed_substrate=True,
+)
+def q287_clustering_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTERING FACTOR per candidate sort column — the statistic an
+    index/layout advisor reads before recommending a re-sort (the
+    physical-design family: q277 zone maps, q285 encoding, q282
+    compaction, q188 z-order): under the table's physical order, the
+    number of VALUE RUNS each column exhibits, against its distinct
+    count — ratio 1.0 means perfectly clustered (every value one
+    contiguous run → min-max pruning works), →0 means scattered (zone
+    maps useless for that column). Runs are counted exactly with a
+    TWO-LEVEL adjacency: per-bucket lag windows (parallel) plus one
+    boundary lag over the N/B bucket frame (√N bucketing keeps that
+    frame a single ordinary partition), never a corpus-wide window;
+    bucket first/last values ride the SAME window pass
+    (first_value/last_value over the full frame). All four candidates
+    share ONE scan and ONE lagged struct row — not four sibling
+    windows."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            (F.col("l_orderkey") * 16 + F.col("l_linenumber")).alias("ok16"),
+            F.expr(f"l_orderkey DIV {_CLUSTER_BUCKET}L").alias("bucket"),
+            F.to_date("l_shipdate").alias("c_ship"),
+            F.col("l_partkey").alias("c_part"),
+            F.col("l_suppkey").alias("c_supp"),
+            F.col("l_returnflag").alias("c_flag"),
+        )
+        .localCheckpoint(eager=True)  # one scan feeds the window pass + stats
+    )
+    from pyspark.sql import Window
+
+    cols = ["ship", "part", "supp", "flag"]
+    order = ["ok16", "c_ship", "c_part", "c_supp", "c_flag"]
+    w = Window.partitionBy("bucket").orderBy(*order)
+    wf = (
+        Window.partitionBy("bucket")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    prev = F.lag(F.struct(*[F.col(f"c_{c}").alias(c) for c in cols])).over(w)
+    # the corpus-scale window pass reduces to ONE bucket-level row inside
+    # the same job — only the N/B bucket frame ever materializes
+    bfr = (
+        li.withColumn("prev", prev)
+        .select(
+            "bucket",
+            *[
+                F.when(
+                    F.col("prev").isNotNull()
+                    & (F.col(f"c_{c}") != F.col("prev")[c]),
+                    1,
+                )
+                .otherwise(0)
+                .alias(f"brk_{c}")
+                for c in cols
+            ],
+            *[F.first(f"c_{c}").over(wf).alias(f"f_{c}") for c in cols],
+            *[F.last(f"c_{c}").over(wf).alias(f"l_{c}") for c in cols],
+        )
+        .groupBy("bucket")
+        .agg(
+            *[F.sum(f"brk_{c}").alias(f"b_{c}") for c in cols],
+            *[F.min(f"f_{c}").alias(f"f_{c}") for c in cols],
+            *[F.min(f"l_{c}").alias(f"l_{c}") for c in cols],
+        )
+        .localCheckpoint(eager=True)
+    )
+    within = bfr.agg(*[F.sum(f"b_{c}").alias(f"b_{c}") for c in cols])
+    bounds = bfr
+    wb = Window.orderBy("bucket")
+    blagged = bounds.select(
+        *[F.col(f"f_{c}") for c in cols],
+        *[F.lag(f"l_{c}").over(wb).alias(f"pl_{c}") for c in cols],
+    )
+    cross_b = blagged.agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col(f"pl_{c}").isNotNull()
+                    & (F.col(f"f_{c}") != F.col(f"pl_{c}")),
+                    1,
+                ).otherwise(0)
+            ).alias(f"x_{c}")
+            for c in cols
+        ]
+    )
+    dst = li.agg(
+        F.count("*").alias("n_rows"),
+        *[F.countDistinct(f"c_{c}").alias(f"d_{c}") for c in cols],
+    )
+    wide = (
+        within.crossJoin(F.broadcast(cross_b))
+        .crossJoin(F.broadcast(dst))
+        .localCheckpoint(eager=True)  # 1 row; the four candidate selects share it
+    )
+    names = {
+        "ship": "l_shipdate",
+        "part": "l_partkey",
+        "supp": "l_suppkey",
+        "flag": "l_returnflag",
+    }
+    parts = [
+        wide.select(
+            F.lit(names[c]).alias("candidate"),
+            "n_rows",
+            F.col(f"d_{c}").alias("n_distinct"),
+            (F.lit(1) + F.col(f"b_{c}") + F.col(f"x_{c}"))
+            .cast("long")
+            .alias("n_runs"),
+        )
+        for c in cols
+    ]
+    unp = parts[0]
+    for p in parts[1:]:
+        unp = unp.unionByName(p)
+    return unp.select(
+        "candidate",
+        "n_rows",
+        "n_distinct",
+        "n_runs",
+        (
+            F.col("n_distinct").cast("double") / F.col("n_runs").cast("double")
+        ).alias("clustering_ratio"),
+    ).orderBy("candidate")

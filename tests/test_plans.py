@@ -2012,3 +2012,33 @@ def test_recall_curve_shares_distances_topk_two_level(spark):
     assert "FileScan" not in p
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
     assert p.count("BroadcastHashJoin") == 3
+
+
+def test_encoding_advisor_single_scan(spark):
+    """q285: one orders scan (candidates explode per row before the
+    checkpoint); stats + dictionary sizes are bounded aggregates over
+    it; no sort-merge join."""
+    p = plan_of(spark, "q285_encoding_advisor")
+    assert "FileScan" not in p  # unpivot checkpoint only
+    assert p.count("Scan ExistingRDD") == 2
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_bloom_pruning_bounded_broadcasts(spark):
+    """q286: one lineitem pass (probe-key checkpoint), bounded bit-table
+    and build-key broadcasts; no sort-merge join, no cartesian."""
+    p = plan_of(spark, "q286_bloom_join_pruning")
+    assert "FileScan" not in p
+    assert p.count("Scan ExistingRDD") == 3  # build, bit set, probe keys
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_clustering_factor_one_window_pass(spark):
+    """q287: the lag + first/last machinery runs ONCE inside the lagged
+    checkpoint; the final plan just re-reads the 1-row wide frame for
+    the four candidates."""
+    p = plan_of(spark, "q287_clustering_factor")
+    assert "FileScan" not in p
+    assert p.count("Scan ExistingRDD") == 4  # the 1-row wide frame, 4 selects
+    assert "Window" not in p  # all windows ran inside the checkpoints
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p

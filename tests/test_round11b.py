@@ -566,3 +566,99 @@ def test_recall_curve_matches_numpy_brute_force(catalog, spark):
     out = _run(catalog, spark, "q284_ivf_recall_curve").set_index("nprobe")
     for L in _RECALL_LEVELS:
         assert out.loc[L]["hits"] == hits[L], L
+
+
+# --- q285 encoding advisor ----------------------------------------------------
+
+
+def test_encoding_advisor_matches_python(catalog, spark):
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    out = _run(catalog, spark, "q285_encoding_advisor").set_index("col")
+    import math
+
+    for col, series in {
+        "o_orderstatus": o["o_orderstatus"].astype(str),
+        "o_orderpriority": o["o_orderpriority"].astype(str),
+        "o_custkey": o["o_custkey"].astype(str),
+        "o_orderkey": o["o_orderkey"].astype(str),
+    }.items():
+        plain = int(series.str.len().sum())
+        d = series.nunique()
+        dict_bytes = int(
+            series.drop_duplicates().str.len().sum()
+        ) + len(series) * math.ceil(math.log2(max(d, 2)) / 8)
+        r = out.loc[col]
+        assert r["plain_bytes"] == plain and r["n_distinct"] == d
+        assert r["dict_bytes"] == dict_bytes
+        assert r["advice"] == ("dictionary" if dict_bytes < plain else "plain")
+
+
+# --- q286 bloom pruning -------------------------------------------------------
+
+
+def test_bloom_pruning_no_false_negatives_and_monotone(catalog, spark):
+    out = _run(catalog, spark, "q286_bloom_join_pruning", SF1).sort_values("m_bits")
+    # every true key must pass at every size (no false negatives)
+    assert (out["keys_pass"] >= out["keys_true"]).all()
+    assert (out["rows_scanned"] >= out["rows_matched"]).all()
+    # larger filters never pass more keys
+    assert (np.diff(out["keys_pass"]) <= 0).all()
+    assert (np.diff(out["key_fp_rate"]) <= 0).all()
+
+
+def test_bloom_pruning_matches_python(catalog, spark):
+    from database_migrator_spark.operators.skew import _BLOOM_K, _BLOOM_SIZES
+
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    build = set(
+        o[
+            (o["o_orderdate"] >= pd.Timestamp("1998-05-01"))
+            & (o["o_orderdate"] < pd.Timestamp("1998-06-01"))
+        ]["o_orderkey"].astype(int)
+    )
+
+    def positions(k):
+        h = hashlib.md5(str(k).encode()).hexdigest()
+        return [int(h[4 * j : 4 * j + 4], 16) for j in range(_BLOOM_K)]
+
+    out = _run(catalog, spark, "q286_bloom_join_pruning").set_index("m_bits")
+    rows_per_key = li.groupby("l_orderkey").size()
+    for m in _BLOOM_SIZES:
+        bits = {p % m for k in build for p in positions(k)}
+        passing = {
+            k for k in rows_per_key.index if all(p % m in bits for p in positions(k))
+        }
+        r = out.loc[m]
+        assert r["bits_set"] == len(bits)
+        assert r["keys_pass"] == len(passing)
+        assert r["keys_true"] == len(set(rows_per_key.index) & build)
+        assert r["rows_scanned"] == int(rows_per_key.loc[sorted(passing)].sum())
+
+
+# --- q287 clustering factor ---------------------------------------------------
+
+
+def test_clustering_factor_matches_python_total_order(catalog, spark):
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    df = pd.DataFrame(
+        {
+            "ok16": li["l_orderkey"] * 16 + li["l_linenumber"],
+            "c_ship": li["l_shipdate"].dt.date,
+            "c_part": li["l_partkey"],
+            "c_supp": li["l_suppkey"],
+            "c_flag": li["l_returnflag"],
+        }
+    ).sort_values(["ok16", "c_ship", "c_part", "c_supp", "c_flag"])
+    out = _run(catalog, spark, "q287_clustering_factor").set_index("candidate")
+    for cand, col in {
+        "l_shipdate": "c_ship",
+        "l_partkey": "c_part",
+        "l_suppkey": "c_supp",
+        "l_returnflag": "c_flag",
+    }.items():
+        v = df[col].to_numpy()
+        runs = 1 + int((v[1:] != v[:-1]).sum())
+        r = out.loc[cand]
+        assert r["n_runs"] == runs, cand
+        assert r["n_distinct"] == df[col].nunique()

@@ -277,6 +277,10 @@ PROBE_QUERIES = [
     "q282_compaction_bin_packing",
     "q283_selectivity_independence",
     "q284_ivf_recall_curve",
+    # round-11 wave 9: physical-design advisors
+    "q285_encoding_advisor",
+    "q286_bloom_join_pruning",
+    "q287_clustering_factor",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
