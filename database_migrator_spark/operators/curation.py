@@ -1717,3 +1717,195 @@ def q268_shard_manifest_fingerprint(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("shard")
     )
+
+
+# --- q288: largest-remainder sample apportionment ---------------------------
+
+_APPORTION_BUDGET = 10_000
+
+
+@query(
+    "q288_largest_remainder_allocation",
+    oracle=f"""
+    WITH w AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS cnt FROM documents
+        GROUP BY source
+    ), tot AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_sources
+        FROM w
+    ), quota AS (
+        SELECT w.source, w.cnt,
+               ({_APPORTION_BUDGET} * w.cnt) // tot.total AS base,
+               ({_APPORTION_BUDGET} * w.cnt) % tot.total AS rem
+        FROM w, tot
+    ), leftover AS (
+        SELECT CAST({_APPORTION_BUDGET} - SUM(base) AS BIGINT) AS l FROM quota
+    ), ranked AS (
+        SELECT source, cnt, base, rem,
+               ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rr
+        FROM quota
+    )
+    SELECT r.source AS source, r.cnt AS n_docs,
+           CAST(r.base AS BIGINT) AS base_alloc,
+           CAST(CASE WHEN r.rr <= lo.l THEN 1 ELSE 0 END AS BIGINT) AS extra,
+           CAST(r.base + CASE WHEN r.rr <= lo.l THEN 1 ELSE 0 END AS BIGINT)
+               AS allocation,
+           CAST(r.rem AS BIGINT) AS remainder_units
+    FROM ranked r, leftover lo
+    ORDER BY source
+    """,
+    tags=("curation", "sampling", "apportionment", "llm-pipeline"),
+    checkpointed_substrate=True,
+)
+def q288_largest_remainder_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT sample apportionment by the largest-remainder (Hamilton)
+    method — when a mixture recipe must materialize an EXACT total
+    budget (q128's per-document md5 coin hits the budget only in
+    expectation; a fixed-size eval set or per-shard quota needs the
+    deterministic integer split): each source gets ⌊N·w/Σw⌋, and the
+    N − Σ⌊·⌋ leftover units go to the largest fractional remainders,
+    ties to the lexicographically smaller source — so Σ allocation = N
+    exactly, every engine, every retry. All arithmetic is integer
+    (remainders compared as N·w mod Σw — no float quotas); the source
+    frame is bounded so the remainder rank is a tiny window."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)  # one corpus scan; totals + quotas share it
+    )
+    tot = d.agg(F.sum("cnt").alias("total"))
+    quota = (
+        d.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "cnt",
+            F.expr(f"({_APPORTION_BUDGET}L * cnt) DIV total").alias("base"),
+            F.expr(f"({_APPORTION_BUDGET}L * cnt) % total").alias("rem"),
+        )
+        .localCheckpoint(eager=True)  # bounded; leftover + rank share it
+    )
+    from pyspark.sql import Window
+
+    leftover = quota.agg(
+        (F.lit(_APPORTION_BUDGET) - F.sum("base")).alias("l")
+    )
+    ranked = quota.withColumn(
+        "rr", F.row_number().over(Window.orderBy(F.col("rem").desc(), "source"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(leftover))
+        .select(
+            "source",
+            F.col("cnt").alias("n_docs"),
+            F.col("base").alias("base_alloc"),
+            F.when(F.col("rr") <= F.col("l"), 1).otherwise(0).cast("long").alias("extra"),
+            (
+                F.col("base")
+                + F.when(F.col("rr") <= F.col("l"), 1).otherwise(0)
+            ).cast("long").alias("allocation"),
+            F.col("rem").alias("remainder_units"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- q290: quantile normalization between sources ---------------------------
+
+_QNORM_REF = "src0"
+_QNORM_TGT = "src1"
+
+
+@query(
+    "q290_quantile_normalization",
+    oracle=f"""
+    WITH ref AS (
+        SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c FROM documents
+        WHERE source = '{_QNORM_REF}' GROUP BY n_chars
+    ), tgt AS (
+        SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c FROM documents
+        WHERE source = '{_QNORM_TGT}' GROUP BY n_chars
+    ), rc AS (
+        SELECT v, c,
+               CAST(SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum
+        FROM ref
+    ), tc AS (
+        SELECT v, c,
+               CAST(SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum
+        FROM tgt
+    ), tots AS (
+        SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM ref) AS ta,
+               (SELECT CAST(SUM(c) AS BIGINT) FROM tgt) AS tb
+    )
+    SELECT t.v AS target_value, t.c AS n_docs,
+           CAST(t.cum AS BIGINT) AS cum_target,
+           CAST(MIN(r.v) AS BIGINT) AS mapped_value,
+           CAST(MIN(r.v) - t.v AS BIGINT) AS shift
+    FROM tc t, rc r, tots
+    WHERE r.cum * tots.tb >= t.cum * tots.ta
+    GROUP BY t.v, t.c, t.cum
+    ORDER BY target_value
+    """,
+    tags=("curation", "normalization", "distribution", "llm-pipeline"),
+    checkpointed_substrate=True,
+)
+def q290_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE NORMALIZATION of one source's length distribution onto a
+    reference source — the rank-matching transform batch-effect
+    correction uses (and a curation pipeline applies before mixing
+    heterogeneous sources whose length profiles differ): each target
+    value maps to the smallest reference value whose cumulative share
+    reaches the target value's cumulative share, compared EXACTLY by
+    integer cross-multiplication cumA·totalB ≥ cumB·totalA (no float
+    quantiles anywhere). Both distributions live as VALUE-DOMAIN-BOUNDED
+    histograms (distinct document lengths), so the cumulative windows
+    and the mapping join are bounded-frame work — the corpus contributes
+    two filtered map-side-combinable aggregates and nothing else."""
+    d = table(spark, sf_dir, "documents")
+
+    def hist(src: str) -> DataFrame:
+        return (
+            d.where(F.col("source") == src)
+            .groupBy(F.col("n_chars").alias("v"))
+            .agg(F.count("*").alias("c"))
+        )
+
+    from pyspark.sql import Window
+
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    rc = (
+        hist(_QNORM_REF)
+        .select("v", "c", F.sum("c").over(wcum).alias("cum"))
+        .localCheckpoint(eager=True)  # bounded histogram; total + mapping share
+    )
+    tc = (
+        hist(_QNORM_TGT)
+        .select("v", "c", F.sum("c").over(wcum).alias("cum"))
+        .localCheckpoint(eager=True)
+    )
+    ta = rc.agg(F.sum("c").alias("ta"))
+    tb = tc.agg(F.sum("c").alias("tb"))
+    joined = (
+        tc.crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+        .alias("t")
+        .join(
+            F.broadcast(rc.select(F.col("v").alias("rv"), F.col("cum").alias("rcum"))),
+            F.col("rcum") * F.col("tb") >= F.col("cum") * F.col("ta"),
+        )
+    )
+    return (
+        joined.groupBy("v", "c", "cum")
+        .agg(F.min("rv").alias("mapped_value"))
+        .select(
+            F.col("v").cast("long").alias("target_value"),
+            F.col("c").alias("n_docs"),
+            F.col("cum").alias("cum_target"),
+            F.col("mapped_value").cast("long").alias("mapped_value"),
+            (F.col("mapped_value") - F.col("v")).cast("long").alias("shift"),
+        )
+        .orderBy("target_value")
+    )

@@ -4478,3 +4478,148 @@ def q281_watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("lateness_class")
     )
+
+
+# --- q289: incremental sessionization with boundary stitching ---------------
+#
+# The q165 invariant (incremental == full recompute, hash-proven) for
+# SESSIONS: sessionize each batch independently, then merge the one
+# boundary pair per user whose gap across the cutoff is within the
+# inactivity threshold. The oracle sessionizes the WHOLE stream.
+_STITCH_CUTOFF = "2024-01-16 00:00:00"
+_STITCH_GAP_US = 1800 * 1_000_000  # q24's 30-minute inactivity gap
+
+
+@query(
+    "q289_incremental_sessionize_stitch",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > {_STITCH_GAP_US}
+                    THEN 1 ELSE 0 END AS new_session,
+               CASE WHEN ts < TIMESTAMP '{_STITCH_CUTOFF}' THEN 0 ELSE 1
+                    END AS half
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, half,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id
+        FROM marked
+    ), sess AS (
+        SELECT user_id, session_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(MAX(half) - MIN(half) AS BIGINT) AS straddles
+        FROM numbered GROUP BY user_id, session_id
+    ), per_user AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(n_events) AS BIGINT) AS n_events,
+               CAST(MAX(straddles) AS BIGINT) AS merged
+        FROM sess GROUP BY user_id
+    )
+    SELECT n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(merged) AS BIGINT) AS n_merged_users,
+           CAST(SUM(n_events) AS BIGINT) AS total_events
+    FROM per_user
+    GROUP BY n_sessions
+    ORDER BY n_sessions
+    """,
+    tags=("temporal", "session", "incremental", "ivm"),
+)
+def q289_incremental_sessionize_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL sessionization — the batch-boundary correctness every
+    nightly pipeline needs (q24 sessionizes one batch; q165 proves
+    incremental aggregates; this proves incremental SESSIONS): each
+    half of the stream (split at the refresh cutoff) is sessionized
+    INDEPENDENTLY with q24's exact 30-minute-gap rule, then per user
+    the single candidate boundary pair — last old-half session, first
+    new-half session — merges iff its cross-cutoff gap is within the
+    threshold. The oracle sessionizes the whole stream at once; the
+    per-user session-count histogram (with merged-user and event
+    totals) hash-matching proves stitch(sessionize(A), sessionize(B)) ≡
+    sessionize(A ∪ B) exactly — at most ONE session can straddle the
+    cutoff per user, and it merges iff its straddling gap obeys the
+    same rule the full pass applies. Scale shape: two partition-pruned
+    half scans, per-user parallel windows, bounded per-user boundary
+    frames (no cross-user traffic beyond the one user-keyed shuffle)."""
+    cutoff = F.lit(_STITCH_CUTOFF).cast("timestamp")
+    e = table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+
+    def sessions(batch: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        marked = batch.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(gap_us.isNull() | (gap_us > _STITCH_GAP_US), 1)
+            .otherwise(0)
+            .alias("new_session"),
+        )
+        return (
+            marked.select(
+                "user_id",
+                F.unix_micros("ts").alias("tus"),
+                F.sum("new_session").over(run).cast("long").alias("session_id"),
+            )
+            .groupBy("user_id", "session_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.min("tus").alias("s_start"),
+                F.max("tus").alias("s_end"),
+            )
+        )
+
+    s1 = sessions(e.where(F.col("ts") < cutoff))
+    s2 = sessions(e.where(F.col("ts") >= cutoff))
+    u1 = s1.groupBy("user_id").agg(
+        F.count("*").alias("n1"),
+        F.sum("n_events").alias("ev1"),
+        F.max("s_end").alias("last_end"),
+    )
+    u2 = s2.groupBy("user_id").agg(
+        F.count("*").alias("n2"),
+        F.sum("n_events").alias("ev2"),
+        F.min("s_start").alias("first_start"),
+    )
+    per_user = (
+        u1.join(u2, "user_id", "full_outer")
+        .select(
+            "user_id",
+            F.coalesce("n1", F.lit(0)).alias("n1"),
+            F.coalesce("n2", F.lit(0)).alias("n2"),
+            F.coalesce("ev1", F.lit(0)).alias("ev1"),
+            F.coalesce("ev2", F.lit(0)).alias("ev2"),
+            F.when(
+                F.col("last_end").isNotNull()
+                & F.col("first_start").isNotNull()
+                & (F.col("first_start") - F.col("last_end") <= _STITCH_GAP_US),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("merged"),
+        )
+        .select(
+            "user_id",
+            (F.col("n1") + F.col("n2") - F.col("merged")).alias("n_sessions"),
+            (F.col("ev1") + F.col("ev2")).alias("n_events"),
+            "merged",
+        )
+    )
+    return (
+        per_user.groupBy("n_sessions")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("merged").alias("n_merged_users"),
+            F.sum("n_events").alias("total_events"),
+        )
+        .orderBy("n_sessions")
+    )

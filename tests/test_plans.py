@@ -2042,3 +2042,35 @@ def test_clustering_factor_one_window_pass(spark):
     assert p.count("Scan ExistingRDD") == 4  # the 1-row wide frame, 4 selects
     assert "Window" not in p  # all windows ran inside the checkpoints
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_apportionment_bounded_frames(spark):
+    """q288: one corpus scan into the per-source checkpoint; quotas,
+    leftover and the remainder rank are bounded-frame work."""
+    p = plan_of(spark, "q288_largest_remainder_allocation")
+    assert "FileScan" not in p
+    assert p.count("Scan ExistingRDD") == 2
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_stitch_one_smj_is_the_user_merge(spark):
+    """q289: per-user windows on each half; the ONE sort-merge join is
+    the full-outer user-level boundary merge (both sides corpus-keyed —
+    broadcast is impossible and SMJ is the right 100 TB plan); no
+    cartesian, no single-partition window."""
+    p = plan_of(spark, "q289_incremental_sessionize_stitch")
+    assert p.count("SortMergeJoin") == 1
+    assert "CartesianProduct" not in p
+    assert p.count("FileScan") == 2  # the two half scans
+    assert p.count("Window") == 4  # lag + running sum per half
+
+
+def test_quantile_normalization_bounded_mapping(spark):
+    """q290: the corpus contributes two filtered aggregates into bounded
+    histogram checkpoints; the cross-multiplied mapping join is a
+    bounded nested loop."""
+    p = plan_of(spark, "q290_quantile_normalization")
+    assert "FileScan" not in p
+    assert p.count("Scan ExistingRDD") == 4
+    assert "SortMergeJoin" not in p
+    assert "Window" not in p  # cumulative sums ran inside the checkpoints

@@ -662,3 +662,100 @@ def test_clustering_factor_matches_python_total_order(catalog, spark):
         r = out.loc[cand]
         assert r["n_runs"] == runs, cand
         assert r["n_distinct"] == df[col].nunique()
+
+
+# --- q288 apportionment -------------------------------------------------------
+
+
+def test_largest_remainder_matches_python_and_sums_to_budget(catalog, spark):
+    from database_migrator_spark.operators.curation import _APPORTION_BUDGET
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    cnt = docs.groupby("source").size()
+    total = int(cnt.sum())
+    base = {s: (_APPORTION_BUDGET * int(c)) // total for s, c in cnt.items()}
+    rem = {s: (_APPORTION_BUDGET * int(c)) % total for s, c in cnt.items()}
+    leftover = _APPORTION_BUDGET - sum(base.values())
+    winners = set(
+        sorted(rem, key=lambda s: (-rem[s], s))[:leftover]
+    )
+    out = _run(catalog, spark, "q288_largest_remainder_allocation").set_index(
+        "source"
+    )
+    assert int(out["allocation"].sum()) == _APPORTION_BUDGET
+    for s in cnt.index:
+        r = out.loc[s]
+        assert r["base_alloc"] == base[s] and r["remainder_units"] == rem[s]
+        assert r["extra"] == (1 if s in winners else 0)
+
+
+# --- q289 incremental sessionization ------------------------------------------
+
+
+def test_stitch_equals_full_sessionization_pandas(catalog, spark):
+    from database_migrator_spark.operators.temporal import (
+        _STITCH_CUTOFF,
+        _STITCH_GAP_US,
+    )
+
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    ts = e["ts"]
+    if ts.dt.tz is not None:
+        ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
+    tus = (ts - pd.Timestamp("1970-01-01")).dt.total_seconds().mul(1e6).round().astype(np.int64)
+    cut = int(
+        (pd.Timestamp(_STITCH_CUTOFF) - pd.Timestamp("1970-01-01")).total_seconds()
+        * 1e6
+    )
+    df = pd.DataFrame({"u": e["user_id"], "tus": tus, "eid": e["event_id"]}).sort_values(
+        ["u", "tus", "eid"]
+    )
+    hist: dict[int, list] = {}
+    for u, g in df.groupby("u"):
+        t = g["tus"].to_numpy()
+        new = np.concatenate([[True], np.diff(t) > _STITCH_GAP_US])
+        sid = np.cumsum(new)
+        n_sessions = int(sid.max())
+        straddle = 0
+        for s in range(1, n_sessions + 1):
+            st = t[sid == s]
+            if (st < cut).any() and (st >= cut).any():
+                straddle = 1
+        hist.setdefault(n_sessions, []).append((straddle, len(t)))
+    out = _run(catalog, spark, "q289_incremental_sessionize_stitch").set_index(
+        "n_sessions"
+    )
+    assert set(out.index) == set(hist)
+    for k, entries in hist.items():
+        r = out.loc[k]
+        assert r["n_users"] == len(entries)
+        assert r["n_merged_users"] == sum(s for s, _ in entries)
+        assert r["total_events"] == sum(n for _, n in entries)
+
+
+# --- q290 quantile normalization ----------------------------------------------
+
+
+def test_quantile_normalization_matches_python(catalog, spark):
+    from database_migrator_spark.operators.curation import _QNORM_REF, _QNORM_TGT
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    ref = np.sort(docs[docs["source"] == _QNORM_REF]["n_chars"].to_numpy())
+    tgt = docs[docs["source"] == _QNORM_TGT]["n_chars"].value_counts().sort_index()
+    ta, tb = len(ref), int(tgt.sum())
+    rv = np.unique(ref)
+    rcum = np.searchsorted(ref, rv, side="right")
+    out = _run(catalog, spark, "q290_quantile_normalization").set_index(
+        "target_value"
+    )
+    cum = 0
+    prev_mapped = None
+    for v, c in tgt.items():
+        cum += int(c)
+        mapped = int(rv[np.argmax(rcum * tb >= cum * ta)])
+        r = out.loc[v]
+        assert r["n_docs"] == c and r["cum_target"] == cum
+        assert r["mapped_value"] == mapped, v
+        if prev_mapped is not None:
+            assert mapped >= prev_mapped  # rank matching is monotone
+        prev_mapped = mapped

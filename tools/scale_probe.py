@@ -281,6 +281,10 @@ PROBE_QUERIES = [
     "q285_encoding_advisor",
     "q286_bloom_join_pruning",
     "q287_clustering_factor",
+    # round-11 wave 10: apportionment, incremental sessions, qnorm
+    "q288_largest_remainder_allocation",
+    "q289_incremental_sessionize_stitch",
+    "q290_quantile_normalization",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
