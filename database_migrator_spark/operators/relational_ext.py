@@ -1446,3 +1446,183 @@ def q283_selectivity_independence(spark: SparkSession, sf_dir: str) -> DataFrame
             ).cast("double")
         ).alias("q_error"),
     ).orderBy("pred_kind", "a", "b")
+
+
+# --- q291: broadcast decision audit -----------------------------------------
+#
+# Spark's default autoBroadcastJoinThreshold. Width estimates follow the
+# planner's fixed-width-per-type stance: 8 bytes per numeric/date column
+# plus the measured average string width.
+_BCAST_THRESHOLD = 10 * 1024 * 1024
+
+
+@query(
+    "q291_broadcast_decision_audit",
+    oracle=f"""
+    WITH sides AS (
+        SELECT 'customer' AS t, CAST(COUNT(*) AS BIGINT) AS rows_,
+               CAST(8 * 3 + CEIL(AVG(len(c_name) + len(c_mktsegment)))
+                    AS BIGINT) AS width
+        FROM customer
+        UNION ALL
+        SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+               CAST(8 * 4 + CEIL(AVG(len(o_orderstatus) + len(o_orderpriority)))
+                    AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'part', CAST(COUNT(*) AS BIGINT),
+               CAST(8 * 3 + CEIL(AVG(len(p_name) + len(p_brand) + len(p_type)))
+                    AS BIGINT)
+        FROM part
+        UNION ALL
+        SELECT 'supplier', CAST(COUNT(*) AS BIGINT),
+               CAST(8 * 2 + CEIL(AVG(len(s_name))) AS BIGINT)
+        FROM supplier
+        UNION ALL
+        SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+               CAST(8 * 9 + CEIL(AVG(len(l_returnflag) + len(l_linestatus)))
+                    AS BIGINT)
+        FROM lineitem
+    ), actual AS (
+        SELECT 'customer x orders' AS join_name,
+               CAST((SELECT COUNT(*) FROM customer c JOIN orders o
+                     ON c.c_custkey = o.o_custkey) AS BIGINT) AS actual_rows,
+               'customer' AS lt, 'orders' AS rt
+        UNION ALL
+        SELECT 'part x lineitem',
+               CAST((SELECT COUNT(*) FROM part p JOIN lineitem l
+                     ON p.p_partkey = l.l_partkey) AS BIGINT),
+               'part', 'lineitem'
+        UNION ALL
+        SELECT 'supplier x lineitem',
+               CAST((SELECT COUNT(*) FROM supplier s JOIN lineitem l
+                     ON s.s_suppkey = l.l_suppkey) AS BIGINT),
+               'supplier', 'lineitem'
+        UNION ALL
+        SELECT 'orders x lineitem',
+               CAST((SELECT COUNT(*) FROM orders o JOIN lineitem l
+                     ON o.o_orderkey = l.l_orderkey) AS BIGINT),
+               'orders', 'lineitem'
+    )
+    SELECT a.join_name AS join_name,
+           ls.rows_ AS left_rows, rs.rows_ AS right_rows,
+           CAST(ls.rows_ * ls.width AS BIGINT) AS est_left_bytes,
+           CAST(rs.rows_ * rs.width AS BIGINT) AS est_right_bytes,
+           CASE WHEN LEAST(ls.rows_ * ls.width, rs.rows_ * rs.width)
+                     > {_BCAST_THRESHOLD} THEN 'shuffle'
+                WHEN ls.rows_ * ls.width <= rs.rows_ * rs.width
+                     THEN 'broadcast_left'
+                ELSE 'broadcast_right' END AS decision,
+           a.actual_rows
+    FROM actual a
+    JOIN sides ls ON ls.t = a.lt
+    JOIN sides rs ON rs.t = a.rt
+    ORDER BY join_name
+    """,
+    tags=("relational", "optimizer-stats", "broadcast", "cbo"),
+)
+def q291_broadcast_decision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BROADCAST-vs-SHUFFLE decision audit — the third member of the
+    mini cost-model family (q262 join cardinality, q283 conjunctive
+    selectivity): for each candidate join, both sides' size estimates
+    (rows × planner-style width: 8 bytes per numeric column + measured
+    average string width) are held against Spark's default 10 MiB
+    autoBroadcastJoinThreshold, producing the decision a CBO would make
+    from table stats alone, next to the exact join cardinality. The
+    audit's own plan is stats-shaped too: one aggregate per table for
+    the width/row stats, four equi-join counts, bounded everything
+    after."""
+    spark_tables = {
+        "customer": (
+            "customer",
+            3,
+            F.length("c_name") + F.length("c_mktsegment"),
+        ),
+        "orders": (
+            "orders",
+            4,
+            F.length("o_orderstatus") + F.length("o_orderpriority"),
+        ),
+        "part": (
+            "part",
+            3,
+            F.length("p_name") + F.length("p_brand") + F.length("p_type"),
+        ),
+        "supplier": ("supplier", 2, F.length("s_name")),
+        "lineitem": (
+            "lineitem",
+            9,
+            F.length("l_returnflag") + F.length("l_linestatus"),
+        ),
+    }
+    sides = None
+    for name, (tbl, n_num, strw) in spark_tables.items():
+        s = table(spark, sf_dir, tbl).agg(
+            F.count("*").alias("rows_"),
+            (F.lit(8 * n_num) + F.ceil(F.avg(strw))).cast("long").alias("width"),
+        ).select(F.lit(name).alias("t"), "rows_", "width")
+        sides = s if sides is None else sides.unionByName(s)
+    sides = sides.localCheckpoint(eager=True)  # 5 rows; joined twice
+
+    def jcount(name, lt, lk, rt, rk):
+        l = table(spark, sf_dir, lt)
+        r = table(spark, sf_dir, rt)
+        return (
+            l.join(r, l[lk] == r[rk])
+            .agg(F.count("*").alias("actual_rows"))
+            .select(
+                F.lit(name).alias("join_name"),
+                F.lit(lt).alias("lt"),
+                F.lit(rt).alias("rt"),
+                "actual_rows",
+            )
+        )
+
+    actual = (
+        jcount("customer x orders", "customer", "c_custkey", "orders", "o_custkey")
+        .unionByName(
+            jcount("part x lineitem", "part", "p_partkey", "lineitem", "l_partkey")
+        )
+        .unionByName(
+            jcount(
+                "supplier x lineitem", "supplier", "s_suppkey", "lineitem", "l_suppkey"
+            )
+        )
+        .unionByName(
+            jcount("orders x lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey")
+        )
+    )
+    ls = sides.select(
+        F.col("t").alias("lt"),
+        F.col("rows_").alias("left_rows"),
+        (F.col("rows_") * F.col("width")).alias("est_left_bytes"),
+    )
+    rs = sides.select(
+        F.col("t").alias("rt"),
+        F.col("rows_").alias("right_rows"),
+        (F.col("rows_") * F.col("width")).alias("est_right_bytes"),
+    )
+    return (
+        actual.join(F.broadcast(ls), "lt")
+        .join(F.broadcast(rs), "rt")
+        .select(
+            "join_name",
+            "left_rows",
+            "right_rows",
+            "est_left_bytes",
+            "est_right_bytes",
+            F.when(
+                F.least(F.col("est_left_bytes"), F.col("est_right_bytes"))
+                > _BCAST_THRESHOLD,
+                "shuffle",
+            )
+            .when(
+                F.col("est_left_bytes") <= F.col("est_right_bytes"),
+                "broadcast_left",
+            )
+            .otherwise("broadcast_right")
+            .alias("decision"),
+            "actual_rows",
+        )
+        .orderBy("join_name")
+    )

@@ -4212,3 +4212,262 @@ def q278_feature_hash_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("total_tf").cast("double")
         ).alias("collision_share"),
     ).orderBy("bucket")
+
+
+# --- q292: retrieval evaluation metrics (nDCG@10 / MRR / P@10) --------------
+#
+# DCG discounts 1/log2(rank+1) for ranks 1..10 and their cumulative
+# sums, precomputed in Python and emitted as identical decimal literals
+# to BOTH engines — no runtime log2 anywhere near the hash.
+_IR_K = 10
+_IR_QUERIES = 10
+_IR_LEN_BUCKET = 64
+_IR_DISC = (
+    1.0, 0.6309297535714575, 0.5, 0.43067655807339306, 0.38685280723454163,
+    0.3562071871080222, 0.3333333333333333, 0.31546487678572877,
+    0.3010299956639812, 0.2890648263178879,
+)
+_IR_CUM = (
+    0.0, 1.0, 1.6309297535714575, 2.1309297535714578, 2.5616063116448506,
+    2.9484591188793923, 3.3046663059874146, 3.637999639320748,
+    3.953464516106477, 4.254494511770458, 4.543559338088346,
+)
+
+
+def _ir_sql_list(vals) -> str:
+    return ", ".join(repr(v) for v in vals)
+
+
+@query(
+    "q292_retrieval_metrics_report",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, source, n_chars // {_IR_LEN_BUCKET} AS lb,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> len(x) > 0) AS toks
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM d, unnest(toks) AS u(t) GROUP BY doc_id, t
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+    idf AS (
+        SELECT term,
+               CAST(ROUND(LN(CAST(n.n + 1 AS DOUBLE)
+                             / CAST(COUNT(*) + 1 AS DOUBLE))
+                          * 1000000000000) AS BIGINT) AS idf_fp
+        FROM tf, n GROUP BY term, n.n
+    ), q AS (
+        SELECT doc_id AS qid, source AS qsrc, lb AS qlb,
+               list_distinct(toks[1:3]) AS qterms
+        FROM d ORDER BY doc_id LIMIT {_IR_QUERIES}
+    ), qt AS (
+        SELECT qid, t AS term FROM q, unnest(qterms) AS u(t)
+    ), scores AS (
+        SELECT qt.qid, tf.doc_id,
+               CAST(SUM(tf.tf * idf.idf_fp) AS BIGINT) AS score
+        FROM qt JOIN tf USING (term) JOIN idf USING (term)
+        GROUP BY qt.qid, tf.doc_id
+    ), ranked AS (
+        SELECT s.qid, s.doc_id,
+               row_number() OVER (PARTITION BY s.qid
+                                  ORDER BY s.score DESC, s.doc_id) AS rank
+        FROM scores s JOIN q ON q.qid = s.qid
+        WHERE s.doc_id <> s.qid
+    ), top AS (
+        SELECT r.qid, r.rank,
+               CASE WHEN cd.source = q.qsrc AND cd.lb = q.qlb THEN 2
+                    WHEN cd.source = q.qsrc THEN 1 ELSE 0 END AS rel
+        FROM ranked r
+        JOIN d cd ON cd.doc_id = r.doc_id
+        JOIN q ON q.qid = r.qid
+        WHERE r.rank <= {_IR_K}
+    ), discs(rank, disc) AS (
+        SELECT * FROM (VALUES {", ".join(f"({i + 1}, CAST({v!r} AS DOUBLE))" for i, v in enumerate(_IR_DISC))})
+    ), perq AS (
+        SELECT t.qid,
+               SUM((CASE t.rel WHEN 2 THEN CAST(3.0 AS DOUBLE)
+                    WHEN 1 THEN CAST(1.0 AS DOUBLE)
+                    ELSE CAST(0.0 AS DOUBLE) END) * ds.disc) AS dcg,
+               CAST(SUM(CASE WHEN t.rel >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_rel_at_k,
+               MIN(CASE WHEN t.rel >= 1 THEN t.rank END) AS first_rel
+        FROM top t JOIN discs ds ON ds.rank = t.rank
+        GROUP BY t.qid
+    ), pool AS (
+        SELECT q.qid,
+               CAST(SUM(CASE WHEN cd.source = q.qsrc AND cd.lb = q.qlb
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+               CAST(SUM(CASE WHEN cd.source = q.qsrc AND cd.lb <> q.qlb
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        FROM q JOIN d cd ON cd.doc_id <> q.qid
+        GROUP BY q.qid
+    ), cums(i, cum) AS (
+        SELECT * FROM (VALUES {", ".join(f"({i}, CAST({v!r} AS DOUBLE))" for i, v in enumerate(_IR_CUM))})
+    )
+    SELECT p.qid AS query_doc, pool.n2 AS pool_rel2, pool.n1 AS pool_rel1,
+           p.n_rel_at_k,
+           CAST(p.n_rel_at_k AS DOUBLE) / CAST({_IR_K} AS DOUBLE) AS p_at_k,
+           COALESCE(CAST(1.0 AS DOUBLE) / CAST(p.first_rel AS DOUBLE), CAST(0.0 AS DOUBLE)) AS rr,
+           p.dcg,
+           p.dcg / (CAST(3.0 AS DOUBLE) * c2.cum
+                    + (c12.cum - c2.cum)) AS ndcg
+    FROM perq p
+    JOIN pool ON pool.qid = p.qid
+    JOIN cums c2 ON c2.i = LEAST(pool.n2, {_IR_K})
+    JOIN cums c12 ON c12.i = LEAST(pool.n2 + pool.n1, {_IR_K})
+    ORDER BY query_doc
+    """,
+    tags=("text", "retrieval", "evaluation", "ndcg", "llm-pipeline"),
+    checkpointed_substrate=True,
+)
+def q292_retrieval_metrics_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR EVALUATION metrics — the report that closes the retrieval
+    family's loop (q191/q237 rank, q245/q256/q197 refine, q284 measures
+    ANN recall; this measures RANKING QUALITY): for {_IR_QUERIES} fixed
+    known-item queries (a doc's first three tokens), the tf·idf ranking
+    over the corpus is scored with graded relevance (2 = same source
+    AND same length bucket, 1 = same source) as nDCG@{_IR_K}, MRR and
+    P@{_IR_K}. The DCG discounts and their cumulative sums are Python
+    PRECOMPUTED decimal literals fed identically to both engines, and
+    the idf weights round ONCE to 1e-12 fixed point so the per-doc
+    score is an ORDER-INDEPENDENT integer sum (a float Σtf·idf flipped
+    a rank-1/2 tie between engines on a last-ulp summation difference —
+    measured, then fixed); the ideal DCG is closed-form from the pool
+    counts (first min(n2,k) slots gain 3, the next gain 1), so no ideal
+    re-ranking pass exists. Per-query top-{_IR_K} uses the chunked
+    two-level rank — never a corpus-wide single-partition window."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.expr(f"n_chars DIV {_IR_LEN_BUCKET}L").alias("lb"),
+            tokens_of("text").alias("toks"),
+        )
+        .localCheckpoint(eager=True)  # tf, queries, grades, pool share it
+    )
+    tf = (
+        d.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)  # scored once; idf + scores read it
+    )
+    n = d.agg(F.count("*").alias("n"))
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            F.round(
+                F.log((F.col("n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                * F.lit(1_000_000_000_000.0)
+            )
+            .cast("long")
+            .alias("idf_fp"),
+        )
+    )
+    q = (
+        d.orderBy("doc_id")
+        .limit(_IR_QUERIES)
+        .select(
+            F.col("doc_id").alias("qid"),
+            F.col("source").alias("qsrc"),
+            F.col("lb").alias("qlb"),
+            F.array_distinct(F.slice("toks", 1, 3)).alias("qterms"),
+        )
+        .localCheckpoint(eager=True)  # bounded query frame, read 4x
+    )
+    qt = q.select("qid", F.explode("qterms").alias("term"))
+    scores = (
+        tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(idf), "term")
+        .groupBy("qid", "doc_id")
+        .agg(F.sum(F.col("tf") * F.col("idf_fp")).alias("score"))
+        .where(F.col("doc_id") != F.col("qid"))
+    )
+    from pyspark.sql import Window
+
+    chunk = F.pmod(F.col("doc_id"), F.lit(32)).alias("chunk")
+    w1 = Window.partitionBy("qid", "chunk").orderBy(F.col("score").desc(), "doc_id")
+    w2 = Window.partitionBy("qid").orderBy(F.col("score").desc(), "doc_id")
+    ranked = (
+        scores.select("qid", "doc_id", "score", chunk)
+        .withColumn("rn1", F.row_number().over(w1))
+        .where(F.col("rn1") <= _IR_K)  # bounded: 32 x k per query
+        .withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= _IR_K)
+    )
+    disc_arr = F.array(*[F.lit(v) for v in _IR_DISC])
+    cum_arr = F.array(*[F.lit(v) for v in _IR_CUM])
+    top = (
+        ranked.join(
+            F.broadcast(d.select("doc_id", "source", "lb")), "doc_id"
+        )
+        .join(F.broadcast(q.select("qid", "qsrc", "qlb")), "qid")
+        .select(
+            "qid",
+            "rank",
+            F.when(
+                (F.col("source") == F.col("qsrc")) & (F.col("lb") == F.col("qlb")), 2
+            )
+            .when(F.col("source") == F.col("qsrc"), 1)
+            .otherwise(0)
+            .alias("rel"),
+        )
+    )
+    perq = top.groupBy("qid").agg(
+        F.sum(
+            F.when(F.col("rel") == 2, F.lit(3.0))
+            .when(F.col("rel") == 1, F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            * F.element_at(disc_arr, F.col("rank"))
+        ).alias("dcg"),
+        F.sum(F.when(F.col("rel") >= 1, 1).otherwise(0)).alias("n_rel_at_k"),
+        F.min(F.when(F.col("rel") >= 1, F.col("rank"))).alias("first_rel"),
+    )
+    pool = (
+        q.join(F.broadcast(d.select("doc_id", "source", "lb")), F.col("doc_id") != F.col("qid"))
+        .groupBy("qid")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("source") == F.col("qsrc"))
+                    & (F.col("lb") == F.col("qlb")),
+                    1,
+                ).otherwise(0)
+            ).alias("n2"),
+            F.sum(
+                F.when(
+                    (F.col("source") == F.col("qsrc"))
+                    & (F.col("lb") != F.col("qlb")),
+                    1,
+                ).otherwise(0)
+            ).alias("n1"),
+        )
+    )
+    idcg = F.lit(3.0) * F.element_at(
+        cum_arr, F.least(F.col("n2"), F.lit(_IR_K)).cast("int") + 1
+    ) + F.lit(1.0) * (
+        F.element_at(
+            cum_arr,
+            F.least(F.col("n2") + F.col("n1"), F.lit(_IR_K)).cast("int") + 1,
+        )
+        - F.element_at(cum_arr, F.least(F.col("n2"), F.lit(_IR_K)).cast("int") + 1)
+    )
+    return (
+        perq.join(F.broadcast(pool), "qid")
+        .select(
+            F.col("qid").alias("query_doc"),
+            F.col("n2").alias("pool_rel2"),
+            F.col("n1").alias("pool_rel1"),
+            "n_rel_at_k",
+            (F.col("n_rel_at_k").cast("double") / F.lit(float(_IR_K))).alias("p_at_k"),
+            F.coalesce(
+                F.lit(1.0) / F.col("first_rel").cast("double"), F.lit(0.0)
+            ).alias("rr"),
+            "dcg",
+            (F.col("dcg") / idcg).alias("ndcg"),
+        )
+        .orderBy("query_doc")
+    )

@@ -2074,3 +2074,21 @@ def test_quantile_normalization_bounded_mapping(spark):
     assert p.count("Scan ExistingRDD") == 4
     assert "SortMergeJoin" not in p
     assert "Window" not in p  # cumulative sums ran inside the checkpoints
+
+
+def test_broadcast_audit_stats_shape(spark):
+    """q291: one aggregate per table for the stats, four join counts;
+    the audit frame assembly is bounded broadcasts."""
+    p = plan_of(spark, "q291_broadcast_decision_audit")
+    assert "CartesianProduct" not in p
+    assert p.count("Scan ExistingRDD") == 2  # the 5-row stats frame, twice
+
+
+def test_retrieval_metrics_two_level_topk(spark):
+    """q292: tf and the tokenized corpus are checkpointed (one text
+    scan), idf/query frames broadcast, per-query top-k is the chunked
+    two-level rank — no corpus-wide single-partition window, no
+    cartesian."""
+    p = plan_of(spark, "q292_retrieval_metrics_report")
+    assert "FileScan" not in p
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p

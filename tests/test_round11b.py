@@ -759,3 +759,105 @@ def test_quantile_normalization_matches_python(catalog, spark):
         if prev_mapped is not None:
             assert mapped >= prev_mapped  # rank matching is monotone
         prev_mapped = mapped
+
+
+# --- q291 broadcast audit -----------------------------------------------------
+
+
+def test_broadcast_audit_matches_python(catalog, spark):
+    import math
+
+    out = _run(catalog, spark, "q291_broadcast_decision_audit", SF1).set_index(
+        "join_name"
+    )
+    t = {n: pd.read_parquet(f"{SF1}/{n}.parquet")
+         for n in ["customer", "orders", "part", "supplier", "lineitem"]}
+    widths = {
+        "customer": 8 * 3 + math.ceil(
+            (t["customer"]["c_name"].str.len() + t["customer"]["c_mktsegment"].str.len()).mean()
+        ),
+        "orders": 8 * 4 + math.ceil(
+            (t["orders"]["o_orderstatus"].str.len() + t["orders"]["o_orderpriority"].str.len()).mean()
+        ),
+        "supplier": 8 * 2 + math.ceil(t["supplier"]["s_name"].str.len().mean()),
+        "lineitem": 8 * 9 + math.ceil(
+            (t["lineitem"]["l_returnflag"].str.len() + t["lineitem"]["l_linestatus"].str.len()).mean()
+        ),
+    }
+    for join_name, (lt, rt) in {
+        "customer x orders": ("customer", "orders"),
+        "supplier x lineitem": ("supplier", "lineitem"),
+    }.items():
+        r = out.loc[join_name]
+        assert r["left_rows"] == len(t[lt]) and r["right_rows"] == len(t[rt])
+        assert r["est_left_bytes"] == len(t[lt]) * widths[lt]
+        assert r["est_right_bytes"] == len(t[rt]) * widths[rt]
+    # decisions: small dims broadcast, both-big shuffles at 10MiB
+    assert out.loc["supplier x lineitem"]["decision"] == "broadcast_left"
+    assert (out["actual_rows"] > 0).all()
+
+
+# --- q292 retrieval metrics ---------------------------------------------------
+
+
+def test_retrieval_metrics_match_python(catalog, spark):
+    from database_migrator_spark.operators.textops import (
+        _IR_CUM,
+        _IR_DISC,
+        _IR_K,
+        _IR_LEN_BUCKET,
+        _IR_QUERIES,
+    )
+    import math
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    toks = {int(r.doc_id): [t for t in r.text.lower().split() if t]
+            for r in docs.itertuples()}
+    meta = {int(r.doc_id): (r.source, int(r.n_chars) // _IR_LEN_BUCKET)
+            for r in docs.itertuples()}
+    tf = {d: {} for d in toks}
+    for d, ts in toks.items():
+        for t in ts:
+            tf[d][t] = tf[d].get(t, 0) + 1
+    df = {}
+    for d in tf:
+        for t in tf[d]:
+            df[t] = df.get(t, 0) + 1
+    n = len(toks)
+    idf_fp = {
+        t: round(math.log((n + 1.0) / (c + 1.0)) * 1e12) for t, c in df.items()
+    }
+    out = _run(catalog, spark, "q292_retrieval_metrics_report").set_index(
+        "query_doc"
+    )
+    for qid in sorted(toks)[:_IR_QUERIES]:
+        qterms = list(dict.fromkeys(toks[qid][:3]))
+        scored = []
+        for d in tf:
+            if d == qid:
+                continue
+            s = sum(tf[d].get(t, 0) * idf_fp[t] for t in qterms if t in tf[d])
+            if s > 0 or any(t in tf[d] for t in qterms):
+                scored.append((-s, d))
+        scored.sort()
+        top = [d for _, d in scored[:_IR_K]]
+        qsrc, qlb = meta[qid]
+        rel = [
+            2 if meta[d] == (qsrc, qlb) else 1 if meta[d][0] == qsrc else 0
+            for d in top
+        ]
+        dcg = sum(
+            (3.0 if r == 2 else 1.0 if r == 1 else 0.0) * _IR_DISC[i]
+            for i, r in enumerate(rel)
+        )
+        n2 = sum(1 for d in meta if d != qid and meta[d] == (qsrc, qlb))
+        n1 = sum(
+            1 for d in meta if d != qid and meta[d][0] == qsrc and meta[d][1] != qlb
+        )
+        idcg = 3.0 * _IR_CUM[min(n2, _IR_K)] + (
+            _IR_CUM[min(n2 + n1, _IR_K)] - _IR_CUM[min(n2, _IR_K)]
+        )
+        r = out.loc[qid]
+        assert r["pool_rel2"] == n2 and r["pool_rel1"] == n1, qid
+        assert abs(r["dcg"] - dcg) < 1e-9, qid
+        assert abs(r["ndcg"] - (dcg / idcg)) < 1e-9, qid

@@ -285,6 +285,9 @@ PROBE_QUERIES = [
     "q288_largest_remainder_allocation",
     "q289_incremental_sessionize_stitch",
     "q290_quantile_normalization",
+    # round-11 wave 11: CBO broadcast audit, IR metrics
+    "q291_broadcast_decision_audit",
+    "q292_retrieval_metrics_report",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
