@@ -1520,6 +1520,7 @@ _BCAST_THRESHOLD = 10 * 1024 * 1024
     ORDER BY join_name
     """,
     tags=("relational", "optimizer-stats", "broadcast", "cbo"),
+    checkpointed_substrate=True,
 )
 def q291_broadcast_decision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BROADCAST-vs-SHUFFLE decision audit — the third member of the
