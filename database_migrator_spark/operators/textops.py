@@ -4471,3 +4471,95 @@ def q292_retrieval_metrics_report(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("query_doc")
     )
+
+
+# --- q293: vocabulary growth (Heaps'-law) curve ------------------------------
+
+_HEAPS_DECILES = 10
+
+
+@query(
+    "q293_vocab_growth_curve",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT MAX(doc_id) + 1 AS n_docs FROM documents
+    ), tok AS (
+        SELECT doc_id, t AS term
+        FROM documents,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> len(x) > 0)) AS u(t)
+    ), firsts AS (
+        SELECT term, MIN(doc_id) AS first_doc FROM tok GROUP BY term
+    ), tokens_per_decile AS (
+        SELECT CAST(doc_id * {_HEAPS_DECILES} // n_docs AS BIGINT) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens
+        FROM tok, bounds GROUP BY 1
+    ), new_terms AS (
+        SELECT CAST(first_doc * {_HEAPS_DECILES} // n_docs AS BIGINT) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS new_terms
+        FROM firsts, bounds GROUP BY 1
+    )
+    SELECT t.decile AS decile,
+           t.n_tokens,
+           CAST(SUM(t.n_tokens) OVER (ORDER BY t.decile
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+           COALESCE(n.new_terms, 0) AS new_terms,
+           CAST(SUM(COALESCE(n.new_terms, 0)) OVER (ORDER BY t.decile
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+    FROM tokens_per_decile t LEFT JOIN new_terms n ON n.decile = t.decile
+    ORDER BY decile
+    """,
+    tags=("text", "vocabulary", "heaps-law", "llm-pipeline"),
+    checkpointed_substrate=True,
+)
+def q293_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCABULARY GROWTH curve (Heaps' law V(n) ≈ K·n^β) — the
+    measurement that sizes a tokenizer vocab and predicts how many new
+    types the next data tranche brings (next to q118 n-gram novelty and
+    q227's Zipf slope): the corpus is cut into ingestion deciles (by
+    doc id — the arrival order), each reporting its token count and the
+    number of NEVER-BEFORE-SEEN terms (a term's first occurrence is its
+    min doc id — one map-side-combinable aggregate, no ordered scan of
+    the corpus), plus cumulative tokens and the running vocabulary
+    size. A flattening curve says the vocab is saturating; a straight
+    line on the log-log pairs says more data keeps paying. The decile
+    windows run over the 10-row frame only; everything corpus-scale is
+    two aggregates."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", tokens_of("text").alias("toks"))
+        .localCheckpoint(eager=True)  # one text scan; bounds + both aggs share
+    )
+    bounds = d.agg((F.max("doc_id") + 1).alias("n_docs"))
+    tok = d.select("doc_id", F.explode("toks").alias("term"))
+    firsts = tok.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
+    tpd = (
+        tok.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            F.expr(f"doc_id * {_HEAPS_DECILES} DIV n_docs").alias("decile")
+        )
+        .agg(F.count("*").alias("n_tokens"))
+    )
+    nt = (
+        firsts.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            F.expr(f"first_doc * {_HEAPS_DECILES} DIV n_docs").alias("decile")
+        )
+        .agg(F.count("*").alias("new_terms"))
+    )
+    from pyspark.sql import Window
+
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        tpd.join(F.broadcast(nt), "decile", "left")
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "n_tokens",
+            F.sum("n_tokens").over(wc).cast("long").alias("cum_tokens"),
+            F.coalesce("new_terms", F.lit(0).cast("long")).alias("new_terms"),
+        )
+        .withColumn(
+            "vocab_size", F.sum("new_terms").over(wc).cast("long")
+        )
+        .orderBy("decile")
+    )

@@ -103,10 +103,10 @@ def query(
 # landed in r06), and the first 37 by name (q01, q115, q119, q144,
 # q52-q85 minus q59) top the window up to exactly 50.
 # Round-12 plan (write it now so the rotation stays mechanical): rank 0
-# = r11 additions (q263-q292, currently _QUEUED_NEXT — the original
-# wave q263-q269 plus the extended-session waves q270-q292) + the
-# 12-name r06 RESIDUE (_R06_RESIDUE below: q86-q93, q95, q97-q99) = 42
-# names; top up with the first 8 of the r07 block (q02-q09) — the r07
+# = r11 additions (q263-q293, currently _QUEUED_NEXT — the original
+# wave q263-q269 plus the extended-session waves q270-q293) + the
+# 12-name r06 RESIDUE (_R06_RESIDUE below: q86-q93, q95, q97-q99) = 43
+# names; top up with the first 7 of the r07 block (q02-q08) — the r07
 # residue rides in r13, continuing the full-catalog re-gate cycle.
 # Order changes NOTHING for the pytest oracle suite or bench.py — they
 # run the whole catalog.  tests/test_bench_contract.py pins the

@@ -2092,3 +2092,12 @@ def test_retrieval_metrics_two_level_topk(spark):
     p = plan_of(spark, "q292_retrieval_metrics_report")
     assert "FileScan" not in p
     assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+
+
+def test_vocab_growth_single_text_scan(spark):
+    """q293: one text scan into the tokenized checkpoint; decile windows
+    run on the 10-row frame only."""
+    p = plan_of(spark, "q293_vocab_growth_curve")
+    assert "FileScan" not in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert p.count("Window") == 1  # the bounded decile cumulative

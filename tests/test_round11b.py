@@ -861,3 +861,29 @@ def test_retrieval_metrics_match_python(catalog, spark):
         assert r["pool_rel2"] == n2 and r["pool_rel1"] == n1, qid
         assert abs(r["dcg"] - dcg) < 1e-9, qid
         assert abs(r["ndcg"] - (dcg / idcg)) < 1e-9, qid
+
+
+# --- q293 vocab growth --------------------------------------------------------
+
+
+def test_vocab_growth_matches_python(catalog, spark):
+    docs = pd.read_parquet(f"{SF1}/documents.parquet").sort_values("doc_id")
+    n_docs = int(docs["doc_id"].max()) + 1
+    seen: set = set()
+    per = {d: [0, 0] for d in range(10)}  # decile -> [tokens, new_terms]
+    for r in docs.itertuples():
+        dec = int(r.doc_id) * 10 // n_docs
+        toks = [t for t in r.text.lower().split() if t]
+        per[dec][0] += len(toks)
+        for t in toks:
+            if t not in seen:
+                seen.add(t)
+                per[dec][1] += 1
+    out = _run(catalog, spark, "q293_vocab_growth_curve", SF1).set_index("decile")
+    cum_t = cum_v = 0
+    for d in range(10):
+        cum_t += per[d][0]
+        cum_v += per[d][1]
+        r = out.loc[d]
+        assert r["n_tokens"] == per[d][0] and r["new_terms"] == per[d][1]
+        assert r["cum_tokens"] == cum_t and r["vocab_size"] == cum_v

@@ -288,6 +288,8 @@ PROBE_QUERIES = [
     # round-11 wave 11: CBO broadcast audit, IR metrics
     "q291_broadcast_decision_audit",
     "q292_retrieval_metrics_report",
+    # round-11 wave 12: vocabulary growth
+    "q293_vocab_growth_curve",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
