@@ -92,43 +92,42 @@ def query(
 #   rank 1 — queries whose last gate row is the OLDEST.
 #   rank 2+ — progressively fresher gate rows.
 #
-# Round-11 instance (rotated AFTER the r10 gate ran and recorded the 17
-# rank-0 names q234-q249+q59 PLUS all 33 r05-stale residue rows, 49/50
-# hash-green — CORRECTNESS_r10.json; q117 no_oracle by declared design):
-# rank 0 = the 13 never-gated round-10 wave-2/3 additions q250-q262
-# (verified never-gated by diffing all ten CORRECTNESS files); rank 1 =
-# the 37 oldest r06-gated names in name order — the refresh pool is 49
-# names whose newest driver row dates to round 6 (q52-q99 minus
-# q59/q94/q96, plus q115/q119/q144 AND q01, whose r07-era row actually
-# landed in r06), and the first 37 by name (q01, q115, q119, q144,
-# q52-q85 minus q59) top the window up to exactly 50.
-# Round-12 plan (write it now so the rotation stays mechanical): rank 0
-# = r11 additions (q263-q293, currently _QUEUED_NEXT — the original
-# wave q263-q269 plus the extended-session waves q270-q293) + the
-# 12-name r06 RESIDUE (_R06_RESIDUE below: q86-q93, q95, q97-q99) = 43
-# names; top up with the first 7 of the r07 block (q02-q08) — the r07
-# residue rides in r13, continuing the full-catalog re-gate cycle.
+# Round-12 instance (rotated AFTER the r11 gate ran and recorded the 13
+# never-gated names q250-q262 ALL hash-green plus 37 r06-refresh rows —
+# CORRECTNESS_r11.json 48/50; the only two non-green rows were
+# q53/q62 `err: no_oracle`, rows-only-BY-DESIGN queries whose gate rows
+# can never go green).  Two changes this round:
+#   (a) GLOBAL no-oracle exclusion — any DeclaredQuery with oracle=None
+#       sorts LAST (rank 9).  Its gate row carries no hash signal (the
+#       driver records rows-only / `no_oracle`), and every such query is
+#       hash-twinned by an oracle-bearing sibling (q14/q95→q223/q221,
+#       q28→q234, q29→q238, q35/q45→q235/q45-family, q53→q236,
+#       q62→q261, q117→q144), so its freshness IS its twin's.  q53/q62
+#       burned 2 of 50 scarce rows in r11; never again.
+#   (b) r12 window = the 31 never-gated r11 additions q263-q293 + the
+#       oracle-bearing r06 residue q86-q93/q97-q99 (11 names; q95 is
+#       no-oracle, covered by twin q221/q223) + top-up q02-q09 from the
+#       r07 block = exactly 50.
+# Round-13 plan (write it now so the rotation stays mechanical): rank 0
+# = the oracle-bearing r07 residue — q10-q13, q15-q27, q30-q34, q36,
+# q37, q145-q158 (38 names; q14/q28/q29/q35 are no-oracle) — topped up
+# with the oracle-bearing r08 names q38-q44/q46-q50 (12; q45 no-oracle)
+# = exactly 50.  The r08 residue q159-q195 rides in r14 with the r09
+# block behind it, completing the fourth full-catalog re-gate cycle.
 # Order changes NOTHING for the pytest oracle suite or bench.py — they
 # run the whole catalog.  tests/test_bench_contract.py pins the
 # resulting first-50 list so a refactor cannot silently reorder the
 # gate.
-# Rank-0 budget: the 50-row window holds the 13 never-gated names plus
-# EXACTLY 37 refresh names; r11 additions (q263+) therefore queue at
-# _QUEUED_NEXT — first AFTER the window, becoming rank 0 when the
-# post-r11-gate rotation runs.
-_NEVER_GATED = {f"q{i}" for i in range(250, 263)}
-_R06_REFRESH = ({f"q{i:02d}" for i in range(52, 86)} - {"q59"}) | {
-    "q01",
-    "q115",
-    "q119",
-    "q144",
-}  # 37 names: fills the window exactly
-_QUEUED_NEXT = {f"q{i}" for i in range(263, 300)}  # r11 additions
-_R06_RESIDUE = {f"q{i:02d}" for i in range(86, 100)} - {"q94", "q96"}  # 12: r12 rank 0
-_R07_FRESH = {f"q{i:02d}" for i in range(2, 38)} | {f"q{i}" for i in range(145, 159)}
-# gated green in r08/r09/r10 — progressively fresher signal
+_NEVER_GATED = {f"q{i}" for i in range(263, 300)}  # r11 additions: r12 rank 0
+_R06_RESIDUE = {f"q{i:02d}" for i in range(86, 100)} - {"q94", "q96"}  # rank 1
+_R07_TOPUP = {f"q{i:02d}" for i in range(2, 10)}  # 8 names: fills the window
+_R07_FRESH = {f"q{i:02d}" for i in range(10, 38)} | {f"q{i}" for i in range(145, 159)}
+# gated green in r08/r09/r10/r11 — progressively fresher signal
 _R08_FRESH = {f"q{i}" for i in range(159, 196)} | {f"q{i:02d}" for i in range(38, 51)}
 _R09_FRESH = {f"q{i}" for i in range(196, 234)} | {f"q{i}" for i in range(100, 112)}
+_R11_FRESH = {f"q{i}" for i in range(250, 263)} | (
+    ({f"q{i:02d}" for i in range(52, 86)} - {"q59"}) | {"q01", "q115", "q119", "q144"}
+)
 
 
 def all_queries() -> dict[str, DeclaredQuery]:
@@ -159,22 +158,27 @@ def all_queries() -> dict[str, DeclaredQuery]:
     from database_migrator_spark.sources import formats  # noqa: F401
     from database_migrator_spark.streaming import joins, sinks, stateful, windows  # noqa: F401
 
-    def rank(name: str) -> tuple[int, str]:
+    def rank(name: str, dq: DeclaredQuery) -> tuple[int, str]:
         qid = name.split("_", 1)[0]
+        if dq.oracle is None:
+            # rows-only by design: the gate row can never go green, so it
+            # must never consume a window slot — freshness lives in the
+            # hash-twinned sibling (see rotation comment above).
+            return (9, name)
         if qid in _NEVER_GATED:
             return (0, name)
-        if qid in _R06_REFRESH:
-            return (1, name)
-        if qid in _QUEUED_NEXT:
-            return (2, name)  # outside the full r11 window; rank 0 in r12
         if qid in _R06_RESIDUE:
-            return (3, name)  # joins r12's rank 0 alongside _QUEUED_NEXT
+            return (1, name)
+        if qid in _R07_TOPUP:
+            return (2, name)
         if qid in _R07_FRESH:
-            return (4, name)
+            return (3, name)
         if qid in _R08_FRESH:
-            return (5, name)
+            return (4, name)
         if qid in _R09_FRESH:
-            return (6, name)
-        return (7, name)  # r10-gated (q234-q249, q59, q51/q94/q96, q112-q143 block)
+            return (5, name)
+        if qid in _R11_FRESH:
+            return (7, name)  # freshest hash rows (gated green in r11)
+        return (6, name)  # r10-gated (q234-q249, q59, q51, q112-q143 block)
 
-    return dict(sorted(_REGISTRY.items(), key=lambda kv: rank(kv[0])))
+    return dict(sorted(_REGISTRY.items(), key=lambda kv: rank(kv[0], kv[1])))

@@ -80,48 +80,46 @@ def test_bench_json_line_fits_tail_window():
 
 
 def test_gate_order_front_loads_stale_signal_set():
-    """Round 11: the 50-row gate must spend its budget on (a) the 13
-    never-gated round-10 wave-2/3 additions q250-q262 (verified never
-    gated by diffing all ten CORRECTNESS files), then (b) the 37 oldest
-    r06-gated names in name order — the refresh pool is the 49 names
-    whose newest driver row dates to round 6 (q52-q99 minus q59/q94/q96,
-    plus q115/q119/q144 and q01), of which the first 37 by name fill the
-    window exactly. The 12-name residue (q86-q93/q95/q97-q99) plus any
-    r11 additions (q263+, pinned first-after-window) form r12's rank 0.
-    q02-q37/q145-q158 (r07), q38-q50/q159-q195 (r08), q100-q111/
-    q196-q233 (r09) and the r10-gated rows queue last. Pinning the exact
-    first-50 list (not just the set) so a refactor cannot silently
-    reorder the gate."""
-    names = list(all_queries())
+    """Round 12: the 50-row gate must spend its budget on (a) the 31
+    never-gated r11 additions q263-q293, then (b) the oracle-bearing
+    r06 residue q86-q93/q97-q99 (11 names; q95 is no-oracle), then (c)
+    the q02-q09 top-up from the r07 block — exactly 50. NEW global rule:
+    a query with oracle=None can NEVER occupy a window slot (q53/q62
+    burned 2 of 50 rows in r11 on rows-only-by-design queries whose
+    gate rows cannot go green); all nine such queries sort dead last.
+    Pinning the exact first-50 list (not just the set) so a refactor
+    cannot silently reorder the gate."""
+    qs = all_queries()
+    names = list(qs)
     gate = [n.split("_", 1)[0] for n in names[:50]]
     never_gated = sorted(
         n.split("_", 1)[0]
         for n in names
-        if n.split("_", 1)[0] in {f"q{i}" for i in range(250, 263)}
+        if n.split("_", 1)[0] in {f"q{i}" for i in range(263, 300)}
     )
-    n_new = len(never_gated)
-    assert n_new == 13
-    assert gate[:n_new] == never_gated
-    # the 37 oldest r06-gated names top the window up to exactly 50
-    r06_pool = sorted(
-        ({f"q{i:02d}" for i in range(52, 100)} - {"q59", "q94", "q96"})
-        | {"q01", "q115", "q119", "q144"}
+    assert len(never_gated) == 31
+    expected = (
+        never_gated
+        + sorted({f"q{i:02d}" for i in range(86, 100)} - {"q94", "q95", "q96"})
+        + [f"q{i:02d}" for i in range(2, 10)]
     )
-    assert len(r06_pool) == 49
-    assert gate[n_new:] == r06_pool[: 50 - n_new]
-    # r11 additions (q263+) must queue OUTSIDE the full 50-row window —
-    # first in line for the post-r11-gate rotation — never displacing a
-    # stale row
-    queued = {
-        n.split("_", 1)[0] for n in names if n.split("_", 1)[0] in {f"q{i}" for i in range(263, 300)}
-    }
+    assert gate == expected
+    # no oracle-less query may sit inside the window — ever
+    window_dqs = [qs[n] for n in names[:50]]
+    assert all(dq.oracle is not None for dq in window_dqs)
+    # all nine rows-only-by-design queries sort dead last
+    no_oracle = [n.split("_", 1)[0] for n, dq in qs.items() if dq.oracle is None]
+    assert sorted(no_oracle) == sorted(n.split("_", 1)[0] for n in names[-len(no_oracle):])
+    # r13 rank 0 (the oracle-bearing r07 residue) immediately follows the
+    # window, keeping the written rotation plan mechanical
     post_window = [n.split("_", 1)[0] for n in names[50:]]
-    if queued:
-        assert post_window[: len(queued)] == sorted(queued)
-    # the r06 residue immediately follows the queued additions (r12 rank 0)
-    residue = sorted({f"q{i:02d}" for i in range(86, 100)} - {"q94", "q96"})
-    assert len(residue) == 12
-    assert post_window[len(queued) : len(queued) + 12] == residue
+    r07_residue = sorted(
+        ({f"q{i:02d}" for i in range(10, 38)} - {"q14", "q28", "q29", "q35"})
+        | {f"q{i}" for i in range(145, 159)}
+    )
+    assert len(r07_residue) == 38
+    # set-compare: the registry sorts full names, where "q150_x" < "q15_y"
+    assert set(post_window[: len(r07_residue)]) == set(r07_residue)
     # every freshly-gated block sorts after the 50-row window
     tail = set(post_window)
-    assert {"q02", "q37", "q38", "q50", "q100", "q111", "q145", "q159", "q196", "q233", "q234", "q249", "q59", "q51", "q112", "q143"} <= tail
+    assert {"q38", "q50", "q100", "q111", "q159", "q196", "q233", "q234", "q249", "q59", "q51", "q112", "q143", "q250", "q262", "q01", "q52", "q85"} <= tail
