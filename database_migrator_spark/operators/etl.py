@@ -1587,9 +1587,10 @@ def q282_compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), est AS (
         SELECT s.col AS col, s.n_rows, s.n_distinct, s.plain_bytes,
                d.dict_entry_bytes
-                 + s.n_rows * CAST(CEIL(LN(CAST(GREATEST(s.n_distinct, 2)
-                                               AS DOUBLE)) / LN(2.0) / 8.0)
-                              AS BIGINT) AS dict_bytes
+                 + s.n_rows * (CASE WHEN s.n_distinct <= 256 THEN 1
+                                    WHEN s.n_distinct <= 65536 THEN 2
+                                    WHEN s.n_distinct <= 16777216 THEN 3
+                                    ELSE 4 END) AS dict_bytes
         FROM stats s JOIN dictsz d ON s.col = d.col
     )
     SELECT col, n_rows, n_distinct, plain_bytes, dict_bytes,
@@ -1614,8 +1615,9 @@ def q285_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     (status: 1 byte/row), near-unique keys lose — exactly the signal
     that drives real writer heuristics. ONE corpus scan (the candidates
     explode per row before the checkpoint), two bounded aggregates over
-    it; index width via doubles is safe (log₂ of an exact BIGINT,
-    identical expression both engines)."""
+    it; index width via a pure-INTEGER threshold ladder (d≤2^8→1,
+    ≤2^16→2, ≤2^24→3, else 4) on both engines — a float CEIL(log) would
+    flip on a 1-ulp libm skew exactly at d=2^(8k)."""
     o = table(spark, sf_dir, "orders")
     pair = lambda name, col: F.struct(  # noqa: E731
         F.lit(name).alias("col"), col.cast("string").alias("v")
@@ -1645,9 +1647,16 @@ def q285_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("col")
         .agg(F.sum(F.length("v")).alias("dict_entry_bytes"))
     )
-    idx_bytes = F.ceil(
-        F.log2(F.greatest(F.col("n_distinct"), F.lit(2)).cast("double")) / F.lit(8.0)
-    ).cast("long")
+    # pure-integer ⌈log₂(max(d,2))/8⌉: a runtime float log near the hash
+    # is the exact hazard the q292 invariant bans (a 1-ulp libm skew
+    # flips CEIL when d lands on 2^(8k)) — CASE ladder on both sides
+    idx_bytes = (
+        F.when(F.col("n_distinct") <= 256, F.lit(1))
+        .when(F.col("n_distinct") <= 65536, F.lit(2))
+        .when(F.col("n_distinct") <= 16777216, F.lit(3))
+        .otherwise(F.lit(4))
+        .cast("long")
+    )
     est = stats.join(dictsz, "col").select(
         "col",
         "n_rows",

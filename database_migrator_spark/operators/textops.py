@@ -4060,6 +4060,15 @@ def q275_wordpiece_greedy_tokenize(spark: SparkSession, sf_dir: str) -> DataFram
         p.select(F.explode(F.split(F.lower(F.col("p_name")), " ")).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("occurrences"))
+        # the walk enumerates _WP_WORD_MAX*2 positions and folds _WP_STEPS
+        # times — a longer word would silently vanish from the recursive
+        # oracle while Spark emits a truncated row, so fail LOUDLY instead
+        .where(
+            exactness_guard(
+                F.length("word") <= min(_WP_WORD_MAX * 2, _WP_STEPS),
+                "q275: word exceeds the enumerated position/step bounds",
+            )
+        )
         .localCheckpoint(eager=True)  # bounded word-type frame, read twice
     )
     tries = (
@@ -4309,8 +4318,10 @@ def _ir_sql_list(vals) -> str:
            CAST(p.n_rel_at_k AS DOUBLE) / CAST({_IR_K} AS DOUBLE) AS p_at_k,
            COALESCE(CAST(1.0 AS DOUBLE) / CAST(p.first_rel AS DOUBLE), CAST(0.0 AS DOUBLE)) AS rr,
            p.dcg,
-           p.dcg / (CAST(3.0 AS DOUBLE) * c2.cum
-                    + (c12.cum - c2.cum)) AS ndcg
+           CASE WHEN pool.n2 + pool.n1 > 0
+                THEN p.dcg / (CAST(3.0 AS DOUBLE) * c2.cum
+                              + (c12.cum - c2.cum))
+                ELSE CAST(0.0 AS DOUBLE) END AS ndcg
     FROM perq p
     JOIN pool ON pool.qid = p.qid
     JOIN cums c2 ON c2.i = LEAST(pool.n2, {_IR_K})
@@ -4467,7 +4478,12 @@ def q292_retrieval_metrics_report(spark: SparkSession, sf_dir: str) -> DataFrame
                 F.lit(1.0) / F.col("first_rel").cast("double"), F.lit(0.0)
             ).alias("rr"),
             "dcg",
-            (F.col("dcg") / idcg).alias("ndcg"),
+            # integer guard on the empty-pool edge (n2=n1=0 ⇒ idcg=0):
+            # Spark would emit NaN for 0.0/0.0 while DuckDB's
+            # division-by-zero differs — both sides CASE on the pool size
+            F.when(F.col("n2") + F.col("n1") > 0, F.col("dcg") / idcg)
+            .otherwise(F.lit(0.0))
+            .alias("ndcg"),
         )
         .orderBy("query_doc")
     )
