@@ -3754,7 +3754,7 @@ def q252_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFra
         .unionByName(absorbing)
         .localCheckpoint(eager=True)
     )
-    for _ in range(_MARKOV_ITERS):
+    for i in range(_MARKOV_ITERS):
         nxt = (
             prob.join(p, (prob["v"] == p["v"]) & (prob["t"] == p["s"]))
             .groupBy(prob["v"].alias("v"), prob["f"].alias("s"))
@@ -3766,7 +3766,13 @@ def q252_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFra
         )
         p = nxt.unionByName(
             p.where(F.col("s").isin(100, 101)).select("v", "s", "p")
-        ).localCheckpoint(eager=True)
+        )
+        # checkpoint every 2nd round (and the last): p feeds a join AND a
+        # union next round, so one skipped checkpoint doubles the lazy
+        # plan exactly once — still bounded — while halving the number of
+        # tiny checkpoint jobs whose fixed latency dominated BENCH_r11
+        if i % 2 == 1 or i == _MARKOV_ITERS - 1:
+            p = p.localCheckpoint(eager=True)
     fin = p.where(F.col("s") == -10).select("v", "p")
     base = fin.where(F.col("v") == -99).select(F.col("p").alias("bp"))
     re = (

@@ -1474,6 +1474,94 @@ def q113_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q294_exact_substring_spans",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           t -> len(t) > 0) AS t
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, i AS pos,
+               list_aggregate(t[i:i+7], 'string_agg', ' ') AS g
+        FROM toks, unnest(range(1, len(t) - 6)) AS u(i)
+        WHERE len(t) >= 8
+    ), rep AS (
+        SELECT g FROM grams GROUP BY g HAVING COUNT(*) > 1
+    ), hits AS (
+        SELECT grams.doc_id, grams.pos FROM grams JOIN rep USING (g)
+    ), isl AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS island
+        FROM hits
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+           CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_windows
+    FROM isl
+    GROUP BY doc_id, island
+    ORDER BY doc_id, span_start
+    """,
+    tags=("text", "dedup", "exact-substring", "spans", "llm-pipeline"),
+)
+def q294_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL shared-span boundaries — the span-level ExactSubstr step
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better") that completes the exact-substring ladder above q113's
+    per-doc fractions: q113 says HOW MUCH of a doc is duplicated
+    boilerplate; this says exactly WHERE to cut. Every maximal run of
+    consecutive token positions whose 8-token window occurs anywhere
+    else in the corpus is emitted as one span [span_start, span_end]
+    (1-based token indices, inclusive) — a run of repeated windows at
+    positions p..q covers tokens p..q+7, so span_tokens = q+8-p.
+
+    Shape at scale: the same gram-keyed aggregate + shuffle-merge join
+    back as q113 (the repeated-gram set is corpus-sized — NEVER
+    broadcast), then gaps-and-islands per document: the per-doc window
+    (partitionBy doc_id, orderBy pos) sorts only one document's hit
+    positions per partition — bounded by doc length, never corpus-wide
+    — and the (doc_id, island) aggregate rides the SAME doc_id
+    partitioning, so the islands step adds exactly one shuffle. All
+    outputs are exact BIGINTs; (doc_id, span_start) is a key, giving
+    the total order the hash gate needs."""
+    from database_migrator_spark.operators.dedup import word_shingles
+    from pyspark.sql import Window
+
+    d = spread_for_cpu(table(spark, sf_dir, "documents"))
+    toks = tokens_of("text")
+    g = d.where(F.size(toks) >= 8).select(
+        "doc_id", F.posexplode(word_shingles(toks, 8)).alias("pos0", "g")
+    )
+    rep = (
+        g.groupBy("g")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") > 1)
+        .select("g")
+    )
+    hits = g.join(rep.hint("shuffle_merge"), "g").select(
+        "doc_id", (F.col("pos0") + 1).alias("pos")  # 1-based, mirrors oracle
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = hits.select(
+        "doc_id", "pos", (F.col("pos") - F.row_number().over(w)).alias("island")
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + 7).cast("long").alias("span_end"),
+            (F.max("pos") + 8 - F.min("pos")).cast("long").alias("span_tokens"),
+            F.count("*").alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_end", "span_tokens", "n_windows")
+        .orderBy("doc_id", "span_start")
+    )
+
+
+@query(
     "q114_per_source_caps",
     oracle=r"""
     WITH scored AS (

@@ -109,18 +109,24 @@ def query(
 #       no-oracle, covered by twin q221/q223) + top-up q02-q09 from the
 #       r07 block = exactly 50.
 # Round-13 plan (write it now so the rotation stays mechanical): rank 0
-# = the oracle-bearing r07 residue — q10-q13, q15-q27, q30-q34, q36,
+# = any never-gated r12 additions (q294+, currently _QUEUED_NEXT) first,
+# then the oracle-bearing r07 residue — q10-q13, q15-q27, q30-q34, q36,
 # q37, q145-q158 (38 names; q14/q28/q29/q35 are no-oracle) — topped up
-# with the oracle-bearing r08 names q38-q44/q46-q50 (12; q45 no-oracle)
-# = exactly 50.  The r08 residue q159-q195 rides in r14 with the r09
+# to exactly 50 from the oracle-bearing r08 names q38-q44/q46-q50
+# (q45 no-oracle).  The r08 residue q159-q195 rides in r14 with the r09
 # block behind it, completing the fourth full-catalog re-gate cycle.
 # Order changes NOTHING for the pytest oracle suite or bench.py — they
 # run the whole catalog.  tests/test_bench_contract.py pins the
 # resulting first-50 list so a refactor cannot silently reorder the
 # gate.
-_NEVER_GATED = {f"q{i}" for i in range(263, 300)}  # r11 additions: r12 rank 0
+_NEVER_GATED = {f"q{i}" for i in range(263, 294)}  # r11 additions: r12 rank 0
 _R06_RESIDUE = {f"q{i:02d}" for i in range(86, 100)} - {"q94", "q96"}  # rank 1
 _R07_TOPUP = {f"q{i:02d}" for i in range(2, 10)}  # 8 names: fills the window
+# Window is exactly full (50): r12 additions (q294+) queue FIRST AFTER
+# the window per the driver-gate budget invariant, becoming rank 0 when
+# the post-r12-gate rotation runs (they then lead the r13 window ahead
+# of the r07 residue).
+_QUEUED_NEXT = {f"q{i}" for i in range(294, 330)}
 _R07_FRESH = {f"q{i:02d}" for i in range(10, 38)} | {f"q{i}" for i in range(145, 159)}
 # gated green in r08/r09/r10/r11 — progressively fresher signal
 _R08_FRESH = {f"q{i}" for i in range(159, 196)} | {f"q{i:02d}" for i in range(38, 51)}
@@ -171,14 +177,16 @@ def all_queries() -> dict[str, DeclaredQuery]:
             return (1, name)
         if qid in _R07_TOPUP:
             return (2, name)
+        if qid in _QUEUED_NEXT:
+            return (3, name)  # outside the full r12 window; rank 0 in r13
         if qid in _R07_FRESH:
-            return (3, name)
-        if qid in _R08_FRESH:
             return (4, name)
-        if qid in _R09_FRESH:
+        if qid in _R08_FRESH:
             return (5, name)
+        if qid in _R09_FRESH:
+            return (6, name)
         if qid in _R11_FRESH:
-            return (7, name)  # freshest hash rows (gated green in r11)
-        return (6, name)  # r10-gated (q234-q249, q59, q51, q112-q143 block)
+            return (8, name)  # freshest hash rows (gated green in r11)
+        return (7, name)  # r10-gated (q234-q249, q59, q51, q112-q143 block)
 
     return dict(sorted(_REGISTRY.items(), key=lambda kv: rank(kv[0], kv[1])))

@@ -95,7 +95,7 @@ def test_gate_order_front_loads_stale_signal_set():
     never_gated = sorted(
         n.split("_", 1)[0]
         for n in names
-        if n.split("_", 1)[0] in {f"q{i}" for i in range(263, 300)}
+        if n.split("_", 1)[0] in {f"q{i}" for i in range(263, 294)}
     )
     assert len(never_gated) == 31
     expected = (
@@ -110,16 +110,25 @@ def test_gate_order_front_loads_stale_signal_set():
     # all nine rows-only-by-design queries sort dead last
     no_oracle = [n.split("_", 1)[0] for n, dq in qs.items() if dq.oracle is None]
     assert sorted(no_oracle) == sorted(n.split("_", 1)[0] for n in names[-len(no_oracle):])
-    # r13 rank 0 (the oracle-bearing r07 residue) immediately follows the
-    # window, keeping the written rotation plan mechanical
+    # r12 additions (q294+) must queue OUTSIDE the full 50-row window —
+    # first in line for the post-r12-gate rotation — never displacing a
+    # pinned row; the oracle-bearing r07 residue (r13's refresh block)
+    # follows them, keeping the written rotation plan mechanical
     post_window = [n.split("_", 1)[0] for n in names[50:]]
+    queued = sorted(
+        n.split("_", 1)[0]
+        for n, dq in qs.items()
+        if n.split("_", 1)[0] in {f"q{i}" for i in range(294, 330)}
+        and dq.oracle is not None
+    )
+    assert post_window[: len(queued)] == queued
     r07_residue = sorted(
         ({f"q{i:02d}" for i in range(10, 38)} - {"q14", "q28", "q29", "q35"})
         | {f"q{i}" for i in range(145, 159)}
     )
     assert len(r07_residue) == 38
     # set-compare: the registry sorts full names, where "q150_x" < "q15_y"
-    assert set(post_window[: len(r07_residue)]) == set(r07_residue)
+    assert set(post_window[len(queued) : len(queued) + len(r07_residue)]) == set(r07_residue)
     # every freshly-gated block sorts after the 50-row window
     tail = set(post_window)
     assert {"q38", "q50", "q100", "q111", "q159", "q196", "q233", "q234", "q249", "q59", "q51", "q112", "q143", "q250", "q262", "q01", "q52", "q85"} <= tail

@@ -453,6 +453,18 @@ def test_repeated_ngrams_never_broadcast_gram_table(spark):
     assert "CartesianProduct" not in p
 
 
+def test_exact_substring_spans_shuffled_join_docwise_islands(spark):
+    """q294: the repeated-gram set is corpus-scale — the join back to the
+    position stream must shuffle, never broadcast (q113's rule); the
+    gaps-and-islands pass is a doc-partitioned window (bounded by doc
+    length), never a single global sort."""
+    p = plan_of(spark, "q294_exact_substring_spans")
+    assert "SortMergeJoin" in p
+    assert "BroadcastHashJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "Window" in p
+
+
 def test_per_source_caps_windowed_rank_limit(spark):
     """q114: one source-keyed window with the rank filter pushed into the
     window operator (Catalyst's rank-limit rewrite) — no join at all."""

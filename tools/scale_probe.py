@@ -290,6 +290,8 @@ PROBE_QUERIES = [
     "q292_retrieval_metrics_report",
     # round-11 wave 12: vocabulary growth
     "q293_vocab_growth_curve",
+    # round-12: span-level ExactSubstr
+    "q294_exact_substring_spans",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
