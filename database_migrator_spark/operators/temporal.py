@@ -4629,3 +4629,173 @@ def q289_incremental_sessionize_stitch(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("n_sessions")
     )
+
+
+# --- q295: histogram decision-stump split search ----------------------------
+
+
+@query(
+    "q295_decision_stump_split",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS y
+        FROM orders
+    ), mm AS (
+        SELECT MIN(cents) AS minc, MAX(cents) AS maxc FROM base
+    ), hist AS (
+        SELECT ((b.cents - mm.minc) * 256) // (mm.maxc - mm.minc + 1) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(b.y) AS BIGINT) AS npos,
+               MAX(b.cents) AS threshold_cents
+        FROM base b, mm
+        GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+               CAST(SUM(npos) AS BIGINT) AS pos_tot
+        FROM hist
+    ), cum AS (
+        SELECT bin, threshold_cents,
+               CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS n_left,
+               CAST(SUM(npos) OVER (ORDER BY bin) AS BIGINT) AS pos_left
+        FROM hist
+    ), cand AS (
+        SELECT c.bin AS split_bin, c.threshold_cents, c.n_left, c.pos_left,
+               t.n_tot - c.n_left AS n_right,
+               t.pos_tot - c.pos_left AS pos_right,
+               (c.pos_left * c.pos_left
+                + (c.n_left - c.pos_left) * (c.n_left - c.pos_left))
+                   * 1000000 // c.n_left
+               + ((t.pos_tot - c.pos_left) * (t.pos_tot - c.pos_left)
+                  + ((t.n_tot - c.n_left) - (t.pos_tot - c.pos_left))
+                    * ((t.n_tot - c.n_left) - (t.pos_tot - c.pos_left)))
+                   * 1000000 // (t.n_tot - c.n_left) AS score_fp
+        FROM cum c, tot t
+        WHERE c.n_left < t.n_tot
+    )
+    SELECT split_bin, threshold_cents, n_left, pos_left, n_right, pos_right,
+           CAST(score_fp AS DOUBLE) / 1000000.0 AS purity_score,
+           CAST(CASE WHEN row_number()
+                          OVER (ORDER BY score_fp DESC, split_bin) = 1
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_best
+    FROM cand
+    ORDER BY split_bin
+    """,
+    tags=("statistics", "ml", "decision-stump", "supervised-binning", "llm-pipeline"),
+    checkpointed_substrate=True,
+)
+def q295_decision_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-based DECISION-STUMP split search — the exact split
+    step every histogram GBDT (LightGBM/XGBoost-hist) runs per feature
+    per node, and the supervised-discretization screen next to q258's
+    WoE/IV: bin o_totalprice into 256 equi-width integer-cents bins
+    (ONE corpus aggregate — the map-side histogram is the whole corpus
+    pass), then score every bin boundary as a binary split of the
+    urgent-priority label by the summed one-vs-rest Gini purity
+    Σ_side (pos² + neg²)/n — maximizing it minimizes weighted Gini
+    impurity — and mark the argmax. Per candidate: left/right sizes,
+    positives, the 1e-6 fixed-point purity, and is_best.
+
+    Scale shape: corpus work is ONE scan → 256-row histogram (+ one
+    broadcast min/max pre-pass); the prefix sums, totals join, scoring,
+    and argmax all run on the bounded ≤256-row checkpointed frame —
+    single-partition windows are legal exactly here (bounded derived
+    table, the q94/q111 rule). At 100 TB the histogram is the same
+    map-side partial aggregate; only the guard bound on the SCORE
+    arithmetic changes (drop SCALE or widen to DECIMAL).
+
+    Determinism: counts are exact BIGINTs; the purity is
+    (pos²+neg²)·10⁶ intdiv n per side — all operands provably
+    non-negative, so Spark's floor-div and DuckDB's truncating //
+    agree; an exactness_guard pins n_tot ≤ 3·10⁶ so the numerator
+    (≤ n²·10⁶) stays under 2⁶³; the argmax tiebreak is (score_fp
+    DESC, split_bin), a total order on exact integers."""
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        to_cents("o_totalprice").alias("cents"),
+        F.col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH")
+        .cast("int")
+        .alias("y"),
+    )
+    mm = base.agg(F.min("cents").alias("minc"), F.max("cents").alias("maxc"))
+    hist = (
+        base.crossJoin(F.broadcast(mm))
+        .groupBy(
+            int_div(
+                (F.col("cents") - F.col("minc")) * F.lit(256),
+                F.col("maxc") - F.col("minc") + F.lit(1),
+            ).alias("bin")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("y").cast("long").alias("npos"),
+            F.max("cents").alias("threshold_cents"),
+        )
+        # ≤256 rows; totals + cumulative branches both read it — without
+        # this the corpus histogram pipeline runs twice (q258's rule)
+        .localCheckpoint(eager=True)
+    )
+    tot = hist.agg(
+        F.sum("n").cast("long").alias("n_tot"),
+        F.sum("npos").cast("long").alias("pos_tot"),
+    )
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bin",
+        "threshold_cents",
+        F.sum("n").over(wcum).cast("long").alias("n_left"),
+        F.sum("npos").over(wcum).cast("long").alias("pos_left"),
+    )
+    neg_l = F.col("n_left") - F.col("pos_left")
+    pos_r = F.col("pos_tot") - F.col("pos_left")
+    n_r = F.col("n_tot") - F.col("n_left")
+    neg_r = n_r - pos_r
+    cand = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(
+            exactness_guard(
+                F.col("n_tot").cast("double") <= F.lit(3.0e6),
+                "q295: corpus too large for the 1e-6 fixed-point purity "
+                "numerator (n_tot^2 * 1e6 must stay under 2^63)",
+            )
+        )
+        .where(F.col("n_left") < F.col("n_tot"))
+        .select(
+            F.col("bin").alias("split_bin"),
+            "threshold_cents",
+            "n_left",
+            "pos_left",
+            n_r.alias("n_right"),
+            pos_r.alias("pos_right"),
+            (
+                int_div(
+                    (F.col("pos_left") * F.col("pos_left") + neg_l * neg_l)
+                    * F.lit(1_000_000),
+                    F.col("n_left"),
+                )
+                + int_div(
+                    (pos_r * pos_r + neg_r * neg_r) * F.lit(1_000_000), n_r
+                )
+            ).alias("score_fp"),
+        )
+    )
+    wbest = Window.orderBy(F.col("score_fp").desc(), "split_bin")
+    return (
+        cand.withColumn(
+            "is_best",
+            F.when(F.row_number().over(wbest) == 1, 1).otherwise(0).cast("long"),
+        )
+        .select(
+            "split_bin",
+            "threshold_cents",
+            "n_left",
+            "pos_left",
+            "n_right",
+            "pos_right",
+            (F.col("score_fp").cast("double") / F.lit(1e6)).alias("purity_score"),
+            "is_best",
+        )
+        .orderBy("split_bin")
+    )

@@ -465,6 +465,18 @@ def test_exact_substring_spans_shuffled_join_docwise_islands(spark):
     assert "Window" in p
 
 
+def test_decision_stump_bounded_frame_no_corpus_shuffle_join(spark):
+    """q295: corpus work is one histogram aggregate behind a broadcast
+    min/max pre-pass; the prefix-sum/score/argmax stages run on the
+    bounded ≤256-row checkpointed frame — no sort-merge join, no
+    cartesian, ever."""
+    p = plan_of(spark, "q295_decision_stump_split")
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "HashAggregate" in p
+    assert "Window" in p
+
+
 def test_per_source_caps_windowed_rank_limit(spark):
     """q114: one source-keyed window with the rank filter pushed into the
     window operator (Catalyst's rank-limit rewrite) — no join at all."""

@@ -83,3 +83,75 @@ def test_q294_windows_sum_to_q113_repeated_counts(catalog, spark):
         starts, ends = g["span_start"].tolist(), g["span_end"].tolist()
         assert all(s2 > e1 - 7 + 1 for e1, s2 in zip(ends, starts[1:]))
         assert all(e - s + 1 == t for s, e, t in zip(starts, ends, g["span_tokens"]))
+
+
+# --- q295 decision-stump split -----------------------------------------------
+
+
+def _replay_stump(sf):
+    o = pd.read_parquet(f"{sf}/orders.parquet")[["o_totalprice", "o_orderpriority"]]
+    import numpy as np
+
+    cents = np.round(o["o_totalprice"] * 100).astype(np.int64)
+    y = o["o_orderpriority"].isin(["1-URGENT", "2-HIGH"]).astype(np.int64)
+    minc, maxc = cents.min(), cents.max()
+    bins = (cents - minc) * 256 // (maxc - minc + 1)
+    h = (
+        pd.DataFrame({"bin": bins, "y": y, "cents": cents})
+        .groupby("bin")
+        .agg(n=("y", "size"), npos=("y", "sum"), threshold_cents=("cents", "max"))
+        .sort_index()
+    )
+    n_tot, pos_tot = int(h["n"].sum()), int(h["npos"].sum())
+    rows = []
+    n_l = pos_l = 0
+    for b, r in h.iterrows():
+        n_l += int(r["n"])
+        pos_l += int(r["npos"])
+        if n_l >= n_tot:
+            continue
+        neg_l = n_l - pos_l
+        n_r, pos_r = n_tot - n_l, pos_tot - pos_l
+        neg_r = n_r - pos_r
+        score = (pos_l * pos_l + neg_l * neg_l) * 1_000_000 // n_l + (
+            pos_r * pos_r + neg_r * neg_r
+        ) * 1_000_000 // n_r
+        rows.append((int(b), int(r["threshold_cents"]), n_l, pos_l, n_r, pos_r, score))
+    df = pd.DataFrame(
+        rows,
+        columns=[
+            "split_bin",
+            "threshold_cents",
+            "n_left",
+            "pos_left",
+            "n_right",
+            "pos_right",
+            "score_fp",
+        ],
+    )
+    best = df.sort_values(["score_fp", "split_bin"], ascending=[False, True]).iloc[0]
+    df["is_best"] = (df["split_bin"] == best["split_bin"]).astype(np.int64)
+    df["purity_score"] = df["score_fp"] / 1e6
+    return df.drop(columns=["score_fp"]).reset_index(drop=True)
+
+
+def test_q295_matches_sequential_replay(catalog, spark):
+    out = _run(catalog, spark, "q295_decision_stump_split").reset_index(drop=True)
+    exp = _replay_stump(SF)
+    assert len(out) == len(exp) > 1
+    assert (out["is_best"] == 1).sum() == 1
+    pd.testing.assert_frame_equal(out, exp[out.columns.tolist()], check_dtype=False)
+
+
+def test_q295_best_split_beats_all_candidates(catalog, spark):
+    """The argmax row's purity must weakly dominate every candidate, and
+    strictly dominate any candidate with a smaller bin (tie goes to the
+    smallest split_bin)."""
+    out = _run(catalog, spark, "q295_decision_stump_split")
+    best = out[out["is_best"] == 1].iloc[0]
+    assert (out["purity_score"] <= best["purity_score"] + 1e-12).all()
+    earlier_ties = out[
+        (out["purity_score"] == best["purity_score"])
+        & (out["split_bin"] < best["split_bin"])
+    ]
+    assert earlier_ties.empty

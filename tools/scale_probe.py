@@ -290,8 +290,9 @@ PROBE_QUERIES = [
     "q292_retrieval_metrics_report",
     # round-11 wave 12: vocabulary growth
     "q293_vocab_growth_curve",
-    # round-12: span-level ExactSubstr
+    # round-12: span-level ExactSubstr, histogram decision stump
     "q294_exact_substring_spans",
+    "q295_decision_stump_split",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
