@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from database_migrator_spark.functions.exact import int_div
 from database_migrator_spark.plans.registry import query
 from database_migrator_spark.sources import table
 
@@ -682,4 +683,128 @@ def q272_label_propagation_communities(spark: SparkSession, sf_dir: str) -> Data
             F.col("min_part").cast("long").alias("min_part"),
         )
         .orderBy(F.col("n_nodes").desc(), "community")
+    )
+
+
+# --- q296: time-respecting earliest-arrival reachability ---------------------
+
+_TR_ROUNDS = 4  # synchronous Bellman-Ford relaxation rounds (both engines)
+_TR_EPOCH = "1992-01-01"  # day-0 anchor; arrivals are exact integer days
+
+
+@query(
+    "q296_temporal_reachability",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+        SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v,
+               date_diff('day', DATE '{_TR_EPOCH}', o_orderdate) AS t
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), te AS (
+        SELECT u, v, t FROM e UNION ALL SELECT v AS u, u AS v, t FROM e
+    ), ta AS (
+        SELECT (SELECT MIN(u) FROM te) AS node,
+               CAST(0 AS BIGINT) AS arr, 0 AS it
+        UNION ALL
+        (
+        SELECT node, MIN(arr) AS arr, MIN(it) + 1 AS it
+        FROM (
+            SELECT ta.node, ta.arr, ta.it FROM ta WHERE ta.it < {_TR_ROUNDS}
+            UNION ALL
+            SELECT te.v AS node, CAST(te.t AS BIGINT) AS arr, ta.it
+            FROM ta JOIN te ON te.u = ta.node AND te.t >= ta.arr
+            WHERE ta.it < {_TR_ROUNDS}
+        ) rel
+        GROUP BY node
+        )
+    )
+    SELECT arr // 30 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_customers,
+           CAST(SUM(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_suppliers,
+           CAST(MIN(arr) AS BIGINT) AS min_arrival_day,
+           CAST(MAX(arr) AS BIGINT) AS max_arrival_day,
+           CAST(MIN(node) AS BIGINT) AS min_node,
+           CAST(MAX(node) AS BIGINT) AS max_node
+    FROM ta WHERE it = {_TR_ROUNDS}
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+    tags=("graph", "temporal", "reachability", "iterative"),
+    checkpointed_substrate=True,
+)
+def q296_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-RESPECTING earliest-arrival reachability (temporal-graph
+    diffusion: Holme & Saramäki's temporal paths) — the FOURTH iterative
+    class, distinct from frontier-set BFS (q147: membership expands),
+    min-label components (q72: labels contract) and power iteration
+    (q110/q276: dense linear recurrence): here a VALUE relaxes over the
+    min-plus semiring. An interaction (customer, supplier, order day t)
+    is a bidirectional temporal edge usable only at times >= the
+    carrier's own arrival, so information flowing from the seed node
+    must traverse edges with NON-DECREASING timestamps — static
+    reachability (q147) overstates true diffusion whenever the only
+    connecting path runs backwards in time.
+
+    {_TR_ROUNDS} synchronous Bellman-Ford rounds on exact integer days:
+    arr'[v] = min(arr[v], min(t : edge (u,v,t), t >= arr[u])), both
+    engines replaying the identical schedule (the oracle's recursive
+    CTE carries the full arrival table with an iteration counter, the
+    q110/q252 pattern). Spark shape: per round ONE node-keyed
+    shuffle-merge join of the arrival table against the checkpointed
+    edge list + a min-merge aggregate, arrival table localCheckpointed
+    per round (constant plan). The arrival table is NODE-scale —
+    unbounded at 100 TB — so the join is pinned shuffle_merge, never
+    broadcast. Output: monthly arrival-wave histogram (bucket =
+    arr intdiv 30; non-negative, so floor == truncate)."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    e = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+            F.datediff(F.col("o_orderdate"), F.lit(_TR_EPOCH)).cast("long").alias("t"),
+        )
+        .distinct()
+    )
+    te = e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"), "t")
+    ).localCheckpoint(eager=True)
+    ta = (
+        te.agg(F.min("u").alias("node"))
+        .select("node", F.lit(0).cast("long").alias("arr"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_TR_ROUNDS):
+        relax = (
+            ta.hint("shuffle_merge")
+            .join(te, (ta["node"] == te["u"]) & (te["t"] >= ta["arr"]))
+            .groupBy(F.col("v").alias("node2"))
+            .agg(F.min("t").alias("arr"))
+            .select(F.col("node2").alias("node"), "arr")
+        )
+        ta = (
+            ta.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("arr").alias("arr"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        ta.groupBy(int_div(F.col("arr"), F.lit(30)).alias("bucket"))
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.sum(F.when(F.col("node") % 2 == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_customers"),
+            F.sum(F.when(F.col("node") % 2 == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_suppliers"),
+            F.min("arr").alias("min_arrival_day"),
+            F.max("arr").alias("max_arrival_day"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .orderBy("bucket")
     )

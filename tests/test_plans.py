@@ -465,6 +465,17 @@ def test_exact_substring_spans_shuffled_join_docwise_islands(spark):
     assert "Window" in p
 
 
+def test_temporal_reachability_bounded_output_no_cartesian(spark):
+    """q296: the per-round relaxation joins live behind localCheckpoints
+    (declared substrate); the FINAL plan is the bounded monthly-bucket
+    aggregate over the checkpointed arrival table — no cartesian, no
+    broadcast of the node-scale arrival frame."""
+    p = plan_of(spark, "q296_temporal_reachability")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" not in p
+    assert "HashAggregate" in p
+
+
 def test_decision_stump_bounded_frame_no_corpus_shuffle_join(spark):
     """q295: corpus work is one histogram aggregate behind a broadcast
     min/max pre-pass; the prefix-sum/score/argmax stages run on the

@@ -155,3 +155,66 @@ def test_q295_best_split_beats_all_candidates(catalog, spark):
         & (out["split_bin"] < best["split_bin"])
     ]
     assert earlier_ties.empty
+
+
+# --- q296 temporal reachability ----------------------------------------------
+
+
+def _replay_temporal_reach(sf, rounds=4):
+    o = pd.read_parquet(f"{sf}/orders.parquet")[["o_orderkey", "o_custkey", "o_orderdate"]]
+    li = pd.read_parquet(f"{sf}/lineitem.parquet")[["l_orderkey", "l_suppkey"]]
+    j = o.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    day0 = pd.Timestamp("1992-01-01")
+    t = (pd.to_datetime(j["o_orderdate"]) - day0).dt.days.astype("int64")
+    e = pd.DataFrame(
+        {"u": j["o_custkey"] * 2, "v": j["l_suppkey"] * 2 + 1, "t": t}
+    ).drop_duplicates()
+    te = pd.concat(
+        [e, e.rename(columns={"u": "v", "v": "u"})[["u", "v", "t"]]]
+    ).drop_duplicates()
+    src = int(te["u"].min())
+    arr = {src: 0}
+    for _ in range(rounds):
+        cur = dict(arr)
+        for u, a in cur.items():
+            ok = te[(te["u"] == u) & (te["t"] >= a)]
+            for v, tt in zip(ok["v"], ok["t"]):
+                if v not in arr or tt < arr[v]:
+                    arr[v] = int(tt)
+    h = pd.DataFrame({"node": list(arr), "arr": list(arr.values())})
+    h["bucket"] = h["arr"] // 30
+    g = h.groupby("bucket").agg(
+        n_nodes=("node", "size"),
+        n_customers=("node", lambda s: int((s % 2 == 0).sum())),
+        n_suppliers=("node", lambda s: int((s % 2 == 1).sum())),
+        min_arrival_day=("arr", "min"),
+        max_arrival_day=("arr", "max"),
+        min_node=("node", "min"),
+        max_node=("node", "max"),
+    )
+    return g.reset_index().sort_values("bucket").reset_index(drop=True)
+
+
+def test_q296_matches_sequential_replay(catalog, spark):
+    """IMPORTANT caveat replicated on purpose: the python replay relaxes
+    IN-PLACE within a round for the frontier dict it iterates (cur is a
+    snapshot, so this is the same synchronous schedule as Spark/DuckDB:
+    each round reads only the previous round's arrivals)."""
+    out = _run(catalog, spark, "q296_temporal_reachability").reset_index(drop=True)
+    exp = _replay_temporal_reach(SF)
+    assert len(out) == len(exp) > 0
+    pd.testing.assert_frame_equal(
+        out.astype("int64"), exp[out.columns.tolist()].astype("int64"),
+        check_dtype=False,
+    )
+
+
+def test_q296_temporal_never_exceeds_static_reach(catalog, spark):
+    """Time-respecting reachability is a subset of static reachability:
+    with the same seed and >= as many hops, q147's static BFS must reach
+    at least as many nodes as q296 arrives at."""
+    out = _run(catalog, spark, "q296_temporal_reachability")
+    bfs = _run(catalog, spark, "q147_bfs_reachability")
+    # q147 runs 6 hops vs q296's 4 relaxation rounds over the same
+    # (u, v) support — static reach (ignoring time) dominates
+    assert out["n_nodes"].sum() <= bfs["n_nodes"].sum()

@@ -293,6 +293,7 @@ PROBE_QUERIES = [
     # round-12: span-level ExactSubstr, histogram decision stump
     "q294_exact_substring_spans",
     "q295_decision_stump_split",
+    "q296_temporal_reachability",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
