@@ -1784,3 +1784,141 @@ def q287_clustering_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_distinct").cast("double") / F.col("n_runs").cast("double")
         ).alias("clustering_ratio"),
     ).orderBy("candidate")
+
+
+# --- q297: Wasserstein-1 length shift between sources ------------------------
+
+
+@query(
+    "q297_wasserstein_length_shift",
+    oracle=r"""
+    WITH hist AS (
+        SELECT source,
+               CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                    t -> len(t) > 0)) AS BIGINT) AS ln,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2
+    ), tots AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM hist GROUP BY 1
+    ), pairs AS (
+        SELECT a.source AS sa, a.n AS na, b.source AS sb, b.n AS nb
+        FROM tots a JOIN tots b ON a.source < b.source
+    ), ph AS (
+        SELECT p.sa, p.sb, p.na, p.nb, h.ln,
+               CAST(SUM(CASE WHEN h.source = p.sa THEN h.c ELSE 0 END)
+                    AS BIGINT) AS ca,
+               CAST(SUM(CASE WHEN h.source = p.sb THEN h.c ELSE 0 END)
+                    AS BIGINT) AS cb
+        FROM pairs p
+        JOIN hist h ON h.source IN (p.sa, p.sb)
+        GROUP BY 1, 2, 3, 4, 5
+    ), cum AS (
+        SELECT sa, sb, na, nb, ln,
+               CAST(SUM(ca) OVER w AS BIGINT) AS cuma,
+               CAST(SUM(cb) OVER w AS BIGINT) AS cumb,
+               COALESCE(lead(ln) OVER w2 - ln, 0) AS gap
+        FROM ph
+        WINDOW w AS (PARTITION BY sa, sb ORDER BY ln
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               w2 AS (PARTITION BY sa, sb ORDER BY ln)
+    )
+    SELECT sa AS source_a, sb AS source_b, na AS n_a, nb AS n_b,
+           CAST(SUM(abs(cuma * nb - cumb * na) * gap) AS BIGINT) AS w1_num,
+           CAST(SUM(abs(cuma * nb - cumb * na) * gap) AS DOUBLE)
+               / CAST(na * nb AS DOUBLE) AS w1_tokens
+    FROM cum
+    GROUP BY sa, sb, na, nb
+    ORDER BY source_a, source_b
+    """,
+    tags=("diagnostics", "wasserstein", "drift", "statistics", "llm-pipeline"),
+    checkpointed_substrate=True,
+)
+def q297_wasserstein_length_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise WASSERSTEIN-1 (earth mover's) distance between source
+    token-length distributions — the MAGNITUDE-aware member the drift
+    family lacked: PSI (q173) and chi-square (q164) bin and take logs,
+    KS (q174) is the sup metric, JS (q203) compares token identities;
+    W1 answers "by how many TOKENS do the length profiles differ" — the
+    number q290's quantile normalization then corrects, read before
+    setting source mixing rates.
+
+    NO transcendentals anywhere: on the merged length support,
+    W1 = Σ_i |F_A(x_i) − F_B(x_i)|·(x_{i+1} − x_i), accumulated as the
+    exact BIGINT cross-multiplication Σ |cumA·nB − cumB·nA|·gap and
+    divided ONCE at the end (q174's integer discipline extended from
+    max to a gap-weighted sum — exact because the sum is over BIGINTs,
+    order-independent). One corpus scan → bounded (source, length)
+    histogram (checkpointed); the pair fan-out, cumulative windows and
+    the final reduction all run on bounded frames (sources² × distinct
+    lengths), the per-pair window exemption. Overflow bound:
+    cum·n·Σgap ≤ n²·length_range — at 2^63 that allows ~10⁸ docs per
+    source pair at 1e3-token range; beyond that, pre-bin lengths."""
+    from database_migrator_spark.operators.dedup import tokens_of
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    hist = (
+        d.select("source", F.size(tokens_of("text")).cast("long").alias("ln"))
+        .groupBy("source", "ln")
+        .agg(F.count("*").alias("c"))
+        # bounded (sources × distinct lengths); pair fan-out + totals
+        # both read it — checkpoint so the corpus aggregate runs once
+        .localCheckpoint(eager=True)
+    )
+    tots = hist.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    pairs = (
+        tots.select(F.col("source").alias("sa"), F.col("n").alias("na"))
+        .join(
+            tots.select(F.col("source").alias("sb"), F.col("n").alias("nb")),
+            F.col("sa") < F.col("sb"),
+        )
+    )
+    ph = (
+        F.broadcast(pairs)
+        .join(hist, F.col("source").isin(F.col("sa"), F.col("sb")))
+        .groupBy("sa", "sb", "na", "nb", "ln")
+        .agg(
+            F.sum(F.when(F.col("source") == F.col("sa"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("ca"),
+            F.sum(F.when(F.col("source") == F.col("sb"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("cb"),
+        )
+    )
+    w = (
+        Window.partitionBy("sa", "sb")
+        .orderBy("ln")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w2 = Window.partitionBy("sa", "sb").orderBy("ln")
+    cum = ph.select(
+        "sa",
+        "sb",
+        "na",
+        "nb",
+        "ln",
+        F.sum("ca").over(w).alias("cuma"),
+        F.sum("cb").over(w).alias("cumb"),
+        F.coalesce(F.lead("ln").over(w2) - F.col("ln"), F.lit(0)).alias("gap"),
+    )
+    dev = F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na")) * F.col("gap")
+    return (
+        cum.groupBy("sa", "sb", "na", "nb")
+        .agg(
+            F.sum(dev).cast("long").alias("w1_num"),
+            (
+                F.sum(dev).cast("double")
+                / (F.col("na") * F.col("nb")).cast("double")
+            ).alias("w1_tokens"),
+        )
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            "w1_num",
+            "w1_tokens",
+        )
+        .orderBy("source_a", "source_b")
+    )

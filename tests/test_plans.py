@@ -465,6 +465,17 @@ def test_exact_substring_spans_shuffled_join_docwise_islands(spark):
     assert "Window" in p
 
 
+def test_wasserstein_bounded_pair_frames(spark):
+    """q297: one corpus aggregate to the (source, length) histogram; the
+    pair fan-out joins a BROADCAST bounded pair list (sources², tiny) —
+    no sort-merge join, no cartesian product."""
+    p = plan_of(spark, "q297_wasserstein_length_shift")
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "Window" in p
+    assert "HashAggregate" in p
+
+
 def test_temporal_reachability_bounded_output_no_cartesian(spark):
     """q296: the per-round relaxation joins live behind localCheckpoints
     (declared substrate); the FINAL plan is the bounded monthly-bucket

@@ -218,3 +218,60 @@ def test_q296_temporal_never_exceeds_static_reach(catalog, spark):
     # q147 runs 6 hops vs q296's 4 relaxation rounds over the same
     # (u, v) support — static reach (ignoring time) dominates
     assert out["n_nodes"].sum() <= bfs["n_nodes"].sum()
+
+
+# --- q297 Wasserstein-1 length shift -----------------------------------------
+
+
+def _replay_w1(sf):
+    docs = pd.read_parquet(f"{sf}/documents.parquet")[["source", "text"]]
+    docs["ln"] = docs["text"].map(
+        lambda t: len([x for x in re.split(r"\s+", t.lower()) if x])
+    )
+    import numpy as np
+
+    out = []
+    srcs = sorted(docs["source"].unique())
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            la = np.sort(docs.loc[docs["source"] == a, "ln"].to_numpy())
+            lb = np.sort(docs.loc[docs["source"] == b, "ln"].to_numpy())
+            support = np.unique(np.concatenate([la, lb]))
+            fa = np.searchsorted(la, support, side="right") / len(la)
+            fb = np.searchsorted(lb, support, side="right") / len(lb)
+            gaps = np.diff(support)
+            w1 = float(np.sum(np.abs(fa[:-1] - fb[:-1]) * gaps))
+            out.append((a, b, len(la), len(lb), w1))
+    return pd.DataFrame(
+        out, columns=["source_a", "source_b", "n_a", "n_b", "w1_tokens"]
+    )
+
+
+def test_q297_matches_numpy_cdf_integral(catalog, spark):
+    out = _run(catalog, spark, "q297_wasserstein_length_shift").reset_index(drop=True)
+    exp = _replay_w1(SF)
+    assert len(out) == len(exp) > 0
+    m = out.merge(exp, on=["source_a", "source_b"], suffixes=("", "_exp"))
+    assert (m["n_a"] == m["n_a_exp"]).all() and (m["n_b"] == m["n_b_exp"]).all()
+    assert (abs(m["w1_tokens"] - m["w1_tokens_exp"]) < 1e-9).all()
+    # metric sanity: symmetric support handled, non-negative, and the
+    # exact integer numerator reproduces the double
+    assert (out["w1_num"] >= 0).all()
+    assert (
+        abs(out["w1_num"] / (out["n_a"] * out["n_b"]) - out["w1_tokens"]) < 1e-12
+    ).all()
+
+
+def test_q297_triangle_inequality(catalog, spark):
+    """W1 is a metric: for every source triple, d(a,c) <= d(a,b)+d(b,c)."""
+    out = _run(catalog, spark, "q297_wasserstein_length_shift")
+    d = {}
+    for r in out.itertuples(index=False):
+        d[(r.source_a, r.source_b)] = r.w1_tokens
+        d[(r.source_b, r.source_a)] = r.w1_tokens
+    srcs = sorted({s for p in d for s in p})
+    for a in srcs:
+        for b in srcs:
+            for c in srcs:
+                if len({a, b, c}) == 3:
+                    assert d[(a, c)] <= d[(a, b)] + d[(b, c)] + 1e-9

@@ -294,6 +294,7 @@ PROBE_QUERIES = [
     "q294_exact_substring_spans",
     "q295_decision_stump_split",
     "q296_temporal_reachability",
+    "q297_wasserstein_length_shift",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
