@@ -4667,3 +4667,151 @@ def q293_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# --- q298: rank-biased overlap between lexical rankers -----------------------
+
+_RBO_P = 0.9
+_RBO_K = 50
+#: (1-p)·p^(d-1)/d at 1e-15 fixed point, d = 1.._RBO_K — Python-precomputed
+#: decimal literals fed to BOTH engines (the q292 discount-array pattern),
+#: so no runtime transcendental ever runs near the hash.
+_RBO_W_FP = [
+    round((1.0 - _RBO_P) * _RBO_P ** (d - 1) / d * 1e15) for d in range(1, _RBO_K + 1)
+]
+
+
+@query(
+    "q298_rank_biased_overlap",
+    oracle=f"""
+    WITH {_LEX_BASE_ORACLE}, bm_scored AS (
+        SELECT t.doc_id,
+               CAST(ROUND(
+                   ln(CAST(2 * s.n_docs - 2 * q.df + 1 AS DOUBLE)
+                      / CAST(2 * q.df + 1 AS DOUBLE))
+                   * (CAST(22 * s.total * t.tf AS DOUBLE)
+                      / CAST(10 * s.total * t.tf + 3 * s.total
+                             + 9 * d.dl * s.n_docs AS DOUBLE))
+                   * 1000000000000) AS BIGINT) AS term_fp
+        FROM tf t JOIN qt q USING (term) JOIN dl d USING (doc_id), stats s
+    ), bm AS (
+        SELECT doc_id,
+               CAST(CAST(SUM(term_fp) AS BIGINT) AS DOUBLE)
+                   / 1000000000000.0 AS score
+        FROM bm_scored GROUP BY doc_id
+        ORDER BY score DESC, doc_id LIMIT {_RBO_K}
+    ), bm_rank AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                    AS BIGINT) AS r
+        FROM bm
+    ), cf AS (
+        SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY 1
+    ), qtc AS (
+        SELECT qt.term, cf.cf FROM qt JOIN cf USING (term)
+    ), grid AS (
+        SELECT dl.doc_id, dl.dl, qtc.term, qtc.cf, s.total
+        FROM dl CROSS JOIN qtc, stats s
+    ), ql_scored AS (
+        SELECT g.doc_id,
+               CAST(ROUND(
+                   ln(CAST(COALESCE(t.tf, 0) * g.total + 2000 * g.cf
+                           AS DOUBLE)
+                      / CAST((g.dl + 2000) * g.total AS DOUBLE))
+                   * 1000000000000) AS BIGINT) AS term_fp
+        FROM grid g
+        LEFT JOIN tf t ON t.doc_id = g.doc_id AND t.term = g.term
+    ), ql AS (
+        SELECT doc_id,
+               CAST(CAST(SUM(term_fp) AS BIGINT) AS DOUBLE)
+                   / 1000000000000.0 AS score
+        FROM ql_scored GROUP BY doc_id
+        ORDER BY score DESC, doc_id LIMIT {_RBO_K}
+    ), ql_rank AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                    AS BIGINT) AS r
+        FROM ql
+    ), shared AS (
+        SELECT GREATEST(b.r, q.r) AS m
+        FROM bm_rank b JOIN ql_rank q USING (doc_id)
+    ), depths(d, w_fp) AS (
+        SELECT * FROM (VALUES {", ".join(f"({d}, CAST({w} AS BIGINT))" for d, w in zip(range(1, _RBO_K + 1), _RBO_W_FP))})
+    ), ov AS (
+        SELECT dp.d, dp.w_fp, CAST(COUNT(s.m) AS BIGINT) AS overlap
+        FROM depths dp LEFT JOIN shared s ON s.m <= dp.d
+        GROUP BY dp.d, dp.w_fp
+    )
+    SELECT d AS depth, overlap,
+           CAST(overlap AS DOUBLE) / CAST(d AS DOUBLE) AS agreement,
+           CAST(w_fp * overlap AS DOUBLE) / 1000000000000000.0 AS term,
+           CAST(CAST(SUM(w_fp * overlap)
+                     OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS DOUBLE)
+               / 1000000000000000.0 AS rbo_cum
+    FROM ov
+    ORDER BY depth
+    """,
+    tags=("text", "retrieval", "evaluation", "rbo", "llm-pipeline"),
+    checkpointed_substrate=True,
+)
+def q298_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK-BIASED OVERLAP (Webber et al.) between the BM25 (q191) and
+    QLD (q196) rankings — the ranking-AGREEMENT metric completing the
+    eval family (q292 measures quality vs relevance; RBO measures how
+    much two rankers agree, top-weighted so rank-1 disagreement costs
+    more than rank-50): RBO@{_RBO_K} = (1-p)·Σ_d p^(d-1)·|A_d ∩ B_d|/d
+    with persistence p = {_RBO_P}. The weights are Python-precomputed
+    1e-15 fixed-point literals fed to both engines (q292's
+    discount-array pattern), overlaps are exact integers (a shared doc
+    enters the intersection at depth max(r_A, r_B)), and the cumulative
+    RBO is a BIGINT prefix sum — order-independent, no runtime
+    transcendental near the hash.
+
+    Scale shape: both rankings reuse the ONE cached tf substrate (the
+    whole retrieval family's single corpus scan) and reduce via
+    top-{_RBO_K} (TakeOrdered); everything after — the rank join, entry
+    depths, the depth×shared inequality join, prefix sum — runs on
+    ≤{_RBO_K}-row bounded frames (single-partition windows legal
+    here)."""
+    from pyspark.sql import Window
+
+    def ranked(scores: DataFrame) -> DataFrame:
+        top = scores.orderBy(F.col("score").desc(), "doc_id").limit(_RBO_K)
+        w = Window.orderBy(F.col("score").desc(), "doc_id")  # bounded rows
+        return top.select(
+            "doc_id", F.row_number().over(w).cast("long").alias("r")
+        )
+
+    bm = ranked(_bm25_doc_scores(spark, sf_dir))
+    ql = ranked(_qld_doc_scores(spark, sf_dir)).withColumnRenamed("r", "rq")
+    shared = bm.join(ql, "doc_id").select(
+        F.greatest(F.col("r"), F.col("rq")).alias("m")
+    )
+    warr = F.array(*[F.lit(w) for w in _RBO_W_FP])
+    depths = spark.range(1, _RBO_K + 1).select(
+        F.col("id").alias("d"), F.element_at(warr, F.col("id").cast("int")).alias("w_fp")
+    )
+    ov = (
+        depths.join(F.broadcast(shared), F.col("m") <= F.col("d"), "left")
+        .groupBy("d", "w_fp")
+        .agg(F.count("m").alias("overlap"))
+    )
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ov.select(
+            F.col("d").alias("depth"),
+            "overlap",
+            (F.col("overlap").cast("double") / F.col("d").cast("double")).alias(
+                "agreement"
+            ),
+            ((F.col("w_fp") * F.col("overlap")).cast("double") / F.lit(1e15)).alias(
+                "term"
+            ),
+            (
+                F.sum(F.col("w_fp") * F.col("overlap")).over(wcum).cast("double")
+                / F.lit(1e15)
+            ).alias("rbo_cum"),
+        )
+        .orderBy("depth")
+    )

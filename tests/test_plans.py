@@ -465,6 +465,19 @@ def test_exact_substring_spans_shuffled_join_docwise_islands(spark):
     assert "Window" in p
 
 
+def test_rbo_reuses_tf_substrate_bounded_tail(spark):
+    """q298: both rankings read the ONE cached tf checkpoint (declared
+    substrate); the only sort-merge joins are the two inherited
+    corpus-scale scorer joins (BM25's postings-x-doclength inner join
+    from q191, QLD's grid left-join against the postings from q196 —
+    both must shuffle); both top-50 reductions are TakeOrdered, and the
+    bounded tail never introduces a cartesian product."""
+    p = plan_of(spark, "q298_rank_biased_overlap")
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
+    assert p.count("SortMergeJoin") == 2  # the two scorer joins, nothing else
+
+
 def test_wasserstein_bounded_pair_frames(spark):
     """q297: one corpus aggregate to the (source, length) histogram; the
     pair fan-out joins a BROADCAST bounded pair list (sources², tiny) —

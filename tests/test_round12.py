@@ -275,3 +275,42 @@ def test_q297_triangle_inequality(catalog, spark):
             for c in srcs:
                 if len({a, b, c}) == 3:
                     assert d[(a, c)] <= d[(a, b)] + d[(b, c)] + 1e-9
+
+
+# --- q298 rank-biased overlap --------------------------------------------------
+
+
+def test_q298_rbo_invariants(catalog, spark):
+    """Algebraic invariants of RBO: overlap is non-decreasing in depth
+    and bounded by depth; agreement in [0,1]; rbo_cum non-decreasing and
+    bounded by the full-weight prefix sum (= value if the two rankings
+    were identical); terms reproduce the Python-precomputed weights."""
+    out = _run(catalog, spark, "q298_rank_biased_overlap")
+    assert len(out) == 50
+    ov = out.sort_values("depth")["overlap"].to_numpy()
+    assert (ov[1:] >= ov[:-1]).all()
+    assert (out["overlap"] <= out["depth"]).all()
+    assert ((out["agreement"] >= 0) & (out["agreement"] <= 1)).all()
+    rc = out.sort_values("depth")["rbo_cum"].to_numpy()
+    assert (rc[1:] >= rc[:-1] - 1e-15).all()
+    p = 0.9
+    w_fp = [round((1 - p) * p ** (d - 1) / d * 1e15) for d in range(1, 51)]
+    perfect = sum(w * d for w, d in zip(w_fp, range(1, 51))) / 1e15
+    assert rc[-1] <= perfect + 1e-12
+    # per-depth term = w_fp * overlap exactly
+    for d, o, t in zip(out["depth"], out["overlap"], out["term"]):
+        assert abs(t - w_fp[d - 1] * o / 1e15) < 1e-15
+
+
+def test_q298_overlap_matches_q191_q196_prefixes(catalog, spark):
+    """Cross-check the overlap column against the registry's OWN q191
+    (BM25 top-20) and q196 (QLD top-20) outputs: for every depth d <= 20,
+    overlap(d) must equal |bm_top_d ∩ ql_top_d| recomputed from those
+    independently-built rankings."""
+    out = _run(catalog, spark, "q298_rank_biased_overlap").sort_values("depth")
+    bm = _run(catalog, spark, "q191_bm25_topk")["doc_id"].tolist()
+    ql = _run(catalog, spark, "q196_qld_topk")["doc_id"].tolist()
+    for d in range(1, min(20, len(bm), len(ql)) + 1):
+        expected = len(set(bm[:d]) & set(ql[:d]))
+        got = int(out.loc[out["depth"] == d, "overlap"].iloc[0])
+        assert got == expected, (d, got, expected)

@@ -295,6 +295,7 @@ PROBE_QUERIES = [
     "q295_decision_stump_split",
     "q296_temporal_reachability",
     "q297_wasserstein_length_shift",
+    "q298_rank_biased_overlap",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
