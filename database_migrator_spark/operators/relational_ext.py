@@ -1627,3 +1627,136 @@ def q291_broadcast_decision_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("join_name")
     )
+
+
+# --- q299: shuffle/scan partition-sizing advisor -----------------------------
+
+_PART_TARGET = 128 * 1024 * 1024  # post-shuffle partition target: 128 MiB
+_SCAN_SLOTS = 64  # want >= 2x the 32-core session in scan parallelism
+_MPB_LADDER = [16, 32, 64, 128, 256, 512, 1024]  # MiB steps for mpb
+_MIN_PARTS = 32  # never recommend fewer shuffle partitions than cores
+
+
+def _mpb_case_sql(x: str) -> str:
+    steps = " ".join(
+        f"WHEN {x} <= {m * 1024 * 1024} THEN {m * 1024 * 1024}"
+        for m in _MPB_LADDER[:-1]
+    )
+    return f"CASE {steps} ELSE {_MPB_LADDER[-1] * 1024 * 1024} END"
+
+
+@query(
+    "q299_partition_sizing_advisor",
+    oracle=f"""
+    WITH sides AS (
+        SELECT 'documents' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(8 * 2 + CEIL(AVG(len(text) + len(lang) + len(source)))
+                    AS BIGINT) AS row_bytes
+        FROM documents
+        UNION ALL
+        SELECT 'events', CAST(COUNT(*) AS BIGINT),
+               CAST(8 * 4 + CEIL(AVG(len(event_type) + len(props)))
+                    AS BIGINT)
+        FROM events
+        UNION ALL
+        SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+               CAST(8 * 9 + CEIL(AVG(len(l_returnflag) + len(l_linestatus)))
+                    AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+               CAST(8 * 4 + CEIL(AVG(len(o_orderstatus) + len(o_orderpriority)))
+                    AS BIGINT)
+        FROM orders
+    ), est AS (
+        SELECT tbl, n_rows, row_bytes,
+               CAST(n_rows * row_bytes AS BIGINT) AS est_bytes
+        FROM sides
+    )
+    SELECT tbl, n_rows, row_bytes, est_bytes,
+           CAST(GREATEST({_MIN_PARTS},
+                (est_bytes + {_PART_TARGET} - 1) // {_PART_TARGET})
+                AS BIGINT) AS rec_shuffle_partitions,
+           CAST(n_rows // GREATEST({_MIN_PARTS},
+                (est_bytes + {_PART_TARGET} - 1) // {_PART_TARGET})
+                AS BIGINT) AS rows_per_partition,
+           CAST({_mpb_case_sql(f"(est_bytes + {_SCAN_SLOTS} - 1) // {_SCAN_SLOTS}")}
+                AS BIGINT) AS rec_max_partition_bytes
+    FROM est
+    ORDER BY tbl
+    """,
+    tags=("relational", "optimizer-stats", "partitioning", "advisor", "cbo"),
+    checkpointed_substrate=True,
+)
+def q299_partition_sizing_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-SIZING advisor — the fourth physical-design knob after
+    zone maps (q277), encodings (q285) and broadcast decisions (q291),
+    and the one this repo's own tuning doctrine calls load-bearing:
+    size `spark.sql.shuffle.partitions` and
+    `spark.sql.files.maxPartitionBytes` so partitions fit executor
+    memory at the target SF. Per big table, the planner-style size
+    estimate (rows × [8 B/numeric + measured avg string width], q291's
+    convention) yields (a) recommended shuffle partitions =
+    max(cores, ⌈est/128 MiB⌉) — the spill-avoidance floor — and (b) a
+    maxPartitionBytes pick: est/{_SCAN_SLOTS} rounded UP onto the
+    16 MiB–1 GiB power-of-two ladder via pure INTEGER comparisons (the
+    q285 lesson: never a runtime float log near the hash). One stats
+    aggregate per table, bounded 4-row assembly; ceil-division is
+    (a+b−1) intdiv b on non-negative BIGINTs, identical both engines.
+    The AVG width is a SINGLE division of exact BIGINTs — both engines
+    produce the identical IEEE double, so its CEIL cannot diverge
+    (unlike a libm log)."""
+    specs = {
+        "documents": (
+            "documents",
+            2,
+            F.length("text") + F.length("lang") + F.length("source"),
+        ),
+        "events": ("events", 4, F.length("event_type") + F.length("props")),
+        "lineitem": (
+            "lineitem",
+            9,
+            F.length("l_returnflag") + F.length("l_linestatus"),
+        ),
+        "orders": (
+            "orders",
+            4,
+            F.length("o_orderstatus") + F.length("o_orderpriority"),
+        ),
+    }
+    sides = None
+    for name, (tbl, n_num, strw) in specs.items():
+        s = (
+            table(spark, sf_dir, tbl)
+            .agg(
+                F.count("*").alias("n_rows"),
+                (F.lit(8 * n_num) + F.ceil(F.avg(strw))).cast("long").alias("row_bytes"),
+            )
+            .select(F.lit(name).alias("tbl"), "n_rows", "row_bytes")
+        )
+        sides = s if sides is None else sides.unionByName(s)
+    est_bytes = (F.col("n_rows") * F.col("row_bytes")).alias("est_bytes")
+    est = sides.select("tbl", "n_rows", "row_bytes", est_bytes).localCheckpoint(
+        eager=True  # 4 rows; every derived column reads it
+    )
+    rec_parts = F.greatest(
+        F.lit(_MIN_PARTS).cast("long"),
+        int_div(F.col("est_bytes") + F.lit(_PART_TARGET - 1), F.lit(_PART_TARGET)),
+    )
+    scan_chunk = int_div(
+        F.col("est_bytes") + F.lit(_SCAN_SLOTS - 1), F.lit(_SCAN_SLOTS)
+    )
+    mpb = F.lit(_MPB_LADDER[-1] * 1024 * 1024).cast("long")
+    for m in reversed(_MPB_LADDER[:-1]):
+        mpb = F.when(
+            scan_chunk <= m * 1024 * 1024, F.lit(m * 1024 * 1024).cast("long")
+        ).otherwise(mpb)
+    return est.select(
+        "tbl",
+        "n_rows",
+        "row_bytes",
+        "est_bytes",
+        rec_parts.cast("long").alias("rec_shuffle_partitions"),
+        int_div(F.col("n_rows"), rec_parts).cast("long").alias("rows_per_partition"),
+        mpb.alias("rec_max_partition_bytes"),
+    ).orderBy("tbl")

@@ -465,6 +465,16 @@ def test_exact_substring_spans_shuffled_join_docwise_islands(spark):
     assert "Window" in p
 
 
+def test_partition_advisor_stats_only_plan(spark):
+    """q299: one aggregate per table feeds the 4-row checkpointed stats
+    frame (declared substrate); the FINAL plan is pure bounded tail —
+    no join of any kind, no cartesian, reading the checkpoint."""
+    p = plan_of(spark, "q299_partition_sizing_advisor")
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
+    assert "ExistingRDD" in p
+
+
 def test_rbo_reuses_tf_substrate_bounded_tail(spark):
     """q298: both rankings read the ONE cached tf checkpoint (declared
     substrate); the only sort-merge joins are the two inherited

@@ -314,3 +314,42 @@ def test_q298_overlap_matches_q191_q196_prefixes(catalog, spark):
         expected = len(set(bm[:d]) & set(ql[:d]))
         got = int(out.loc[out["depth"] == d, "overlap"].iloc[0])
         assert got == expected, (d, got, expected)
+
+
+# --- q299 partition-sizing advisor --------------------------------------------
+
+
+def test_q299_matches_pandas_width_replay(catalog, spark):
+    """Independent width/size replay (q291's convention): rows x
+    [8 B/numeric + ceil(avg string width)], then the ceil-division and
+    power-of-two ladder in pure python."""
+    out = _run(catalog, spark, "q299_partition_sizing_advisor").set_index("tbl")
+    import math
+
+    specs = {
+        "documents": (2, ["text", "lang", "source"]),
+        "events": (4, ["event_type", "props"]),
+        "lineitem": (9, ["l_returnflag", "l_linestatus"]),
+        "orders": (4, ["o_orderstatus", "o_orderpriority"]),
+    }
+    target, slots = 128 * 1024 * 1024, 64
+    ladder = [16, 32, 64, 128, 256, 512, 1024]
+    for tbl, (n_num, strs) in specs.items():
+        df = pd.read_parquet(f"{SF}/{tbl}.parquet", columns=strs)
+        width = 8 * n_num + math.ceil(
+            sum(df[c].str.len().sum() for c in strs) / len(df)
+        )
+        est = len(df) * width
+        row = out.loc[tbl]
+        assert row["n_rows"] == len(df)
+        assert row["row_bytes"] == width
+        assert row["est_bytes"] == est
+        rec = max(32, -(-est // target))
+        assert row["rec_shuffle_partitions"] == rec
+        assert row["rows_per_partition"] == len(df) // rec
+        chunk = -(-est // slots)
+        mpb = next(
+            (m * 1024 * 1024 for m in ladder if chunk <= m * 1024 * 1024),
+            ladder[-1] * 1024 * 1024,
+        )
+        assert row["rec_max_partition_bytes"] == mpb

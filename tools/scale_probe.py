@@ -296,6 +296,7 @@ PROBE_QUERIES = [
     "q296_temporal_reachability",
     "q297_wasserstein_length_shift",
     "q298_rank_biased_overlap",
+    "q299_partition_sizing_advisor",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
