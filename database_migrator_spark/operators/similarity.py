@@ -2636,3 +2636,154 @@ def q284_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nprobe")
     )
+
+
+# --- q300: greedy k-center coreset selection ---------------------------------
+
+_KC_K = 6  # centers; the oracle unrolls exactly this many stages
+
+
+def _kcenter_oracle() -> str:
+    """Unrolled (non-recursive) k-stage SQL replaying the EXACT greedy
+    schedule: stage i picks argmax-min-distance (ties to the smaller
+    vec_id), then relaxes every vector's min-distance against the new
+    center.  Unrolling beats a recursive CTE here because each stage
+    needs an ORDER BY ... LIMIT 1 argmax, which the recursive grammar
+    disallows; _KC_K is small and fixed, so the text stays bounded."""
+    def d2(a: str, b: str) -> str:
+        return (
+            f"CAST(list_sum(list_transform(list_zip({a}, {b}), "
+            f"p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+        )
+
+    ctes = [
+        """q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS e
+        FROM embeddings
+    )""",
+        "c1 AS (SELECT vec_id AS c_id, e AS ce FROM q ORDER BY vec_id LIMIT 1)",
+        f"m1 AS (SELECT q.vec_id, q.e, {d2('q.e', 'c1.ce')} AS mind FROM q, c1)",
+        "r1 AS (SELECT 1 AS rnd, c1.c_id, CAST(MAX(m1.mind) AS BIGINT)"
+        " AS radius_sq_fp FROM m1, c1 GROUP BY c1.c_id)",
+    ]
+    for i in range(2, _KC_K + 1):
+        p = i - 1
+        ctes.append(
+            f"c{i} AS (SELECT vec_id AS c_id, e AS ce FROM m{p}"
+            f" ORDER BY mind DESC, vec_id LIMIT 1)"
+        )
+        ctes.append(
+            f"m{i} AS (SELECT m{p}.vec_id, m{p}.e, LEAST(m{p}.mind,"
+            f" {d2(f'm{p}.e', f'c{i}.ce')}) AS mind FROM m{p}, c{i})"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT {i} AS rnd, c{i}.c_id, CAST(MAX(m{i}.mind)"
+            f" AS BIGINT) AS radius_sq_fp FROM m{i}, c{i} GROUP BY c{i}.c_id)"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM r{i}" for i in range(1, _KC_K + 1))
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT rnd AS round, c_id AS center_vec_id, radius_sq_fp,
+           CAST(radius_sq_fp AS DOUBLE) / 1000000000000.0 AS radius_sq
+    FROM ({union})
+    ORDER BY round"""
+    )
+
+
+@query(
+    "q300_kcenter_coreset",
+    oracle=_kcenter_oracle(),
+    tags=("similarity", "coreset", "k-center", "diversity", "llm-pipeline"),
+    checkpointed_substrate=True,
+)
+def q300_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy K-CENTER coreset selection (Gonzalez's farthest-first
+    2-approximation) — the diverse-subset-selection step of embedding
+    curation, a different GOAL from everything in the clustering family
+    (q92/q105/q263 minimize inertia, q109 removes redundancy, q248
+    mines hard negatives): pick {_KC_K} vectors that MAXIMIZE coverage —
+    each round adds the vector farthest from every chosen center
+    (argmax of min-distance, ties to the smaller vec_id) and reports
+    the covering radius, the quantity the 2-approx guarantee bounds.
+
+    A FIFTH iterative shape: argmax-SELECTION (the state is a chosen
+    SET plus per-point min-distances), vs frontier BFS (q147),
+    min-label contraction (q72), linear recurrence (q110), min-plus
+    relaxation (q296).  Per round: ONE broadcast of the single new
+    center row, a 64-dim exact-integer squared-L2 fold per vector
+    (quantized 1e6 fixed point -> diffs^2 sum <= 2.6e14, double- AND
+    int64-exact), a TakeOrdered(1) argmax, and a max-aggregate radius
+    — the node-scale min-distance frame localCheckpoints per round
+    (the q110/q252 discipline).  The oracle unrolls the same {_KC_K}
+    stages as plain CTEs (argmax needs ORDER BY/LIMIT, which recursive
+    grammar disallows).  Radii are exact BIGINTs, monotonically
+    non-increasing by construction (the unit test asserts it)."""
+    emb = spread_for_cpu(table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * F.lit(1000000.0)).cast("long"),
+        ).alias("e"),
+    )
+
+    def d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    seed = (
+        emb.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("vec_id").alias("c_id"), F.col("e").alias("ce"))
+        .localCheckpoint(eager=True)
+    )
+    mind = (
+        emb.crossJoin(F.broadcast(seed))
+        .select("vec_id", "e", d2(F.col("e"), F.col("ce")).alias("mind"))
+        .localCheckpoint(eager=True)  # node-scale state, re-read per round
+    )
+    rounds = [
+        seed.crossJoin(mind.agg(F.max("mind").alias("radius_sq_fp"))).select(
+            F.lit(1).cast("long").alias("round"),
+            F.col("c_id").alias("center_vec_id"),
+            "radius_sq_fp",
+        )
+    ]
+    for i in range(2, _KC_K + 1):
+        nxt = (
+            mind.orderBy(F.col("mind").desc(), "vec_id")
+            .limit(1)
+            .select(F.col("vec_id").alias("c_id"), F.col("e").alias("ce"))
+            .localCheckpoint(eager=True)
+        )
+        mind = (
+            mind.crossJoin(F.broadcast(nxt))
+            .select(
+                "vec_id",
+                "e",
+                F.least(F.col("mind"), d2(F.col("e"), F.col("ce"))).alias("mind"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        rounds.append(
+            nxt.crossJoin(mind.agg(F.max("mind").alias("radius_sq_fp"))).select(
+                F.lit(i).cast("long").alias("round"),
+                F.col("c_id").alias("center_vec_id"),
+                "radius_sq_fp",
+            )
+        )
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "round",
+        "center_vec_id",
+        "radius_sq_fp",
+        (F.col("radius_sq_fp").cast("double") / F.lit(1e12)).alias("radius_sq"),
+    ).orderBy("round")

@@ -465,6 +465,16 @@ def test_exact_substring_spans_shuffled_join_docwise_islands(spark):
     assert "Window" in p
 
 
+def test_kcenter_bounded_assembly_no_shuffle_join(spark):
+    """q300: the per-round relaxations live behind localCheckpoints
+    (declared substrate); the FINAL plan is the bounded k-row union of
+    per-round (center, radius) frames — no sort-merge join, no
+    cartesian product beyond the broadcast 1-row center attaches."""
+    p = plan_of(spark, "q300_kcenter_coreset")
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
 def test_partition_advisor_stats_only_plan(spark):
     """q299: one aggregate per table feeds the 4-row checkpointed stats
     frame (declared substrate); the FINAL plan is pure bounded tail —

@@ -353,3 +353,61 @@ def test_q299_matches_pandas_width_replay(catalog, spark):
             ladder[-1] * 1024 * 1024,
         )
         assert row["rec_max_partition_bytes"] == mpb
+
+
+# --- q300 k-center coreset ----------------------------------------------------
+
+
+def _replay_kcenter(sf, k=6):
+    import numpy as np
+
+    df = pd.read_parquet(f"{sf}/embeddings.parquet")[["vec_id", "embedding"]]
+    ids = df["vec_id"].to_numpy()
+    E = np.rint(np.stack(df["embedding"].to_numpy()).astype(np.float64) * 1e6).astype(
+        np.int64
+    )
+    order = np.argsort(ids)
+    ids, E = ids[order], E[order]
+    centers, radii = [int(ids[0])], []
+    mind = ((E - E[0]) ** 2).sum(axis=1)
+    radii.append(int(mind.max()))
+    for _ in range(k - 1):
+        # argmax of (mind, then smallest vec_id): ids sorted asc, so the
+        # FIRST index attaining the max is the tie-winner
+        j = int(np.argmax(mind))
+        centers.append(int(ids[j]))
+        mind = np.minimum(mind, ((E - E[j]) ** 2).sum(axis=1))
+        radii.append(int(mind.max()))
+    return centers, radii
+
+
+def test_q300_matches_numpy_greedy_replay(catalog, spark):
+    out = _run(catalog, spark, "q300_kcenter_coreset").sort_values("round")
+    centers, radii = _replay_kcenter(SF)
+    assert out["center_vec_id"].tolist() == centers
+    assert out["radius_sq_fp"].tolist() == radii
+    # 2-approx invariant surface: radii are monotonically non-increasing,
+    # and the reported double is the exact fp/1e12
+    r = out["radius_sq_fp"].to_numpy()
+    assert (r[1:] <= r[:-1]).all()
+    assert (abs(out["radius_sq"] - out["radius_sq_fp"] / 1e12) < 1e-12).all()
+
+
+def test_q300_selected_centers_are_pairwise_farther_than_final_radius(catalog, spark):
+    """Gonzalez guarantee: every pair of selected centers is separated by
+    at least the final covering radius (each new center was, at selection
+    time, at distance >= the then-radius from ALL earlier centers, and
+    radii only shrink)."""
+    import numpy as np
+
+    out = _run(catalog, spark, "q300_kcenter_coreset").sort_values("round")
+    df = pd.read_parquet(f"{SF}/embeddings.parquet").set_index("vec_id")
+    E = {
+        int(v): np.rint(np.asarray(df.loc[v, "embedding"], dtype=np.float64) * 1e6).astype(np.int64)
+        for v in out["center_vec_id"]
+    }
+    final_r = int(out["radius_sq_fp"].iloc[-1])
+    cs = out["center_vec_id"].tolist()
+    for i, a in enumerate(cs):
+        for b in cs[i + 1 :]:
+            assert int(((E[a] - E[b]) ** 2).sum()) >= final_r

@@ -297,6 +297,7 @@ PROBE_QUERIES = [
     "q297_wasserstein_length_shift",
     "q298_rank_biased_overlap",
     "q299_partition_sizing_advisor",
+    "q300_kcenter_coreset",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
