@@ -29,7 +29,7 @@ import pandas as pd  # module-global: postponed annotations in pandas_udf
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from database_migrator_spark.functions.exact import int_div, to_cents
+from database_migrator_spark.functions.exact import exactness_guard, int_div, to_cents
 
 from database_migrator_spark.plans.registry import query
 from database_migrator_spark.sources import spread_for_cpu, table
@@ -2224,3 +2224,185 @@ def q238_simhash_hamming_portable(spark: SparkSession, sf_dir: str) -> DataFrame
     same bounded-fan-out regime as q29."""
     d = table(spark, sf_dir, "documents")
     return simhash_hamming_portable(spread_for_cpu(d)).orderBy("a_id", "b_id")
+
+
+# ---------------------------------------------------------------------------
+# q301 — capture-recapture (Chapman) coverage audit of the two portable
+# near-dup detectors: how many TRUE near-dup pairs does NEITHER catch?
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q301_capture_recapture_dedup",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           t -> len(t) > 0) AS t
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                    THEN list_distinct(list_transform(
+                             generate_series(1, len(t) - 2),
+                             i -> array_to_string(t[i:i+2], ' ')))
+                    ELSE [array_to_string(t, ' ')]
+               END AS s
+        FROM toks
+    ), shx AS (
+        SELECT doc_id, unnest(s) AS g FROM sh
+    ), slots AS (
+        SELECT unnest(generate_series(0, 63)) AS j
+    ), sig AS (
+        SELECT doc_id, j,
+               MIN(substr(md5(CAST(j AS VARCHAR) || ' ' || g), 1, 12)) AS s12
+        FROM shx CROSS JOIN slots
+        GROUP BY 1, 2
+    ), bnd AS (
+        SELECT doc_id, j // 4 AS band,
+               MIN(CASE WHEN j % 4 = 0 THEN s12 END)
+               || MIN(CASE WHEN j % 4 = 1 THEN s12 END)
+               || MIN(CASE WHEN j % 4 = 2 THEN s12 END)
+               || MIN(CASE WHEN j % 4 = 3 THEN s12 END) AS bkey
+        FROM sig
+        GROUP BY 1, 2
+        QUALIFY COUNT(*) OVER (PARTITION BY band, bkey) <= 1000
+    ), mh_cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bnd a
+        JOIN bnd b ON a.band = b.band AND a.bkey = b.bkey
+                   AND a.doc_id < b.doc_id
+    ), A AS (
+        SELECT c.a_id, c.b_id
+        FROM mh_cand c
+        JOIN sh sa ON sa.doc_id = c.a_id
+        JOIN sh sb ON sb.doc_id = c.b_id
+        WHERE 5 * LEAST(len(sa.s), len(sb.s))
+                  >= 3 * GREATEST(len(sa.s), len(sb.s))
+          AND 5 * len(list_intersect(sa.s, sb.s))
+                  >= 3 * len(list_distinct(list_concat(sa.s, sb.s)))
+    ), th AS (
+        SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 12) AS BIGINT) AS h
+        FROM (SELECT doc_id, unnest(t) AS tok FROM toks WHERE len(t) >= 1)
+    ), bits AS (
+        SELECT doc_id, b,
+               CAST(SUM(2 * ((h >> b) & 1) - 1) AS BIGINT) AS s
+        FROM th CROSS JOIN (SELECT unnest(generate_series(0, 47)) AS b)
+        GROUP BY 1, 2
+    ), ssk AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+                             ELSE 0 END) AS BIGINT) AS sk
+        FROM bits GROUP BY 1
+    ), sbnd AS (
+        SELECT doc_id, sk, k AS band, (sk >> (12 * k)) & 4095 AS bv
+        FROM ssk CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k)
+    ), sh_cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM sbnd a JOIN sbnd b
+          ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sk, b.sk)) <= 3
+    ), B AS (
+        SELECT c.a_id, c.b_id
+        FROM sh_cand c
+        JOIN sh sa ON sa.doc_id = c.a_id
+        JOIN sh sb ON sb.doc_id = c.b_id
+        WHERE 5 * len(list_intersect(sa.s, sb.s))
+                  >= 3 * len(list_distinct(list_concat(sa.s, sb.s)))
+    ), counts AS (
+        SELECT (SELECT COUNT(*) FROM A) AS na,
+               (SELECT COUNT(*) FROM B) AS nb,
+               (SELECT COUNT(*) FROM A JOIN B USING (a_id, b_id)) AS m
+    )
+    SELECT CAST(na AS BIGINT) AS n_minhash,
+           CAST(nb AS BIGINT) AS n_simhash,
+           CAST(m AS BIGINT) AS n_both,
+           CAST(na + nb - m AS BIGINT) AS n_union,
+           CAST((na + 1) * (nb + 1) * 1000000 // (m + 1) - 1000000
+                AS BIGINT) AS chapman_fp,
+           CAST((na + 1) * (nb + 1) * 1000000 // (m + 1) - 1000000
+                AS DOUBLE) / 1000000.0 AS chapman_total,
+           CAST(na * 1000000000000 //
+                ((na + 1) * (nb + 1) * 1000000 // (m + 1) - 1000000)
+                AS BIGINT) AS minhash_coverage_ppm,
+           CAST(nb * 1000000000000 //
+                ((na + 1) * (nb + 1) * 1000000 // (m + 1) - 1000000)
+                AS BIGINT) AS simhash_coverage_ppm
+    FROM counts
+    """,
+    tags=("dedup", "capture-recapture", "coverage", "audit", "llm-pipeline"),
+    checkpointed_substrate=True,
+)
+def q301_capture_recapture_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPTURE-RECAPTURE coverage audit of the fuzzy-dedup tier — the
+    Lincoln-Petersen/Chapman estimator ecology uses to count a
+    population nobody can enumerate, applied to TRUE near-dup pairs:
+    the two independent portable detectors (banded MinHash-LSH, q234;
+    pigeonhole SimHash, q238) each catch a verified subset of the same
+    truth (both catches end in the SAME exact-Jaccard >= 0.6 integer
+    check, so false positives are impossible — only candidate-
+    generation RECALL differs), and the overlap of the two catches
+    estimates the total: N-hat = (nA+1)(nB+1)/(m+1) - 1. The per-method
+    coverage nA/N-hat is the number a production dedup pipeline needs
+    before claiming "we removed the duplicates" — pairs NEITHER method
+    surfaces are invisible to any single-detector evaluation. (Standard
+    caveat, documented: Chapman assumes catch independence; correlated
+    detectors bias N-hat low, so the estimate is a FLOOR on what's
+    missed.)
+
+    All arithmetic is exact: counts are BIGINTs, the estimator is 1e-6
+    fixed point with floor division on provably non-negative operands
+    (int_div == DuckDB //), coverages are ppm BIGINTs; the doubles
+    derive from the fp by one division. Scale shape: both detector
+    pipelines are the verified banded/bucketed plans (never all-pairs);
+    the audit adds two bounded pair-set joins and a 1-row assembly."""
+    d = spread_for_cpu(table(spark, sf_dir, "documents"))
+    A = minhash_near_duplicates_portable(d).select("a_id", "b_id")
+    toks = tokens_of("text")
+    sh = d.select(
+        "doc_id", F.array_distinct(word_shingles(toks)).alias("s")
+    ).localCheckpoint(eager=True)  # shingle sets: read by both B-verify sides
+    B0 = simhash_hamming_portable(d).select("a_id", "b_id")
+    sa = sh.select(F.col("doc_id").alias("a_id"), F.col("s").alias("s_a"))
+    sb = sh.select(F.col("doc_id").alias("b_id"), F.col("s").alias("s_b"))
+    B = (
+        B0.join(sa.hint("shuffle_merge"), "a_id")
+        .join(sb.hint("shuffle_merge"), "b_id")
+        .where(
+            5 * F.size(F.array_intersect("s_a", "s_b"))
+            >= 3 * F.size(F.array_union("s_a", "s_b"))
+        )
+        .select("a_id", "b_id")
+    )
+    na = A.agg(F.count("*").alias("na"))
+    nb = B.agg(F.count("*").alias("nb"))
+    m = A.join(B, ["a_id", "b_id"]).agg(F.count("*").alias("m"))
+    chapman = int_div(
+        (F.col("na") + 1) * (F.col("nb") + 1) * F.lit(1_000_000), F.col("m") + 1
+    ) - F.lit(1_000_000)
+    return (
+        na.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(m))
+        .where(
+            exactness_guard(
+                ((F.col("na") + 1) * (F.col("nb") + 1)).cast("double")
+                <= F.lit(9.0e12),
+                "q301: catch sizes overflow the 1e-6 fixed-point Chapman "
+                "numerator (need (nA+1)(nB+1)*1e6 < 2^63)",
+            )
+        )
+        .select(
+            F.col("na").alias("n_minhash"),
+            F.col("nb").alias("n_simhash"),
+            F.col("m").alias("n_both"),
+            (F.col("na") + F.col("nb") - F.col("m")).alias("n_union"),
+            chapman.alias("chapman_fp"),
+            (chapman.cast("double") / F.lit(1e6)).alias("chapman_total"),
+            int_div(F.col("na") * F.lit(1_000_000_000_000), chapman).alias(
+                "minhash_coverage_ppm"
+            ),
+            int_div(F.col("nb") * F.lit(1_000_000_000_000), chapman).alias(
+                "simhash_coverage_ppm"
+            ),
+        )
+    )

@@ -465,6 +465,14 @@ def test_exact_substring_spans_shuffled_join_docwise_islands(spark):
     assert "Window" in p
 
 
+def test_capture_recapture_no_cartesian_banded_only(spark):
+    """q301: both detector pipelines stay banded/bucketed (never
+    all-pairs) and the audit tail is three 1-row broadcast attaches —
+    no cartesian product anywhere."""
+    p = plan_of(spark, "q301_capture_recapture_dedup")
+    assert "CartesianProduct" not in p
+
+
 def test_kcenter_bounded_assembly_no_shuffle_join(spark):
     """q300: the per-round relaxations live behind localCheckpoints
     (declared substrate); the FINAL plan is the bounded k-row union of

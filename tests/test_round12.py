@@ -411,3 +411,49 @@ def test_q300_selected_centers_are_pairwise_farther_than_final_radius(catalog, s
     for i, a in enumerate(cs):
         for b in cs[i + 1 :]:
             assert int(((E[a] - E[b]) ** 2).sum()) >= final_r
+
+
+# --- q301 capture-recapture coverage ------------------------------------------
+
+
+def test_q301_matches_detector_composition(catalog, spark):
+    """Replay the audit from the registry's OWN detector outputs: A =
+    q234's verified pairs; B = q238's Hamming pairs re-verified with the
+    exact 5i>=3u Jaccard check in python; Chapman/coverage in exact
+    integer arithmetic."""
+    out = _run(catalog, spark, "q301_capture_recapture_dedup").iloc[0]
+    A = set(
+        map(
+            tuple,
+            _run(catalog, spark, "q234_minhash_lsh_portable")[["a_id", "b_id"]].to_numpy(),
+        )
+    )
+    sim = _run(catalog, spark, "q238_simhash_hamming_portable")[["a_id", "b_id"]]
+    docs = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "text"]]
+
+    def shset(text):
+        toks = [t for t in re.split(r"\s+", text.lower()) if t]
+        if len(toks) >= 3:
+            return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        return {" ".join(toks)}
+
+    sh = {d: shset(t) for d, t in docs.itertuples(index=False)}
+    B = set()
+    for a, b in sim.to_numpy():
+        i = len(sh[a] & sh[b])
+        u = len(sh[a] | sh[b])
+        if 5 * i >= 3 * u:
+            B.add((a, b))
+    na, nb, m = len(A), len(B), len(A & B)
+    assert out["n_minhash"] == na
+    assert out["n_simhash"] == nb
+    assert out["n_both"] == m
+    assert out["n_union"] == na + nb - m
+    chapman_fp = (na + 1) * (nb + 1) * 1_000_000 // (m + 1) - 1_000_000
+    assert out["chapman_fp"] == chapman_fp
+    assert out["minhash_coverage_ppm"] == na * 1_000_000_000_000 // chapman_fp
+    assert out["simhash_coverage_ppm"] == nb * 1_000_000_000_000 // chapman_fp
+    # estimator sanity: N-hat >= the union actually observed... not always
+    # true for Chapman at tiny m, but coverage must be a valid fraction
+    assert 0 < out["minhash_coverage_ppm"] <= 1_000_000
+    assert 0 < out["simhash_coverage_ppm"] <= 1_000_000

@@ -298,6 +298,7 @@ PROBE_QUERIES = [
     "q298_rank_biased_overlap",
     "q299_partition_sizing_advisor",
     "q300_kcenter_coreset",
+    "q301_capture_recapture_dedup",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
