@@ -1909,3 +1909,145 @@ def q290_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("target_value")
     )
+
+
+# --- q302: Neyman allocation for stratified sampling -------------------------
+
+_NEYMAN_BUDGET = 1000
+
+
+@query(
+    "q302_neyman_allocation",
+    oracle=f"""
+    WITH s AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(n_chars) AS BIGINT) AS sx,
+               CAST(SUM(n_chars * n_chars) AS BIGINT) AS sx2
+        FROM documents GROUP BY source
+    ), sd AS (
+        SELECT source, n,
+               sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)
+                    / CAST(n * (n - 1) AS DOUBLE)) AS sdev
+        FROM s WHERE n >= 2
+    ), w AS (
+        SELECT source, n, sdev,
+               CAST(ROUND(CAST(n AS DOUBLE) * sdev * 1000000) AS BIGINT)
+                   AS w_fp
+        FROM sd
+    ), tot AS (
+        SELECT CAST(SUM(w_fp) AS BIGINT) AS wt,
+               CAST(SUM(n) AS BIGINT) AS nt
+        FROM w
+    ), quota AS (
+        SELECT w.source, w.n, w.sdev, w.w_fp,
+               ({_NEYMAN_BUDGET} * w.w_fp) // tot.wt AS base,
+               ({_NEYMAN_BUDGET} * w.w_fp) % tot.wt AS rem,
+               ({_NEYMAN_BUDGET} * w.n) // tot.nt AS prop_floor
+        FROM w, tot
+    ), leftover AS (
+        SELECT CAST({_NEYMAN_BUDGET} - SUM(base) AS BIGINT) AS l FROM quota
+    ), ranked AS (
+        SELECT source, n, sdev, w_fp, base, rem, prop_floor,
+               ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rr
+        FROM quota
+    )
+    SELECT r.source AS source, r.n AS n_docs, r.sdev AS stddev_chars,
+           r.w_fp AS neyman_weight_fp,
+           CAST(r.base + CASE WHEN r.rr <= lo.l THEN 1 ELSE 0 END AS BIGINT)
+               AS neyman_alloc,
+           CAST(r.prop_floor AS BIGINT) AS proportional_floor
+    FROM ranked r, leftover lo
+    ORDER BY source
+    """,
+    tags=("curation", "sampling", "stratified", "neyman", "llm-pipeline"),
+    checkpointed_substrate=True,
+)
+def q302_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEYMAN (optimal) ALLOCATION for stratified sampling — the
+    design-of-experiments step the sampling family lacked: q104 weights
+    by divergence, q186 samples by fixed weights, q288 apportions a
+    budget proportionally; Neyman allocates n_h ∝ N_h·S_h, putting
+    samples where the VARIANCE is (minimum-variance unbiased stratified
+    mean for a fixed budget — Neyman 1934). Reported next to the
+    proportional floor so the design effect is visible: high-variance
+    strata gain, uniform strata shrink.
+
+    Determinism with a square root in play: the stratum variance is
+    assembled from EXACT BIGINTs (n·Σx² − (Σx)² over the n_chars
+    column), becomes a double via ONE division of exact integers
+    (identical IEEE result both engines), and sqrt is an IEEE 754
+    CORRECTLY-ROUNDED basic operation (unlike libm log/exp — the q285
+    hazard does not apply), so S_h is bit-identical; the weight rounds
+    ONCE to 1e-6 fixed point and everything after is the q288 integer
+    Hamilton machinery (floor-div quotas, largest-remainder ranks,
+    lexicographic ties) — Σ neyman_alloc = budget exactly, every
+    engine, every retry. Strata with n < 2 are excluded (no variance);
+    the bounded per-source frame keeps every window tiny. One corpus
+    scan total."""
+    s = (
+        table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").cast("long").alias("sx"),
+            F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("sx2"),
+        )
+        .where(F.col("n") >= 2)
+        .where(
+            exactness_guard(
+                (F.col("n") * F.col("n")).cast("double") * F.lit(1.0e8)
+                <= F.lit(9.0e18),
+                "q302: stratum too large for the exact n*sum(x^2) variance "
+                "numerator — pre-aggregate with Welford partials instead",
+            )
+        )
+        .localCheckpoint(eager=True)  # bounded per-source frame; 3 consumers
+    )
+    sdev = F.sqrt(
+        (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")).cast("double")
+        / (F.col("n") * (F.col("n") - 1)).cast("double")
+    )
+    w = s.select(
+        "source",
+        "n",
+        sdev.alias("sdev"),
+        F.round(F.col("n").cast("double") * sdev * F.lit(1000000.0))
+        .cast("long")
+        .alias("w_fp"),
+    ).localCheckpoint(eager=True)  # totals + quotas share it
+    tot = w.agg(F.sum("w_fp").alias("wt"), F.sum("n").alias("nt"))
+    quota = (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n",
+            "sdev",
+            "w_fp",
+            F.expr(f"({_NEYMAN_BUDGET}L * w_fp) DIV wt").alias("base"),
+            F.expr(f"({_NEYMAN_BUDGET}L * w_fp) % wt").alias("rem"),
+            F.expr(f"({_NEYMAN_BUDGET}L * n) DIV nt").alias("prop_floor"),
+        )
+        .localCheckpoint(eager=True)  # bounded; leftover + rank share it
+    )
+    from pyspark.sql import Window
+
+    leftover = quota.agg((F.lit(_NEYMAN_BUDGET) - F.sum("base")).alias("l"))
+    ranked = quota.withColumn(
+        "rr", F.row_number().over(Window.orderBy(F.col("rem").desc(), "source"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(leftover))
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            F.col("sdev").alias("stddev_chars"),
+            F.col("w_fp").alias("neyman_weight_fp"),
+            (
+                F.col("base") + F.when(F.col("rr") <= F.col("l"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("neyman_alloc"),
+            F.col("prop_floor").cast("long").alias("proportional_floor"),
+        )
+        .orderBy("source")
+    )

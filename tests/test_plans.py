@@ -465,6 +465,16 @@ def test_exact_substring_spans_shuffled_join_docwise_islands(spark):
     assert "Window" in p
 
 
+def test_neyman_one_corpus_scan_bounded_tail(spark):
+    """q302: one corpus aggregate into the checkpointed per-source frame
+    (declared substrate); the quota/rank/leftover tail is bounded — no
+    sort-merge join, no cartesian."""
+    p = plan_of(spark, "q302_neyman_allocation")
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "ExistingRDD" in p
+
+
 def test_capture_recapture_no_cartesian_banded_only(spark):
     """q301: both detector pipelines stay banded/bucketed (never
     all-pairs) and the audit tail is three 1-row broadcast attaches —

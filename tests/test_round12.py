@@ -457,3 +457,46 @@ def test_q301_matches_detector_composition(catalog, spark):
     # true for Chapman at tiny m, but coverage must be a valid fraction
     assert 0 < out["minhash_coverage_ppm"] <= 1_000_000
     assert 0 < out["simhash_coverage_ppm"] <= 1_000_000
+
+
+# --- q302 Neyman allocation ----------------------------------------------------
+
+
+def test_q302_matches_numpy_replay_and_sums_to_budget(catalog, spark):
+    import math
+
+    import numpy as np
+
+    out = _run(catalog, spark, "q302_neyman_allocation").set_index("source")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")[["source", "n_chars"]]
+    B = 1000
+    ws = {}
+    for src, g in docs.groupby("source"):
+        x = g["n_chars"].to_numpy(dtype=np.int64)
+        n = len(x)
+        if n < 2:
+            continue
+        var = (n * int((x.astype(object) ** 2).sum()) - int(x.sum()) ** 2) / (
+            n * (n - 1)
+        )
+        sdev = math.sqrt(var)
+        ws[src] = (n, sdev, round(n * sdev * 1e6))
+    wt = sum(w for _, _, w in ws.values())
+    nt = sum(n for n, _, _ in ws.values())
+    quotas = {
+        src: (B * w // wt, B * w % wt, B * n // nt) for src, (n, _, w) in ws.items()
+    }
+    leftover = B - sum(b for b, _, _ in quotas.values())
+    order = sorted(quotas, key=lambda s: (-quotas[s][1], s))
+    alloc = {
+        s: quotas[s][0] + (1 if i < leftover else 0) for i, s in enumerate(order)
+    }
+    for src, (n, sdev, w) in ws.items():
+        row = out.loc[src]
+        assert row["n_docs"] == n
+        assert abs(row["stddev_chars"] - sdev) < 1e-9
+        assert row["neyman_weight_fp"] == w
+        assert row["neyman_alloc"] == alloc[src]
+        assert row["proportional_floor"] == quotas[src][2]
+    # the whole point: the allocation hits the budget EXACTLY
+    assert out["neyman_alloc"].sum() == B

@@ -299,6 +299,7 @@ PROBE_QUERIES = [
     "q299_partition_sizing_advisor",
     "q300_kcenter_coreset",
     "q301_capture_recapture_dedup",
+    "q302_neyman_allocation",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
