@@ -1248,3 +1248,111 @@ def q244_video_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     ceil(n_frames/shot_len), which the unit test asserts independently."""
     d = table(spark, sf_dir, "documents")
     return detect_shot_boundaries(attach_shot_video(d)).orderBy("doc_id")
+
+
+# --- q303: zero-crossing rate + voicing classification ------------------------
+
+AUDIO_ZCR_SCHEMA = (
+    "doc_id bigint, n_frames bigint, total_crossings bigint, "
+    "max_zcr bigint, max_zcr_frame bigint, voiced_frames bigint"
+)
+
+#: frames with energy >= AUDIO_ACTIVE_ENERGY and <= this many zero
+#: crossings (of 15 sample-pairs per 16-sample frame) classify "voiced" —
+#: the classic energy-high/ZCR-low heuristic (Rabiner & Schafer).
+AUDIO_ZCR_VOICED_MAX = 6
+
+
+def audio_zcr_features(audios: DataFrame, frame_len: int = 16,
+                       id_col: str = "doc_id",
+                       blob_col: str = "audio") -> DataFrame:
+    """ZERO-CROSSING-RATE extraction + voiced/unvoiced frame
+    classification — the second classic time-domain audio feature next
+    to q133's energy, and together with it the textbook
+    voiced-detection pair (high energy + low ZCR = voiced; VAD nets
+    replaced the rule, not the features): decode the WAV, window into
+    ``frame_len``-sample frames (partial tail dropped, q133's hop
+    convention), count per-frame sign changes between consecutive
+    samples (sign = value < 0; a zero sample counts as non-negative —
+    stated so both engines agree), and classify each frame by the
+    energy/ZCR rule. All-integer arithmetic; same Arrow-batched
+    mapInPandas seam as every multimodal decoder."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                _rate, samples = decode_wav(bytes(blob))
+                n_frames = len(samples) // frame_len
+                zcrs, energies = [], []
+                for f in range(n_frames):
+                    w = samples[f * frame_len:(f + 1) * frame_len]
+                    zcrs.append(
+                        sum(1 for a, b in zip(w, w[1:]) if (a < 0) != (b < 0))
+                    )
+                    energies.append(sum(s * s for s in w))
+                max_zcr = max(zcrs)
+                out.append((
+                    int(doc_id), n_frames, sum(zcrs), max_zcr,
+                    zcrs.index(max_zcr),
+                    sum(
+                        1
+                        for z, e in zip(zcrs, energies)
+                        if e >= AUDIO_ACTIVE_ENERGY and z <= AUDIO_ZCR_VOICED_MAX
+                    ),
+                ))
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "n_frames", "total_crossings", "max_zcr",
+                         "max_zcr_frame", "voiced_frames"],
+            )
+
+    return audios.mapInPandas(feats, schema=AUDIO_ZCR_SCHEMA)
+
+
+@query(
+    "q303_audio_zcr_voicing",
+    oracle=f"""
+    WITH z AS (
+      SELECT doc_id,
+             (doc_id % 256 + 16) // 16 AS n_frames,
+             list_transform(range(0, (doc_id % 256 + 16) // 16),
+               fr -> len(list_filter(range(fr * 16 + 1, fr * 16 + 16),
+                     i -> (((doc_id * 31 + i * 7) % 4096 - 2048 < 0)
+                           != ((doc_id * 31 + (i - 1) * 7) % 4096 - 2048 < 0))))
+             ) AS zcrs,
+             list_transform(range(0, (doc_id % 256 + 16) // 16),
+               fr -> list_sum(list_transform(range(fr * 16, fr * 16 + 16),
+                     i -> CAST((doc_id * 31 + i * 7) % 4096 - 2048 AS BIGINT)
+                          * CAST((doc_id * 31 + i * 7) % 4096 - 2048 AS BIGINT))))
+                                       AS energies
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_frames AS BIGINT)                            AS n_frames,
+           CAST(list_sum(zcrs) AS BIGINT)                      AS total_crossings,
+           CAST(list_max(zcrs) AS BIGINT)                      AS max_zcr,
+           CAST(list_position(zcrs, list_max(zcrs)) - 1 AS BIGINT)
+                                                               AS max_zcr_frame,
+           CAST(len(list_filter(range(1, n_frames + 1),
+                fr -> energies[fr] >= {AUDIO_ACTIVE_ENERGY}
+                      AND zcrs[fr] <= {AUDIO_ZCR_VOICED_MAX})) AS BIGINT)
+                                                               AS voiced_frames
+    FROM z
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "wav", "audio", "zcr", "vad", "mapInPandas"),
+)
+def q303_audio_zcr_voicing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZCR + voicing report over the synthetic WAV corpus, hash-matched
+    end to end: the Spark side DECODES real RIFF/PCM bytes (q69's
+    writer) and extracts per-frame zero-crossing counts through the
+    Arrow-batched seam; the oracle recomputes the closed-form samples
+    arithmetically — a windowing bug, an off-by-one in the pair
+    enumeration (15 pairs per 16-sample frame, never spanning frames),
+    a wrong zero-sign convention, or a late argmax tie-break all fail
+    the hash. Voiced = energy >= {AUDIO_ACTIVE_ENERGY} AND
+    zcr <= {AUDIO_ZCR_VOICED_MAX} (the Rabiner–Schafer rule on exact
+    integers)."""
+    d = table(spark, sf_dir, "documents")
+    return audio_zcr_features(attach_wav_audio(d)).orderBy("doc_id")

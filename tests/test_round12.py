@@ -500,3 +500,53 @@ def test_q302_matches_numpy_replay_and_sums_to_budget(catalog, spark):
         assert row["proportional_floor"] == quotas[src][2]
     # the whole point: the allocation hits the budget EXACTLY
     assert out["neyman_alloc"].sum() == B
+
+
+# --- q303 audio ZCR + voicing --------------------------------------------------
+
+
+def test_q303_matches_bytewise_wav_replay(catalog, spark):
+    """Independent replay that goes through the BYTES, not the closed
+    form: synthesize the same WAVs the Spark side decodes, parse them
+    with the struct module here, and recompute ZCR/voicing."""
+    import struct
+
+    from database_migrator_spark.operators.multimodal import (
+        AUDIO_ACTIVE_ENERGY,
+        AUDIO_ZCR_VOICED_MAX,
+        attach_wav_audio,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id").limit(50)
+    wavs = attach_wav_audio(d).toPandas()
+    out = (
+        _run(catalog, spark, "q303_audio_zcr_voicing")
+        .set_index("doc_id")
+        .to_dict("index")
+    )
+    checked = 0
+    for doc_id, blob in zip(wavs["doc_id"], wavs["audio"]):
+        raw = bytes(blob)
+        assert raw[:4] == b"RIFF" and raw[8:12] == b"WAVE"
+        # data chunk: locate 'data', then int16 LE samples
+        k = raw.index(b"data")
+        n = struct.unpack("<I", raw[k + 4 : k + 8])[0] // 2
+        samples = struct.unpack(f"<{n}h", raw[k + 8 : k + 8 + 2 * n])
+        nf = n // 16
+        zcrs, energies = [], []
+        for f in range(nf):
+            w = samples[f * 16 : (f + 1) * 16]
+            zcrs.append(sum(1 for a, b in zip(w, w[1:]) if (a < 0) != (b < 0)))
+            energies.append(sum(s * s for s in w))
+        row = out[doc_id]
+        assert row["n_frames"] == nf
+        assert row["total_crossings"] == sum(zcrs)
+        assert row["max_zcr"] == max(zcrs)
+        assert row["max_zcr_frame"] == zcrs.index(max(zcrs))
+        assert row["voiced_frames"] == sum(
+            1
+            for z, e in zip(zcrs, energies)
+            if e >= AUDIO_ACTIVE_ENERGY and z <= AUDIO_ZCR_VOICED_MAX
+        )
+        checked += 1
+    assert checked == 50

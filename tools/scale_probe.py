@@ -300,6 +300,7 @@ PROBE_QUERIES = [
     "q300_kcenter_coreset",
     "q301_capture_recapture_dedup",
     "q302_neyman_allocation",
+    "q303_audio_zcr_voicing",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
