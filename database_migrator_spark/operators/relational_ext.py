@@ -1760,3 +1760,142 @@ def q299_partition_sizing_advisor(spark: SparkSession, sf_dir: str) -> DataFrame
         int_div(F.col("n_rows"), rec_parts).cast("long").alias("rows_per_partition"),
         mpb.alias("rec_max_partition_bytes"),
     ).orderBy("tbl")
+
+
+# --- q304: customer spend decile mobility matrix ------------------------------
+
+_MOBILITY_SPLIT_YEAR = 1994  # P1: year <= split, P2: year > split
+_MOBILITY_BUCKET_CENTS = 1_000_000  # two-level rank value-bucket width
+
+
+@query(
+    "q304_decile_mobility_matrix",
+    oracle=f"""
+    WITH s1 AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS spend
+        FROM orders WHERE year(o_orderdate) <= {_MOBILITY_SPLIT_YEAR}
+        GROUP BY 1
+    ), d1 AS (
+        SELECT o_custkey,
+               CAST(ntile(10) OVER (ORDER BY spend, o_custkey) AS BIGINT) AS d
+        FROM s1
+    ), s2 AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS spend
+        FROM orders WHERE year(o_orderdate) > {_MOBILITY_SPLIT_YEAR}
+        GROUP BY 1
+    ), d2 AS (
+        SELECT o_custkey,
+               CAST(ntile(10) OVER (ORDER BY spend, o_custkey) AS BIGINT) AS d
+        FROM s2
+    ), m AS (
+        SELECT d1.d AS decile_from, d2.d AS decile_to,
+               CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM d1 JOIN d2 USING (o_custkey)
+        GROUP BY 1, 2
+    ), rt AS (
+        SELECT decile_from, CAST(SUM(n_customers) AS BIGINT) AS row_total
+        FROM m GROUP BY 1
+    )
+    SELECT m.decile_from, m.decile_to, m.n_customers,
+           CAST(m.n_customers AS DOUBLE) / CAST(rt.row_total AS DOUBLE)
+               AS row_share
+    FROM m JOIN rt USING (decile_from)
+    ORDER BY decile_from, decile_to
+    """,
+    tags=("relational", "analytics", "mobility", "ranking", "two-level-rank"),
+    checkpointed_substrate=True,
+)
+def q304_decile_mobility_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend DECILE MOBILITY matrix — the rank-migration
+    analysis (econ mobility matrices, RFM segment migration) built on
+    corpus-scale EXACT ntile in both periods: customers are ranked by
+    total spend within each half of the history (<= {_MOBILITY_SPLIT_YEAR}
+    vs after), assigned exact ntile(10) deciles, and the (from, to)
+    transition counts over customers active in BOTH halves form the
+    10x10 matrix with per-row shares — the "do high spenders stay on
+    top" table.
+
+    The oracle uses ``ntile(10) OVER (ORDER BY spend, custkey)`` — a
+    single-partition global sort that would never survive 100 TB. The
+    Spark side reproduces the IDENTICAL assignment per period with the
+    q94/q125 two-level rank: spends bucket by value
+    (spend_cents intdiv {_MOBILITY_BUCKET_CENTS} — monotone in the sort
+    key, so bucket b precedes b+1 entirely), a per-bucket row_number
+    window runs one task per bucket, the bounded per-bucket counts get
+    an exclusive prefix sum and broadcast back as rank bases, and
+    ntile's remainder arithmetic (first N%10 buckets get one extra row)
+    is applied to the global rank in closed form. Spends are exact
+    integer cents (the money rule); the customer-keyed join of the two
+    decile frames is the plan's one corpus-scale shuffle."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+
+    def deciles(period_cond, tag: str) -> DataFrame:
+        s = (
+            o.where(period_cond)
+            .groupBy("o_custkey")
+            .agg(F.sum(to_cents("o_totalprice")).cast("long").alias("spend"))
+            .withColumn(
+                "_bucket", F.expr(f"spend DIV {_MOBILITY_BUCKET_CENTS}")
+            )
+            .localCheckpoint(eager=True)  # rank levels + totals share it
+        )
+        w_local = Window.partitionBy("_bucket").orderBy("spend", "o_custkey")
+        w_buckets = Window.orderBy("_bucket").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        bucket_base = (
+            s.groupBy("_bucket")
+            .agg(F.count("*").alias("_cnt"))
+            .withColumn(
+                "_base",
+                F.coalesce(F.sum("_cnt").over(w_buckets), F.lit(0).cast("long")),
+            )
+            .select("_bucket", "_base")
+        )
+        totals = s.agg(F.count("*").alias("n_total"))
+        ranked = (
+            s.withColumn("rn", F.row_number().over(w_local))
+            .join(F.broadcast(bucket_base), "_bucket")
+            .crossJoin(F.broadcast(totals))
+            .withColumn("rank0", F.col("_base") + F.col("rn") - 1)
+            .withColumn("qq", F.expr("n_total DIV 10"))
+            .withColumn("rr", F.expr("n_total % 10"))
+        )
+        dec = F.when(
+            F.col("rank0") < (F.col("qq") + 1) * F.col("rr"),
+            F.expr("rank0 DIV (qq + 1) + 1"),
+        ).otherwise(F.expr("rr + (rank0 - (qq + 1) * rr) DIV qq + 1"))
+        return ranked.select("o_custkey", dec.cast("long").alias(tag))
+
+    yr = F.year("o_orderdate")
+    d1 = deciles(yr <= _MOBILITY_SPLIT_YEAR, "decile_from")
+    d2 = deciles(yr > _MOBILITY_SPLIT_YEAR, "decile_to")
+    # both decile frames are CUSTOMER-scale — unbounded at 100 TB — so the
+    # period join is pinned shuffle-merge (Catalyst's static stats pick
+    # broadcast at test scale; the invariant bans that for growing frames)
+    m = (
+        d1.hint("shuffle_merge")
+        .join(d2, "o_custkey")
+        .groupBy("decile_from", "decile_to")
+        .agg(F.count("*").alias("n_customers"))
+    )
+    w_row = Window.partitionBy("decile_from")
+    return (
+        m.withColumn("row_total", F.sum("n_customers").over(w_row))
+        .select(
+            "decile_from",
+            "decile_to",
+            "n_customers",
+            (
+                F.col("n_customers").cast("double")
+                / F.col("row_total").cast("double")
+            ).alias("row_share"),
+        )
+        .orderBy("decile_from", "decile_to")
+    )

@@ -465,6 +465,16 @@ def test_exact_substring_spans_shuffled_join_docwise_islands(spark):
     assert "Window" in p
 
 
+def test_mobility_matrix_no_global_sort_rank(spark):
+    """q304: both periods rank via the two-level value-bucket prefix sum
+    behind checkpoints — the FINAL plan's only corpus-scale shuffle is
+    the customer-keyed join of the two decile frames; no cartesian."""
+    p = plan_of(spark, "q304_decile_mobility_matrix")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" in p  # the customer-keyed decile join
+    assert "Window" in p
+
+
 def test_neyman_one_corpus_scan_bounded_tail(spark):
     """q302: one corpus aggregate into the checkpointed per-source frame
     (declared substrate); the quota/rank/leftover tail is bounded — no

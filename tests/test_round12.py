@@ -550,3 +550,43 @@ def test_q303_matches_bytewise_wav_replay(catalog, spark):
         )
         checked += 1
     assert checked == 50
+
+
+# --- q304 decile mobility matrix ------------------------------------------------
+
+
+def test_q304_matches_pandas_ntile_replay(catalog, spark):
+    import numpy as np
+
+    out = _run(catalog, spark, "q304_decile_mobility_matrix")
+    o = pd.read_parquet(f"{SF}/orders.parquet")[
+        ["o_custkey", "o_totalprice", "o_orderdate"]
+    ]
+    o["spend"] = np.round(o["o_totalprice"] * 100).astype(np.int64)
+    o["yr"] = pd.to_datetime(o["o_orderdate"]).dt.year
+
+    def deciles(mask):
+        s = o[mask].groupby("o_custkey")["spend"].sum().reset_index()
+        s = s.sort_values(["spend", "o_custkey"]).reset_index(drop=True)
+        n = len(s)
+        qq, rr = divmod(n, 10)
+        r0 = np.arange(n)
+        d = np.where(
+            r0 < (qq + 1) * rr, r0 // (qq + 1) + 1, rr + (r0 - (qq + 1) * rr) // qq + 1
+        )
+        return dict(zip(s["o_custkey"], d))
+
+    d1 = deciles(o["yr"] <= 1994)
+    d2 = deciles(o["yr"] > 1994)
+    from collections import Counter
+
+    m = Counter((d1[c], d2[c]) for c in set(d1) & set(d2))
+    exp = pd.DataFrame(
+        [(a, b, n) for (a, b), n in m.items()],
+        columns=["decile_from", "decile_to", "n_customers"],
+    ).sort_values(["decile_from", "decile_to"]).reset_index(drop=True)
+    got = out[["decile_from", "decile_to", "n_customers"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
+    # row shares sum to 1 per from-decile
+    sums = out.groupby("decile_from")["row_share"].sum()
+    assert (abs(sums - 1.0) < 1e-9).all()

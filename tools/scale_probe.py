@@ -301,6 +301,7 @@ PROBE_QUERIES = [
     "q301_capture_recapture_dedup",
     "q302_neyman_allocation",
     "q303_audio_zcr_voicing",
+    "q304_decile_mobility_matrix",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
