@@ -4799,3 +4799,147 @@ def q295_decision_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split_bin")
     )
+
+
+# --- q305: difference-in-differences purchase lift ---------------------------
+
+_DID_SPLIT_DAY = 15  # pre: day-of-month <= 15, post: > 15
+_DID_TREAT_CLICKS = 7  # treated cohort: >= this many PRE-period clicks
+
+
+@query(
+    "q305_difference_in_differences",
+    oracle=f"""
+    WITH grp AS (
+        SELECT user_id,
+               CASE WHEN SUM(CASE WHEN event_type = 'click'
+                                   AND day(ts) <= {_DID_SPLIT_DAY}
+                             THEN 1 ELSE 0 END) >= {_DID_TREAT_CLICKS}
+                    THEN 1 ELSE 0 END AS treat
+        FROM events GROUP BY user_id
+    ), ud AS (
+        SELECT e.user_id,
+               CASE WHEN day(e.ts) <= {_DID_SPLIT_DAY} THEN 0 ELSE 1 END
+                   AS post,
+               CAST(e.ts AS DATE) AS d,
+               MAX(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS y
+        FROM events e GROUP BY 1, 2, 3
+    ), cells AS (
+        SELECT g.treat, u.post,
+               CAST(COUNT(*) AS BIGINT) AS user_days,
+               CAST(SUM(u.y) AS BIGINT) AS purchases
+        FROM ud u JOIN grp g USING (user_id)
+        GROUP BY 1, 2
+    ), wide AS (
+        SELECT
+          MAX(CASE WHEN treat=1 AND post=0 THEN user_days END) AS tpre_n,
+          MAX(CASE WHEN treat=1 AND post=0 THEN purchases END) AS tpre_y,
+          MAX(CASE WHEN treat=1 AND post=1 THEN user_days END) AS tpost_n,
+          MAX(CASE WHEN treat=1 AND post=1 THEN purchases END) AS tpost_y,
+          MAX(CASE WHEN treat=0 AND post=0 THEN user_days END) AS cpre_n,
+          MAX(CASE WHEN treat=0 AND post=0 THEN purchases END) AS cpre_y,
+          MAX(CASE WHEN treat=0 AND post=1 THEN user_days END) AS cpost_n,
+          MAX(CASE WHEN treat=0 AND post=1 THEN purchases END) AS cpost_y
+        FROM cells
+    )
+    SELECT CAST(tpre_n AS BIGINT) AS treat_pre_days,
+           CAST(tpre_y AS BIGINT) AS treat_pre_purchases,
+           CAST(tpost_n AS BIGINT) AS treat_post_days,
+           CAST(tpost_y AS BIGINT) AS treat_post_purchases,
+           CAST(cpre_n AS BIGINT) AS ctrl_pre_days,
+           CAST(cpre_y AS BIGINT) AS ctrl_pre_purchases,
+           CAST(cpost_n AS BIGINT) AS ctrl_post_days,
+           CAST(cpost_y AS BIGINT) AS ctrl_post_purchases,
+           (CAST(tpost_y AS DOUBLE) / CAST(tpost_n AS DOUBLE)
+            - CAST(tpre_y AS DOUBLE) / CAST(tpre_n AS DOUBLE))
+           - (CAST(cpost_y AS DOUBLE) / CAST(cpost_n AS DOUBLE)
+              - CAST(cpre_y AS DOUBLE) / CAST(cpre_n AS DOUBLE)) AS did
+    FROM wide
+    """,
+    tags=("temporal", "causal", "did", "statistics"),
+    checkpointed_substrate=True,
+)
+def q305_difference_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES purchase-rate lift — the third member
+    of the causal family, the panel estimator next to q253's
+    stratified-IPW (cross-sectional confounding) and q233's CUPED
+    (randomized variance reduction): the heavy-early-clicker cohort
+    (>= {_DID_TREAT_CLICKS} PRE-period clicks — exposure defined
+    entirely pre-boundary, so post outcomes cannot leak into group
+    assignment) vs everyone else, pre- vs post-month-midpoint,
+    outcome = per-user-day purchase indicator. DiD = (treated post − pre) −
+    (control post − pre) removes every time-invariant group difference
+    AND every group-invariant time shock — the parallel-trends
+    workhorse of observational product analytics.
+
+    Determinism: the four cells are exact BIGINT (user_days,
+    purchases) counts; the estimate is assembled from four SINGLE
+    divisions of exact integers with the identical expression tree on
+    both engines (the q258 rule — no ordering freedom, no
+    transcendental). Shape: one (user, post, day) aggregate + one
+    user-keyed join against the bounded per-user cohort frame, reduced
+    to 4 cells before any arithmetic; one corpus scan feeds both via
+    the checkpointed substrate."""
+    e = table(spark, sf_dir, "events")
+    grp = e.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.dayofmonth("ts") <= _DID_SPLIT_DAY),
+                    1,
+                ).otherwise(0)
+            )
+            >= _DID_TREAT_CLICKS,
+            1,
+        )
+        .otherwise(0)
+        .alias("treat")
+    )
+    ud = e.groupBy(
+        "user_id",
+        F.when(F.dayofmonth("ts") <= _DID_SPLIT_DAY, 0).otherwise(1).alias("post"),
+        F.to_date("ts").alias("d"),
+    ).agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("y")
+    )
+    # the cohort frame is USER-scale (unbounded at 100 TB): pinned
+    # shuffle-merge, never broadcast
+    cells = (
+        ud.join(grp.hint("shuffle_merge"), "user_id")
+        .groupBy("treat", "post")
+        .agg(
+            F.count("*").alias("user_days"),
+            F.sum("y").cast("long").alias("purchases"),
+        )
+        .localCheckpoint(eager=True)  # 4 rows; every pivot column reads it
+    )
+
+    def cell(t, p, col):
+        return F.max(
+            F.when((F.col("treat") == t) & (F.col("post") == p), F.col(col))
+        )
+
+    wide = cells.agg(
+        cell(1, 0, "user_days").alias("treat_pre_days"),
+        cell(1, 0, "purchases").alias("treat_pre_purchases"),
+        cell(1, 1, "user_days").alias("treat_post_days"),
+        cell(1, 1, "purchases").alias("treat_post_purchases"),
+        cell(0, 0, "user_days").alias("ctrl_pre_days"),
+        cell(0, 0, "purchases").alias("ctrl_pre_purchases"),
+        cell(0, 1, "user_days").alias("ctrl_post_days"),
+        cell(0, 1, "purchases").alias("ctrl_post_purchases"),
+    )
+    rate = lambda y, n: F.col(y).cast("double") / F.col(n).cast("double")  # noqa: E731
+    return wide.select(
+        "*",
+        (
+            (rate("treat_post_purchases", "treat_post_days")
+             - rate("treat_pre_purchases", "treat_pre_days"))
+            - (rate("ctrl_post_purchases", "ctrl_post_days")
+               - rate("ctrl_pre_purchases", "ctrl_pre_days"))
+        ).alias("did"),
+    )

@@ -465,6 +465,15 @@ def test_exact_substring_spans_shuffled_join_docwise_islands(spark):
     assert "Window" in p
 
 
+def test_did_pinned_user_join_bounded_cells(spark):
+    """q305: the user-scale cohort join is pinned shuffle-merge (never
+    broadcast — it grows with users); everything after reduces to the 4
+    checkpointed cells. No cartesian."""
+    p = plan_of(spark, "q305_difference_in_differences")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" not in p
+
+
 def test_mobility_matrix_no_global_sort_rank(spark):
     """q304: both periods rank via the two-level value-bucket prefix sum
     behind checkpoints — the FINAL plan's only corpus-scale shuffle is

@@ -590,3 +590,47 @@ def test_q304_matches_pandas_ntile_replay(catalog, spark):
     # row shares sum to 1 per from-decile
     sums = out.groupby("decile_from")["row_share"].sum()
     assert (abs(sums - 1.0) < 1e-9).all()
+
+
+# --- q305 difference-in-differences ---------------------------------------------
+
+
+def test_q305_matches_pandas_panel_replay(catalog, spark):
+    out = _run(catalog, spark, "q305_difference_in_differences").iloc[0]
+    from database_migrator_spark.sources import table as _table
+
+    e = _table(spark, SF, "events").toPandas()
+    e["post"] = (pd.to_datetime(e["ts"]).dt.day > 15).astype(int)
+    e["d"] = pd.to_datetime(e["ts"]).dt.date
+    pre_clicks = (
+        e[(e["event_type"] == "click") & (pd.to_datetime(e["ts"]).dt.day <= 15)]
+        .groupby("user_id")
+        .size()
+    )
+    treat = (
+        e.groupby("user_id")
+        .size()
+        .index.to_series()
+        .map(lambda u: int(pre_clicks.get(u, 0) >= 7))
+    )
+    ud = (
+        e.assign(y=(e["event_type"] == "purchase").astype(int))
+        .groupby(["user_id", "post", "d"])["y"]
+        .max()
+        .reset_index()
+    )
+    ud["treat"] = ud["user_id"].map(treat)
+    cells = ud.groupby(["treat", "post"]).agg(
+        n=("y", "size"), y=("y", "sum")
+    )
+    for (t, p, dcol, ycol) in [
+        (1, 0, "treat_pre_days", "treat_pre_purchases"),
+        (1, 1, "treat_post_days", "treat_post_purchases"),
+        (0, 0, "ctrl_pre_days", "ctrl_pre_purchases"),
+        (0, 1, "ctrl_post_days", "ctrl_post_purchases"),
+    ]:
+        assert out[dcol] == cells.loc[(t, p), "n"]
+        assert out[ycol] == cells.loc[(t, p), "y"]
+    r = lambda t, p: cells.loc[(t, p), "y"] / cells.loc[(t, p), "n"]  # noqa: E731
+    did = (r(1, 1) - r(1, 0)) - (r(0, 1) - r(0, 0))
+    assert abs(out["did"] - did) < 1e-12

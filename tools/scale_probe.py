@@ -302,6 +302,7 @@ PROBE_QUERIES = [
     "q302_neyman_allocation",
     "q303_audio_zcr_voicing",
     "q304_decile_mobility_matrix",
+    "q305_difference_in_differences",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
