@@ -79,56 +79,81 @@ def test_bench_json_line_fits_tail_window():
         )
 
 
+def test_gate_history_matches_committed_files():
+    """Round 13 (VERDICT r12 item 7): the registry derives gate ranks from
+    the generated ``plans/gate_history.py`` map.  Recompute that map from
+    the committed CORRECTNESS_r*.json snapshots and fail if the generated
+    module is stale — a wrong entry is a red test, not a wasted gate row.
+    Regenerate with ``python tools/gen_gate_history.py`` after each
+    round's gate file lands."""
+    import os
+    import sys
+
+    from database_migrator_spark.plans.gate_history import LAST_GATED
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    try:
+        from gen_gate_history import compute_last_gated
+    finally:
+        sys.path.pop(0)
+    assert LAST_GATED == compute_last_gated(repo)
+
+
 def test_gate_order_front_loads_stale_signal_set():
-    """Round 12: the 50-row gate must spend its budget on (a) the 31
-    never-gated r11 additions q263-q293, then (b) the oracle-bearing
-    r06 residue q86-q93/q97-q99 (11 names; q95 is no-oracle), then (c)
-    the q02-q09 top-up from the r07 block — exactly 50. NEW global rule:
-    a query with oracle=None can NEVER occupy a window slot (q53/q62
-    burned 2 of 50 rows in r11 on rows-only-by-design queries whose
-    gate rows cannot go green); all nine such queries sort dead last.
-    Pinning the exact first-50 list (not just the set) so a refactor
-    cannot silently reorder the gate."""
+    """Round 13: the 50-row gate must spend its budget on (a) the 12
+    never-gated r12 additions q294-q305, then (b) the r07-stale residue —
+    the 38 oracle-bearing names q10-q13, q15-q27, q30-q34, q36, q37,
+    q145-q158 — exactly 50, per the derived stalest-first rotation.
+    Global rule: a query with oracle=None can NEVER occupy a window slot
+    (q53/q62 burned 2 of 50 rows in r11 on rows-only-by-design queries
+    whose gate rows cannot go green); all nine such queries sort dead
+    last.  Pinning the exact first-50 list (not just the set) so a
+    refactor cannot silently reorder the gate."""
     qs = all_queries()
     names = list(qs)
     gate = [n.split("_", 1)[0] for n in names[:50]]
-    never_gated = sorted(
+    never_gated = [
         n.split("_", 1)[0]
         for n in names
-        if n.split("_", 1)[0] in {f"q{i}" for i in range(263, 294)}
+        if n.split("_", 1)[0] in {f"q{i}" for i in range(294, 306)}
+    ]
+    assert len(never_gated) == 12
+    r07_residue = sorted(
+        ({f"q{i:02d}" for i in range(10, 38)} - {"q14", "q28", "q29", "q35"})
+        | {f"q{i}" for i in range(145, 159)}
     )
-    assert len(never_gated) == 31
-    expected = (
-        never_gated
-        + sorted({f"q{i:02d}" for i in range(86, 100)} - {"q94", "q95", "q96"})
-        + [f"q{i:02d}" for i in range(2, 10)]
-    )
-    assert gate == expected
+    assert len(r07_residue) == 38
+    # within a rank the registry sorts FULL names ("q150_x" < "q15_y")
+    residue_in_order = [
+        n.split("_", 1)[0]
+        for n in sorted(n for n in qs if n.split("_", 1)[0] in set(r07_residue))
+    ]
+    assert gate == sorted(never_gated) + residue_in_order
     # no oracle-less query may sit inside the window — ever
     window_dqs = [qs[n] for n in names[:50]]
     assert all(dq.oracle is not None for dq in window_dqs)
     # all nine rows-only-by-design queries sort dead last
     no_oracle = [n.split("_", 1)[0] for n, dq in qs.items() if dq.oracle is None]
     assert sorted(no_oracle) == sorted(n.split("_", 1)[0] for n in names[-len(no_oracle):])
-    # r12 additions (q294+) must queue OUTSIDE the full 50-row window —
-    # first in line for the post-r12-gate rotation — never displacing a
-    # pinned row; the oracle-bearing r07 residue (r13's refresh block)
-    # follows them, keeping the written rotation plan mechanical
+    # r13 additions (q306+, above _WINDOW_SEALED_THROUGH) must queue
+    # OUTSIDE the full 50-row window — first in line for the post-r13
+    # rotation — never displacing a pinned row
     post_window = [n.split("_", 1)[0] for n in names[50:]]
     queued = sorted(
         n.split("_", 1)[0]
         for n, dq in qs.items()
-        if n.split("_", 1)[0] in {f"q{i}" for i in range(294, 330)}
+        if n.split("_", 1)[0] not in {f"q{i}" for i in range(294, 306)}
         and dq.oracle is not None
+        and int(n.split("_", 1)[0][1:]) > 305
     )
     assert post_window[: len(queued)] == queued
-    r07_residue = sorted(
-        ({f"q{i:02d}" for i in range(10, 38)} - {"q14", "q28", "q29", "q35"})
-        | {f"q{i}" for i in range(145, 159)}
+    # next-stalest (r08-gated) block follows the queued additions
+    r08_block = {f"q{i}" for i in range(159, 196)} | (
+        {f"q{i:02d}" for i in range(38, 51)} - {"q45"}
     )
-    assert len(r07_residue) == 38
-    # set-compare: the registry sorts full names, where "q150_x" < "q15_y"
-    assert set(post_window[len(queued) : len(queued) + len(r07_residue)]) == set(r07_residue)
+    n_r08 = len(r08_block)
+    assert set(post_window[len(queued) : len(queued) + n_r08]) == r08_block
     # every freshly-gated block sorts after the 50-row window
     tail = set(post_window)
-    assert {"q38", "q50", "q100", "q111", "q159", "q196", "q233", "q234", "q249", "q59", "q51", "q112", "q143", "q250", "q262", "q01", "q52", "q85"} <= tail
+    assert {"q38", "q50", "q100", "q111", "q159", "q196", "q233", "q234", "q249", "q59", "q51", "q112", "q143", "q250", "q262", "q01", "q52", "q85", "q02", "q86", "q263", "q293"} <= tail
