@@ -2321,13 +2321,13 @@ def q238_simhash_hamming_portable(spark: SparkSession, sf_dir: str) -> DataFrame
            CAST((na + 1) * (nb + 1) * 1000000 // (m + 1) - 1000000
                 AS BIGINT) AS chapman_fp,
            CAST((na + 1) * (nb + 1) * 1000000 // (m + 1) - 1000000
-                AS DOUBLE) / 1000000.0 AS chapman_total,
+                AS DOUBLE) / 1000000.0 AS chapman_total_lb,
            CAST(na * 1000000000000 //
                 ((na + 1) * (nb + 1) * 1000000 // (m + 1) - 1000000)
-                AS BIGINT) AS minhash_coverage_ppm,
+                AS BIGINT) AS minhash_coverage_ub_ppm,
            CAST(nb * 1000000000000 //
                 ((na + 1) * (nb + 1) * 1000000 // (m + 1) - 1000000)
-                AS BIGINT) AS simhash_coverage_ppm
+                AS BIGINT) AS simhash_coverage_ub_ppm
     FROM counts
     """,
     tags=("dedup", "capture-recapture", "coverage", "audit", "llm-pipeline"),
@@ -2346,9 +2346,15 @@ def q301_capture_recapture_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     coverage nA/N-hat is the number a production dedup pipeline needs
     before claiming "we removed the duplicates" — pairs NEITHER method
     surfaces are invisible to any single-detector evaluation. (Standard
-    caveat, documented: Chapman assumes catch independence; correlated
-    detectors bias N-hat low, so the estimate is a FLOOR on what's
-    missed.)
+    caveat, NOW IN THE SCHEMA per the r12 verdict: Chapman assumes
+    catch independence, and both detectors are driven by lexical
+    overlap, so they are positively correlated — N-hat is a LOWER
+    bound on the true near-dup population and each coverage ratio
+    n/N-hat is therefore an UPPER bound on true coverage. The columns
+    are named ``chapman_total_lb`` and ``*_coverage_ub_ppm`` so the
+    direction of the bias is explicit; the verdict's suggested name
+    ``coverage_lower_ppm`` had the direction flipped — a low N-hat
+    makes the coverage ratio read HIGH, not low.)
 
     All arithmetic is exact: counts are BIGINTs, the estimator is 1e-6
     fixed point with floor division on provably non-negative operands
@@ -2391,18 +2397,29 @@ def q301_capture_recapture_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "numerator (need (nA+1)(nB+1)*1e6 < 2^63)",
             )
         )
+        .where(
+            # r12-advice fix: on an empty-catch corpus (na=nb=m=0) the
+            # Chapman estimate is 0 and the coverage int_div would die on
+            # an ANSI division-by-zero — fail with the intended diagnostic
+            # instead.  chapman > 0 whenever either detector caught a pair.
+            exactness_guard(
+                chapman > 0,
+                "q301: both detectors caught zero pairs — Chapman coverage "
+                "is undefined on an empty-catch corpus (nA=nB=m=0)",
+            )
+        )
         .select(
             F.col("na").alias("n_minhash"),
             F.col("nb").alias("n_simhash"),
             F.col("m").alias("n_both"),
             (F.col("na") + F.col("nb") - F.col("m")).alias("n_union"),
             chapman.alias("chapman_fp"),
-            (chapman.cast("double") / F.lit(1e6)).alias("chapman_total"),
+            (chapman.cast("double") / F.lit(1e6)).alias("chapman_total_lb"),
             int_div(F.col("na") * F.lit(1_000_000_000_000), chapman).alias(
-                "minhash_coverage_ppm"
+                "minhash_coverage_ub_ppm"
             ),
             int_div(F.col("nb") * F.lit(1_000_000_000_000), chapman).alias(
-                "simhash_coverage_ppm"
+                "simhash_coverage_ub_ppm"
             ),
         )
     )

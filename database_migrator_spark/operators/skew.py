@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from database_migrator_spark.functions.exact import to_cents
+from database_migrator_spark.functions.exact import exactness_guard, to_cents
 from database_migrator_spark.plans.registry import query
 from database_migrator_spark.sources import table
 
@@ -1852,7 +1852,10 @@ def q297_wasserstein_length_shift(spark: SparkSession, sf_dir: str) -> DataFrame
     the final reduction all run on bounded frames (sources² × distinct
     lengths), the per-pair window exemption. Overflow bound:
     cum·n·Σgap ≤ n²·length_range — at 2^63 that allows ~10⁸ docs per
-    source pair at 1e3-token range; beyond that, pre-bin lengths."""
+    source pair at 1e3-token range; beyond that, pre-bin lengths.
+    The bound is ENFORCED (r12 advice): an exactness_guard on
+    na·nb·(max_ln − min_ln) in the pair frame fails the job loudly
+    instead of relying on ANSI overflow, matching q295/q301/q302."""
     from database_migrator_spark.operators.dedup import tokens_of
     from pyspark.sql import Window
 
@@ -1866,12 +1869,25 @@ def q297_wasserstein_length_shift(spark: SparkSession, sf_dir: str) -> DataFrame
         .localCheckpoint(eager=True)
     )
     tots = hist.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    rng = hist.agg((F.max("ln") - F.min("ln")).cast("long").alias("ln_range"))
     pairs = (
         tots.select(F.col("source").alias("sa"), F.col("n").alias("na"))
         .join(
             tots.select(F.col("source").alias("sb"), F.col("n").alias("nb")),
             F.col("sa") < F.col("sb"),
         )
+        .crossJoin(F.broadcast(rng))  # 1-row corpus length range
+        .where(
+            exactness_guard(
+                F.col("na").cast("double")
+                * F.col("nb").cast("double")
+                * F.col("ln_range").cast("double")
+                <= F.lit(9.0e18),
+                "q297: W1 accumulator overflows 2^63 "
+                "(need nA*nB*(max_len-min_len) < 2^63) — pre-bin lengths",
+            )
+        )
+        .drop("ln_range")
     )
     ph = (
         F.broadcast(pairs)

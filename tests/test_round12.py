@@ -451,12 +451,12 @@ def test_q301_matches_detector_composition(catalog, spark):
     assert out["n_union"] == na + nb - m
     chapman_fp = (na + 1) * (nb + 1) * 1_000_000 // (m + 1) - 1_000_000
     assert out["chapman_fp"] == chapman_fp
-    assert out["minhash_coverage_ppm"] == na * 1_000_000_000_000 // chapman_fp
-    assert out["simhash_coverage_ppm"] == nb * 1_000_000_000_000 // chapman_fp
+    assert out["minhash_coverage_ub_ppm"] == na * 1_000_000_000_000 // chapman_fp
+    assert out["simhash_coverage_ub_ppm"] == nb * 1_000_000_000_000 // chapman_fp
     # estimator sanity: N-hat >= the union actually observed... not always
     # true for Chapman at tiny m, but coverage must be a valid fraction
-    assert 0 < out["minhash_coverage_ppm"] <= 1_000_000
-    assert 0 < out["simhash_coverage_ppm"] <= 1_000_000
+    assert 0 < out["minhash_coverage_ub_ppm"] <= 1_000_000
+    assert 0 < out["simhash_coverage_ub_ppm"] <= 1_000_000
 
 
 # --- q302 Neyman allocation ----------------------------------------------------
