@@ -2217,3 +2217,14 @@ def test_vocab_growth_single_text_scan(spark):
     assert "FileScan" not in p
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
     assert p.count("Window") == 1  # the bounded decile cumulative
+
+
+def test_charngram_nb_one_vocab_join_no_cartesian(spark):
+    """q307: the only corpus-scale join is the test-grams × gram-weights
+    sort-merge (vocabulary-keyed, NEVER broadcast — web-scale gram
+    vocabularies are unbounded); class stats attach as 5-row/1-row
+    broadcasts; argmax is a per-doc window, never single-partition."""
+    p = plan_of(spark, "q307_charngram_naive_bayes_langid")
+    assert p.count("SortMergeJoin") == 1  # test grams x weights, nothing else
+    assert "CartesianProduct" not in p
+    assert "ExistingRDD" in p  # the dg / cnt checkpoints (declared substrate)
