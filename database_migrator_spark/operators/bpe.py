@@ -375,3 +375,306 @@ def q116_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q306 — unigram-LM (SentencePiece-style) tokenizer: hard-EM + Viterbi encode
+# ---------------------------------------------------------------------------
+
+# unit separator between pieces inside a segmentation string (cannot occur
+# in whitespace-split word characters unless the corpus itself contains
+# chr(31); the testdata is printable ASCII — same convention as the BPE
+# recursive-CTE oracle above)
+_SEP = "\x1f"
+_UNI_MAX_PIECE = 4  # max piece length considered (chars)
+_UNI_TOPK_MULTI = 20  # multi-char seed pieces kept (plus ALL single chars)
+_UNI_EM_ROUNDS = 2  # hard-EM weight updates before the final encode
+
+
+def _seed_substring_counts(words: DataFrame) -> DataFrame:
+    """Corpus-weighted counts of every 1..4-char substring of the word
+    histogram (with multiplicity). One nested transform per word — outer
+    over start positions, inner over lengths."""
+    w = F.col("word")
+    subs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.length(w)),
+            lambda i: F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(_UNI_MAX_PIECE), F.length(w) - i + 1),
+                ),
+                lambda j: F.substring(w, i.cast("int"), j.cast("int")),
+            ),
+        )
+    )
+    return (
+        words.select("n", F.explode(subs).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("n").cast("long").alias("c"))
+    )
+
+
+def _smoothed_logprob_fp(c_col, tot_col, v_col):
+    """round(ln((c+1)/(tot+V)) * 1e9) as BIGINT — ONE IEEE division then
+    ln, rounded ONCE, mirrored verbatim in the oracle (q258 discipline)."""
+    return (
+        F.round(
+            F.log((c_col + 1).cast("double") / (tot_col + v_col).cast("double"))
+            * F.lit(1_000_000_000)
+        )
+        .cast("long")
+        .alias("w")
+    )
+
+
+def _viterbi_segmentation(word_col, wm_col):
+    """Best segmentation of ``word_col`` under the piece log-prob map
+    ``wm_col`` (map<string, bigint> fixed-point weights), returned as a
+    chr(31)-joined piece string.
+
+    Exact-integer DP, one aggregate fold over character positions: the
+    accumulator carries dp scores (BIGINT, prefix-best) and the best
+    segmentation string per prefix; candidates at each position are the
+    ≤4 pieces ending there that exist in the vocabulary (single chars
+    always do, so the DP is total). Tie-break = max(score, piece_len):
+    identical to the oracle's list_reverse_sort on {'s','j'} structs.
+    BIGINT sums make the score order-independent across engines."""
+    length = F.length(word_col)
+
+    def step(acc, pos):
+        cands = F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.least(F.lit(_UNI_MAX_PIECE), pos)),
+                lambda j: F.struct(
+                    (
+                        F.element_at(acc["dps"], (pos - j + 1).cast("int"))
+                        + F.try_element_at(
+                            wm_col,
+                            F.substring(
+                                word_col, (pos - j + 1).cast("int"), j.cast("int")
+                            ),
+                        )
+                    ).alias("s"),
+                    j.cast("int").alias("j"),
+                ),
+            ),
+            lambda cand: cand["s"].isNotNull(),
+        )
+        best = F.array_max(cands)
+        piece = F.substring(
+            word_col, (pos - best["j"] + 1).cast("int"), best["j"].cast("int")
+        )
+        prev = F.element_at(acc["segs"], (pos - best["j"] + 1).cast("int"))
+        seg = F.when(prev == "", piece).otherwise(
+            F.concat(prev, F.lit(_SEP), piece)
+        )
+        return F.struct(
+            F.concat(acc["dps"], F.array(best["s"])).alias("dps"),
+            F.concat(acc["segs"], F.array(seg)).alias("segs"),
+        )
+
+    init = F.struct(
+        F.array(F.lit(0).cast("long")).alias("dps"),
+        F.array(F.lit("")).alias("segs"),
+    )
+    acc = F.aggregate(F.sequence(F.lit(1), length), init, step)
+    return F.element_at(acc["segs"], (length + 1).cast("int"))
+
+
+def unigram_lm_pieces(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """SentencePiece-style unigram-LM tokenizer: seed vocabulary from
+    substring counts, ``_UNI_EM_ROUNDS`` hard-EM (Viterbi) weight
+    updates, final Viterbi encode. Returns (piece, cnt, logprob) for the
+    corpus segmentation under the final weights.
+
+    Scale shape (the q106 discipline): ONE corpus pass builds the word
+    histogram; everything after runs on the vocabulary-sized histogram —
+    per EM round one weight-map broadcast (bounded: all single chars +
+    top-20 multi-char seeds by construction) and one Viterbi fold pass,
+    with the histogram spread across cores before the interpreted
+    lambdas and checkpointed once (constant plan per round)."""
+    spark = docs.sparkSession
+    words = word_histogram(docs, text_col).localCheckpoint(eager=True)
+    words = spread_for_cpu(words)
+    subs = _seed_substring_counts(words)
+    singles = subs.where(F.length("piece") == 1)
+    multi = (
+        subs.where(F.length("piece") >= 2)
+        .orderBy(F.col("c").desc(), "piece")
+        .limit(_UNI_TOPK_MULTI)  # TakeOrdered — never a global sort
+    )
+    vocab = singles.unionByName(multi).localCheckpoint(eager=True)
+    vstats = vocab.agg(
+        F.count("*").cast("long").alias("v"), F.sum("c").cast("long").alias("tot")
+    )
+    weights = vocab.crossJoin(F.broadcast(vstats)).select(
+        "piece", _smoothed_logprob_fp(F.col("c"), F.col("tot"), F.col("v"))
+    )
+
+    def encode(weights_df: DataFrame) -> DataFrame:
+        wm = weights_df.agg(
+            F.map_from_entries(F.collect_list(F.struct("piece", "w"))).alias("wm")
+        )
+        return (
+            words.crossJoin(F.broadcast(wm))
+            .select(
+                "n",
+                F.explode(
+                    F.split(_viterbi_segmentation(F.col("word"), F.col("wm")), _SEP)
+                ).alias("piece"),
+            )
+            .groupBy("piece")
+            .agg(F.sum("n").cast("long").alias("c"))
+        )
+
+    for _ in range(_UNI_EM_ROUNDS):
+        cnt = encode(weights).localCheckpoint(eager=True)
+        tot_k = cnt.agg(F.sum("c").cast("long").alias("tot"))
+        weights = (
+            vocab.select("piece")
+            .join(cnt, "piece", "left")
+            .crossJoin(F.broadcast(tot_k))
+            .crossJoin(F.broadcast(vstats.select("v")))
+            .select(
+                "piece",
+                _smoothed_logprob_fp(
+                    F.coalesce(F.col("c"), F.lit(0)), F.col("tot"), F.col("v")
+                ),
+            )
+            .localCheckpoint(eager=True)  # vocab-sized; next round + output read it
+        )
+    final = encode(weights)
+    return final.join(weights, "piece").select(
+        "piece",
+        F.col("c").alias("cnt"),
+        (F.col("w").cast("double") / F.lit(1e9)).alias("logprob"),
+    )
+
+
+_VIT_CTE = """
+, vit{K} AS (
+    SELECT word, n, 0 AS pos,
+           [CAST(0 AS BIGINT)] AS dps, [''] AS segs,
+           (SELECT map(list(piece), list(w)) FROM w{P}) AS wm
+    FROM words
+    UNION ALL
+    SELECT word, n, pos + 1,
+           list_append(dps, best.s),
+           list_append(segs,
+             CASE WHEN segs[pos+2-best.j] = ''
+                  THEN word[pos+2-best.j:pos+1]
+                  ELSE segs[pos+2-best.j] || chr(31)
+                       || word[pos+2-best.j:pos+1] END),
+           wm
+    FROM (
+        SELECT word, n, pos, dps, segs, wm,
+               list_reverse_sort(list_filter(
+                 list_transform(range(1, least(4, pos+1) + 1),
+                   j -> {{'s': dps[pos+2-j] + wm[word[pos+2-j:pos+1]][1],
+                         'j': j}}),
+                 c -> c.s IS NOT NULL))[1] AS best
+        FROM vit{K} WHERE pos < len(word)
+    )
+), seg{K} AS (
+    SELECT n, unnest(string_split(segs[len(word)+1], chr(31))) AS piece
+    FROM vit{K} WHERE pos = len(word)
+), cnt{K} AS (
+    SELECT piece, CAST(SUM(n) AS BIGINT) AS c FROM seg{K} GROUP BY 1
+)
+"""
+
+_WNEXT_CTE = """
+, w{K} AS (
+    SELECT v.piece,
+           CAST(ROUND(ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)
+                         / CAST((SELECT SUM(c) FROM cnt{K})
+                                + (SELECT COUNT(*) FROM vocab) AS DOUBLE))
+                      * 1000000000) AS BIGINT) AS w
+    FROM vocab v LEFT JOIN cnt{K} c USING (piece)
+)
+"""
+
+# The whole trainer as ONE DuckDB statement (the q106 recursive-CTE
+# discipline): seed substring counts -> vocab -> w0, then each hard-EM
+# round = a RECURSIVE Viterbi DP over character positions (list-state
+# rows carry dp scores + best segmentation per prefix; DuckDB's working
+# table only exposes the previous iteration, so the DP state rides in
+# list columns — the q282 pattern) followed by a smoothed weight update;
+# EM rounds are UNROLLED as successive recursive CTEs (vit1/vit2/vit3 —
+# the q300 unrolling rule: per-round argmax needs ORDER BY inside
+# list_reverse_sort, and cross-round aggregation is disallowed in a
+# single recursive grammar).
+_Q306_ORACLE = (
+    r"""
+WITH RECURSIVE words AS (
+    SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  t -> len(t) > 0)) AS tok
+        FROM documents
+    ) GROUP BY 1
+), subs AS (
+    SELECT piece, CAST(SUM(n) AS BIGINT) AS c FROM (
+        SELECT n, unnest(flatten(list_transform(range(1, len(word) + 1),
+                 i -> list_transform(range(1, least(4, len(word) - i + 1) + 1),
+                                     j -> word[i:i+j-1])))) AS piece
+        FROM words) GROUP BY 1
+), vocab AS (
+    SELECT piece, c FROM subs WHERE len(piece) = 1
+    UNION ALL
+    SELECT piece, c FROM (
+        SELECT piece, c FROM subs WHERE len(piece) >= 2
+        ORDER BY c DESC, piece LIMIT 20)
+), w0 AS (
+    SELECT piece,
+           CAST(ROUND(ln(CAST(c + 1 AS DOUBLE)
+                         / CAST((SELECT SUM(c) FROM vocab)
+                                + (SELECT COUNT(*) FROM vocab) AS DOUBLE))
+                      * 1000000000) AS BIGINT) AS w
+    FROM vocab
+)
+"""
+    + _VIT_CTE.format(K=1, P=0)
+    + _WNEXT_CTE.format(K=1)
+    + _VIT_CTE.format(K=2, P=1)
+    + _WNEXT_CTE.format(K=2)
+    + _VIT_CTE.format(K=3, P=2)
+    + """
+SELECT c.piece, c.c AS cnt,
+       CAST(w.w AS DOUBLE) / 1000000000.0 AS logprob
+FROM cnt3 c JOIN w2 w USING (piece)
+ORDER BY cnt DESC, piece
+LIMIT 20
+"""
+)
+
+
+@query(
+    "q306_unigram_lm_vocabulary",
+    oracle=_Q306_ORACLE,
+    tags=("text", "unigram-lm", "sentencepiece", "tokenizer", "iterative", "llm-pipeline"),
+    checkpointed_substrate=True,
+)
+def q306_unigram_lm_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer — the third production
+    tokenizer family next to BPE (q106/q107) and WordPiece (q275), and
+    the one real pipelines train at least as often: seed a vocabulary
+    from corpus-weighted substring counts (all single chars + the top-20
+    multi-char pieces, so coverage is total by construction), run 2
+    hard-EM rounds (Viterbi E-step on integer fixed-point log-probs,
+    smoothed count M-step), then Viterbi-encode the corpus and report
+    the top-20 pieces by corpus frequency with their final log-probs.
+
+    Determinism: log-probs are rounded ONCE per piece to 1e-9
+    fixed-point BIGINTs (q258 discipline) and the Viterbi DP sums
+    BIGINTs, so both engines replay the identical merge of ties
+    (score DESC, then LONGER piece — the oracle's struct sort order).
+    The oracle runs the whole trainer as one statement: recursive
+    list-state Viterbi CTEs (q282 pattern) with EM rounds unrolled
+    (q300 rule). Also exact-matched against a pure-Python trainer in
+    tests/test_round13.py."""
+    return (
+        unigram_lm_pieces(table(spark, sf_dir, "documents"))
+        .orderBy(F.col("cnt").desc(), "piece")
+        .limit(20)
+    )

@@ -2228,3 +2228,18 @@ def test_charngram_nb_one_vocab_join_no_cartesian(spark):
     assert p.count("SortMergeJoin") == 1  # test grams x weights, nothing else
     assert "CartesianProduct" not in p
     assert "ExistingRDD" in p  # the dg / cnt checkpoints (declared substrate)
+
+
+def test_unigram_lm_histogram_only_final_plan(spark):
+    """q306: the corpus is touched once inside the word-histogram
+    checkpoint (declared substrate) — the FINAL plan reads checkpoints
+    only (no FileScan), the piece vocabulary joins as a broadcast
+    (bounded BY CONSTRUCTION: all single chars + top-20 multi-char
+    seeds, unlike an unbounded word vocabulary), and the top-20 is a
+    TakeOrdered, never a global sort."""
+    p = plan_of(spark, "q306_unigram_lm_vocabulary")
+    assert "FileScan" not in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
+    assert "ExistingRDD" in p

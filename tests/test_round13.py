@@ -112,3 +112,98 @@ def test_q307_replays_sklearn_style_nb(catalog, spark):
     pd.testing.assert_frame_equal(
         got.astype({"n_docs": "int64"}), expect.astype({"n_docs": "int64"})
     )
+
+
+# --- q306 unigram-LM tokenizer -------------------------------------------------
+
+
+def _rnd(x):
+    """half-away-from-zero, matching DuckDB/Spark ROUND (python round()
+    is banker's)."""
+    return int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
+
+
+def _unigram_lm_reference(word_counts, n_rounds=2, topk_multi=20):
+    """Pure-Python replay of the q306 trainer: seed substring counts,
+    hard-EM Viterbi rounds on 1e-9 fixed-point log-probs, final encode."""
+    subs: Counter = Counter()
+    for w, n in word_counts.items():
+        for i in range(len(w)):
+            for j in range(1, min(4, len(w) - i) + 1):
+                subs[w[i : i + j]] += n
+    singles = {p: c for p, c in subs.items() if len(p) == 1}
+    multi = sorted(
+        ((p, c) for p, c in subs.items() if len(p) >= 2),
+        key=lambda x: (-x[1], x[0]),
+    )[:topk_multi]
+    vocab = dict(singles)
+    vocab.update(dict(multi))
+    v = len(vocab)
+    tot = sum(vocab.values())
+    w_fp = {p: _rnd(math.log((c + 1) / (tot + v)) * 1e9) for p, c in vocab.items()}
+
+    def viterbi(word, wfp):
+        dps = [0]
+        segs = [[]]
+        for pos in range(1, len(word) + 1):
+            best = None
+            for j in range(1, min(4, pos) + 1):
+                piece = word[pos - j : pos]
+                if piece in wfp:
+                    s = dps[pos - j] + wfp[piece]
+                    if best is None or (s, j) > best[:2]:
+                        best = (s, j, piece)
+            dps.append(best[0])
+            segs.append(segs[pos - best[1]] + [best[2]])
+        return segs[-1]
+
+    for _ in range(n_rounds):
+        cnt: Counter = Counter()
+        for w, n in word_counts.items():
+            for p in viterbi(w, w_fp):
+                cnt[p] += n
+        tot_k = sum(cnt.values())
+        w_fp = {
+            p: _rnd(math.log((cnt.get(p, 0) + 1) / (tot_k + v)) * 1e9) for p in vocab
+        }
+    final: Counter = Counter()
+    for w, n in word_counts.items():
+        for p in viterbi(w, w_fp):
+            final[p] += n
+    return final, w_fp
+
+
+def test_q306_matches_python_trainer(catalog, spark):
+    """The Spark trainer's top-20 pieces, counts AND fixed-point
+    log-probs match a sequential pure-Python replay exactly."""
+    out = _run(catalog, spark, "q306_unigram_lm_vocabulary")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    wc: Counter = Counter()
+    for t in docs.text:
+        for w in re.split(r"\s+", t.lower()):
+            if w:
+                wc[w] += 1
+    final, w_fp = _unigram_lm_reference(wc)
+    rows = sorted(((p, c) for p, c in final.items()), key=lambda x: (-x[1], x[0]))[:20]
+    expect = pd.DataFrame(
+        [(p, c, w_fp[p] / 1e9) for p, c in rows],
+        columns=["piece", "cnt", "logprob"],
+    )
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), expect)
+
+
+def test_q306_viterbi_prefers_vocab_piece_over_chars(spark):
+    """Known-truth: a corpus where one bigram dominates must produce a
+    multi-char piece in the vocabulary whose Viterbi count equals the
+    word count — i.e. the tokenizer actually LEARNS a unit, it doesn't
+    degenerate to characters."""
+    from database_migrator_spark.operators.bpe import unigram_lm_pieces
+
+    docs = spark.createDataFrame(
+        [(i, "abab " * 5) for i in range(8)], "doc_id long, text string"
+    )
+    out = unigram_lm_pieces(docs).toPandas().set_index("piece")
+    # 'abab' is the most frequent multi-char substring; the whole word is
+    # in the seed vocab and beats any char path under the learned probs
+    assert "abab" in out.index
+    assert out.loc["abab", "cnt"] == 40  # 8 docs x 5 repeats
