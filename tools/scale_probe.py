@@ -303,6 +303,9 @@ PROBE_QUERIES = [
     "q303_audio_zcr_voicing",
     "q304_decile_mobility_matrix",
     "q305_difference_in_differences",
+    # round-13 additions: unigram-LM tokenizer, trained NB language ID
+    "q306_unigram_lm_vocabulary",
+    "q307_charngram_naive_bayes_langid",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
