@@ -207,3 +207,41 @@ def test_q306_viterbi_prefers_vocab_piece_over_chars(spark):
     # in the seed vocab and beats any char path under the learned probs
     assert "abab" in out.index
     assert out.loc["abab", "cnt"] == 40  # 8 docs x 5 repeats
+
+
+def test_q306_second_em_round_changes_segmentation(spark):
+    """Iteration-matters proof: on this planted corpus the round-1
+    reweighting segments 'aaba' as a+aba, and the SECOND EM round flips
+    it to the whole-word piece — r1 and r2 references disagree, and the
+    Spark trainer (2 rounds) must match the r2 answer. Guards against a
+    refactor that silently stops iterating (on the synthetic corpus the
+    EM is at a fixed point after round 1, so the catalog oracle alone
+    cannot catch that)."""
+    from database_migrator_spark.operators.bpe import unigram_lm_pieces
+
+    wc = {"babaaa": 1, "aaba": 2, "ababa": 12}
+    f1, _ = _unigram_lm_reference(wc, n_rounds=1)
+    f2, w2 = _unigram_lm_reference(wc, n_rounds=2)
+    assert f1 != f2  # the planted corpus really exercises round 2
+    rows = []
+    i = 0
+    for w, n in wc.items():
+        for _ in range(n):
+            rows.append((i, w))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = (
+        unigram_lm_pieces(docs)
+        .toPandas()
+        .sort_values("piece")
+        .reset_index(drop=True)
+    )
+    expect = (
+        pd.DataFrame(
+            [(p, c, w2[p] / 1e9) for p, c in f2.items()],
+            columns=["piece", "cnt", "logprob"],
+        )
+        .sort_values("piece")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, expect)
