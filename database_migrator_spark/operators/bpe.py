@@ -497,7 +497,9 @@ def unigram_lm_pieces(docs: DataFrame, text_col: str = "text") -> DataFrame:
     spark = docs.sparkSession
     words = word_histogram(docs, text_col).localCheckpoint(eager=True)
     words = spread_for_cpu(words)
-    subs = _seed_substring_counts(words)
+    # singles and multi BOTH read the substring aggregate — checkpoint it
+    # once or the explode+shuffle subtree executes twice (r13 review)
+    subs = _seed_substring_counts(words).localCheckpoint(eager=True)
     singles = subs.where(F.length("piece") == 1)
     multi = (
         subs.where(F.length("piece") >= 2)

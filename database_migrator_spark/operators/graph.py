@@ -581,7 +581,6 @@ def q241_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LPA_ROUNDS = 4
 _LPA_C_BASE = 2_147_483_648  # 2^31
 _LPA_LAB_MOD = 4_294_967_296  # 2^32
-_LPA_CKPT_EVERY = 1  # checkpoint cadence (rounds between checkpoints)
 
 
 @query(
@@ -663,7 +662,7 @@ def q272_label_propagation_communities(spark: SparkSession, sf_dir: str) -> Data
         .select("u", F.col("u").alias("lab"))
         .localCheckpoint(eager=True)
     )
-    for r in range(_LPA_ROUNDS):
+    for _ in range(_LPA_ROUNDS):
         nb = und.join(
             labels.select(F.col("u").alias("v"), "lab"), "v"
         ).select("u", "lab")
@@ -673,13 +672,11 @@ def q272_label_propagation_communities(spark: SparkSession, sf_dir: str) -> Data
             cnt.groupBy("u")
             .agg(F.min(enc).alias("enc"))
             .select("u", F.pmod(F.col("enc"), F.lit(_LPA_LAB_MOD)).alias("lab"))
+            # constant plan per round. Cadence experiments measured and
+            # REVERTED (docs/ROUND13_NOTES.md): every-2nd-round ~28%
+            # slower (re-executes the skipped round's join), lazy ~3%.
+            .localCheckpoint(eager=True)
         )
-        # labels feed exactly ONE consumer per round (the neighbour join),
-        # so skipping alternate checkpoints leaves the lazy plan merely
-        # doubled, not exponential — the sanctioned q252 cadence exception
-        # (CLAUDE.md). _LPA_CKPT_EVERY=1 reproduces the per-round cadence.
-        if r % _LPA_CKPT_EVERY == _LPA_CKPT_EVERY - 1 or r == _LPA_ROUNDS - 1:
-            labels = labels.localCheckpoint(eager=True)
     return (
         labels.groupBy("lab")
         .agg(F.count("*").alias("n_nodes"), F.min("u").alias("min_part"))
