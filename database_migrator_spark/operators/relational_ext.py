@@ -1764,7 +1764,15 @@ def q299_partition_sizing_advisor(spark: SparkSession, sf_dir: str) -> DataFrame
 
 # --- q304: customer spend decile mobility matrix ------------------------------
 
-_MOBILITY_SPLIT_YEAR = 1994  # P1: year <= split, P2: year > split
+# P1: year <= split, P2: year > split.  The synthetic orders table spans
+# 1995-01-01..2001-08-01 with a flat per-year customer count (median order
+# year = 1998 at sf0.001/0.01/0.1, measured by DuckDB probe), so 1997
+# splits every SF into two non-empty, roughly balanced halves.  The first
+# shipped value (1994) predated the data entirely — both engines emitted
+# ZERO rows at every SF and the hash gate stayed green (the r13 verdict's
+# "semantically dead" finding); tests/test_nonzero_rows.py now guards the
+# whole catalog against that failure mode.
+_MOBILITY_SPLIT_YEAR = 1997
 _MOBILITY_BUCKET_CENTS = 1_000_000  # two-level rank value-bucket width
 
 

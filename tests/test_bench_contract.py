@@ -82,10 +82,11 @@ def test_bench_json_line_fits_tail_window():
 def test_gate_history_matches_committed_files():
     """Round 13 (VERDICT r12 item 7): the registry derives gate ranks from
     the generated ``plans/gate_history.py`` map.  Recompute that map from
-    the committed CORRECTNESS_r*.json snapshots and fail if the generated
-    module is stale — a wrong entry is a red test, not a wasted gate row.
-    Regenerate with ``python tools/gen_gate_history.py`` after each
-    round's gate file lands."""
+    the COMMITTED CORRECTNESS_r*.json snapshots (``git ls-files``, r14 per
+    ADVICE r13 — an untracked just-landed gate file neither trips this
+    test prematurely nor gets embedded before it is committed) and fail
+    if the generated module is stale.  Post-gate chore: commit the new
+    snapshot AND run ``python tools/gen_gate_history.py`` together."""
     import os
     import sys
 
@@ -101,59 +102,44 @@ def test_gate_history_matches_committed_files():
 
 
 def test_gate_order_front_loads_stale_signal_set():
-    """Round 13: the 50-row gate must spend its budget on (a) the 12
-    never-gated r12 additions q294-q305, then (b) the r07-stale residue —
-    the 38 oracle-bearing names q10-q13, q15-q27, q30-q34, q36, q37,
-    q145-q158 — exactly 50, per the derived stalest-first rotation.
-    Global rule: a query with oracle=None can NEVER occupy a window slot
-    (q53/q62 burned 2 of 50 rows in r11 on rows-only-by-design queries
-    whose gate rows cannot go green); all nine such queries sort dead
-    last.  Pinning the exact first-50 list (not just the set) so a
-    refactor cannot silently reorder the gate."""
+    """Round 14: the 50-row gate must spend its budget on (a) q304 — the
+    _SEMANTIC_RESET re-gate of the fixed _MOBILITY_SPLIT_YEAR (the r13
+    verdict's hash-green-but-empty finding; its new row must show
+    spark_rows > 0), (b) the 4 never-gated additions q306-q309, then
+    (c) the first 45 of the 49-name r08-stale residue (q159-q195,
+    q38-q44, q46-q50, sorted by full name) — exactly 50; the residue's
+    last 4 (q47-q50) spill to r15.  Global rule: a query with oracle=None
+    can NEVER occupy a window slot (q53/q62 burned 2 of 50 rows in r11 on
+    rows-only-by-design queries whose gate rows cannot go green); all
+    nine such queries sort dead last.  Pinning the exact first-50 list
+    (not just the set) so a refactor cannot silently reorder the gate."""
     qs = all_queries()
     names = list(qs)
     gate = [n.split("_", 1)[0] for n in names[:50]]
-    never_gated = [
-        n.split("_", 1)[0]
-        for n in names
-        if n.split("_", 1)[0] in {f"q{i}" for i in range(294, 306)}
-    ]
-    assert len(never_gated) == 12
-    r07_residue = sorted(
-        ({f"q{i:02d}" for i in range(10, 38)} - {"q14", "q28", "q29", "q35"})
-        | {f"q{i}" for i in range(145, 159)}
+    rank0 = ["q304", "q306", "q307", "q308", "q309"]
+    assert all(
+        n.split("_", 1)[0] not in rank0 or qs[n].oracle is not None for n in names
     )
-    assert len(r07_residue) == 38
-    # within a rank the registry sorts FULL names ("q150_x" < "q15_y")
-    residue_in_order = [
+    r08_block = sorted(
+        {f"q{i}" for i in range(159, 196)}
+        | ({f"q{i:02d}" for i in range(38, 51)} - {"q45"})
+    )
+    assert len(r08_block) == 49
+    # within a rank the registry sorts FULL names ("q159_x" < "q38_y")
+    r08_in_order = [
         n.split("_", 1)[0]
-        for n in sorted(n for n in qs if n.split("_", 1)[0] in set(r07_residue))
+        for n in sorted(n for n in qs if n.split("_", 1)[0] in set(r08_block))
     ]
-    assert gate == sorted(never_gated) + residue_in_order
+    assert gate == rank0 + r08_in_order[:45]
     # no oracle-less query may sit inside the window — ever
     window_dqs = [qs[n] for n in names[:50]]
     assert all(dq.oracle is not None for dq in window_dqs)
     # all nine rows-only-by-design queries sort dead last
     no_oracle = [n.split("_", 1)[0] for n, dq in qs.items() if dq.oracle is None]
     assert sorted(no_oracle) == sorted(n.split("_", 1)[0] for n in names[-len(no_oracle):])
-    # r13 additions (q306+, above _WINDOW_SEALED_THROUGH) must queue
-    # OUTSIDE the full 50-row window — first in line for the post-r13
-    # rotation — never displacing a pinned row
+    # the spilled r08 residue (q47-q50) leads the post-window order
     post_window = [n.split("_", 1)[0] for n in names[50:]]
-    queued = sorted(
-        n.split("_", 1)[0]
-        for n, dq in qs.items()
-        if n.split("_", 1)[0] not in {f"q{i}" for i in range(294, 306)}
-        and dq.oracle is not None
-        and int(n.split("_", 1)[0][1:]) > 305
-    )
-    assert post_window[: len(queued)] == queued
-    # next-stalest (r08-gated) block follows the queued additions
-    r08_block = {f"q{i}" for i in range(159, 196)} | (
-        {f"q{i:02d}" for i in range(38, 51)} - {"q45"}
-    )
-    n_r08 = len(r08_block)
-    assert set(post_window[len(queued) : len(queued) + n_r08]) == r08_block
+    assert post_window[:4] == r08_in_order[45:]
     # every freshly-gated block sorts after the 50-row window
     tail = set(post_window)
-    assert {"q38", "q50", "q100", "q111", "q159", "q196", "q233", "q234", "q249", "q59", "q51", "q112", "q143", "q250", "q262", "q01", "q52", "q85", "q02", "q86", "q263", "q293"} <= tail
+    assert {"q100", "q111", "q196", "q233", "q234", "q249", "q59", "q51", "q112", "q143", "q250", "q262", "q01", "q52", "q85", "q02", "q86", "q263", "q293", "q294", "q305", "q10", "q145"} <= tail

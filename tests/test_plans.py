@@ -2243,3 +2243,32 @@ def test_unigram_lm_histogram_only_final_plan(spark):
     assert "CartesianProduct" not in p
     assert "TakeOrderedAndProject" in p
     assert "ExistingRDD" in p
+
+
+def test_bradley_terry_corpus_pair_join_shuffle_merge(spark):
+    """q308: the one corpus-scale stage is the adjacent-doc pair join —
+    BOTH sides are the unbounded corpus, so it must run sort-merge
+    (Catalyst's static stats would broadcast at test scale; banned for
+    growing frames) and never cartesian.  Everything downstream of the
+    first aggregate is item-domain-scale, so the FINAL plan reads the
+    loop checkpoints only (declared substrate)."""
+    from database_migrator_spark.operators.preference import bt_comparisons
+
+    comp = bt_comparisons(spark, SF_SMOKE)
+    cp = comp._jdf.queryExecution().executedPlan().toString()
+    assert cp.count("SortMergeJoin") == 1
+    assert "BroadcastHashJoin" not in cp and "CartesianProduct" not in cp
+    p = plan_of(spark, "q308_bradley_terry_preference")
+    assert "FileScan" not in p  # corpus touched once, inside the substrate
+    assert "CartesianProduct" not in p
+    assert "ExistingRDD" in p
+
+
+def test_kappa_single_scan_partial_agg_no_join(spark):
+    """q309: one corpus scan, one partial+final aggregation pair, no join
+    anywhere — the confusion counts reduce map-side before the bounded
+    source-domain shuffle."""
+    p = plan_of(spark, "q309_annotator_agreement_kappa")
+    assert p.count("FileScan") == 1
+    assert p.count("HashAggregate") == 2
+    assert "Join" not in p and "CartesianProduct" not in p

@@ -576,8 +576,16 @@ def test_q304_matches_pandas_ntile_replay(catalog, spark):
         )
         return dict(zip(s["o_custkey"], d))
 
-    d1 = deciles(o["yr"] <= 1994)
-    d2 = deciles(o["yr"] > 1994)
+    from database_migrator_spark.operators.relational_ext import (
+        _MOBILITY_SPLIT_YEAR,
+    )
+
+    d1 = deciles(o["yr"] <= _MOBILITY_SPLIT_YEAR)
+    d2 = deciles(o["yr"] > _MOBILITY_SPLIT_YEAR)
+    # the split must actually split (the r13 verdict: 1994 predated the
+    # 1995-2001 orders, both replays were empty, and this test passed
+    # VACUOUSLY — assert the periods are populated before comparing)
+    assert d1 and d2 and (set(d1) & set(d2))
     from collections import Counter
 
     m = Counter((d1[c], d2[c]) for c in set(d1) & set(d2))
