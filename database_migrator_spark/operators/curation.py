@@ -505,6 +505,17 @@ def _mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Repetition ceiling for q122.  The Muennighoff et al. (2023) guidance is
+# ~4 epochs, but under the shared 2x budget the near-uniform synthetic
+# sources all imply ~2.0 epochs (temperature alpha=0.5 barely moves
+# near-equal weights), so a 4.0 ceiling NEVER bound — over_cap was
+# identically 0 at every SF while hash-green (the r14 constant-column
+# audit's catch).  2.0 sits at the median implied epochs, so the
+# redistribution branch genuinely splits the sources at every SF; the
+# production number is a policy knob either way.
+_EPOCH_CAP = 2.0
+
+
 @query(
     "q122_mixture_epochs",
     oracle=f"""
@@ -513,9 +524,9 @@ def _mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(wq AS DOUBLE) / total_wq AS weight,
            (CAST(budget AS DOUBLE) * wq / total_wq) / n_tokens AS epochs,
            LEAST((CAST(budget AS DOUBLE) * wq / total_wq) / n_tokens,
-                 CAST(4.0 AS DOUBLE)) AS capped_epochs,
+                 CAST({_EPOCH_CAP} AS DOUBLE)) AS capped_epochs,
            CAST(CASE WHEN (CAST(budget AS DOUBLE) * wq / total_wq) / n_tokens
-                          > CAST(4.0 AS DOUBLE)
+                          > CAST({_EPOCH_CAP} AS DOUBLE)
                      THEN 1 ELSE 0 END AS BIGINT) AS over_cap
     FROM w CROSS JOIN t
     ORDER BY source
@@ -526,10 +537,12 @@ def q122_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-constrained mixing plan: given temperature weights
     (alpha = 0.5, q104's scheme) and a total training-token budget of
     2× the corpus, how many EPOCHS of each source does the sampled mix
-    imply — and which sources blow past the ~4-epoch repetition ceiling
-    the data-constrained scaling literature (Muennighoff et al. 2023)
-    says stops helping. Sources with `over_cap` = 1 are the ones whose
-    weight must be redistributed (or whose data must grow) before launch.
+    imply — and which sources blow past the repetition ceiling
+    (_EPOCH_CAP — see its comment; the data-constrained scaling
+    literature's ~4-epoch guidance never bound on this corpus, so the
+    demo ceiling sits at the median implied epochs). Sources with
+    `over_cap` = 1 are the ones whose weight must be redistributed (or
+    whose data must grow) before launch.
 
     One aggregate for per-source token totals; the normalizer/budget is a
     broadcast single row. Arithmetic is the q104 fixed-point pattern: the
@@ -547,8 +560,8 @@ def q122_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
             (F.col("wq").cast("double") / F.col("total_wq")).alias("weight"),
             epochs.alias("epochs"),
-            F.least(epochs, F.lit(4.0)).alias("capped_epochs"),
-            (epochs > F.lit(4.0)).cast("long").alias("over_cap"),
+            F.least(epochs, F.lit(_EPOCH_CAP)).alias("capped_epochs"),
+            (epochs > F.lit(_EPOCH_CAP)).cast("long").alias("over_cap"),
         )
         .orderBy("source")
     )
@@ -1721,14 +1734,22 @@ def q268_shard_manifest_fingerprint(spark: SparkSession, sf_dir: str) -> DataFra
 
 # --- q288: largest-remainder sample apportionment ---------------------------
 
-_APPORTION_BUDGET = 10_000
+# PRIME budget + TOKEN-mass weights (r14): the first shipped version
+# apportioned a 10,000 budget by per-source DOC counts — but the synthetic
+# generator assigns docs round-robin, so every source's count is exactly
+# total/20 at every SF, every remainder was exactly 0, and the Hamilton
+# remainder machinery this query exists to demonstrate NEVER fired
+# (extra ≡ 0, hash-green — the r14 constant-column audit's catch).
+# Weighting by per-source CHARACTER mass (which genuinely varies) with a
+# prime budget makes base/remainder/extra all live at every SF.
+_APPORTION_BUDGET = 9_973
 
 
 @query(
     "q288_largest_remainder_allocation",
     oracle=f"""
     WITH w AS (
-        SELECT source, CAST(COUNT(*) AS BIGINT) AS cnt FROM documents
+        SELECT source, CAST(SUM(n_chars) AS BIGINT) AS cnt FROM documents
         GROUP BY source
     ), tot AS (
         SELECT CAST(SUM(cnt) AS BIGINT) AS total,
@@ -1746,7 +1767,7 @@ _APPORTION_BUDGET = 10_000
                ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rr
         FROM quota
     )
-    SELECT r.source AS source, r.cnt AS n_docs,
+    SELECT r.source AS source, r.cnt AS weight_chars,
            CAST(r.base AS BIGINT) AS base_alloc,
            CAST(CASE WHEN r.rr <= lo.l THEN 1 ELSE 0 END AS BIGINT) AS extra,
            CAST(r.base + CASE WHEN r.rr <= lo.l THEN 1 ELSE 0 END AS BIGINT)
@@ -1768,11 +1789,14 @@ def q288_largest_remainder_allocation(spark: SparkSession, sf_dir: str) -> DataF
     ties to the lexicographically smaller source — so Σ allocation = N
     exactly, every engine, every retry. All arithmetic is integer
     (remainders compared as N·w mod Σw — no float quotas); the source
-    frame is bounded so the remainder rank is a tiny window."""
+    frame is bounded so the remainder rank is a tiny window.  Weights
+    are per-source CHARACTER mass and the budget is prime — see the
+    _APPORTION_BUDGET comment for why doc-count weights made every
+    remainder identically zero on the round-robin synthetic corpus."""
     d = (
         table(spark, sf_dir, "documents")
         .groupBy("source")
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.sum("n_chars").alias("cnt"))
         .localCheckpoint(eager=True)  # one corpus scan; totals + quotas share it
     )
     tot = d.agg(F.sum("cnt").alias("total"))
@@ -1798,7 +1822,7 @@ def q288_largest_remainder_allocation(spark: SparkSession, sf_dir: str) -> DataF
         ranked.crossJoin(F.broadcast(leftover))
         .select(
             "source",
-            F.col("cnt").alias("n_docs"),
+            F.col("cnt").alias("weight_chars"),
             F.col("base").alias("base_alloc"),
             F.when(F.col("rr") <= F.col("l"), 1).otherwise(0).cast("long").alias("extra"),
             (

@@ -587,26 +587,30 @@ def q200_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q213_order_value_outliers",
     oracle="""
-    WITH oc AS (
-        SELECT n.n_name,
-               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
-        FROM orders o
-        JOIN customer c ON c.c_custkey = o.o_custkey
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ), oc AS (
+        SELECT n.n_name, s.cents
+        FROM spend s
+        JOIN customer c ON c.c_custkey = s.o_custkey
         JOIN nation n ON n.n_nationkey = c.c_nationkey
     ), fences AS (
         SELECT n_name,
-               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
                CAST(quantile_disc(cents, 0.25) AS BIGINT) AS q1_cents,
                CAST(quantile_disc(cents, 0.75) AS BIGINT) AS q3_cents
         FROM oc GROUP BY n_name
     ), fx AS (
-        SELECT n_name, n_orders, q1_cents, q3_cents,
+        SELECT n_name, n_customers, q1_cents, q3_cents,
                q3_cents - q1_cents AS iqr_cents,
                q1_cents - (3 * (q3_cents - q1_cents)) // 2 AS lo_fence,
                q3_cents + (3 * (q3_cents - q1_cents)) // 2 AS hi_fence
         FROM fences
     )
-    SELECT fx.n_name AS nation, fx.n_orders, fx.q1_cents, fx.q3_cents,
+    SELECT fx.n_name AS nation, fx.n_customers, fx.q1_cents, fx.q3_cents,
            fx.iqr_cents,
            CAST(SUM(CASE WHEN oc.cents < fx.lo_fence THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_low_outliers,
@@ -614,7 +618,7 @@ def q200_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS n_high_outliers,
            CAST(SUM(CASE WHEN oc.cents < fx.lo_fence OR oc.cents > fx.hi_fence
                          THEN 1 ELSE 0 END) AS DOUBLE)
-               / CAST(fx.n_orders AS DOUBLE) AS outlier_rate
+               / CAST(fx.n_customers AS DOUBLE) AS outlier_rate
     FROM oc JOIN fx USING (n_name)
     GROUP BY 1, 2, 3, 4, 5
     ORDER BY nation
@@ -623,17 +627,24 @@ def q200_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpointed_substrate=True,
 )
 def q213_order_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tukey-fence outlier audit of order value per nation — the robust
-    (quartile-based) anomaly report that q151's percentiles feed in a
-    real pipeline: per nation, exact discrete quartiles of o_totalprice
-    in INTEGER CENTS, the 1.5×IQR fences computed with integer
-    arithmetic (3·IQR DIV 2 — no float fence can disagree between
-    engines), and the count/rate of orders outside them. Two-pass by
-    definition (fences, then the fence filter) — the (nation, cents)
-    projection is checkpointed so the corpus is scanned once and the
-    bounded 25-row fence table broadcasts back."""
-    o = table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("custkey"), to_cents("o_totalprice").alias("cents")
+    """Tukey-fence outlier audit of customer LIFETIME spend per nation —
+    the robust (quartile-based) anomaly report that q151's percentiles
+    feed in a real pipeline: per nation, exact discrete quartiles of
+    each customer's total spend in INTEGER CENTS, the 1.5×IQR fences
+    computed with integer arithmetic (3·IQR DIV 2 — no float fence can
+    disagree between engines), and the count/rate of customers outside
+    them. (r14: the first version fenced SINGLE-order value, but
+    o_totalprice is too light-tailed — zero outliers at every SF, both
+    fences, hash-green, so the detection branch was dead code; the
+    per-customer SUM has a real tail — high outliers 2/14/154 and low
+    1/3/1 at sf0.001/0.01/0.1.) Two-pass by definition (fences, then
+    the fence filter) — the (nation, cents) per-customer projection is
+    checkpointed so the corpus is aggregated once and the bounded
+    25-row fence table broadcasts back."""
+    spend = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.sum(to_cents("o_totalprice")).cast("long").alias("cents"))
     )
     c = table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("custkey"), F.col("c_nationkey").alias("nationkey")
@@ -642,13 +653,13 @@ def q213_order_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("nationkey"), F.col("n_name").alias("nation")
     )
     oc = (
-        o.join(c, "custkey")
+        spend.join(c, "custkey")
         .join(F.broadcast(n), "nationkey")
         .select("nation", "cents")
         .localCheckpoint(eager=True)  # scanned by the fence pass AND the filter pass
     )
     fences = oc.groupBy("nation").agg(
-        F.count("*").alias("n_orders"),
+        F.count("*").alias("n_customers"),
         F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY cents)")
         .cast("long")
         .alias("q1_cents"),
@@ -659,7 +670,7 @@ def q213_order_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     iqr = F.col("q3_cents") - F.col("q1_cents")
     fx = fences.select(
         "nation",
-        "n_orders",
+        "n_customers",
         "q1_cents",
         "q3_cents",
         iqr.alias("iqr_cents"),
@@ -670,12 +681,12 @@ def q213_order_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     high = (F.col("cents") > F.col("hi_fence")).cast("long")
     return (
         oc.join(F.broadcast(fx), "nation")
-        .groupBy("nation", "n_orders", "q1_cents", "q3_cents", "iqr_cents")
+        .groupBy("nation", "n_customers", "q1_cents", "q3_cents", "iqr_cents")
         .agg(
             F.sum(low).alias("n_low_outliers"),
             F.sum(high).alias("n_high_outliers"),
             (
-                F.sum(low + high).cast("double") / F.col("n_orders").cast("double")
+                F.sum(low + high).cast("double") / F.col("n_customers").cast("double")
             ).alias("outlier_rate"),
         )
         .orderBy("nation")

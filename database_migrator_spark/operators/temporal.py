@@ -1459,7 +1459,7 @@ def q172_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM v LEFT JOIN bc
           ON v.user_id = bc.user_id
          AND bc.b_ts > v.v_ts
-         AND bc.b_ts <= v.v_ts + INTERVAL 5 MINUTE
+         AND bc.b_ts <= v.v_ts + INTERVAL 12 HOUR
         GROUP BY 1, 2, 3
     ), flagged AS (
         SELECT v_ts,
@@ -1487,9 +1487,15 @@ def q172_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q175_uninterrupted_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Negative-condition time-bounded motif — "view, then purchase
-    within 5 minutes, with NO error strictly between": the
+    within 12 hours, with NO error strictly between": the
     MATCH_RECOGNIZE shape the gap ladder (q74 any-gap, q158 event-count
-    gap, q159 wall-clock gap) was still missing. The negative condition
+    gap, q159 wall-clock gap) was still missing. (r14: the window was
+    originally 5 minutes, but at ~0.03 events/user/hour a 5-minute
+    window NEVER contained both a purchase and an earlier error —
+    n_blocked was identically 0 at every SF, hash-green, and the
+    negative condition this query exists to demonstrate was dead code;
+    12 hours gives blocked counts 4/42/421 at sf0.001/0.01/0.1 while
+    matched funnels stay dominant.) The negative condition
     cannot be a sequence-string regex here: DuckDB's RE2 has no
     lookahead, so "intervening token != error" is inexpressible as a
     cross-engine pattern — instead each anchor meets the purchase AND
@@ -1519,7 +1525,7 @@ def _uninterrupted_funnel(e: DataFrame) -> DataFrame:
             bc,
             (v["user_id"] == bc["user_id"])
             & (F.col("b_ts") > F.col("v_ts"))
-            & (F.col("b_ts") <= F.col("v_ts") + F.expr("INTERVAL 5 MINUTE")),
+            & (F.col("b_ts") <= F.col("v_ts") + F.expr("INTERVAL 12 HOUR")),
             "left",
         )
         .groupBy(v["user_id"], "v_id", "v_ts")
@@ -1684,14 +1690,37 @@ def q183_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero, measured) with (dy, dx) tiebreak. Hour indices are exact epoch
     hours; counts are exact BIGINTs; the only double is the final
     fixed-point display division."""
-    from pyspark.sql import Window
-
     dense = dense_hourly_counts(spark, sf_dir)
     series = dense.select(
         "event_type",
         F.expr("unix_micros(h) DIV 3600000000").alias("t"),
         "c",
     )
+    n_hours = dense.agg(F.countDistinct("h").alias("n_hours"))
+    return (
+        theil_sen_median_slopes(series)
+        .crossJoin(F.broadcast(n_hours))
+        .select(
+            "event_type",
+            "n_hours",
+            F.col("np").cast("long").alias("n_pairs"),
+            (F.col("s9").cast("long") / F.lit(1e9)).alias("slope_per_hour"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def theil_sen_median_slopes(series: DataFrame) -> DataFrame:
+    """(event_type, np, s9): the exact fixed-point Theil-Sen median
+    pairwise slope per key over an (event_type, t, c) series — q183's
+    core, factored out for the planted-trend unit test.  The full-corpus
+    median is legitimately 0.0 at every SF (the synthetic hourly series
+    is stationary, and most integer count pairs tie), which would mask a
+    sign or ordering bug in the recurrence — the unit test feeds a
+    planted linear + outlier series and pins the known slope instead
+    (the r14 audit's verification-hole finding)."""
+    from pyspark.sql import Window
+
     a = series.select("event_type", F.col("t").alias("ta"), F.col("c").alias("ca"))
     b = series.select("event_type", F.col("t").alias("tb"), F.col("c").alias("cb"))
     pairs = (
@@ -1706,19 +1735,11 @@ def q183_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("event_type").orderBy("s9", "dy", "dx")
     wc = Window.partitionBy("event_type")
-    n_hours = dense.agg(F.countDistinct("h").alias("n_hours"))
     return (
         pairs.withColumn("rn", F.row_number().over(w))
         .withColumn("np", F.count("*").over(wc))
         .where(F.col("rn") == F.expr("(np + 1) DIV 2"))
-        .crossJoin(F.broadcast(n_hours))
-        .select(
-            "event_type",
-            "n_hours",
-            F.col("np").cast("long").alias("n_pairs"),
-            (F.col("s9").cast("long") / F.lit(1e9)).alias("slope_per_hour"),
-        )
-        .orderBy("event_type")
+        .select("event_type", "np", "s9")
     )
 
 

@@ -1921,10 +1921,30 @@ def _bm25_term_fp(postings: DataFrame, dl: DataFrame, stats: DataFrame) -> DataF
     )
 
 
-def _bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _explicit_query_terms(spark: SparkSession, sf_dir: str, terms: tuple[str, ...]):
+    """(tf, dl, stats, qt) with qt pinned to an EXPLICIT term set instead
+    of the shared df-DESC picker — q298's recipe (see _RBO_QUERY_TERMS)."""
+    tf = doc_term_frequencies(spark, sf_dir)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("total"))
+    qt = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("term").isin(*terms))
+    )
+    return tf, dl, stats, qt
+
+
+def _bm25_doc_scores(
+    spark: SparkSession, sf_dir: str, query_terms: tuple[str, ...] | None = None
+) -> DataFrame:
     """(doc_id, n_terms_hit, score): q191's BM25 scorer over the cached
-    tf substrate — reused by q197's rank fusion."""
-    tf, dl, stats, qt = _lex_query_terms(spark, sf_dir)
+    tf substrate — reused by q197's rank fusion and (with an explicit
+    ``query_terms`` override) q298's RBO."""
+    if query_terms is None:
+        tf, dl, stats, qt = _lex_query_terms(spark, sf_dir)
+    else:
+        tf, dl, stats, qt = _explicit_query_terms(spark, sf_dir, query_terms)
     scored = _bm25_term_fp(tf.join(F.broadcast(qt), "term"), dl, stats)
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_terms_hit"),
@@ -2047,14 +2067,19 @@ def q195_phrase_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QLD_MU = 2000  # Dirichlet smoothing mass, exact integer
 
 
-def _qld_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _qld_doc_scores(
+    spark: SparkSession, sf_dir: str, query_terms: tuple[str, ...] | None = None
+) -> DataFrame:
     """(doc_id, n_terms_present, score): Dirichlet query-likelihood over
-    the cached tf substrate — q196's scorer, reused by q197.  EVERY doc
-    is scored (smoothing gives absent terms mass mu*cf/C), so the score
-    grid is docs x 3 terms built by cross-joining the doc-length table
-    with the broadcast query row, left-joined against the query-term
-    postings."""
-    tf, dl, stats, qt = _lex_query_terms(spark, sf_dir)
+    the cached tf substrate — q196's scorer, reused by q197 and (with an
+    explicit ``query_terms`` override) q298.  EVERY doc is scored
+    (smoothing gives absent terms mass mu*cf/C), so the score grid is
+    docs x 3 terms built by cross-joining the doc-length table with the
+    broadcast query row, left-joined against the query-term postings."""
+    if query_terms is None:
+        tf, dl, stats, qt = _lex_query_terms(spark, sf_dir)
+    else:
+        tf, dl, stats, qt = _explicit_query_terms(spark, sf_dir, query_terms)
     cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
     qtc = qt.join(F.broadcast(cf), "term")  # 3 rows: term, df, cf
     post = tf.join(F.broadcast(qtc.select("term")), "term").select(
@@ -2394,24 +2419,42 @@ def q203_js_divergence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q206_sparse_cosine_pairs",
-    oracle=f"""
-    WITH {_LEX_BASE_ORACLE}, band AS (
-        SELECT term, df FROM dfq WHERE df >= 2 AND df <= 100
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           t -> len(t) > 0) AS t
+        FROM documents
+    ), big AS (
+        SELECT doc_id, source, t[i] || ' ' || t[i+1] AS g
+        FROM toks, unnest(range(1, len(t))) AS u(i)
+    ), tf AS (
+        SELECT doc_id, source, g, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM big GROUP BY 1, 2, 3
+    ), nn AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+    ), dfq AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), band AS (
+        SELECT g, df FROM dfq, nn WHERE df >= 2 AND 10 * df <= nn.n
     ), w AS (
-        SELECT t.doc_id, t.term,
-               CAST(ROUND(t.tf * ln(CAST(s.n_docs AS DOUBLE) / b.df) * 1000)
+        SELECT t.doc_id, t.source, t.g,
+               CAST(ROUND(t.tf * ln(CAST(nn.n AS DOUBLE) / b.df) * 1000)
                     AS BIGINT) AS wfp
-        FROM tf t JOIN band b USING (term), stats s
+        FROM tf t JOIN band b USING (g), nn
+        QUALIFY row_number() OVER (PARTITION BY t.g, t.source
+                                   ORDER BY t.doc_id) <= 200
     ), norms AS (
         SELECT doc_id, CAST(SUM(wfp * wfp) AS BIGINT) AS nsq
         FROM w GROUP BY 1
     ), dots AS (
-        SELECT a.doc_id AS da, b.doc_id AS db,
+        SELECT a.doc_id AS da, b.doc_id AS db, a.source,
                CAST(SUM(a.wfp * b.wfp) AS BIGINT) AS dot
-        FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
+        FROM w a JOIN w b ON a.g = b.g AND a.source = b.source
+                         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3
     ), scored AS (
-        SELECT da, db, dot,
+        SELECT da, db, source,
                CAST(ROUND(CAST(dot AS DOUBLE)
                           / (sqrt(CAST(na.nsq AS DOUBLE))
                              * sqrt(CAST(nb.nsq AS DOUBLE)))
@@ -2421,8 +2464,8 @@ def q203_js_divergence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN norms nb ON nb.doc_id = dots.db
         WHERE dot > 0
     )
-    SELECT da AS doc_a, db AS doc_b, cosine
-    FROM scored WHERE cosine >= 0.5
+    SELECT da AS doc_a, db AS doc_b, source, cosine
+    FROM scored
     ORDER BY cosine DESC, doc_a, doc_b LIMIT 20
     """,
     tags=("text", "retrieval", "sparse-cosine", "similarity-join", "llm-pipeline"),
@@ -2432,44 +2475,79 @@ def q206_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARSE lexical cosine similarity join — TF-IDF vector cosine via
     the inverted-index (term-at-a-time) join: the document-similarity
     metric that catches paraphrase-level overlap shingle Jaccard
-    (q162) misses and dense embeddings (q45) need a model for.  Terms
-    are restricted to the DISCRIMINATIVE df band [2, 100]: singletons
-    cannot pair, boilerplate terms would dominate the pair fan-out
-    (Σ df² explodes at corpus scale) — the standard index-prune, and
-    the similarity is defined over the pruned space on both engines.
-    Weights tf·ln(N/df) are 1e-3 fixed-pointed BIGINTs, so every pair
-    dot product Σ w_a·w_b and every norm Σ w² is an EXACT integer sum
-    (order-independent under AQE) off the ONE term-keyed shuffle join
-    — only the final sqrt/divide run on identical doubles, 1e-9-
-    rounded.  Pairs below cosine 0.5 drop; top-20 under a total order
-    -> TakeOrderedAndProject.  Reads the shared tf substrate: no new
-    corpus scan."""
-    tf, dl, stats, qt = _lex_query_terms(spark, sf_dir)
-    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    band = dfq.where((F.col("df") >= 2) & (F.col("df") <= 100))
+    (q162) misses and dense embeddings (q45) need a model for.
+
+    r14 redesign (the constant-column audit caught the original DEAD:
+    its absolute unigram df band [2, 100] admitted exactly ONE term on
+    this 31-word template corpus — every vector was single-term, every
+    reported cosine was identically 1.0, and at sf0.1 the band was
+    EMPTY, zero rows — hash-green throughout).  Now: (a) the gram space
+    is word BIGRAMS (~930 grams with genuinely mid-range df, so cosines
+    spread — 20 distinct values in the top-20 at every SF); (b) the
+    discriminative band is RELATIVE, df ∈ [2, N/10] by pure integer
+    compare (10·df ≤ N), so it cannot empty as N grows; (c) pairs are
+    BLOCKED BY SOURCE (the production per-domain near-dup pattern),
+    bounding the join population; (d) each (gram, source) posting list
+    caps at its first 200 doc_ids (q195's postings-cap discipline —
+    inactive at test SFs, the web-scale fan-out bound).  Weights
+    tf·ln(N/df) are 1e-3 fixed-pointed BIGINTs, so every pair dot
+    product Σ w_a·w_b and every norm Σ w² is an EXACT integer sum
+    (order-independent under AQE) off the ONE gram-keyed shuffle join —
+    only the final sqrt/divide run on identical doubles, 1e-9-rounded.
+    Top-20 under a total order -> TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    d = spread_for_cpu(
+        table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
+    toksdf = d.select("doc_id", "source", tokens_of("text").alias("toks"))
+    big = toksdf.where(F.size("toks") >= 2).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> concat(toks[i], ' ', toks[i + 1]))"
+            )
+        ).alias("g"),
+    )
+    tf = (
+        big.groupBy("doc_id", "source", "g")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)  # feeds df pass + the weight build
+    )
+    nn = tf.select("doc_id").distinct().agg(F.count("*").alias("n"))
+    dfq = tf.groupBy("g").agg(F.count("*").alias("df"))
+    band = dfq.crossJoin(F.broadcast(nn)).where(
+        (F.col("df") >= 2) & (F.lit(10) * F.col("df") <= F.col("n"))
+    )
+    w_cap = Window.partitionBy("g", "source").orderBy("doc_id")
     w = (
-        tf.join(band.hint("shuffle_merge"), "term")
-        .crossJoin(F.broadcast(stats.select("n_docs")))
+        tf.join(band.hint("shuffle_merge"), "g")
         .select(
             "doc_id",
-            "term",
+            "source",
+            "g",
             F.round(
                 F.col("tf")
-                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+                * F.log(F.col("n").cast("double") / F.col("df"))
                 * F.lit(1000)
             )
             .cast("long")
             .alias("wfp"),
         )
+        .withColumn("__rn", F.row_number().over(w_cap))
+        .where(F.col("__rn") <= 200)
+        .drop("__rn")
         .localCheckpoint(eager=True)  # feeds norms + both join sides
     )
     norms = w.groupBy("doc_id").agg(F.sum(F.col("wfp") * F.col("wfp")).alias("nsq"))
-    a = w.select(F.col("doc_id").alias("da"), "term", F.col("wfp").alias("wa"))
-    b = w.select(F.col("doc_id").alias("db"), "term", F.col("wfp").alias("wb"))
+    a = w.select(F.col("doc_id").alias("da"), "source", "g", F.col("wfp").alias("wa"))
+    b = w.select(F.col("doc_id").alias("db"), "source", "g", F.col("wfp").alias("wb"))
     dots = (
-        a.join(b.hint("shuffle_merge"), "term")
+        a.join(b.hint("shuffle_merge"), ["g", "source"])
         .where(F.col("da") < F.col("db"))
-        .groupBy("da", "db")
+        .groupBy("da", "db", "source")
         .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
         .where(F.col("dot") > 0)
     )
@@ -2494,9 +2572,9 @@ def q206_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("da").alias("doc_a"),
             F.col("db").alias("doc_b"),
+            "source",
             (F.round(cos * F.lit(1e9)).cast("long") / F.lit(1e9)).alias("cosine"),
         )
-        .where(F.col("cosine") >= 0.5)
         .orderBy(F.col("cosine").desc(), "doc_a", "doc_b")
         .limit(20)
     )
@@ -3811,7 +3889,7 @@ def q265_rag_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), lab AS (
         SELECT source,
                CASE WHEN len(t) >= 48 THEN 1 ELSE 0 END AS a,
-               CASE WHEN 4 * len(list_filter(t,
+               CASE WHEN 16 * len(list_filter(t,
                         x -> list_contains({list(_STOPWORDS)!r}, x)))
                          >= len(t) AND len(t) > 0
                     THEN 1 ELSE 0 END AS b
@@ -3845,7 +3923,12 @@ def q266_cohens_kappa_labelers(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter-annotator-agreement gate an RLHF/quality-labeling pipeline
     runs before trusting a rater pool (and the same arithmetic an
     LLM-judge-vs-human audit uses): labeler A keeps documents with ≥48
-    tokens, labeler B keeps stopword-dense documents (4·hits ≥ tokens —
+    tokens, labeler B keeps stopword-dense documents (16·hits ≥ tokens,
+    i.e. ≥1/16 density — the r14 audit caught the original 1/4 threshold
+    DEAD on this corpus: median stopword density is ~6%, so labeler B
+    never fired, n11 = n01 = 0, and kappa was identically 0.0 at every
+    SF while staying hash-green; the re-probed threshold gives kappa
+    spread −0.44…+0.45 across sources and SFs —
     the q15-family quality heuristics as two INDEPENDENT binary raters),
     and kappa corrects their raw agreement for the agreement their
     marginals would produce by chance: κ = (N·(n11+n00) − Σ) / (N² − Σ)
@@ -3862,7 +3945,7 @@ def q266_cohens_kappa_labelers(spark: SparkSession, sf_dir: str) -> DataFrame:
     lab = table(spark, sf_dir, "documents").select(
         "source",
         F.when(n_tok >= 48, 1).otherwise(0).alias("a"),
-        F.when((F.lit(4) * n_stop >= n_tok) & (n_tok > 0), 1).otherwise(0).alias("b"),
+        F.when((F.lit(16) * n_stop >= n_tok) & (n_tok > 0), 1).otherwise(0).alias("b"),
     )
     cm = lab.groupBy("source").agg(
         F.count("*").alias("n"),
@@ -4680,11 +4763,36 @@ _RBO_W_FP = [
     round((1.0 - _RBO_P) * _RBO_P ** (d - 1) / d * 1e15) for d in range(1, _RBO_K + 1)
 ]
 
+#: q298's OWN fixed query — one rare discriminative term plus two
+#: ubiquitous ones.  The shared df-DESC picker selects only terms present
+#: in ~77% of the synthetic docs, whose Robertson IDF ln((N-df+.5)/(df+.5))
+#: is NEGATIVE — BM25 then ranks low-tf long docs first while QLD (mu=2000
+#: >> dl) ranks short docs first, and the two top-50s were provably
+#: DISJOINT at every SF: RBO was identically zero, hash-green, machinery
+#: never exercised (the r14 constant-column audit's catch).  Mixing 'dup'
+#: (df ~5%: strongly positive IDF) with two common terms makes the
+#: disagreement partial — RBO 0.45/0.27/0.11 at sf0.001/0.01/0.1, overlap
+#: varying by depth.
+_RBO_QUERY_TERMS = ("customer", "dup", "filter")
+
+_LEX_BASE_ORACLE_RBO = _LEX_BASE_ORACLE.replace(
+    """qt AS (
+        SELECT term, df FROM dfq WHERE len(term) >= 6
+        ORDER BY df DESC, term LIMIT 3
+    )""",
+    f"""qt AS (
+        SELECT term, df FROM dfq
+        WHERE term IN ({", ".join(f"'{t}'" for t in _RBO_QUERY_TERMS)})
+    )""",
+)
+if _LEX_BASE_ORACLE_RBO == _LEX_BASE_ORACLE:  # pragma: no cover
+    raise RuntimeError("q298 qt override failed to apply — picker text moved")
+
 
 @query(
     "q298_rank_biased_overlap",
     oracle=f"""
-    WITH {_LEX_BASE_ORACLE}, bm_scored AS (
+    WITH {_LEX_BASE_ORACLE_RBO}, bm_scored AS (
         SELECT t.doc_id,
                CAST(ROUND(
                    ln(CAST(2 * s.n_docs - 2 * q.df + 1 AS DOUBLE)
@@ -4768,6 +4876,13 @@ def q298_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     RBO is a BIGINT prefix sum — order-independent, no runtime
     transcendental near the hash.
 
+    r14: the rankers score q298's OWN fixed query (_RBO_QUERY_TERMS —
+    one rare + two ubiquitous terms) instead of the shared df-DESC
+    picker, whose all-ubiquitous terms put Robertson IDF negative and
+    made the two top-50s provably disjoint (RBO identically 0 at every
+    SF — dead machinery, caught by the r14 audit; details on the
+    constant).
+
     Scale shape: both rankings reuse the ONE cached tf substrate (the
     whole retrieval family's single corpus scan) and reduce via
     top-{_RBO_K} (TakeOrdered); everything after — the rank join, entry
@@ -4783,8 +4898,10 @@ def q298_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.row_number().over(w).cast("long").alias("r")
         )
 
-    bm = ranked(_bm25_doc_scores(spark, sf_dir))
-    ql = ranked(_qld_doc_scores(spark, sf_dir)).withColumnRenamed("r", "rq")
+    bm = ranked(_bm25_doc_scores(spark, sf_dir, _RBO_QUERY_TERMS))
+    ql = ranked(_qld_doc_scores(spark, sf_dir, _RBO_QUERY_TERMS)).withColumnRenamed(
+        "r", "rq"
+    )
     shared = bm.join(ql, "doc_id").select(
         F.greatest(F.col("r"), F.col("rq")).alias("m")
     )

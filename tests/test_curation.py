@@ -119,9 +119,11 @@ def test_mixture_epochs_algebra(spark):
     total_tokens = sum(r.n_tokens for r in rows)
     sampled = sum(r.epochs * r.n_tokens for r in rows)
     assert sampled / total_tokens == pytest.approx(2.0, rel=1e-9)
+    from database_migrator_spark.operators.curation import _EPOCH_CAP
+
     for r in rows:
-        assert r.capped_epochs <= 4.0 + 1e-12
-        assert (r.over_cap == 1) == (r.epochs > 4.0)
+        assert r.capped_epochs <= _EPOCH_CAP + 1e-12
+        assert (r.over_cap == 1) == (r.epochs > _EPOCH_CAP)
 
 
 def test_curriculum_stages_are_balanced_and_monotone(spark):

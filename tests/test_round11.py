@@ -124,7 +124,7 @@ def test_cohens_kappa_matches_pandas_replay(catalog, spark):
     for r in docs.itertuples():
         toks = [t for t in str(r.text).lower().split() if t]
         a = int(len(toks) >= 48)
-        b = int(len(toks) > 0 and 4 * sum(t in stop for t in toks) >= len(toks))
+        b = int(len(toks) > 0 and 16 * sum(t in stop for t in toks) >= len(toks))
         rows.append((r.source, a, b))
     df = pd.DataFrame(rows, columns=["source", "a", "b"])
     for src, g in df.groupby("source"):

@@ -671,7 +671,7 @@ def test_largest_remainder_matches_python_and_sums_to_budget(catalog, spark):
     from database_migrator_spark.operators.curation import _APPORTION_BUDGET
 
     docs = pd.read_parquet(f"{SF}/documents.parquet")
-    cnt = docs.groupby("source").size()
+    cnt = docs.groupby("source")["n_chars"].sum()  # r14: token-mass weights
     total = int(cnt.sum())
     base = {s: (_APPORTION_BUDGET * int(c)) // total for s, c in cnt.items()}
     rem = {s: (_APPORTION_BUDGET * int(c)) % total for s, c in cnt.items()}

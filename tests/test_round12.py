@@ -302,18 +302,33 @@ def test_q298_rbo_invariants(catalog, spark):
         assert abs(t - w_fp[d - 1] * o / 1e15) < 1e-15
 
 
-def test_q298_overlap_matches_q191_q196_prefixes(catalog, spark):
-    """Cross-check the overlap column against the registry's OWN q191
-    (BM25 top-20) and q196 (QLD top-20) outputs: for every depth d <= 20,
-    overlap(d) must equal |bm_top_d ∩ ql_top_d| recomputed from those
-    independently-built rankings."""
+def test_q298_overlap_matches_scorer_prefixes(catalog, spark):
+    """Cross-check the overlap column against the two scorers run
+    directly with q298's OWN query (r14: _RBO_QUERY_TERMS — the shared
+    df-DESC picker made the two top-50s provably disjoint, see the
+    constant's comment): for every depth d <= 50, overlap(d) must equal
+    |bm_top_d ∩ ql_top_d| recomputed from the independently-ranked
+    score frames.  Also pins the liveness the old query lacked: the
+    final overlap must be nonzero."""
+    from database_migrator_spark.operators.textops import (
+        _RBO_QUERY_TERMS,
+        _bm25_doc_scores,
+        _qld_doc_scores,
+    )
+
     out = _run(catalog, spark, "q298_rank_biased_overlap").sort_values("depth")
-    bm = _run(catalog, spark, "q191_bm25_topk")["doc_id"].tolist()
-    ql = _run(catalog, spark, "q196_qld_topk")["doc_id"].tolist()
-    for d in range(1, min(20, len(bm), len(ql)) + 1):
+
+    def top50(df):
+        pdf = df.toPandas().sort_values(["score", "doc_id"], ascending=[False, True])
+        return pdf["doc_id"].tolist()[:50]
+
+    bm = top50(_bm25_doc_scores(spark, SF, _RBO_QUERY_TERMS))
+    ql = top50(_qld_doc_scores(spark, SF, _RBO_QUERY_TERMS))
+    for d in range(1, 51):
         expected = len(set(bm[:d]) & set(ql[:d]))
         got = int(out.loc[out["depth"] == d, "overlap"].iloc[0])
         assert got == expected, (d, got, expected)
+    assert int(out["overlap"].max()) > 0  # the rankers genuinely meet
 
 
 # --- q299 partition-sizing advisor --------------------------------------------

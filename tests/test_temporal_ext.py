@@ -121,12 +121,12 @@ def test_concurrent_sessions_hand_corpus(spark, duck, tmp_path):
 
 
 def test_uninterrupted_funnel_hand_corpus(spark):
-    """q175 semantics on a hand corpus: (a) purchase within 5 min and no
-    error between -> matched; (b) error strictly between view and the
-    first purchase -> blocked, not matched; (c) error AT the purchase
-    timestamp is not 'between' (>= tie rule) -> matched; (d) purchase
-    past the 5-minute bound -> neither; (e) error after the purchase is
-    irrelevant."""
+    """q175 semantics on a hand corpus: (a) purchase within the 12-hour
+    window and no error between -> matched; (b) error strictly between
+    view and the first purchase -> blocked, not matched; (c) error AT
+    the purchase timestamp is not 'between' (>= tie rule) -> matched;
+    (d) purchase past the 12-hour bound -> neither; (e) error after the
+    purchase is irrelevant."""
     import datetime
 
     from database_migrator_spark.operators.temporal import _uninterrupted_funnel
@@ -148,9 +148,9 @@ def test_uninterrupted_funnel_hand_corpus(spark):
         (30, s(0), 3, "view"),
         (31, s(90), 3, "error"),
         (32, s(90), 3, "purchase"),
-        # user 4: purchase at +301s > 5 min -> no conversion, not blocked
+        # user 4: purchase at +12h+1s > 12 h -> no conversion, not blocked
         (40, s(0), 4, "view"),
-        (41, s(301), 4, "purchase"),
+        (41, s(12 * 3600 + 1), 4, "purchase"),
         # user 5: error AFTER the first purchase -> matched
         (50, s(0), 5, "view"),
         (51, s(10), 5, "purchase"),
