@@ -1830,7 +1830,7 @@ _BM25_EXHAUSTIVE_ORACLE = f"""
     WITH {_LEX_BASE_ORACLE}, scored AS (
         SELECT t.doc_id,
                CAST(ROUND(
-                   ln(CAST(2 * s.n_docs - 2 * q.df + 1 AS DOUBLE)
+                   ln(CAST(2 * s.n_docs + 2 AS DOUBLE)
                       / CAST(2 * q.df + 1 AS DOUBLE))
                    * (CAST(22 * s.total * t.tf AS DOUBLE)
                       / CAST(10 * s.total * t.tf + 3 * s.total
@@ -1859,8 +1859,11 @@ def q191_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic on both engines, df desc / term asc), k1 = 6/5,
     b = 3/4. All BM25 inputs are exact BIGINTs, so both transcendental-
     free ratios are single IEEE divisions of identical integers:
-    idf = ln((2N-2df+1)/(2df+1)) (the +-0.5 terms doubled into
-    integers) and the saturation ratio restated over a common integer
+    idf = ln((2N+2)/(2df+1)) — the Lucene-style non-negative form,
+    ln(1 + (N-df+0.5)/(df+0.5)) with the ±0.5 terms doubled into
+    integers (r14: the Robertson form went negative on this corpus's
+    ~77%-df query terms and ranked ANTI-relevance — see _bm25_idf) —
+    and the saturation ratio restated over a common integer
     denominator, tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) =
     22*total*tf / (10*total*tf + 3*total + 9*dl*N) with avgdl = total/N
     substituted — no intermediate rounding anywhere.  Per-term scores
@@ -1880,9 +1883,21 @@ def q191_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bm25_idf() -> Column:
-    """ln((2N-2df+1)/(2df+1)) over the joined (df, n_docs) columns."""
+    """Lucene-style non-negative BM25 idf over the joined (df, n_docs)
+    columns: ln(1 + (N-df+0.5)/(df+0.5)) = ln((2N+2)/(2df+1)) with the
+    ±0.5 terms doubled into exact integers.
+
+    r14 change: the original Robertson form ln((2N-2df+1)/(2df+1)) goes
+    NEGATIVE for df > N/2, and on this corpus every shared query term
+    sits at df ≈ 0.77·N — so the whole BM25 family ranked ANTI-relevance
+    (fewest query terms, longest docs, n_terms_hit ≡ 1 in every top-20,
+    and q298's BM25-vs-QLD top-50s were provably disjoint).  The clamp
+    is exactly why Lucene adds the +1 inside the log; it is monotone-
+    decreasing in df and strictly positive, so rankings now reward
+    query-term mass at any df.  Semantic reset for q191/q197/q237/q245/
+    q256 (q298 carries its own term set and was reset separately)."""
     return F.log(
-        (F.lit(2) * F.col("n_docs") - F.lit(2) * F.col("df") + 1).cast("double")
+        (F.lit(2) * F.col("n_docs") + F.lit(2)).cast("double")
         / (F.lit(2) * F.col("df") + 1).cast("double")
     )
 
@@ -2173,7 +2188,7 @@ def q196_qld_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_LEX_BASE_ORACLE}, bm_scored AS (
         SELECT t.doc_id,
                CAST(ROUND(
-                   ln(CAST(2 * s.n_docs - 2 * q.df + 1 AS DOUBLE)
+                   ln(CAST(2 * s.n_docs + 2 AS DOUBLE)
                       / CAST(2 * q.df + 1 AS DOUBLE))
                    * (CAST(22 * s.total * t.tf AS DOUBLE)
                       / CAST(10 * s.total * t.tf + 3 * s.total
@@ -3021,7 +3036,7 @@ def q229_incremental_index_refresh(spark: SparkSession, sf_dir: str) -> DataFram
     ), scored AS (
         SELECT t.doc_id,
                CAST(ROUND(
-                   ln(CAST(2 * s.n_docs - 2 * q.df + 1 AS DOUBLE)
+                   ln(CAST(2 * s.n_docs + 2 AS DOUBLE)
                       / CAST(2 * q.df + 1 AS DOUBLE))
                    * (CAST(22 * s.total * t.tf AS DOUBLE)
                       / CAST(10 * s.total * t.tf + 3 * s.total
@@ -3068,15 +3083,18 @@ def q237_bm25_maxscore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 1-row essential-term pick.
 
     Query-term rule: the 3 RAREST terms (df asc, term asc) — the
-    discriminative-keyword regime retrieval actually serves. q191's
-    highest-df pick selects stopword-class terms whose idf is NEGATIVE,
-    making every upper bound clamp to 0 and the MaxScore test vacuous
-    (measured: zero pruning on all three SFs). With rare-first terms,
-    on this corpus only the rarest query term has positive idf, so once
-    phase A fills the top-20 (θ > 0 ≥ Σrest) EVERY document lacking
-    that term is eliminated without scoring — ~95% of the corpus
-    skipped at sf0.1, while sf0.001 (rarest df < 20 → θ = LONG_MIN)
-    exercises the no-prune branch of the same plan."""
+    discriminative-keyword regime retrieval actually serves (q191's
+    highest-df pick selects stopword-class terms whose upper bounds are
+    all nearly equal, so the essential-list split prunes little). On
+    this corpus the rarest term ('dup') towers over the others —
+    idf ≈ 3.0 vs ≈ 0.28 under the r14 Lucene-clamped idf (formerly the
+    other two were NEGATIVE and their bounds clamped to 0; the
+    GREATEST(·, 0) stays as a safety net though the clamped idf cannot
+    go below 0) — so once phase A fills the top-20 (θ ≈ 3e12 > Σrest ≈
+    1.2e12) EVERY document lacking that term is eliminated without
+    scoring — ~95% of the corpus skipped at sf0.1, while sf0.001
+    (rarest df < 20 → θ = LONG_MIN) exercises the no-prune branch of
+    the same plan."""
     tf, dl, stats, qt_unused = _lex_query_terms(spark, sf_dir)
     dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
     qt = dfq.orderBy(F.col("df").asc(), "term").limit(3).select("term", "df")
@@ -3256,7 +3274,7 @@ def q243_kneser_ney_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_LEX_BASE_ORACLE}, scored AS (
         SELECT t.doc_id,
                CAST(ROUND(
-                   ln(CAST(2 * s.n_docs - 2 * q.df + 1 AS DOUBLE)
+                   ln(CAST(2 * s.n_docs + 2 AS DOUBLE)
                       / CAST(2 * q.df + 1 AS DOUBLE))
                    * (CAST(22 * s.total * t.tf AS DOUBLE)
                       / CAST(10 * s.total * t.tf + 3 * s.total
@@ -3291,7 +3309,7 @@ def q243_kneser_ney_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), resc AS (
         SELECT t.doc_id,
                w.w_fp * CAST(ROUND(
-                   ln(CAST(2 * s.n_docs - 2 * q.df + 1 AS DOUBLE)
+                   ln(CAST(2 * s.n_docs + 2 AS DOUBLE)
                       / CAST(2 * q.df + 1 AS DOUBLE))
                    * (CAST(22 * s.total * t.tf AS DOUBLE)
                       / CAST(10 * s.total * t.tf + 3 * s.total
@@ -3496,7 +3514,7 @@ _MMR_ORACLE = f"""
     WITH RECURSIVE {_LEX_BASE_ORACLE}, scored AS (
         SELECT t.doc_id,
                CAST(ROUND(
-                   ln(CAST(2 * s.n_docs - 2 * q.df + 1 AS DOUBLE)
+                   ln(CAST(2 * s.n_docs + 2 AS DOUBLE)
                       / CAST(2 * q.df + 1 AS DOUBLE))
                    * (CAST(22 * s.total * t.tf AS DOUBLE)
                       / CAST(10 * s.total * t.tf + 3 * s.total
@@ -4765,14 +4783,14 @@ _RBO_W_FP = [
 
 #: q298's OWN fixed query — one rare discriminative term plus two
 #: ubiquitous ones.  The shared df-DESC picker selects only terms present
-#: in ~77% of the synthetic docs, whose Robertson IDF ln((N-df+.5)/(df+.5))
-#: is NEGATIVE — BM25 then ranks low-tf long docs first while QLD (mu=2000
-#: >> dl) ranks short docs first, and the two top-50s were provably
+#: in ~77% of the synthetic docs, and under the original Robertson IDF
+#: (negative for df > N/2) BM25 ranked low-tf long docs first while QLD
+#: (mu=2000 >> dl) ranks short docs first — the two top-50s were provably
 #: DISJOINT at every SF: RBO was identically zero, hash-green, machinery
 #: never exercised (the r14 constant-column audit's catch).  Mixing 'dup'
-#: (df ~5%: strongly positive IDF) with two common terms makes the
-#: disagreement partial — RBO 0.45/0.27/0.11 at sf0.001/0.01/0.1, overlap
-#: varying by depth.
+#: (df ~5%) with two common terms makes the disagreement partial; after
+#: the family-wide Lucene idf clamp (same r14, see _bm25_idf) RBO is
+#: 0.70/0.50/0.33 at sf0.001/0.01/0.1 with depth-varying overlap.
 _RBO_QUERY_TERMS = ("customer", "dup", "filter")
 
 _LEX_BASE_ORACLE_RBO = _LEX_BASE_ORACLE.replace(
@@ -4795,7 +4813,7 @@ if _LEX_BASE_ORACLE_RBO == _LEX_BASE_ORACLE:  # pragma: no cover
     WITH {_LEX_BASE_ORACLE_RBO}, bm_scored AS (
         SELECT t.doc_id,
                CAST(ROUND(
-                   ln(CAST(2 * s.n_docs - 2 * q.df + 1 AS DOUBLE)
+                   ln(CAST(2 * s.n_docs + 2 AS DOUBLE)
                       / CAST(2 * q.df + 1 AS DOUBLE))
                    * (CAST(22 * s.total * t.tf AS DOUBLE)
                       / CAST(10 * s.total * t.tf + 3 * s.total
@@ -4878,10 +4896,10 @@ def q298_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     r14: the rankers score q298's OWN fixed query (_RBO_QUERY_TERMS —
     one rare + two ubiquitous terms) instead of the shared df-DESC
-    picker, whose all-ubiquitous terms put Robertson IDF negative and
-    made the two top-50s provably disjoint (RBO identically 0 at every
-    SF — dead machinery, caught by the r14 audit; details on the
-    constant).
+    picker, whose all-ubiquitous terms (under the original Robertson
+    IDF) made the two top-50s provably disjoint — RBO identically 0 at
+    every SF, dead machinery, caught by the r14 audit; details on the
+    constant and _bm25_idf.
 
     Scale shape: both rankings reuse the ONE cached tf substrate (the
     whole retrieval family's single corpus scan) and reduce via

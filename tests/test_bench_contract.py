@@ -103,51 +103,54 @@ def test_gate_history_matches_committed_files():
 
 def test_gate_order_front_loads_stale_signal_set():
     """Round 14: the 50-row gate must spend its budget on (a) the
-    8-name _SEMANTIC_RESET wave — q304 (the r13 verdict's
-    hash-green-but-empty mobility matrix) + the 7 queries the r14
+    13-name _SEMANTIC_RESET wave — q304 (the r13 verdict's
+    hash-green-but-empty mobility matrix), the 7 queries the r14
     constant-column audit caught dead at every SF (q122/q175/q206/
-    q213/q266/q288/q298 — see the registry comment); every re-gate row
-    must now show live signal, (b) the 4 never-gated additions
-    q306-q309, then (c) the first 38 of the 49-name r08-stale residue
-    (q159-q195, q38-q44, q46-q50, sorted by full name) — exactly 50;
-    the residue's last 11 spill to r15.  Global rule: a query with
-    oracle=None can NEVER occupy a window slot (q53/q62 burned 2 of 50
-    rows in r11 on rows-only-by-design queries whose gate rows cannot
-    go green); all nine such queries sort dead last.  Pinning the exact
-    first-50 list (not just the set) so a refactor cannot silently
-    reorder the gate."""
+    q213/q266/q288/q298), and the 5 BM25-family queries reset by the
+    Lucene idf clamp (q191/q197/q237/q245/q256 — see _bm25_idf); every
+    re-gate row must now show live signal, (b) the 4 never-gated
+    additions q306-q309, then (c) the first 33 of the r08-stale residue
+    (47 names once q175/q191 moved to rank 0; q159-q195, q38-q44,
+    q46-q50, sorted by full name) — exactly 50; the residue's last 14
+    spill to r15.  Global rule: a query with oracle=None can NEVER
+    occupy a window slot (q53/q62 burned 2 of 50 rows in r11 on
+    rows-only-by-design queries whose gate rows cannot go green); all
+    nine such queries sort dead last.  Pinning the exact first-50 list
+    (not just the set) so a refactor cannot silently reorder the
+    gate."""
     qs = all_queries()
     names = list(qs)
     gate = [n.split("_", 1)[0] for n in names[:50]]
     rank0 = [
-        "q122", "q175", "q206", "q213", "q266", "q288", "q298", "q304",
+        "q122", "q175", "q191", "q197", "q206", "q213", "q237", "q245",
+        "q256", "q266", "q288", "q298", "q304",
         "q306", "q307", "q308", "q309",
     ]
     assert all(
         n.split("_", 1)[0] not in rank0 or qs[n].oracle is not None for n in names
     )
-    # q175 is in the r08 block AND in the reset wave — it occupies its
-    # rank-0 slot, so the residue for ranks 1+ is the remaining 48 names
+    # q175/q191 are in the r08 block AND in the reset wave — they occupy
+    # rank-0 slots, so the residue for ranks 1+ is the remaining 47 names
     r08_block = sorted(
-        ({f"q{i}" for i in range(159, 196)} - {"q175"})
+        ({f"q{i}" for i in range(159, 196)} - {"q175", "q191"})
         | ({f"q{i:02d}" for i in range(38, 51)} - {"q45"})
     )
-    assert len(r08_block) == 48
+    assert len(r08_block) == 47
     # within a rank the registry sorts FULL names ("q159_x" < "q38_y")
     r08_in_order = [
         n.split("_", 1)[0]
         for n in sorted(n for n in qs if n.split("_", 1)[0] in set(r08_block))
     ]
-    assert gate == rank0 + r08_in_order[:38]
+    assert gate == rank0 + r08_in_order[:33]
     # no oracle-less query may sit inside the window — ever
     window_dqs = [qs[n] for n in names[:50]]
     assert all(dq.oracle is not None for dq in window_dqs)
     # all nine rows-only-by-design queries sort dead last
     no_oracle = [n.split("_", 1)[0] for n, dq in qs.items() if dq.oracle is None]
     assert sorted(no_oracle) == sorted(n.split("_", 1)[0] for n in names[-len(no_oracle):])
-    # the spilled r08 residue (10 names) leads the post-window order
+    # the spilled r08 residue (14 names) leads the post-window order
     post_window = [n.split("_", 1)[0] for n in names[50:]]
-    assert post_window[:10] == r08_in_order[38:]
+    assert post_window[:14] == r08_in_order[33:]
     # every freshly-gated block sorts after the 50-row window
     tail = set(post_window)
     assert {"q100", "q111", "q196", "q233", "q234", "q249", "q59", "q51", "q112", "q143", "q250", "q262", "q01", "q52", "q85", "q02", "q86", "q263", "q293", "q294", "q305", "q10", "q145"} <= tail

@@ -37,6 +37,16 @@ def test_q266_kappa_not_identically_zero(spark):
     assert out["kappa"].nunique() > 5
 
 
+def test_q191_top_docs_hit_multiple_query_terms(spark):
+    """Under the r14 Lucene idf clamp the BM25 top-20 rewards query-term
+    mass — every top doc hits all 3 terms on this corpus (the Robertson
+    form went negative on ~77%-df terms and ranked ANTI-relevance:
+    n_terms_hit was identically 1 in every top-20 at every SF)."""
+    out = _run(spark, "q191_bm25_topk")
+    assert int(out["n_terms_hit"].max()) > 1
+    assert (out["score"] > 0).all()
+
+
 def test_q298_rankings_genuinely_meet(spark):
     """The BM25 and QLD top-50s overlap (the shared all-ubiquitous query
     terms made them provably disjoint — RBO ≡ 0 at every SF)."""

@@ -409,7 +409,8 @@ def test_bm25_matches_python_reference(spark, tmp_path):
             if tf == 0:
                 continue
             hits += 1
-            idf = math.log((2 * n_docs - 2 * df[t] + 1) / (2 * df[t] + 1))
+            # r14: Lucene-style non-negative idf (see _bm25_idf)
+            idf = math.log((2 * n_docs + 2) / (2 * df[t] + 1))
             sat = tf * (k1 + 1) / (tf + k1 * (1 - b + b * dls[i] / avgdl))
             fp += round(idf * sat * 1e12)
         if hits:
@@ -555,12 +556,14 @@ def test_incremental_index_refresh_merge_is_lossless(spark):
 def test_maxscore_equals_exhaustive_and_prunes_at_sf001(spark):
     """q237's MaxScore path must return EXACTLY the exhaustive top-20
     (pruning soundness) at a scale where the prune branch FIRES: at
-    sf0.01 the rarest query term fills the top-20 (θ > 0) while the
-    other two terms' upper bounds clamp to 0, so every document lacking
-    the essential term is eliminated — this asserts both the branch
-    actually pruning (θ > Σrest) and result equality under it. The
-    no-prune branch is covered at SF_SMOKE by the oracle suite (rarest
-    df < 20 there → θ = LONG_MIN)."""
+    sf0.01 the rarest query term ('dup', idf ≈ 3.0) fills the top-20
+    (θ ≈ 3e12) while the other two terms' upper bounds are positive but
+    small under the r14 Lucene-clamped idf (≈ 0.28·2.2e12 each, Σrest ≈
+    1.2e12 < θ), so every document lacking the essential term is still
+    eliminated — this asserts both the branch actually pruning
+    (θ > Σrest) and result equality under it. The no-prune branch is
+    covered at SF_SMOKE by the oracle suite (rarest df < 20 there →
+    θ = LONG_MIN)."""
     from pyspark.sql import functions as F
 
     from database_migrator_spark.operators.textops import (
