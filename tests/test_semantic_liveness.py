@@ -47,6 +47,43 @@ def test_q191_top_docs_hit_multiple_query_terms(spark):
     assert (out["score"] > 0).all()
 
 
+def test_q197_fusion_actually_fuses(spark):
+    """At least one fused doc is ranked by BOTH scorers (under the
+    negative Robertson idf the BM25 and QLD top-100s were disjoint, so
+    every RRF row carried exactly one nonzero rank and the fusion sum
+    never combined anything; post-clamp all 20 fused docs sit in both
+    top-100s at sf0.001 and sf0.01 — pinned loosely at >= 1)."""
+    out = _run(spark, "q197_rrf_fusion")
+    assert ((out["bm25_rank"] > 0) & (out["qld_rank"] > 0)).any()
+
+
+def test_q245_expansion_terms_contribute(spark):
+    """RM3's expansion terms actually hit the reranked docs: the
+    original query has 3 terms, so n_terms_hit > 3 proves the >= 1
+    expansion term joined the rescore (probed: every top-20 doc hits
+    up to 8 of the 11 weighted terms at sf0.001/0.01).  A dead
+    expansion (empty rm model / zero weights) collapses this to <= 3
+    while staying hash-green on both engines."""
+    out = _run(spark, "q245_rm3_expansion_rescore")
+    assert int(out["n_terms_hit"].max()) > 3
+    assert (out["score"] > 0).all()
+
+
+def test_q256_mmr_diversification_fires(spark):
+    """The MMR penalty both FIRES (some pick has a positive
+    max-similarity to the already-picked set — 9 of 10 do at smoke
+    scale) and REORDERS (the greedy order is not the pure-relevance
+    order: a later pick beats an earlier one on relevance).  With a
+    dead redundancy term MMR degenerates to plain BM25 order and both
+    assertions fail while the hash stays green."""
+    out = _run(spark, "q256_mmr_diversified_topk").sort_values("rank")
+    assert (out["max_sim_prior"] > 0).any()
+    rel = out["rel_norm"].tolist()
+    assert any(
+        rel[i] < rel[j] for i in range(len(rel)) for j in range(i + 1, len(rel))
+    )
+
+
 def test_q298_rankings_genuinely_meet(spark):
     """The BM25 and QLD top-50s overlap (the shared all-ubiquitous query
     terms made them provably disjoint — RBO ≡ 0 at every SF)."""
