@@ -175,3 +175,23 @@ def test_audit_tool_reports_no_all_null_columns(spark):
     report = audit(SF_SMOKE)
     assert report["errors"] == []
     assert report["all_null"] == []
+
+
+def test_q58_exact_duplicates_exist_in_testdata():
+    """Data-liveness pin for q58 exact text dedup: the synthetic corpus
+    carries real exact duplicates ONLY at sf0.1 (8 texts x 2 copies —
+    probed via DuckDB in the r14 final audit; sf0.001/0.01 are
+    duplicate-free, so n_copies is identically 1 there and the audit
+    flags it).  The detector arm (n_copies >= 2) is therefore exercised
+    at the sweep SF; if a testdata regeneration drops the duplicates,
+    q58 goes q304-class dead at EVERY scale and this pin (DuckDB-side,
+    cheap) goes red instead of staying hash-green."""
+    import duckdb
+
+    con = duckdb.connect()
+    n = con.execute(
+        "SELECT COUNT(*) FROM (SELECT text FROM "
+        "read_parquet('/root/testdata/sf0.1/documents.parquet') "
+        "GROUP BY text HAVING COUNT(*) >= 2)"
+    ).fetchone()[0]
+    assert n > 0
