@@ -276,3 +276,70 @@ def test_waiting_suppliers_hand_corpus(spark, tmp_path):
         for r in all_queries()["q259_waiting_suppliers"].build(spark, sf).collect()
     ]
     assert got == [("s101", 1)]
+
+
+def test_inclusion_dependencies_planted_corpus(spark):
+    """q310's core on a hand corpus: A = {1,2,3}, B = {1,2,3,4},
+    C = {3,4,5} (with duplicate raw rows to prove the distinct
+    semantics).  Every ordered-pair containment is hand-computed —
+    exact subset A ⊆ B flagged, partial overlaps exact in floor ppm,
+    disjointness never emitted (pairs appear only via co-occurrence)."""
+    from database_migrator_spark.operators.etl import (
+        _ind_report,
+        inclusion_dependencies,
+    )
+
+    rows = [("A", v) for v in [1, 2, 3, 2, 1]]        # dups on purpose
+    rows += [("B", v) for v in [1, 2, 3, 4]]
+    rows += [("C", v) for v in [3, 4, 5, 5]]
+    vals = spark.createDataFrame(rows, "col string, v long")
+    out = {
+        (r.a_col, r.b_col): r
+        for r in _ind_report(
+            inclusion_dependencies(vals).localCheckpoint(eager=True)
+        ).collect()
+    }
+    assert set(out) == {
+        ("A", "B"), ("B", "A"), ("A", "C"), ("C", "A"), ("B", "C"), ("C", "B"),
+    }
+    ab = out[("A", "B")]
+    assert (ab.n_a, ab.n_b, ab.n_inter) == (3, 4, 3)
+    assert ab.containment_ppm == 1_000_000 and ab.is_candidate_fk == 1
+    ba = out[("B", "A")]
+    assert ba.containment_ppm == 750_000 and ba.is_candidate_fk == 0
+    ac = out[("A", "C")]   # |{3}| / 3 = 333333 (floor)
+    assert ac.n_inter == 1 and ac.containment_ppm == 333_333
+    cb = out[("C", "B")]   # |{3,4}| / 3 = 666666 (floor)
+    assert cb.n_inter == 2 and cb.containment_ppm == 666_666
+
+
+def test_inclusion_dependency_discovery_known_fks(spark):
+    """q310 liveness on the synthetic lake: the generator's true FKs
+    surface as exact subsets (containment = 1e6 ppm), the
+    l_orderkey <- o_orderkey reverse is PARTIAL (not every order has
+    line items — the asymmetry the |A∩B|/|A| direction encodes), and
+    the report is a real spectrum, not a constant."""
+    from database_migrator_spark.plans.registry import all_queries
+
+    from .conftest import SF_SMOKE
+
+    out = {
+        (r.a_col, r.b_col): r
+        for r in all_queries()["q310_inclusion_dependency_discovery"]
+        .build(spark, SF_SMOKE)
+        .collect()
+    }
+    for a, b in [
+        ("orders.o_custkey", "customer.c_custkey"),
+        ("lineitem.l_orderkey", "orders.o_orderkey"),
+        ("nation.n_regionkey", "region.r_regionkey"),
+        ("lineitem.l_partkey", "part.p_partkey"),
+        ("lineitem.l_suppkey", "supplier.s_suppkey"),
+    ]:
+        r = out[(a, b)]
+        assert r.is_candidate_fk == 1 and r.containment_ppm == 1_000_000, (a, b)
+    rev = out[("orders.o_orderkey", "lineitem.l_orderkey")]
+    assert 0 < rev.containment_ppm < 1_000_000
+    ppms = {r.containment_ppm for r in out.values()}
+    assert len(ppms) > 20          # probed: 72-99 distinct values by SF
+    assert any(0 < p < 1_000_000 for p in ppms)

@@ -2272,3 +2272,19 @@ def test_kappa_single_scan_partial_agg_no_join(spark):
     assert p.count("FileScan") == 1
     assert p.count("HashAggregate") == 2
     assert "Join" not in p and "CartesianProduct" not in p
+
+
+def test_ind_discovery_reads_checkpoint_bounded_joins(spark):
+    """q310: the final plan reads the ONE value-set checkpoint (no
+    FileScan — the 21 column-pruned table scans happen once, inside the
+    checkpointed substrate build), expands pairs via Generate bounded
+    by the per-value attribute set, and attaches the two column-domain
+    counts via broadcast only — a corpus-scale sort-merge join or a
+    cartesian here would mean the Sindy shape regressed into a
+    values x values self-join."""
+    p = plan_of(spark, "q310_inclusion_dependency_discovery")
+    assert "FileScan" not in p          # reads the checkpointed substrate
+    assert "Scan ExistingRDD" in p
+    assert p.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in p and "Cartesian" not in p
+    assert "Generate" in p              # bounded per-value pair expansion

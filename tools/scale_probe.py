@@ -306,9 +306,11 @@ PROBE_QUERIES = [
     # round-13 additions: unigram-LM tokenizer, trained NB language ID
     "q306_unigram_lm_vocabulary",
     "q307_charngram_naive_bayes_langid",
-    # round-14 additions: Bradley-Terry preference fit, annotator kappa
+    # round-14 additions: Bradley-Terry preference fit, annotator kappa,
+    # cross-table inclusion-dependency discovery
     "q308_bradley_terry_preference",
     "q309_annotator_agreement_kappa",
+    "q310_inclusion_dependency_discovery",
 ]
 
 # key columns to shift per copy so replicated rows stay distinct entities
