@@ -1721,24 +1721,50 @@ def theil_sen_median_slopes(series: DataFrame) -> DataFrame:
     (the r14 audit's verification-hole finding)."""
     from pyspark.sql import Window
 
+    from database_migrator_spark.sources import spread_for_cpu
+
+    # r14 optimization (guide §2.3/§2.4): the former implementation ranked
+    # ALL ~260k pairs/type with two windows partitioned by event_type —
+    # a full sort + two passes over the pair table in ≤|types| tasks. The
+    # median slope only needs the pair count and the s9 value at position
+    # k = (np+1) DIV 2 under (s9, dy, dx) order — and because rows are
+    # ordered by s9 FIRST, the k-th row's s9 is simply the histogram cell
+    # where the cumulative count crosses k (the q279 exact-median-from-
+    # histogram recipe); the (dy, dx) tiebreak only permutes rows WITHIN
+    # an s9 cell and cannot change which s9 holds position k. So: partial
+    # map-side aggregation collapses the pair table to a bounded
+    # (event_type, s9) histogram inside the pair-generating tasks (never
+    # shuffling or sorting the pairs), and the windows run on the
+    # histogram. The time-span-bounded series side is broadcast and the
+    # stream side spread across cores so pair generation parallelizes.
     a = series.select("event_type", F.col("t").alias("ta"), F.col("c").alias("ca"))
     b = series.select("event_type", F.col("t").alias("tb"), F.col("c").alias("cb"))
     pairs = (
-        a.join(b, "event_type")
+        spread_for_cpu(a)
+        .join(F.broadcast(b), "event_type")
         .where(F.col("tb") > F.col("ta"))
         .select(
             "event_type",
             F.expr("(1000000000 * (cb - ca)) DIV (tb - ta)").alias("s9"),
-            (F.col("cb") - F.col("ca")).alias("dy"),
-            (F.col("tb") - F.col("ta")).alias("dx"),
         )
     )
-    w = Window.partitionBy("event_type").orderBy("s9", "dy", "dx")
-    wc = Window.partitionBy("event_type")
+    hist = pairs.groupBy("event_type", "s9").agg(F.count("*").alias("c"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("s9")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "s9",
+        "c",
+        F.sum("c").over(wcum).alias("cum_c"),
+        F.sum("c").over(wtot).alias("np"),
+    )
     return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .withColumn("np", F.count("*").over(wc))
-        .where(F.col("rn") == F.expr("(np + 1) DIV 2"))
+        cum.withColumn("k", F.expr("(np + 1) DIV 2"))
+        .where((F.col("cum_c") - F.col("c") < F.col("k")) & (F.col("k") <= F.col("cum_c")))
         .select("event_type", "np", "s9")
     )
 
@@ -3674,9 +3700,13 @@ def q252_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFra
     edge from the last touch, all from one (user, day) window pass) —
     reduced to the ≤(channels+1)² transition-count table, checkpointed;
     every variant chain (base + one per channel) then iterates IN
-    PARALLEL as rows of one bounded frame: {_MARKOV_ITERS} synchronous
-    value-iteration rounds, localCheckpointed per round (the q110
-    discipline — bounded frames, so each round is a tiny job).
+    PARALLEL: because the per-variant chain is bounded (≤ channels+2
+    states), the {_MARKOV_ITERS} synchronous value-iteration rounds run
+    as one integer fold over per-variant state/edge arrays — a single
+    job, replacing the former 16 driver-looped join rounds whose tiny
+    checkpoint jobs were pure scheduler latency (r14 optimization; the
+    q110 per-round-checkpoint discipline remains the rule for
+    corpus-scale iteration state).
     Determinism: transition probabilities and absorption masses are
     1e-6 fixed-point BIGINTs with per-term floor division mirrored in
     the oracle's recursive CTE; products stay ≤1e12·terms, overflow-free
@@ -3756,12 +3786,8 @@ def q252_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFra
         .withColumnRenamed("t2", "t")
     )
     outd = vedges.groupBy("v", "f").agg(F.sum("c").alias("o"))
-    prob = (
-        vedges.join(outd, ["v", "f"])
-        .select(
-            "v", "f", "t", int_div(F.col("c") * F.lit(1_000_000), F.col("o")).alias("pfp")
-        )
-        .localCheckpoint(eager=True)  # read every iteration round
+    prob = vedges.join(outd, ["v", "f"]).select(
+        "v", "f", "t", int_div(F.col("c") * F.lit(1_000_000), F.col("o")).alias("pfp")
     )
     absorbing = variants.select(
         "v", F.lit(100).cast("long").alias("s"), F.lit(1_000_000).cast("long").alias("p")
@@ -3770,31 +3796,66 @@ def q252_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFra
             "v", F.lit(101).cast("long").alias("s"), F.lit(0).cast("long").alias("p")
         )
     )
-    p = (
-        outd.select("v", F.col("f").alias("s"), F.lit(0).cast("long").alias("p"))
-        .unionByName(absorbing)
-        .localCheckpoint(eager=True)
+    p = outd.select("v", F.col("f").alias("s"), F.lit(0).cast("long").alias("p")).unionByName(
+        absorbing
     )
-    for i in range(_MARKOV_ITERS):
-        nxt = (
-            prob.join(p, (prob["v"] == p["v"]) & (prob["t"] == p["s"]))
-            .groupBy(prob["v"].alias("v"), prob["f"].alias("s"))
-            .agg(
-                int_div(
-                    F.sum(F.col("pfp") * F.col("p")), F.lit(1_000_000)
-                ).alias("p")
-            )
+    # The per-variant chain is BOUNDED by construction — ≤ channels+2
+    # states and ≤ (channels+1)·(channels+2) edges, independent of corpus
+    # size — so the {_MARKOV_ITERS} synchronous rounds run as ONE
+    # interpreted fold over per-variant arrays instead of the former
+    # driver loop of 16 join+aggregate rounds with per-round
+    # localCheckpoints: those were ~12 scheduler-bound jobs over ≤36-row
+    # frames (pure fixed latency at ANY scale; guide §1.2 "algorithm
+    # first"). Arithmetic is unchanged and order-independent: each round
+    # computes p'(v,f) = (Σ_t pfp·p(t)) DIV 1e6 in exact BIGINTs
+    # (|Σ| ≤ (channels+2)·1e12 < 2^53, so int_div stays exact), absorbing
+    # states carry through, and an edge whose target has no state row
+    # contributes 0 — identical to the former inner join dropping it.
+    estates = prob.groupBy("v").agg(F.collect_list(F.struct("f", "t", "pfp")).alias("E"))
+    s0 = p.groupBy("v").agg(F.collect_list(F.struct("s", "p")).alias("S"))
+    zero = F.lit(0).cast("long")
+
+    def _mass_at(states, t):  # Σ of the one matching state (s unique per array)
+        return F.aggregate(
+            states, zero, lambda a, st: a + F.when(st["s"] == t, st["p"]).otherwise(zero)
         )
-        p = nxt.unionByName(
-            p.where(F.col("s").isin(100, 101)).select("v", "s", "p")
+
+    def _round(states, _i):
+        return F.transform(
+            states,
+            lambda st: F.struct(
+                st["s"].alias("s"),
+                F.when(st["s"].isin(100, 101), st["p"])
+                .otherwise(
+                    int_div(
+                        F.aggregate(
+                            F.col("E"),
+                            zero,
+                            lambda a, e: a
+                            + F.when(
+                                e["f"] == st["s"], e["pfp"] * _mass_at(states, e["t"])
+                            ).otherwise(zero),
+                        ),
+                        F.lit(1_000_000),
+                    )
+                )
+                .alias("p"),
+            ),
         )
-        # checkpoint every 2nd round (and the last): p feeds a join AND a
-        # union next round, so one skipped checkpoint doubles the lazy
-        # plan exactly once — still bounded — while halving the number of
-        # tiny checkpoint jobs whose fixed latency dominated BENCH_r11
-        if i % 2 == 1 or i == _MARKOV_ITERS - 1:
-            p = p.localCheckpoint(eager=True)
-    fin = p.where(F.col("s") == -10).select("v", "p")
+
+    fin = (
+        estates.join(F.broadcast(s0), "v")
+        .select(
+            "v",
+            F.aggregate(
+                F.sequence(F.lit(1), F.lit(_MARKOV_ITERS)), F.col("S"), _round
+            ).alias("S"),
+        )
+        .select("v", F.explode("S").alias("st"))
+        .where(F.col("st.s") == -10)
+        .select("v", F.col("st.p").alias("p"))
+        .localCheckpoint(eager=True)  # bounded; read by base AND re
+    )
     base = fin.where(F.col("v") == -99).select(F.col("p").alias("bp"))
     re = (
         fin.where(F.col("v") != -99)

@@ -3603,10 +3603,11 @@ def q256_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the posting join + TakeOrderedAndProject top-20); everything after
     is bounded by the CANDIDATE COUNT — the ≤20-row candidate frame,
     ≤20-doc term sets, ≤380-row pairwise Jaccard table (each
-    checkpointed once), and 10 greedy rounds over those bounded frames
-    (the q199 loop discipline, localCheckpoint per round, zero driver
-    collects). The oracle replays the identical greedy recursion via
-    q199's list-carrying LATERAL recursive CTE."""
+    checkpointed once), and the 10 greedy rounds folded into ONE job
+    over the collected candidate/pair arrays (r14: the former per-round
+    driver loop was pure scheduler latency on bounded frames; zero
+    driver collects either way). The oracle replays the identical
+    greedy recursion via q199's list-carrying LATERAL recursive CTE."""
     tf, dl, stats, qt = _lex_query_terms(spark, sf_dir)
     scored = _bm25_term_fp(tf.join(F.broadcast(qt), "term"), dl, stats)
     cands0 = (
@@ -3672,47 +3673,92 @@ def q256_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)  # read every greedy round
     )
-    sel = (
-        cand.select(
-            F.lit(0).cast("long").alias("rank"),
-            "doc_id",
-            "relnorm_fp",
-            F.lit(0).cast("long").alias("maxsim_fp"),
-            F.lit(0).cast("long").alias("mmr_fp"),
+    # r14 optimization (guide §1.2): the greedy selection runs over
+    # BOUNDED frames (≤20 candidates, ≤380 pairs), so the former 10
+    # driver-looped rounds — each an anti-join + broadcast join + top-1 +
+    # checkpoint job over ≤20-row frames — were pure scheduler latency at
+    # ANY scale (11.6 s isolated on the r14 baseline, the slowest single
+    # query). One interpreted fold over the collected candidate/pair
+    # arrays replays the identical recursion: per round, maxsim(c) =
+    # MAX sim_fp over pairs (a = c, b ∈ picked) with 0 when none (the
+    # former left-join coalesce), mmr_fp = (relnorm + 1e12 − maxsim)
+    # DIV 2, and the pick is array_max over struct(mmr_fp, −doc_id, …) —
+    # mmr DESC then doc_id ASC via the q306 field-order tie-break
+    # contract (extra struct fields never compared: the first two are
+    # unique). All arithmetic stays exact BIGINT, order-independent.
+    Carr = cand.agg(F.collect_list(F.struct("doc_id", "relnorm_fp")).alias("C"))
+    Parr = pairs.agg(F.collect_list(F.struct("a", "b", "sim_fp")).alias("P"))
+    zero = F.lit(0).cast("long")
+
+    def _pick_round(acc, _r):
+        picked = F.transform(acc, lambda s: s["doc_id"])
+        remaining = F.filter(
+            F.col("C"), lambda c: ~F.array_contains(picked, c["doc_id"])
         )
-        .where(F.lit(False))
-        .localCheckpoint(eager=True)
-    )
-    for r in range(1, 11):
-        remaining = cand.join(sel.select("doc_id"), "doc_id", "left_anti")
-        ms = (
-            pairs.join(
-                sel.select(F.col("doc_id").alias("b")).hint("broadcast"), "b"
-            )
-            .groupBy("a")
-            .agg(F.max("sim_fp").alias("maxsim_fp"))
+        with_ms = F.transform(
+            remaining,
+            lambda c: F.struct(
+                c["doc_id"].alias("doc_id"),
+                c["relnorm_fp"].alias("relnorm_fp"),
+                F.aggregate(
+                    F.col("P"),
+                    zero,
+                    lambda m, pr: F.when(
+                        (pr["a"] == c["doc_id"]) & F.array_contains(picked, pr["b"]),
+                        F.greatest(m, pr["sim_fp"]),
+                    ).otherwise(m),
+                ).alias("maxsim_fp"),
+            ),
         )
-        pick = (
-            remaining.join(ms, remaining["doc_id"] == ms["a"], "left")
-            .select(
-                "doc_id",
-                "relnorm_fp",
-                F.coalesce("maxsim_fp", F.lit(0).cast("long")).alias("maxsim_fp"),
-            )
-            .withColumn(
-                "mmr_fp",
+        scored = F.transform(
+            with_ms,
+            lambda x: F.struct(
                 int_div(
-                    F.col("relnorm_fp")
-                    + F.lit(1_000_000_000_000)
-                    - F.col("maxsim_fp"),
-                    2,
+                    x["relnorm_fp"] + F.lit(1_000_000_000_000) - x["maxsim_fp"], 2
+                ).alias("mmr_fp"),
+                (-x["doc_id"]).alias("neg_doc"),
+                x["relnorm_fp"].alias("relnorm_fp"),
+                x["maxsim_fp"].alias("maxsim_fp"),
+            ),
+        )
+        best = F.array_max(scored)
+        return F.when(best.isNull(), acc).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        (F.size(acc) + 1).cast("long").alias("rank"),
+                        (-best["neg_doc"]).alias("doc_id"),
+                        best["relnorm_fp"].alias("relnorm_fp"),
+                        best["maxsim_fp"].alias("maxsim_fp"),
+                        best["mmr_fp"].alias("mmr_fp"),
+                    )
                 ),
             )
-            .orderBy(F.col("mmr_fp").desc(), "doc_id")
-            .limit(1)
-            .select(F.lit(r).cast("long").alias("rank"), "doc_id", "relnorm_fp", "maxsim_fp", "mmr_fp")
         )
-        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+
+    empty_sel = F.filter(
+        F.array(
+            F.struct(
+                zero.alias("rank"),
+                zero.alias("doc_id"),
+                zero.alias("relnorm_fp"),
+                zero.alias("maxsim_fp"),
+                zero.alias("mmr_fp"),
+            )
+        ),
+        lambda _x: F.lit(False),
+    )
+    sel = (
+        Carr.crossJoin(F.broadcast(Parr))
+        .select(
+            F.explode(
+                F.aggregate(F.sequence(F.lit(1), F.lit(10)), empty_sel, _pick_round)
+            ).alias("s")
+        )
+        .select("s.rank", "s.doc_id", "s.relnorm_fp", "s.maxsim_fp", "s.mmr_fp")
+        .localCheckpoint(eager=True)  # ≤10 rows; final plan reads only this
+    )
     return sel.select(
         "rank",
         "doc_id",
