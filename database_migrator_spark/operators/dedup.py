@@ -172,11 +172,20 @@ def minhash_near_duplicates(
         docs = spread_for_cpu(docs)
         # verify on *shingle* sets — the similarity MinHash actually estimates
         # (token-set Jaccard is a much looser measure on small vocabularies)
+        # two-step projection: the shingle array is built ONCE and the
+        # signature folds over the DISTINCT set (min-hash is duplicate-
+        # invariant, so the minima are bit-identical) — CollapseProject
+        # keeps the non-cheap shingle expression un-inlined because the
+        # outer projection references it more than once
         toks = docs.select(
             F.col(id_col).alias("id"),
             F.array_distinct(word_shingles(tokens_of(text_col))).alias("toks"),
-            minhash_signature(word_shingles(tokens_of(text_col)), num_hashes).alias("sig"),
-        ).withColumn("n_sh", F.size("toks"))
+        ).select(
+            "id",
+            "toks",
+            minhash_signature(F.col("toks"), num_hashes).alias("sig"),
+            F.size("toks").alias("n_sh"),
+        )
         # both sides of the candidate self-join read the sketches — materialize
         # them ONCE at doc granularity (checkpointing after the 16-band explode
         # would store each shingle array 16×)
@@ -1000,11 +1009,17 @@ def q127_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     like q66/q72 — the sf0.1 cross-check is the Spark brute force in
     tests."""
     d = spread_for_cpu(table(spark, sf_dir, "documents"))
+    # shingle once, sign over the distinct set (duplicate-invariant
+    # minima — see the identical two-step shape in minhash_near_duplicates)
     sk = d.select(
         "doc_id",
         F.array_distinct(word_shingles(tokens_of("text"))).alias("toks"),
-        minhash_signature(word_shingles(tokens_of("text")), 64).alias("sig"),
-    ).withColumn("n_sh", F.size("toks"))
+    ).select(
+        "doc_id",
+        "toks",
+        minhash_signature(F.col("toks"), 64).alias("sig"),
+        F.size("toks").alias("n_sh"),
+    )
     # one sketch pass serves both sides (shared-lineage join ⇒ checkpoint)
     sk = sk.localCheckpoint(eager=True)
 
@@ -1888,6 +1903,7 @@ def minhash_near_duplicates_portable(
     num_slots: int = 64,
     bands: int = 16,
     max_bucket: int = 1000,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Banded MinHash-LSH near-duplicate candidates with exact-Jaccard
     verify, every stage engine-reproducible (q28's pipeline with q210's
@@ -1910,13 +1926,19 @@ def minhash_near_duplicates_portable(
     rows = num_slots // bands
     from pyspark.sql import Window
 
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(word_shingles(tokens_of(text_col))).alias("toks"),
-    ).withColumn("n_sh", F.size("toks"))
-    # both self-join sides and the verify stage read the shingle table —
-    # materialize it once (the q28/q66 sketch-once pattern)
-    sh = sh.localCheckpoint(eager=True)
+    if shingles is None:
+        sh = docs.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(word_shingles(tokens_of(text_col))).alias("toks"),
+        ).withColumn("n_sh", F.size("toks"))
+        # both self-join sides and the verify stage read the shingle table —
+        # materialize it once (the q28/q66 sketch-once pattern)
+        sh = sh.localCheckpoint(eager=True)
+    else:
+        # caller-shared substrate (q301 composes this detector with the
+        # SimHash one — the shingle pass need only run once): expects the
+        # SAME (id, toks, n_sh) columns, already checkpointed
+        sh = shingles
     g = sh.select("id", F.explode("toks").alias("g"))
     # ONE groupBy("id") carrying all num_slots min aggregates (slot j's
     # hash input is the same "j g" string the former 64-slot crossJoin
@@ -2363,14 +2385,21 @@ def q301_capture_recapture_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines are the verified banded/bucketed plans (never all-pairs);
     the audit adds two bounded pair-set joins and a 1-row assembly."""
     d = spread_for_cpu(table(spark, sf_dir, "documents"))
-    A = minhash_near_duplicates_portable(d).select("a_id", "b_id")
-    toks = tokens_of("text")
-    sh = d.select(
-        "doc_id", F.array_distinct(word_shingles(toks)).alias("s")
-    ).localCheckpoint(eager=True)  # shingle sets: read by both B-verify sides
+    # ONE shingle pass shared by the MinHash detector (signatures + its
+    # verify sides) AND the SimHash B-verify below — previously each
+    # built its own identical checkpoint, tokenizing the corpus twice
+    sh = (
+        d.select(
+            F.col("doc_id").alias("id"),
+            F.array_distinct(word_shingles(tokens_of("text"))).alias("toks"),
+        )
+        .withColumn("n_sh", F.size("toks"))
+        .localCheckpoint(eager=True)
+    )
+    A = minhash_near_duplicates_portable(d, shingles=sh).select("a_id", "b_id")
     B0 = simhash_hamming_portable(d).select("a_id", "b_id")
-    sa = sh.select(F.col("doc_id").alias("a_id"), F.col("s").alias("s_a"))
-    sb = sh.select(F.col("doc_id").alias("b_id"), F.col("s").alias("s_b"))
+    sa = sh.select(F.col("id").alias("a_id"), F.col("toks").alias("s_a"))
+    sb = sh.select(F.col("id").alias("b_id"), F.col("toks").alias("s_b"))
     B = (
         B0.join(sa.hint("shuffle_merge"), "a_id")
         .join(sb.hint("shuffle_merge"), "b_id")

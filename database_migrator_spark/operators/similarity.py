@@ -1976,7 +1976,7 @@ def q246_margin_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     TRUNCATING integer-divided means (Spark ``div`` == DuckDB ``//``,
     sign-safe), margins divide exact integers, and every selection
     window carries an id tiebreak."""
-    e = table(spark, sf_dir, "embeddings")
+    e = spread_for_cpu(table(spark, sf_dir, "embeddings"))
     nrm = e.select(
         "vec_id",
         (F.col("label") % 2).alias("side"),
@@ -2002,6 +2002,12 @@ def q246_margin_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = (
         a.join(b.hint("shuffle_merge"), "cluster")
+        .select("a_id", "b_id", "ea", "eb")
+        # the cluster join has only K=16 distinct keys and tiny input
+        # bytes, so AQE coalesces its read to ~1 task — re-spread the
+        # pair fan-out (explicit N resists AQE coalescing) BEFORE the
+        # interpreted 64-dim dot fold, the dominant per-row cost
+        .repartition(spark.sparkContext.defaultParallelism, "a_id", "b_id")
         .select(
             "a_id",
             "b_id",
@@ -2160,7 +2166,7 @@ def q248_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbounded derived tables stays pinned shuffle-merge. Determinism:
     1e-12 fixed-point cosines (identical folds), id tiebreaks on both
     rank windows, margin compared in exact BIGINT fixed point."""
-    e = table(spark, sf_dir, "embeddings")
+    e = spread_for_cpu(table(spark, sf_dir, "embeddings"))
     nrm = e.select(
         "vec_id",
         "label",
@@ -2193,6 +2199,12 @@ def q248_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         a.join(b.hint("shuffle_merge"), "cluster")
         .where(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "a_lab", "b_id", "b_lab", "ea", "eb")
+        # the cluster join has only K=16 distinct keys and tiny input
+        # bytes, so AQE coalesces its read to ~1 task — re-spread the
+        # pair fan-out (explicit N resists AQE coalescing) BEFORE the
+        # interpreted 64-dim dot fold, the dominant per-row cost
+        .repartition(spark.sparkContext.defaultParallelism, "a_id", "b_id")
         .select(
             "a_id",
             "a_lab",

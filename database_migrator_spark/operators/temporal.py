@@ -210,6 +210,11 @@ def resample_ffill(
         .agg(value_col.alias("__v"))
     )
     span = hourly.groupBy(key).agg(F.min("__h").alias("__h0"), F.max("__h").alias("__h1"))
+    # span is key-scale and tiny in bytes, so AQE coalesces it to ~1
+    # partition — but the grid explode below fans each key out to
+    # (span/step) rows, so re-spread FIRST (explicit N resists AQE
+    # coalescing) or one task generates the whole grid serially
+    span = span.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
     grid = span.select(
         key,
         F.explode(F.sequence("__h0", "__h1", F.expr(f"INTERVAL {step}"))).alias("__h"),

@@ -3355,6 +3355,10 @@ def q245_rm3_expansion_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(10)
         .select("doc_id")
+        # 10-row bounded frame whose subtree is the FULL feedback BM25
+        # run — materialize once instead of re-deriving it under every
+        # downstream broadcast (rm → exp8 → srm/wts each re-planned it)
+        .localCheckpoint(eager=True)
     )
     rm = (
         tf.join(F.broadcast(top10), "doc_id")
@@ -3370,6 +3374,7 @@ def q245_rm3_expansion_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
         rm.where(F.length("term") >= 4)
         .orderBy(F.col("rm_fp").desc(), "term")
         .limit(8)
+        .localCheckpoint(eager=True)  # ≤8 rows; feeds srm AND wts
     )
     srm = exp8.agg(F.sum("rm_fp").alias("total_rm"))
     wts = (
@@ -3384,6 +3389,7 @@ def q245_rm3_expansion_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("term")
         .agg(F.sum("w").alias("w_fp"))
+        .localCheckpoint(eager=True)  # ≤11 rows; feeds qterms AND rescore
     )
     qterms = wts.join(dfq, "term")  # ≤11 rows: weights + per-term df
     scored = _bm25_term_fp(tf.join(F.broadcast(qterms), "term"), dl, stats)
