@@ -1279,6 +1279,8 @@ def rare_first_shingle_docs(spark: SparkSession, d: DataFrame) -> DataFrame:
     (post-shuffle frame — the RDD-probe rule) re-spreads AQE's coalesced
     output first. A 48-bit collision merges two shingles IDENTICALLY on
     both engines; at ~10^5 distinct shingles the birthday odds ~1e-5."""
+    from pyspark.sql import Window
+
     tok = d.select(
         "doc_id",
         F.explode(
@@ -1292,9 +1294,14 @@ def rare_first_shingle_docs(spark: SparkSession, d: DataFrame) -> DataFrame:
             )
         ).alias("tk"),
     )
-    df_t = tok.groupBy("tk").agg(F.count("*").alias("df"))
+    # df via a shingle-partitioned window instead of groupBy + self-join:
+    # the former shape exchanged the exploded corpus TWICE (once into the
+    # df aggregate, once into the join) and re-ran the tokenize+explode
+    # scan per join side; one Exchange(tk) now feeds the count directly
+    # (guide §2.4 — share one exchange between same-keyed operations).
+    # Per-shingle partitions are df-sized (max df 9 at sf0.1), no skew.
     sorted_docs = (
-        tok.join(df_t.hint("shuffle_merge"), "tk")
+        tok.withColumn("df", F.count("*").over(Window.partitionBy("tk")))
         .groupBy("doc_id")
         .agg(
             F.transform(

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from database_migrator_spark.functions.exact import int_div, to_cents
+from database_migrator_spark.functions.exact import exactness_guard, int_div, to_cents
 from database_migrator_spark.plans.registry import query
 from database_migrator_spark.sources import table
 
@@ -1709,54 +1709,105 @@ _IND_COLUMNS: list[tuple[str, str]] = [
 ]
 
 
-def inclusion_dependencies(vals: DataFrame) -> DataFrame:
+def inclusion_dependencies(vals: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Sindy-style unary inclusion-dependency discovery over a
     ``(col: string, v: long)`` value stream (duplicates allowed).
 
-    One value-keyed aggregate builds the attribute set per distinct
-    value (``collect_set`` dedups columns, so no pre-distinct pass is
-    needed); every ordered column pair co-occurring on a value is then
-    emitted from the BOUNDED per-value set (|set| <= n_columns, so the
-    pair fan-out per value is <= n_columns^2 regardless of corpus
-    size — the reason this never degenerates into a values x values
-    self-join).  Exact distinct counts per column come from the same
-    aggregated frame.  containment(a->b) = |A∩B| / |A| in floor ppm;
-    ``is_candidate_fk`` marks exact subsets (n_inter = n_a) — no
+    One value-keyed aggregate folds each distinct value's attribute set
+    into a BIGINT bitmask (``bit_or`` dedups columns, so no pre-distinct
+    pass is needed); the mask HISTOGRAM then bounds all downstream work
+    (|masks| ≤ 2^n_columns regardless of corpus size — the reason this
+    never degenerates into a values x values self-join).  Exact distinct
+    counts per column and per-ordered-pair co-occurrence counts are both
+    Σ cnt over the histogram.  containment(a->b) = |A∩B| / |A| in floor
+    ppm; ``is_candidate_fk`` marks exact subsets (n_inter = n_a) — no
     tolerance constant to go stale.
 
-    The caller must reuse one physical build of the value-set frame for
-    both branches (counts + pairs); q310 localCheckpoints it."""
-    sets_ = vals.where(F.col("v").isNotNull()).groupBy("v").agg(
-        F.collect_set("col").alias("cols")
+    The caller must reuse one physical build of the bounded mask
+    histogram for both branches (counts + pairs); q310 localCheckpoints
+    it.  Returns ``(mask_counts, col_ids)``: the histogram plus the
+    bounded cid→name mapping the report stage needs."""
+    from pyspark.sql import Window
+
+    col_ids = (
+        vals.select("col")
+        .distinct()
+        .withColumn("cid", F.row_number().over(Window.orderBy("col")) - 1)
+        # single-partition window: bounded derived table (≤ n_columns
+        # rows), the sanctioned exception.  cid ≥ 63 would overflow the
+        # BIGINT mask — fail loudly, never silently.
+        .where(
+            exactness_guard(
+                F.col("cid") < 63,
+                "inclusion_dependencies: more than 63 probe columns — "
+                "the BIGINT attribute bitmask is full; shard the column "
+                "set",
+            )
+        )
+        .localCheckpoint(eager=True)
     )
-    return sets_
+    with_ids = vals.join(F.broadcast(col_ids), "col").select("cid", "v")
+    return ind_mask_histogram(with_ids), col_ids
 
 
-def _ind_report(sets_: DataFrame) -> DataFrame:
+def ind_mask_histogram(vals_ids: DataFrame) -> DataFrame:
+    """(cid, v) value stream → bounded attribute-set histogram
+    ``(mask, cnt)``: one value-keyed shuffle with map-side partial
+    ``bit_or`` folds each distinct value's column set into a BIGINT
+    bitmask (8 bytes of aggregate state vs the former
+    ``collect_set<string>`` array — guide §2.3, narrower shuffle), and
+    the mask histogram then collapses the distinct-value-scale frame to
+    ≤ 2^n_columns rows BEFORE any pair expansion, so the ≤ n² per-mask
+    fan-out runs over a bounded table instead of per distinct value."""
+    masks = (
+        vals_ids.where(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.bit_or(F.expr("shiftleft(1L, cid)")).alias("mask"))
+    )
+    return masks.groupBy("mask").agg(F.count("*").alias("cnt"))
+
+
+def _ind_report(mask_counts: DataFrame, col_ids: DataFrame) -> DataFrame:
+    """Bounded report stage over the (mask, cnt) histogram: per-column
+    distinct counts and per-ordered-pair co-occurrence counts are both
+    Σ cnt over the masks containing the relevant bit(s) — every frame
+    here is ≤ 2^n_columns rows, independent of corpus size."""
+    bits = F.expr("filter(sequence(0, 62), i -> (shiftright(mask, i) & 1) = 1)")
     counts = (
-        sets_.select(F.explode("cols").alias("col"))
-        .groupBy("col")
-        .agg(F.count("*").alias("n"))
+        mask_counts.select(F.explode(bits).alias("cid"), "cnt")
+        .groupBy("cid")
+        .agg(F.sum("cnt").cast("long").alias("n"))
     )
+    # names + counts fused once (≤ 63 rows, read by both pair sides)
+    aug = counts.join(F.broadcast(col_ids), "cid").localCheckpoint(eager=True)
     pairs = (
-        sets_.select(F.explode("cols").alias("a_col"), "cols")
-        .select("a_col", F.explode("cols").alias("b_col"))
-        .where(F.col("a_col") != F.col("b_col"))
-        .groupBy("a_col", "b_col")
-        .agg(F.count("*").alias("n_inter"))
+        mask_counts.select(bits.alias("bits"), "cnt")
+        .select(F.explode("bits").alias("a_cid"), "bits", "cnt")
+        .select("a_cid", F.explode("bits").alias("b_cid"), "cnt")
+        .where(F.col("a_cid") != F.col("b_cid"))
+        .groupBy("a_cid", "b_cid")
+        .agg(F.sum("cnt").cast("long").alias("n_inter"))
     )
     return (
         pairs.join(
             F.broadcast(
-                counts.select(F.col("col").alias("a_col"), F.col("n").alias("n_a"))
+                aug.select(
+                    F.col("cid").alias("a_cid"),
+                    F.col("col").alias("a_col"),
+                    F.col("n").alias("n_a"),
+                )
             ),
-            "a_col",
+            "a_cid",
         )
         .join(
             F.broadcast(
-                counts.select(F.col("col").alias("b_col"), F.col("n").alias("n_b"))
+                aug.select(
+                    F.col("cid").alias("b_cid"),
+                    F.col("col").alias("b_col"),
+                    F.col("n").alias("n_b"),
+                )
             ),
-            "b_col",
+            "b_cid",
         )
         .select(
             "a_col",
@@ -1825,25 +1876,35 @@ def q310_inclusion_dependency_discovery(spark: SparkSession, sf_dir: str) -> Dat
     values) before registering.
 
     Shape at scale (Sindy's one-pass MR shape): 21 column-pruned scans
-    union into a (col, v) stream; ONE value-keyed shuffle with
-    map-side partial ``collect_set`` builds the per-value attribute
-    set (never a values x values self-join); the checkpointed
-    value-set substrate is distinct-value-scale and feeds both the
-    exact per-column distinct counts and the pair expansion, whose
-    fan-out per value is bounded by n_columns^2 = 441 independent of
-    corpus size; the two count frames are column-domain-bounded
-    (<= 21 and <= 420 rows), joined via broadcast.  ppm fixed point:
+    union into a (cid, v) stream — a 4-byte static column id, never the
+    name string; ONE value-keyed shuffle with map-side partial
+    ``bit_or`` folds each value's attribute set into a BIGINT bitmask
+    (8 bytes of aggregate state, never a values x values self-join),
+    and the checkpointed substrate is the mask HISTOGRAM — ≤ 2^21 rows
+    independent of corpus size — which feeds both the exact per-column
+    distinct counts and the ≤ 441-per-mask pair expansion; the fused
+    count+name frame is column-domain-bounded (≤ 21 rows), attached
+    via broadcast.  ppm fixed point:
     n_inter * 1e6 <= 1e16 at 1e10 distinct keys — no 2^63 hazard.
     DuckDB `//` truncates but both operands are non-negative, so it
     equals int_div's floor on both engines."""
+    # cids are assigned statically (the column set is the declared
+    # constant _IND_COLUMNS), so the corpus-scale union carries a 4-byte
+    # cid instead of a ~20-byte table.column string and needs no
+    # name-attach join before the value shuffle (guide §2.3: shuffle
+    # keys and metadata, narrow types).
     frames = [
         table(spark, sf_dir, t).select(
-            F.lit(f"{t}.{c}").alias("col"), F.col(c).cast("long").alias("v")
+            F.lit(i).cast("int").alias("cid"), F.col(c).cast("long").alias("v")
         )
-        for t, c in _IND_COLUMNS
+        for i, (t, c) in enumerate(_IND_COLUMNS)
     ]
     vals = frames[0]
     for f_ in frames[1:]:
         vals = vals.unionByName(f_)
-    sets_ = inclusion_dependencies(vals).localCheckpoint(eager=True)
-    return _ind_report(sets_)
+    hist = ind_mask_histogram(vals).localCheckpoint(eager=True)
+    col_ids = spark.createDataFrame(
+        [(i, f"{t}.{c}") for i, (t, c) in enumerate(_IND_COLUMNS)],
+        "cid int, col string",
+    )
+    return _ind_report(hist, col_ids)

@@ -2532,13 +2532,16 @@ def q206_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # feeds df pass + the weight build
     )
     nn = tf.select("doc_id").distinct().agg(F.count("*").alias("n"))
-    dfq = tf.groupBy("g").agg(F.count("*").alias("df"))
-    band = dfq.crossJoin(F.broadcast(nn)).where(
-        (F.col("df") >= 2) & (F.lit(10) * F.col("df") <= F.col("n"))
-    )
+    # df via a gram-partitioned window instead of groupBy + join back:
+    # HashPartitioning(g) satisfies the (g, source) clustering of the
+    # postings-cap window below, so ONE Exchange(g) now feeds both the
+    # band filter and the cap (guide §2.4); the former dfq aggregate +
+    # shuffle_merge join exchanged the checkpointed tf table twice.
     w_cap = Window.partitionBy("g", "source").orderBy("doc_id")
     w = (
-        tf.join(band.hint("shuffle_merge"), "g")
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("g")))
+        .crossJoin(F.broadcast(nn))
+        .where((F.col("df") >= 2) & (F.lit(10) * F.col("df") <= F.col("n")))
         .select(
             "doc_id",
             "source",
@@ -3225,22 +3228,27 @@ def q243_kneser_ney_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     total; the instance stream joins the assembled probability table on
     (w1, w2) pinned shuffle-merge (bigram vocabulary NEVER broadcasts,
     q108/q103's lesson)."""
+    from pyspark.sql import Window
+
     d = spread_for_cpu(table(spark, sf_dir, "documents"))
     bg = doc_bigrams(d)
     c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
-    c1 = c2.groupBy("w1").agg(
-        F.sum("c2").alias("c1"), F.count("*").alias("n1f")
-    )
-    cont = c2.groupBy("w2").agg(F.count("*").alias("n1p"))
     tt = c2.agg(F.count("*").alias("t"))
     fp = F.lit(1_000_000_000_000)
     p_fp = int_div((4 * F.col("c2") - 3) * fp, 4 * F.col("c1")) + int_div(
         int_div(3 * F.col("n1f") * fp, 4 * F.col("c1")) * F.col("n1p"),
         F.col("t"),
     )
+    # both marginals via vocabulary-partitioned windows over the ONE c2
+    # table instead of two groupBy+join-back pairs: the former shape
+    # re-derived c2 under each join side and exchanged it twice per
+    # marginal (guide §2.4 — share the exchange between operations
+    # keyed the same way).  Identical BIGINT values, so p_fp is
+    # bit-identical.
     probs = (
-        c2.join(c1.hint("shuffle_merge"), "w1")
-        .join(cont.hint("shuffle_merge"), "w2")
+        c2.withColumn("c1", F.sum("c2").over(Window.partitionBy("w1")))
+        .withColumn("n1f", F.count("*").over(Window.partitionBy("w1")))
+        .withColumn("n1p", F.count("*").over(Window.partitionBy("w2")))
         .crossJoin(F.broadcast(tt))
         .where(
             exactness_guard(
@@ -5108,13 +5116,24 @@ def nb_charngram_confusion(docs: DataFrame) -> DataFrame:
             .alias("w_fp"),
         )
     )
+    # pivot the vocabulary-keyed weights to ONE row per gram (bounded
+    # ≤ n_classes map) so the corpus-scale test side crosses the join
+    # exchange ONCE instead of 5× — the class fan-out happens AFTER the
+    # shuffle, on the map side of the score aggregate (guide §2.3:
+    # shuffle fewer bytes; §3.3: explode after the join, not before).
+    wgt5 = wgt.groupBy("g").agg(
+        F.map_from_entries(F.collect_list(F.struct("lc", "w_fp"))).alias("wm")
+    )
     sc = (
         test.select("doc_id", F.col("lang").alias("true_lang"), "g", "c")
+        .join(wgt5.hint("shuffle_merge"), "g", "left")
         .crossJoin(F.broadcast(cstats))
-        .join(wgt.hint("shuffle_merge"), ["g", "lc"], "left")
         .groupBy("doc_id", "true_lang", "lc", "prior_fp")
         .agg(
-            F.sum(F.col("c") * F.coalesce(F.col("w_fp"), F.col("unk_fp")))
+            F.sum(
+                F.col("c")
+                * F.coalesce(F.try_element_at("wm", F.col("lc")), F.col("unk_fp"))
+            )
             .cast("long")
             .alias("swsum"),
             F.sum("c").cast("long").alias("totc"),

@@ -293,11 +293,10 @@ def test_inclusion_dependencies_planted_corpus(spark):
     rows += [("B", v) for v in [1, 2, 3, 4]]
     rows += [("C", v) for v in [3, 4, 5, 5]]
     vals = spark.createDataFrame(rows, "col string, v long")
+    hist, col_ids = inclusion_dependencies(vals)
     out = {
         (r.a_col, r.b_col): r
-        for r in _ind_report(
-            inclusion_dependencies(vals).localCheckpoint(eager=True)
-        ).collect()
+        for r in _ind_report(hist.localCheckpoint(eager=True), col_ids).collect()
     }
     assert set(out) == {
         ("A", "B"), ("B", "A"), ("A", "C"), ("C", "A"), ("B", "C"), ("C", "B"),

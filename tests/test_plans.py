@@ -1720,12 +1720,16 @@ def test_bootstrap_resamples_bounded_aggregate_only(spark):
 
 
 def test_kneser_ney_vocab_joins_pinned_no_broadcast(spark):
-    """q243: all three bigram-vocabulary-sized joins (c1 marginals,
-    continuation counts, the instance-stream prob join) stay pinned
-    shuffle-merge — the bigram vocabulary NEVER broadcasts (q103's OOM
-    lesson); the only broadcast is the 1-row type total."""
+    """q243: the marginals (c1/n1f by w1, continuation n1p by w2) come
+    from vocabulary-partitioned WINDOWS over the one c2 table (r14: the
+    former groupBy+join-back shape exchanged c2 twice per marginal);
+    the only remaining vocabulary-sized join is the instance-stream
+    prob join, pinned shuffle-merge — the bigram vocabulary NEVER
+    broadcasts (q103's OOM lesson); the only broadcast is the 1-row
+    type total."""
     p = plan_of(spark, "q243_kneser_ney_bigram_score")
-    assert p.count("SortMergeJoin") == 3
+    assert p.count("SortMergeJoin") == 1
+    assert p.count("Window") >= 2
     assert "BroadcastHashJoin" not in p
     assert "BroadcastNestedLoopJoin" in p  # the 1-row T
     assert "CartesianProduct" not in p
