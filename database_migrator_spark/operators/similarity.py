@@ -2000,14 +2000,28 @@ def q246_margin_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = asg.where(F.col("side") == 1).select(
         "cluster", F.col("vec_id").alias("b_id"), F.col("e").alias("eb")
     )
+    # SALTED pair join: the cluster key alone has K=16 values and tiny
+    # input bytes, so AQE coalesces the join's read to ~1 task — which
+    # would then generate EVERY pair and run the interpreted 64-dim dot
+    # fold serially.  Salting the b side (deterministic xxhash64 — the
+    # guide's retry-safe synthetic key) and exploding the a side over
+    # the salt domain spreads pair GENERATION and the fold over
+    # K × npart reduce groups, with only the vector-scale inputs ever
+    # crossing an exchange — the pair stream itself (which at scale
+    # carries both 64-dim vectors per row) never does.  (A first draft
+    # repartitioned the JOINED pair stream instead; the 10× probe
+    # showed the AQE-coalesced join task then serially wrote the
+    # pair-with-vectors exchange — strictly worse at sf1.)
+    npart = spark.sparkContext.defaultParallelism
+    b_s = b.withColumn(
+        "salt", F.pmod(F.xxhash64("b_id"), F.lit(npart)).cast("int")
+    )
+    a_s = a.withColumn(
+        "salt",
+        F.explode(F.sequence(F.lit(0), F.lit(npart - 1))),
+    )
     pairs = (
-        a.join(b.hint("shuffle_merge"), "cluster")
-        .select("a_id", "b_id", "ea", "eb")
-        # the cluster join has only K=16 distinct keys and tiny input
-        # bytes, so AQE coalesces its read to ~1 task — re-spread the
-        # pair fan-out (explicit N resists AQE coalescing) BEFORE the
-        # interpreted 64-dim dot fold, the dominant per-row cost
-        .repartition(spark.sparkContext.defaultParallelism, "a_id", "b_id")
+        a_s.join(b_s.hint("shuffle_merge"), ["cluster", "salt"])
         .select(
             "a_id",
             "b_id",
@@ -2196,15 +2210,20 @@ def q248_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("b_lab"),
         F.col("e").alias("eb"),
     )
+    # salted pair join — same shape and rationale as q246: spread pair
+    # generation + the interpreted dot fold over K × npart reduce
+    # groups without ever exchanging the pair-with-vectors stream
+    npart = spark.sparkContext.defaultParallelism
+    b_s = b.withColumn(
+        "salt", F.pmod(F.xxhash64("b_id"), F.lit(npart)).cast("int")
+    )
+    a_s = a.withColumn(
+        "salt",
+        F.explode(F.sequence(F.lit(0), F.lit(npart - 1))),
+    )
     pairs = (
-        a.join(b.hint("shuffle_merge"), "cluster")
+        a_s.join(b_s.hint("shuffle_merge"), ["cluster", "salt"])
         .where(F.col("a_id") != F.col("b_id"))
-        .select("a_id", "a_lab", "b_id", "b_lab", "ea", "eb")
-        # the cluster join has only K=16 distinct keys and tiny input
-        # bytes, so AQE coalesces its read to ~1 task — re-spread the
-        # pair fan-out (explicit N resists AQE coalescing) BEFORE the
-        # interpreted 64-dim dot fold, the dominant per-row cost
-        .repartition(spark.sparkContext.defaultParallelism, "a_id", "b_id")
         .select(
             "a_id",
             "a_lab",
