@@ -76,21 +76,27 @@ def q118_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape at scale: one explode to (doc, gram) with an in-row
     array_distinct (so a gram repeated within one document costs one
-    shuffle row, not many), one gram-keyed min aggregate, and a gram-keyed
-    join back — pinned shuffle-merge because the distinct-gram table is
-    corpus-sized and must never be broadcast (q103's lesson). Production
+    shuffle row, not many), then the first-occurrence attaches via
+    min(doc_id) OVER (PARTITION BY gram) — ONE gram-keyed exchange whose
+    per-gram groups are df-sized, instead of the former gram-keyed min
+    aggregate + shuffle-merge join back that re-derived the explode on
+    both join sides and crossed two exchanges (the q162-substrate
+    lesson, r14 wave 3/4; the distinct-gram table is corpus-sized and
+    must never be broadcast either way — q103's lesson). Production
     would fold grams to 128-bit digests before the shuffle; the string key
     keeps this oracle exact cross-engine."""
+    from pyspark.sql import Window
+
     d = _spread(spark, table(spark, sf_dir, "documents"))
     toks = tokens_of("text")
     g = d.where(F.size(toks) >= 8).select(
         "doc_id",
         F.explode(F.array_distinct(word_shingles(toks, 8))).alias("g"),
     )
-    firsts = g.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    first_doc = F.min("doc_id").over(Window.partitionBy("g"))
     novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
     return (
-        g.join(firsts.hint("shuffle_merge"), "g")
+        g.withColumn("first_doc", first_doc)
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_distinct_grams"),

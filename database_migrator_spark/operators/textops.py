@@ -1441,33 +1441,32 @@ def q113_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     used to cut verbatim-boilerplate spans before training, at a finer
     grain than whole-document dedup.
 
-    Shape at scale: one posexplode to (doc, pos, gram), one gram-keyed
-    aggregate, and a gram-keyed join BACK to the instance stream —
-    pinned shuffle-merge, because on web corpora the repeated-gram set
-    (boilerplate) is far too large to broadcast (q103's lesson again).
-    Production would hash the gram string to 128 bits before the
-    shuffle; the string key keeps this oracle-exact cross-engine.
-    Fractions divide exact BIGINTs, so they hash bit-identically."""
+    Shape at scale: one posexplode to (doc, pos, gram), then the
+    corpus-occurrence count attaches via count(*) OVER (PARTITION BY
+    gram) — ONE gram-keyed exchange feeding a window whose per-gram
+    groups are df-sized (max df single digits on this corpus), instead
+    of the former gram-keyed aggregate + shuffle-merge join BACK that
+    re-derived the tokenize+explode on both join sides and crossed two
+    exchanges (the q162-substrate lesson, r14 wave 3/4). Production
+    would hash the gram string to 128 bits before the shuffle; the
+    string key keeps this oracle-exact cross-engine. Fractions divide
+    exact BIGINTs, so they hash bit-identically."""
     from database_migrator_spark.operators.dedup import word_shingles
+    from pyspark.sql import Window
 
     d = spread_for_cpu(table(spark, sf_dir, "documents"))
     toks = tokens_of("text")
     g = d.where(F.size(toks) >= 8).select(
         "doc_id", F.posexplode(word_shingles(toks, 8)).alias("pos", "g")
     )
-    rep = (
-        g.groupBy("g")
-        .agg(F.count("*").alias("c"))
-        .where(F.col("c") > 1)
-        .select("g", F.lit(1).alias("__rep"))
-    )
+    rep = (F.count("*").over(Window.partitionBy("g")) > 1).cast("long")
     return (
-        g.join(rep.hint("shuffle_merge"), "g", "left")
+        g.withColumn("__rep", rep)
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),
-            F.count("__rep").alias("n_repeated"),
-            (F.count("__rep").cast("double") / F.count("*")).alias("repeated_frac"),
+            F.sum("__rep").alias("n_repeated"),
+            (F.sum("__rep").cast("double") / F.count("*")).alias("repeated_frac"),
         )
         .orderBy("doc_id")
     )
@@ -1518,9 +1517,11 @@ def q294_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1-based token indices, inclusive) — a run of repeated windows at
     positions p..q covers tokens p..q+7, so span_tokens = q+8-p.
 
-    Shape at scale: the same gram-keyed aggregate + shuffle-merge join
-    back as q113 (the repeated-gram set is corpus-sized — NEVER
-    broadcast), then gaps-and-islands per document: the per-doc window
+    Shape at scale: the same one-exchange window-df attach as q113 (the
+    corpus-occurrence count rides count(*) OVER (PARTITION BY gram) —
+    the repeated-gram set is corpus-sized, so the former join-back had
+    to shuffle-merge and re-derived the explode on both sides; the
+    window halves that), then gaps-and-islands per document: the per-doc window
     (partitionBy doc_id, orderBy pos) sorts only one document's hit
     positions per partition — bounded by doc length, never corpus-wide
     — and the (doc_id, island) aggregate rides the SAME doc_id
@@ -1535,14 +1536,10 @@ def q294_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = d.where(F.size(toks) >= 8).select(
         "doc_id", F.posexplode(word_shingles(toks, 8)).alias("pos0", "g")
     )
-    rep = (
-        g.groupBy("g")
-        .agg(F.count("*").alias("c"))
-        .where(F.col("c") > 1)
-        .select("g")
-    )
-    hits = g.join(rep.hint("shuffle_merge"), "g").select(
-        "doc_id", (F.col("pos0") + 1).alias("pos")  # 1-based, mirrors oracle
+    hits = (
+        g.withColumn("__c", F.count("*").over(Window.partitionBy("g")))
+        .where(F.col("__c") > 1)
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"))  # 1-based, mirrors oracle
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
     isl = hits.select(
@@ -2016,18 +2013,20 @@ def q195_phrase_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q191) cannot express, because bag-of-words scoring is blind to
     token ORDER.  Built on a positional postings list — (doc, term,
     pos) via posexplode — exactly the structure a phrase/proximity
-    index ships at scale: per query term the postings are capped at the
-    first 200 occurrences per doc (rank-limit window on the real
-    (doc_id) key -> WindowGroupLimit, the q157 sequence-cap
-    discipline), then the two posting sets meet in ONE doc_id-keyed
-    shuffle join (both sides unbounded derived -> pinned shuffle_merge)
-    and fold to min-distance + within-window counts.  The tokenized
-    corpus is localCheckpointed once; the df pass and the postings
-    pass both read the checkpoint, so the parquet is scanned once.
-    All-integer distances; total order (min_dist, n_within desc,
-    doc_id) with LIMIT 20 -> TakeOrderedAndProject."""
-    from pyspark.sql import Window
-
+    index ships at scale: BOTH query terms' postings reduce in ONE
+    doc_id-keyed aggregate to per-doc position arrays (sorted, capped
+    at the first 200 occurrences per term — bounded by doc length
+    before the cap, so never corpus-scale per group), and the pair
+    fold (min distance + within-window count) runs in-row with a
+    single array-accumulator pass over the ≤200×200 capped pair grid
+    (one HOF consumer, per the interpreted-lambda rule). r14 wave 4:
+    this replaces two window-cap passes + a doc-keyed shuffle-merge
+    pair join + a pair-stream aggregate — the pair stream never
+    crosses an exchange, only the (doc, pos) postings do, once.  The
+    tokenized corpus is localCheckpointed once; the df pass and the
+    postings pass both read the checkpoint, so the parquet is scanned
+    once.  All-integer distances; total order (min_dist, n_within
+    desc, doc_id) with LIMIT 20 -> TakeOrderedAndProject."""
     d = spread_for_cpu(table(spark, sf_dir, "documents"))
     toksdf = d.select("doc_id", tokens_of("text").alias("toks")).localCheckpoint(
         eager=True
@@ -2051,27 +2050,54 @@ def q195_phrase_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("arr")[0]["term"].alias("qa"), F.col("arr")[1]["term"].alias("qb")
         )
     )
-    posq = pos.crossJoin(F.broadcast(qrow))
-    w_cap = Window.partitionBy("doc_id").orderBy("pos")
-    def capped(side: str) -> DataFrame:
-        return (
-            posq.where(F.col("term") == F.col(side))
-            .withColumn("__rn", F.row_number().over(w_cap))
-            .where(F.col("__rn") <= 200)
-            .select("doc_id", "pos", "qa", "qb")
+    posq = pos.crossJoin(F.broadcast(qrow)).where(
+        (F.col("term") == F.col("qa")) | (F.col("term") == F.col("qb"))
+    )
+
+    def side_positions(side: str):
+        # first 200 occurrences per doc per term, identical to the former
+        # per-side row_number()<=200 window cap (positions sort ascending)
+        return F.slice(
+            F.sort_array(
+                F.collect_list(F.when(F.col("term") == F.col(side), F.col("pos")))
+            ),
+            1,
+            200,
         )
-    pa = capped("qa")
-    pb = capped("qb").select("doc_id", F.col("pos").alias("pos_b"))
-    pairs = pa.join(pb.hint("shuffle_merge"), "doc_id").select(
-        "doc_id", "qa", "qb", F.abs(F.col("pos") - F.col("pos_b")).alias("dist")
+
+    perdoc = posq.groupBy("doc_id").agg(
+        side_positions("qa").alias("pas"),
+        side_positions("qb").alias("pbs"),
+        F.first("qa").alias("term_a"),
+        F.first("qb").alias("term_b"),
+    )
+    dists = F.flatten(
+        F.transform(
+            "pas",
+            lambda x: F.transform(F.col("pbs"), lambda y: F.abs(x - y)),
+        )
+    )
+    # one fold computes BOTH stats so the interpreted dist grid is never
+    # fanned into sibling HOF consumers (CLAUDE.md lambda rule)
+    prox = F.aggregate(
+        dists,
+        F.struct(
+            F.lit(2**62).cast("long").alias("mn"), F.lit(0).cast("long").alias("nw")
+        ),
+        lambda acc, dv: F.struct(
+            F.least(acc["mn"], dv).alias("mn"),
+            (acc["nw"] + F.when(dv <= 4, 1).otherwise(0)).alias("nw"),
+        ),
     )
     return (
-        pairs.groupBy("doc_id")
-        .agg(
-            F.first("qa").alias("term_a"),
-            F.first("qb").alias("term_b"),
-            F.min("dist").alias("min_dist"),
-            F.sum(F.when(F.col("dist") <= 4, 1).otherwise(0)).alias("n_within"),
+        perdoc.where((F.size("pas") > 0) & (F.size("pbs") > 0))
+        .withColumn("__prox", prox)
+        .select(
+            "doc_id",
+            "term_a",
+            "term_b",
+            F.col("__prox")["mn"].alias("min_dist"),
+            F.col("__prox")["nw"].alias("n_within"),
         )
         .where(F.col("min_dist") <= 4)
         .orderBy("min_dist", F.col("n_within").desc(), "doc_id")

@@ -445,24 +445,28 @@ def test_seq_length_histogram_single_scan_broadcast_normalizer(spark):
 
 
 def test_repeated_ngrams_never_broadcast_gram_table(spark):
-    """q113: the repeated-gram (boilerplate) table is corpus-scale — the
-    join back to the instance stream must shuffle, never broadcast."""
+    """q113: the corpus-occurrence count attaches via a gram-partitioned
+    window over ONE exchange (r14 wave 4) — no join at all, so the
+    corpus-scale repeated-gram set can neither broadcast nor force a
+    second derivation of the tokenize+explode; the documents scan
+    appears exactly once."""
     p = plan_of(spark, "q113_repeated_ngram_spans")
-    assert "SortMergeJoin" in p
-    assert "BroadcastHashJoin" not in p
-    assert "CartesianProduct" not in p
-
-
-def test_exact_substring_spans_shuffled_join_docwise_islands(spark):
-    """q294: the repeated-gram set is corpus-scale — the join back to the
-    position stream must shuffle, never broadcast (q113's rule); the
-    gaps-and-islands pass is a doc-partitioned window (bounded by doc
-    length), never a single global sort."""
-    p = plan_of(spark, "q294_exact_substring_spans")
-    assert "SortMergeJoin" in p
-    assert "BroadcastHashJoin" not in p
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
     assert "CartesianProduct" not in p
     assert "Window" in p
+    assert p.count("Scan parquet") == 1
+
+
+def test_exact_substring_spans_windowed_df_docwise_islands(spark):
+    """q294: the repeated-window filter rides a gram-partitioned window
+    over ONE exchange (q113's r14 shape — no join, scan appears once);
+    the gaps-and-islands pass is a doc-partitioned window (bounded by
+    doc length), never a single global sort."""
+    p = plan_of(spark, "q294_exact_substring_spans")
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("Window") >= 2  # gram-df window + doc-island window
+    assert p.count("Scan parquet") == 1
 
 
 def test_did_pinned_user_join_bounded_cells(spark):
@@ -579,12 +583,15 @@ def test_per_source_caps_windowed_rank_limit(spark):
 
 
 def test_ngram_novelty_never_broadcasts_gram_table(spark):
-    """q118: the distinct-gram first-occurrence table is corpus-scale —
-    the join back to the (doc, gram) stream must shuffle (q113's rule)."""
+    """q118: first occurrence attaches via min(doc_id) OVER a
+    gram-partitioned window on ONE exchange (r14 wave 4) — no join, so
+    the corpus-scale gram table can neither broadcast nor re-derive the
+    explode; the documents scan appears exactly once."""
     p = plan_of(spark, "q118_ngram_novelty")
-    assert "SortMergeJoin" in p
-    assert "BroadcastHashJoin" not in p
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
     assert "CartesianProduct" not in p
+    assert "Window" in p
+    assert p.count("Scan parquet") == 1
 
 
 def test_cross_source_overlap_shuffles_gram_self_join(spark):
@@ -1106,15 +1113,16 @@ def test_kcore_returns_checkpointed_counts(spark):
     assert "SortMergeJoin" not in p
 
 
-def test_proximity_postings_capped_and_shuffle_joined(spark):
-    """q195: postings caps run under WindowGroupLimit; the two posting
-    sets meet in ONE doc_id shuffle join (pinned, never broadcast);
-    top-20 is TakeOrderedAndProject; corpus scanned zero times in the
-    returned plan (tokenized checkpoint)."""
+def test_proximity_postings_single_doc_aggregate(spark):
+    """q195 (r14 wave 4): both terms' capped postings reduce in ONE
+    doc_id aggregate to in-row position arrays — no window cap passes,
+    no pair join, the pair grid never crosses an exchange; top-20 is
+    TakeOrderedAndProject; corpus scanned zero times in the returned
+    plan (tokenized checkpoint)."""
     p = plan_of(spark, "q195_phrase_proximity")
     assert "FileScan" not in p
-    assert "WindowGroupLimit" in p
-    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+    assert "Window" not in p
     assert "TakeOrderedAndProject" in p
 
 
