@@ -239,10 +239,16 @@ def embedding_near_duplicates(
     right = probes.select(
         F.col("bucket"), F.col("id").alias("b_id"), F.col("vec").alias("b_vec")
     )
+    # No pair dedup needed: for an ordered pair (a, b) the probe masks
+    # {0, 1<<0, ..., 1<<(n_planes-1)} are distinct, so bucket(b)^mask ==
+    # bucket(a) holds for AT MOST ONE mask — every candidate pair is
+    # generated exactly once (pinned by test_multiprobe_pairs_unique).
+    # The former dropDuplicates shuffled the full candidate stream WITH
+    # both vectors (the heavy-payload-exchange trap, r14 wave 4); now
+    # candidates flow map-side from the bucket join into the verify.
     return (
         left.join(right, "bucket")
         .where(F.col("a_id") < F.col("b_id"))
-        .dropDuplicates(["a_id", "b_id"])
         .withColumn("cosine", _cosine_batch(F.col("a_vec"), F.col("b_vec")))
         .where(F.col("cosine") >= threshold)
         .select("a_id", "b_id", "cosine")
@@ -672,8 +678,21 @@ def semantic_dedup_kept(
     )
     a = normed.select("__c", F.col("__id").alias("__u"), F.col("__e").alias("__ea"))
     b = normed.select("__c", F.col("__id").alias("__v"), F.col("__e").alias("__eb"))
+    # SALTED pair join (the q246/q248 r14 shape): the cluster key alone
+    # has few distinct values and tiny input bytes, so AQE coalesces the
+    # join's read to ~1 task, which would generate every candidate pair
+    # and run the interpreted dot fold serially. Salting the b side
+    # (deterministic xxhash64 — retry-safe per guide §2.5) and exploding
+    # the a side over the salt domain spreads pair generation and the
+    # fold over clusters × npart reduce groups; each (u, v) pair still
+    # meets exactly once (at v's salt), and the pair stream — which
+    # carries both vectors — never crosses an exchange, only the
+    # vector-scale inputs do.
+    npart = embeddings.sparkSession.sparkContext.defaultParallelism
+    b_s = b.withColumn("salt", F.pmod(F.xxhash64("__v"), F.lit(npart)).cast("int"))
+    a_s = a.withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(npart - 1))))
     dup_ids = (
-        a.join(b.hint("shuffle_merge"), "__c")
+        a_s.join(b_s.hint("shuffle_merge"), ["__c", "salt"])
         .where(F.col("__u") < F.col("__v"))
         .where(dot(F.col("__ea"), F.col("__eb")) >= F.lit(threshold))
         .select(F.col("__v"))

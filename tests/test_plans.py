@@ -417,12 +417,15 @@ def test_bigram_lm_never_broadcasts_bigram_vocab(spark):
 
 
 def test_semantic_dedup_pairs_only_within_cluster(spark):
-    """q109: candidate pairs come from a cluster-keyed equi-join (never a
-    cartesian product), and the kept set is a left-anti join."""
+    """q109: candidate pairs come from a (cluster, salt)-keyed equi-join
+    (never a cartesian product — salted per the q246/q248 r14 shape so
+    pair generation parallelizes), and the kept set is a left-anti
+    join."""
     p = plan_of(spark, "q109_semantic_dedup")
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
     assert "LeftAnti" in p
+    assert "salt" in p  # the explode/pmod salt must stay on the join key
 
 
 def test_pagerank_iterations_constant_plan(spark):

@@ -85,6 +85,19 @@ def test_embedding_near_duplicates_subset_of_truth(spark, embeddings):
     assert recall >= 0.5, f"recall {recall:.2f} over {len(truth)} true pairs"
 
 
+def test_multiprobe_pairs_unique(spark, embeddings):
+    """The multi-probe bucket join generates every (a, b) candidate at
+    most once — the probe masks {0, 1<<i} are distinct, so at most one
+    satisfies bucket(b)^mask == bucket(a). This uniqueness is what lets
+    embedding_near_duplicates skip a pair-level dropDuplicates (which
+    shuffled the full candidate stream with both vectors, r14 wave 4);
+    a probe-scheme change that breaks it must fail here, not silently
+    duplicate output rows."""
+    out = embedding_near_duplicates(embeddings, threshold=-1.0)  # keep ALL candidates
+    dup = out.groupBy("a_id", "b_id").count().where(F.col("count") > 1)
+    assert dup.isEmpty(), dup.limit(5).collect()
+
+
 def test_l2_normalize_makes_cosine_a_dot_product(spark):
     """Normalized vectors: dot == cosine of the originals (the ingest-time
     trick that removes per-pair norms), and zero vectors normalize NULL."""
