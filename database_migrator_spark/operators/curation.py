@@ -1110,12 +1110,19 @@ def q207_segment_dedup_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     lose >= half their tokens ('gutted' — candidates for whole-doc
     drop).
 
-    Shape at scale: one explode to (doc, seg_idx, segment) rows, one
-    segment-keyed min aggregate, one segment-keyed join back (pinned
-    shuffle-merge — the segment table is corpus-sized and must never be
-    broadcast), then a bounded per-source rollup. Production would fold
-    segments to 128-bit digests before the shuffle; the string key
-    keeps the oracle exact cross-engine (q118's discipline)."""
+    Shape at scale: one explode to (doc, seg_idx, segment) rows, then
+    the global first-occurrence key attaches via min(key) OVER
+    (PARTITION BY seg) — ONE segment-keyed exchange whose per-segment
+    groups are occurrence-count-sized, instead of the former
+    segment-keyed min aggregate + shuffle-merge join back that
+    re-derived the segment explode on both join sides (the
+    q113/q118/q294 wave-4 recipe; the segment table is corpus-sized and
+    must never be broadcast either way), then a bounded per-source
+    rollup. Production would fold segments to 128-bit digests before
+    the shuffle; the string key keeps the oracle exact cross-engine
+    (q118's discipline)."""
+    from pyspark.sql import Window
+
     d = _spread(spark, table(spark, sf_dir, "documents"))
     toks = tokens_of("text")
     segs = d.select(
@@ -1148,10 +1155,10 @@ def q207_segment_dedup_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q207 keep-first key would collide or overflow int64",
         )
     )
-    firsts = segs.groupBy("seg").agg(F.min("key").alias("first_key"))
+    first_key = F.min("key").over(Window.partitionBy("seg"))
     kept = (F.col("key") == F.col("first_key")).cast("long")
     per_doc = (
-        segs.join(firsts.hint("shuffle_merge"), "seg")
+        segs.withColumn("first_key", first_key)
         .groupBy("source", "doc_id")
         .agg(
             F.count("*").alias("n_segs"),

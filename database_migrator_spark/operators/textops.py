@@ -1131,8 +1131,14 @@ def q103_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c_s"))
         .localCheckpoint(eager=True)
     )
+    from pyspark.sql import Window
+
     ns = cnt_s.groupBy("source").agg(F.sum("c_s").alias("n_s"))
-    cnt_g = cnt_s.groupBy("tok").agg(F.sum("c_s").alias("c_g"))
+    # token margin rides a vocab-partitioned window over cnt_s's one
+    # exchange (r14 wave 5 — formerly a groupBy(tok) + shuffle-merge
+    # join back, i.e. two more vocab-scale exchanges + a second
+    # checkpoint read); per-token groups are source-count-sized
+    c_g = F.sum("c_s").over(Window.partitionBy("tok"))
     ng = cnt_s.agg(F.sum("c_s").alias("n_g"))
     term = (F.col("c_s").cast("double") / F.col("n_s")) * F.log(
         (F.col("c_s") * F.col("n_g")).cast("double")
@@ -1143,8 +1149,8 @@ def q103_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_s").cast("double") * F.col("n_g").cast("double") < exact_bound
     ) & (F.col("n_s").cast("double") * F.col("c_g").cast("double") < exact_bound)
     return (
-        cnt_s.join(F.broadcast(ns), "source")
-        .join(cnt_g.hint("shuffle_merge"), "tok")
+        cnt_s.withColumn("c_g", c_g)
+        .join(F.broadcast(ns), "source")
         .crossJoin(F.broadcast(ng))
         .where(
             exactness_guard(
@@ -2798,13 +2804,19 @@ def q212_distinctive_terms_logodds(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count("*").alias("c"))
         .localCheckpoint(eager=True)  # margins + candidates derive from it
     )
+    from pyspark.sql import Window
+
     ns = cnt.groupBy("source").agg(F.sum("c").alias("n_s"))
-    yw = cnt.groupBy("tok").agg(F.sum("c").alias("y_w"))
+    # corpus margin y_w rides a vocab-partitioned window over cnt's one
+    # exchange (r14 wave 5; formerly groupBy(tok) + shuffle-merge join
+    # back). Computed BEFORE the c >= 5 candidate filter, like the
+    # former aggregate-over-all-rows.
+    yw = F.sum("c").over(Window.partitionBy("tok"))
     tot = cnt.agg(F.sum("c").alias("n"))
     sc = (
-        cnt.where(F.col("c") >= 5)
+        cnt.withColumn("y_w", yw)
+        .where(F.col("c") >= 5)
         .join(F.broadcast(ns), "source")
-        .join(yw.hint("shuffle_merge"), "tok")
         .crossJoin(F.broadcast(tot))
         .where(
             exactness_guard(

@@ -380,7 +380,10 @@ def test_source_divergence_single_token_shuffle_broadcast_stats(spark):
     # exactly one small broadcast hash join (the per-source totals) —
     # a second one would mean the vocabulary flipped back to broadcast
     assert p.count("BroadcastHashJoin") == 1
-    assert "SortMergeJoin" in p  # the vocab join shuffles on tok
+    # r14 wave 5: the vocab margin rides a tok-partitioned window over
+    # the checkpointed counts' one exchange — no vocab join at all
+    assert "SortMergeJoin" not in p
+    assert "Window" in p
     assert "CartesianProduct" not in p
     # the 2^53 fixed-point exactness guard survives into the plan
     assert "raise_error" in p and "2^53" in p
@@ -1232,12 +1235,15 @@ def test_sparse_cosine_inverted_index_join(spark):
 
 
 def test_segment_dedup_single_seg_shuffle(spark):
-    """q207: segments flow through ONE segment-keyed min aggregate and
-    ONE segment-keyed join back (pinned shuffle — the segment table is
-    corpus-sized, never broadcast); per-source rollup after."""
+    """q207 (r14 wave 5): the keep-first key attaches via min(key) OVER
+    a segment-partitioned window on ONE exchange — no join at all, so
+    the corpus-sized segment table can neither broadcast nor re-derive
+    the explode; the documents scan appears exactly once."""
     p = plan_of(spark, "q207_segment_dedup_yield")
-    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Window" in p
+    assert p.count("Scan parquet") == 1
 
 
 def test_leadlag_runs_on_dense_grid(spark):
@@ -1279,12 +1285,14 @@ def test_anova_runs_on_dense_grid(spark):
 
 
 def test_logodds_topk_is_window_group_limit(spark):
-    """q212: the vocab-sized y_w margin joins back via pinned shuffle
-    (never broadcast); the per-source top-10 compiles to
-    WindowGroupLimit, so no source partition is globally sorted."""
+    """q212: the vocab-sized y_w margin rides a tok-partitioned window
+    over the checkpointed counts' one exchange (r14 wave 5 — formerly a
+    groupBy + pinned shuffle join back; never broadcast either way);
+    the per-source top-10 compiles to WindowGroupLimit, so no source
+    partition is globally sorted."""
     p = plan_of(spark, "q212_distinctive_terms_logodds")
     assert "WindowGroupLimit" in p
-    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    assert "SortMergeJoin" not in p  # the 1-row totals attach stays BNLJ
     assert "CartesianProduct" not in p
 
 
