@@ -102,17 +102,14 @@ def test_gate_history_matches_committed_files():
 
 
 def test_gate_order_front_loads_stale_signal_set():
-    """Round 14: the 50-row gate must spend its budget on (a) the
-    13-name _SEMANTIC_RESET wave — q304 (the r13 verdict's
-    hash-green-but-empty mobility matrix), the 7 queries the r14
-    constant-column audit caught dead at every SF (q122/q175/q206/
-    q213/q266/q288/q298), and the 5 BM25-family queries reset by the
-    Lucene idf clamp (q191/q197/q237/q245/q256 — see _bm25_idf); every
-    re-gate row must now show live signal, (b) the 4 never-gated
-    additions q306-q309, then (c) the first 33 of the r08-stale residue
-    (47 names once q175/q191 moved to rank 0; q159-q195, q38-q44,
-    q46-q50, sorted by full name) — exactly 50; the residue's last 14
-    spill to r15.  Global rule: a query with oracle=None can NEVER
+    """Round 15: a pure optimization round — _SEMANTIC_RESET is empty
+    (every r14 reset query re-gated green in CORRECTNESS_r14 and no
+    result-affecting edits landed since).  The 50-row gate budget goes
+    to (a) the one never-gated addition q310, (b) the 14-name r08-stale
+    residue that spilled from r14's window (q194/q195, q38-q44,
+    q46-q50), then (c) the first 35 of the r9-gated block (q100-q111,
+    q196-q221, sorted by full name) — exactly 50; the r9 block's last
+    12 spill to r16.  Global rule: a query with oracle=None can NEVER
     occupy a window slot (q53/q62 burned 2 of 50 rows in r11 on
     rows-only-by-design queries whose gate rows cannot go green); all
     nine such queries sort dead last.  Pinning the exact first-50 list
@@ -121,36 +118,34 @@ def test_gate_order_front_loads_stale_signal_set():
     qs = all_queries()
     names = list(qs)
     gate = [n.split("_", 1)[0] for n in names[:50]]
-    rank0 = [
-        "q122", "q175", "q191", "q197", "q206", "q213", "q237", "q245",
-        "q256", "q266", "q288", "q298", "q304",
-        "q306", "q307", "q308", "q309",
-    ]
-    assert all(
-        n.split("_", 1)[0] not in rank0 or qs[n].oracle is not None for n in names
-    )
-    # q175/q191 are in the r08 block AND in the reset wave — they occupy
-    # rank-0 slots, so the residue for ranks 1+ is the remaining 47 names
+    # (b) the r08-stale residue, full-name sort order within the rank
     r08_block = sorted(
-        ({f"q{i}" for i in range(159, 196)} - {"q175", "q191"})
+        {"q194", "q195"}
         | ({f"q{i:02d}" for i in range(38, 51)} - {"q45"})
     )
-    assert len(r08_block) == 47
-    # within a rank the registry sorts FULL names ("q159_x" < "q38_y")
+    assert len(r08_block) == 14
     r08_in_order = [
         n.split("_", 1)[0]
         for n in sorted(n for n in qs if n.split("_", 1)[0] in set(r08_block))
     ]
-    assert gate == rank0 + r08_in_order[:33]
+    # (c) the r9-gated block, full-name sort order within the rank
+    from database_migrator_spark.plans.gate_history import LAST_GATED
+
+    r9_block = {q for q, r in LAST_GATED.items() if r == 9}
+    r9_in_order = [
+        n.split("_", 1)[0]
+        for n in sorted(n for n in qs if n.split("_", 1)[0] in r9_block)
+    ]
+    assert gate == ["q310"] + r08_in_order + r9_in_order[:35]
     # no oracle-less query may sit inside the window — ever
     window_dqs = [qs[n] for n in names[:50]]
     assert all(dq.oracle is not None for dq in window_dqs)
     # all nine rows-only-by-design queries sort dead last
     no_oracle = [n.split("_", 1)[0] for n, dq in qs.items() if dq.oracle is None]
     assert sorted(no_oracle) == sorted(n.split("_", 1)[0] for n in names[-len(no_oracle):])
-    # the spilled r08 residue (14 names) leads the post-window order
+    # the spilled r9 residue (12 names) leads the post-window order
     post_window = [n.split("_", 1)[0] for n in names[50:]]
-    assert post_window[:14] == r08_in_order[33:]
+    assert post_window[:12] == r9_in_order[35:]
     # every freshly-gated block sorts after the 50-row window
     tail = set(post_window)
-    assert {"q100", "q111", "q196", "q233", "q234", "q249", "q59", "q51", "q112", "q143", "q250", "q262", "q01", "q52", "q85", "q02", "q86", "q263", "q293", "q294", "q305", "q10", "q145"} <= tail
+    assert {"q234", "q249", "q59", "q51", "q112", "q143", "q250", "q262", "q01", "q52", "q85", "q02", "q86", "q263", "q293", "q294", "q305", "q10", "q145", "q304", "q306", "q159", "q162"} <= tail
