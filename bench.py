@@ -8,6 +8,17 @@
 Each query is materialized through the noop sink (full execution, no
 driver-side result transfer skewing the numbers). One warm-up action runs
 first so JVM/codegen startup isn't charged to the first query.
+
+Round 15 (verdict r14 item 1 — driver legibility under VM noise; both
+changes are ADDITIVE, same line shape / keys / env contract):
+- ``sentinel_sec: [first, last]``: a constant probe job timed right
+  after the warmups and again after the loop, so a slow VM regime is
+  visible in-band instead of reading as a per-query regression.
+- Each query is timed best-of-2 (a second, warm-JVM pass in
+  slowest-first order, budget-capped by $SPARK_GRAFT_BENCH_BUDGET_SEC,
+  default 780 s of loop wall; ``pass2_n`` reports coverage). The
+  first pass is methodologically identical to prior rounds and its full
+  map is preserved under ``pass1`` in bench_full.json / bench_last.json.
 """
 
 from __future__ import annotations
@@ -55,6 +66,28 @@ def _warm_streaming(spark) -> None:
         upd, "k long, n long", "n long", "update", GroupStateTimeout.NoTimeout
     )
     run_stream_to_table(st, mode="update")
+
+
+def _sentinel_sec(spark) -> float:
+    """Constant, data-independent probe job (fixed range -> hash ->
+    shuffle -> sum through the noop sink). Timed once right after the
+    warmups and once after the timing loop; the two readings are emitted
+    as ``sentinel_sec`` so a slow VM regime (GC storm, co-tenant load,
+    throttling) is visible IN-BAND in the driver's recorded line instead
+    of masquerading as a per-query regression (r14 verdict item 1)."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    (
+        spark.range(4_000_000)
+        .select(F.pmod(F.xxhash64("id"), F.lit(1009)).alias("k"), F.col("id"))
+        .groupBy("k")
+        .agg(F.sum("id").alias("s"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return round(time.perf_counter() - t0, 3)
 
 
 def main() -> None:
@@ -134,30 +167,69 @@ def main() -> None:
     # isn't charged one-time engine init (~3 s) that no later query pays
     _warm_streaming(spark)
 
+    sentinel_first = _sentinel_sec(spark)
+
     samples: dict[str, list[float]] = {}
     failures: dict[str, str] = {}
+    flaky: dict[str, str] = {}
     import gc
 
-    for _ in range(repeat):
-        for name, dq in all_queries().items():
-            if not dq.bench:
-                continue
-            df = None
-            t0 = time.perf_counter()
-            try:
-                df = dq.build(spark, sf_dir)
-                df.write.format("noop").mode("overwrite").save()
-                samples.setdefault(name, []).append(time.perf_counter() - t0)
-            except Exception as e:  # keep benching; report the failure
+    def run_once(name: str, dq, first_attempt: bool) -> None:
+        df = None
+        t0 = time.perf_counter()
+        try:
+            df = dq.build(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            samples.setdefault(name, []).append(time.perf_counter() - t0)
+        except Exception as e:  # keep benching; report the failure
+            if first_attempt:
                 failures[name] = f"{type(e).__name__}: {e}"[:200]
                 samples.setdefault(name, []).append(-1.0)
-            del df
-            # outside the timer: drop py4j proxies promptly so the JVM
-            # ContextCleaner can free earlier queries' localCheckpoint
-            # blocks — at 170 queries the accumulated blocks otherwise
-            # leak memory pressure into later checkpoint-heavy queries
-            # (the r7 broad-drift suspect, docs/ROUND8_NOTES.md).
-            gc.collect()
+            else:
+                # a retry failing after a first-pass success is infra
+                # flakiness, not a red query — keep the good sample
+                flaky[name] = f"{type(e).__name__}: {e}"[:200]
+        del df
+        # outside the timer: drop py4j proxies promptly so the JVM
+        # ContextCleaner can free earlier queries' localCheckpoint
+        # blocks — at 170 queries the accumulated blocks otherwise
+        # leak memory pressure into later checkpoint-heavy queries
+        # (the r7 broad-drift suspect, docs/ROUND8_NOTES.md).
+        gc.collect()
+
+    benched = {n: dq for n, dq in all_queries().items() if dq.bench}
+    loop_start = time.perf_counter()
+    # Pass 1: catalog order — methodologically identical to every prior
+    # round's single pass (its per-query map is preserved in
+    # bench_full.json under "pass1").
+    for name, dq in benched.items():
+        run_once(name, dq, first_attempt=True)
+    pass1 = {n: round(ts[0], 4) for n, ts in samples.items()}
+    pass2_n = 0
+    if repeat >= 2:
+        # quiet-VM committed protocol: full catalog passes, no budget
+        for _ in range(repeat - 1):
+            for name, dq in benched.items():
+                run_once(name, dq, first_attempt=False)
+    else:
+        # Driver mode (r14 verdict item 1b): a second, warm-JVM timing
+        # pass so one GC storm / transient cannot write a 10x outlier
+        # into the record — each query's reported time is then the MIN
+        # of its passes, which is the right noise model when
+        # interference is strictly additive. Slowest-first (those are
+        # the likeliest outliers AND the only ones the truncated stdout
+        # line shows), bounded by a wall budget so total bench wall
+        # stays predictable on a slow VM.
+        budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "780"))
+        retry_order = sorted(
+            (n for n, t in pass1.items() if t >= 0), key=lambda n: -pass1[n]
+        )
+        for name in retry_order:
+            if time.perf_counter() - loop_start > budget:
+                break
+            run_once(name, benched[name], first_attempt=False)
+            pass2_n += 1
+    sentinel_last = _sentinel_sec(spark)
     timings = {
         name: round(sorted(ts)[(len(ts) - 1) // 2], 4) for name, ts in samples.items()
     }
@@ -179,6 +251,10 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "ingest": ingest,
+        # in-band noise signal + how many queries got the warm second
+        # timing pass (min-of-2); see _sentinel_sec and the pass-2 loop
+        "sentinel_sec": [sentinel_first, sentinel_last],
+        "pass2_n": pass2_n if repeat == 1 else len(timings) * (repeat - 1),
     }
     if failures:
         out["failures"] = {name.split("_", 1)[0]: msg[:80] for name, msg in failures.items()}
@@ -191,7 +267,20 @@ def main() -> None:
     full_name = "bench_full.json" if repeat >= 2 else "bench_last.json"
     with open(Path(__file__).resolve().parent / full_name, "w") as f:
         json.dump(
-            {"metric": out["metric"], "value": total, "unit": "sec", "queries": timings, "sf": sf, "ingest": ingest, "repeat": repeat, "failures": failures or None},
+            {
+                "metric": out["metric"],
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "ingest": ingest,
+                "repeat": repeat,
+                "failures": failures or None,
+                "sentinel_sec": [sentinel_first, sentinel_last],
+                "pass1": pass1,
+                "pass2_n": out["pass2_n"],
+                "flaky": flaky or None,
+            },
             f,
             indent=1,
         )

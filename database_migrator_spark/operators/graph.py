@@ -666,6 +666,15 @@ def q272_label_propagation_communities(spark: SparkSession, sf_dir: str) -> Data
         nb = und.join(
             labels.select(F.col("u").alias("v"), "lab"), "v"
         ).select("u", "lab")
+        # r15: ONE explicit repartition(u) feeds BOTH per-round
+        # aggregations — HashPartitioning(u) satisfies the clustering of
+        # groupBy(u, lab) (subset rule) and of groupBy(u), so the round
+        # does one exchange after the join instead of two (guide §2.4).
+        # Bytes are not worse: the old first exchange carried the
+        # (u, lab) rows with near-zero map-side reduction (labels are
+        # distinct per node early on) PLUS a second exchange of the
+        # counts; interleaved A/B at sf0.1: min 6.76 → 6.02 s (−11%).
+        nb = nb.repartition(F.col("u"))
         cnt = nb.groupBy("u", "lab").agg(F.count("*").alias("c"))
         enc = (F.lit(_LPA_C_BASE) - F.col("c")) * F.lit(_LPA_LAB_MOD) + F.col("lab")
         labels = (
@@ -781,12 +790,18 @@ def q296_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     for _ in range(_TR_ROUNDS):
+        # r15: the raw relaxation rows (v, t) feed the union's
+        # groupBy(node).min directly — the former per-round
+        # groupBy(v).min pre-aggregate re-reduced the SAME key the outer
+        # aggregate reduces, and the outer aggregate's map-side partial
+        # min performs the identical reduction before its exchange, so
+        # dropping the inner aggregate removes one exchange + stage per
+        # round at zero shuffle-byte cost (min is associative;
+        # interleaved A/B at sf0.1: med 5.1 → 4.2 s, every rep faster).
         relax = (
             ta.hint("shuffle_merge")
             .join(te, (ta["node"] == te["u"]) & (te["t"] >= ta["arr"]))
-            .groupBy(F.col("v").alias("node2"))
-            .agg(F.min("t").alias("arr"))
-            .select(F.col("node2").alias("node"), "arr")
+            .select(F.col("v").alias("node"), F.col("t").alias("arr"))
         )
         ta = (
             ta.unionByName(relax)

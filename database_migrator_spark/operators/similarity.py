@@ -380,21 +380,40 @@ def ivf_topk(
     return _ivf_query(assigned, centroids, query_vec_id, k, n_probe, id_col, vec_col)
 
 
+_IVF_PROCESS_CACHE_ROOT: str | None = None
+
+
+def _ivf_process_cache_root() -> str:
+    """Per-PROCESS root for the IVF index cache.  r14 verdict item 6: the
+    old cross-run location (a stable /tmp path keyed on the test-data
+    fingerprint) let a later bench run inherit a previous run's fit, so
+    ``ingest.ivf_fit`` read 0.0 instead of the real cost.  A fresh
+    mkdtemp per process keeps the legitimate fit-once-per-deployment
+    amortization WITHIN a run (queries measure lookups, not fits — same
+    semantics as bpe/pq/cc) while every new bench/test process pays and
+    reports the true fit."""
+    global _IVF_PROCESS_CACHE_ROOT
+    if _IVF_PROCESS_CACHE_ROOT is None:
+        _IVF_PROCESS_CACHE_ROOT = tempfile.mkdtemp(prefix="spark_graft_ivf_")
+    return _IVF_PROCESS_CACHE_ROOT
+
+
 def _ivf_index_cached(spark: SparkSession, sf_dir: str, n_clusters: int = 16, seed: int = 42) -> str:
-    """Fit-once index cache for the declared query: the index lives under
-    the system temp dir keyed by (table, params, source fingerprint) and
-    is reused across invocations — the bench therefore measures the
-    QUERY, with the fit amortized exactly as a persisted production index
-    would be. The fingerprint (source file mtime+size) makes a
-    regenerated table invalidate the cache instead of silently serving a
-    stale index; the marker is written via atomic rename so a crash
-    mid-fit can never leave a valid-looking partial index."""
+    """Fit-once-per-process index cache for the declared query: the index
+    lives under a per-process temp dir keyed by (table, params, source
+    fingerprint) and is reused across invocations within the process —
+    the bench therefore measures the QUERY, with the fit amortized
+    exactly as a persisted production index would be, and reports the
+    one-time fit under ``ingest.ivf_fit``. The fingerprint (source file
+    mtime+size) makes a regenerated table invalidate the cache instead
+    of silently serving a stale index; the marker is written via atomic
+    rename so a crash mid-fit can never leave a valid-looking partial
+    index."""
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
     fingerprint = f"{st.st_mtime_ns}-{st.st_size}"
     base = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_ivf",
+        _ivf_process_cache_root(),
         f"{os.path.basename(os.path.normpath(sf_dir))}-k{n_clusters}-s{seed}-{fingerprint}",
     )
     marker = os.path.join(base, "_INDEX_READY")

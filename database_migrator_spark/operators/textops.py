@@ -2589,20 +2589,56 @@ def q206_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__rn", F.row_number().over(w_cap))
         .where(F.col("__rn") <= 200)
         .drop("__rn")
-        .localCheckpoint(eager=True)  # feeds norms + both join sides
+        # r15: the norm Σw² rides each posting row out of the checkpoint
+        # (one doc_id-partitioned window INSIDE the build) instead of a
+        # separate groupBy(doc_id) aggregate attached to the scored pairs
+        # through TWO corpus-scale shuffle-merge joins — net plan: 3 SMJ
+        # → 1, and the post-aggregate tail loses 4 exchanges (guide
+        # §2.4). nsq is an exact BIGINT functionally dependent on
+        # doc_id, so carrying it via min() through the pair aggregate is
+        # bit-identical to the join-back.
+        .withColumn(
+            "nsq", F.sum(F.col("wfp") * F.col("wfp")).over(Window.partitionBy("doc_id"))
+        )
+        .localCheckpoint(eager=True)  # feeds both join sides
     )
-    norms = w.groupBy("doc_id").agg(F.sum(F.col("wfp") * F.col("wfp")).alias("nsq"))
-    a = w.select(F.col("doc_id").alias("da"), "source", "g", F.col("wfp").alias("wa"))
-    b = w.select(F.col("doc_id").alias("db"), "source", "g", F.col("wfp").alias("wb"))
+    # Pair generation must not serialize (r14 verdict item 3: 8c/32c
+    # ratio 0.75): the postings are BYTE-small at test scale, so the
+    # join's own Exchange(g, source) gets AQE-coalesced to ~1 task,
+    # which then expands every posting pair and runs the partial dot
+    # aggregate serially. An EXPLICIT repartition(npart, g, source) is
+    # exempt from AQE coalescing (REPARTITION_BY_NUM), satisfies the
+    # join's clustering on both sides (one exchange, reused), and keys
+    # on ~930 grams × sources — far more distinct values than tasks, so
+    # it spreads (guide §2.5); npart tracks defaultParallelism, not a
+    # local constant.
+    npart = spark.sparkContext.defaultParallelism
+    wp = w.repartition(npart, "g", "source")
+    a = wp.select(
+        F.col("doc_id").alias("da"),
+        "source",
+        "g",
+        F.col("wfp").alias("wa"),
+        F.col("nsq").alias("nsq_a"),
+    )
+    b = wp.select(
+        F.col("doc_id").alias("db"),
+        "source",
+        "g",
+        F.col("wfp").alias("wb"),
+        F.col("nsq").alias("nsq_b"),
+    )
     dots = (
         a.join(b.hint("shuffle_merge"), ["g", "source"])
         .where(F.col("da") < F.col("db"))
         .groupBy("da", "db", "source")
-        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+        .agg(
+            F.sum(F.col("wa") * F.col("wb")).alias("dot"),
+            F.min("nsq_a").alias("nsq_a"),
+            F.min("nsq_b").alias("nsq_b"),
+        )
         .where(F.col("dot") > 0)
     )
-    na = norms.select(F.col("doc_id").alias("da"), F.col("nsq").alias("nsq_a"))
-    nb = norms.select(F.col("doc_id").alias("db"), F.col("nsq").alias("nsq_b"))
     in_bound = (F.col("dot").cast("double") < F.lit(EXACT_DOUBLE_BOUND)) & (
         F.col("nsq_a").cast("double") < F.lit(EXACT_DOUBLE_BOUND)
     ) & (F.col("nsq_b").cast("double") < F.lit(EXACT_DOUBLE_BOUND))
@@ -2610,9 +2646,7 @@ def q206_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(F.col("nsq_a").cast("double")) * F.sqrt(F.col("nsq_b").cast("double"))
     )
     return (
-        dots.join(na.hint("shuffle_merge"), "da")
-        .join(nb.hint("shuffle_merge"), "db")
-        .where(
+        dots.where(
             exactness_guard(
                 in_bound,
                 "q206: fixed-point dot/norm >= 2^53 — cosine would silently "

@@ -51,6 +51,8 @@ def test_bench_json_line_fits_tail_window():
                 "cc_fit": 99.99,
                 "gram_fit": 99.99,
             },
+            "sentinel_sec": [99.999, 99.999],
+            "pass2_n": 999,
         }
         failures = {f"q{i:02d}": "X" * 80 for i in range(99)} if with_failures else {}
         if failures:

@@ -1222,14 +1222,19 @@ def test_record_linkage_blocked_equi_join(spark):
 
 
 def test_sparse_cosine_inverted_index_join(spark):
-    """q206: the pair dot products come from ONE term-keyed shuffle
-    join over the banded postings checkpoint (never broadcast — the
-    postings table is corpus-sized); norms attach via pinned shuffle
-    joins; top-20 is TakeOrderedAndProject; no corpus FileScan (shared
-    tf substrate), no cartesian."""
+    """q206 (r15): the pair dot products come from ONE term-keyed
+    shuffle join over the postings checkpoint (never broadcast — the
+    postings table is corpus-sized) whose parallelism is PINNED by an
+    explicit repartition(npart, g, source) so AQE's byte-based
+    coalescing cannot serialize pair generation; the doc norms ride the
+    posting rows out of the checkpoint (doc_id window inside the build)
+    instead of attaching via two more corpus-scale shuffle joins — the
+    pair join is the ONLY join in the plan. Top-20 is
+    TakeOrderedAndProject; no corpus FileScan, no cartesian."""
     p = plan_of(spark, "q206_sparse_cosine_pairs")
     assert "FileScan" not in p
-    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    assert p.count("SortMergeJoin") == 1
+    assert "REPARTITION_BY_NUM" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "TakeOrderedAndProject" in p
 
