@@ -470,34 +470,22 @@ def pagerank_weighted_fixed_point(
     that (rescale weights — only RATIOS w/W matter)."""
     from database_migrator_spark.functions.exact import exactness_guard
 
-    from pyspark.sql import Window
-
+    # r15 note: the q110 chunked-adjacency shape was A/B'd here too and
+    # REVERTED — q241's co-occurrence graph is VOCABULARY-bounded (nodes
+    # are words), so the join-row reduction is small while the
+    # window+chunk substrate adds string-keyed sorts; interleaved A/B at
+    # sf0.1: edge rows med 1.81 s vs adjacency med 1.91 s. Edge rows
+    # stay.
     und = und.localCheckpoint(eager=True)
     wd = und.groupBy("u").agg(F.sum("w").alias("tw"))
-    # r15: same chunked-adjacency shape as pagerank_fixed_point (guide
-    # §3.3) — node-scale join, explode after; tw is the TOTAL weight via
-    # a window so (r*w) DIV tw is unchanged; chunks bound row width
-    # against hot-node skew.
-    adj = (
-        und.where(
+    und_wd = (
+        und.join(wd, "u")
+        .where(
             exactness_guard(
                 F.col("w") < F.lit(9_000_000),
                 "pagerank_weighted: edge weight >= 9e6 — r*w would exceed "
                 "2^63; rescale weights (only w/W ratios matter)",
             )
-        )
-        .withColumn("tw", F.sum("w").over(Window.partitionBy("u")))
-        .withColumn("dd", F.count("*").over(Window.partitionBy("u")))
-        .withColumn(
-            "ch",
-            F.pmod(
-                F.xxhash64("v"), F.ceil(F.col("dd") / F.lit(_ADJ_CHUNK))
-            ).cast("int"),
-        )
-        .groupBy("u", "ch")
-        .agg(
-            F.collect_list(F.struct(F.col("v"), F.col("w"))).alias("vs"),
-            F.min("tw").alias("tw"),
         )
         .localCheckpoint(eager=True)
     )
@@ -505,10 +493,8 @@ def pagerank_weighted_fixed_point(
     base = _SCALE // n
     r = wd.select("u", F.lit(base).cast("long").alias("r"))
     for _ in range(iterations):
-        contrib = (
-            r.join(adj, "u")
-            .select(F.explode("vs").alias("e"), "r", "tw")
-            .select(F.col("e.v").alias("u"), F.expr("(r * e.w) DIV tw").alias("c"))
+        contrib = r.join(und_wd, "u").select(
+            F.col("v").alias("u"), F.expr("(r * w) DIV tw").alias("c")
         )
         r = (
             contrib.groupBy("u")
@@ -586,10 +572,8 @@ def q241_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaying the identical recurrence — hash-matched bit-for-bit.
     Shape at scale: the (u,v,w) co-occurrence build is one
     bigram-vocabulary aggregate off one corpus scan; each round is one
-    node-scale rank⋈adjacency join (chunked neighbor arrays, explode
-    after — guide §3.3) + one destination-keyed aggregate,
-    localCheckpoint per round (constant plan), zero per-round driver
-    traffic."""
+    rank⋈edges join + one destination-keyed aggregate, localCheckpoint
+    per round (constant plan), zero per-round driver traffic."""
     from database_migrator_spark.operators.dedup import tokens_of
 
     d = table(spark, sf_dir, "documents")
